@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Engine queries are DataFrame-API plans from ``geotrellis_contrib_spark``;
+oracles are independent ANSI-SQL recomputations DuckDB runs over the same
+parquet + the shared derivations in ``geotrellis_contrib_spark.derive``
+(the dual-execution pattern of the reference's PostgisSpec.scala:174-188).
 """
 
 from __future__ import annotations
@@ -12,27 +11,276 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from geotrellis_contrib_spark import derive
+from geotrellis_contrib_spark.functions import cells as C
+from geotrellis_contrib_spark.operators import knn as knn_ops
+from geotrellis_contrib_spark.operators import raster as raster_ops
+from geotrellis_contrib_spark.operators import spatial_join as sj
+from geotrellis_contrib_spark.operators import tiling
+
+DIST_RADIUS = 0.5
+KNN_K = 5
+KNN_ZOOM = 6  # cell ~5.6 deg >> any hot-cluster kth distance -> ring 1 exact
+TILE_ZOOMS = [8, 10, 12]
+TILES_ZOOM = 6
+RASTERIZE_ZOOM = 10
+
+
+def _views(spark: SparkSession, sf_dir: str) -> None:
+    derive.register_views(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# engine queries (Spark DataFrame API)
+# --------------------------------------------------------------------------
+
+def q_cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor points -> SpatialKey + packed cell id at zoom 12 (hot path:
+    pure JVM arithmetic, one narrow stage; SURVEY.md §3.3)."""
+    _views(spark, sf_dir)
+    a = spark.table("anchors").filter(F.col("lon").isNotNull())
+    return a.select(
+        "doc_id",
+        C.tile_col(F.col("lon"), 12).alias("col12"),
+        C.tile_row(F.col("lat"), 12).alias("row12"),
+        C.cell_id(F.lit(12), C.tile_col(F.col("lon"), 12), C.tile_row(F.col("lat"), 12)).alias("cell12"),
+    )
+
+
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """media_ref -> SpatialKey(zoom, col, row) at 3 pyramid levels — the
+    LayoutTileSource path (GeotrellisRasterSourceBench.scala:32-43)."""
+    _views(spark, sf_dir)
+    m = spark.table("media")
+    out = tiling.assign_tiles(m, TILE_ZOOMS)
+    return out.select("doc_id", "media_ref", "zoom", "col", "row", "cell_id")
+
+
+def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon join: anchors x polygon boxes (broadcast cover-cell
+    equi-join + exact half-open refine; SURVEY.md §2.3)."""
+    _views(spark, sf_dir)
+    out = sj.pip_join_boxes(spark.table("anchors"), spark.table("polygon_boxes"), zoom=6)
+    return out.select("doc_id", "poly_id")
+
+
+def q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance theta self-join (< 0.5 deg), cell-ring equi-join + exact
+    refine (reference semantics PostgisSpec.scala:174-188)."""
+    _views(spark, sf_dir)
+    a = spark.table("anchors").select("doc_id", "lon", "lat")
+    pairs = sj.distance_join(a, a, DIST_RADIUS)
+    return (pairs.filter(F.col("a_doc_id") < F.col("b_doc_id"))
+            .select(F.col("a_doc_id").alias("doc_a"),
+                    F.col("b_doc_id").alias("doc_b"),
+                    F.col("dist"),
+                    F.floor(F.col("dist") * 10000.0 + 0.5).alias("dist_e4")))
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=5 nearest anchors per query point: ring-1 candidates at zoom 6 +
+    exact re-rank. Exact here because the hot cluster guarantees the 5th
+    neighbor is far inside one 5.6-deg cell (see operators.knn docstring)."""
+    _views(spark, sf_dir)
+    out = knn_ops.knn_join(spark.table("query_points"), spark.table("anchors"),
+                           k=KNN_K, zoom=KNN_ZOOM, ring=1)
+    return out.select("query_id", "point_id", F.col("rank").cast("int").alias("rank"), "dist")
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster->vector: tile stats per polygon (BASELINE north_star path)."""
+    _views(spark, sf_dir)
+    out = raster_ops.zonal_stats(spark.table("tiles"), spark.table("polygon_boxes"))
+    return out.select("poly_id", "band", "cnt", "sum_val", "min_val", "max_val", "mean_val")
+
+
+def q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector->raster: burn anchor points into zoom-10 tiles (count + weight
+    sum; map-side partial agg)."""
+    _views(spark, sf_dir)
+    pts = spark.table("anchors").withColumn("w", F.col("doc_id") % 256)
+    out = raster_ops.rasterize_points(pts, RASTERIZE_ZOOM, weight="w")
+    return out.select("col", "row", "n_points", "sum_weight")
+
+
+def q_mosaic_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mosaic merge: same-key tiles from 3 sources, first non-NoData wins,
+    deterministic left bias (MosaicRasterSource.scala:121-131)."""
+    _views(spark, sf_dir)
+    out = raster_ops.mosaic_merge(spark.table("tiles"))
+    return out.select("zoom", "col", "row", "band", "val", "source_idx")
+
+
+def q_windows_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-window read: windows x tiles covering-key join,
+    aggregated per window (GeoTiffRasterSource.scala:99-110 semantics —
+    disjoint windows prune out)."""
+    _views(spark, sf_dir)
+    joined = tiling.windows_tiles_join(spark.table("windows"), spark.table("tiles"), TILES_ZOOM)
+    return (joined.groupBy("win_id")
+            .agg(F.count("*").alias("n_tiles"), F.sum("val").alias("sum_val")))
+
+
+def q_raster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source raster metadata aggregation (RasterSummary analog)."""
+    _views(spark, sf_dir)
+    out = raster_ops.raster_summary(spark.table("tiles"))
+    return out.select("source_id", "n_tiles", "n_bands", "col_min", "col_max",
+                      "row_min", "row_max", "n_nodata")
+
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect-common recomputations)
+# --------------------------------------------------------------------------
+
+def _dist_sql(x1, y1, x2, y2):
+    return f"SQRT(({x1} - {x2}) * ({x1} - {x2}) + ({y1} - {y2}) * ({y1} - {y2}))"
+
+
+def _oracles() -> dict[str, str]:
+    col12 = C.sql_tile_col("lon", 12)
+    row12 = C.sql_tile_row("lat", 12)
+    o = {}
+
+    o["cell_encode"] = f"""
+{derive.cte('anchors')}
+SELECT doc_id, {col12} AS col12, {row12} AS row12,
+       {C.sql_cell_id('12', col12, row12)} AS cell12
+FROM anchors WHERE lon IS NOT NULL
+"""
+
+    assigns = []
+    for z in TILE_ZOOMS:
+        cz = C.sql_tile_col("lon", z)
+        rz = C.sql_tile_row("lat", z)
+        assigns.append(
+            f"SELECT doc_id, media_ref, CAST({z} AS INT) AS zoom, {cz} AS col, {rz} AS row, "
+            f"{C.sql_cell_id(str(z), cz, rz)} AS cell_id FROM media"
+        )
+    o["tile_assign"] = derive.cte("media") + "\n" + "\nUNION ALL\n".join(assigns)
+
+    o["pip_join"] = f"""
+{derive.cte('anchors', 'polygon_boxes')}
+SELECT a.doc_id, p.poly_id
+FROM anchors a JOIN polygon_boxes p
+  ON a.lon >= p.xmin AND a.lon < p.xmax AND a.lat >= p.ymin AND a.lat < p.ymax
+WHERE a.lon IS NOT NULL
+"""
+
+    dd = _dist_sql("a.lon", "a.lat", "b.lon", "b.lat")
+    o["distance_join"] = f"""
+{derive.cte('anchors')}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {dd} AS dist,
+       CAST(FLOOR({dd} * 10000.0 + 0.5) AS BIGINT) AS dist_e4
+FROM anchors a JOIN anchors b ON a.doc_id < b.doc_id
+WHERE a.lon IS NOT NULL AND b.lon IS NOT NULL AND {dd} < {DIST_RADIUS}
+"""
+
+    qd = _dist_sql("q.qlon", "q.qlat", "a.lon", "a.lat")
+    o["knn"] = f"""
+{derive.cte('anchors', 'query_points')}
+SELECT query_id, point_id, CAST(rank AS INT) AS rank, dist FROM (
+  SELECT q.query_id, a.doc_id AS point_id, {qd} AS dist,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY {qd}, a.doc_id) AS rank
+  FROM query_points q CROSS JOIN anchors a
+  WHERE a.lon IS NOT NULL
+) t WHERE rank <= {KNN_K}
+"""
+
+    clon, clat = raster_ops.sql_tile_center("t.zoom", "t.col", "t.row")
+    o["zonal_stats"] = f"""
+{derive.cte('tiles', 'polygon_boxes')}
+SELECT p.poly_id, t.band,
+       CAST(COUNT(t.val) AS BIGINT) AS cnt,
+       SUM(t.val) AS sum_val, MIN(t.val) AS min_val, MAX(t.val) AS max_val,
+       SUM(t.val) / COUNT(t.val) AS mean_val
+FROM tiles t JOIN polygon_boxes p
+  ON {clon} >= p.xmin AND {clon} < p.xmax AND {clat} >= p.ymin AND {clat} < p.ymax
+GROUP BY p.poly_id, t.band
+"""
+
+    rc = C.sql_tile_col("lon", RASTERIZE_ZOOM)
+    rr = C.sql_tile_row("lat", RASTERIZE_ZOOM)
+    o["rasterize"] = f"""
+{derive.cte('anchors')}
+SELECT {rc} AS col, {rr} AS row,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(doc_id % 256) AS BIGINT) AS sum_weight
+FROM anchors WHERE lon IS NOT NULL
+GROUP BY 1, 2
+"""
+
+    o["mosaic_merge"] = f"""
+{derive.cte('tiles')}
+SELECT zoom, col, row, band, val, source_idx FROM (
+  SELECT zoom, col, row, band, val, source_idx,
+         ROW_NUMBER() OVER (
+           PARTITION BY zoom, col, row, band
+           ORDER BY CASE WHEN val IS NULL THEN 1 ELSE 0 END, source_idx,
+                    val ASC NULLS LAST) AS rn
+  FROM tiles
+) t WHERE rn = 1
+"""
+
+    wc0 = C.sql_tile_col("w.xmin", TILES_ZOOM)
+    wc1 = C.sql_tile_col("w.xmax", TILES_ZOOM)
+    wr0 = C.sql_tile_row("w.ymax", TILES_ZOOM)
+    wr1 = C.sql_tile_row("w.ymin", TILES_ZOOM)
+    o["windows_read"] = f"""
+{derive.cte('windows', 'tiles')}
+SELECT w.win_id, CAST(COUNT(*) AS BIGINT) AS n_tiles, SUM(t.val) AS sum_val
+FROM windows w JOIN tiles t
+  ON t.col BETWEEN {wc0} AND {wc1} AND t.row BETWEEN {wr0} AND {wr1}
+GROUP BY w.win_id
+"""
+
+    o["raster_summary"] = f"""
+{derive.cte('tiles')}
+SELECT source_id, CAST(COUNT(*) AS BIGINT) AS n_tiles,
+       CAST(COUNT(DISTINCT band) AS BIGINT) AS n_bands,
+       MIN(col) AS col_min, MAX(col) AS col_max,
+       MIN(row) AS row_min, MAX(row) AS row_max,
+       CAST(SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nodata
+FROM tiles GROUP BY source_id
+"""
+    return o
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship pipeline on sf0.001: extract anchors from the doc table,
+    spatial-join to polygons, assign each doc's media to zoom-10 tiles —
+    scan -> project -> broadcast spatial join -> refine -> tile assignment,
+    the engine's signature end-to-end slice (SURVEY.md §7.4)."""
+    sf_dir = "/root/testdata/sf0.001"
+    _views(spark, sf_dir)
+    hits = sj.pip_join_boxes(spark.table("anchors"), spark.table("polygon_boxes"), zoom=6) \
+             .select("doc_id", "poly_id")
+    media_tiles = tiling.assign_tiles(spark.table("media"), [10]) \
+                        .select("doc_id", "media_ref", "zoom", "col", "row")
+    return hits.join(media_tiles, "doc_id", "inner") \
+               .select("doc_id", "poly_id", "media_ref", "zoom", "col", "row")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cell_encode": q_cell_encode,
+        "tile_assign": q_tile_assign,
+        "pip_join": q_pip_join,
+        "distance_join": q_distance_join,
+        "knn": q_knn,
+        "zonal_stats": q_zonal_stats,
+        "rasterize": q_rasterize,
+        "mosaic_merge": q_mosaic_merge,
+        "windows_read": q_windows_read,
+        "raster_summary": q_raster_summary,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _oracles()

@@ -1,0 +1,152 @@
+"""Spark Column builders for the cell/tile index — pure ``pyspark.sql.functions``
+expressions (JVM-side, whole-stage-codegen'd; NO Python UDFs in this hot path).
+
+These mirror the numpy kernels in ``geotrellis_contrib_spark.grid`` bit-for-bit
+on float64: same operation order, same clamps. The hot path of the engine —
+encoding 10^12 document anchors to SpatialKey(zoom, col, row) — never leaves
+the JVM.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from geotrellis_contrib_spark.grid import MAX_LAT, MERC_MAX, MIN_LAT
+
+_COL_SHIFT = 29
+_ZOOM_SHIFT = 58
+
+
+def _c(x) -> Column:
+    return x if isinstance(x, Column) else F.lit(x)
+
+
+def clamp_lat(lat) -> Column:
+    return F.least(F.greatest(_c(lat).cast("double"), F.lit(MIN_LAT)), F.lit(MAX_LAT))
+
+
+def tile_col(lon, zoom) -> Column:
+    """floor((lon+180)/360 * 2^zoom), clamped to [0, 2^zoom-1]. LONG."""
+    n = F.pow(F.lit(2.0), _c(zoom).cast("double"))
+    raw = F.floor((_c(lon).cast("double") + F.lit(180.0)) / F.lit(360.0) * n)
+    return F.least(F.greatest(raw, F.lit(0).cast("long")), (n - F.lit(1.0)).cast("long"))
+
+
+def tile_row(lat, zoom) -> Column:
+    """floor((1 - ln(tan(lat)+sec(lat))/pi)/2 * 2^zoom), clamped. LONG.
+
+    Same ln(tan + 1/cos) form as grid.lonlat_to_tile so JVM and numpy agree.
+    """
+    n = F.pow(F.lit(2.0), _c(zoom).cast("double"))
+    lr = F.radians(clamp_lat(lat))
+    merc = F.log(F.tan(lr) + F.lit(1.0) / F.cos(lr))
+    raw = F.floor((F.lit(1.0) - merc / F.lit(math.pi)) / F.lit(2.0) * n)
+    return F.least(F.greatest(raw, F.lit(0).cast("long")), (n - F.lit(1.0)).cast("long"))
+
+
+def cell_id(zoom, col, row) -> Column:
+    """Pack (zoom, col, row) into one int64: (z<<58) | (col<<29) | row."""
+    return (
+        F.shiftleft(_c(zoom).cast("long"), _ZOOM_SHIFT)
+        + F.shiftleft(_c(col).cast("long"), _COL_SHIFT)
+        + _c(row).cast("long")
+    )
+
+
+def cell_zoom(cell) -> Column:
+    return F.shiftright(_c(cell).cast("long"), _ZOOM_SHIFT)
+
+
+def cell_col(cell) -> Column:
+    return F.shiftright(_c(cell).cast("long"), _COL_SHIFT) & F.lit((1 << _COL_SHIFT) - 1)
+
+
+def cell_row(cell) -> Column:
+    return _c(cell).cast("long") & F.lit((1 << _COL_SHIFT) - 1)
+
+
+def cell_parent(cell, levels: int = 1) -> Column:
+    return cell_id(cell_zoom(cell) - levels,
+                   F.shiftright(cell_col(cell), levels),
+                   F.shiftright(cell_row(cell), levels))
+
+
+def encode_point(lon, lat, zoom) -> Column:
+    """lon/lat -> packed cell id at ``zoom`` (one fused expression)."""
+    return cell_id(_c(zoom), tile_col(lon, zoom), tile_row(lat, zoom))
+
+
+def mercator_x(lon) -> Column:
+    return _c(lon).cast("double") * F.lit(MERC_MAX / 180.0)
+
+
+def mercator_y(lat) -> Column:
+    lr = clamp_lat(lat)
+    return F.log(F.tan((F.lit(90.0) + lr) * F.lit(math.pi / 360.0))) \
+        * F.lit(MERC_MAX / math.pi)
+
+
+def tile_xmin(zoom, col) -> Column:
+    n = F.pow(F.lit(2.0), _c(zoom).cast("double"))
+    return _c(col).cast("double") / n * F.lit(360.0) - F.lit(180.0)
+
+
+def tile_xmax(zoom, col) -> Column:
+    n = F.pow(F.lit(2.0), _c(zoom).cast("double"))
+    return (_c(col).cast("double") + F.lit(1.0)) / n * F.lit(360.0) - F.lit(180.0)
+
+
+def _row_lat(zoom, r) -> Column:
+    n = F.pow(F.lit(2.0), _c(zoom).cast("double"))
+    return F.degrees(F.atan(F.sinh(F.lit(math.pi) * (F.lit(1.0) - F.lit(2.0) * _c(r).cast("double") / n))))
+
+
+def tile_ymax(zoom, row) -> Column:
+    return _row_lat(zoom, _c(row))
+
+
+def tile_ymin(zoom, row) -> Column:
+    return _row_lat(zoom, _c(row).cast("double") + F.lit(1.0))
+
+
+def tiles_for_bbox(zoom, xmin, ymin, xmax, ymax):
+    """Covering SpatialKeys of a bbox at ``zoom`` as two Columns of
+    (col_array, row_cross): callers explode ``F.sequence`` ranges.
+
+    Returns (col_min, col_max, row_min, row_max) Columns; use with::
+
+        df.withColumn("col", F.explode(F.sequence(col_min, col_max)))
+          .withColumn("row", F.explode(F.sequence(row_min, row_max)))
+
+    Exploding ranges JVM-side keeps polygon->cover-cell tessellation out of
+    Python entirely (the coarse phase of every spatial join, SURVEY.md §2.3).
+    """
+    return (
+        tile_col(xmin, zoom), tile_col(xmax, zoom),
+        tile_row(ymax, zoom), tile_row(ymin, zoom),  # row grows southward
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL snippet twins (ANSI SQL, runnable by BOTH Spark SQL and DuckDB) — used
+# to write dual-execution oracles; kept adjacent to the Column builders so
+# the two stay in sync.
+# ---------------------------------------------------------------------------
+
+def sql_tile_col(lon: str, zoom: int) -> str:
+    n = float(1 << zoom)
+    return (f"CAST(LEAST(GREATEST(FLOOR(({lon} + 180.0) / 360.0 * {n}), 0), {n - 1:.1f}) AS BIGINT)")
+
+
+def sql_tile_row(lat: str, zoom: int) -> str:
+    n = float(1 << zoom)
+    lr = f"RADIANS(LEAST(GREATEST({lat}, {MIN_LAT!r}), {MAX_LAT!r}))"
+    merc = f"LN(TAN({lr}) + 1.0 / COS({lr}))"
+    return (f"CAST(LEAST(GREATEST(FLOOR((1.0 - {merc} / PI()) / 2.0 * {n}), 0), {n - 1:.1f}) AS BIGINT)")
+
+
+def sql_cell_id(zoom: str, col: str, row: str) -> str:
+    return f"(CAST({zoom} AS BIGINT) * {1 << _ZOOM_SHIFT} + CAST({col} AS BIGINT) * {1 << _COL_SHIFT} + CAST({row} AS BIGINT))"

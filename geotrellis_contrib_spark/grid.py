@@ -1,0 +1,333 @@
+"""Layout & cell kernels — pure numpy, no Spark imports.
+
+Re-implements, from observable semantics only, the grid math the reference
+exposes through its RasterSource algebra and tiling usage sites:
+
+  - WebMercator (EPSG:3857) <-> EPSG:4326 closed-form transforms
+    (what a ZoomedLayoutScheme needs; reference uses proj4 CRS objects,
+    e.g. /root/reference/vlm/.../effect/RasterMetadataF.scala:30).
+  - ZoomedLayoutScheme-style power-of-two tile pyramid with 256-px tiles
+    (the constant used throughout the reference:
+    /root/reference/benchmark/src/main/scala/GeotrellisRasterSourceBench.scala:34,
+    /root/reference/gdal/src/it/scala/geotrellis/contrib/vlm/SubsceneReadingIT.scala:91).
+  - SpatialKey(zoom, col, row) packing into a single int64 cell id, with
+    parent / children / k-ring neighbor ops (the engine's S2-style index).
+  - GridExtent / GridBounds arithmetic matching the reference semantics:
+    size = cols*rows, gridBounds = (0,0,cols-1,rows-1)
+    (/root/reference/vlm/.../effect/RasterMetadataF.scala:33-35),
+    extent->bounds with a half-pixel inset buffer
+    (/root/reference/gdal/.../GDALRasterSource.scala:164-167),
+    combine with round-not-ceil rows/cols
+    (/root/reference/vlm/.../effect/MosaicRasterSource.scala:133-146,
+    CHANGELOG.md:97).
+
+All kernels are batch-in/batch-out over numpy arrays so they can back
+Arrow-vectorized pandas UDFs without per-row Python.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+TILE_SIZE = 256
+# WebMercator world bounds (meters). 2 * pi * 6378137 / 2.
+MERC_MAX = 20037508.342789244
+MIN_LAT = -85.05112877980659
+MAX_LAT = 85.05112877980659
+
+# int64 cell id packing: zoom in the top 6 bits, col/row 29 bits each.
+# Supports zoom <= 29 (col/row < 2^29), comfortably past slippy zoom 22.
+_COL_SHIFT = 29
+_ZOOM_SHIFT = 58
+
+
+# ---------------------------------------------------------------------------
+# CRS transforms (closed form, float64)
+# ---------------------------------------------------------------------------
+
+def lonlat_to_mercator(lon, lat):
+    """EPSG:4326 -> EPSG:3857 (spherical web mercator), vectorized."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.clip(np.asarray(lat, dtype=np.float64), MIN_LAT, MAX_LAT)
+    x = lon * MERC_MAX / 180.0
+    y = np.log(np.tan((90.0 + lat) * np.pi / 360.0)) * MERC_MAX / np.pi
+    return x, y
+
+
+def mercator_to_lonlat(x, y):
+    """EPSG:3857 -> EPSG:4326, vectorized."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    lon = x * 180.0 / MERC_MAX
+    lat = np.degrees(2.0 * np.arctan(np.exp(y * np.pi / MERC_MAX)) - np.pi / 2.0)
+    return lon, lat
+
+
+# ---------------------------------------------------------------------------
+# Tile pyramid (slippy / ZoomedLayoutScheme-style)
+# ---------------------------------------------------------------------------
+
+def lonlat_to_tile(lon, lat, zoom):
+    """(lon, lat, zoom) -> (col, row) int64 on the power-of-two 256-px grid.
+
+    Standard slippy-map math: col from linear lon, row from the mercator
+    y via ln(tan + sec). Rows grow southward (row 0 at the north edge),
+    matching a ZoomedLayoutScheme layout over WebMercator.
+    """
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.clip(np.asarray(lat, dtype=np.float64), MIN_LAT, MAX_LAT)
+    n = np.float64(1 << zoom) if np.isscalar(zoom) else np.power(2.0, np.asarray(zoom, dtype=np.float64))
+    lat_rad = np.radians(lat)
+    col = np.floor((lon + 180.0) / 360.0 * n)
+    row = np.floor((1.0 - np.log(np.tan(lat_rad) + 1.0 / np.cos(lat_rad)) / np.pi) / 2.0 * n)
+    col = np.clip(col, 0, n - 1).astype(np.int64)
+    row = np.clip(row, 0, n - 1).astype(np.int64)
+    return col, row
+
+
+def tile_extent(zoom, col, row):
+    """SpatialKey -> lon/lat extent (xmin, ymin, xmax, ymax) of the tile."""
+    zoom = np.asarray(zoom, dtype=np.float64)
+    col = np.asarray(col, dtype=np.float64)
+    row = np.asarray(row, dtype=np.float64)
+    n = np.power(2.0, zoom)
+    xmin = col / n * 360.0 - 180.0
+    xmax = (col + 1.0) / n * 360.0 - 180.0
+
+    def _lat(r):
+        return np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * r / n))))
+
+    ymax = _lat(row)
+    ymin = _lat(row + 1.0)
+    return xmin, ymin, xmax, ymax
+
+
+def tiles_for_extent(zoom, xmin, ymin, xmax, ymax):
+    """All SpatialKeys intersecting a lon/lat bbox at ``zoom``.
+
+    The engine's ``keysForGeometry`` analog for the bbox case
+    (/root/reference/benchmark/.../GeotrellisRasterSourceBench.scala:36-37).
+    Returns (col, row) int64 arrays, row-major order (row, then col) so
+    output order is deterministic.
+    """
+    c0, r1 = lonlat_to_tile(np.float64(xmin), np.float64(ymin), zoom)
+    c1, r0 = lonlat_to_tile(np.float64(xmax), np.float64(ymax), zoom)
+    cols = np.arange(int(c0), int(c1) + 1, dtype=np.int64)
+    rows = np.arange(int(r0), int(r1) + 1, dtype=np.int64)
+    rr, cc = np.meshgrid(rows, cols, indexing="ij")
+    return cc.ravel(), rr.ravel()
+
+
+# ---------------------------------------------------------------------------
+# Cell ids (S2-style hierarchical index over the tile pyramid)
+# ---------------------------------------------------------------------------
+
+def pack_cell(zoom, col, row):
+    """(zoom, col, row) -> int64 cell id. Vectorized."""
+    zoom = np.asarray(zoom, dtype=np.int64)
+    col = np.asarray(col, dtype=np.int64)
+    row = np.asarray(row, dtype=np.int64)
+    return (zoom << _ZOOM_SHIFT) | (col << _COL_SHIFT) | row
+
+
+def unpack_cell(cell):
+    """int64 cell id -> (zoom, col, row). Vectorized."""
+    cell = np.asarray(cell, dtype=np.int64)
+    zoom = cell >> _ZOOM_SHIFT
+    col = (cell >> _COL_SHIFT) & ((1 << _COL_SHIFT) - 1)
+    row = cell & ((1 << _COL_SHIFT) - 1)
+    return zoom, col, row
+
+
+def cell_parent(cell, levels=1):
+    """Parent cell ``levels`` zooms up (quadtree ancestor)."""
+    zoom, col, row = unpack_cell(cell)
+    return pack_cell(zoom - levels, col >> levels, row >> levels)
+
+
+def cell_children(cell):
+    """The 4 child cells one zoom down, deterministic order (row-major)."""
+    zoom, col, row = unpack_cell(cell)
+    z = zoom + 1
+    c, r = col << 1, row << 1
+    return np.stack([
+        pack_cell(z, c, r), pack_cell(z, c + 1, r),
+        pack_cell(z, c, r + 1), pack_cell(z, c + 1, r + 1),
+    ], axis=-1)
+
+
+def neighbor_ring(zoom, col, row, ring=1):
+    """Cells at Chebyshev distance exactly ``ring`` (ring=0 -> the cell
+    itself). Wraps col across the antimeridian; clips rows at the poles.
+    Returns (col, row) arrays for a scalar input key. Deterministic order.
+    """
+    n = 1 << int(zoom)
+    col, row = int(col), int(row)
+    if ring == 0:
+        return (np.array([col], dtype=np.int64), np.array([row], dtype=np.int64))
+    cs, rs = [], []
+    for dr in range(-ring, ring + 1):
+        r = row + dr
+        if r < 0 or r >= n:
+            continue
+        dcs = range(-ring, ring + 1) if abs(dr) == ring else (-ring, ring)
+        for dc in dcs:
+            cs.append((col + dc) % n)
+            rs.append(r)
+    return np.asarray(cs, dtype=np.int64), np.asarray(rs, dtype=np.int64)
+
+
+def morton_interleave(col, row):
+    """Z-order (Morton) interleave of two <=2^31 coords — locality-preserving
+    sort key for range-partitioning tile tables. Vectorized int64."""
+    def _spread(v):
+        v = np.asarray(v, dtype=np.uint64)
+        v &= np.uint64(0xFFFFFFFF)
+        v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+        v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+        return v
+    return (_spread(col) | (_spread(row) << np.uint64(1))).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# GridExtent / GridBounds (reference-parity raster grid math)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class GridExtent:
+    """extent + cell size; cols/rows derived by round-not-ceil, matching
+    /root/reference/vlm/.../effect/MosaicRasterSource.scala:142-143
+    (fix recorded at CHANGELOG.md:97: "round instead of ceil")."""
+    xmin: float
+    ymin: float
+    xmax: float
+    ymax: float
+    cellwidth: float
+    cellheight: float
+
+    @property
+    def cols(self) -> int:
+        return int(round((self.xmax - self.xmin) / self.cellwidth))
+
+    @property
+    def rows(self) -> int:
+        return int(round((self.ymax - self.ymin) / self.cellheight))
+
+    @property
+    def size(self) -> int:
+        # size = cols * rows (RasterMetadataF.scala:33)
+        return self.cols * self.rows
+
+    @property
+    def grid_bounds(self):
+        # gridBounds = (0, 0, cols-1, rows-1) (RasterMetadataF.scala:35)
+        return (0, 0, self.cols - 1, self.rows - 1)
+
+    def extent_to_bounds(self, xmin, ymin, xmax, ymax, clamp=True):
+        """Map-space extent -> integer pixel window, with the half-pixel
+        inset buffer of /root/reference/gdal/.../GDALRasterSource.scala:164-167
+        (extent.buffer(-cellwidth/2, -cellheight/2) before snapping)."""
+        bx0 = xmin + self.cellwidth / 2.0
+        bx1 = xmax - self.cellwidth / 2.0
+        by0 = ymin + self.cellheight / 2.0
+        by1 = ymax - self.cellheight / 2.0
+        col_min = int(np.floor((bx0 - self.xmin) / self.cellwidth))
+        col_max = int(np.floor((bx1 - self.xmin) / self.cellwidth))
+        # rows count down from ymax
+        row_min = int(np.floor((self.ymax - by1) / self.cellheight))
+        row_max = int(np.floor((self.ymax - by0) / self.cellheight))
+        if clamp:
+            col_min = max(col_min, 0)
+            row_min = max(row_min, 0)
+            col_max = min(col_max, self.cols - 1)
+            row_max = min(row_max, self.rows - 1)
+        return (col_min, row_min, col_max, row_max)
+
+    def bounds_to_extent(self, col_min, row_min, col_max, row_max):
+        """Integer pixel window -> map-space extent."""
+        return (
+            self.xmin + col_min * self.cellwidth,
+            self.ymax - (row_max + 1) * self.cellheight,
+            self.xmin + (col_max + 1) * self.cellwidth,
+            self.ymax - row_min * self.cellheight,
+        )
+
+    def combine(self, other: "GridExtent") -> "GridExtent":
+        """Union of extents; REQUIRES equal cell sizes, like the reference
+        gridExtent semigroup which throws GeoAttrsError on mismatch
+        (MosaicRasterSource.scala:133-141)."""
+        if (self.cellwidth, self.cellheight) != (other.cellwidth, other.cellheight):
+            raise ValueError(
+                "cannot combine grid extents with different cell sizes: "
+                f"{(self.cellwidth, self.cellheight)} vs {(other.cellwidth, other.cellheight)}"
+            )
+        return GridExtent(
+            min(self.xmin, other.xmin), min(self.ymin, other.ymin),
+            max(self.xmax, other.xmax), max(self.ymax, other.ymax),
+            self.cellwidth, self.cellheight,
+        )
+
+    def with_resolution(self, cellwidth: float, cellheight: float) -> "GridExtent":
+        return GridExtent(self.xmin, self.ymin, self.xmax, self.ymax, cellwidth, cellheight)
+
+
+def bounds_intersection(a, b):
+    """GridBounds intersection; None when disjoint — the window∩footprint
+    pruning of /root/reference/vlm/.../geotiff/GeoTiffRasterSource.scala:102-103."""
+    col_min = max(a[0], b[0])
+    row_min = max(a[1], b[1])
+    col_max = min(a[2], b[2])
+    row_max = min(a[3], b[3])
+    if col_min > col_max or row_min > row_max:
+        return None
+    return (col_min, row_min, col_max, row_max)
+
+
+def split_bounds(bounds, tile_cols=TILE_SIZE, tile_rows=TILE_SIZE):
+    """Split a pixel window into a grid of <=tile_cols x tile_rows windows,
+    row-major — the gridBounds.split(256, 256) full-scene sweep of
+    /root/reference/gdal/src/it/.../SubsceneReadingIT.scala:91."""
+    col_min, row_min, col_max, row_max = bounds
+    out = []
+    r = row_min
+    while r <= row_max:
+        c = col_min
+        while c <= col_max:
+            out.append((c, r, min(c + tile_cols - 1, col_max), min(r + tile_rows - 1, row_max)))
+            c += tile_cols
+        r += tile_rows
+    return out
+
+
+def select_overview(resolutions, target_cell_size):
+    """AutoHigherResolution overview policy: pick the coarsest resolution
+    that is still >= the requested detail (cell size <= target), i.e. the
+    closest pre-built overview not coarser than the target
+    (/root/reference/vlm/.../geotiff/GeoTiffReprojectRasterSource.scala:92-103).
+    ``resolutions``: list of cell sizes sorted ascending (finest first).
+    Returns the chosen index; falls back to the finest when all are coarser.
+    """
+    chosen = 0
+    for i, res in enumerate(resolutions):
+        if res <= target_cell_size:
+            chosen = i
+        else:
+            break
+    return chosen
+
+
+def zoom_for_cell_size(target_cell_size_deg, tile_size=TILE_SIZE, max_zoom=22):
+    """Pyramid zoom whose cell size (deg/px on the lon axis) best serves a
+    target cell size under AutoHigherResolution (finest zoom whose cell size
+    <= target; zoom 0 when even it is too coarse is clamped to 0)."""
+    for z in range(max_zoom, -1, -1):
+        cell = 360.0 / (tile_size * (1 << z))
+        if cell <= target_cell_size_deg:
+            continue
+        return min(z + 1, max_zoom)
+    return 0

@@ -1,0 +1,116 @@
+"""kNN join: k nearest points per query, cell-ring expansion + exact re-rank.
+
+Target operator from BASELINE.json north_star (the reference itself delegates
+proximity queries to PostGIS; distance semantics oracle
+/root/reference/slick/src/test/.../PostgisSpec.scala:174-188).
+
+Plan (SURVEY.md §2.3):
+  1. queries explode to their cell + ring-1..R neighbor cells at ``zoom``
+     (JVM explode; no Python);
+  2. equi-join candidates on (cell_col, cell_row) — shuffle hash / broadcast
+     chosen by Catalyst; queries are usually the small side -> broadcast;
+  3. exact distance + ``row_number() OVER (PARTITION BY query ORDER BY
+     dist, id)`` re-rank, keep <= k. The id tie-break makes output
+     deterministic under shuffle.
+
+Exactness: results are exact iff the k-th neighbor lies within the ring's
+guaranteed radius (ring R at zoom z covers Chebyshev distance >= R cells
+~ R * 360/2^z * cos(lat) degrees). ``iterative=True`` keeps widening the
+ring for queries that haven't met that bound, so the result is exact for
+any distribution; each round is one more cell-join on only the unfinished
+queries (a tiny, shrinking side).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from geotrellis_contrib_spark.functions import cells as C
+from geotrellis_contrib_spark.functions import geometry as G
+
+
+def _ring_cells(queries: DataFrame, zoom: int, ring: int) -> DataFrame:
+    """Explode queries to all cells with Chebyshev distance <= ring."""
+    n = 1 << zoom
+    offs = list(range(-ring, ring + 1))
+    q = queries.withColumn("_dc", F.explode(F.array(*[F.lit(i) for i in offs]))) \
+               .withColumn("_dr", F.explode(F.array(*[F.lit(i) for i in offs])))
+    return (q.withColumn("cell_col", F.pmod(F.col("q_cell_col") + F.col("_dc"), F.lit(n)))
+             .withColumn("cell_row", F.col("q_cell_row") + F.col("_dr"))
+             .filter((F.col("cell_row") >= 0) & (F.col("cell_row") < n))
+             .drop("_dc", "_dr"))
+
+
+def knn_join(queries: DataFrame, points: DataFrame, k: int, zoom: int,
+             ring: int = 1,
+             query_id="query_id", qlon="qlon", qlat="qlat",
+             point_id="doc_id", lon="lon", lat="lat") -> DataFrame:
+    """k nearest ``points`` per query row. Bounded-ring variant: exact when
+    the k-th neighbor is within ``ring`` cells (caller picks zoom/ring from
+    the known density floor; see module docstring).
+
+    Output: (query_id, point_id, rank, dist) — rank 1..k by (dist, point_id).
+    """
+    q = (queries.select(F.col(query_id).alias("query_id"),
+                        F.col(qlon).alias("qlon"), F.col(qlat).alias("qlat"))
+         .withColumn("q_cell_col", C.tile_col(F.col("qlon"), zoom))
+         .withColumn("q_cell_row", C.tile_row(F.col("qlat"), zoom)))
+    q = _ring_cells(q, zoom, ring).drop("q_cell_col", "q_cell_row")
+
+    p = (points.filter(F.col(lon).isNotNull() & F.col(lat).isNotNull())
+         .select(F.col(point_id).alias("point_id"),
+                 F.col(lon).alias("p_lon"), F.col(lat).alias("p_lat"))
+         .withColumn("cell_col", C.tile_col(F.col("p_lon"), zoom))
+         .withColumn("cell_row", C.tile_row(F.col("p_lat"), zoom)))
+
+    # queries (exploded) are the small side -> broadcast them, stream points.
+    cand = p.join(F.broadcast(q), ["cell_col", "cell_row"], "inner")
+    cand = cand.withColumn(
+        "dist", G.planar_distance(F.col("qlon"), F.col("qlat"), F.col("p_lon"), F.col("p_lat")))
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("point_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "point_id", "rank", "dist"))
+
+
+def knn_join_iterative(queries: DataFrame, points: DataFrame, k: int, zoom: int,
+                       max_ring: int = 8, **names) -> DataFrame:
+    """Exact kNN for any distribution: widen the ring until every query's
+    k-th candidate distance is covered by the ring guarantee, then re-rank.
+
+    Each round only re-joins the queries that FAILED the guarantee — a
+    shrinking, typically tiny DataFrame — so the total work approaches one
+    bounded-ring join plus a few stragglers (driver loop, lazy plans).
+    """
+    qid = names.get("query_id", "query_id")
+    qlon = names.get("qlon", "qlon")
+    qlat = names.get("qlat", "qlat")
+    remaining = queries
+    done_parts: list[DataFrame] = []
+    ring = 1
+    while ring <= max_ring:
+        res = knn_join(remaining, points, k, zoom, ring=ring,
+                       query_id=qid, qlon=names.get("qlon", "qlon"),
+                       qlat=qlat, point_id=names.get("point_id", "doc_id"),
+                       lon=names.get("lon", "lon"), lat=names.get("lat", "lat"))
+        # ring guarantee in degrees at the query's latitude (conservative cos)
+        guard = res.groupBy("query_id").agg(F.max("dist").alias("kth"), F.count("*").alias("nres"))
+        lat_bound = 66.0
+        covered_deg = ring * 360.0 / (1 << zoom) * math.cos(math.radians(lat_bound))
+        ok_ids = guard.filter((F.col("nres") >= k) & (F.col("kth") <= covered_deg)) \
+                      .select("query_id")
+        done_parts.append(res.join(F.broadcast(ok_ids), "query_id", "left_semi"))
+        remaining = remaining.join(F.broadcast(ok_ids),
+                                   remaining[qid] == ok_ids["query_id"], "left_anti")
+        if remaining.limit(1).count() == 0:
+            break
+        ring *= 2
+    else:
+        done_parts.append(knn_join(remaining, points, k, zoom, ring=max_ring, **names))
+    out = done_parts[0]
+    for part in done_parts[1:]:
+        out = out.unionByName(part)
+    return out

@@ -1,0 +1,121 @@
+"""Raster-side operators over the cell-keyed tile table.
+
+The engine's raster model (SURVEY.md §1.1): a raster source is a DataFrame of
+tile rows keyed by SpatialKey(zoom, col, row) + band, carrying either scalar
+tile statistics (this module's aggregate paths) or packed pixel payloads
+(binary; see operators.pixels for the mapInPandas pipelines). These operators
+re-express:
+
+  - mosaic merge — /root/reference/vlm/.../effect/MosaicRasterSource.scala:99-131:
+    same-key tiles from N sources combine, FIRST non-NoData wins, left-biased
+    by explicit source order (we make the bias deterministic via source_idx,
+    per SURVEY.md §7 "hard parts" #1).
+  - zonal stats (raster->vector) and rasterize (vector->raster) — BASELINE
+    north_star paths.
+  - raster summary — per-source metadata aggregation (count/extent/cellsize
+    union semantics of MosaicRasterSource.scala:65-85,133-146).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from geotrellis_contrib_spark.functions import geometry as G
+
+
+def tile_center_cols(df: DataFrame, zoom_col="zoom", col="col", row="row") -> DataFrame:
+    """Attach tile-center lon/lat. NOTE: the latitude uses the explicit
+    (exp(t)-exp(-t))/2 sinh form — the exact expression the DuckDB oracle
+    evaluates — so both engines run the same float64 op sequence."""
+    n = F.pow(F.lit(2.0), F.col(zoom_col).cast("double"))
+    t = F.lit(math.pi) * (F.lit(1.0) - F.lit(2.0) * (F.col(row).cast("double") + F.lit(0.5)) / n)
+    return (df
+            .withColumn("center_lon", (F.col(col).cast("double") + F.lit(0.5)) / n * F.lit(360.0) - F.lit(180.0))
+            .withColumn("center_lat", F.degrees(F.atan((F.exp(t) - F.exp(-t)) / F.lit(2.0)))))
+
+
+def sql_tile_center(zoom: str, col: str, row: str) -> tuple[str, str]:
+    """DuckDB/Spark-common SQL twins of tile_center_cols."""
+    n = f"POWER(2.0, CAST({zoom} AS DOUBLE))"
+    t = f"(PI() * (1.0 - 2.0 * (CAST({row} AS DOUBLE) + 0.5) / {n}))"
+    lon = f"((CAST({col} AS DOUBLE) + 0.5) / {n} * 360.0 - 180.0)"
+    lat = f"DEGREES(ATAN((EXP({t}) - EXP(-{t})) / 2.0))"
+    return lon, lat
+
+
+def mosaic_merge(tiles: DataFrame,
+                 key_cols=("zoom", "col", "row", "band"),
+                 val_col="val", order_col="source_idx") -> DataFrame:
+    """Merge same-key tiles from multiple sources: first non-NoData wins,
+    bias by explicit source order (deterministic re-expression of the
+    left-biased merge at MosaicRasterSource.scala:121-131).
+
+    One shuffle on the tile key; rank via window (map-side combine doesn't
+    apply to row_number, but AQE coalesces; for pixel payloads the same key
+    grouping feeds applyInPandas in operators.pixels).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.when(F.col(val_col).isNull(), F.lit(1)).otherwise(F.lit(0)).asc(),
+        F.col(order_col).asc(),
+        # final tie-break for duplicate (key, source) rows: the merged VALUE
+        # is then unique even though the winning row id is arbitrary
+        F.col(val_col).asc_nulls_last(),
+    )
+    return (tiles.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") == 1)
+                 .drop("_rn"))
+
+
+def zonal_stats(tiles: DataFrame, boxes: DataFrame,
+                val_col="val", group_extra=("band",)) -> DataFrame:
+    """Tile statistics per polygon (raster->vector): assign each tile to the
+    boxes containing its center (half-open), then partial+final aggregate.
+
+    Plan: tile-center arithmetic (narrow) -> broadcast join with the polygon
+    dimension -> hash aggregate. Sums stay deterministic because the fixture
+    values are integral doubles (SURVEY.md §7 bit-parity note).
+    """
+    centered = tile_center_cols(tiles)
+    joined = centered.join(
+        F.broadcast(boxes),
+        G.point_in_box(F.col("center_lon"), F.col("center_lat"),
+                       F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")),
+        "inner",
+    )
+    return (joined.groupBy("poly_id", *group_extra)
+            .agg(F.count(val_col).alias("cnt"),
+                 F.sum(val_col).alias("sum_val"),
+                 F.min(val_col).alias("min_val"),
+                 F.max(val_col).alias("max_val"),
+                 (F.sum(val_col) / F.count(val_col)).alias("mean_val")))
+
+
+def rasterize_points(points: DataFrame, zoom: int,
+                     lon="lon", lat="lat", weight=None) -> DataFrame:
+    """Burn a point set into the tile grid (vector->raster): per-key count
+    (+ optional weight sum). Partial aggregation happens map-side — the
+    canonical scalable rasterizer."""
+    from geotrellis_contrib_spark.functions import cells as C
+
+    df = (points.filter(F.col(lon).isNotNull() & F.col(lat).isNotNull())
+          .withColumn("col", C.tile_col(F.col(lon), zoom))
+          .withColumn("row", C.tile_row(F.col(lat), zoom)))
+    aggs = [F.count("*").alias("n_points")]
+    if weight is not None:
+        aggs.append(F.sum(weight).alias("sum_weight"))
+    return df.groupBy("col", "row").agg(*aggs).withColumn("zoom", F.lit(zoom))
+
+
+def raster_summary(tiles: DataFrame, source_col="source_id") -> DataFrame:
+    """Per-source metadata summary: tile/band counts and key envelope —
+    the engine's RasterSummary (historical reference op, CHANGELOG.md:85;
+    mosaic metadata assembly MosaicRasterSource.scala:65-85)."""
+    return (tiles.groupBy(source_col)
+            .agg(F.count("*").alias("n_tiles"),
+                 F.countDistinct("band").alias("n_bands"),
+                 F.min("col").alias("col_min"), F.max("col").alias("col_max"),
+                 F.min("row").alias("row_min"), F.max("row").alias("row_max"),
+                 F.sum(F.when(F.col("val").isNull(), 1).otherwise(0)).alias("n_nodata")))

@@ -1,0 +1,153 @@
+"""Spatial joins: point-in-polygon join and distance theta-join.
+
+Both follow the two-phase plan the engine is built around (SURVEY.md §2.2-2.3):
+
+  coarse phase  — equi-join on spatial cell keys (a normal Spark shuffle/
+                  broadcast hash join; Catalyst/AQE pick the physical join
+                  and handle skew), where one side is tessellated to its
+                  covering cells JVM-side via ``sequence``+``explode``;
+  refine phase  — exact geometry predicate, still JVM-side for boxes
+                  (pure column arithmetic) and Arrow-vectorized for
+                  arbitrary polygons (``pip_wkb``).
+
+Reference semantics: bbox-overlap select/delete
+(/root/reference/slick/src/test/.../PostgisSpec.scala:133-140,161-170) and the
+distance self-join with its in-memory JTS oracle (PostgisSpec.scala:174-188).
+
+Scale design (10^12 docs):
+  - The polygon side is exploded to cover cells and broadcast when small
+    (dimension tables); for large polygon sets the same plan becomes a
+    shuffled equi-join on ``cell`` — no code change.
+  - Zoom choice bounds fan-out: a polygon of diameter D at cell size C
+    explodes to ~(D/C+2)^2 cells. ``auto_zoom_for_extent`` picks C near the
+    median polygon diameter.
+  - Hot cells (urban clusters) skew the shuffle; AQE skew-join splits them,
+    and ``salted`` offers explicit conjugate salting for the worst cases.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geotrellis_contrib_spark.functions import cells as C
+from geotrellis_contrib_spark.functions import geometry as G
+
+
+def with_cover_cells(boxes: DataFrame, zoom: int,
+                     xmin="xmin", ymin="ymin", xmax="xmax", ymax="ymax") -> DataFrame:
+    """Explode each bbox row to its covering (col, row) keys at ``zoom``.
+
+    Pure JVM: two nested ``explode(sequence(...))`` — the engine's
+    ``keysForGeometry`` for the bbox case
+    (/root/reference/benchmark/.../GeotrellisRasterSourceBench.scala:36-37).
+    """
+    c0, c1, r0, r1 = C.tiles_for_bbox(zoom, F.col(xmin), F.col(ymin), F.col(xmax), F.col(ymax))
+    return (
+        boxes
+        .withColumn("cell_col", F.explode(F.sequence(c0, c1)))
+        .withColumn("cell_row", F.explode(F.sequence(r0, r1)))
+    )
+
+
+def pip_join_boxes(points: DataFrame, boxes: DataFrame, zoom: int = 6,
+                   lon="lon", lat="lat", broadcast_boxes: bool = True) -> DataFrame:
+    """Inner join: point rows x box-polygon rows that contain them.
+
+    points: any columns + lon/lat (NULL geometry rows drop out, matching the
+    reference's Option[Point] filter semantics, PostgisSpec.scala:223-232).
+    boxes:  poly_id + xmin/ymin/xmax/ymax.
+
+    Containment is half-open ([xmin,xmax) x [ymin,ymax)) so a plane tiled by
+    touching boxes assigns each point exactly once.
+    """
+    cov = with_cover_cells(boxes, zoom)
+    if broadcast_boxes:
+        cov = F.broadcast(cov)
+    pts = (
+        points
+        .filter(F.col(lon).isNotNull() & F.col(lat).isNotNull())
+        .withColumn("cell_col", C.tile_col(F.col(lon), zoom))
+        .withColumn("cell_row", C.tile_row(F.col(lat), zoom))
+    )
+    joined = pts.join(cov, ["cell_col", "cell_row"], "inner")
+    refined = joined.filter(
+        G.point_in_box(F.col(lon), F.col(lat),
+                       F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"))
+    )
+    return refined.drop("cell_col", "cell_row")
+
+
+def pip_join_wkb(points: DataFrame, polygons: DataFrame, zoom: int = 6,
+                 lon="lon", lat="lat", wkb_col="wkb") -> DataFrame:
+    """PIP join against arbitrary polygons: coarse bbox-cell join, then the
+    Arrow-vectorized crossing-number refine (``pip_wkb``). ``polygons`` needs
+    precomputed bbox columns + a WKB column."""
+    cov = F.broadcast(with_cover_cells(polygons, zoom))
+    pts = (
+        points
+        .filter(F.col(lon).isNotNull() & F.col(lat).isNotNull())
+        .withColumn("cell_col", C.tile_col(F.col(lon), zoom))
+        .withColumn("cell_row", C.tile_row(F.col(lat), zoom))
+    )
+    joined = pts.join(cov, ["cell_col", "cell_row"], "inner")
+    return joined.filter(G.pip_wkb(F.col(lon), F.col(lat), F.col(wkb_col))) \
+                 .drop("cell_col", "cell_row")
+
+
+def zoom_for_radius(radius_deg: float, max_abs_lat: float = 66.0) -> int:
+    """Finest zoom whose cell is >= radius in BOTH axes up to ``max_abs_lat``.
+
+    Mercator tile height in degrees shrinks ~cos(lat) away from the equator,
+    so the latitude bound participates: height(z, lat) ~ 360/2^z * cos(lat).
+    """
+    usable = 360.0 * math.cos(math.radians(max_abs_lat))
+    z = int(math.floor(math.log2(usable / radius_deg)))
+    return max(0, min(z, 22))
+
+
+def _neighbor_cells(df: DataFrame, zoom: int, col="cell_col", row="cell_row") -> DataFrame:
+    """Explode each row to its 3x3 cell neighborhood (col wraps at the
+    antimeridian, row clips at the poles) — the build side of the ring join."""
+    n = 1 << zoom
+    df = df.withColumn("_dc", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)]))) \
+           .withColumn("_dr", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])))
+    df = df.withColumn("n_col", F.pmod(F.col(col) + F.col("_dc"), F.lit(n))) \
+           .withColumn("n_row", F.col(row) + F.col("_dr")) \
+           .filter((F.col("n_row") >= 0) & (F.col("n_row") < n)) \
+           .drop("_dc", "_dr")
+    return df
+
+
+def distance_join(points_a: DataFrame, points_b: DataFrame, radius: float,
+                  zoom: int | None = None, max_abs_lat: float = 66.0,
+                  lon="lon", lat="lat", dist_col: str = "dist") -> DataFrame:
+    """All (a, b) pairs with planar distance < ``radius`` degrees.
+
+    Plan: encode A at ``zoom`` (cell >= radius in both axes), explode B to the
+    3x3 ring, equi-join on the cell key, exact-distance refine. Every
+    candidate pair is generated exactly once (B's 9 ring cells are distinct,
+    match is on A's single cell). AQE skew-join splits hot cells at runtime.
+
+    Reference semantics + oracle: PostgisSpec.scala:174-188 (distance < 0.5
+    theta self-join verified against a naive cross product).
+    """
+    if zoom is None:
+        zoom = zoom_for_radius(radius, max_abs_lat)
+    a = (points_a.filter(F.col(lon).isNotNull())
+         .select([F.col(c).alias(f"a_{c}") for c in points_a.columns])
+         .withColumn("cell_col", C.tile_col(F.col(f"a_{lon}"), zoom))
+         .withColumn("cell_row", C.tile_row(F.col(f"a_{lat}"), zoom)))
+    b = (points_b.filter(F.col(lon).isNotNull())
+         .select([F.col(c).alias(f"b_{c}") for c in points_b.columns])
+         .withColumn("cell_col", C.tile_col(F.col(f"b_{lon}"), zoom))
+         .withColumn("cell_row", C.tile_row(F.col(f"b_{lat}"), zoom)))
+    b = _neighbor_cells(b, zoom).drop("cell_col", "cell_row") \
+        .withColumnRenamed("n_col", "cell_col").withColumnRenamed("n_row", "cell_row")
+    joined = a.join(b, ["cell_col", "cell_row"], "inner")
+    d = G.planar_distance(F.col(f"a_{lon}"), F.col(f"a_{lat}"),
+                          F.col(f"b_{lon}"), F.col(f"b_{lat}"))
+    return joined.withColumn(dist_col, d).filter(F.col(dist_col) < radius) \
+                 .drop("cell_col", "cell_row")

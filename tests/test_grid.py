@@ -1,0 +1,144 @@
+"""Grid/layout kernel tests — goldens hand-computed from published slippy-map
+tile math plus the reference's grid semantics (SURVEY.md §2.4, §7)."""
+
+import numpy as np
+import pytest
+
+from geotrellis_contrib_spark import grid
+
+
+def test_mercator_roundtrip():
+    lon = np.array([-180.0, -74.0060, 0.0, 151.2093, 179.9])
+    lat = np.array([-60.0, 40.7128, 0.0, -33.8688, 80.0])
+    x, y = grid.lonlat_to_mercator(lon, lat)
+    lon2, lat2 = grid.mercator_to_lonlat(x, y)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+
+def test_mercator_goldens():
+    # Known WebMercator values: (0,0) -> (0,0); lon 180 -> MERC_MAX.
+    x, y = grid.lonlat_to_mercator(np.array([0.0, 180.0]), np.array([0.0, 0.0]))
+    np.testing.assert_allclose(x, [0.0, grid.MERC_MAX], rtol=1e-12)
+    np.testing.assert_allclose(y, [0.0, 0.0], atol=1e-6)
+
+
+def test_lonlat_to_tile_goldens():
+    # Classic slippy-map goldens: zoom 0 everything is (0,0);
+    # Greenwich at zoom 1 -> (1, 0) for lat>0.
+    c, r = grid.lonlat_to_tile(np.array([0.0]), np.array([51.5]), 0)
+    assert (c[0], r[0]) == (0, 0)
+    c, r = grid.lonlat_to_tile(np.array([0.5]), np.array([51.5]), 1)
+    assert (c[0], r[0]) == (1, 0)
+    # NYC (-74.0060, 40.7128) at zoom 12: col = floor(105.994/360*4096) = 1205,
+    # row = floor((1 - asinh(tan(lat))/pi)/2 * 4096) = floor(1540.017) = 1540.
+    c, r = grid.lonlat_to_tile(np.array([-74.0060]), np.array([40.7128]), 12)
+    assert (c[0], r[0]) == (1205, 1540)
+
+
+def test_tile_extent_contains_point():
+    c, r = grid.lonlat_to_tile(np.array([-74.0060]), np.array([40.7128]), 12)
+    xmin, ymin, xmax, ymax = grid.tile_extent(12, c, r)
+    assert xmin[0] <= -74.0060 < xmax[0]
+    assert ymin[0] <= 40.7128 < ymax[0]
+
+
+def test_tiles_for_extent_covers():
+    cols, rows = grid.tiles_for_extent(8, -74.5, 40.0, -73.5, 41.0)
+    assert len(cols) >= 1
+    # every returned tile must intersect the bbox
+    xmin, ymin, xmax, ymax = grid.tile_extent(8, cols, rows)
+    assert np.all((xmin <= -73.5) & (xmax >= -74.5))
+    assert np.all((ymin <= 41.0) & (ymax >= 40.0))
+    # and the point tiles must be present
+    for lon, lat in [(-74.5, 40.0), (-73.5, 41.0), (-74.0, 40.5)]:
+        c, r = grid.lonlat_to_tile(np.array([lon]), np.array([lat]), 8)
+        assert np.any((cols == c[0]) & (rows == r[0]))
+
+
+def test_cell_pack_roundtrip():
+    z = np.array([0, 5, 12, 22, 29])
+    c = np.array([0, 17, 1205, 4_000_000, (1 << 29) - 1])
+    r = np.array([0, 13, 1539, 3_999_999, (1 << 29) - 1])
+    cell = grid.pack_cell(z, c, r)
+    z2, c2, r2 = grid.unpack_cell(cell)
+    np.testing.assert_array_equal(z2, z)
+    np.testing.assert_array_equal(c2, c)
+    np.testing.assert_array_equal(r2, r)
+    assert np.all(cell >= 0)  # must stay in int64 positive range
+
+
+def test_cell_parent_children():
+    cell = grid.pack_cell(12, 1205, 1539)
+    parent = grid.cell_parent(cell)
+    z, c, r = grid.unpack_cell(parent)
+    assert (z, c, r) == (11, 602, 769)
+    kids = grid.cell_children(parent)
+    assert cell in kids
+
+
+def test_neighbor_ring():
+    cs, rs = grid.neighbor_ring(12, 100, 100, ring=1)
+    assert len(cs) == 8
+    assert np.all(np.maximum(np.abs(cs - 100), np.abs(rs - 100)) == 1)
+    # antimeridian wrap
+    cs, rs = grid.neighbor_ring(3, 0, 4, ring=1)
+    assert 7 in cs  # wrapped col
+    # pole clip
+    cs, rs = grid.neighbor_ring(3, 4, 0, ring=1)
+    assert np.all(rs >= 0)
+    assert len(cs) == 5
+
+
+def test_morton_locality():
+    m1 = grid.morton_interleave(np.array([0]), np.array([0]))[0]
+    m2 = grid.morton_interleave(np.array([1]), np.array([0]))[0]
+    m3 = grid.morton_interleave(np.array([0]), np.array([1]))[0]
+    m4 = grid.morton_interleave(np.array([1]), np.array([1]))[0]
+    assert [m1, m2, m3, m4] == [0, 1, 2, 3]
+
+
+def test_grid_extent_round_not_ceil():
+    # 10.4 cells wide -> round -> 10 (reference CHANGELOG.md:97 round-not-ceil)
+    ge = grid.GridExtent(0.0, 0.0, 10.4, 20.6, 1.0, 1.0)
+    assert ge.cols == 10
+    assert ge.rows == 21
+    assert ge.size == 210
+    assert ge.grid_bounds == (0, 0, 9, 20)
+
+
+def test_grid_extent_combine_requires_equal_cellsize():
+    a = grid.GridExtent(0, 0, 10, 10, 1.0, 1.0)
+    b = grid.GridExtent(5, 5, 20, 20, 1.0, 1.0)
+    u = a.combine(b)
+    assert (u.xmin, u.ymin, u.xmax, u.ymax) == (0, 0, 20, 20)
+    c = grid.GridExtent(0, 0, 10, 10, 2.0, 2.0)
+    with pytest.raises(ValueError):
+        a.combine(c)
+
+
+def test_extent_to_bounds_half_pixel():
+    # 10x10 grid, cell 1.0. A request exactly covering pixels [2..4]x[3..5]
+    # must not bleed into neighbors (half-pixel inset rule,
+    # GDALRasterSource.scala:164-167).
+    ge = grid.GridExtent(0.0, 0.0, 10.0, 10.0, 1.0, 1.0)
+    b = ge.extent_to_bounds(2.0, 4.0, 5.0, 7.0)
+    assert b == (2, 3, 4, 5)
+    # round-trip
+    assert ge.bounds_to_extent(*b) == (2.0, 4.0, 5.0, 7.0)
+
+
+def test_bounds_intersection_and_split():
+    assert grid.bounds_intersection((0, 0, 9, 9), (5, 5, 14, 14)) == (5, 5, 9, 9)
+    assert grid.bounds_intersection((0, 0, 4, 4), (5, 5, 9, 9)) is None
+    parts = grid.split_bounds((0, 0, 511, 300), 256, 256)
+    assert parts == [(0, 0, 255, 255), (256, 0, 511, 255),
+                     (0, 256, 255, 300), (256, 256, 511, 300)]
+
+
+def test_select_overview():
+    res = [1.0, 2.0, 4.0, 8.0]  # finest first
+    assert grid.select_overview(res, 1.0) == 0
+    assert grid.select_overview(res, 3.0) == 1
+    assert grid.select_overview(res, 100.0) == 3
+    assert grid.select_overview(res, 0.5) == 0  # nothing fine enough -> finest
