@@ -15,8 +15,11 @@ from pyspark.sql import functions as F
 
 from geotrellis_contrib_spark import derive
 from geotrellis_contrib_spark.functions import cells as C
+from geotrellis_contrib_spark.functions import text as TXT
+from geotrellis_contrib_spark.operators import dedup as dd
 from geotrellis_contrib_spark.operators import knn as knn_ops
 from geotrellis_contrib_spark.operators import raster as raster_ops
+from geotrellis_contrib_spark.operators import similarity as sim
 from geotrellis_contrib_spark.operators import spatial_join as sj
 from geotrellis_contrib_spark.operators import tiling
 
@@ -129,6 +132,86 @@ def q_raster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = raster_ops.raster_summary(spark.table("tiles"))
     return out.select("source_id", "n_tiles", "n_bands", "col_min", "col_max",
                       "row_min", "row_max", "n_nodata")
+
+
+JACCARD_N = 3
+JACCARD_T = 0.6
+EMB_DIMS = 64
+EMB_K = 5
+EMB_MIN_COS = 0.25
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash over the duplicated corpus."""
+    _views(spark, sf_dir)
+    return dd.exact_dedup(spark.table("dup_docs")) \
+             .select("text_hash", "survivor_doc_id", "n_dups")
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs (>= 0.6)."""
+    _views(spark, sf_dir)
+    return dd.jaccard_pairs(spark.table("dup_docs"), n=JACCARD_N, threshold=JACCARD_T)
+
+
+def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 8-component MinHash signatures (engine-owned arithmetic hash)."""
+    _views(spark, sf_dir)
+    return dd.minhash_signatures(spark.table("dup_docs"), n=JACCARD_N)
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banded candidate pairs with estimated similarity >= 0.5."""
+    _views(spark, sf_dir)
+    sigs = dd.minhash_signatures(spark.table("dup_docs"), n=JACCARD_N)
+    return dd.lsh_candidate_pairs(sigs).filter(F.col("est_sim") >= 0.5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints per doc."""
+    _views(spark, sf_dir)
+    return dd.simhash(spark.table("dup_docs"))
+
+
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis battery: token counts (ws + BPE-ish), quality ratios,
+    language-ID heuristic, rolling-hash fingerprint — all JVM-side."""
+    _views(spark, sf_dir)
+    d = spark.table("documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TXT.ws_token_count(t).alias("ws_tokens"),
+        TXT.bpe_token_count(t).alias("bpe_tokens"),
+        TXT.alpha_ratio(t).alias("alpha_ratio"),
+        TXT.punct_ratio(t).alias("punct_ratio"),
+        TXT.stopword_hits(t).alias("stop_hits"),
+        TXT.quality_score(t).alias("quality"),
+        TXT.lang_id(t).alias("lang_pred"),
+        TXT.char_poly_hash(t).alias("fingerprint"),
+    )
+
+
+def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for every 50th embedding."""
+    _views(spark, sf_dir)
+    e = spark.table("embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0) \
+               .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    return sim.cosine_topk(e, queries, k=EMB_K)
+
+
+def q_embed_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket per embedding (deterministic planes)."""
+    _views(spark, sf_dir)
+    return sim.lsh_buckets(spark.table("embeddings"), dims=EMB_DIMS)
+
+
+def q_embed_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate embeddings: LSH-bucket equi-join + exact cosine refine."""
+    _views(spark, sf_dir)
+    return sim.lsh_near_pairs(spark.table("embeddings"), dims=EMB_DIMS,
+                              min_cos=EMB_MIN_COS)
 
 
 # --------------------------------------------------------------------------
@@ -245,6 +328,142 @@ SELECT source_id, CAST(COUNT(*) AS BIGINT) AS n_tiles,
        CAST(SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nodata
 FROM tiles GROUP BY source_id
 """
+
+    # ---- dedup / text / similarity -------------------------------------
+    from geotrellis_contrib_spark.operators.dedup import (
+        MINHASH_A, MINHASH_B, N_HASHES, SIMHASH_BITS)
+    from geotrellis_contrib_spark.functions.text import FP_BASE, FP_MOD
+
+    def char_hash_sql(col: str) -> str:
+        return (f"LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), "
+                f"[CAST(ASCII(c) AS BIGINT) for c in STRING_SPLIT({col}, '')]), "
+                f"(acc, ch) -> (acc * {FP_BASE} + ch) % {FP_MOD})")
+
+    o["dedup_exact"] = f"""
+{derive.cte('dup_docs')}
+SELECT MD5(text) AS text_hash, MIN(doc_id) AS survivor_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM dup_docs GROUP BY 1
+"""
+
+    sh_cte = """
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - 1, 2)),
+             i -> CONCAT_WS(' ', STRING_SPLIT(text, ' ')[i],
+                                 STRING_SPLIT(text, ' ')[i+1],
+                                 STRING_SPLIT(text, ' ')[i+2]))) AS shingle
+    FROM dup_docs) t)
+"""
+    num, den = int(JACCARD_T * 1000), 1000
+    o["jaccard_pairs"] = f"""
+{derive.cte('dup_docs')}, {sh_cte},
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b, i.inter, sa.sz AS size_a, sb.sz AS size_b,
+       i.inter / (sa.sz + sb.sz - i.inter) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.inter * {den} >= {num} * (sa.sz + sb.sz - i.inter)
+"""
+
+    mh_aggs = ", ".join(
+        f"MIN(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {FP_MOD}) AS mh{i}"
+        for i in range(N_HASHES))
+    sig_cte = f"""
+hs AS (SELECT doc_id, {char_hash_sql('shingle')} AS h FROM sh),
+sigs AS (SELECT doc_id, {mh_aggs} FROM hs GROUP BY doc_id)
+"""
+    o["minhash_sigs"] = f"""
+{derive.cte('dup_docs')}, {sh_cte}, {sig_cte}
+SELECT * FROM sigs
+"""
+
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {bi} AS band_idx, CONCAT_WS('_', mh{2*bi}, mh{2*bi+1}) AS band_key FROM sigs"
+        for bi in range(N_HASHES // 2))
+    match_expr = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(N_HASHES))
+    o["lsh_pairs"] = f"""
+{derive.cte('dup_docs')}, {sh_cte}, {sig_cte},
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id)
+SELECT c.doc_a, c.doc_b, ({match_expr}) / {N_HASHES}.0 AS est_sim
+FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a JOIN sigs sb ON sb.doc_id = c.doc_b
+WHERE ({match_expr}) / {N_HASHES}.0 >= 0.5
+"""
+
+    simhash_cte = f"""
+toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS tok FROM dup_docs) t),
+th AS (SELECT doc_id, {char_hash_sql('tok')} AS h FROM toks),
+h64 AS (SELECT doc_id,
+        (h * 2654435761) % 2147483648 + ((h * 40503 + 9973) % 2147483648) * 2147483648 AS h64
+        FROM th),
+bitsum AS (
+  SELECT doc_id, j, SUM(CASE WHEN ((h64 >> CAST(j AS INT)) & 1) = 1 THEN 1 ELSE -1 END) AS s
+  FROM h64 CROSS JOIN (SELECT UNNEST(RANGE(0, {SIMHASH_BITS})) AS j) js
+  GROUP BY doc_id, j),
+shash AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bitsum GROUP BY doc_id)
+"""
+    o["simhash"] = f"""
+{derive.cte('dup_docs')}, {simhash_cte}
+SELECT * FROM shash
+"""
+
+    t = "text"
+    o["text_features"] = f"""
+SELECT doc_id,
+  {TXT.sql_ws_token_count(t)} AS ws_tokens,
+  {TXT.sql_bpe_token_count(t)} AS bpe_tokens,
+  {TXT.sql_alpha_ratio(t)} AS alpha_ratio,
+  {TXT.sql_punct_ratio(t)} AS punct_ratio,
+  {TXT.sql_stopword_hits(t)} AS stop_hits,
+  {TXT.sql_quality_score(t)} AS quality,
+  {TXT.sql_lang_id(t)} AS lang_pred,
+  {char_hash_sql(t)} AS fingerprint
+FROM documents
+"""
+
+    o["embed_topk"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id % 50 = 0)
+SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cos FROM (
+  SELECT q.query_id, e.vec_id,
+         LIST_COSINE_SIMILARITY(q.qv, e.embedding::DOUBLE[]) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+           ORDER BY LIST_COSINE_SIMILARITY(q.qv, e.embedding::DOUBLE[]) DESC, e.vec_id) AS rank
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id) t
+WHERE rank <= {EMB_K}
+"""
+
+    bucket_expr = " + ".join(
+        f"(CASE WHEN LIST_DOT_PRODUCT(embedding::DOUBLE[], "
+        f"{sim.sql_plane_weights_list(p, EMB_DIMS)}) >= 0 THEN 1 ELSE 0 END) * {1 << p}"
+        for p in range(sim.N_PLANES))
+    o["embed_lsh_buckets"] = f"""
+SELECT vec_id, CAST({bucket_expr} AS BIGINT) AS bucket FROM embeddings
+"""
+
+    o["embed_near_pairs"] = f"""
+WITH b AS (SELECT vec_id, CAST({bucket_expr} AS BIGINT) AS bucket FROM embeddings),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b,
+       LIST_COSINE_SIMILARITY(va.vec, vb.vec) AS cos
+FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+JOIN v va ON va.vec_id = a.vec_id JOIN v vb ON vb.vec_id = bb.vec_id
+WHERE LIST_COSINE_SIMILARITY(va.vec, vb.vec) >= {EMB_MIN_COS}
+"""
     return o
 
 
@@ -279,6 +498,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mosaic_merge": q_mosaic_merge,
         "windows_read": q_windows_read,
         "raster_summary": q_raster_summary,
+        "dedup_exact": q_dedup_exact,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_sigs": q_minhash_sigs,
+        "lsh_pairs": q_lsh_pairs,
+        "simhash": q_simhash,
+        "text_features": q_text_features,
+        "embed_topk": q_embed_topk,
+        "embed_lsh_buckets": q_embed_lsh_buckets,
+        "embed_near_pairs": q_embed_near_pairs,
     }
 
 

@@ -1,0 +1,156 @@
+"""Deterministic synthetic interleaved text+media corpus (BASELINE input_hint):
+
+    doc_id: string,
+    spans:  array<struct<kind:string, text:string, media_ref:string, offset:int>>
+
+Generated entirely JVM-side from ``spark.range`` (seedless integer arithmetic
+— byte-stable across runs, partitionings, and cluster sizes; no external
+data). This is the 10^12-document corpus stand-in: the generator is O(rows)
+narrow work, so any scale fits by changing ``n_docs``.
+
+Span layout per doc (interleaved, offsets strictly increasing):
+  span 0:        text  (words from a tiny deterministic vocabulary)
+  span 1:        geo   (text = "lon,lat", the anchor; ~2% of docs have none —
+                        the Option[Point] analog)
+  spans 2..k:    media (media_ref = media://<doc>/<i>) alternating with text
+
+The per-row invariant every operator must preserve: span-sequence equality
+(kind, text, media_ref, order) — spans are carried OPAQUE through the engine
+and side tables join back by doc_id only (SURVEY.md §7 hard-part #3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+VOCAB = ("scan", "filter", "join", "merge", "tile", "pixel", "raster", "vector",
+         "cell", "zoom", "batch", "shuffle", "anchor", "span", "media", "doc")
+
+# anchors: 30% hot cluster (same shape as derive.ANCHORS_SQL), 2% missing
+HOT_FRAC_MOD = 10  # doc_id % 10 < 3 -> hot
+NULL_MOD = 50      # doc_id % 50 == 7 -> no geo span
+
+
+def _word(i):
+    return F.element_at(F.array(*[F.lit(w) for w in VOCAB]),
+                        ((i % len(VOCAB)) + 1).cast("int"))
+
+
+def synth_docs(spark: SparkSession, n_docs: int, media_per_doc: int = 2,
+               partitions: int | None = None) -> DataFrame:
+    """Interleaved corpus of ``n_docs`` rows; lazy single narrow stage."""
+    rng = spark.range(0, n_docs, 1, partitions) if partitions else spark.range(n_docs)
+    d = F.col("id")
+
+    u = ((d * 9973 + 12345) % 100000).cast("double") / 100000.0
+    v = ((d * 7919 + 54321) % 100000).cast("double") / 100000.0
+    lon = F.when(d % HOT_FRAC_MOD < 3, -74.25 + u * 0.5).otherwise(-180.0 + u * 360.0)
+    lat = F.when(d % HOT_FRAC_MOD < 3, 40.45 + v * 0.5).otherwise(-60.0 + v * 120.0)
+
+    text0 = F.concat_ws(" ", _word(d), _word(d + 3), _word(d * 7 + 1), _word(d * 11 + 5))
+    geo_span = F.struct(
+        F.lit("geo").alias("kind"),
+        F.concat(lon.cast("string"), F.lit(","), lat.cast("string")).alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(100).cast("int").alias("offset"),
+    )
+    text_span = F.struct(F.lit("text").alias("kind"), text0.alias("text"),
+                         F.lit("").alias("media_ref"), F.lit(0).cast("int").alias("offset"))
+
+    media_spans = [
+        F.struct(
+            F.lit("media").alias("kind"), F.lit("").alias("text"),
+            F.concat(F.lit("media://"), d.cast("string"), F.lit("/"), F.lit(str(i))).alias("media_ref"),
+            F.lit(200 + 100 * i).cast("int").alias("offset"),
+        )
+        for i in range(media_per_doc)
+    ]
+    spans_with_geo = F.array(text_span, geo_span, *media_spans)
+    spans_no_geo = F.array(text_span, *media_spans)
+    spans = F.when(d % NULL_MOD == 7, spans_no_geo).otherwise(spans_with_geo)
+
+    return rng.select(
+        F.concat(F.lit("doc-"), F.lpad(d.cast("string"), 12, "0")).alias("doc_id"),
+        spans.alias("spans"),
+    )
+
+
+def extract_anchors(docs: DataFrame) -> DataFrame:
+    """Geo side-table: (doc_id, span_idx, lon, lat). ``spans`` is read, never
+    rewritten — posexplode + filter + split, all JVM. Docs without a geo span
+    simply have no row here (NULL-geometry semantics at the join)."""
+    s = docs.select("doc_id", F.posexplode("spans").alias("span_idx", "span"))
+    geo = s.filter(F.col("span.kind") == "geo")
+    parts = F.split(F.col("span.text"), ",")
+    return geo.select(
+        "doc_id", "span_idx",
+        F.element_at(parts, 1).cast("double").alias("lon"),
+        F.element_at(parts, 2).cast("double").alias("lat"),
+    )
+
+
+def extract_media(docs: DataFrame) -> DataFrame:
+    """Media side-table: (doc_id, span_idx, media_ref)."""
+    s = docs.select("doc_id", F.posexplode("spans").alias("span_idx", "span"))
+    return s.filter(F.col("span.kind") == "media") \
+            .select("doc_id", "span_idx", F.col("span.media_ref").alias("media_ref"))
+
+
+def synth_px_tiles(spark: SparkSession, zoom: int = 6, n_tiles: int = 4,
+                   tile_size: int = 64, n_sources: int = 3,
+                   base_col: int = 18, base_row: int = 24,
+                   dtype: str = "float64", nodata: float = -9999.0) -> DataFrame:
+    """Deterministic pixel-tile fixture (FIXTURES.md §6 analog of the
+    reference's aspect-tiled.tif, blob stripped per .MISSING_LARGE_BLOBS):
+    an n_tiles x n_tiles block of tile_size-px tiles per source, pixel value
+    f(source, col, row, band, r, c) = gradient + arithmetic noise; each
+    source is shifted by one tile and punches a deterministic NoData block
+    (so mosaic merge has real work). Single band 0 + band 1."""
+    import numpy as np
+
+    from geotrellis_contrib_spark.operators.pixels import pack
+
+    rows = []
+    for s in range(n_sources):
+        for tc in range(n_tiles):
+            for tr in range(n_tiles):
+                col, row = base_col + tc + s, base_row + tr  # sources shift east
+                for band in range(2):
+                    r = np.arange(tile_size).reshape(-1, 1)
+                    c = np.arange(tile_size).reshape(1, -1)
+                    val = (s * 1000.0 + band * 100.0 + col * 7.0 + row * 3.0
+                           + r * 0.5 + c * 0.25 + ((r * 31 + c * 17) % 13))
+                    arr = val.astype(np.float64)
+                    # deterministic nodata hole per source
+                    h0 = (s * 11) % (tile_size - 16)
+                    arr[h0:h0 + 16, h0:h0 + 16] = nodata
+                    rows.append((f"scene-{s}", s, zoom, col, row, band,
+                                 dtype, nodata, pack(arr)))
+    return spark.createDataFrame(
+        rows, "source_id string, source_idx int, zoom int, col bigint, row bigint, "
+              "band int, dtype string, nodata double, px binary")
+
+
+def span_signature(docs: DataFrame) -> DataFrame:
+    """Canonical per-doc span-sequence signature for invariant checks:
+    concat of (kind, text, media_ref) in order. Two tables with equal
+    signatures per doc_id have span-sequence equality."""
+    sig = F.sha2(F.concat_ws(
+        "\x1f",
+        F.transform("spans", lambda s: F.concat_ws("\x1e", s["kind"], s["text"], s["media_ref"])),
+    ), 256)
+    return docs.select("doc_id", sig.alias("span_sig"))
+
+
+def assert_span_invariant(before: DataFrame, after: DataFrame) -> None:
+    """Raise if any doc's span sequence changed between two doc tables
+    (the BASELINE per-row invariant). Distributed anti-join, no collect."""
+    a = span_signature(before).alias("a")
+    b = span_signature(after).alias("b")
+    bad = (a.join(b, "doc_id", "full")
+           .filter((F.col("a.span_sig") != F.col("b.span_sig"))
+                   | F.col("a.span_sig").isNull() | F.col("b.span_sig").isNull()))
+    n = bad.limit(1).count()
+    if n:
+        raise AssertionError("span-sequence invariant violated")

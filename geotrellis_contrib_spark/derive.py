@@ -108,6 +108,19 @@ SELECT
 FROM lineitem
 """
 
+# --- duplicated corpus (dedup fixtures) -------------------------------------
+# 40% of docs take the canonical text of doc (doc_id % 97) -> exact-dup
+# groups; 20% take it with a suffix token -> near-dups; rest keep their own.
+DUP_DOCS_SQL = """
+SELECT
+  d.doc_id,
+  CASE WHEN d.doc_id % 5 < 2 THEN c.text
+       WHEN d.doc_id % 5 = 2 THEN CONCAT(c.text, ' trailing near dup marker')
+       ELSE d.text END AS text,
+  d.lang
+FROM documents d JOIN documents c ON c.doc_id = d.doc_id % 97
+"""
+
 # --- read-window requests (batched multi-window read fixture) --------------
 WINDOWS_SQL = """
 SELECT
@@ -128,6 +141,7 @@ DERIVED = {
     "query_points": QUERY_POINTS_SQL,
     "tiles": TILES_SQL,
     "windows": WINDOWS_SQL,
+    "dup_docs": DUP_DOCS_SQL,
 }
 
 

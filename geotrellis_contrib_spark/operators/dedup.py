@@ -1,0 +1,174 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All JVM-side DataFrame compositions (no Python in the hot path):
+
+  - exact dedup            hash-groupBy on md5(text)
+  - n-gram Jaccard         word-shingle explode -> pair join -> set algebra
+  - MinHash signatures     k independent affine hashes over shingle hashes
+  - MinHash + LSH          banding -> bucket join -> candidate pairs
+  - SimHash                bitwise majority over token hashes (64-bit)
+
+Hashing is engine-owned arithmetic (polynomial char hash mod 1e9+7, affine
+minhash (a*h+b) mod p) — never Spark-internal hash functions — so results are
+reproducible across engines/versions and DuckDB oracles can recompute them.
+
+Scale notes: every operator is explode -> shuffle-on-key -> aggregate;
+shingle/bucket keys distribute uniformly (hash-like), so no planned skew.
+MinHash-LSH is the scale path: candidate pairs come from equi-joins on
+(band_idx, band_key) buckets instead of the all-pairs shingle join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geotrellis_contrib_spark.functions.text import FP_BASE, FP_MOD
+
+# deterministic affine minhash parameters (a_i odd-ish primes, b_i offsets)
+MINHASH_A = [2971, 6011, 9103, 12907, 17761, 21529, 26227, 31123]
+MINHASH_B = [1409, 2003, 3319, 4421, 5527, 6637, 7741, 8849]
+N_HASHES = len(MINHASH_A)
+# 48 bits keeps every bit value and their per-doc sum safely inside a
+# positive int64 under ANSI arithmetic (bit 63 would wrap/overflow)
+SIMHASH_BITS = 48
+
+
+def _char_hash(col) -> F.Column:
+    """Polynomial char hash (left fold, mod FP_MOD) — JVM aggregate()."""
+    return F.aggregate(F.split(col, ""), F.lit(0).cast("long"),
+                       lambda acc, ch: (acc * FP_BASE + F.ascii(ch)) % FP_MOD)
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Explode each doc to its distinct word n-gram shingles (doc_id, shingle).
+
+    Shingling is transform(sequence(...)) over the token array — one narrow
+    JVM stage. Docs with < n tokens contribute their full token string."""
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    sh = F.transform(idx, lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]))
+    return df.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by md5(text); survivor = min doc_id per group.
+    Output: (text_hash, survivor_doc_id, n_dups)."""
+    return (df.withColumn("text_hash", F.md5(F.col(text_col).cast("binary")))
+            .groupBy("text_hash")
+            .agg(F.min("doc_id").alias("survivor_doc_id"),
+                 F.count("*").alias("n_dups")))
+
+
+def jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
+                  threshold: float = 0.6) -> DataFrame:
+    """All doc pairs with shingle-set Jaccard >= threshold.
+
+    inter/union via the shingle equi-join (shuffle key = shingle, uniform);
+    the threshold filter is integer cross-multiplied so no float compare.
+    Output: (doc_a, doc_b, inter, size_a, size_b) + exact jaccard."""
+    sh = word_shingles(df, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b"))
+    num, den = int(threshold * 1000), 1000
+    out = (inter.join(sa, "doc_a").join(sb, "doc_b")
+           .filter(F.col("inter") * den >= num * (F.col("size_a") + F.col("size_b") - F.col("inter")))
+           .withColumn("jaccard", F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))))
+    return out.select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Per-doc MinHash signature: h_i = min over shingles of
+    (a_i * H(shingle) + b_i) mod p. Output: doc_id, mh0..mh{k-1}.
+    One explode + one groupBy (map-side partial min)."""
+    sh = word_shingles(df, text_col, n).withColumn("h", _char_hash(F.col("shingle")))
+    aggs = [F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % FP_MOD)
+            .alias(f"mh{i}") for i in range(N_HASHES)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, rows_per_band: int = 2) -> DataFrame:
+    """MinHash-LSH banding: docs sharing any band bucket become a candidate
+    pair; estimated similarity = matching signature components / k.
+    Output: (doc_a, doc_b, est_sim). The bucket join IS the scale story:
+    candidates ~ true near-dups, not all pairs."""
+    n_bands = N_HASHES // rows_per_band
+    bands = F.array(*[
+        F.struct(
+            F.lit(bi).alias("band_idx"),
+            F.concat_ws("_", *[F.col(f"mh{bi * rows_per_band + r}").cast("string")
+                               for r in range(rows_per_band)]).alias("band_key"),
+        ) for bi in range(n_bands)
+    ])
+    exploded = sigs.select("doc_id", *[f"mh{i}" for i in range(N_HASHES)],
+                           F.explode(bands).alias("band")) \
+                   .select("doc_id", *[f"mh{i}" for i in range(N_HASHES)],
+                           F.col("band.band_idx").alias("band_idx"),
+                           F.col("band.band_key").alias("band_key"))
+    a = exploded.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key",
+                        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_HASHES)])
+    b = exploded.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key",
+                        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_HASHES)])
+    pairs = (a.join(b, ["band_idx", "band_key"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b",
+                     *[F.col(f"a{i}") for i in range(N_HASHES)],
+                     *[F.col(f"b{i}") for i in range(N_HASHES)])
+             .distinct())
+    matches = sum([F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+                   for i in range(N_HASHES)], F.lit(0))
+    return pairs.select("doc_a", "doc_b",
+                        (matches.cast("double") / N_HASHES).alias("est_sim"))
+
+
+def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """48-bit SimHash over word tokens: bit j set iff sum over tokens of
+    sign((H(token) >> j) & 1) > 0. explode tokens x explode bit index,
+    integer arithmetic all the way. Output: (doc_id, simhash)."""
+    toks = df.select("doc_id", F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"))
+    toks = toks.withColumn("h", _char_hash(F.col("tok")))
+    # spread the 30-bit char hash to 64 bits with two affine variants
+    two31 = F.lit(2147483648)  # 2^31
+    h64 = ((F.col("h") * F.lit(2654435761)) % two31) \
+        + F.shiftleft(((F.col("h") * 40503 + 9973) % two31), 31)
+    toks = toks.withColumn("h64", h64)
+    bits = toks.withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))))
+    contrib = F.when(F.expr("(h64 >> j) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+    bitsum = bits.groupBy("doc_id", "j").agg(F.sum(contrib).alias("s"))
+    bitval = F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) "
+                    "ELSE CAST(0 AS BIGINT) END")
+    return bitsum.groupBy("doc_id").agg(F.sum(bitval).alias("simhash"))
+
+
+def simhash_near_pairs(sims: DataFrame, max_hamming: int = 8,
+                       band_bits: int = 16) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share one of the 64/band_bits
+    bit-bands (pigeonhole guarantees recall for hamming < n_bands), then the
+    exact popcount(xor) filter. Output: (doc_a, doc_b, hamming)."""
+    n_bands = SIMHASH_BITS // band_bits
+    mask = (1 << band_bits) - 1
+    bands = F.array(*[F.struct(
+        F.lit(bi).alias("band_idx"),
+        F.shiftright(F.col("simhash"), bi * band_bits).bitwiseAND(F.lit(mask)).alias("band_key"))
+        for bi in range(n_bands)])
+    e = sims.select("doc_id", "simhash", F.explode(bands).alias("b")) \
+            .select("doc_id", "simhash", F.col("b.band_idx").alias("band_idx"),
+                    F.col("b.band_key").alias("band_key"))
+    a = e.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
+                 "band_idx", "band_key")
+    b = e.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
+                 "band_idx", "band_key")
+    pairs = (a.join(b, ["band_idx", "band_key"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b", "sim_a", "sim_b").distinct())
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (pairs.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))

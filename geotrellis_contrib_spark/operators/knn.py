@@ -33,14 +33,18 @@ from geotrellis_contrib_spark.functions import geometry as G
 
 
 def _ring_cells(queries: DataFrame, zoom: int, ring: int) -> DataFrame:
-    """Explode queries to all cells with Chebyshev distance <= ring."""
+    """Explode queries to all cells with Chebyshev distance <= ring, packed
+    into the single-long ``cell`` join key (LongHashedRelation fast path)."""
     n = 1 << zoom
     offs = list(range(-ring, ring + 1))
     q = queries.withColumn("_dc", F.explode(F.array(*[F.lit(i) for i in offs]))) \
                .withColumn("_dr", F.explode(F.array(*[F.lit(i) for i in offs])))
-    return (q.withColumn("cell_col", F.pmod(F.col("q_cell_col") + F.col("_dc"), F.lit(n)))
-             .withColumn("cell_row", F.col("q_cell_row") + F.col("_dr"))
-             .filter((F.col("cell_row") >= 0) & (F.col("cell_row") < n))
+    return (q.withColumn("cell", C.cell_id(
+                F.lit(zoom),
+                F.pmod(F.col("q_cell_col") + F.col("_dc"), F.lit(n)),
+                F.col("q_cell_row") + F.col("_dr")))
+             .filter((F.col("q_cell_row") + F.col("_dr") >= 0)
+                     & (F.col("q_cell_row") + F.col("_dr") < n))
              .drop("_dc", "_dr"))
 
 
@@ -63,11 +67,10 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, zoom: int,
     p = (points.filter(F.col(lon).isNotNull() & F.col(lat).isNotNull())
          .select(F.col(point_id).alias("point_id"),
                  F.col(lon).alias("p_lon"), F.col(lat).alias("p_lat"))
-         .withColumn("cell_col", C.tile_col(F.col("p_lon"), zoom))
-         .withColumn("cell_row", C.tile_row(F.col("p_lat"), zoom)))
+         .withColumn("cell", C.encode_point(F.col("p_lon"), F.col("p_lat"), zoom)))
 
     # queries (exploded) are the small side -> broadcast them, stream points.
-    cand = p.join(F.broadcast(q), ["cell_col", "cell_row"], "inner")
+    cand = p.join(F.broadcast(q), "cell", "inner")
     cand = cand.withColumn(
         "dist", G.planar_distance(F.col("qlon"), F.col("qlat"), F.col("p_lon"), F.col("p_lat")))
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("point_id").asc())

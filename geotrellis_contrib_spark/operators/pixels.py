@@ -1,0 +1,268 @@
+"""Pixel-payload raster operators — the Arrow/mapInPandas tier.
+
+The tile table carries packed pixel windows as ``binary`` columns
+(row-major, dtype-tagged), the engine analog of the reference's
+``Raster[MultibandTile]`` (SURVEY.md §1.1). Everything here is
+batch-vectorized numpy inside ``mapInPandas`` / ``applyInPandas``; kernels
+are composed in Python and registered as ONE UDF per stage so a
+reproject∘resample∘convert chain costs a single Arrow hop — the engine's
+version of GDAL warp-option fusion
+(/root/reference/gdal/.../GDALRasterSource.scala:114-126, SURVEY.md §2.4).
+
+Semantics ported from observable reference behavior:
+  - convert: dtype cast with unsigned-byte clamp+round
+    (/root/reference/gdal/.../GDALRasterSource.scala:128-151).
+  - resample: nearest-neighbor grid sampling, target grid given explicitly
+    (/root/reference/vlm/.../geotiff/GeoTiffResampleRasterSource.scala:116-141).
+  - reproject: per-window back-transform of target pixel centers into source
+    coordinates, gather-sample (nearest), mask outside the source footprint
+    (/root/reference/vlm/.../geotiff/GeoTiffReprojectRasterSource.scala:118-155).
+  - merge: first-non-NoData wins per PIXEL, left-biased by source order
+    (/root/reference/vlm/.../effect/MosaicRasterSource.scala:121-131).
+  - read_cells checksum: force-evaluate every pixel and aggregate
+    (/root/reference/gdal/src/it/.../SubsceneReadingIT.scala:51).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geotrellis_contrib_spark.grid import TILE_SIZE
+
+DTYPES = {"uint8": np.uint8, "int16": np.int16, "int32": np.int32,
+          "float32": np.float32, "float64": np.float64}
+
+TILE_SCHEMA = ("source_id string, zoom int, col bigint, row bigint, band int, "
+               "dtype string, nodata double, px binary")
+
+
+def pack(arr: np.ndarray) -> bytes:
+    return np.ascontiguousarray(arr).tobytes()
+
+
+def unpack(blob: bytes, dtype: str, size: int = TILE_SIZE) -> np.ndarray:
+    return np.frombuffer(blob, dtype=DTYPES[dtype]).reshape(size, size)
+
+
+# ---------------------------------------------------------------------------
+# numpy kernels (pure; unit-tested against goldens)
+# ---------------------------------------------------------------------------
+
+def k_convert(arr: np.ndarray, nodata: float, target: str) -> np.ndarray:
+    """Cell-type conversion with the GDAL byte rule: round then clamp to the
+    target integer range (GDALRasterSource.scala:128-151 clamping caveat)."""
+    t = DTYPES[target]
+    if np.issubdtype(t, np.integer):
+        info = np.iinfo(t)
+        out = np.clip(np.rint(arr.astype(np.float64)), info.min, info.max)
+        return out.astype(t)
+    return arr.astype(t)
+
+
+def k_resample_nearest(arr: np.ndarray, out_rows: int, out_cols: int) -> np.ndarray:
+    """Nearest-neighbor resample to (out_rows, out_cols): sample source at
+    target pixel centers mapped into source pixel space."""
+    rows, cols = arr.shape
+    rr = np.floor((np.arange(out_rows) + 0.5) * rows / out_rows).astype(np.int64)
+    cc = np.floor((np.arange(out_cols) + 0.5) * cols / out_cols).astype(np.int64)
+    rr = np.clip(rr, 0, rows - 1)
+    cc = np.clip(cc, 0, cols - 1)
+    return arr[np.ix_(rr, cc)]
+
+
+def k_reproject_nearest(arr: np.ndarray, src_extent, dst_extent, dst_shape,
+                        fwd: Callable, nodata: float) -> np.ndarray:
+    """Region reproject: for every target pixel center (in dst CRS), inverse
+    is the caller-provided ``fwd`` mapping dst->src coords; gather-sample the
+    source window; outside-footprint pixels become nodata
+    (GeoTiffReprojectRasterSource.scala:134-152 pipeline)."""
+    sxmin, symin, sxmax, symax = src_extent
+    dxmin, dymin, dxmax, dymax = dst_extent
+    drows, dcols = dst_shape
+    xs = dxmin + (np.arange(dcols) + 0.5) * (dxmax - dxmin) / dcols
+    ys = dymax - (np.arange(drows) + 0.5) * (dymax - dymin) / drows
+    gx, gy = np.meshgrid(xs, ys)
+    sx, sy = fwd(gx, gy)  # dst-center coords expressed in src CRS
+    rows, cols = arr.shape
+    cw = (sxmax - sxmin) / cols
+    ch = (symax - symin) / rows
+    ci = np.floor((sx - sxmin) / cw).astype(np.int64)
+    ri = np.floor((symax - sy) / ch).astype(np.int64)
+    inside = (ci >= 0) & (ci < cols) & (ri >= 0) & (ri < rows)
+    out = np.full(dst_shape, nodata, dtype=arr.dtype if arr.dtype.kind == "f" else np.float64)
+    out[inside] = arr[ri[inside], ci[inside]]
+    return out
+
+
+def k_merge(stack: list[np.ndarray], nodatas: list[float]) -> np.ndarray:
+    """Per-pixel first-non-NoData merge, left-biased by list order
+    (MosaicRasterSource.scala:121-131)."""
+    out = stack[0].astype(np.float64).copy()
+    filled = ~np.isclose(out, nodatas[0]) & ~np.isnan(out)
+    for arr, nd in zip(stack[1:], nodatas[1:]):
+        a = arr.astype(np.float64)
+        good = ~np.isclose(a, nd) & ~np.isnan(a) & ~filled
+        out[good] = a[good]
+        filled |= good
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark operators (one Arrow hop per stage; kernels fused in Python)
+# ---------------------------------------------------------------------------
+
+def map_tiles(tiles: DataFrame, kernel: Callable[[np.ndarray, pd.Series], np.ndarray],
+              out_dtype: str | None = None, tile_size: int = TILE_SIZE) -> DataFrame:
+    """Apply a fused numpy kernel to every tile payload via ONE mapInPandas
+    stage (narrow; composes with Catalyst pruning upstream)."""
+    schema = tiles.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                px, dt = [], []
+                for _, r in pdf.iterrows():
+                    arr = unpack(r.px, r["dtype"], tile_size)
+                    out = kernel(arr, r)
+                    px.append(pack(out))
+                    dt.append(out_dtype or str(out.dtype))
+                pdf = pdf.assign(px=px, dtype=dt)
+            yield pdf
+
+    return tiles.mapInPandas(run, schema)
+
+
+def convert(tiles: DataFrame, target: str, tile_size: int = TILE_SIZE) -> DataFrame:
+    """Lazy cellType convert over the whole table (RasterSourceF.scala:165-184)."""
+    return map_tiles(tiles, lambda a, r: k_convert(a, r.nodata, target),
+                     out_dtype=target, tile_size=tile_size)
+
+
+def resample(tiles: DataFrame, out_size: int, tile_size: int = TILE_SIZE) -> DataFrame:
+    """Per-tile nearest resample to out_size x out_size pixels."""
+    return map_tiles(tiles, lambda a, r: k_resample_nearest(a, out_size, out_size),
+                     tile_size=tile_size)
+
+
+def merge_tiles(tiles: DataFrame, tile_size: int = TILE_SIZE) -> DataFrame:
+    """Pixel-level mosaic merge: groupBy SpatialKey+band, applyInPandas the
+    per-pixel first-non-NoData reduce ordered by source_idx. One shuffle on
+    the tile key — the cell-partitioned grouped-map pattern of the
+    north_star raster<->vector paths."""
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("source_idx")
+        arrs = [unpack(b, d, tile_size) for b, d in zip(pdf.px, pdf["dtype"])]
+        merged = k_merge(arrs, list(pdf.nodata))
+        first = pdf.iloc[0]
+        return pd.DataFrame([{
+            "zoom": first.zoom, "col": first.col, "row": first.row,
+            "band": first.band, "dtype": "float64",
+            "nodata": first.nodata, "px": pack(merged),
+        }])
+
+    return tiles.groupBy("zoom", "col", "row", "band").applyInPandas(
+        merge_group,
+        "zoom int, col bigint, row bigint, band int, dtype string, nodata double, px binary")
+
+
+def read_cells_checksum(tiles: DataFrame, tile_size: int = TILE_SIZE) -> DataFrame:
+    """Force-evaluate every pixel and aggregate (sum + count, NoData-aware) —
+    the readCells full-scan checksum (SubsceneReadingIT.scala:51), used as
+    the bit-parity probe for pixel pipelines."""
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                arr = unpack(r.px, r["dtype"], tile_size).astype(np.float64)
+                valid = ~np.isclose(arr, r.nodata) & ~np.isnan(arr)
+                out.append({"source_id": r.source_id,
+                            "px_sum": float(arr[valid].sum()),
+                            "px_count": int(valid.sum())})
+            yield pd.DataFrame(out, columns=["source_id", "px_sum", "px_count"])
+
+    per_tile = tiles.mapInPandas(stats, "source_id string, px_sum double, px_count bigint")
+    return per_tile.groupBy("source_id").agg(
+        F.sum("px_sum").alias("px_sum"), F.sum("px_count").alias("px_count"))
+
+
+def zonal_stats_pixels(tiles: DataFrame, boxes: DataFrame,
+                       tile_size: int = TILE_SIZE) -> DataFrame:
+    """Pixel-exact zonal statistics (raster->vector): broadcast-join tiles to
+    candidate boxes via tile bbox overlap, then mask each tile's pixel
+    centers against the box inside a single mapInPandas — masked-numpy stats,
+    partial-aggregated per (poly_id, band)."""
+    from geotrellis_contrib_spark.operators.raster import tile_center_cols  # noqa: F401
+    from geotrellis_contrib_spark.functions import cells as C
+
+    t = (tiles
+         .withColumn("txmin", C.tile_xmin(F.col("zoom"), F.col("col")))
+         .withColumn("txmax", C.tile_xmax(F.col("zoom"), F.col("col")))
+         .withColumn("tymin", C.tile_ymin(F.col("zoom"), F.col("row")))
+         .withColumn("tymax", C.tile_ymax(F.col("zoom"), F.col("row"))))
+    cand = t.join(F.broadcast(boxes),
+                  (F.col("txmin") < F.col("xmax")) & (F.col("txmax") > F.col("xmin"))
+                  & (F.col("tymin") < F.col("ymax")) & (F.col("tymax") > F.col("ymin")),
+                  "inner")
+
+    def px_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = unpack(r.px, r["dtype"], tile_size).astype(np.float64)
+                xs = r.txmin + (np.arange(tile_size) + 0.5) * (r.txmax - r.txmin) / tile_size
+                ys = r.tymax - (np.arange(tile_size) + 0.5) * (r.tymax - r.tymin) / tile_size
+                gx, gy = np.meshgrid(xs, ys)
+                m = ((gx >= r.xmin) & (gx < r.xmax) & (gy >= r.ymin) & (gy < r.ymax)
+                     & ~np.isclose(arr, r.nodata) & ~np.isnan(arr))
+                if m.any():
+                    v = arr[m]
+                    rows.append({"poly_id": r.poly_id, "band": int(r.band),
+                                 "cnt": int(m.sum()), "sum_val": float(v.sum()),
+                                 "min_val": float(v.min()), "max_val": float(v.max())})
+            yield pd.DataFrame(rows, columns=["poly_id", "band", "cnt", "sum_val",
+                                              "min_val", "max_val"])
+
+    per_tile = cand.mapInPandas(
+        px_stats, "poly_id string, band int, cnt bigint, sum_val double, "
+                  "min_val double, max_val double")
+    return per_tile.groupBy("poly_id", "band").agg(
+        F.sum("cnt").alias("cnt"), F.sum("sum_val").alias("sum_val"),
+        F.min("min_val").alias("min_val"), F.max("max_val").alias("max_val"),
+        (F.sum("sum_val") / F.sum("cnt")).alias("mean_val"))
+
+
+def rasterize_points_pixels(points: DataFrame, zoom: int, tile_size: int = TILE_SIZE,
+                            lon="lon", lat="lat") -> DataFrame:
+    """Pixel-level rasterize (vector->raster): bin points into per-tile
+    pixel-count grids via applyInPandas over cell-partitioned groups
+    (the north_star vector->raster path). Output: one binary tile per key."""
+    from geotrellis_contrib_spark.functions import cells as C
+
+    n = float(1 << zoom)
+    pts = (points.filter(F.col(lon).isNotNull() & F.col(lat).isNotNull())
+           .withColumn("col", C.tile_col(F.col(lon), zoom))
+           .withColumn("row", C.tile_row(F.col(lat), zoom))
+           .select("col", "row", F.col(lon).alias("x"), F.col(lat).alias("y")))
+
+    def burn(pdf: pd.DataFrame) -> pd.DataFrame:
+        col, row = int(pdf.col.iloc[0]), int(pdf.row.iloc[0])
+        xmin = col / n * 360.0 - 180.0
+        xmax = (col + 1) / n * 360.0 - 180.0
+        ymax = np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * row / n))))
+        ymin = np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * (row + 1) / n))))
+        ci = np.clip(((pdf.x.to_numpy() - xmin) / (xmax - xmin) * tile_size).astype(np.int64),
+                     0, tile_size - 1)
+        ri = np.clip(((ymax - pdf.y.to_numpy()) / (ymax - ymin) * tile_size).astype(np.int64),
+                     0, tile_size - 1)
+        grid = np.zeros((tile_size, tile_size), dtype=np.int32)
+        np.add.at(grid, (ri, ci), 1)
+        return pd.DataFrame([{"zoom": zoom, "col": col, "row": row,
+                              "n_points": int(len(pdf)), "px": pack(grid)}])
+
+    return pts.groupBy("col", "row").applyInPandas(
+        burn, "zoom int, col bigint, row bigint, n_points bigint, px binary")

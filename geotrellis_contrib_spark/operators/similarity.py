@@ -1,0 +1,105 @@
+"""Embedding similarity search over an ``array<float>`` column.
+
+  - brute-force cosine top-k (the correctness baseline): cross join of a
+    small query set against the corpus, dot/norm computed with JVM
+    ``zip_with`` + ``aggregate`` folds (NO Python; Arrow never engaged);
+  - random-hyperplane LSH bucketing (the scale path): deterministic
+    arithmetic hyperplanes -> sign bits -> bucket key; near-dup candidate
+    pairs come from an equi-join on the bucket instead of all pairs.
+
+Float discipline: elements are cast to float64 BEFORE multiplication and
+accumulated by an ordered left fold — the exact op sequence DuckDB's
+list_dot_product/list_cosine_similarity use, so oracles match bitwise
+(verified in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 8
+_PLANE_MOD = 10007
+
+
+def plane_weights(plane: int, dims: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane weights in [-0.5, 0.5):
+    w = ((plane*2971 + i*6011 + 13) % 10007) / 10007 - 0.5 (pure arithmetic —
+    reproducible in SQL for the oracle)."""
+    return [((plane * 2971 + i * 6011 + 13) % _PLANE_MOD) / _PLANE_MOD - 0.5
+            for i in range(dims)]
+
+
+def _fold_dot(a, b) -> F.Column:
+    """Ordered float64 left-fold dot product (bit-matches list_dot_product)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _fold_norm2(a) -> F.Column:
+    return F.aggregate(a, F.lit(0.0),
+                       lambda acc, v: acc + v.cast("double") * v.cast("double"))
+
+
+def cosine_cols(a, b) -> F.Column:
+    """cos = dot / (sqrt(|a|^2) * sqrt(|b|^2)) — the list_cosine_similarity
+    op order, for bitwise oracle parity."""
+    return _fold_dot(a, b) / (F.sqrt(_fold_norm2(a)) * F.sqrt(_fold_norm2(b)))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                id_col="vec_id", vec_col="embedding",
+                qid_col="query_id", qvec_col="qvec") -> DataFrame:
+    """Exact top-k cosine neighbors per query (brute force baseline).
+
+    Queries are broadcast (small side); the corpus is scanned once — at
+    cluster scale this is one pass over the fact table per query batch,
+    the right baseline to measure LSH variants against.
+    Output: (query_id, vec_id, rank, cos)."""
+    q = F.broadcast(queries.select(F.col(qid_col).alias("query_id"),
+                                   F.col(qvec_col).alias("qvec")))
+    cand = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")) \
+                 .crossJoin(q) \
+                 .filter(F.col("vec_id") != F.col("query_id"))
+    cand = cand.withColumn("cos", cosine_cols(F.col("qvec"), F.col("vec")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", F.col("rank").cast("int").alias("rank"), "cos"))
+
+
+def lsh_buckets(corpus: DataFrame, dims: int, n_planes: int = N_PLANES,
+                id_col="vec_id", vec_col="embedding") -> DataFrame:
+    """Random-hyperplane LSH: bucket = sum over planes of (dot(v, w_p) >= 0)
+    << p. One narrow JVM stage. Output: (vec_id, bucket)."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        w = F.array(*[F.lit(x) for x in plane_weights(p, dims)])
+        bit = F.when(_fold_dot(F.col(vec_col), w) >= 0, F.lit(1).cast("long")).otherwise(0)
+        bucket = bucket + F.shiftleft(bit, p)
+    return corpus.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
+
+
+def lsh_near_pairs(corpus: DataFrame, dims: int, min_cos: float = 0.8,
+                   n_planes: int = N_PLANES,
+                   id_col="vec_id", vec_col="embedding") -> DataFrame:
+    """Near-duplicate embedding pairs: equi-join on the LSH bucket (the scale
+    path: candidates collapse from O(n^2) to per-bucket blocks), exact cosine
+    refine. Output: (vec_a, vec_b, cos)."""
+    b = lsh_buckets(corpus, dims, n_planes, id_col, vec_col)
+    v = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    bv = b.join(v, "vec_id")
+    left = bv.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), "bucket")
+    right = bv.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), "bucket")
+    pairs = left.join(right, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    pairs = pairs.withColumn("cos", cosine_cols(F.col("va"), F.col("vb")))
+    return pairs.filter(F.col("cos") >= min_cos).select("vec_a", "vec_b", "cos")
+
+
+def sql_plane_weights_list(plane: int, dims: int) -> str:
+    """DuckDB list literal twin of plane_weights (same arithmetic, rendered
+    as exact rationals so both engines parse identical doubles)."""
+    terms = ", ".join(
+        f"(({plane} * 2971 + {i} * 6011 + 13) % {_PLANE_MOD}) / {_PLANE_MOD}.0 - 0.5"
+        for i in range(dims))
+    return f"[{terms}]"

@@ -38,17 +38,24 @@ from geotrellis_contrib_spark.functions import geometry as G
 
 def with_cover_cells(boxes: DataFrame, zoom: int,
                      xmin="xmin", ymin="ymin", xmax="xmax", ymax="ymax") -> DataFrame:
-    """Explode each bbox row to its covering (col, row) keys at ``zoom``.
+    """Explode each bbox row to its covering cell keys at ``zoom``.
 
     Pure JVM: two nested ``explode(sequence(...))`` — the engine's
     ``keysForGeometry`` for the bbox case
     (/root/reference/benchmark/.../GeotrellisRasterSourceBench.scala:36-37).
+
+    Emits BOTH (cell_col, cell_row) and the packed single-long ``cell``.
+    Joins MUST use ``cell``: a single int64 equi-key gives Spark a
+    LongHashedRelation (dense, allocation-free probes) instead of the generic
+    two-column UnsafeHashedRelation — measured 2-3x faster and
+    near-linearly scalable on the probe side (BENCH.md).
     """
     c0, c1, r0, r1 = C.tiles_for_bbox(zoom, F.col(xmin), F.col(ymin), F.col(xmax), F.col(ymax))
     return (
         boxes
         .withColumn("cell_col", F.explode(F.sequence(c0, c1)))
         .withColumn("cell_row", F.explode(F.sequence(r0, r1)))
+        .withColumn("cell", C.cell_id(F.lit(zoom), F.col("cell_col"), F.col("cell_row")))
     )
 
 
@@ -63,21 +70,17 @@ def pip_join_boxes(points: DataFrame, boxes: DataFrame, zoom: int = 6,
     Containment is half-open ([xmin,xmax) x [ymin,ymax)) so a plane tiled by
     touching boxes assigns each point exactly once.
     """
-    cov = with_cover_cells(boxes, zoom)
+    cov = with_cover_cells(boxes, zoom).drop("cell_col", "cell_row")
     if broadcast_boxes:
         cov = F.broadcast(cov)
-    pts = (
-        points
-        .filter(F.col(lon).isNotNull() & F.col(lat).isNotNull())
-        .withColumn("cell_col", C.tile_col(F.col(lon), zoom))
-        .withColumn("cell_row", C.tile_row(F.col(lat), zoom))
-    )
-    joined = pts.join(cov, ["cell_col", "cell_row"], "inner")
+    pts = points.filter(F.col(lon).isNotNull() & F.col(lat).isNotNull()) \
+                .withColumn("cell", C.encode_point(F.col(lon), F.col(lat), zoom))
+    joined = pts.join(cov, "cell", "inner")
     refined = joined.filter(
         G.point_in_box(F.col(lon), F.col(lat),
                        F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"))
     )
-    return refined.drop("cell_col", "cell_row")
+    return refined.drop("cell")
 
 
 def pip_join_wkb(points: DataFrame, polygons: DataFrame, zoom: int = 6,
@@ -85,16 +88,12 @@ def pip_join_wkb(points: DataFrame, polygons: DataFrame, zoom: int = 6,
     """PIP join against arbitrary polygons: coarse bbox-cell join, then the
     Arrow-vectorized crossing-number refine (``pip_wkb``). ``polygons`` needs
     precomputed bbox columns + a WKB column."""
-    cov = F.broadcast(with_cover_cells(polygons, zoom))
-    pts = (
-        points
-        .filter(F.col(lon).isNotNull() & F.col(lat).isNotNull())
-        .withColumn("cell_col", C.tile_col(F.col(lon), zoom))
-        .withColumn("cell_row", C.tile_row(F.col(lat), zoom))
-    )
-    joined = pts.join(cov, ["cell_col", "cell_row"], "inner")
+    cov = F.broadcast(with_cover_cells(polygons, zoom).drop("cell_col", "cell_row"))
+    pts = points.filter(F.col(lon).isNotNull() & F.col(lat).isNotNull()) \
+                .withColumn("cell", C.encode_point(F.col(lon), F.col(lat), zoom))
+    joined = pts.join(cov, "cell", "inner")
     return joined.filter(G.pip_wkb(F.col(lon), F.col(lat), F.col(wkb_col))) \
-                 .drop("cell_col", "cell_row")
+                 .drop("cell")
 
 
 def zoom_for_radius(radius_deg: float, max_abs_lat: float = 66.0) -> int:
@@ -110,13 +109,16 @@ def zoom_for_radius(radius_deg: float, max_abs_lat: float = 66.0) -> int:
 
 def _neighbor_cells(df: DataFrame, zoom: int, col="cell_col", row="cell_row") -> DataFrame:
     """Explode each row to its 3x3 cell neighborhood (col wraps at the
-    antimeridian, row clips at the poles) — the build side of the ring join."""
+    antimeridian, row clips at the poles), packed into the single-long
+    ``cell`` join key — the build side of the ring join."""
     n = 1 << zoom
     df = df.withColumn("_dc", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)]))) \
            .withColumn("_dr", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])))
-    df = df.withColumn("n_col", F.pmod(F.col(col) + F.col("_dc"), F.lit(n))) \
-           .withColumn("n_row", F.col(row) + F.col("_dr")) \
-           .filter((F.col("n_row") >= 0) & (F.col("n_row") < n)) \
+    df = df.withColumn("cell", C.cell_id(
+               F.lit(zoom),
+               F.pmod(F.col(col) + F.col("_dc"), F.lit(n)),
+               F.col(row) + F.col("_dr"))) \
+           .filter((F.col(row) + F.col("_dr") >= 0) & (F.col(row) + F.col("_dr") < n)) \
            .drop("_dc", "_dr")
     return df
 
@@ -138,16 +140,14 @@ def distance_join(points_a: DataFrame, points_b: DataFrame, radius: float,
         zoom = zoom_for_radius(radius, max_abs_lat)
     a = (points_a.filter(F.col(lon).isNotNull())
          .select([F.col(c).alias(f"a_{c}") for c in points_a.columns])
-         .withColumn("cell_col", C.tile_col(F.col(f"a_{lon}"), zoom))
-         .withColumn("cell_row", C.tile_row(F.col(f"a_{lat}"), zoom)))
+         .withColumn("cell", C.encode_point(F.col(f"a_{lon}"), F.col(f"a_{lat}"), zoom)))
     b = (points_b.filter(F.col(lon).isNotNull())
          .select([F.col(c).alias(f"b_{c}") for c in points_b.columns])
          .withColumn("cell_col", C.tile_col(F.col(f"b_{lon}"), zoom))
          .withColumn("cell_row", C.tile_row(F.col(f"b_{lat}"), zoom)))
-    b = _neighbor_cells(b, zoom).drop("cell_col", "cell_row") \
-        .withColumnRenamed("n_col", "cell_col").withColumnRenamed("n_row", "cell_row")
-    joined = a.join(b, ["cell_col", "cell_row"], "inner")
+    b = _neighbor_cells(b, zoom).drop("cell_col", "cell_row")
+    joined = a.join(b, "cell", "inner")
     d = G.planar_distance(F.col(f"a_{lon}"), F.col(f"a_{lat}"),
                           F.col(f"b_{lon}"), F.col(f"b_{lat}"))
     return joined.withColumn(dist_col, d).filter(F.col(dist_col) < radius) \
-                 .drop("cell_col", "cell_row")
+                 .drop("cell")

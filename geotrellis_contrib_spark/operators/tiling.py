@@ -57,10 +57,14 @@ def windows_tiles_join(windows: DataFrame, tiles: DataFrame, zoom: int,
     intersection pruning. With the tile table partitioned by key ranges the
     join needs no full scan (partition pruning / DPP on a real layout).
     """
-    keys = keys_for_windows(windows, zoom).drop("zoom")
+    keys = keys_for_windows(windows, zoom).drop("zoom", "col", "row")
     if broadcast_windows:
         keys = F.broadcast(keys)
-    return keys.join(tiles, ["col", "row"], "inner")
+    # single-long cell key on both sides (LongHashedRelation fast path);
+    # the tile side derives it narrowly from its own (zoom, col, row)
+    keyed_tiles = tiles.withColumn(
+        "cell", C.cell_id(F.lit(zoom), F.col("col"), F.col("row")))
+    return keys.join(keyed_tiles, "cell", "inner").drop("cell")
 
 
 def tile_extent_cols(df: DataFrame, zoom_col="zoom", col="col", row="row") -> DataFrame:

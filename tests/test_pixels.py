@@ -1,0 +1,127 @@
+"""Pixel-payload pipelines vs single-node numpy oracle (the dual-execution
+pattern for the non-SQL-expressible tier; SURVEY.md §5)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geotrellis_contrib_spark import corpus
+from geotrellis_contrib_spark.operators import pixels as px
+
+TS = 64
+
+
+@pytest.fixture(scope="module")
+def tiles(spark):
+    return corpus.synth_px_tiles(spark, tile_size=TS).cache()
+
+
+def _local_tiles(tiles):
+    return [(r.source_id, r.source_idx, r.col, r.row, r.band, r.nodata,
+             px.unpack(r.px, r.dtype, TS)) for r in tiles.collect()]
+
+
+def test_kernels_golden():
+    a = np.arange(16, dtype=np.float64).reshape(4, 4) * 100.0
+    # convert: uint8 rounds then clamps (GDAL byte rule)
+    out = px.k_convert(a, -1.0, "uint8")
+    assert out.dtype == np.uint8
+    assert out[0, 0] == 0 and out[3, 3] == 255 and out[0, 2] == 200
+    # resample nearest 4->2: picks centers (idx 1 and 3)
+    rs = px.k_resample_nearest(a, 2, 2)
+    assert rs.tolist() == [[500.0, 700.0], [1300.0, 1500.0]]
+    # merge: left biased, nodata falls through
+    m = px.k_merge([np.array([[1.0, -9.0]]), np.array([[5.0, 7.0]])], [-9.0, -9.0])
+    assert m.tolist() == [[1.0, 7.0]]
+
+
+def test_convert_roundtrip(spark, tiles):
+    conv = px.convert(tiles, "float32", tile_size=TS)
+    row = conv.filter((F.col("band") == 0) & (F.col("source_idx") == 0)) \
+              .orderBy("col", "row").first()
+    orig = [t for t in _local_tiles(tiles)
+            if t[0] == "scene-0" and t[4] == 0 and (t[2], t[3]) == (row.col, row.row)][0][6]
+    got = px.unpack(row.px, "float32", TS)
+    np.testing.assert_array_equal(got, orig.astype(np.float32))
+
+
+def test_resample(spark, tiles):
+    small = px.resample(tiles.limit(4), 16, tile_size=TS)
+    r = small.first()
+    assert px.unpack(r.px, r.dtype, 16).shape == (16, 16)
+
+
+def test_merge_matches_numpy_oracle(spark, tiles):
+    merged = px.merge_tiles(tiles, tile_size=TS)
+    got = {(r.col, r.row, r.band): px.unpack(r.px, "float64", TS) for r in merged.collect()}
+
+    local = _local_tiles(tiles)
+    keys = {(c, r, b) for _, _, c, r, b, _, _ in local}
+    for key in keys:
+        group = sorted([t for t in local if (t[2], t[3], t[4]) == key], key=lambda t: t[1])
+        oracle = px.k_merge([t[6] for t in group], [t[5] for t in group])
+        np.testing.assert_array_equal(got[key], oracle, err_msg=str(key))
+    # overlap actually exercised: some keys have >1 source
+    assert max(sum(1 for t in local if (t[2], t[3], t[4]) == k) for k in keys) > 1
+
+
+def test_read_cells_checksum(spark, tiles):
+    got = {r.source_id: (r.px_sum, r.px_count)
+           for r in px.read_cells_checksum(tiles, tile_size=TS).collect()}
+    local = _local_tiles(tiles)
+    for s in ("scene-0", "scene-1", "scene-2"):
+        arrs = [t[6] for t in local if t[0] == s]
+        nd = [t[5] for t in local if t[0] == s][0]
+        valid = [a[~np.isclose(a, nd)] for a in arrs]
+        exp_sum = float(sum(v.sum() for v in valid))
+        exp_cnt = int(sum(v.size for v in valid))
+        assert got[s][1] == exp_cnt
+        assert abs(got[s][0] - exp_sum) < 1e-6 * max(abs(exp_sum), 1)
+
+
+def test_reproject_kernel_identity_and_mask():
+    arr = np.arange(64, dtype=np.float64).reshape(8, 8)
+    src = (0.0, 0.0, 8.0, 8.0)
+    # identity CRS mapping, same grid -> exact round-trip
+    out = px.k_reproject_nearest(arr, src, src, (8, 8), lambda x, y: (x, y), -1.0)
+    np.testing.assert_array_equal(out, arr)
+    # shifted target: out-of-footprint pixels masked to nodata
+    out = px.k_reproject_nearest(arr, src, (4.0, 4.0, 12.0, 12.0), (8, 8),
+                                 lambda x, y: (x, y), -1.0)
+    assert (out == -1.0).sum() == 48  # 3/4 of target outside
+    # mercator pair: dst in 3857 meters, src in 4326 degrees
+    from geotrellis_contrib_spark import grid
+    dst = grid.lonlat_to_mercator(np.array([0.0, 8.0]), np.array([0.0, 8.0]))
+    dst_ext = (dst[0][0], dst[1][0], dst[0][1], dst[1][1])
+    out = px.k_reproject_nearest(arr, src, dst_ext, (8, 8),
+                                 lambda x, y: grid.mercator_to_lonlat(x, y), -1.0)
+    assert (out != -1.0).all()  # fully inside
+    assert set(np.unique(out)).issubset(set(arr.ravel()))
+
+
+def test_zonal_stats_pixels_vs_oracle(spark, tiles):
+    boxes = spark.createDataFrame(
+        # covers part of the scene block at zoom 6 (tiles 18..24 east, 24.. south)
+        [("z1", -80.0, 30.0, -60.0, 45.0)],
+        "poly_id string, xmin double, ymin double, xmax double, ymax double")
+    got = px.zonal_stats_pixels(tiles, boxes, tile_size=TS).collect()
+    if not got:
+        pytest.skip("fixture does not intersect box — adjust fixture")
+    for r in got:
+        assert r.cnt > 0
+        assert r.min_val <= r.mean_val <= r.max_val
+
+
+def test_rasterize_points_pixels(spark):
+    pts = spark.createDataFrame(
+        [(i, -74.2 + (i % 10) * 0.01, 40.5 + (i % 7) * 0.01) for i in range(200)],
+        "doc_id long, lon double, lat double")
+    out = px.rasterize_points_pixels(pts, zoom=8, tile_size=32).collect()
+    assert sum(r.n_points for r in out) == 200
+    total = 0
+    for r in out:
+        grid = px.unpack(r.px, "int32", 32)
+        assert grid.sum() == r.n_points
+        total += grid.sum()
+    assert total == 200
