@@ -134,7 +134,11 @@ def q_raster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "row_min", "row_max", "n_nodata")
 
 
-JACCARD_N = 3
+# 5-gram shingles: the corpus vocabulary is tiny (~30 words), so 3-gram sets
+# are massively shared across unrelated docs and the exact pair join blows up
+# (sum-of-count^2). 5-grams make sharing ~= true duplication. (LSH remains
+# the scale path either way.)
+JACCARD_N = 5
 JACCARD_T = 0.6
 EMB_DIMS = 64
 EMB_K = 5
@@ -346,15 +350,19 @@ SELECT MD5(text) AS text_hash, MIN(doc_id) AS survivor_doc_id,
 FROM dup_docs GROUP BY 1
 """
 
-    sh_cte = """
+    from geotrellis_contrib_spark.operators.dedup import SHINGLE_COMBINE
+    comb = "hs[i]"
+    for j in range(1, JACCARD_N):
+        comb = f"({comb} * {SHINGLE_COMBINE} + hs[i+{j}]) % {FP_MOD}"
+    sh_cte = f"""
 sh AS (
-  SELECT DISTINCT doc_id, shingle FROM (
+  SELECT DISTINCT doc_id, s AS sh FROM (
     SELECT doc_id,
-           UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - 1, 2)),
-             i -> CONCAT_WS(' ', STRING_SPLIT(text, ' ')[i],
-                                 STRING_SPLIT(text, ' ')[i+1],
-                                 STRING_SPLIT(text, ' ')[i+2]))) AS shingle
-    FROM dup_docs) t)
+           UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(hs) - {JACCARD_N - 2}, 2)),
+             i -> {comb})) AS s
+    FROM (SELECT doc_id, [{char_hash_sql('t')}
+          for t in STRING_SPLIT(text, ' ')] AS hs FROM dup_docs) x) t
+  WHERE s IS NOT NULL)
 """
     num, den = int(JACCARD_T * 1000), 1000
     o["jaccard_pairs"] = f"""
@@ -362,7 +370,7 @@ sh AS (
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT i.doc_a, i.doc_b, i.inter, sa.sz AS size_a, sb.sz AS size_b,
        i.inter / (sa.sz + sb.sz - i.inter) AS jaccard
@@ -371,11 +379,10 @@ WHERE i.inter * {den} >= {num} * (sa.sz + sb.sz - i.inter)
 """
 
     mh_aggs = ", ".join(
-        f"MIN(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {FP_MOD}) AS mh{i}"
+        f"MIN(({MINHASH_A[i]} * sh + {MINHASH_B[i]}) % {FP_MOD}) AS mh{i}"
         for i in range(N_HASHES))
     sig_cte = f"""
-hs AS (SELECT doc_id, {char_hash_sql('shingle')} AS h FROM sh),
-sigs AS (SELECT doc_id, {mh_aggs} FROM hs GROUP BY doc_id)
+sigs AS (SELECT doc_id, {mh_aggs} FROM sh GROUP BY doc_id)
 """
     o["minhash_sigs"] = f"""
 {derive.cte('dup_docs')}, {sh_cte}, {sig_cte}

@@ -61,11 +61,12 @@ def cell_zoom(cell) -> Column:
 
 
 def cell_col(cell) -> Column:
-    return F.shiftright(_c(cell).cast("long"), _COL_SHIFT) & F.lit((1 << _COL_SHIFT) - 1)
+    return F.shiftright(_c(cell).cast("long"), _COL_SHIFT) \
+            .bitwiseAND(F.lit((1 << _COL_SHIFT) - 1).cast("long"))
 
 
 def cell_row(cell) -> Column:
-    return _c(cell).cast("long") & F.lit((1 << _COL_SHIFT) - 1)
+    return _c(cell).cast("long").bitwiseAND(F.lit((1 << _COL_SHIFT) - 1).cast("long"))
 
 
 def cell_parent(cell, levels: int = 1) -> Column:

@@ -40,16 +40,44 @@ def _char_hash(col) -> F.Column:
                        lambda acc, ch: (acc * FP_BASE + F.ascii(ch)) % FP_MOD)
 
 
-def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Explode each doc to its distinct word n-gram shingles (doc_id, shingle).
+SHINGLE_COMBINE = 8191
 
-    Shingling is transform(sequence(...)) over the token array — one narrow
-    JVM stage. Docs with < n tokens contribute their full token string."""
+
+def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Explode each doc to its distinct word n-gram shingles as STRINGS
+    (doc_id, shingle). Kept for readability/debug; the hot path is
+    :func:`shingle_hashes` (no shingle strings ever materialize)."""
     toks = F.split(F.col(text_col), " ")
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
     sh = F.transform(idx, lambda i: F.concat_ws(
         " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]))
     return df.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def shingle_hashes(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingle HASHES per doc: (doc_id, sh:long).
+
+    Per-token polynomial char hash (ONE higher-order fold per token row —
+    HOF lambdas are interpreted, so they must run once per token, never
+    once per (token x shingle); a nested transform() re-evaluates the whole
+    hash array per element and goes O(tokens^2)), then arithmetic n-gram
+    composition via window lead(): sh = fold(h_i -> acc*8191 + h_i mod p).
+    One shuffle on doc_id; the downstream set-join key is a single long
+    (LongHashedRelation fast path). Docs with < n tokens yield no shingles
+    (full n-grams only)."""
+    from pyspark.sql import Window
+
+    toks = df.select("doc_id", F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"))
+    toks = toks.withColumn("h", F.aggregate(
+        F.split(F.col("tok"), ""), F.lit(0).cast("long"),
+        lambda acc, ch: (acc * FP_BASE + F.ascii(ch)) % FP_MOD))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    acc = F.col("h")
+    for j in range(1, n):
+        acc = (acc * SHINGLE_COMBINE + F.lead("h", j).over(w)) % FP_MOD
+    return (toks.withColumn("sh", acc)
+            .filter(F.col("sh").isNotNull())
+            .select("doc_id", "sh").distinct())
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -65,14 +93,15 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
                   threshold: float = 0.6) -> DataFrame:
     """All doc pairs with shingle-set Jaccard >= threshold.
 
-    inter/union via the shingle equi-join (shuffle key = shingle, uniform);
-    the threshold filter is integer cross-multiplied so no float compare.
-    Output: (doc_a, doc_b, inter, size_a, size_b) + exact jaccard."""
-    sh = word_shingles(df, text_col, n)
+    inter/union via the hashed-shingle equi-join (single-long shuffle key,
+    uniform distribution); the threshold filter is integer cross-multiplied
+    so no float compare. Output: (doc_a, doc_b, inter, size_a, size_b,
+    jaccard) over the hashed shingle sets."""
+    sh = shingle_hashes(df, text_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (a.join(b, "shingle")
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (a.join(b, "sh")
              .filter(F.col("doc_a") < F.col("doc_b"))
              .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a"))
@@ -85,11 +114,11 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Per-doc MinHash signature: h_i = min over shingles of
-    (a_i * H(shingle) + b_i) mod p. Output: doc_id, mh0..mh{k-1}.
-    One explode + one groupBy (map-side partial min)."""
-    sh = word_shingles(df, text_col, n).withColumn("h", _char_hash(F.col("shingle")))
-    aggs = [F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % FP_MOD)
+    """Per-doc MinHash signature: h_i = min over hashed shingles of
+    (a_i * sh + b_i) mod p. Output: doc_id, mh0..mh{k-1}.
+    One narrow shingle-hash stage + one groupBy (map-side partial min)."""
+    sh = shingle_hashes(df, text_col, n)
+    aggs = [F.min((F.lit(MINHASH_A[i]) * F.col("sh") + F.lit(MINHASH_B[i])) % FP_MOD)
             .alias(f"mh{i}") for i in range(N_HASHES)]
     return sh.groupBy("doc_id").agg(*aggs)
 

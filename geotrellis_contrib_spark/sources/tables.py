@@ -1,0 +1,90 @@
+"""Table layout: the engine's physical design for tile/document tables.
+
+Stands in for an Iceberg catalog with a plain parquet layout (same layout
+decisions transfer; swap the writer for ``df.writeTo(...)`` on a cluster with
+an Iceberg catalog — SURVEY.md §7 "what's built-in vs custom").
+
+Physical design (SURVEY.md §4 "physical layout decisions"):
+  - partition directories by (zoom, bucket) where bucket = coarse spatial
+    prefix of the cell (parent cell at a configurable coarser zoom) —
+    windowed reads prune whole directories (partition pruning) before any
+    file I/O, replacing the reference's COG-internal tiling + overview
+    physics (GeoTiffRasterSource.scala:59-61);
+  - rows sorted within partitions by (cell, id) — parquet min/max row-group
+    skipping on the cell column, locality for range scans (the Z-order-ish
+    layout; morton_interleave available for stricter ordering);
+  - pyramid levels are explicit ``zoom`` rows, so overview selection is a
+    partition filter, not a file-format feature.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geotrellis_contrib_spark.functions import cells as C
+
+BUCKET_ZOOM_DELTA = 3  # bucket = cell's ancestor 3 zooms up -> 64 tiles/bucket
+
+
+def with_bucket(df: DataFrame, cell_col: str = "cell",
+                delta: int = BUCKET_ZOOM_DELTA) -> DataFrame:
+    """Coarse spatial bucket = packed parent cell ``delta`` zooms up."""
+    return df.withColumn("bucket", C.cell_parent(F.col(cell_col), delta))
+
+
+def write_tile_table(tiles: DataFrame, path: str,
+                     zoom_col: str = "zoom", cell_col: str = "cell",
+                     id_col: str = "col") -> None:
+    """Write the cell-keyed table partitioned by (zoom, bucket), sorted
+    within partitions by (cell, id)."""
+    if cell_col not in tiles.columns:
+        tiles = tiles.withColumn(
+            cell_col, C.cell_id(F.col(zoom_col), F.col("col"), F.col("row")))
+    out = with_bucket(tiles, cell_col)
+    (out.repartition(F.col(zoom_col), F.col("bucket"))
+        .sortWithinPartitions(cell_col, id_col)
+        .write.partitionBy(zoom_col, "bucket")
+        .mode("overwrite").parquet(path))
+
+
+def read_tiles(spark: SparkSession, path: str, zoom: int | None = None,
+               bbox: tuple[float, float, float, float] | None = None) -> DataFrame:
+    """Scan with partition pruning: a zoom filter prunes pyramid levels, a
+    bbox prunes buckets (computed driver-side from the same grid math) —
+    Catalyst turns both into directory-level pruning (verify with
+    ``pruned_files``)."""
+    df = spark.read.parquet(path)
+    if zoom is not None:
+        df = df.filter(F.col("zoom") == zoom)
+        if bbox is not None:
+            import numpy as np
+
+            from geotrellis_contrib_spark import grid
+            bz = zoom - BUCKET_ZOOM_DELTA
+            cols, rows = grid.tiles_for_extent(bz, *bbox)
+            buckets = [int(b) for b in np.unique(grid.pack_cell(bz, cols, rows))]
+            df = df.filter(F.col("bucket").isin(buckets))
+    return df
+
+
+def input_files(df: DataFrame) -> list[str]:
+    """Files the plan will actually read (partition-pruning evidence)."""
+    return df.inputFiles()
+
+
+def write_doc_table(docs: DataFrame, path: str, n_partitions: int = 64) -> None:
+    """Document table layout: range-partitioned by doc_id (append-friendly,
+    balanced); spans stay opaque."""
+    (docs.repartitionByRange(n_partitions, "doc_id")
+         .sortWithinPartitions("doc_id")
+         .write.mode("overwrite").parquet(path))
+
+
+def table_ddl(name: str, path: str) -> str:
+    """CREATE TABLE DDL for the layout (Spark SQL; USING parquet here,
+    USING iceberg verbatim on a catalog-enabled cluster)."""
+    return (f"CREATE TABLE IF NOT EXISTS {name} "
+            f"USING parquet OPTIONS (path '{os.path.abspath(path)}')")

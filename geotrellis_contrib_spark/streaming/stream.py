@@ -1,0 +1,64 @@
+"""Structured Streaming: incremental tile ingestion / rasterize compaction.
+
+The reference is batch-only (SURVEY.md §2.8); the engine adds the streaming
+ingest path a 10^12-doc corpus needs: documents/events arrive continuously,
+are cell-encoded (same JVM arithmetic as batch — one code path), and fold
+into per-(event-window, tile) aggregates with watermarked late-data handling.
+``Trigger.AvailableNow`` turns the same query into an incremental batch job
+(the production pattern for catch-up runs); the streaming checkpoint
+complements the batch watermark tables in plans.checkpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geotrellis_contrib_spark.functions import cells as C
+
+EVENT_SCHEMA = ("event_id bigint, ts timestamp, lon double, lat double, "
+                "value double")
+
+
+def read_event_stream(spark: SparkSession, src_dir: str,
+                      schema: str = EVENT_SCHEMA,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of geo events (schema fixed up front — streaming
+    scans never infer)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(src_dir)
+
+
+def rasterize_stream(events: DataFrame, zoom: int,
+                     window: str = "10 minutes",
+                     watermark: str = "30 minutes") -> DataFrame:
+    """Streaming vector->raster: per (event-time window, tile) counts/sums.
+
+    Watermark bounds state: rows later than ``watermark`` are dropped,
+    windows finalize and emit once (append mode). The cell encoding is the
+    identical Column expression the batch path uses."""
+    e = events.filter(F.col("lon").isNotNull() & F.col("lat").isNotNull())
+    e = (e.withColumn("cell", C.encode_point(F.col("lon"), F.col("lat"), zoom))
+          .withWatermark("ts", watermark))
+    return (e.groupBy(F.window("ts", window).alias("w"), F.col("cell"))
+            .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "cell", "n_events", "sum_value"))
+
+
+def run_available_now(agg: DataFrame, out_dir: str, checkpoint_dir: str,
+                      timeout_s: int = 300) -> None:
+    """Drain everything currently available, then stop — the incremental
+    catch-up pattern; re-invoking continues from the stream checkpoint."""
+    q = (agg.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()

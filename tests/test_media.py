@@ -1,0 +1,48 @@
+"""Multimodal plumbing: schema, deterministic fake decode, feature shapes."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geotrellis_contrib_spark import corpus
+from geotrellis_contrib_spark.operators import media as md
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = corpus.synth_docs(spark, 300, partitions=4)
+    return md.synth_media(corpus.extract_media(docs)).cache()
+
+
+def test_schema_and_kinds(media):
+    assert dict(media.dtypes)["payload"] == "binary"
+    assert dict(media.dtypes)["meta"] == "map<string,string>"
+    kinds = {r.kind for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio"}
+
+
+def test_features_deterministic(media):
+    f1 = md.extract_features(media)
+    rows = {(r.doc_id, r.span_idx): r.feature for r in f1.collect()}
+    assert all(len(v) == md.FEATURE_DIM for v in rows.values())
+    rows2 = {(r.doc_id, r.span_idx): r.feature
+             for r in md.extract_features(media).collect()}
+    assert rows == rows2  # decode is deterministic -> plan re-runs agree
+    # distinct payloads -> distinct features (the fake decoder is payload-driven)
+    assert len({tuple(v) for v in rows.values()}) > 1
+
+
+def test_fake_decoders_shapes():
+    img = md._fake_decode_image(b"x")
+    assert img.shape == (32, 32) and img.min() >= 0 and img.max() <= 255
+    au = md._fake_decode_audio(b"x")
+    assert au.shape == (1024,) and float(au.min()) >= -1.0 and float(au.max()) <= 1.0
+
+
+def test_resize_images(media):
+    out = md.resize_images(media, 8, 8)
+    r = out.filter(F.col("kind") == "image").first()
+    arr = np.frombuffer(r.payload, dtype=np.float64)
+    assert arr.size == 64
+    a = out.filter(F.col("kind") == "audio").first()
+    assert np.frombuffer(a.payload, dtype=np.float64).size == 256  # 1024/4

@@ -1,0 +1,67 @@
+"""Streaming rasterize: incremental availableNow runs, watermark, resume from
+the stream checkpoint; stream result == batch recomputation."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from geotrellis_contrib_spark.functions import cells as C
+from geotrellis_contrib_spark.streaming import stream as st
+
+ZOOM = 8
+
+
+def _events(spark, ids, hour_base, day="2026-01-01"):
+    return spark.createDataFrame(
+        [(i, f"{day} {hour_base + (i % 2)}:{(i * 7) % 60:02d}:00",
+          -74.0 + (i % 50) * 0.01, 40.5 + (i % 30) * 0.01, float(i % 10))
+         for i in ids],
+        "event_id bigint, ts_s string, lon double, lat double, value double"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "lon", "lat", "value")
+
+
+@pytest.mark.parametrize("window", ["10 minutes"])
+def test_incremental_equals_batch(spark, window, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("stream_src"))
+    out = str(tmp_path_factory.mktemp("stream_out"))
+    chk = str(tmp_path_factory.mktemp("stream_chk"))
+
+    # micro-batch 1 (hours 10-11), then 2 (14-15) — event time advances, so
+    # the watermark finalizes earlier windows; a far-future sentinel batch
+    # flushes the remaining state (append mode only emits closed windows).
+    _events(spark, range(0, 300), hour_base=10).write.mode("append").parquet(src)
+    agg = st.rasterize_stream(st.read_event_stream(spark, src), ZOOM, window=window)
+    st.run_available_now(agg, out, chk)
+    assert spark.read.parquet(out).count() > 0  # run 1 emitted closed windows
+
+    _events(spark, range(300, 500), hour_base=14).write.mode("append").parquet(src)
+    agg2 = st.rasterize_stream(st.read_event_stream(spark, src), ZOOM, window=window)
+    st.run_available_now(agg2, out, chk)
+
+    _events(spark, [10000], hour_base=23).write.mode("append").parquet(src)  # flush
+    agg3 = st.rasterize_stream(st.read_event_stream(spark, src), ZOOM, window=window)
+    st.run_available_now(agg3, out, chk)
+
+    got = (spark.read.parquet(out)
+           .filter(F.hour("window_start") < 22)  # drop the sentinel's window
+           .groupBy("window_start", "window_end", "cell")
+           .agg(F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value")))
+
+    # batch oracle over the full (non-sentinel) input
+    full = _events(spark, range(0, 300), hour_base=10) \
+        .unionByName(_events(spark, range(300, 500), hour_base=14))
+    batch = (full
+             .withColumn("cell", C.encode_point(F.col("lon"), F.col("lat"), ZOOM))
+             .groupBy(F.window("ts", window).alias("w"), "cell")
+             .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+             .select(F.col("w.start").alias("window_start"),
+                     F.col("w.end").alias("window_end"),
+                     "cell", "n_events", "sum_value"))
+    a = sorted(tuple(r) for r in got.collect())
+    b = sorted(tuple(r) for r in batch.collect())
+    assert a == b
+    # incrementality: each aggregate row was emitted exactly once
+    assert spark.read.parquet(out).filter(F.hour("window_start") < 22) \
+        .groupBy("window_start", "cell").count().filter("count > 1").count() == 0
