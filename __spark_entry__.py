@@ -177,6 +177,48 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(spark.table("dup_docs"))
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: banded candidates + exact hamming <= 8."""
+    _views(spark, sf_dir)
+    sims = dd.simhash(spark.table("dup_docs"))
+    return dd.simhash_near_pairs(sims, max_hamming=8)
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational sanity (TPC-H Q1 shape): grouped pricing aggregates over
+    lineitem — shows the engine is a general Spark SQL surface too."""
+    _views(spark, sf_dir)
+    li = spark.table("lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    # sums accumulate in DECIMAL: exact, order-independent, engine-agnostic
+    # (float sums differ in the last ulp across accumulation orders)
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+                 F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+                 F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                       .cast("decimal(18,4)")).cast("double").alias("sum_disc_price"),
+                 F.count("*").alias("count_order")))
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize the event stream: new session when a user's gap > 30 min;
+    per-user session count + total value (lag + cumulative-sum windows)."""
+    _views(spark, sf_dir)
+    from pyspark.sql import Window as W
+    ev = spark.table("events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap arithmetic (session TZ is UTC, so NTZ->TZ cast
+    # matches DuckDB's EPOCH_US on the naive timestamp)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    new_s = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    return (ev.withColumn("new_s", new_s)
+            .groupBy("user_id")
+            .agg(F.sum("new_s").alias("n_sessions"),
+                 F.count("*").alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value")))
+
+
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis battery: token counts (ws + BPE-ish), quality ratios,
     language-ID heuristic, rolling-hash fingerprint — all JVM-side."""
@@ -202,7 +244,7 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.table("embeddings")
     queries = e.filter(F.col("vec_id") % 50 == 0) \
                .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
-    return sim.cosine_topk(e, queries, k=EMB_K)
+    return sim.cosine_topk(e, queries, k=EMB_K, dims=EMB_DIMS)
 
 
 def q_embed_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,6 +470,46 @@ shash AS (
 SELECT * FROM shash
 """
 
+    band_bits, n_bands = 16, SIMHASH_BITS // 16
+    sim_bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {bi} AS band_idx, "
+        f"(simhash >> {bi * band_bits}) & {(1 << band_bits) - 1} AS band_key FROM shash"
+        for bi in range(n_bands))
+    o["simhash_pairs"] = f"""
+{derive.cte('dup_docs')}, {simhash_cte},
+bands AS ({sim_bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+                  b.doc_id AS doc_b, b.simhash AS sim_b
+  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(BIT_COUNT(XOR(sim_a, sim_b)) AS INT) AS hamming
+FROM cand WHERE BIT_COUNT(XOR(sim_a, sim_b)) <= 8
+"""
+
+    o["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    o["sessionize"] = """
+WITH g AS (
+  SELECT user_id, value,
+         CASE WHEN LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events)
+SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM g GROUP BY user_id
+"""
+
     t = "text"
     o["text_features"] = f"""
 SELECT doc_id,
@@ -510,6 +592,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sigs": q_minhash_sigs,
         "lsh_pairs": q_lsh_pairs,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "pricing_summary": q_pricing_summary,
+        "sessionize": q_sessionize,
         "text_features": q_text_features,
         "embed_topk": q_embed_topk,
         "embed_lsh_buckets": q_embed_lsh_buckets,

@@ -30,7 +30,9 @@ from pyspark.sql import functions as F  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "30000000"))
+# large enough that each timed run is >= ~5-15s (fixed job overhead and the
+# broadcast build amortize away); the job is synthesized, so size is free
+SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "120000000"))
 # N for the N-vs-4N scaling evidence. This sandbox advertises 32 CPUs but a
 # raw multiprocessing probe (see BENCH.md) shows only ~3-4 cores of real
 # parallel compute (shared host), so the largest honest 4x pair is 2 -> 8.

@@ -30,38 +30,63 @@ def plane_weights(plane: int, dims: int) -> list[float]:
             for i in range(dims)]
 
 
-def _fold_dot(a, b) -> F.Column:
-    """Ordered float64 left-fold dot product (bit-matches list_dot_product)."""
+def _fold_dot(a, b, dims: int | None = None) -> F.Column:
+    """Ordered float64 left-fold dot product (bit-matches list_dot_product).
+
+    With ``dims`` known (the engine always knows its embedding width) the
+    fold is UNROLLED into a left-associated codegen'd expression chain —
+    higher-order-function lambdas are interpreted per element and ~10x
+    slower; the unrolled chain adds in the identical order, so results stay
+    bit-identical to the HOF fold and to the DuckDB oracle."""
+    if dims is not None:
+        def term(i):
+            return (F.element_at(a, i).cast("double")
+                    * F.element_at(b, i).cast("double"))
+        acc = term(1)
+        for i in range(2, dims + 1):
+            acc = acc + term(i)
+        return acc
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
 
-def _fold_norm2(a) -> F.Column:
+def _fold_norm2(a, dims: int | None = None) -> F.Column:
+    if dims is not None:
+        def term(i):
+            v = F.element_at(a, i).cast("double")
+            return v * v
+        acc = term(1)
+        for i in range(2, dims + 1):
+            acc = acc + term(i)
+        return acc
     return F.aggregate(a, F.lit(0.0),
                        lambda acc, v: acc + v.cast("double") * v.cast("double"))
 
 
-def cosine_cols(a, b) -> F.Column:
+def cosine_cols(a, b, dims: int | None = None) -> F.Column:
     """cos = dot / (sqrt(|a|^2) * sqrt(|b|^2)) — the list_cosine_similarity
     op order, for bitwise oracle parity."""
-    return _fold_dot(a, b) / (F.sqrt(_fold_norm2(a)) * F.sqrt(_fold_norm2(b)))
+    return _fold_dot(a, b, dims) / (F.sqrt(_fold_norm2(a, dims)) * F.sqrt(_fold_norm2(b, dims)))
 
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                dims: int | None = None,
                 id_col="vec_id", vec_col="embedding",
                 qid_col="query_id", qvec_col="qvec") -> DataFrame:
     """Exact top-k cosine neighbors per query (brute force baseline).
 
     Queries are broadcast (small side); the corpus is scanned once — at
     cluster scale this is one pass over the fact table per query batch,
-    the right baseline to measure LSH variants against.
+    the right baseline to measure LSH variants against. Norms are
+    precomputed once per VECTOR (not per pair).
     Output: (query_id, vec_id, rank, cos)."""
-    q = F.broadcast(queries.select(F.col(qid_col).alias("query_id"),
-                                   F.col(qvec_col).alias("qvec")))
-    cand = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")) \
-                 .crossJoin(q) \
-                 .filter(F.col("vec_id") != F.col("query_id"))
-    cand = cand.withColumn("cos", cosine_cols(F.col("qvec"), F.col("vec")))
+    q = queries.select(F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qvec")) \
+               .withColumn("qn", F.sqrt(_fold_norm2(F.col("qvec"), dims)))
+    v = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")) \
+              .withColumn("vn", F.sqrt(_fold_norm2(F.col("vec"), dims)))
+    cand = v.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    cand = cand.withColumn(
+        "cos", _fold_dot(F.col("qvec"), F.col("vec"), dims) / (F.col("qn") * F.col("vn")))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -75,7 +100,7 @@ def lsh_buckets(corpus: DataFrame, dims: int, n_planes: int = N_PLANES,
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
         w = F.array(*[F.lit(x) for x in plane_weights(p, dims)])
-        bit = F.when(_fold_dot(F.col(vec_col), w) >= 0, F.lit(1).cast("long")).otherwise(0)
+        bit = F.when(_fold_dot(F.col(vec_col), w, dims) >= 0, F.lit(1).cast("long")).otherwise(0)
         bucket = bucket + F.shiftleft(bit, p)
     return corpus.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
 
@@ -87,12 +112,16 @@ def lsh_near_pairs(corpus: DataFrame, dims: int, min_cos: float = 0.8,
     path: candidates collapse from O(n^2) to per-bucket blocks), exact cosine
     refine. Output: (vec_a, vec_b, cos)."""
     b = lsh_buckets(corpus, dims, n_planes, id_col, vec_col)
-    v = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    v = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")) \
+              .withColumn("nrm", F.sqrt(_fold_norm2(F.col("vec"), dims)))
     bv = b.join(v, "vec_id")
-    left = bv.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), "bucket")
-    right = bv.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), "bucket")
+    left = bv.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"),
+                     F.col("nrm").alias("na"), "bucket")
+    right = bv.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"),
+                      F.col("nrm").alias("nb"), "bucket")
     pairs = left.join(right, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
-    pairs = pairs.withColumn("cos", cosine_cols(F.col("va"), F.col("vb")))
+    pairs = pairs.withColumn(
+        "cos", _fold_dot(F.col("va"), F.col("vb"), dims) / (F.col("na") * F.col("nb")))
     return pairs.filter(F.col("cos") >= min_cos).select("vec_a", "vec_b", "cos")
 
 

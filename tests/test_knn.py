@@ -1,0 +1,55 @@
+"""kNN: bounded-ring vs iterative expansion vs brute-force numpy oracle."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geotrellis_contrib_spark.operators import knn as knn_ops
+
+K = 3
+ZOOM = 7
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    # dense cluster + a few FAR outlier queries whose neighbors are beyond
+    # ring 1 (forces the iterative variant to widen)
+    pts = [(i, -74.0 + (i % 40) * 0.002, 40.6 + (i % 25) * 0.002) for i in range(1000)]
+    points = spark.createDataFrame(pts, "doc_id long, lon double, lat double")
+    qs = [(1, -74.0, 40.6), (2, -73.95, 40.62),
+          (3, -60.0, 10.0), (4, 100.0, -30.0)]  # 3,4 are far from all points
+    queries = spark.createDataFrame(qs, "query_id long, qlon double, qlat double")
+    return points, queries, pts, qs
+
+
+def _oracle(pts, qs, k):
+    out = {}
+    P = np.array([[p[1], p[2]] for p in pts])
+    ids = np.array([p[0] for p in pts])
+    for qid, qx, qy in qs:
+        d = np.sqrt((P[:, 0] - qx) ** 2 + (P[:, 1] - qy) ** 2)
+        order = np.lexsort((ids, d))[:k]
+        out[qid] = [(int(ids[i]), float(d[i])) for i in order]
+    return out
+
+
+def test_bounded_ring_misses_far_queries(spark, data):
+    points, queries, pts, qs = data
+    res = knn_ops.knn_join(queries, points, k=K, zoom=ZOOM, ring=1)
+    got = {r.query_id for r in res.select("query_id").distinct().collect()}
+    assert {1, 2} <= got
+    assert 4 not in got  # far query has no candidates in ring 1 — documented limit
+
+
+def test_iterative_exact_everywhere(spark, data):
+    points, queries, pts, qs = data
+    res = knn_ops.knn_join_iterative(queries, points, k=K, zoom=ZOOM, max_ring=64)
+    oracle = _oracle(pts, qs, K)
+    got = {}
+    for r in res.orderBy("query_id", "rank").collect():
+        got.setdefault(r.query_id, []).append((r.point_id, r.dist))
+    assert set(got) == {1, 2, 3, 4}
+    for qid, expect in oracle.items():
+        assert [p for p, _ in got[qid]] == [p for p, _ in expect], qid
+        np.testing.assert_allclose([d for _, d in got[qid]],
+                                   [d for _, d in expect], rtol=0, atol=0)

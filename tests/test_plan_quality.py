@@ -1,0 +1,52 @@
+"""Physical-plan guards: the scale properties the engine is designed around
+must be visible in the executed plan (SURVEY.md §4, BENCH.md checklist).
+These catch regressions like a Python UDF sneaking into a hot path or a
+dimension join losing its broadcast."""
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMALL
+
+HOT_QUERIES = ["cell_encode", "tile_assign", "pip_join", "distance_join",
+               "knn", "zonal_stats", "rasterize", "mosaic_merge",
+               "windows_read", "raster_summary", "text_features",
+               "dedup_exact", "minhash_sigs", "simhash", "pricing_summary",
+               "sessionize", "embed_topk", "embed_lsh_buckets"]
+
+BROADCAST_QUERIES = ["pip_join", "knn", "windows_read", "zonal_stats", "embed_topk"]
+
+
+def _plan(spark, name):
+    df = entrymod.queries()[name](spark, SF_SMALL)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", HOT_QUERIES)
+def test_no_python_in_hot_path(spark, name):
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
+    assert "ArrowEvalPython" not in plan, f"{name}: unexpected Arrow UDF in hot path"
+    assert "FlatMapGroupsInPandas" not in plan, f"{name}: unexpected grouped-map stage"
+
+
+@pytest.mark.parametrize("name", BROADCAST_QUERIES)
+def test_dimension_side_broadcast(spark, name):
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+        f"{name}: dimension join is not broadcast")
+
+
+def test_scan_column_pruning(spark):
+    plan = _plan(spark, "cell_encode")
+    # the documents scan must read ONLY doc_id (anchors derive from it)
+    assert "struct<doc_id:bigint>" in plan.replace(" ", ""), plan[-500:]
+
+
+def test_single_long_join_keys(spark):
+    # spatial joins key on the packed cell (one bigint), never (col,row) pairs
+    for name in ("pip_join", "distance_join", "knn"):
+        plan = _plan(spark, name)
+        joins = [seg for seg in plan.split("\n") if "HashJoin" in seg]
+        assert joins, f"{name}: no hash join found"
+        assert all("cell" in j for j in joins), f"{name}: join not on cell key"
