@@ -219,6 +219,23 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value")))
 
 
+def q_pixel_mosaic_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-payload tier end-to-end: synthesize binary tiles (deterministic
+    fixture, sf-independent), per-pixel mosaic merge (applyInPandas), then
+    the readCells full-scan checksum (mapInPandas). Non-SQL-expressible ->
+    rows-only driver check; exact values are asserted against the numpy
+    oracle in tests/test_pixels.py."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import pixels as px
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    merged = px.merge_tiles(tiles, tile_size=64) \
+        .withColumn("source_id", F.lit("merged")) \
+        .withColumn("source_idx", F.lit(0))
+    return px.read_cells_checksum(merged, tile_size=64) \
+             .select("source_id", "px_sum", "px_count")
+
+
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis battery: token counts (ws + BPE-ish), quality ratios,
     language-ID heuristic, rolling-hash fingerprint — all JVM-side."""
@@ -596,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "sessionize": q_sessionize,
         "text_features": q_text_features,
+        "pixel_mosaic_checksum": q_pixel_mosaic_checksum,
         "embed_topk": q_embed_topk,
         "embed_lsh_buckets": q_embed_lsh_buckets,
         "embed_near_pairs": q_embed_near_pairs,

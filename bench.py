@@ -32,7 +32,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # large enough that each timed run is >= ~5-15s (fixed job overhead and the
 # broadcast build amortize away); the job is synthesized, so size is free
-SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "120000000"))
+SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "240000000"))
 # N for the N-vs-4N scaling evidence. This sandbox advertises 32 CPUs but a
 # raw multiprocessing probe (see BENCH.md) shows only ~3-4 cores of real
 # parallel compute (shared host), so the largest honest 4x pair is 2 -> 8.
@@ -119,7 +119,7 @@ def run_scaling(n_cores: int, n4_cores: int, trials: int = 3) -> dict:
     for _ in range(trials):
         for p in (n4_cores, n_cores):
             eng[p].append(_timed_throughput(spark, scaling_job, SCALE_DOCS, p))
-            ceil[p].append(_timed_throughput(spark, compute_ceiling_job, SCALE_DOCS, p))
+            ceil[p].append(_timed_throughput(spark, compute_ceiling_job, SCALE_DOCS // 2, p))
     spark.stop()
     med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
     thr_n, thr_4n = med(eng[n_cores]), med(eng[n4_cores])

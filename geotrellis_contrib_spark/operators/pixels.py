@@ -170,6 +170,49 @@ def merge_tiles(tiles: DataFrame, tile_size: int = TILE_SIZE) -> DataFrame:
         "zoom int, col bigint, row bigint, band int, dtype string, nodata double, px binary")
 
 
+def reproject_to_mercator(tiles: DataFrame, tile_size: int = TILE_SIZE) -> DataFrame:
+    """Region-reproject every tile EPSG:4326 -> EPSG:3857 on its own
+    footprint: the target grid is the tile's mercator extent sampled
+    uniformly in meters; each target pixel center back-transforms to lon/lat
+    and gather-samples the source (nearest) — the
+    GeoTiffReprojectRasterSource per-window pipeline (§2.4), one
+    mapInPandas stage. Output schema: input + x/y mercator extent columns."""
+    from geotrellis_contrib_spark import grid as G
+    from geotrellis_contrib_spark.functions import cells as C
+
+    t = (tiles
+         .withColumn("txmin", C.tile_xmin(F.col("zoom"), F.col("col")))
+         .withColumn("txmax", C.tile_xmax(F.col("zoom"), F.col("col")))
+         .withColumn("tymin", C.tile_ymin(F.col("zoom"), F.col("row")))
+         .withColumn("tymax", C.tile_ymax(F.col("zoom"), F.col("row"))))
+
+    out_schema = (", ".join(f"{f.name} {f.dataType.simpleString()}" for f in t.schema)
+                  + ", mx_min double, my_min double, mx_max double, my_max double")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            px_out, bounds = [], []
+            for _, r in pdf.iterrows():
+                arr = unpack(r.px, r["dtype"], tile_size).astype(np.float64)
+                x0, y0 = G.lonlat_to_mercator(r.txmin, r.tymin)
+                x1, y1 = G.lonlat_to_mercator(r.txmax, r.tymax)
+                dst_ext = (float(x0), float(y0), float(x1), float(y1))
+                out = k_reproject_nearest(
+                    arr, (r.txmin, r.tymin, r.txmax, r.tymax), dst_ext,
+                    (tile_size, tile_size),
+                    lambda mx, my: G.mercator_to_lonlat(mx, my), r.nodata)
+                px_out.append(pack(out))
+                bounds.append(dst_ext)
+            pdf = pdf.assign(px=px_out, dtype="float64")
+            pdf["mx_min"] = [b[0] for b in bounds]
+            pdf["my_min"] = [b[1] for b in bounds]
+            pdf["mx_max"] = [b[2] for b in bounds]
+            pdf["my_max"] = [b[3] for b in bounds]
+            yield pdf
+
+    return t.mapInPandas(run, out_schema)
+
+
 def read_cells_checksum(tiles: DataFrame, tile_size: int = TILE_SIZE) -> DataFrame:
     """Force-evaluate every pixel and aggregate (sum + count, NoData-aware) —
     the readCells full-scan checksum (SubsceneReadingIT.scala:51), used as

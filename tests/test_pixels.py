@@ -100,6 +100,23 @@ def test_reproject_kernel_identity_and_mask():
     assert set(np.unique(out)).issubset(set(arr.ravel()))
 
 
+def test_reproject_to_mercator_operator(spark, tiles):
+    out = px.reproject_to_mercator(tiles.limit(6), tile_size=TS)
+    rows = out.collect()
+    assert len(rows) == 6
+    for r in rows:
+        arr = px.unpack(r.px, "float64", TS)
+        assert arr.shape == (TS, TS)
+        assert r.mx_min < r.mx_max and r.my_min < r.my_max
+        # reprojecting a tile onto its own footprint: no nodata introduced
+        src = [t for t in _local_tiles(tiles)
+               if (t[0], t[2], t[3], t[4]) == (r.source_id, r.col, r.row, r.band)][0][6]
+        src_vals = set(np.unique(src))
+        assert set(np.unique(arr)).issubset(src_vals)  # gather-sample only
+        # value distribution preserved modulo row remapping (mercator y warp)
+        assert np.isin(arr, list(src_vals)).all()
+
+
 def test_zonal_stats_pixels_vs_oracle(spark, tiles):
     boxes = spark.createDataFrame(
         # covers part of the scene block at zoom 6 (tiles 18..24 east, 24.. south)
