@@ -126,6 +126,26 @@ def q_windows_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_tiles"), F.sum("val").alias("sum_val")))
 
 
+def q_pyramid_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the zoom-5 overview level from zoom-6 tiles (2x2 fold —
+    pyramid-as-materialized-aggregate, SURVEY.md §2.4 overview selection)."""
+    _views(spark, sf_dir)
+    return raster_ops.build_pyramid_level(spark.table("tiles"))
+
+
+def q_bbox_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bbox-overlap select (`geom @&& bbox`, PostgisSpec.scala:161-170):
+    anchors inside the hot-cluster box, half-open semantics."""
+    _views(spark, sf_dir)
+    from geotrellis_contrib_spark.functions import geometry as G
+    a = spark.table("anchors")
+    return a.filter(F.col("lon").isNotNull()
+                    & G.point_in_box(F.col("lon"), F.col("lat"),
+                                     F.lit(-74.25), F.lit(40.45),
+                                     F.lit(-73.75), F.lit(40.95))) \
+            .select("doc_id", "lon", "lat")
+
+
 def q_raster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source raster metadata aggregation (RasterSummary analog)."""
     _views(spark, sf_dir)
@@ -392,6 +412,24 @@ SELECT source_id, CAST(COUNT(*) AS BIGINT) AS n_tiles,
 FROM tiles GROUP BY source_id
 """
 
+    o["pyramid_build"] = f"""
+{derive.cte('tiles')}
+SELECT CAST(zoom - 1 AS INT) AS zoom,
+       CAST(FLOOR(col / 2.0) AS BIGINT) AS col,
+       CAST(FLOOR(row / 2.0) AS BIGINT) AS row,
+       band,
+       CAST(COUNT(val) AS BIGINT) AS cnt,
+       SUM(val) AS sum_val, MIN(val) AS min_val, MAX(val) AS max_val
+FROM tiles GROUP BY 1, 2, 3, 4
+"""
+
+    o["bbox_select"] = f"""
+{derive.cte('anchors')}
+SELECT doc_id, lon, lat FROM anchors
+WHERE lon IS NOT NULL
+  AND lon >= -74.25 AND lon < -73.75 AND lat >= 40.45 AND lat < 40.95
+"""
+
     # ---- dedup / text / similarity -------------------------------------
     from geotrellis_contrib_spark.operators.dedup import (
         MINHASH_A, MINHASH_B, N_HASHES, SIMHASH_BITS)
@@ -604,6 +642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mosaic_merge": q_mosaic_merge,
         "windows_read": q_windows_read,
         "raster_summary": q_raster_summary,
+        "pyramid_build": q_pyramid_build,
+        "bbox_select": q_bbox_select,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_sigs": q_minhash_sigs,

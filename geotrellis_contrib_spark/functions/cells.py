@@ -1,10 +1,13 @@
 """Spark Column builders for the cell/tile index — pure ``pyspark.sql.functions``
 expressions (JVM-side, whole-stage-codegen'd; NO Python UDFs in this hot path).
 
-These mirror the numpy kernels in ``geotrellis_contrib_spark.grid`` bit-for-bit
-on float64: same operation order, same clamps. The hot path of the engine —
-encoding 10^12 document anchors to SpatialKey(zoom, col, row) — never leaves
-the JVM.
+These mirror the numpy kernels in ``geotrellis_contrib_spark.grid``: same
+float64 operation order and clamps. Pure-arithmetic expressions are
+bit-identical across JVM/numpy/DuckDB; transcendental calls (ln/tan/cos) may
+differ by 1 ulp between libm implementations — tile FLOORs absorb that
+except on exact tile boundaries (measure zero for non-degenerate inputs).
+The hot path — encoding 10^12 document anchors to SpatialKey(zoom, col,
+row) — never leaves the JVM.
 """
 
 from __future__ import annotations
@@ -88,6 +91,15 @@ def mercator_y(lat) -> Column:
     lr = clamp_lat(lat)
     return F.log(F.tan((F.lit(90.0) + lr) * F.lit(math.pi / 360.0))) \
         * F.lit(MERC_MAX / math.pi)
+
+
+def inv_mercator_lon(x) -> Column:
+    return _c(x).cast("double") * F.lit(180.0 / MERC_MAX)
+
+
+def inv_mercator_lat(y) -> Column:
+    return F.degrees(F.lit(2.0) * F.atan(F.exp(_c(y).cast("double") * F.lit(math.pi / MERC_MAX)))
+                     - F.lit(math.pi / 2.0))
 
 
 def tile_xmin(zoom, col) -> Column:

@@ -146,6 +146,61 @@ def wkb_encode(gtype, coords, srid=None, big_endian=False):
     return bytes(out)
 
 
+def wkt_decode(text: str):
+    """Parse WKT/EWKT for POINT/LINESTRING/POLYGON/MULTIPOINT into the same
+    dict shape as wkb_decode. Accepts the ``SRID=<n>;<wkt>`` EWKT prefix."""
+    s = text.strip()
+    srid = None
+    if s.upper().startswith("SRID="):
+        head, s = s.split(";", 1)
+        srid = int(head[5:])
+        s = s.strip()
+    up = s.upper()
+
+    def nums(chunk):
+        pts = []
+        for pair in chunk.split(","):
+            x, y = pair.strip().split()[:2]
+            pts.append((float(x), float(y)))
+        return pts
+
+    if up.startswith("POINT"):
+        inner = s[s.index("(") + 1:s.rindex(")")]
+        return {"type": WKB_POINT, "srid": srid, "coords": nums(inner)[0]}
+    if up.startswith("LINESTRING"):
+        inner = s[s.index("(") + 1:s.rindex(")")]
+        return {"type": WKB_LINESTRING, "srid": srid, "coords": nums(inner)}
+    if up.startswith("POLYGON"):
+        body = s[s.index("(") + 1:s.rindex(")")]
+        rings, depth, start = [], 0, None
+        for i, ch in enumerate(body):
+            if ch == "(":
+                if depth == 0:
+                    start = i + 1
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    rings.append(nums(body[start:i]))
+        return {"type": WKB_POLYGON, "srid": srid, "coords": rings}
+    if up.startswith("MULTIPOINT"):
+        inner = s[s.index("(") + 1:s.rindex(")")].replace("(", "").replace(")", "")
+        return {"type": WKB_MULTIPOINT, "srid": srid, "coords": nums(inner)}
+    raise ValueError(f"unsupported WKT: {s[:40]}")
+
+
+def read_wkt_or_wkb(value):
+    """Sniff WKT vs hex-WKB the way the reference does (``\\x``/``00``/``01``
+    prefixes -> WKB, else WKT;
+    /root/reference/slick/.../PostGisProjectionSupport.scala:118-125)."""
+    if isinstance(value, (bytes, bytearray)):
+        return wkb_decode(value)
+    s = value.strip()
+    if s.startswith("\\x") or s[:2] in ("00", "01"):
+        return wkb_decode(s)
+    return wkt_decode(s)
+
+
 def ewkt(gtype, coords, srid):
     """EWKT literal ``SRID=<n>;<wkt>`` (PostGisProjectionSupport.scala:104-106)."""
     if gtype == WKB_POINT:

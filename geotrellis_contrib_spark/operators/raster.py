@@ -109,6 +109,44 @@ def rasterize_points(points: DataFrame, zoom: int,
     return df.groupBy("col", "row").agg(*aggs).withColumn("zoom", F.lit(zoom))
 
 
+def reproject_coords(df: DataFrame, src_srid: int, dst_srid: int,
+                     x_col: str = "lon", y_col: str = "lat") -> DataFrame:
+    """Coordinate-column reproject with the reference's no-op short-circuit:
+    same CRS returns the input plan UNCHANGED (builder-side elision —
+    /root/reference/vlm/.../effect/RasterSourceF.scala:51-53; Catalyst can't
+    see CRS semantics, so the engine elides before emitting the plan).
+    Supported pairs: 4326 <-> 3857 (closed form, pure Columns)."""
+    from geotrellis_contrib_spark.functions import cells as C
+
+    if src_srid == dst_srid:
+        return df
+    if (src_srid, dst_srid) == (4326, 3857):
+        return (df.withColumn(x_col, C.mercator_x(F.col(x_col)))
+                  .withColumn(y_col, C.mercator_y(F.col(y_col))))
+    if (src_srid, dst_srid) == (3857, 4326):
+        return (df.withColumn(x_col, C.inv_mercator_lon(F.col(x_col)))
+                  .withColumn(y_col, C.inv_mercator_lat(F.col(y_col))))
+    raise ValueError(f"unsupported CRS pair {src_srid}->{dst_srid}")
+
+
+def build_pyramid_level(tiles: DataFrame, val_col: str = "val") -> DataFrame:
+    """One overview level up: 2x2 children fold into their parent key
+    (zoom-1, col>>1, row>>1) with count/sum/min/max stats — the
+    pyramid-as-materialized-aggregate that replaces the reference's
+    file-format overviews (GeoTiffRasterSource.scala:59-61; SURVEY.md §2.4).
+    Iterating this builds the full pyramid; each level is one partial-
+    aggregated shuffle a quarter the size of the last."""
+    parent_col = F.floor(F.col("col") / 2.0)
+    parent_row = F.floor(F.col("row") / 2.0)
+    return (tiles.groupBy((F.col("zoom") - 1).cast("int").alias("zoom"),
+                          parent_col.alias("col"), parent_row.alias("row"),
+                          F.col("band"))
+            .agg(F.count(val_col).alias("cnt"),
+                 F.sum(val_col).alias("sum_val"),
+                 F.min(val_col).alias("min_val"),
+                 F.max(val_col).alias("max_val")))
+
+
 def raster_summary(tiles: DataFrame, source_col="source_id") -> DataFrame:
     """Per-source metadata summary: tile/band counts and key envelope —
     the engine's RasterSummary (historical reference op, CHANGELOG.md:85;

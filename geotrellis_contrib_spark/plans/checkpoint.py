@@ -74,7 +74,8 @@ def _dir_bytes(path: str) -> int:
 def run_stage(spark: SparkSession, df: DataFrame, *, output_root: str,
               job_id: str, stage: str, key_col: str,
               n_buckets: int = 16, batch_size: int = 4,
-              fail_after_batches: int | None = None) -> str:
+              fail_after_batches: int | None = None,
+              persist_input: bool = True) -> str:
     """Execute ``df`` as a checkpointed stage.
 
     The input is bucketed by ``pmod(xxhash-free arithmetic key, n_buckets)``
@@ -95,6 +96,13 @@ def run_stage(spark: SparkSession, df: DataFrame, *, output_root: str,
     # NOTE on determinism: for string keys we fall back to Spark's hash() —
     # stable within a Spark major version; numeric keys use pure arithmetic.
     work = df.withColumn("_bucket", bucket.cast("int"))
+    # Each batch filters the SAME upstream plan; without materialization the
+    # whole pipeline recomputes per batch (and once more for the stats pass).
+    # Locally we persist; on a real deployment the stage INPUT is a
+    # bucket-partitioned table, so the per-batch filter becomes partition
+    # pruning and no recompute/persist is needed.
+    if persist_input:
+        work = work.persist()
 
     done = set(store.committed(job_id, stage))
     todo = [b for b in range(n_buckets) if b not in done]
@@ -123,6 +131,8 @@ def run_stage(spark: SparkSession, df: DataFrame, *, output_root: str,
                 "ms": ms, "max_key": str(r["max_key"]) if r else None,
             })
         store.append(wm)
+    if persist_input:
+        work.unpersist()
     return out_path
 
 

@@ -83,6 +83,26 @@ def write_doc_table(docs: DataFrame, path: str, n_partitions: int = 64) -> None:
          .write.mode("overwrite").parquet(path))
 
 
+def delete_where(spark: SparkSession, path: str, predicate) -> int:
+    """Row-level delete: keep rows NOT matching ``predicate`` (a Column),
+    rewrite atomically via a staging dir — the parquet stand-in for an
+    Iceberg row-delete, matching the reference's delete-by-spatial-predicate
+    semantics (/root/reference/slick/src/test/.../PostgisSpec.scala:133-140).
+    Returns the number of rows deleted."""
+    import shutil
+    import uuid
+
+    df = spark.read.parquet(path)
+    before = df.count()
+    kept = df.filter(~predicate)
+    staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
+    kept.write.mode("overwrite").parquet(staging)
+    after = spark.read.parquet(staging).count()
+    shutil.rmtree(path)
+    os.replace(staging, path)
+    return before - after
+
+
 def table_ddl(name: str, path: str) -> str:
     """CREATE TABLE DDL for the layout (Spark SQL; USING parquet here,
     USING iceberg verbatim on a catalog-enabled cluster)."""
