@@ -75,6 +75,28 @@ def k_resample_nearest(arr: np.ndarray, out_rows: int, out_cols: int) -> np.ndar
     return arr[np.ix_(rr, cc)]
 
 
+def k_resample_bilinear(arr: np.ndarray, out_rows: int, out_cols: int) -> np.ndarray:
+    """Bilinear resample (the reference's Bilinear ResampleMethod option,
+    RasterSourceF.scala:45): sample at target pixel centers with 2x2
+    neighborhood interpolation, edge-clamped. float64 out."""
+    rows, cols = arr.shape
+    a = arr.astype(np.float64)
+    fr = (np.arange(out_rows) + 0.5) * rows / out_rows - 0.5
+    fc = (np.arange(out_cols) + 0.5) * cols / out_cols - 0.5
+    r0 = np.clip(np.floor(fr).astype(np.int64), 0, rows - 1)
+    c0 = np.clip(np.floor(fc).astype(np.int64), 0, cols - 1)
+    r1 = np.clip(r0 + 1, 0, rows - 1)
+    c1 = np.clip(c0 + 1, 0, cols - 1)
+    wr = np.clip(fr - r0, 0.0, 1.0).reshape(-1, 1)
+    wc = np.clip(fc - c0, 0.0, 1.0).reshape(1, -1)
+    top = a[np.ix_(r0, c0)] * (1 - wc) + a[np.ix_(r0, c1)] * wc
+    bot = a[np.ix_(r1, c0)] * (1 - wc) + a[np.ix_(r1, c1)] * wc
+    return top * (1 - wr) + bot * wr
+
+
+RESAMPLE_KERNELS = {"nearest": k_resample_nearest, "bilinear": k_resample_bilinear}
+
+
 def k_reproject_nearest(arr: np.ndarray, src_extent, dst_extent, dst_shape,
                         fwd: Callable, nodata: float) -> np.ndarray:
     """Region reproject: for every target pixel center (in dst CRS), inverse
@@ -143,10 +165,14 @@ def convert(tiles: DataFrame, target: str, tile_size: int = TILE_SIZE) -> DataFr
                      out_dtype=target, tile_size=tile_size)
 
 
-def resample(tiles: DataFrame, out_size: int, tile_size: int = TILE_SIZE) -> DataFrame:
-    """Per-tile nearest resample to out_size x out_size pixels."""
-    return map_tiles(tiles, lambda a, r: k_resample_nearest(a, out_size, out_size),
-                     tile_size=tile_size)
+def resample(tiles: DataFrame, out_size: int, tile_size: int = TILE_SIZE,
+             method: str = "nearest") -> DataFrame:
+    """Per-tile resample to out_size x out_size pixels; ``method`` is the
+    reference's ResampleMethod string ('nearest' | 'bilinear')."""
+    kern = RESAMPLE_KERNELS[method]
+    out_dtype = "float64" if method == "bilinear" else None
+    return map_tiles(tiles, lambda a, r: kern(a, out_size, out_size),
+                     out_dtype=out_dtype, tile_size=tile_size)
 
 
 def merge_tiles(tiles: DataFrame, tile_size: int = TILE_SIZE) -> DataFrame:

@@ -52,6 +52,30 @@ def test_resample(spark, tiles):
     assert px.unpack(r.px, r.dtype, 16).shape == (16, 16)
 
 
+def test_bilinear_kernel_golden():
+    a = np.array([[0.0, 10.0], [20.0, 30.0]])
+    # upscale 2->4: centers at fractional positions interpolate linearly
+    out = px.k_resample_bilinear(a, 4, 4)
+    assert out.shape == (4, 4)
+    assert out[0, 0] == 0.0 and out[3, 3] == 30.0  # corners clamp
+    # center (0.25, 0.25) in source space: 0*0.5625 + 10*0.1875 + 20*0.1875 + 30*0.0625
+    assert abs(out[1, 1] - 7.5) < 1e-9
+    # constant field stays constant under bilinear
+    c = px.k_resample_bilinear(np.full((8, 8), 5.0), 3, 5)
+    np.testing.assert_allclose(c, 5.0)
+    # downscale averages symmetrically: 2x2 -> 1x1 center = mean
+    m = px.k_resample_bilinear(a, 1, 1)
+    assert m[0, 0] == 15.0
+
+
+def test_resample_bilinear_operator(spark, tiles):
+    out = px.resample(tiles.limit(2), 16, tile_size=TS, method="bilinear")
+    r = out.first()
+    arr = px.unpack(r.px, "float64", 16)
+    assert arr.shape == (16, 16)
+    assert np.isfinite(arr).all()
+
+
 def test_merge_matches_numpy_oracle(spark, tiles):
     merged = px.merge_tiles(tiles, tile_size=TS)
     got = {(r.col, r.row, r.band): px.unpack(r.px, "float64", TS) for r in merged.collect()}

@@ -22,6 +22,37 @@ def _events(spark, ids, hour_base, day="2026-01-01"):
              "lon", "lat", "value")
 
 
+def test_stateful_running_totals_resume(spark, tmp_path_factory):
+    """applyInPandasWithState: counters persist in the stream checkpoint —
+    a second availableNow run CONTINUES the totals, never restarts them."""
+    from geotrellis_contrib_spark.streaming import stateful
+
+    src = str(tmp_path_factory.mktemp("st_src"))
+    out = str(tmp_path_factory.mktemp("st_out"))
+    chk = str(tmp_path_factory.mktemp("st_chk"))
+
+    def run():
+        events = st.read_event_stream(spark, src)
+        agg = stateful.running_cell_totals(events, zoom=8)
+        q = (agg.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", chk).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    _events(spark, range(0, 200), hour_base=10).write.mode("append").parquet(src)
+    run()
+    r1 = spark.read.parquet(out)
+    assert r1.agg(F.sum("batch_events")).first()[0] == 200
+
+    _events(spark, range(200, 300), hour_base=11).write.mode("append").parquet(src)
+    run()
+    r2 = spark.read.parquet(out)
+    assert r2.agg(F.sum("batch_events")).first()[0] == 300  # 200 + 100
+    # cumulative totals per cell: latest row per cell == total over all input
+    latest = (r2.groupBy("cell").agg(F.max("total_events").alias("tot")))
+    assert latest.agg(F.sum("tot")).first()[0] == 300
+
+
 @pytest.mark.parametrize("window", ["10 minutes"])
 def test_incremental_equals_batch(spark, window, tmp_path_factory):
     src = str(tmp_path_factory.mktemp("stream_src"))
