@@ -97,6 +97,33 @@ def extract_media(docs: DataFrame) -> DataFrame:
             .select("doc_id", "span_idx", F.col("span.media_ref").alias("media_ref"))
 
 
+# The reference's canonical point fixture: 26 Pennsylvania stations,
+# transcribed from /root/reference/slick/src/test/scala/geotrellis/slick/
+# Data.scala:26-57 (geom = Point(lng, lat) — the reference parses fixed
+# columns and builds Point(lng, lat), so x=longitude-like, y=latitude).
+PA_CITIES = [
+    ("Allentown,PA", 75.43, 40.65), ("Altoona,PA", 78.32, 40.30),
+    ("Beaver Falls,PA", 80.33, 40.75), ("Blairsville,PA", 79.09, 40.27),
+    ("Bradford,PA", 78.63, 41.80), ("Dubois,PA", 78.90, 41.18),
+    ("Erie,PA", 80.18, 42.08), ("Franklin,PA", 79.87, 41.38),
+    ("Harrisburg,PA", 76.85, 40.22), ("Harrisburg,PA", 77.42, 40.37),
+    ("Johnstown,PA", 78.83, 40.32), ("Lancaster,PA", 76.30, 40.13),
+    ("Latrobe,PA", 79.40, 40.28), ("Middletown,PA", 76.77, 40.20),
+    ("Muir,PA", 76.57, 40.43), ("Nth Philadel,PA", 75.02, 40.08),
+    ("Philadelphia,PA", 75.25, 39.88), ("Philipsburg,PA", 78.13, 41.47),
+    ("Pittsburgh,PA", 79.93, 40.35), ("Pittsburgh,PA", 80.22, 40.50),
+    ("Reading,PA", 75.97, 40.38), ("Site R,PA", 77.43, 39.73),
+    ("State Colleg,PA", 77.83, 40.85), ("Wilkes-Barre,PA", 75.73, 41.33),
+    ("Williamsport,PA", 76.92, 41.25), ("Willow Grove,PA", 75.15, 40.20),
+]
+
+
+def pa_cities_df(spark: SparkSession):
+    return spark.createDataFrame(
+        [(i + 1, n, x, y) for i, (n, x, y) in enumerate(PA_CITIES)],
+        "id int, name string, x double, y double")
+
+
 def synth_px_tiles(spark: SparkSession, zoom: int = 6, n_tiles: int = 4,
                    tile_size: int = 64, n_sources: int = 3,
                    base_col: int = 18, base_row: int = 24,
