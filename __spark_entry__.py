@@ -256,6 +256,18 @@ def q_pixel_mosaic_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("source_id", "px_sum", "px_count")
 
 
+def q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour event aggregation per event_type (the batch shape of
+    the streaming rasterize path; SURVEY.md §2.8)."""
+    _views(spark, sf_dir)
+    ev = spark.table("events")
+    return (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+                       F.col("event_type"))
+            .agg(F.count("*").alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value")))
+
+
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis battery: token counts (ws + BPE-ish), quality ratios,
     language-ID heuristic, rolling-hash fingerprint — all JVM-side."""
@@ -565,6 +577,14 @@ SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,
 FROM g GROUP BY user_id
 """
 
+    o["windowed_events"] = """
+SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
     t = "text"
     o["text_features"] = f"""
 SELECT doc_id,
@@ -652,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "pricing_summary": q_pricing_summary,
         "sessionize": q_sessionize,
+        "windowed_events": q_windowed_events,
         "text_features": q_text_features,
         "pixel_mosaic_checksum": q_pixel_mosaic_checksum,
         "embed_topk": q_embed_topk,

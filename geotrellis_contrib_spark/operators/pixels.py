@@ -305,6 +305,59 @@ def zonal_stats_pixels(tiles: DataFrame, boxes: DataFrame,
         (F.sum("sum_val") / F.sum("cnt")).alias("mean_val"))
 
 
+def zonal_stats_pixels_wkb(tiles: DataFrame, polygons: DataFrame,
+                           tile_size: int = TILE_SIZE) -> DataFrame:
+    """Pixel-exact zonal statistics against ARBITRARY polygons (holes,
+    concavity): coarse bbox join, then each tile's pixel centers are masked
+    by the crossing-number kernel inside mapInPandas. ``polygons`` needs
+    poly_id + bbox columns + a WKB column (the reference's polygonal-summary
+    path generalized; geom.point_in_polygon is the oracle-tested kernel)."""
+    from geotrellis_contrib_spark import geom as GM
+    from geotrellis_contrib_spark.functions import cells as C
+
+    t = (tiles
+         .withColumn("txmin", C.tile_xmin(F.col("zoom"), F.col("col")))
+         .withColumn("txmax", C.tile_xmax(F.col("zoom"), F.col("col")))
+         .withColumn("tymin", C.tile_ymin(F.col("zoom"), F.col("row")))
+         .withColumn("tymax", C.tile_ymax(F.col("zoom"), F.col("row"))))
+    cand = t.join(F.broadcast(polygons),
+                  (F.col("txmin") < F.col("xmax")) & (F.col("txmax") > F.col("xmin"))
+                  & (F.col("tymin") < F.col("ymax")) & (F.col("tymax") > F.col("ymin")),
+                  "inner")
+
+    def px_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        poly_cache: dict[bytes, list] = {}
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                blob = bytes(r.wkb)
+                rings = poly_cache.get(blob)
+                if rings is None:
+                    rings = GM.wkb_decode(blob)["coords"]
+                    poly_cache[blob] = rings
+                arr = unpack(r.px, r["dtype"], tile_size).astype(np.float64)
+                xs = r.txmin + (np.arange(tile_size) + 0.5) * (r.txmax - r.txmin) / tile_size
+                ys = r.tymax - (np.arange(tile_size) + 0.5) * (r.tymax - r.tymin) / tile_size
+                gx, gy = np.meshgrid(xs, ys)
+                m = GM.point_in_polygon(gx.ravel(), gy.ravel(), rings).reshape(gx.shape)
+                m &= ~np.isclose(arr, r.nodata) & ~np.isnan(arr)
+                if m.any():
+                    v = arr[m]
+                    rows.append({"poly_id": r.poly_id, "band": int(r.band),
+                                 "cnt": int(m.sum()), "sum_val": float(v.sum()),
+                                 "min_val": float(v.min()), "max_val": float(v.max())})
+            yield pd.DataFrame(rows, columns=["poly_id", "band", "cnt", "sum_val",
+                                              "min_val", "max_val"])
+
+    per_tile = cand.mapInPandas(
+        px_stats, "poly_id string, band int, cnt bigint, sum_val double, "
+                  "min_val double, max_val double")
+    return per_tile.groupBy("poly_id", "band").agg(
+        F.sum("cnt").alias("cnt"), F.sum("sum_val").alias("sum_val"),
+        F.min("min_val").alias("min_val"), F.max("max_val").alias("max_val"),
+        (F.sum("sum_val") / F.sum("cnt")).alias("mean_val"))
+
+
 def rasterize_points_pixels(points: DataFrame, zoom: int, tile_size: int = TILE_SIZE,
                             lon="lon", lat="lat") -> DataFrame:
     """Pixel-level rasterize (vector->raster): bin points into per-tile

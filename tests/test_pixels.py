@@ -154,6 +154,33 @@ def test_zonal_stats_pixels_vs_oracle(spark, tiles):
         assert r.min_val <= r.mean_val <= r.max_val
 
 
+def test_zonal_stats_pixels_wkb(spark, tiles):
+    """Arbitrary-polygon pixel zonal == box pixel zonal when the polygon IS
+    the box; a holed polygon strictly reduces the masked count."""
+    from geotrellis_contrib_spark import geom as GM
+
+    box_ring = [(-80.0, 30.0), (-60.0, 30.0), (-60.0, 45.0), (-80.0, 45.0), (-80.0, 30.0)]
+    hole = [(-72.0, 36.0), (-68.0, 36.0), (-68.0, 40.0), (-72.0, 40.0), (-72.0, 36.0)]
+    mk = lambda pid, rings: (pid, -80.0, 30.0, -60.0, 45.0,  # noqa: E731
+                             GM.wkb_encode(GM.WKB_POLYGON, rings, srid=4326))
+    polys = spark.createDataFrame(
+        [mk("solid", [box_ring]), mk("holed", [box_ring, hole])],
+        "poly_id string, xmin double, ymin double, xmax double, ymax double, wkb binary")
+
+    got = {(r.poly_id, r.band): r for r in
+           px.zonal_stats_pixels_wkb(tiles, polys, tile_size=TS).collect()}
+    boxes = spark.createDataFrame([("solid", -80.0, 30.0, -60.0, 45.0)],
+                                  "poly_id string, xmin double, ymin double, xmax double, ymax double")
+    box_ref = {(r.poly_id, r.band): r for r in
+               px.zonal_stats_pixels(tiles, boxes, tile_size=TS).collect()}
+    for band in (0, 1):
+        # polygon==box: identical within the half-open-vs-crossing edge rule
+        # (pixel centers never sit on the integer-degree edges here)
+        assert got[("solid", band)].cnt == box_ref[("solid", band)].cnt
+        assert got[("solid", band)].sum_val == box_ref[("solid", band)].sum_val
+        assert got[("holed", band)].cnt < got[("solid", band)].cnt
+
+
 def test_rasterize_points_pixels(spark):
     pts = spark.createDataFrame(
         [(i, -74.2 + (i % 10) * 0.01, 40.5 + (i % 7) * 0.01) for i in range(200)],
