@@ -158,9 +158,20 @@ def load_base_views(spark, sf_dir: str) -> None:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
 
 
+_REGISTERED: dict[str, tuple] = {}  # applicationId -> (sf_dir, names)
+
+
 def register_views(spark, sf_dir: str, names=tuple(DERIVED)) -> None:
     """Register base + derived temp views on the Spark side. Derived views
-    are lazy logical plans (zero materialization cost until queried)."""
+    are lazy logical plans (zero materialization cost until queried).
+    Memoized on the CURRENT (sf_dir, names) per session — temp views are
+    session-global, so switching sf_dir re-registers (and invalidates the
+    memo), while repeated same-dir calls (one per driver query) are free."""
+    app = spark.sparkContext.applicationId
+    state = (sf_dir, tuple(names))
+    if _REGISTERED.get(app) == state:
+        return
     load_base_views(spark, sf_dir)
     for n in names:
         spark.sql(DERIVED[n]).createOrReplaceTempView(n)
+    _REGISTERED[app] = state

@@ -58,6 +58,9 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, zoom: int,
 
     Output: (query_id, point_id, rank, dist) — rank 1..k by (dist, point_id).
     """
+    if (1 << zoom) <= 2 * ring:
+        raise ValueError(f"ring {ring} wraps the zoom-{zoom} grid onto "
+                         f"itself (duplicate candidates); use a finer zoom")
     q = (queries.select(F.col(query_id).alias("query_id"),
                         F.col(qlon).alias("qlon"), F.col(qlat).alias("qlat"))
          .withColumn("q_cell_col", C.tile_col(F.col("qlon"), zoom))
@@ -91,6 +94,7 @@ def knn_join_iterative(queries: DataFrame, points: DataFrame, k: int, zoom: int,
     qid = names.get("query_id", "query_id")
     qlon = names.get("qlon", "qlon")
     qlat = names.get("qlat", "qlat")
+    max_ring = min(max_ring, (1 << zoom) // 2 - 1)  # ring guard (see knn_join)
     remaining = queries
     done_parts: list[DataFrame] = []
     ring = 1

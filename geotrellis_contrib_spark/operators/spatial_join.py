@@ -138,6 +138,11 @@ def distance_join(points_a: DataFrame, points_b: DataFrame, radius: float,
     """
     if zoom is None:
         zoom = zoom_for_radius(radius, max_abs_lat)
+    if zoom < 2:
+        # at zoom <= 1 the 3x3 ring wraps onto itself (pmod duplicates a
+        # neighbor) and candidate pairs would be emitted twice
+        raise ValueError(f"distance_join requires zoom >= 2 (got {zoom}); "
+                         f"radius {radius} deg is too large for the ring plan")
     a = (points_a.filter(F.col(lon).isNotNull())
          .select([F.col(c).alias(f"a_{c}") for c in points_a.columns])
          .withColumn("cell", C.encode_point(F.col(f"a_{lon}"), F.col(f"a_{lat}"), zoom)))
