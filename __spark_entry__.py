@@ -296,6 +296,24 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(e, queries, k=EMB_K, dims=EMB_DIMS)
 
 
+IVF_CENT_MOD = 31
+IVF_NPROBE = 4
+
+
+def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: deterministic centroids (every 31st vector),
+    nprobe=4 posting-list probe + exact re-rank — the ANN scale path next to
+    the brute-force baseline (embed_topk)."""
+    _views(spark, sf_dir)
+    e = spark.table("embeddings")
+    centroids = e.filter(F.col("vec_id") % IVF_CENT_MOD == 0) \
+                 .select(F.col("vec_id").alias("centroid_id"),
+                         F.col("embedding").alias("cvec"))
+    queries = e.filter(F.col("vec_id") % 50 == 0) \
+               .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    return sim.ivf_topk(e, queries, centroids, k=EMB_K, nprobe=IVF_NPROBE, dims=EMB_DIMS)
+
+
 def q_embed_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket per embedding (deterministic planes)."""
     _views(spark, sf_dir)
@@ -611,6 +629,37 @@ SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cos FROM (
 WHERE rank <= {EMB_K}
 """
 
+    o["embed_ivf_topk"] = f"""
+WITH cent AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+              FROM embeddings WHERE vec_id % {IVF_CENT_MOD} = 0),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY LIST_COSINE_SIMILARITY(v.vec, c.cvec) DESC, c.centroid_id) AS rn
+    FROM v CROSS JOIN cent c) t WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id % 50 = 0),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY LIST_COSINE_SIMILARITY(q.qv, c.cvec) DESC, c.centroid_id) AS rn
+    FROM q CROSS JOIN cent c) t WHERE rn <= {IVF_NPROBE}),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id
+  FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+  WHERE a.vec_id <> p.query_id)
+SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cos FROM (
+  SELECT c.query_id, c.vec_id,
+         LIST_COSINE_SIMILARITY(q.qv, v.vec) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY c.query_id
+           ORDER BY LIST_COSINE_SIMILARITY(q.qv, v.vec) DESC, c.vec_id) AS rank
+  FROM cand c JOIN q ON q.query_id = c.query_id JOIN v ON v.vec_id = c.vec_id) t
+WHERE rank <= {EMB_K}
+"""
+
     bucket_expr = " + ".join(
         f"(CASE WHEN LIST_DOT_PRODUCT(embedding::DOUBLE[], "
         f"{sim.sql_plane_weights_list(p, EMB_DIMS)}) >= 0 THEN 1 ELSE 0 END) * {1 << p}"
@@ -676,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_features": q_text_features,
         "pixel_mosaic_checksum": q_pixel_mosaic_checksum,
         "embed_topk": q_embed_topk,
+        "embed_ivf_topk": q_embed_ivf_topk,
         "embed_lsh_buckets": q_embed_lsh_buckets,
         "embed_near_pairs": q_embed_near_pairs,
     }

@@ -125,6 +125,65 @@ def lsh_near_pairs(corpus: DataFrame, dims: int, min_cos: float = 0.8,
     return pairs.filter(F.col("cos") >= min_cos).select("vec_a", "vec_b", "cos")
 
 
+def ivf_assign(corpus: DataFrame, centroids: DataFrame,
+               dims: int | None = None,
+               id_col="vec_id", vec_col="embedding",
+               cid_col="centroid_id", cvec_col="cvec") -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest centroid
+    by cosine (broadcast centroid cross join + window pick; deterministic
+    tie-break on centroid_id). Output: (vec_id, centroid_id, cos).
+
+    At 10^12 scale this is the index-build pass: one scan of the corpus,
+    centroid list broadcast, output range-partitioned by centroid_id becomes
+    the posting-list table."""
+    c = F.broadcast(centroids.select(F.col(cid_col).alias("centroid_id"),
+                                     F.col(cvec_col).alias("cvec"))
+                    .withColumn("cn", F.sqrt(_fold_norm2(F.col("cvec"), dims))))
+    v = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")) \
+              .withColumn("vn", F.sqrt(_fold_norm2(F.col("vec"), dims)))
+    pairs = v.crossJoin(c).withColumn(
+        "cos", _fold_dot(F.col("vec"), F.col("cvec"), dims) / (F.col("vn") * F.col("cn")))
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("centroid_id").asc())
+    return (pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "centroid_id", "cos"))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+             k: int, nprobe: int = 4, dims: int | None = None,
+             id_col="vec_id", vec_col="embedding",
+             qid_col="query_id", qvec_col="qvec") -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` centroid buckets nearest
+    each query, exact-rank only vectors in those buckets — the scale path
+    that replaces the brute-force corpus scan with posting-list reads.
+    Output: (query_id, vec_id, rank, cos); deterministic, oracle-checkable.
+    """
+    assign = ivf_assign(corpus, centroids, dims, id_col, vec_col)
+    c = F.broadcast(centroids.select(F.col("centroid_id"), F.col("cvec"))
+                    .withColumn("cn", F.sqrt(_fold_norm2(F.col("cvec"), dims))))
+    q = queries.select(F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qvec")) \
+               .withColumn("qn", F.sqrt(_fold_norm2(F.col("qvec"), dims)))
+    qc = q.crossJoin(c).withColumn(
+        "ccos", _fold_dot(F.col("qvec"), F.col("cvec"), dims) / (F.col("qn") * F.col("cn")))
+    wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("centroid_id").asc())
+    probes = (qc.withColumn("rn", F.row_number().over(wq))
+              .filter(F.col("rn") <= nprobe)
+              .select("query_id", "centroid_id", "qvec", "qn"))
+
+    v = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")) \
+              .withColumn("vn", F.sqrt(_fold_norm2(F.col("vec"), dims)))
+    cand = assign.join(v, "vec_id").join(F.broadcast(probes), "centroid_id") \
+                 .filter(F.col("vec_id") != F.col("query_id"))
+    cand = cand.withColumn(
+        "rcos", _fold_dot(F.col("qvec"), F.col("vec"), dims) / (F.col("qn") * F.col("vn")))
+    w = Window.partitionBy("query_id").orderBy(F.col("rcos").desc(), F.col("vec_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id",
+                    F.col("rank").cast("int").alias("rank"),
+                    F.col("rcos").alias("cos")))
+
+
 def sql_plane_weights_list(plane: int, dims: int) -> str:
     """DuckDB list literal twin of plane_weights (same arithmetic, rendered
     as exact rationals so both engines parse identical doubles)."""

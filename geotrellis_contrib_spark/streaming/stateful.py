@@ -35,6 +35,38 @@ def _update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     }])
 
 
+DEDUP_OUTPUT = "doc_id string, first_seen_batch int"
+DEDUP_STATE = "seen int, batch int"
+
+
+def _dedup_update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    if state.exists:
+        # already emitted in an earlier micro-batch: swallow duplicates
+        n = sum(len(p) for p in pdfs)  # drain the iterator
+        _ = n
+        yield pd.DataFrame({"doc_id": pd.Series(dtype=object),
+                            "first_seen_batch": pd.Series(dtype="int64")})
+        return
+    batch = 0
+    for p in pdfs:
+        batch = max(batch, int(p["batch"].max()) if "batch" in p and len(p) else 0)
+    state.update((1, batch))
+    yield pd.DataFrame([{"doc_id": key[0], "first_seen_batch": batch}])
+
+
+def dedup_stream(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exactly-once streaming ingestion dedup: a doc_id is emitted the FIRST
+    time it is ever seen across all micro-batches; replays and duplicate
+    deliveries are swallowed (seen-set state lives in the stream checkpoint).
+    The training-pipeline guard in front of any append-only corpus sink."""
+    d = docs
+    if "batch" not in d.columns:
+        d = d.withColumn("batch", F.lit(0))
+    return (d.groupBy(F.col(id_col).alias("doc_id"))
+            .applyInPandasWithState(_dedup_update, DEDUP_OUTPUT, DEDUP_STATE,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
 def running_cell_totals(events: DataFrame, zoom: int) -> DataFrame:
     """Streaming per-cell running (count, value-sum) across ALL micro-batches
     — one row per (cell, batch) with cumulative totals."""

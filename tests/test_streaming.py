@@ -53,6 +53,38 @@ def test_stateful_running_totals_resume(spark, tmp_path_factory):
     assert latest.agg(F.sum("tot")).first()[0] == 300
 
 
+def test_stream_dedup_exactly_once(spark, tmp_path_factory):
+    """dedup_stream: ids re-delivered in later batches are swallowed."""
+    from geotrellis_contrib_spark.streaming import stateful
+
+    src = str(tmp_path_factory.mktemp("dd_src"))
+    out = str(tmp_path_factory.mktemp("dd_out"))
+    chk = str(tmp_path_factory.mktemp("dd_chk"))
+
+    def run():
+        docs = (spark.readStream.schema("doc_id string, batch int").parquet(src))
+        q = (stateful.dedup_stream(docs).writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", chk)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    spark.createDataFrame([(f"doc-{i}", 1) for i in range(100)],
+                          "doc_id string, batch int").write.mode("append").parquet(src)
+    run()
+    assert spark.read.parquet(out).count() == 100
+
+    # batch 2: 50 replays + 30 new
+    spark.createDataFrame([(f"doc-{i}", 2) for i in range(50, 180)],
+                          "doc_id string, batch int").write.mode("append").parquet(src)
+    run()
+    got = spark.read.parquet(out)
+    assert got.count() == 180                       # no duplicates ever emitted
+    assert got.select("doc_id").distinct().count() == 180
+    # the replayed ids keep their original batch tag
+    assert got.filter((F.col("doc_id") == "doc-60") & (F.col("first_seen_batch") == 1)).count() == 1
+    assert got.filter((F.col("doc_id") == "doc-150") & (F.col("first_seen_batch") == 2)).count() == 1
+
+
 @pytest.mark.parametrize("window", ["10 minutes"])
 def test_incremental_equals_batch(spark, window, tmp_path_factory):
     src = str(tmp_path_factory.mktemp("stream_src"))
