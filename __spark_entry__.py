@@ -220,6 +220,23 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").alias("count_order")))
 
 
+def q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join relational shape (TPC-H Q3/Q5 style): customer x orders x
+    lineitem, revenue per (market segment, order priority). Catalyst picks
+    broadcast for the small dims; DECIMAL-exact sums."""
+    _views(spark, sf_dir)
+    c = spark.table("customer")
+    o = spark.table("orders")
+    li = spark.table("lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(c, o.o_custkey == c.c_custkey)
+              .groupBy("c_mktsegment", "o_orderpriority")
+              .agg(F.sum(rev).cast("double").alias("revenue"),
+                   F.count("*").alias("n_items"),
+                   F.countDistinct("o_orderkey").alias("n_orders")))
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionize the event stream: new session when a user's gap > 30 min;
     per-user session count + total value (lag + cumulative-sum windows)."""
@@ -582,6 +599,16 @@ FROM lineitem WHERE l_shipdate <= '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 """
 
+    o["segment_revenue"] = """
+SELECT c.c_mktsegment, o.o_orderpriority,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+"""
+
     o["sessionize"] = """
 WITH g AS (
   SELECT user_id, value,
@@ -720,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "pricing_summary": q_pricing_summary,
+        "segment_revenue": q_segment_revenue,
         "sessionize": q_sessionize,
         "windowed_events": q_windowed_events,
         "text_features": q_text_features,

@@ -239,6 +239,43 @@ def reproject_to_mercator(tiles: DataFrame, tile_size: int = TILE_SIZE) -> DataF
     return t.mapInPandas(run, out_schema)
 
 
+def build_pixel_pyramid_level(tiles: DataFrame, tile_size: int = TILE_SIZE) -> DataFrame:
+    """One pixel-level overview up: the 2x2 child tiles of each parent key
+    are mosaicked into one tile_size panel and 2x downsampled (NoData-aware
+    mean of each 2x2 pixel block) — the materialized version of the
+    reference's overview pyramid (GeoTiffRasterSource.scala:59-61), built as
+    one applyInPandas over parent-key groups. Missing children become NoData
+    quadrants. Output: parent tiles at zoom-1, dtype float64."""
+    keyed = tiles.withColumn("p_col", F.floor(F.col("col") / 2.0)) \
+                 .withColumn("p_row", F.floor(F.col("row") / 2.0))
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        first = pdf.iloc[0]
+        nd = float(first.nodata)
+        half = tile_size // 2
+        panel = np.full((tile_size, tile_size), np.nan)
+        for _, r in pdf.iterrows():
+            arr = unpack(r.px, r["dtype"], tile_size).astype(np.float64)
+            arr = np.where(np.isclose(arr, r.nodata), np.nan, arr)
+            # NoData-aware 2x downsample of the child into its quadrant
+            blocks = arr.reshape(half, 2, half, 2)
+            with np.errstate(invalid="ignore"):
+                ds = np.nanmean(blocks, axis=(1, 3))
+            qr = int(r.row % 2) * half
+            qc = int(r.col % 2) * half
+            panel[qr:qr + half, qc:qc + half] = ds
+        out = np.where(np.isnan(panel), nd, panel)
+        return pd.DataFrame([{
+            "zoom": int(first.zoom) - 1, "col": int(first.p_col),
+            "row": int(first.p_row), "band": int(first.band),
+            "dtype": "float64", "nodata": nd, "px": pack(out),
+        }])
+
+    return keyed.groupBy("zoom", "p_col", "p_row", "band", "source_id").applyInPandas(
+        fold, "zoom int, col bigint, row bigint, band int, dtype string, "
+              "nodata double, px binary")
+
+
 def read_cells_checksum(tiles: DataFrame, tile_size: int = TILE_SIZE) -> DataFrame:
     """Force-evaluate every pixel and aggregate (sum + count, NoData-aware) —
     the readCells full-scan checksum (SubsceneReadingIT.scala:51), used as

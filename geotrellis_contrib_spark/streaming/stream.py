@@ -49,6 +49,24 @@ def rasterize_stream(events: DataFrame, zoom: int,
                     "cell", "n_events", "sum_value"))
 
 
+def pip_join_stream(events: DataFrame, boxes: DataFrame, zoom: int = 6) -> DataFrame:
+    """Streaming spatial join: enrich a geo-event STREAM with the polygons
+    containing each event — a stream-static join on the packed cell key
+    (the static cover-cell side broadcasts into every micro-batch; identical
+    semantics and code path as the batch pip_join_boxes)."""
+    from geotrellis_contrib_spark.functions import geometry as G
+    from geotrellis_contrib_spark.operators.spatial_join import with_cover_cells
+
+    cov = with_cover_cells(boxes, zoom).drop("cell_col", "cell_row")
+    e = events.filter(F.col("lon").isNotNull() & F.col("lat").isNotNull()) \
+              .withColumn("cell", C.encode_point(F.col("lon"), F.col("lat"), zoom))
+    joined = e.join(F.broadcast(cov), "cell", "inner")
+    return joined.filter(
+        G.point_in_box(F.col("lon"), F.col("lat"),
+                       F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"))
+    ).drop("cell", "xmin", "ymin", "xmax", "ymax")
+
+
 def run_available_now(agg: DataFrame, out_dir: str, checkpoint_dir: str,
                       timeout_s: int = 300) -> None:
     """Drain everything currently available, then stop — the incremental

@@ -181,6 +181,37 @@ def test_zonal_stats_pixels_wkb(spark, tiles):
         assert got[("holed", band)].cnt < got[("solid", band)].cnt
 
 
+def test_build_pixel_pyramid_level(spark):
+    """Constant fields stay constant; means preserve totals; NoData holes
+    survive the fold; missing children become NoData quadrants."""
+    ts = 32
+    rows = []
+    # one full 2x2 parent block (children at (4..5, 6..7)) + one lone child
+    for c, r in [(4, 6), (5, 6), (4, 7), (5, 7), (8, 2)]:
+        arr = np.full((ts, ts), float(c * 10 + r))
+        if (c, r) == (4, 6):
+            arr[:4, :4] = -9999.0  # a NoData hole
+        rows.append(("s", 0, 6, c, r, 0, "float64", -9999.0, px.pack(arr)))
+    tiles = spark.createDataFrame(
+        rows, "source_id string, source_idx int, zoom int, col bigint, row bigint, "
+              "band int, dtype string, nodata double, px binary")
+    out = {(r.col, r.row): px.unpack(r.px, "float64", ts)
+           for r in px.build_pixel_pyramid_level(tiles, tile_size=ts).collect()}
+    assert set(out) == {(2, 3), (4, 1)}
+    full = out[(2, 3)]
+    # each quadrant holds its child's constant value (means of constants)
+    assert full[0, ts - 1] == 56.0   # child (5,6): top-right quadrant
+    assert full[ts - 1, 0] == 47.0   # child (4,7): bottom-left
+    assert full[ts - 1, ts - 1] == 57.0
+    # the NoData hole downsampled into NoData pixels at the parent
+    assert (full[:2, :2] == -9999.0).all()
+    assert full[3, 3] == 46.0
+    lone = out[(4, 1)]
+    half = ts // 2
+    assert (lone[:half, :half] == 82.0).all()        # child (8,2): quadrant NW
+    assert (lone[half:, :] == -9999.0).all()         # missing children = NoData
+
+
 def test_rasterize_points_pixels(spark):
     pts = spark.createDataFrame(
         [(i, -74.2 + (i % 10) * 0.01, 40.5 + (i % 7) * 0.01) for i in range(200)],

@@ -53,6 +53,39 @@ def test_stateful_running_totals_resume(spark, tmp_path_factory):
     assert latest.agg(F.sum("tot")).first()[0] == 300
 
 
+def test_streaming_spatial_join_equals_batch(spark, tmp_path_factory):
+    """Stream-static PIP join over two micro-batches == batch PIP join."""
+    from geotrellis_contrib_spark.operators import spatial_join as sj
+
+    src = str(tmp_path_factory.mktemp("sj_src"))
+    out = str(tmp_path_factory.mktemp("sj_out"))
+    chk = str(tmp_path_factory.mktemp("sj_chk"))
+    boxes = spark.createDataFrame(
+        [("hot", -74.3, 40.4, -73.7, 41.0), ("west", -120.0, 30.0, -100.0, 45.0)],
+        "poly_id string, xmin double, ymin double, xmax double, ymax double")
+
+    _events(spark, range(0, 150), hour_base=10).write.mode("append").parquet(src)
+    _events(spark, range(150, 260), hour_base=11).write.mode("append").parquet(src)
+
+    def run():
+        ev = st.read_event_stream(spark, src, max_files_per_trigger=1)
+        joined = st.pip_join_stream(ev, boxes, zoom=6)
+        q = (joined.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", chk).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    run()
+    got = sorted((r.event_id, r.poly_id)
+                 for r in spark.read.parquet(out).select("event_id", "poly_id").collect())
+    batch = sj.pip_join_boxes(
+        _events(spark, range(0, 150), hour_base=10)
+        .unionByName(_events(spark, range(150, 260), hour_base=11)), boxes, zoom=6)
+    expect = sorted((r.event_id, r.poly_id)
+                    for r in batch.select("event_id", "poly_id").collect())
+    assert got == expect and len(got) > 0
+
+
 def test_stream_dedup_exactly_once(spark, tmp_path_factory):
     """dedup_stream: ids re-delivered in later batches are swallowed."""
     from geotrellis_contrib_spark.streaming import stateful
