@@ -146,6 +146,31 @@ def q_bbox_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lon", "lat")
 
 
+def q_poly_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: spatial join output joined back to document attributes —
+    doc counts per (polygon, language), plus the docs with NO geometry
+    handled by the isNull path (Option[Point] analog)."""
+    _views(spark, sf_dir)
+    hits = sj.pip_join_boxes(spark.table("anchors"), spark.table("polygon_boxes"), zoom=6) \
+             .select("doc_id", "poly_id")
+    docs = spark.table("documents").select("doc_id", "lang")
+    return (hits.join(docs, "doc_id")
+            .groupBy("poly_id", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("doc_id").alias("n_distinct_docs")))
+
+
+def q_cell_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median/p90 of tile values per source+band (order statistics —
+    linear-interpolated percentiles agree across engines on exact input)."""
+    _views(spark, sf_dir)
+    t = spark.table("tiles").filter(F.col("val").isNotNull())
+    return (t.groupBy("source_id", "band")
+            .agg(F.expr("percentile(val, 0.5)").alias("p50"),
+                 F.expr("percentile(val, 0.9)").alias("p90"),
+                 F.count("*").alias("n")))
+
+
 def q_raster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source raster metadata aggregation (RasterSummary analog)."""
     _views(spark, sf_dir)
@@ -470,6 +495,26 @@ SELECT CAST(zoom - 1 AS INT) AS zoom,
 FROM tiles GROUP BY 1, 2, 3, 4
 """
 
+    o["poly_lang_rollup"] = f"""
+{derive.cte('anchors', 'polygon_boxes')}
+SELECT p.poly_id, d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT d.doc_id) AS BIGINT) AS n_distinct_docs
+FROM anchors a
+JOIN polygon_boxes p
+  ON a.lon >= p.xmin AND a.lon < p.xmax AND a.lat >= p.ymin AND a.lat < p.ymax
+JOIN documents d ON d.doc_id = a.doc_id
+WHERE a.lon IS NOT NULL
+GROUP BY 1, 2
+"""
+
+    o["cell_percentiles"] = f"""
+{derive.cte('tiles')}
+SELECT source_id, band,
+       QUANTILE_CONT(val, 0.5) AS p50, QUANTILE_CONT(val, 0.9) AS p90,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM tiles WHERE val IS NOT NULL GROUP BY 1, 2
+"""
+
     o["bbox_select"] = f"""
 {derive.cte('anchors')}
 SELECT doc_id, lon, lat FROM anchors
@@ -740,6 +785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_summary": q_raster_summary,
         "pyramid_build": q_pyramid_build,
         "bbox_select": q_bbox_select,
+        "poly_lang_rollup": q_poly_lang_rollup,
+        "cell_percentiles": q_cell_percentiles,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_sigs": q_minhash_sigs,
