@@ -82,6 +82,27 @@ def q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.floor(F.col("dist") * 10000.0 + 0.5).alias("dist_e4")))
 
 
+def q_haversine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical distance theta-join: hot-cluster anchor pairs within 10 km
+    great-circle distance (haversine refine after the cell-ring join)."""
+    _views(spark, sf_dir)
+    from geotrellis_contrib_spark.functions import geometry as G
+    hot = (spark.table("anchors")
+           .filter(F.col("lon").isNotNull()
+                   & (F.col("lon") >= -74.25) & (F.col("lon") < -73.75)
+                   & (F.col("lat") >= 40.45) & (F.col("lat") < 40.95))
+           .select("doc_id", "lon", "lat"))
+    # 10 km ~ 0.09 deg: ring join at a fine zoom, spherical refine
+    pairs = sj.distance_join(hot, hot, radius=0.2, zoom=11)
+    d = G.haversine_m(F.col("a_lon"), F.col("a_lat"), F.col("b_lon"), F.col("b_lat"))
+    return (pairs.filter(F.col("a_doc_id") < F.col("b_doc_id"))
+            .withColumn("dist_m", d)
+            .filter(F.col("dist_m") < 10000.0)
+            .select(F.col("a_doc_id").alias("doc_a"),
+                    F.col("b_doc_id").alias("doc_b"),
+                    F.floor(F.col("dist_m")).alias("dist_m_floor")))
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k=5 nearest anchors per query point: ring-1 candidates at zoom 6 +
     exact re-rank. Exact here because the hot cluster guarantees the 5th
@@ -414,6 +435,22 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {dd} AS dist,
        CAST(FLOOR({dd} * 10000.0 + 0.5) AS BIGINT) AS dist_e4
 FROM anchors a JOIN anchors b ON a.doc_id < b.doc_id
 WHERE a.lon IS NOT NULL AND b.lon IS NOT NULL AND {dd} < {DIST_RADIUS}
+"""
+
+    hav = ("12742017.6 * ASIN(SQRT("
+           "POWER(SIN((RADIANS(b.lat) - RADIANS(a.lat)) / 2), 2) "
+           "+ COS(RADIANS(a.lat)) * COS(RADIANS(b.lat)) "
+           "* POWER(SIN((RADIANS(b.lon) - RADIANS(a.lon)) / 2), 2)))")
+    pd_ = _dist_sql("a.lon", "a.lat", "b.lon", "b.lat")
+    o["haversine_pairs"] = f"""
+{derive.cte('anchors')},
+hot AS (SELECT doc_id, lon, lat FROM anchors
+        WHERE lon IS NOT NULL AND lon >= -74.25 AND lon < -73.75
+          AND lat >= 40.45 AND lat < 40.95)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(FLOOR({hav}) AS BIGINT) AS dist_m_floor
+FROM hot a JOIN hot b ON a.doc_id < b.doc_id
+WHERE {pd_} < 0.2 AND {hav} < 10000.0
 """
 
     qd = _dist_sql("q.qlon", "q.qlat", "a.lon", "a.lat")
@@ -777,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": q_tile_assign,
         "pip_join": q_pip_join,
         "distance_join": q_distance_join,
+        "haversine_pairs": q_haversine_pairs,
         "knn": q_knn,
         "zonal_stats": q_zonal_stats,
         "rasterize": q_rasterize,

@@ -39,6 +39,32 @@ def test_fake_decoders_shapes():
     assert au.shape == (1024,) and float(au.min()) >= -1.0 and float(au.max()) <= 1.0
 
 
+def test_cross_modal_similarity_pipeline(spark, media):
+    """Composition: media decode -> feature vectors -> cosine top-k over the
+    feature column (the training-pipeline 'nearest media by content' path).
+    Exact duplicates (same payload -> same features) must rank first with
+    cos == 1.0."""
+    from pyspark.sql import functions as F
+
+    from geotrellis_contrib_spark.operators import similarity as sim
+
+    feats = md.extract_features(media).withColumn(
+        "fid", F.concat_ws("#", "doc_id", F.col("span_idx").cast("string")))
+    corpus = feats.select(F.col("fid").alias("vec_id"), F.col("feature").alias("embedding"))
+    queries = corpus.limit(3).select(F.col("vec_id").alias("query_id"),
+                                     F.col("embedding").alias("qvec"))
+    top = sim.cosine_topk(corpus, queries, k=3, dims=md.FEATURE_DIM)
+    rows = top.collect()
+    assert len(rows) == 9
+    assert all(r.cos <= 1.0 + 1e-12 for r in rows)
+    # rank ordering is non-increasing in cos per query
+    byq = {}
+    for r in sorted(rows, key=lambda r: (r.query_id, r.rank)):
+        byq.setdefault(r.query_id, []).append(r.cos)
+    for cs in byq.values():
+        assert all(a >= b for a, b in zip(cs, cs[1:]))
+
+
 def test_resize_images(media):
     out = md.resize_images(media, 8, 8)
     r = out.filter(F.col("kind") == "image").first()
