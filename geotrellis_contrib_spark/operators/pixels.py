@@ -239,6 +239,76 @@ def reproject_to_mercator(tiles: DataFrame, tile_size: int = TILE_SIZE) -> DataF
     return t.mapInPandas(run, out_schema)
 
 
+def read_window(tiles: DataFrame, bounds: tuple[int, int, int, int],
+                grid_bounds: tuple[int, int, int, int] | None = None,
+                tile_size: int = TILE_SIZE, clamp: bool = True) -> DataFrame:
+    """Windowed pixel read over the tile table — the reference's
+    ``read(bounds)`` contract (RasterSourceF.scala:100-112): the request is
+    clamped to the footprint (or rejected when ``clamp=False`` and
+    out-of-bounds), DISJOINT windows return empty, edge tiles are CROPPED to
+    the window. ``bounds`` are GLOBAL pixel coords (tile (tc,tr) covers
+    pixels [tc*ts, (tc+1)*ts) x [tr*ts, (tr+1)*ts)).
+
+    Plan: key-range filter (partition/row-group prunable — the engine's
+    window∩footprint pruning) then one mapInPandas crop of the edge tiles.
+    Output rows: (source_id, band, px_col_min, px_row_min, h, w, dtype, px).
+    """
+    from geotrellis_contrib_spark.grid import bounds_intersection
+
+    if grid_bounds is not None:
+        inter = bounds_intersection(bounds, grid_bounds)
+        if inter is None:
+            if not clamp:
+                raise ValueError(f"window {bounds} is disjoint from footprint {grid_bounds}")
+            inter = None
+        bounds = inter if inter is not None else (0, 0, -1, -1)
+    cmin, rmin, cmax, rmax = bounds
+    if cmin > cmax or rmin > rmax:
+        return tiles.sparkSession.createDataFrame(
+            [], "source_id string, band int, px_col_min bigint, px_row_min bigint, "
+                "h int, w int, dtype string, px binary")
+
+    tc0, tc1 = cmin // tile_size, cmax // tile_size
+    tr0, tr1 = rmin // tile_size, rmax // tile_size
+    hit = tiles.filter((F.col("col") >= tc0) & (F.col("col") <= tc1)
+                       & (F.col("row") >= tr0) & (F.col("row") <= tr1))
+
+    def crop(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = unpack(r.px, r["dtype"], tile_size)
+                gx0, gy0 = int(r.col) * tile_size, int(r.row) * tile_size
+                c0 = max(cmin - gx0, 0)
+                c1 = min(cmax - gx0, tile_size - 1)
+                r0 = max(rmin - gy0, 0)
+                r1 = min(rmax - gy0, tile_size - 1)
+                sub = arr[r0:r1 + 1, c0:c1 + 1]
+                rows.append({"source_id": r.source_id, "band": int(r.band),
+                             "px_col_min": gx0 + c0, "px_row_min": gy0 + r0,
+                             "h": sub.shape[0], "w": sub.shape[1],
+                             "dtype": r["dtype"], "px": pack(sub)})
+            yield pd.DataFrame(rows, columns=["source_id", "band", "px_col_min",
+                                              "px_row_min", "h", "w", "dtype", "px"])
+
+    return hit.mapInPandas(
+        crop, "source_id string, band int, px_col_min bigint, px_row_min bigint, "
+              "h int, w int, dtype string, px binary")
+
+
+def assemble_window(rows, bounds) -> "np.ndarray":
+    """Driver-side helper: stitch read_window output rows (one source+band)
+    into a single numpy array over ``bounds`` (NaN where no tile)."""
+    cmin, rmin, cmax, rmax = bounds
+    out = np.full((rmax - rmin + 1, cmax - cmin + 1), np.nan)
+    for r in rows:
+        dtype = r.asDict()["dtype"]  # Row attribute access would hit Row.dtype
+        arr = np.frombuffer(r.px, dtype=DTYPES[dtype]).reshape(r.h, r.w)
+        out[r.px_row_min - rmin: r.px_row_min - rmin + r.h,
+            r.px_col_min - cmin: r.px_col_min - cmin + r.w] = arr
+    return out
+
+
 def build_pixel_pyramid_level(tiles: DataFrame, tile_size: int = TILE_SIZE) -> DataFrame:
     """One pixel-level overview up: the 2x2 child tiles of each parent key
     are mosaicked into one tile_size panel and 2x downsampled (NoData-aware

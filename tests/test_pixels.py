@@ -181,6 +181,43 @@ def test_zonal_stats_pixels_wkb(spark, tiles):
         assert got[("holed", band)].cnt < got[("solid", band)].cnt
 
 
+def test_read_window_pixels(spark, tiles):
+    """Windowed pixel read: clamp, crop, disjoint-empty — the reference
+    read(bounds) contract replayed on the tile table and stitched back."""
+    # scene-0 covers tile cols 18..21, rows 24..27 at TS=64 px
+    # -> global pixels [1152..1408) x [1536..1792)
+    scene0 = tiles.filter((F.col("source_id") == "scene-0") & (F.col("band") == 0))
+    gb = (18 * TS, 24 * TS, 22 * TS - 1, 28 * TS - 1)
+
+    # an unaligned window crossing tile edges
+    win = (18 * TS + 40, 24 * TS + 10, 19 * TS + 30, 25 * TS + 5)
+    rows = px.read_window(scene0, win, grid_bounds=gb, tile_size=TS).collect()
+    got = px.assemble_window(rows, win)
+    assert got.shape == (TS + 5 - 10 + 1, TS + 30 - 40 + 1)
+    assert not np.isnan(got).any()
+    # oracle: stitch locally from the raw tiles
+    local = {(t[2], t[3]): t[6] for t in _local_tiles(tiles)
+             if t[0] == "scene-0" and t[4] == 0}
+    full = np.full((4 * TS, 4 * TS), np.nan)
+    for (c, r), arr in local.items():
+        full[(r - 24) * TS:(r - 23) * TS, (c - 18) * TS:(c - 17) * TS] = arr
+    exp = full[win[1] - 24 * TS: win[3] - 24 * TS + 1,
+               win[0] - 18 * TS: win[2] - 18 * TS + 1]
+    np.testing.assert_array_equal(got, exp)
+
+    # clamping: a window poking past the footprint clamps to it
+    over = (21 * TS + 32, 27 * TS + 32, 23 * TS, 29 * TS)
+    rows = px.read_window(scene0, over, grid_bounds=gb, tile_size=TS).collect()
+    got = px.assemble_window(rows, (21 * TS + 32, 27 * TS + 32, 22 * TS - 1, 28 * TS - 1))
+    assert got.shape == (32, 32) and not np.isnan(got).any()
+
+    # disjoint window: empty result (clamped) / error (strict)
+    far = (100 * TS, 100 * TS, 101 * TS, 101 * TS)
+    assert px.read_window(scene0, far, grid_bounds=gb, tile_size=TS).count() == 0
+    with pytest.raises(ValueError, match="disjoint"):
+        px.read_window(scene0, far, grid_bounds=gb, tile_size=TS, clamp=False)
+
+
 def test_build_pixel_pyramid_level(spark):
     """Constant fields stay constant; means preserve totals; NoData holes
     survive the fold; missing children become NoData quadrants."""
