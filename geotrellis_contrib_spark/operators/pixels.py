@@ -465,6 +465,45 @@ def zonal_stats_pixels_wkb(tiles: DataFrame, polygons: DataFrame,
         (F.sum("sum_val") / F.sum("cnt")).alias("mean_val"))
 
 
+def rasterize_polygons(polygons: DataFrame, zoom: int, tile_size: int = TILE_SIZE,
+                       value_col: str = "burn_val", nodata: float = 0.0) -> DataFrame:
+    """Burn joined polygon attributes into tiles (the north_star
+    vector->raster path, full wording): each polygon's covering tiles are
+    enumerated JVM-side (explode), then one applyInPandas per tile key masks
+    pixel centers with the crossing-number kernel and writes the polygon's
+    attribute value; overlaps resolve last-writer by ascending poly_id
+    (deterministic). ``polygons``: poly_id + bbox + wkb + ``value_col``.
+    Output: (zoom, col, row, px binary float64, n_burned)."""
+    from geotrellis_contrib_spark import geom as GM
+    from geotrellis_contrib_spark.operators.spatial_join import with_cover_cells
+
+    cov = with_cover_cells(polygons, zoom).drop("cell")
+    n = float(1 << zoom)
+
+    def burn(pdf: pd.DataFrame) -> pd.DataFrame:
+        col = int(pdf.cell_col.iloc[0])
+        row = int(pdf.cell_row.iloc[0])
+        xmin = col / n * 360.0 - 180.0
+        xmax = (col + 1) / n * 360.0 - 180.0
+        ymax = float(np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * row / n)))))
+        ymin = float(np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * (row + 1) / n)))))
+        xs = xmin + (np.arange(tile_size) + 0.5) * (xmax - xmin) / tile_size
+        ys = ymax - (np.arange(tile_size) + 0.5) * (ymax - ymin) / tile_size
+        gx, gy = np.meshgrid(xs, ys)
+        out = np.full((tile_size, tile_size), nodata)
+        for _, r in pdf.sort_values("poly_id").iterrows():
+            rings = GM.wkb_decode(bytes(r.wkb))["coords"]
+            m = GM.point_in_polygon(gx.ravel(), gy.ravel(), rings).reshape(gx.shape)
+            out[m] = float(r[value_col])
+        return pd.DataFrame([{
+            "zoom": zoom, "col": col, "row": row,
+            "px": pack(out), "n_burned": int((out != nodata).sum()),
+        }])
+
+    return cov.groupBy("cell_col", "cell_row").applyInPandas(
+        burn, "zoom int, col bigint, row bigint, px binary, n_burned bigint")
+
+
 def rasterize_points_pixels(points: DataFrame, zoom: int, tile_size: int = TILE_SIZE,
                             lon="lon", lat="lat") -> DataFrame:
     """Pixel-level rasterize (vector->raster): bin points into per-tile

@@ -154,6 +154,42 @@ def test_zonal_stats_pixels_vs_oracle(spark, tiles):
         assert r.min_val <= r.mean_val <= r.max_val
 
 
+def test_rasterize_polygons(spark):
+    """Polygon burn: interiors get the attribute value, holes stay nodata,
+    overlap resolves deterministically (ascending poly_id = last writer)."""
+    from geotrellis_contrib_spark import geom as GM
+
+    outer = [(-74.0, 40.0), (-70.0, 40.0), (-70.0, 44.0), (-74.0, 44.0), (-74.0, 40.0)]
+    hole = [(-72.5, 41.5), (-71.5, 41.5), (-71.5, 42.5), (-72.5, 42.5), (-72.5, 41.5)]
+    small = [(-71.0, 40.5), (-69.0, 40.5), (-69.0, 41.5), (-71.0, 41.5), (-71.0, 40.5)]
+    rows = [
+        ("a", -74.0, 40.0, -70.0, 44.0, GM.wkb_encode(GM.WKB_POLYGON, [outer, hole], srid=4326), 5.0),
+        ("b", -71.0, 40.5, -69.0, 41.5, GM.wkb_encode(GM.WKB_POLYGON, [small], srid=4326), 9.0),
+    ]
+    polys = spark.createDataFrame(
+        rows, "poly_id string, xmin double, ymin double, xmax double, ymax double, "
+              "wkb binary, burn_val double")
+    out = px.rasterize_polygons(polys, zoom=6, tile_size=32)
+    tiles_out = {(r.col, r.row): px.unpack(r.px, "float64", 32) for r in out.collect()}
+    assert len(tiles_out) > 0
+    all_vals = np.concatenate([t.ravel() for t in tiles_out.values()])
+    assert set(np.unique(all_vals)) <= {0.0, 5.0, 9.0}
+    assert (all_vals == 5.0).sum() > 0 and (all_vals == 9.0).sum() > 0
+    # hole center must NOT be burned: locate its pixel
+    from geotrellis_contrib_spark import grid
+    c, r = grid.lonlat_to_tile(np.array([-72.0]), np.array([42.0]), 6)
+    arr = tiles_out[(int(c[0]), int(r[0]))]
+    xmin, ymin, xmax, ymax = (v[0] if hasattr(v, "__len__") else v
+                              for v in grid.tile_extent(6, c, r))
+    ci = int((-72.0 - xmin) / (xmax - xmin) * 32)
+    ri = int((ymax - 42.0) / (ymax - ymin) * 32)
+    assert arr[ri, ci] == 0.0  # inside the hole
+    # overlap region (small box overlaps outer ring): b wins (asc order)
+    c2, r2 = grid.lonlat_to_tile(np.array([-70.5]), np.array([41.0]), 6)
+    arr2 = tiles_out[(int(c2[0]), int(r2[0]))]
+    assert (arr2 == 9.0).any()
+
+
 def test_zonal_stats_pixels_wkb(spark, tiles):
     """Arbitrary-polygon pixel zonal == box pixel zonal when the polygon IS
     the box; a holed polygon strictly reduces the masked count."""
