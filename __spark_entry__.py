@@ -331,6 +331,21 @@ def q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value")))
 
 
+def q_polygon_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-level polygon rasterization (burn attributes into tiles) over
+    the hot-cluster region polygons. Non-SQL-expressible -> rows-only
+    check; pixel goldens asserted in tests/test_pixels.py."""
+    from geotrellis_contrib_spark.functions import geometry as G
+    from geotrellis_contrib_spark.operators import pixels as px
+    _views(spark, sf_dir)
+    boxes = spark.table("polygon_boxes").filter(F.col("poly_id").startswith("poly-r"))
+    polys = boxes.withColumn("wkb", G.box_to_wkb(
+        F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"))) \
+        .withColumn("burn_val", (F.length("poly_id") % 7 + 1).cast("double"))
+    out = px.rasterize_polygons(polys, zoom=9, tile_size=64)
+    return out.select("zoom", "col", "row", "n_burned")
+
+
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis battery: token counts (ws + BPE-ish), quality ratios,
     language-ID heuristic, rolling-hash fingerprint — all JVM-side."""
@@ -837,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_events": q_windowed_events,
         "text_features": q_text_features,
         "pixel_mosaic_checksum": q_pixel_mosaic_checksum,
+        "polygon_burn": q_polygon_burn,
         "embed_topk": q_embed_topk,
         "embed_ivf_topk": q_embed_ivf_topk,
         "embed_lsh_buckets": q_embed_lsh_buckets,

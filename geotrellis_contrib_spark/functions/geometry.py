@@ -129,6 +129,17 @@ def centroid_wkb(wkb: pd.Series) -> pd.DataFrame:
 
 
 @F.pandas_udf(T.BinaryType())
+def box_to_wkb(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.Series:
+    """Axis-aligned box -> EWKB polygon (5-point closed ring, srid 4326)."""
+    return pd.Series([
+        geom.wkb_encode(geom.WKB_POLYGON,
+                        [[(x0, y0), (x0, y1), (x1, y1), (x1, y0), (x0, y0)]],
+                        srid=4326)
+        for x0, y0, x1, y1 in zip(xmin, ymin, xmax, ymax)
+    ])
+
+
+@F.pandas_udf(T.BinaryType())
 def point_to_wkb(x: pd.Series, y: pd.Series, srid: pd.Series) -> pd.Series:
     """Encode points as EWKB (little-endian) — the sink-side codec."""
     return pd.Series([

@@ -121,17 +121,36 @@ def k_reproject_nearest(arr: np.ndarray, src_extent, dst_extent, dst_shape,
     return out
 
 
-def k_merge(stack: list[np.ndarray], nodatas: list[float]) -> np.ndarray:
-    """Per-pixel first-non-NoData merge, left-biased by list order
-    (MosaicRasterSource.scala:121-131)."""
-    out = stack[0].astype(np.float64).copy()
-    filled = ~np.isclose(out, nodatas[0]) & ~np.isnan(out)
-    for arr, nd in zip(stack[1:], nodatas[1:]):
-        a = arr.astype(np.float64)
-        good = ~np.isclose(a, nd) & ~np.isnan(a) & ~filled
-        out[good] = a[good]
-        filled |= good
-    return out
+def k_merge(stack: list[np.ndarray], nodatas: list[float],
+            strategy: str = "first") -> np.ndarray:
+    """Per-pixel NoData-aware composite across sources.
+
+    'first' — first non-NoData wins, left-biased by list order (the
+    reference semantics, MosaicRasterSource.scala:121-131);
+    'mean' / 'max' / 'min' — composites over the valid sources per pixel
+    (engine extensions for cloud-free mosaicking-style pipelines)."""
+    if strategy == "first":
+        out = stack[0].astype(np.float64).copy()
+        filled = ~np.isclose(out, nodatas[0]) & ~np.isnan(out)
+        for arr, nd in zip(stack[1:], nodatas[1:]):
+            a = arr.astype(np.float64)
+            good = ~np.isclose(a, nd) & ~np.isnan(a) & ~filled
+            out[good] = a[good]
+            filled |= good
+        return out
+    layers = np.stack([np.where(np.isclose(a.astype(np.float64), nd), np.nan,
+                                a.astype(np.float64))
+                       for a, nd in zip(stack, nodatas)])
+    with np.errstate(invalid="ignore"):
+        if strategy == "mean":
+            out = np.nanmean(layers, axis=0)
+        elif strategy == "max":
+            out = np.nanmax(layers, axis=0)
+        elif strategy == "min":
+            out = np.nanmin(layers, axis=0)
+        else:
+            raise ValueError(f"unknown merge strategy {strategy!r}")
+    return np.where(np.isnan(out), nodatas[0], out)
 
 
 # ---------------------------------------------------------------------------
@@ -175,15 +194,17 @@ def resample(tiles: DataFrame, out_size: int, tile_size: int = TILE_SIZE,
                      out_dtype=out_dtype, tile_size=tile_size)
 
 
-def merge_tiles(tiles: DataFrame, tile_size: int = TILE_SIZE) -> DataFrame:
+def merge_tiles(tiles: DataFrame, tile_size: int = TILE_SIZE,
+                strategy: str = "first") -> DataFrame:
     """Pixel-level mosaic merge: groupBy SpatialKey+band, applyInPandas the
-    per-pixel first-non-NoData reduce ordered by source_idx. One shuffle on
-    the tile key — the cell-partitioned grouped-map pattern of the
-    north_star raster<->vector paths."""
+    per-pixel composite ordered by source_idx ('first' = reference
+    semantics; 'mean'/'max'/'min' composites). One shuffle on the tile key —
+    the cell-partitioned grouped-map pattern of the north_star
+    raster<->vector paths."""
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("source_idx")
         arrs = [unpack(b, d, tile_size) for b, d in zip(pdf.px, pdf["dtype"])]
-        merged = k_merge(arrs, list(pdf.nodata))
+        merged = k_merge(arrs, list(pdf.nodata), strategy)
         first = pdf.iloc[0]
         return pd.DataFrame([{
             "zoom": first.zoom, "col": first.col, "row": first.row,

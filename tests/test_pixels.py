@@ -34,6 +34,11 @@ def test_kernels_golden():
     # merge: left biased, nodata falls through
     m = px.k_merge([np.array([[1.0, -9.0]]), np.array([[5.0, 7.0]])], [-9.0, -9.0])
     assert m.tolist() == [[1.0, 7.0]]
+    # composite strategies: NoData-aware mean/max/min; all-NoData -> nodata
+    stack = [np.array([[2.0, -9.0]]), np.array([[4.0, -9.0]])]
+    assert px.k_merge(stack, [-9.0, -9.0], "mean").tolist() == [[3.0, -9.0]]
+    assert px.k_merge(stack, [-9.0, -9.0], "max").tolist() == [[4.0, -9.0]]
+    assert px.k_merge(stack, [-9.0, -9.0], "min").tolist() == [[2.0, -9.0]]
 
 
 def test_convert_roundtrip(spark, tiles):
