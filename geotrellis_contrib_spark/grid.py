@@ -304,6 +304,54 @@ def split_bounds(bounds, tile_cols=TILE_SIZE, tile_rows=TILE_SIZE):
     return out
 
 
+# --- ResampleGrid strategies (five pure functions computing the target
+# GridExtent, mirroring the reference's strategy enum applied at
+# GeoTiffReprojectRasterSource.scala:71-84 / GeoTiffResampleRasterSource.scala:79-93) ---
+
+def resample_identity(src: "GridExtent") -> "GridExtent":
+    """IdentityResampleGrid: keep the source grid."""
+    return src
+
+
+def resample_to_region(src: "GridExtent", region: "GridExtent") -> "GridExtent":
+    """TargetRegion: adopt the target region's extent AND cell size exactly."""
+    return region
+
+
+def resample_to_grid(src: "GridExtent", grid: "GridExtent") -> "GridExtent":
+    """TargetGrid: snap the source extent onto the target grid's cell
+    lattice (same cell size/origin, extent covering the source)."""
+    import math as _m
+    cw, ch = grid.cellwidth, grid.cellheight
+    xmin = grid.xmin + _m.floor((src.xmin - grid.xmin) / cw) * cw
+    ymin = grid.ymin + _m.floor((src.ymin - grid.ymin) / ch) * ch
+    xmax = grid.xmin + _m.ceil((src.xmax - grid.xmin) / cw) * cw
+    ymax = grid.ymin + _m.ceil((src.ymax - grid.ymin) / ch) * ch
+    return GridExtent(xmin, ymin, xmax, ymax, cw, ch)
+
+
+def resample_to_dimensions(src: "GridExtent", cols: int, rows: int) -> "GridExtent":
+    """Dimensions: same extent, exact output cols x rows."""
+    return GridExtent(src.xmin, src.ymin, src.xmax, src.ymax,
+                      (src.xmax - src.xmin) / cols, (src.ymax - src.ymin) / rows)
+
+
+def resample_to_cell_size(src: "GridExtent", cellwidth: float,
+                          cellheight: float) -> "GridExtent":
+    """TargetCellSize: same extent, requested cell size (round-not-ceil
+    cols/rows fall out of the GridExtent math)."""
+    return src.with_resolution(cellwidth, cellheight)
+
+
+RESAMPLE_GRID_STRATEGIES = {
+    "identity": resample_identity,
+    "target_region": resample_to_region,
+    "target_grid": resample_to_grid,
+    "dimensions": resample_to_dimensions,
+    "target_cell_size": resample_to_cell_size,
+}
+
+
 def select_overview(resolutions, target_cell_size):
     """AutoHigherResolution overview policy: pick the coarsest resolution
     that is still >= the requested detail (cell size <= target), i.e. the

@@ -136,6 +136,25 @@ def test_bounds_intersection_and_split():
                      (0, 256, 255, 300), (256, 256, 511, 300)]
 
 
+def test_resample_grid_strategies():
+    src = grid.GridExtent(0.0, 0.0, 100.0, 50.0, 1.0, 1.0)
+    assert grid.resample_identity(src) is src
+    region = grid.GridExtent(10.0, 10.0, 20.0, 20.0, 0.5, 0.5)
+    assert grid.resample_to_region(src, region) is region
+    # snap onto a 4-unit lattice offset by 1
+    lattice = grid.GridExtent(1.0, 1.0, 9.0, 9.0, 4.0, 4.0)
+    g = grid.resample_to_grid(src, lattice)
+    assert (g.xmin, g.ymin) == (-3.0, -3.0)   # floor to lattice below 0
+    assert (g.xmax, g.ymax) == (101.0, 53.0)  # ceil to lattice above max
+    assert (g.cellwidth, g.cellheight) == (4.0, 4.0)
+    d = grid.resample_to_dimensions(src, 200, 25)
+    assert (d.cols, d.rows) == (200, 25)
+    c = grid.resample_to_cell_size(src, 2.5, 2.5)
+    assert (c.cols, c.rows) == (40, 20)
+    assert set(grid.RESAMPLE_GRID_STRATEGIES) == {
+        "identity", "target_region", "target_grid", "dimensions", "target_cell_size"}
+
+
 def test_select_overview():
     res = [1.0, 2.0, 4.0, 8.0]  # finest first
     assert grid.select_overview(res, 1.0) == 0
