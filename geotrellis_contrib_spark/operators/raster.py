@@ -109,6 +109,16 @@ def rasterize_points(points: DataFrame, zoom: int,
     return df.groupBy("col", "row").agg(*aggs).withColumn("zoom", F.lit(zoom))
 
 
+def band_attributes(tiles: DataFrame, meta_col: str = "band_meta") -> DataFrame:
+    """attributesForBand analog (RasterMetadataF.scala:47-51 /
+    GDALMetadataF.scala:30-61): distinct per-(source, band) tag maps exploded
+    to rows. Sources without tags yield no rows (the mosaic's empty-attribute
+    semantics, MosaicRasterSource.scala:73-75)."""
+    return (tiles.filter(F.col(meta_col).isNotNull())
+            .select("source_id", "band", F.explode(meta_col).alias("key", "value"))
+            .distinct())
+
+
 def reproject_coords(df: DataFrame, src_srid: int, dst_srid: int,
                      x_col: str = "lon", y_col: str = "lat") -> DataFrame:
     """Coordinate-column reproject with the reference's no-op short-circuit:
