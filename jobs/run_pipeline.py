@@ -34,6 +34,9 @@ def main() -> None:
     ap.add_argument("--job-id", default="pipeline-1")
     ap.add_argument("--checkpoint", action="store_true",
                     help="write through the watermark-checkpointed stage runner")
+    ap.add_argument("--fail-after", type=int, default=None,
+                    help="simulate a mid-job kill after N committed batches "
+                         "(resume by re-submitting without this flag)")
     args = ap.parse_args()
 
     # on a cluster the session comes from spark-submit's conf; only fall back
@@ -62,7 +65,8 @@ def main() -> None:
             "cell", F.shiftleft(F.col("zoom").cast("long"), 58)
             + F.shiftleft(F.col("col"), 29) + F.col("row"))
         cp.run_stage(spark, out, output_root=args.output, job_id=args.job_id,
-                     stage="tile_counts", key_col="cell", n_buckets=16)
+                     stage="tile_counts", key_col="cell", n_buckets=16,
+                     fail_after_batches=args.fail_after)
         n = cp.read_stage(spark, args.output, "tile_counts").count()
     else:
         out.write.mode("overwrite").parquet(args.output + "/tile_counts")
