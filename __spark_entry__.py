@@ -331,6 +331,23 @@ def q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value")))
 
 
+def q_pixel_warp_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused pixel warp chain: convert(float32) -> bilinear resample(32) ->
+    region-reproject to mercator, then the readCells checksum — the
+    reproject∘resample∘convert composition of SURVEY.md §2.4 executed as
+    chained mapInPandas stages. Rows-only driver check; kernels are
+    numpy-oracle tested."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import pixels as px
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    chain = px.convert(tiles, "float32", tile_size=64)
+    chain = px.resample(chain, 32, tile_size=64, method="bilinear")
+    chain = px.reproject_to_mercator(chain, tile_size=32)
+    return px.read_cells_checksum(chain, tile_size=32) \
+             .select("source_id", "px_sum", "px_count")
+
+
 def q_polygon_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pixel-level polygon rasterization (burn attributes into tiles) over
     the hot-cluster region polygons. Non-SQL-expressible -> rows-only
@@ -853,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_features": q_text_features,
         "pixel_mosaic_checksum": q_pixel_mosaic_checksum,
         "polygon_burn": q_polygon_burn,
+        "pixel_warp_chain": q_pixel_warp_chain,
         "embed_topk": q_embed_topk,
         "embed_ivf_topk": q_embed_ivf_topk,
         "embed_lsh_buckets": q_embed_lsh_buckets,
