@@ -64,6 +64,35 @@ def test_reading_geojson_golden(spark, cities):
     assert row.gj == '{"type":"Point","coordinates":[75.97,40.38]}'
 
 
+def test_arrow_tier_scalar_udfs(spark):
+    """The Arrow geometry UDFs at the DataFrame level, against the
+    reference's golden literals (length 2.0, centroid (1.5,1.5))."""
+    line = geom.wkb_encode(geom.WKB_LINESTRING, [(1.0, 1.0), (1.0, 3.0)], srid=3131)
+    mp = geom.wkb_encode(geom.WKB_MULTIPOINT, [(1.0, 1.0), (2.0, 2.0)], srid=3131)
+    df = spark.createDataFrame([(line, mp)], "line binary, mp binary")
+    row = df.select(
+        G.linestring_length_wkb(F.col("line")).alias("len"),
+        G.centroid_wkb(F.col("mp")).alias("cen"),
+        G.point_to_wkb(F.lit(75.97), F.lit(40.38), F.lit(4326)).alias("pw"),
+    ).first()
+    assert row.len == 2.0
+    assert (row.cen.x, row.cen.y) == (1.5, 1.5)
+    decoded = geom.wkb_decode(bytes(row.pw))
+    assert decoded["coords"] == (75.97, 40.38) and decoded["srid"] == 4326
+
+
+def test_tile_extent_cols(spark):
+    from geotrellis_contrib_spark.operators import tiling
+    df = spark.createDataFrame([(12, 1205, 1540)], "zoom int, col long, row long")
+    r = tiling.tile_extent_cols(df).first()
+    import numpy as np
+
+    from geotrellis_contrib_spark import grid
+    xmin, ymin, xmax, ymax = grid.tile_extent(12, np.array([1205]), np.array([1540]))
+    assert r.xmin == xmin[0] and r.xmax == xmax[0]
+    np.testing.assert_allclose([r.ymin, r.ymax], [ymin[0], ymax[0]], rtol=1e-13)
+
+
 def test_insert_select_roundtrip_order(spark, cities, tmp_path):
     """Insert-then-select equality (PostgisSpec.scala:90-101): write the
     fixture, read it back, expect the exact rows."""
