@@ -330,6 +330,56 @@ def bbox_buffer(x, y, d):
     return [(x - d, y - d), (x - d, y + d), (x + d, y + d), (x + d, y - d), (x - d, y - d)]
 
 
+def segments_intersect_boxes(x1, y1, x2, y2, bxmin, bymin, bxmax, bymax):
+    """Vectorized: does segment i intersect box j? (n_seg, n_box) bool via
+    the separating-axis test for segment-vs-AABB."""
+    x1, y1, x2, y2 = (np.asarray(a, dtype=np.float64)[:, None] for a in (x1, y1, x2, y2))
+    bxmin, bymin, bxmax, bymax = (np.asarray(a, dtype=np.float64)[None, :]
+                                  for a in (bxmin, bymin, bxmax, bymax))
+    # quick reject: segment bbox vs box
+    overlap = ((np.minimum(x1, x2) <= bxmax) & (np.maximum(x1, x2) >= bxmin)
+               & (np.minimum(y1, y2) <= bymax) & (np.maximum(y1, y2) >= bymin))
+    # separating axis: the segment's normal
+    dx, dy = x2 - x1, y2 - y1
+    # distances of the four box corners from the segment line
+    def side(px, py):
+        return dx * (py - y1) - dy * (px - x1)
+    s1 = side(bxmin, bymin)
+    s2 = side(bxmin, bymax)
+    s3 = side(bxmax, bymin)
+    s4 = side(bxmax, bymax)
+    not_separated = ~((np.minimum(np.minimum(s1, s2), np.minimum(s3, s4)) > 0)
+                      | (np.maximum(np.maximum(s1, s2), np.maximum(s3, s4)) < 0))
+    return overlap & not_separated
+
+
+def polygon_intersects_boxes(rings, bxmin, bymin, bxmax, bymax):
+    """Exact polygon-vs-AABB intersection for a batch of boxes: true iff a
+    box corner lies in the polygon, a polygon vertex lies in the box, or an
+    exterior-ring edge crosses the box. Used by keys-for-polygon cover-cell
+    enumeration (tighter than bbox cover for sprawling shapes)."""
+    bxmin = np.asarray(bxmin, dtype=np.float64)
+    bymin = np.asarray(bymin, dtype=np.float64)
+    bxmax = np.asarray(bxmax, dtype=np.float64)
+    bymax = np.asarray(bymax, dtype=np.float64)
+    hit = np.zeros(bxmin.shape, dtype=bool)
+    # box center (or any corner) inside the polygon (handles box-in-polygon)
+    for cx, cy in ((bxmin, bymin), (bxmax, bymax), ((bxmin + bxmax) / 2, (bymin + bymax) / 2)):
+        hit |= point_in_polygon(cx, cy, rings)
+    ext = np.asarray(rings[0], dtype=np.float64)
+    if len(ext) >= 2 and np.array_equal(ext[0], ext[-1]):
+        ext = ext[:-1]
+    # any polygon vertex inside a box (polygon-in-box)
+    vx, vy = ext[:, 0][:, None], ext[:, 1][:, None]
+    hit |= ((vx >= bxmin[None, :]) & (vx <= bxmax[None, :])
+            & (vy >= bymin[None, :]) & (vy <= bymax[None, :])).any(axis=0)
+    # any exterior edge crossing a box
+    x2, y2 = np.roll(ext[:, 0], -1), np.roll(ext[:, 1], -1)
+    hit |= segments_intersect_boxes(ext[:, 0], ext[:, 1], x2, y2,
+                                    bxmin, bymin, bxmax, bymax).any(axis=0)
+    return hit
+
+
 def bbox_intersects(axmin, aymin, axmax, aymax, bxmin, bymin, bxmax, bymax):
     """Vectorized bbox-overlap predicate — PostGIS ``&&`` / ``@&&`` semantics
     (PostgisSpec.scala:135,165-170)."""

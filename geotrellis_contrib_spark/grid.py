@@ -304,6 +304,22 @@ def split_bounds(bounds, tile_cols=TILE_SIZE, tile_rows=TILE_SIZE):
     return out
 
 
+def keys_for_polygon(rings, zoom: int):
+    """keysForGeometry for a true polygon: exact cover cells at ``zoom``
+    (cells whose box intersects the polygon), not just the bbox cover —
+    the reference's layout.mapTransform.keysForGeometry semantics
+    (GeotrellisRasterSourceBench.scala:36-37). Returns (col, row) int64
+    arrays, deterministic row-major order."""
+    from geotrellis_contrib_spark import geom as GM
+
+    ext = np.asarray(rings[0], dtype=np.float64)
+    cols, rows = tiles_for_extent(zoom, float(ext[:, 0].min()), float(ext[:, 1].min()),
+                                  float(ext[:, 0].max()), float(ext[:, 1].max()))
+    xmin, ymin, xmax, ymax = tile_extent(zoom, cols, rows)
+    keep = GM.polygon_intersects_boxes(rings, xmin, ymin, xmax, ymax)
+    return cols[keep], rows[keep]
+
+
 # --- ResampleGrid strategies (five pure functions computing the target
 # GridExtent, mirroring the reference's strategy enum applied at
 # GeoTiffReprojectRasterSource.scala:71-84 / GeoTiffResampleRasterSource.scala:79-93) ---

@@ -136,6 +136,32 @@ def test_bounds_intersection_and_split():
                      (0, 256, 255, 300), (256, 256, 511, 300)]
 
 
+def test_keys_for_polygon_exact_cover():
+    # a thin diagonal polygon: bbox cover is a large square block, the exact
+    # cover follows the diagonal (strictly fewer cells, all intersecting)
+    diag = [[(-50.0, -20.0), (-48.0, -20.0), (10.0, 40.0), (8.0, 40.0), (-50.0, -20.0)]]
+    zoom = 6
+    cols, rows = grid.keys_for_polygon(diag, zoom)
+    bcols, brows = grid.tiles_for_extent(zoom, -50.0, -20.0, 10.0, 40.0)
+    assert 0 < len(cols) < len(bcols)  # tighter than the bbox cover
+    # every kept cell genuinely intersects (spot-check via dense sampling)
+    from geotrellis_contrib_spark import geom as GM
+    xmin, ymin, xmax, ymax = grid.tile_extent(zoom, cols, rows)
+    hit = GM.polygon_intersects_boxes(diag, xmin, ymin, xmax, ymax)
+    assert hit.all()
+    # no intersecting cell was dropped: brute force over the bbox cover
+    bxmin, bymin, bxmax, bymax = grid.tile_extent(zoom, bcols, brows)
+    brute = GM.polygon_intersects_boxes(diag, bxmin, bymin, bxmax, bymax)
+    expect = {(int(c), int(r)) for c, r, k in zip(bcols, brows, brute) if k}
+    got = {(int(c), int(r)) for c, r in zip(cols, rows)}
+    assert got == expect
+    # polygon fully containing a cell: that cell is covered
+    big = [[(-10.0, -10.0), (10.0, -10.0), (10.0, 10.0), (-10.0, 10.0), (-10.0, -10.0)]]
+    c2, r2 = grid.keys_for_polygon(big, 6)
+    cc, rr = grid.lonlat_to_tile(np.array([0.0]), np.array([0.0]), 6)
+    assert np.any((c2 == cc[0]) & (r2 == rr[0]))
+
+
 def test_resample_grid_strategies():
     src = grid.GridExtent(0.0, 0.0, 100.0, 50.0, 1.0, 1.0)
     assert grid.resample_identity(src) is src
