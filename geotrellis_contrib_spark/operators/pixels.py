@@ -496,9 +496,15 @@ def rasterize_polygons(polygons: DataFrame, zoom: int, tile_size: int = TILE_SIZ
     (deterministic). ``polygons``: poly_id + bbox + wkb + ``value_col``.
     Output: (zoom, col, row, px binary float64, n_burned)."""
     from geotrellis_contrib_spark import geom as GM
-    from geotrellis_contrib_spark.operators.spatial_join import with_cover_cells
+    from geotrellis_contrib_spark.functions import cells as C
+    from geotrellis_contrib_spark.operators.spatial_join import with_cover_cells_wkb
 
-    cov = with_cover_cells(polygons, zoom).drop("cell")
+    # EXACT polygon cover cells (not bbox cover): diagonal/sprawling shapes
+    # touch far fewer tiles than their bbox
+    cov = (with_cover_cells_wkb(polygons, zoom)
+           .withColumn("cell_col", C.cell_col(F.col("cell")))
+           .withColumn("cell_row", C.cell_row(F.col("cell")))
+           .drop("cell"))
     n = float(1 << zoom)
 
     def burn(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -83,12 +84,39 @@ def pip_join_boxes(points: DataFrame, boxes: DataFrame, zoom: int = 6,
     return refined.drop("cell")
 
 
+def with_cover_cells_wkb(polygons: DataFrame, zoom: int,
+                         wkb_col: str = "wkb") -> DataFrame:
+    """Explode WKB polygons to their EXACT covering cells at ``zoom``
+    (grid.keys_for_polygon: polygon-vs-cell-box intersection, not bbox
+    cover) — tighter candidate sets for sprawling/diagonal shapes. Runs as
+    an Arrow UDF, but only over the SMALL polygon side."""
+    from pyspark.sql import types as T
+
+    from geotrellis_contrib_spark import geom as GM
+    from geotrellis_contrib_spark import grid as GR
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def cover_cells(wkb: pd.Series) -> pd.Series:
+        out = []
+        for blob in wkb:
+            g = GM.wkb_decode(bytes(blob))
+            ringsets = g["coords"] if g["type"] == GM.WKB_MULTIPOLYGON else [g["coords"]]
+            cells: set[int] = set()
+            for rings in ringsets:
+                cols, rows = GR.keys_for_polygon(rings, zoom)
+                cells.update(int(x) for x in GR.pack_cell(zoom, cols, rows))
+            out.append(sorted(cells))
+        return pd.Series(out)
+
+    return polygons.withColumn("cell", F.explode(cover_cells(F.col(wkb_col))))
+
+
 def pip_join_wkb(points: DataFrame, polygons: DataFrame, zoom: int = 6,
                  lon="lon", lat="lat", wkb_col="wkb") -> DataFrame:
-    """PIP join against arbitrary polygons: coarse bbox-cell join, then the
-    Arrow-vectorized crossing-number refine (``pip_wkb``). ``polygons`` needs
-    precomputed bbox columns + a WKB column."""
-    cov = F.broadcast(with_cover_cells(polygons, zoom).drop("cell_col", "cell_row"))
+    """PIP join against arbitrary polygons: coarse EXACT-cover cell join
+    (with_cover_cells_wkb), then the Arrow-vectorized crossing-number refine
+    (``pip_wkb``). ``polygons`` needs bbox columns + a WKB column."""
+    cov = F.broadcast(with_cover_cells_wkb(polygons, zoom, wkb_col))
     pts = points.filter(F.col(lon).isNotNull() & F.col(lat).isNotNull()) \
                 .withColumn("cell", C.encode_point(F.col(lon), F.col(lat), zoom))
     joined = pts.join(cov, "cell", "inner")
