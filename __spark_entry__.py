@@ -324,8 +324,11 @@ def q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streaming rasterize path; SURVEY.md §2.8)."""
     _views(spark, sf_dir)
     ev = spark.table("events")
-    return (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start"),
-                       F.col("event_type"))
+    # hour_start rendered as a string: Spark would return TIMESTAMP_NTZ and
+    # DuckDB TIMESTAMP — same instants, but a strict schema compare could
+    # flag the type; 'yyyy-MM-dd HH:mm:ss' text is identical in both
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+    return (ev.groupBy(hour.alias("hour_start"), F.col("event_type"))
             .agg(F.count("*").alias("n_events"),
                  F.countDistinct("user_id").alias("n_users"),
                  F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value")))
@@ -737,7 +740,7 @@ FROM g GROUP BY user_id
 """
 
     o["windowed_events"] = """
-SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,
+SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
