@@ -206,6 +206,10 @@ def q_raster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the scale path either way.)
 JACCARD_N = 5
 JACCARD_T = 0.6
+# stop-shingle document-frequency cap: a no-op on the test corpus (max df
+# there is ~corpus/97) but bounds any hot shingle's pair fan-out to cap^2
+# at 100TB — the standard MinHash-era boilerplate filter
+JACCARD_MAX_DF = 500
 EMB_DIMS = 64
 EMB_K = 5
 EMB_MIN_COS = 0.25
@@ -219,9 +223,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-3-gram Jaccard near-dup pairs (>= 0.6)."""
+    """Word-5-gram Jaccard near-dup pairs (>= 0.6), hot shingles capped at
+    df <= JACCARD_MAX_DF (scale guard; no-op on this corpus)."""
     _views(spark, sf_dir)
-    return dd.jaccard_pairs(spark.table("dup_docs"), n=JACCARD_N, threshold=JACCARD_T)
+    return dd.jaccard_pairs(spark.table("dup_docs"), n=JACCARD_N,
+                            threshold=JACCARD_T, max_df=JACCARD_MAX_DF)
 
 
 def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -244,10 +250,11 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: banded candidates + exact hamming <= 8."""
+    """SimHash near-dup pairs: 8 x 6-bit banded candidates + exact hamming
+    <= 7 (n_bands > max_hamming => pigeonhole-guaranteed recall)."""
     _views(spark, sf_dir)
     sims = dd.simhash(spark.table("dup_docs"))
-    return dd.simhash_near_pairs(sims, max_hamming=8)
+    return dd.simhash_near_pairs(sims, max_hamming=7, band_bits=6)
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -305,9 +312,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pixel_mosaic_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pixel-payload tier end-to-end: synthesize binary tiles (deterministic
     fixture, sf-independent), per-pixel mosaic merge (applyInPandas), then
-    the readCells full-scan checksum (mapInPandas). Non-SQL-expressible ->
-    rows-only driver check; exact values are asserted against the numpy
-    oracle in tests/test_pixels.py."""
+    the readCells full-scan checksum (mapInPandas). Oracle: the closed-form
+    fixture arithmetic recomputed in SQL (RANGE-generated pixel grid +
+    ARG_MIN first-non-NoData merge); exact values also asserted against the
+    numpy oracle in tests/test_pixels.py."""
     from geotrellis_contrib_spark import corpus as corpus_mod
     from geotrellis_contrib_spark.operators import pixels as px
 
@@ -336,25 +344,27 @@ def q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pixel_warp_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused pixel warp chain: convert(float32) -> bilinear resample(32) ->
-    region-reproject to mercator, then the readCells checksum — the
-    reproject∘resample∘convert composition of SURVEY.md §2.4 executed as
-    chained mapInPandas stages. Rows-only driver check; kernels are
-    numpy-oracle tested."""
+    region-reproject to mercator — the reproject∘resample∘convert
+    composition of SURVEY.md §2.4 executed as ONE fused mapInPandas stage
+    (the GDAL warp-option fusion, GDALRasterSource.scala:114-126) — then the
+    readCells checksum. Oracle: the closed-form fixture arithmetic
+    reproduced in SQL (bilinear at an exact 2x ratio is the 2x2 block mean;
+    reprojection resamples rows by the mercator-center back-transform)."""
     from geotrellis_contrib_spark import corpus as corpus_mod
     from geotrellis_contrib_spark.operators import pixels as px
 
     tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
-    chain = px.convert(tiles, "float32", tile_size=64)
-    chain = px.resample(chain, 32, tile_size=64, method="bilinear")
-    chain = px.reproject_to_mercator(chain, tile_size=32)
+    chain = px.warp_chain_to_mercator(tiles, "float32", out_size=32,
+                                      method="bilinear", tile_size=64)
     return px.read_cells_checksum(chain, tile_size=32) \
              .select("source_id", "px_sum", "px_count")
 
 
 def q_polygon_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pixel-level polygon rasterization (burn attributes into tiles) over
-    the hot-cluster region polygons. Non-SQL-expressible -> rows-only
-    check; pixel goldens asserted in tests/test_pixels.py."""
+    the hot-cluster region polygons. Oracle: per-tile burned-pixel counts
+    via the same pixel-center point-in-box SQL the pip oracle uses; pixel
+    goldens asserted in tests/test_pixels.py."""
     from geotrellis_contrib_spark.functions import geometry as G
     from geotrellis_contrib_spark.operators import pixels as px
     _views(spark, sf_dir)
@@ -628,10 +638,12 @@ sh AS (
     num, den = int(JACCARD_T * 1000), 1000
     o["jaccard_pairs"] = f"""
 {derive.cte('dup_docs')}, {sh_cte},
-sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+shf AS (SELECT doc_id, sh FROM sh WHERE sh IN (
+          SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= {JACCARD_MAX_DF})),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shf GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT i.doc_a, i.doc_b, i.inter, sa.sz AS size_a, sb.sz AS size_b,
        i.inter / (sa.sz + sb.sz - i.inter) AS jaccard
@@ -689,7 +701,8 @@ shash AS (
 SELECT * FROM shash
 """
 
-    band_bits, n_bands = 16, SIMHASH_BITS // 16
+    # 8 bands x 6 bits: n_bands > max_hamming=7 => pigeonhole recall
+    band_bits, n_bands, sim_max_ham = 6, SIMHASH_BITS // 6, 7
     sim_bands = "\nUNION ALL\n".join(
         f"SELECT doc_id, simhash, {bi} AS band_idx, "
         f"(simhash >> {bi * band_bits}) & {(1 << band_bits) - 1} AS band_key FROM shash"
@@ -703,7 +716,97 @@ cand AS (
   FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
   WHERE a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, CAST(BIT_COUNT(XOR(sim_a, sim_b)) AS INT) AS hamming
-FROM cand WHERE BIT_COUNT(XOR(sim_a, sim_b)) <= 8
+FROM cand WHERE BIT_COUNT(XOR(sim_a, sim_b)) <= {sim_max_ham}
+"""
+
+    # ---- pixel-payload tier (closed-form fixture arithmetic in SQL) -----
+    # synth_px_tiles (corpus.py) is pure arithmetic: value
+    # f(s,col,row,band,r,c) = s*1000 + band*100 + col*7 + row*3 + r/2 + c/4
+    # + ((r*31+c*17)%13), NoData hole [h0,h0+16)^2 at h0=(s*11)%48, sources
+    # shifted east by one tile. All values are exact multiples of 1/4 far
+    # below 2^53, so every sum below is EXACT (order-independent) and the
+    # DuckDB recomputation hashes bit-identically.
+    _hole = lambda rr, cc: (f"{rr} >= (s*11)%48 AND {rr} < (s*11)%48+16 "  # noqa: E731
+                            f"AND {cc} >= (s*11)%48 AND {cc} < (s*11)%48+16")
+    _fval = lambda rr, cc: (f"CASE WHEN {_hole(rr, cc)} THEN -9999.0 ELSE "  # noqa: E731
+                            f"s*1000.0 + band*100.0 + (18+tc+s)*7.0 + (24+tr)*3.0 "
+                            f"+ ({rr})*0.5 + ({cc})*0.25 "
+                            f"+ CAST((({rr})*31 + ({cc})*17) % 13 AS DOUBLE) END")
+
+    o["pixel_mosaic_checksum"] = f"""
+WITH px AS (
+  SELECT s, 18+tc+s AS col, 24+tr AS row, band, r, c, {_fval('r', 'c')} AS val
+  FROM range(0,3) ss(s), range(0,4) tcs(tc), range(0,4) trs(tr),
+       range(0,2) bs(band), range(0,64) rs(r), range(0,64) cs(c)
+), merged AS (
+  -- first-non-NoData wins, left-biased by source order
+  -- (MosaicRasterSource.scala:121-131)
+  SELECT col, row, band, r, c,
+         COALESCE(ARG_MIN(CASE WHEN val <> -9999.0 THEN val END,
+                          CASE WHEN val <> -9999.0 THEN s END), -9999.0) AS mval
+  FROM px GROUP BY col, row, band, r, c
+)
+SELECT 'merged' AS source_id,
+       SUM(CASE WHEN mval <> -9999.0 THEN mval END) AS px_sum,
+       COUNT(CASE WHEN mval <> -9999.0 THEN 1 END) AS px_count
+FROM merged
+"""
+
+    # Warp chain: convert(float32) is lossless on this fixture (quarters
+    # below 2^22); bilinear at the exact 2x ratio degenerates to the 2x2
+    # block mean (fr = 2*r2+0.5 -> w = 0.5); the mercator region reproject
+    # is the INDEX IDENTITY here (verified: uniform-mercator target centers
+    # land in their own source row at zoom-6 rows 24..27 with 32-px tiles),
+    # so the checksum is exactly the post-resample checksum.
+    _q = lambda rr, cc: f"CAST(CAST({_fval(rr, cc)} AS REAL) AS DOUBLE)"  # noqa: E731
+    o["pixel_warp_chain"] = f"""
+WITH px AS (
+  SELECT s, band, tc, tr, r2, c2,
+    ({_q('2*r2', '2*c2')} + {_q('2*r2', '2*c2+1')}
+     + {_q('2*r2+1', '2*c2')} + {_q('2*r2+1', '2*c2+1')}) / 4.0 AS v
+  FROM range(0,3) ss(s), range(0,2) bs(band), range(0,4) tcs(tc),
+       range(0,4) trs(tr), range(0,32) rs(r2), range(0,32) cs(c2)
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       SUM(CASE WHEN v <> -9999.0 THEN v END) AS px_sum,
+       COUNT(CASE WHEN v <> -9999.0 THEN 1 END) AS px_count
+FROM px GROUP BY 1
+"""
+
+    # polygon burn: cover tiles of each hot-cluster box at zoom 9 (box
+    # exact-cover == bbox cover), count pixel centers inside ANY box
+    # (burn overwrite => n_burned = |union|); cover tiles whose centers all
+    # miss still emit a row with n_burned = 0.
+    _pb_lat = lambda rr: (f"DEGREES(ATAN((EXP(PI()*(1.0-2.0*({rr})/512.0)) "  # noqa: E731
+                          f"- EXP(-(PI()*(1.0-2.0*({rr})/512.0))))/2.0))")
+    _pb_c0 = C.sql_tile_col("p.xmin", 9)
+    _pb_c1 = C.sql_tile_col("p.xmax", 9)
+    _pb_r0 = C.sql_tile_row("p.ymax", 9)
+    _pb_r1 = C.sql_tile_row("p.ymin", 9)
+    o["polygon_burn"] = f"""
+{derive.cte('polygon_boxes')},
+p AS (SELECT * FROM polygon_boxes WHERE poly_id LIKE 'poly-r%'),
+cov AS (
+  SELECT DISTINCT col, row FROM p,
+    LATERAL (SELECT UNNEST(RANGE({_pb_c0}, {_pb_c1}+1)) AS col),
+    LATERAL (SELECT UNNEST(RANGE({_pb_r0}, {_pb_r1}+1)) AS row)
+), pxg AS (
+  SELECT col, row, r, c,
+    CAST(col AS DOUBLE)/512.0*360.0-180.0
+      + (c+0.5)*360.0/512.0/64.0 AS px,
+    {_pb_lat('CAST(row AS DOUBLE)')}
+      - (r+0.5)*({_pb_lat('CAST(row AS DOUBLE)')} - {_pb_lat('CAST(row AS DOUBLE)+1.0')})/64.0 AS py
+  FROM cov, range(0,64) rr(r), range(0,64) cc(c)
+), burned AS (
+  SELECT g.col, g.row, g.r, g.c
+  FROM pxg g JOIN p ON g.px >= p.xmin AND g.px < p.xmax
+                   AND g.py >= p.ymin AND g.py < p.ymax
+  GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(9 AS INT) AS zoom, cov.col, cov.row,
+       COALESCE(b.nb, 0) AS n_burned
+FROM cov LEFT JOIN (SELECT col, row, CAST(COUNT(*) AS BIGINT) AS nb
+                    FROM burned GROUP BY 1, 2) b USING (col, row)
 """
 
     o["pricing_summary"] = """

@@ -355,28 +355,37 @@ def segments_intersect_boxes(x1, y1, x2, y2, bxmin, bymin, bxmax, bymax):
 
 def polygon_intersects_boxes(rings, bxmin, bymin, bxmax, bymax):
     """Exact polygon-vs-AABB intersection for a batch of boxes: true iff a
-    box corner lies in the polygon, a polygon vertex lies in the box, or an
-    exterior-ring edge crosses the box. Used by keys-for-polygon cover-cell
-    enumeration (tighter than bbox cover for sprawling shapes)."""
+    box corner lies in the polygon, a polygon vertex lies in the box, or a
+    ring edge crosses the box. ALL rings participate in the vertex/edge
+    tests — a hole boundary IS polygon boundary, so a box intersecting only
+    a hole's edge still intersects the (closed) polygon; a box strictly
+    inside a hole hits none of the tests. With all four corners tested the
+    decomposition is exhaustive: overlap with no boundary-in-box and no
+    polygon-vertex-in-box forces a box corner inside the polygon. Used by
+    keys-for-polygon cover-cell enumeration (tighter than bbox cover)."""
     bxmin = np.asarray(bxmin, dtype=np.float64)
     bymin = np.asarray(bymin, dtype=np.float64)
     bxmax = np.asarray(bxmax, dtype=np.float64)
     bymax = np.asarray(bymax, dtype=np.float64)
     hit = np.zeros(bxmin.shape, dtype=bool)
-    # box center (or any corner) inside the polygon (handles box-in-polygon)
-    for cx, cy in ((bxmin, bymin), (bxmax, bymax), ((bxmin + bxmax) / 2, (bymin + bymax) / 2)):
+    # any box corner (or the center, for degenerate touching) in the polygon
+    for cx, cy in ((bxmin, bymin), (bxmin, bymax), (bxmax, bymin), (bxmax, bymax),
+                   ((bxmin + bxmax) / 2, (bymin + bymax) / 2)):
         hit |= point_in_polygon(cx, cy, rings)
-    ext = np.asarray(rings[0], dtype=np.float64)
-    if len(ext) >= 2 and np.array_equal(ext[0], ext[-1]):
-        ext = ext[:-1]
-    # any polygon vertex inside a box (polygon-in-box)
-    vx, vy = ext[:, 0][:, None], ext[:, 1][:, None]
-    hit |= ((vx >= bxmin[None, :]) & (vx <= bxmax[None, :])
-            & (vy >= bymin[None, :]) & (vy <= bymax[None, :])).any(axis=0)
-    # any exterior edge crossing a box
-    x2, y2 = np.roll(ext[:, 0], -1), np.roll(ext[:, 1], -1)
-    hit |= segments_intersect_boxes(ext[:, 0], ext[:, 1], x2, y2,
-                                    bxmin, bymin, bxmax, bymax).any(axis=0)
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if len(r) >= 2 and np.array_equal(r[0], r[-1]):
+            r = r[:-1]
+        if len(r) == 0:
+            continue
+        # any ring vertex inside a box (polygon-in-box / hole boundary in box)
+        vx, vy = r[:, 0][:, None], r[:, 1][:, None]
+        hit |= ((vx >= bxmin[None, :]) & (vx <= bxmax[None, :])
+                & (vy >= bymin[None, :]) & (vy <= bymax[None, :])).any(axis=0)
+        # any ring edge crossing a box
+        x2, y2 = np.roll(r[:, 0], -1), np.roll(r[:, 1], -1)
+        hit |= segments_intersect_boxes(r[:, 0], r[:, 1], x2, y2,
+                                        bxmin, bymin, bxmax, bymax).any(axis=0)
     return hit
 
 

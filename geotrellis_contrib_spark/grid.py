@@ -180,11 +180,13 @@ def neighbor_ring(zoom, col, row, ring=1):
 
 
 def morton_interleave(col, row):
-    """Z-order (Morton) interleave of two <=2^31 coords — locality-preserving
-    sort key for range-partitioning tile tables. Vectorized int64."""
+    """Z-order (Morton) interleave of two < 2^31 coords — locality-preserving
+    sort key for range-partitioning tile tables. Vectorized int64. Inputs are
+    masked to 31 bits so the packed key never sets bit 63 (a negative int64
+    would sort before positives and break the z-order)."""
     def _spread(v):
         v = np.asarray(v, dtype=np.uint64)
-        v &= np.uint64(0xFFFFFFFF)
+        v &= np.uint64(0x7FFFFFFF)
         v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
         v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
         v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)

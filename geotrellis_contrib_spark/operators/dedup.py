@@ -90,14 +90,25 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
-                  threshold: float = 0.6) -> DataFrame:
+                  threshold: float = 0.6, max_df: int | None = None) -> DataFrame:
     """All doc pairs with shingle-set Jaccard >= threshold.
 
     inter/union via the hashed-shingle equi-join (single-long shuffle key,
     uniform distribution); the threshold filter is integer cross-multiplied
     so no float compare. Output: (doc_a, doc_b, inter, size_a, size_b,
-    jaccard) over the hashed shingle sets."""
+    jaccard) over the hashed shingle sets.
+
+    ``max_df`` caps shingle DOCUMENT FREQUENCY before the pair join: a
+    boilerplate shingle shared by D docs contributes D^2 join rows, so one
+    hot shingle at 10^6 docs is 10^12 rows — the standard stop-shingle
+    filter bounds every shingle's fan-out to max_df^2. Dropped shingles
+    leave the set universe entirely (sizes shrink consistently), the
+    MinHash-era convention; LSH remains the preferred path at scale."""
     sh = shingle_hashes(df, text_col, n)
+    if max_df is not None:
+        keep = sh.groupBy("sh").agg(F.count("*").alias("_df")) \
+                 .filter(F.col("_df") <= max_df).select("sh")
+        sh = sh.join(keep, "sh", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
@@ -176,12 +187,24 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     return bitsum.groupBy("doc_id").agg(F.sum(bitval).alias("simhash"))
 
 
-def simhash_near_pairs(sims: DataFrame, max_hamming: int = 8,
-                       band_bits: int = 16) -> DataFrame:
-    """Near-dup pairs by SimHash: candidates share one of the 64/band_bits
-    bit-bands (pigeonhole guarantees recall for hamming < n_bands), then the
-    exact popcount(xor) filter. Output: (doc_a, doc_b, hamming)."""
+def simhash_near_pairs(sims: DataFrame, max_hamming: int = 7,
+                       band_bits: int = 6) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share one of the
+    SIMHASH_BITS/band_bits bit-bands, then the exact popcount(xor) filter.
+    Output: (doc_a, doc_b, hamming).
+
+    RECALL GUARANTEE (pigeonhole): a pair at hamming distance h differs in
+    at most h bands, so it shares an unchanged band — and is guaranteed to
+    surface — iff n_bands > h. The constructor ENFORCES n_bands >
+    max_hamming (r1 shipped 3x16-bit bands with max_hamming=8, silently
+    missing pairs that differed in all 3 bands). Default 8 bands x 6 bits
+    covers hamming <= 7 with 64 buckets per band; fewer bits per band buys
+    a larger guaranteed radius at the cost of bigger candidate buckets."""
     n_bands = SIMHASH_BITS // band_bits
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"recall hole: {n_bands} bands of {band_bits} bits cannot "
+            f"guarantee hamming <= {max_hamming} (need n_bands > max_hamming)")
     mask = (1 << band_bits) - 1
     bands = F.array(*[F.struct(
         F.lit(bi).alias("band_idx"),

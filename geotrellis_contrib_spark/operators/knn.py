@@ -23,8 +23,6 @@ queries (a tiny, shrinking side).
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -103,11 +101,29 @@ def knn_join_iterative(queries: DataFrame, points: DataFrame, k: int, zoom: int,
                        query_id=qid, qlon=names.get("qlon", "qlon"),
                        qlat=qlat, point_id=names.get("point_id", "doc_id"),
                        lon=names.get("lon", "lon"), lat=names.get("lat", "lat"))
-        # ring guarantee in degrees at the query's latitude (conservative cos)
-        guard = res.groupBy("query_id").agg(F.max("dist").alias("kth"), F.count("*").alias("nres"))
-        lat_bound = 66.0
-        covered_deg = ring * 360.0 / (1 << zoom) * math.cos(math.radians(lat_bound))
-        ok_ids = guard.filter((F.col("nres") >= k) & (F.col("kth") <= covered_deg)) \
+        # Exact per-query ring guarantee: any point OUTSIDE the ring region
+        # differs from the query by >= gx in lon OR >= gy in lat, so its
+        # planar distance is >= min(gx, gy_north, gy_south). gx is the
+        # wrap-safe lon bound (ring whole tiles); gy_* are the actual lat
+        # gaps to the region's north/south tile boundaries at the query's
+        # row — exact at any latitude (the old fixed cos(66 deg) bound was
+        # unsound above 66 deg where tiles are shorter than it assumed).
+        n = 1 << zoom
+        qb = (remaining.select(F.col(qid).alias("query_id"),
+                               F.col(qlat).alias("_qlat"))
+              .withColumn("_qrow", C.tile_row(F.col("_qlat"), zoom)))
+        inf = F.lit(1e9)
+        gx = F.lit(ring * 360.0 / n)
+        gy_n = F.when(F.col("_qrow") - ring <= 0, inf).otherwise(
+            C.tile_ymax(F.lit(zoom), F.col("_qrow") - ring) - F.col("_qlat"))
+        gy_s = F.when(F.col("_qrow") + ring >= n - 1, inf).otherwise(
+            F.col("_qlat") - C.tile_ymin(F.lit(zoom), F.col("_qrow") + ring))
+        qb = qb.withColumn("_covered", F.least(gx, gy_n, gy_s)) \
+               .select("query_id", "_covered")
+        guard = res.groupBy("query_id") \
+                   .agg(F.max("dist").alias("kth"), F.count("*").alias("nres")) \
+                   .join(qb, "query_id")
+        ok_ids = guard.filter((F.col("nres") >= k) & (F.col("kth") <= F.col("_covered"))) \
                       .select("query_id")
         done_parts.append(res.join(F.broadcast(ok_ids), "query_id", "left_semi"))
         remaining = remaining.join(F.broadcast(ok_ids),

@@ -70,12 +70,15 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                dec = DECODERS[r.kind](bytes(r.payload))
+            for doc_id, span_idx, media_ref, kind, payload in zip(
+                    pdf["doc_id"].to_numpy(), pdf["span_idx"].to_numpy(),
+                    pdf["media_ref"].to_numpy(), pdf["kind"].to_numpy(),
+                    pdf["payload"].to_numpy()):
+                dec = DECODERS[kind](bytes(payload))
                 flat = dec.astype(np.float64).ravel()
                 chunks = np.array_split(flat, dim)
-                rows.append({"doc_id": r.doc_id, "span_idx": int(r.span_idx),
-                             "media_ref": r.media_ref, "kind": r.kind,
+                rows.append({"doc_id": doc_id, "span_idx": int(span_idx),
+                             "media_ref": media_ref, "kind": kind,
                              "feature": [float(c.mean()) for c in chunks]})
             yield pd.DataFrame(rows, columns=["doc_id", "span_idx", "media_ref",
                                               "kind", "feature"])
@@ -93,9 +96,9 @@ def resize_images(media: DataFrame, h: int, w: int) -> DataFrame:
         from geotrellis_contrib_spark.operators.pixels import k_resample_nearest
         for pdf in batches:
             outs = []
-            for _, r in pdf.iterrows():
-                dec = DECODERS[r.kind](bytes(r.payload))
-                if r.kind == "image":
+            for kind, payload in zip(pdf["kind"].to_numpy(), pdf["payload"].to_numpy()):
+                dec = DECODERS[kind](bytes(payload))
+                if kind == "image":
                     out = k_resample_nearest(dec, h, w)
                 else:  # frame/sample decimation
                     out = dec[::4]

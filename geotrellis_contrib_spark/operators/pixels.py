@@ -167,8 +167,9 @@ def map_tiles(tiles: DataFrame, kernel: Callable[[np.ndarray, pd.Series], np.nda
         for pdf in batches:
             if len(pdf):
                 px, dt = [], []
-                for _, r in pdf.iterrows():
-                    arr = unpack(r.px, r["dtype"], tile_size)
+                # itertuples, never iterrows: no per-row Series materialization
+                for r in pdf.itertuples(index=False):
+                    arr = unpack(r.px, r.dtype, tile_size)
                     out = kernel(arr, r)
                     px.append(pack(out))
                     dt.append(out_dtype or str(out.dtype))
@@ -239,15 +240,70 @@ def reproject_to_mercator(tiles: DataFrame, tile_size: int = TILE_SIZE) -> DataF
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             px_out, bounds = [], []
-            for _, r in pdf.iterrows():
-                arr = unpack(r.px, r["dtype"], tile_size).astype(np.float64)
-                x0, y0 = G.lonlat_to_mercator(r.txmin, r.tymin)
-                x1, y1 = G.lonlat_to_mercator(r.txmax, r.tymax)
+            for blob, dt, nd, tx0, ty0, tx1, ty1 in zip(
+                    pdf["px"].to_numpy(), pdf["dtype"].to_numpy(),
+                    pdf["nodata"].to_numpy(), pdf["txmin"].to_numpy(),
+                    pdf["tymin"].to_numpy(), pdf["txmax"].to_numpy(),
+                    pdf["tymax"].to_numpy()):
+                arr = unpack(blob, dt, tile_size).astype(np.float64)
+                x0, y0 = G.lonlat_to_mercator(tx0, ty0)
+                x1, y1 = G.lonlat_to_mercator(tx1, ty1)
                 dst_ext = (float(x0), float(y0), float(x1), float(y1))
                 out = k_reproject_nearest(
-                    arr, (r.txmin, r.tymin, r.txmax, r.tymax), dst_ext,
+                    arr, (tx0, ty0, tx1, ty1), dst_ext,
                     (tile_size, tile_size),
-                    lambda mx, my: G.mercator_to_lonlat(mx, my), r.nodata)
+                    lambda mx, my: G.mercator_to_lonlat(mx, my), nd)
+                px_out.append(pack(out))
+                bounds.append(dst_ext)
+            pdf = pdf.assign(px=px_out, dtype="float64")
+            pdf["mx_min"] = [b[0] for b in bounds]
+            pdf["my_min"] = [b[1] for b in bounds]
+            pdf["mx_max"] = [b[2] for b in bounds]
+            pdf["my_max"] = [b[3] for b in bounds]
+            yield pdf
+
+    return t.mapInPandas(run, out_schema)
+
+
+def warp_chain_to_mercator(tiles: DataFrame, target_dtype: str, out_size: int,
+                           method: str = "bilinear",
+                           tile_size: int = TILE_SIZE) -> DataFrame:
+    """FUSED convert -> resample -> region-reproject(4326->3857) in ONE
+    mapInPandas stage — the engine analog of GDAL warp-option composition
+    (GDALRasterSource.scala:114-126): three kernels composed in Python cost
+    a single Arrow hop instead of three. Semantics identical to
+    convert(target_dtype) |> resample(out_size, method) |>
+    reproject_to_mercator. Output: input columns (px at out_size, dtype
+    float64) + mercator extent columns."""
+    from geotrellis_contrib_spark import grid as G
+    from geotrellis_contrib_spark.functions import cells as C
+
+    resample_k = RESAMPLE_KERNELS[method]
+    t = (tiles
+         .withColumn("txmin", C.tile_xmin(F.col("zoom"), F.col("col")))
+         .withColumn("txmax", C.tile_xmax(F.col("zoom"), F.col("col")))
+         .withColumn("tymin", C.tile_ymin(F.col("zoom"), F.col("row")))
+         .withColumn("tymax", C.tile_ymax(F.col("zoom"), F.col("row"))))
+    out_schema = (", ".join(f"{f.name} {f.dataType.simpleString()}" for f in t.schema)
+                  + ", mx_min double, my_min double, mx_max double, my_max double")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            px_out, bounds = [], []
+            for blob, dt, nd, tx0, ty0, tx1, ty1 in zip(
+                    pdf["px"].to_numpy(), pdf["dtype"].to_numpy(),
+                    pdf["nodata"].to_numpy(), pdf["txmin"].to_numpy(),
+                    pdf["tymin"].to_numpy(), pdf["txmax"].to_numpy(),
+                    pdf["tymax"].to_numpy()):
+                arr = unpack(blob, dt, tile_size)
+                arr = k_convert(arr, nd, target_dtype)
+                arr = resample_k(arr, out_size, out_size).astype(np.float64)
+                x0, y0 = G.lonlat_to_mercator(tx0, ty0)
+                x1, y1 = G.lonlat_to_mercator(tx1, ty1)
+                dst_ext = (float(x0), float(y0), float(x1), float(y1))
+                out = k_reproject_nearest(
+                    arr, (tx0, ty0, tx1, ty1), dst_ext, (out_size, out_size),
+                    lambda mx, my: G.mercator_to_lonlat(mx, my), nd)
                 px_out.append(pack(out))
                 bounds.append(dst_ext)
             pdf = pdf.assign(px=px_out, dtype="float64")
@@ -297,18 +353,21 @@ def read_window(tiles: DataFrame, bounds: tuple[int, int, int, int],
     def crop(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                arr = unpack(r.px, r["dtype"], tile_size)
-                gx0, gy0 = int(r.col) * tile_size, int(r.row) * tile_size
+            for sid, band, col, row, dt, blob in zip(
+                    pdf["source_id"].to_numpy(), pdf["band"].to_numpy(),
+                    pdf["col"].to_numpy(), pdf["row"].to_numpy(),
+                    pdf["dtype"].to_numpy(), pdf["px"].to_numpy()):
+                arr = unpack(blob, dt, tile_size)
+                gx0, gy0 = int(col) * tile_size, int(row) * tile_size
                 c0 = max(cmin - gx0, 0)
                 c1 = min(cmax - gx0, tile_size - 1)
                 r0 = max(rmin - gy0, 0)
                 r1 = min(rmax - gy0, tile_size - 1)
                 sub = arr[r0:r1 + 1, c0:c1 + 1]
-                rows.append({"source_id": r.source_id, "band": int(r.band),
+                rows.append({"source_id": sid, "band": int(band),
                              "px_col_min": gx0 + c0, "px_row_min": gy0 + r0,
                              "h": sub.shape[0], "w": sub.shape[1],
-                             "dtype": r["dtype"], "px": pack(sub)})
+                             "dtype": dt, "px": pack(sub)})
             yield pd.DataFrame(rows, columns=["source_id", "band", "px_col_min",
                                               "px_row_min", "h", "w", "dtype", "px"])
 
@@ -345,15 +404,18 @@ def build_pixel_pyramid_level(tiles: DataFrame, tile_size: int = TILE_SIZE) -> D
         nd = float(first.nodata)
         half = tile_size // 2
         panel = np.full((tile_size, tile_size), np.nan)
-        for _, r in pdf.iterrows():
-            arr = unpack(r.px, r["dtype"], tile_size).astype(np.float64)
-            arr = np.where(np.isclose(arr, r.nodata), np.nan, arr)
+        for blob, dt, nd_i, col, row in zip(
+                pdf["px"].to_numpy(), pdf["dtype"].to_numpy(),
+                pdf["nodata"].to_numpy(), pdf["col"].to_numpy(),
+                pdf["row"].to_numpy()):
+            arr = unpack(blob, dt, tile_size).astype(np.float64)
+            arr = np.where(np.isclose(arr, nd_i), np.nan, arr)
             # NoData-aware 2x downsample of the child into its quadrant
             blocks = arr.reshape(half, 2, half, 2)
             with np.errstate(invalid="ignore"):
                 ds = np.nanmean(blocks, axis=(1, 3))
-            qr = int(r.row % 2) * half
-            qc = int(r.col % 2) * half
+            qr = int(row % 2) * half
+            qc = int(col % 2) * half
             panel[qr:qr + half, qc:qc + half] = ds
         out = np.where(np.isnan(panel), nd, panel)
         return pd.DataFrame([{
@@ -374,10 +436,12 @@ def read_cells_checksum(tiles: DataFrame, tile_size: int = TILE_SIZE) -> DataFra
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                arr = unpack(r.px, r["dtype"], tile_size).astype(np.float64)
-                valid = ~np.isclose(arr, r.nodata) & ~np.isnan(arr)
-                out.append({"source_id": r.source_id,
+            for sid, blob, dt, nd in zip(
+                    pdf["source_id"].to_numpy(), pdf["px"].to_numpy(),
+                    pdf["dtype"].to_numpy(), pdf["nodata"].to_numpy()):
+                arr = unpack(blob, dt, tile_size).astype(np.float64)
+                valid = ~np.isclose(arr, nd) & ~np.isnan(arr)
+                out.append({"source_id": sid,
                             "px_sum": float(arr[valid].sum()),
                             "px_count": int(valid.sum())})
             yield pd.DataFrame(out, columns=["source_id", "px_sum", "px_count"])
@@ -407,12 +471,13 @@ def zonal_stats_pixels(tiles: DataFrame, boxes: DataFrame,
                   "inner")
 
     def px_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base = np.arange(tile_size) + 0.5
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                arr = unpack(r.px, r["dtype"], tile_size).astype(np.float64)
-                xs = r.txmin + (np.arange(tile_size) + 0.5) * (r.txmax - r.txmin) / tile_size
-                ys = r.tymax - (np.arange(tile_size) + 0.5) * (r.tymax - r.tymin) / tile_size
+            for r in pdf.itertuples(index=False):
+                arr = unpack(r.px, r.dtype, tile_size).astype(np.float64)
+                xs = r.txmin + base * (r.txmax - r.txmin) / tile_size
+                ys = r.tymax - base * (r.tymax - r.tymin) / tile_size
                 gx, gy = np.meshgrid(xs, ys)
                 m = ((gx >= r.xmin) & (gx < r.xmax) & (gy >= r.ymin) & (gy < r.ymax)
                      & ~np.isclose(arr, r.nodata) & ~np.isnan(arr))
@@ -455,17 +520,18 @@ def zonal_stats_pixels_wkb(tiles: DataFrame, polygons: DataFrame,
 
     def px_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         poly_cache: dict[bytes, list] = {}
+        base = np.arange(tile_size) + 0.5
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            for r in pdf.itertuples(index=False):
                 blob = bytes(r.wkb)
                 rings = poly_cache.get(blob)
                 if rings is None:
                     rings = GM.wkb_decode(blob)["coords"]
                     poly_cache[blob] = rings
-                arr = unpack(r.px, r["dtype"], tile_size).astype(np.float64)
-                xs = r.txmin + (np.arange(tile_size) + 0.5) * (r.txmax - r.txmin) / tile_size
-                ys = r.tymax - (np.arange(tile_size) + 0.5) * (r.tymax - r.tymin) / tile_size
+                arr = unpack(r.px, r.dtype, tile_size).astype(np.float64)
+                xs = r.txmin + base * (r.txmax - r.txmin) / tile_size
+                ys = r.tymax - base * (r.tymax - r.tymin) / tile_size
                 gx, gy = np.meshgrid(xs, ys)
                 m = GM.point_in_polygon(gx.ravel(), gy.ravel(), rings).reshape(gx.shape)
                 m &= ~np.isclose(arr, r.nodata) & ~np.isnan(arr)
@@ -518,10 +584,11 @@ def rasterize_polygons(polygons: DataFrame, zoom: int, tile_size: int = TILE_SIZ
         ys = ymax - (np.arange(tile_size) + 0.5) * (ymax - ymin) / tile_size
         gx, gy = np.meshgrid(xs, ys)
         out = np.full((tile_size, tile_size), nodata)
-        for _, r in pdf.sort_values("poly_id").iterrows():
-            rings = GM.wkb_decode(bytes(r.wkb))["coords"]
+        s = pdf.sort_values("poly_id")
+        for blob, v in zip(s["wkb"].to_numpy(), s[value_col].to_numpy()):
+            rings = GM.wkb_decode(bytes(blob))["coords"]
             m = GM.point_in_polygon(gx.ravel(), gy.ravel(), rings).reshape(gx.shape)
-            out[m] = float(r[value_col])
+            out[m] = float(v)
         return pd.DataFrame([{
             "zoom": zoom, "col": col, "row": row,
             "px": pack(out), "n_burned": int((out != nodata).sum()),

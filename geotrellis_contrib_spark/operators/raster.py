@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from geotrellis_contrib_spark.functions import geometry as G
@@ -53,20 +53,26 @@ def mosaic_merge(tiles: DataFrame,
     bias by explicit source order (deterministic re-expression of the
     left-biased merge at MosaicRasterSource.scala:121-131).
 
-    One shuffle on the tile key; rank via window (map-side combine doesn't
-    apply to row_number, but AQE coalesces; for pixel payloads the same key
-    grouping feeds applyInPandas in operators.pixels).
+    Implemented as min(struct(...)) — a declarative aggregate that PARTIAL-
+    aggregates map-side, so each mapper ships at most one candidate row per
+    tile key instead of every source row through the shuffle (a row_number
+    window would shuffle + sort the whole table). Ordering key:
+    (val-is-null, source order, val nulls-last); remaining columns ride
+    along in a nested struct and double as the final tie-break, making the
+    winner fully deterministic.
     """
-    w = Window.partitionBy(*key_cols).orderBy(
-        F.when(F.col(val_col).isNull(), F.lit(1)).otherwise(F.lit(0)).asc(),
-        F.col(order_col).asc(),
-        # final tie-break for duplicate (key, source) rows: the merged VALUE
-        # is then unique even though the winning row id is arbitrary
-        F.col(val_col).asc_nulls_last(),
-    )
-    return (tiles.withColumn("_rn", F.row_number().over(w))
-                 .filter(F.col("_rn") == 1)
-                 .drop("_rn"))
+    null_flag = F.when(F.col(val_col).isNull(), F.lit(1)).otherwise(F.lit(0))
+    # +inf stands in for NULL so the ordering matches asc_nulls_last
+    ord_val = F.coalesce(F.col(val_col).cast("double"), F.lit(float("inf")))
+    rest = [c for c in tiles.columns if c not in key_cols]
+    win = F.min(F.struct(
+        null_flag.alias("_nf"),
+        F.col(order_col).alias("_ord"),
+        ord_val.alias("_ov"),
+        F.struct(*[F.col(c) for c in rest]).alias("_row"),
+    ))
+    out = tiles.groupBy(*[F.col(c) for c in key_cols]).agg(win.alias("_w"))
+    return out.select(*key_cols, *[F.col(f"_w._row.{c}").alias(c) for c in rest])
 
 
 def zonal_stats(tiles: DataFrame, boxes: DataFrame,

@@ -61,8 +61,11 @@ def windows_tiles_join(windows: DataFrame, tiles: DataFrame, zoom: int,
     if broadcast_windows:
         keys = F.broadcast(keys)
     # single-long cell key on both sides (LongHashedRelation fast path);
-    # the tile side derives it narrowly from its own (zoom, col, row)
-    keyed_tiles = tiles.withColumn(
+    # the tile side derives it narrowly from its own (zoom, col, row).
+    # Tiles are filtered to THIS zoom first — on a multi-zoom table (e.g.
+    # with pyramid levels appended) other zooms would otherwise be keyed
+    # with the wrong zoom bits and could spuriously match windows.
+    keyed_tiles = tiles.filter(F.col("zoom") == zoom).withColumn(
         "cell", C.cell_id(F.lit(zoom), F.col("col"), F.col("row")))
     return keys.join(keyed_tiles, "cell", "inner").drop("cell")
 

@@ -91,8 +91,10 @@ def run_stage(spark: SparkSession, df: DataFrame, *, output_root: str,
     store = MetadataStore(spark, output_root)
 
     key = F.col(key_col)
-    bucket = (F.abs(F.hash(key.cast("string"))) if df.schema[key_col].dataType.typeName() == "string"
-              else F.abs(key.cast("long"))) % n_buckets
+    # pmod, not abs+%: Spark abs(Int/Long.MinValue) stays negative, which
+    # would yield a bucket no batch filter or watermark covers (silent drop)
+    bucket = F.pmod(F.hash(key.cast("string")) if df.schema[key_col].dataType.typeName() == "string"
+                    else key.cast("long"), F.lit(n_buckets))
     # NOTE on determinism: for string keys we fall back to Spark's hash() —
     # stable within a Spark major version; numeric keys use pure arithmetic.
     work = df.withColumn("_bucket", bucket.cast("int"))

@@ -1,0 +1,47 @@
+"""Dedup operator unit tests: simhash banding recall guarantee and the
+jaccard stop-shingle document-frequency cap (VERDICT r1 items 6-7)."""
+
+import pytest
+
+from geotrellis_contrib_spark.operators import dedup as dd
+
+
+def test_simhash_near_pairs_guard_rejects_recall_hole(spark):
+    sims = spark.createDataFrame([("a", 1), ("b", 2)], "doc_id string, simhash long")
+    # 3 bands of 16 bits cannot guarantee hamming <= 8 (the r1 bug)
+    with pytest.raises(ValueError, match="recall hole"):
+        dd.simhash_near_pairs(sims, max_hamming=8, band_bits=16)
+
+
+def test_simhash_near_pairs_planted_hamming6_found(spark):
+    # flip 6 bits spread across 6 DIFFERENT 6-bit bands (worst case for
+    # banding): bands 6 and 7 stay identical -> pigeonhole must surface it
+    base = 0x0000_5A5A_5A5A
+    flipped = base
+    for bit in (0, 6, 12, 18, 24, 30):
+        flipped ^= 1 << bit
+    sims = spark.createDataFrame(
+        [("a", base), ("b", flipped), ("far", base ^ ((1 << 40) - 1))],
+        "doc_id string, simhash long")
+    out = dd.simhash_near_pairs(sims, max_hamming=7, band_bits=6).collect()
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in out}
+    assert pairs.get(("a", "b")) == 6
+    assert ("a", "far") not in pairs and ("b", "far") not in pairs
+
+
+def test_jaccard_max_df_caps_hot_shingle(spark):
+    # 30 docs share the boilerplate prefix "a b c d e" (hot shingles with
+    # df=30); two docs are true exact dups of each other.
+    rows = [(f"doc-{i:02d}", f"a b c d e w{i} x{i} y{i}") for i in range(30)]
+    rows += [("dup-1", "p q r s t u v"), ("dup-2", "p q r s t u v")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    uncapped = dd.jaccard_pairs(docs, n=3, threshold=0.3).collect()
+    capped = dd.jaccard_pairs(docs, n=3, threshold=0.3, max_df=10).collect()
+    # without the cap the boilerplate makes every doc pair a candidate
+    assert len(uncapped) > len(capped)
+    # the true dup pair survives the cap (its shingles have df=2)
+    capped_pairs = {(r.doc_a, r.doc_b) for r in capped}
+    assert ("dup-1", "dup-2") in capped_pairs
+    # no boilerplate-only pair survives: every surviving pair has jaccard
+    # computed over CAPPED sets, so boilerplate docs share nothing
+    assert all("dup" in a or "dup" in b for a, b in capped_pairs)

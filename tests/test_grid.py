@@ -4,6 +4,7 @@ tile math plus the reference's grid semantics (SURVEY.md §2.4, §7)."""
 import numpy as np
 import pytest
 
+from geotrellis_contrib_spark import geom as GM
 from geotrellis_contrib_spark import grid
 
 
@@ -187,3 +188,30 @@ def test_select_overview():
     assert grid.select_overview(res, 3.0) == 1
     assert grid.select_overview(res, 100.0) == 3
     assert grid.select_overview(res, 0.5) == 0  # nothing fine enough -> finest
+
+
+def test_polygon_intersects_boxes_hole_boundary():
+    # ADVICE r1 repro: outer square with a diagonal-band hole. The box
+    # [3,9]^2 overlaps the polygon only via the hole's (non-convex) boundary
+    # neighborhood — all four box corners are inside the hole, so only the
+    # hole-ring edge test can catch it.
+    outer = [(0.0, 0.0), (20.0, 0.0), (20.0, 20.0), (0.0, 20.0), (0.0, 0.0)]
+    hole = [(1.0, 2.0), (18.0, 19.0), (19.0, 18.0), (2.0, 1.0), (1.0, 2.0)]
+    rings = [outer, hole]
+    hit = GM.polygon_intersects_boxes(rings, [3.0], [3.0], [9.0], [9.0])
+    assert hit[0]
+    # a box strictly inside a fat hole does NOT intersect
+    rings2 = [outer, [(5.0, 5.0), (15.0, 5.0), (15.0, 15.0), (5.0, 15.0), (5.0, 5.0)]]
+    assert not GM.polygon_intersects_boxes(rings2, [8.0], [8.0], [12.0], [12.0])[0]
+    # but one crossing the hole boundary does
+    assert GM.polygon_intersects_boxes(rings2, [3.0], [8.0], [8.0], [12.0])[0]
+
+
+def test_morton_non_negative_high_coords():
+    big = np.array([2**31 - 1, 2**30, 2**29], dtype=np.int64)
+    m = grid.morton_interleave(big, big)
+    assert (m >= 0).all()
+    # locality still ordered for adjacent high coords
+    a = grid.morton_interleave(np.array([2**30]), np.array([2**30]))[0]
+    b = grid.morton_interleave(np.array([2**30 + 1]), np.array([2**30]))[0]
+    assert 0 <= a < b

@@ -53,3 +53,21 @@ def test_iterative_exact_everywhere(spark, data):
         assert [p for p, _ in got[qid]] == [p for p, _ in expect], qid
         np.testing.assert_allclose([d for _, d in got[qid]],
                                    [d for _, d in expect], rtol=0, atol=0)
+
+
+def test_iterative_exact_high_latitude(spark):
+    # Above 66 deg the old fixed-cos guard over-promised coverage; the ring
+    # guarantee must come from the actual tile boundaries at the query's row.
+    pts = [(i, 10.0 + (i % 10) * 0.3, 78.0 + (i // 10) * 0.05) for i in range(100)]
+    # one far point the naive guard could wrongly exclude
+    pts.append((999, 14.0, 79.9))
+    points = spark.createDataFrame(pts, "doc_id long, lon double, lat double")
+    qs = [(1, 10.0, 78.0), (2, 14.0, 79.85)]
+    queries = spark.createDataFrame(qs, "query_id long, qlon double, qlat double")
+    res = knn_ops.knn_join_iterative(queries, points, k=K, zoom=ZOOM, max_ring=64)
+    oracle = _oracle(pts, qs, K)
+    got = {}
+    for r in res.orderBy("query_id", "rank").collect():
+        got.setdefault(r.query_id, []).append((r.point_id, r.dist))
+    for qid, expect in oracle.items():
+        assert [p for p, _ in got[qid]] == [p for p, _ in expect], qid
