@@ -82,6 +82,33 @@ def q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.floor(F.col("dist") * 10000.0 + 0.5).alias("dist_e4")))
 
 
+def q_pip_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large PIP join through the EXPLICIT skew machinery (the
+    north_star skew path): sampled per-cell histogram -> adaptive conjugate
+    salting -> SHUFFLED equi-join on the salted packed key (no broadcast;
+    the hot cluster puts ~30% of anchors in one zoom-6 cell, which an
+    unsalted shuffle would hand to a single task). Output rows are
+    identical to pip_join — the oracle is the same SQL."""
+    from geotrellis_contrib_spark.functions import geometry as G
+    from geotrellis_contrib_spark.operators import skew
+    _views(spark, sf_dir)
+    a = (spark.table("anchors")
+         .filter(F.col("lon").isNotNull())
+         .withColumn("cell", C.encode_point(F.col("lon"), F.col("lat"), 6)))
+    cov = sj.with_cover_cells(spark.table("polygon_boxes"), 6) \
+            .drop("cell_col", "cell_row")
+    hist = skew.cell_histogram(a, sample_frac=0.2, seed=7)
+    # rows_per_task sized so the hot cell salts even at test SF (the 100TB
+    # deployment value is ~2M; the mechanism is identical)
+    salts = skew.plan_salts(hist, rows_per_task=100)
+    joined = skew.salted_join(a, cov, salts, row_key="doc_id",
+                              broadcast_dim=False)
+    refined = joined.filter(
+        G.point_in_box(F.col("lon"), F.col("lat"),
+                       F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")))
+    return refined.select("doc_id", "poly_id")
+
+
 def q_haversine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spherical distance theta-join: hot-cluster anchor pairs within 10 km
     great-circle distance (haversine refine after the cell-ring join)."""
@@ -376,6 +403,26 @@ def q_polygon_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("zoom", "col", "row", "n_burned")
 
 
+def q_mosaic_merge_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-resolution mosaic merge: two 64-px sources + one 32-px source
+    over shared keys; coarser tiles resample (nearest) to the group's
+    finest grid before the left-biased first-non-NoData composite — the
+    reference's cell-size-mismatch behavior (MosaicRasterSource.scala:
+    121-146). Output: per-tile NoData-aware checksums (exact quarters ->
+    bit-stable). Oracle: the closed-form fixture on the target grids in
+    SQL (upsample = integer index halving)."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import pixels as px
+
+    t64 = corpus_mod.synth_px_tiles(spark, tile_size=64, n_sources=2) \
+                    .withColumn("tile_size", F.lit(64))
+    t32 = corpus_mod.synth_px_tiles(spark, tile_size=32, n_sources=3) \
+                    .filter(F.col("source_idx") == 2) \
+                    .withColumn("tile_size", F.lit(32))
+    merged = px.merge_tiles_multires(t64.unionByName(t32))
+    return px.tile_stats(merged).select("col", "row", "band", "px_sum", "px_count")
+
+
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis battery: token counts (ws + BPE-ish), quality ratios,
     language-ID heuristic, rolling-hash fingerprint — all JVM-side."""
@@ -472,6 +519,9 @@ FROM anchors a JOIN polygon_boxes p
   ON a.lon >= p.xmin AND a.lon < p.xmax AND a.lat >= p.ymin AND a.lat < p.ymax
 WHERE a.lon IS NOT NULL
 """
+
+    # the salted join is semantically the SAME join — one oracle text
+    o["pip_join_salted"] = o["pip_join"]
 
     dd = _dist_sql("a.lon", "a.lat", "b.lon", "b.lat")
     o["distance_join"] = f"""
@@ -773,6 +823,49 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM px GROUP BY 1
 """
 
+    # Mixed-resolution merge: the 32-px source's value formula uses ITS OWN
+    # r,c in [0,32) with hole h0=(2*11)%(32-16)=6; upsampled onto the 64
+    # target grid the sampled index is r//2 (nearest at an exact 2x ratio).
+    # cols: s0 spans 18..21, s1 19..22, s2 20..23 -> col 23 is 32-native.
+    _f32 = lambda rr, cc, col: (  # noqa: E731
+        f"CASE WHEN {rr} >= 6 AND {rr} < 22 AND {cc} >= 6 AND {cc} < 22 "
+        f"THEN -9999.0 ELSE 2000.0 + band*100.0 + ({col})*7.0 + (24+tr)*3.0 "
+        f"+ ({rr})*0.5 + ({cc})*0.25 "
+        f"+ CAST((({rr})*31 + ({cc})*17) % 13 AS DOUBLE) END")
+    _f64 = lambda: (  # noqa: E731
+        f"CASE WHEN {_hole('r', 'c')} THEN -9999.0 ELSE "
+        f"s*1000.0 + band*100.0 + (18+tc+s)*7.0 + (24+tr)*3.0 "
+        f"+ r*0.5 + c*0.25 + CAST((r*31 + c*17) % 13 AS DOUBLE) END")
+    o["mosaic_merge_multires"] = f"""
+WITH p64 AS (
+  SELECT s, 18+tc+s AS col, 24+tr AS row, band, r, c, {_f64()} AS val
+  FROM range(0,2) ss(s), range(0,4) tcs(tc), range(0,4) trs(tr),
+       range(0,2) bs(band), range(0,64) rs(r), range(0,64) cs(c)
+), p32up AS (
+  SELECT 2 AS s, 20+tc AS col, 24+tr AS row, band, r, c,
+         {_f32('(r//2)', '(c//2)', '20+tc')} AS val
+  FROM range(0,3) tcs(tc), range(0,4) trs(tr), range(0,2) bs(band),
+       range(0,64) rs(r), range(0,64) cs(c)
+), m64 AS (
+  SELECT col, row, band, r, c,
+         COALESCE(ARG_MIN(CASE WHEN val <> -9999.0 THEN val END,
+                          CASE WHEN val <> -9999.0 THEN s END), -9999.0) AS mval
+  FROM (SELECT * FROM p64 UNION ALL SELECT * FROM p32up)
+  GROUP BY col, row, band, r, c
+), native32 AS (
+  SELECT CAST(23 AS BIGINT) AS col, CAST(24+tr AS BIGINT) AS row, band,
+         {_f32('r', 'c', '23')} AS mval
+  FROM range(0,4) trs(tr), range(0,2) bs(band),
+       range(0,32) rs(r), range(0,32) cs(c)
+)
+SELECT col, row, CAST(band AS BIGINT) AS band,
+       SUM(CASE WHEN mval <> -9999.0 THEN mval END) AS px_sum,
+       COUNT(CASE WHEN mval <> -9999.0 THEN 1 END) AS px_count
+FROM (SELECT col, row, band, mval FROM m64
+      UNION ALL SELECT col, row, band, mval FROM native32)
+GROUP BY 1, 2, 3
+"""
+
     # polygon burn: cover tiles of each hot-cluster box at zoom 9 (box
     # exact-cover == bbox cover), count pixel centers inside ANY box
     # (burn overwrite => n_burned = |union|); cover tiles whose centers all
@@ -951,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_encode": q_cell_encode,
         "tile_assign": q_tile_assign,
         "pip_join": q_pip_join,
+        "pip_join_salted": q_pip_join_salted,
         "distance_join": q_distance_join,
         "haversine_pairs": q_haversine_pairs,
         "knn": q_knn,
@@ -975,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_events": q_windowed_events,
         "text_features": q_text_features,
         "pixel_mosaic_checksum": q_pixel_mosaic_checksum,
+        "mosaic_merge_multires": q_mosaic_merge_multires,
         "polygon_burn": q_polygon_burn,
         "pixel_warp_chain": q_pixel_warp_chain,
         "embed_topk": q_embed_topk,

@@ -121,6 +121,47 @@ def k_reproject_nearest(arr: np.ndarray, src_extent, dst_extent, dst_shape,
     return out
 
 
+def k_reproject_bilinear(arr: np.ndarray, src_extent, dst_extent, dst_shape,
+                         fwd: Callable, nodata: float) -> np.ndarray:
+    """Bilinear region reproject: like :func:`k_reproject_nearest` but each
+    target pixel interpolates the 2x2 source-pixel neighborhood around its
+    back-transformed center (the caller-chosen ResampleMethod of
+    GeoTiffReprojectRasterSource.scala:43,143-152), edge-clamped to the
+    window. Outside-footprint pixels become nodata. float64 out."""
+    sxmin, symin, sxmax, symax = src_extent
+    dxmin, dymin, dxmax, dymax = dst_extent
+    drows, dcols = dst_shape
+    xs = dxmin + (np.arange(dcols) + 0.5) * (dxmax - dxmin) / dcols
+    ys = dymax - (np.arange(drows) + 0.5) * (dymax - dymin) / drows
+    gx, gy = np.meshgrid(xs, ys)
+    sx, sy = fwd(gx, gy)
+    rows, cols = arr.shape
+    cw = (sxmax - sxmin) / cols
+    ch = (symax - symin) / rows
+    # footprint ownership = the center's containing source pixel, the SAME
+    # test k_reproject_nearest uses — per-tile reprojection then assigns
+    # every target pixel to exactly one source tile (no boundary duplicates)
+    ci = np.floor((sx - sxmin) / cw)
+    ri = np.floor((symax - sy) / ch)
+    inside = (ci >= 0) & (ci < cols) & (ri >= 0) & (ri < rows)
+    fc = (sx - sxmin) / cw - 0.5
+    fr = (symax - sy) / ch - 0.5
+    a = arr.astype(np.float64)
+    c0 = np.clip(np.floor(fc).astype(np.int64), 0, cols - 1)
+    r0 = np.clip(np.floor(fr).astype(np.int64), 0, rows - 1)
+    c1 = np.clip(c0 + 1, 0, cols - 1)
+    r1 = np.clip(r0 + 1, 0, rows - 1)
+    wc = np.clip(fc - np.floor(fc), 0.0, 1.0)
+    wr = np.clip(fr - np.floor(fr), 0.0, 1.0)
+    top = a[r0, c0] * (1 - wc) + a[r0, c1] * wc
+    bot = a[r1, c0] * (1 - wc) + a[r1, c1] * wc
+    out = np.where(inside, top * (1 - wr) + bot * wr, nodata)
+    return out
+
+
+REPROJECT_KERNELS = {"nearest": k_reproject_nearest, "bilinear": k_reproject_bilinear}
+
+
 def k_merge(stack: list[np.ndarray], nodatas: list[float],
             strategy: str = "first") -> np.ndarray:
     """Per-pixel NoData-aware composite across sources.
@@ -216,6 +257,65 @@ def merge_tiles(tiles: DataFrame, tile_size: int = TILE_SIZE,
     return tiles.groupBy("zoom", "col", "row", "band").applyInPandas(
         merge_group,
         "zoom int, col bigint, row bigint, band int, dtype string, nodata double, px binary")
+
+
+def merge_tiles_multires(tiles: DataFrame, strategy: str = "first") -> DataFrame:
+    """Mixed-resolution mosaic merge: same-key tiles whose sources carry
+    DIFFERENT cell sizes (a ``tile_size`` column) are first resampled
+    (nearest) to the FINEST grid in the group, then composited per pixel —
+    the reference's MosaicRasterSource behavior of resampling the coarser
+    side onto the finer grid before the left-biased merge
+    (MosaicRasterSource.scala:121-146; cell-size mismatch is resolved by
+    resample, only EXTENT mismatch raises GeoAttrsError). One shuffle on the
+    tile key. Output dtype float64, tile_size = the group's finest."""
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("source_idx")
+        target = int(pdf.tile_size.max())
+        arrs = []
+        for blob, dt, ts in zip(pdf["px"].to_numpy(), pdf["dtype"].to_numpy(),
+                                pdf["tile_size"].to_numpy()):
+            a = unpack(blob, dt, int(ts))
+            if int(ts) != target:
+                a = k_resample_nearest(a, target, target)
+            arrs.append(a)
+        merged = k_merge(arrs, list(pdf.nodata), strategy)
+        first = pdf.iloc[0]
+        return pd.DataFrame([{
+            "zoom": first.zoom, "col": first.col, "row": first.row,
+            "band": first.band, "dtype": "float64",
+            "nodata": first.nodata, "tile_size": target, "px": pack(merged),
+        }])
+
+    return tiles.groupBy("zoom", "col", "row", "band").applyInPandas(
+        merge_group,
+        "zoom int, col bigint, row bigint, band int, dtype string, "
+        "nodata double, tile_size int, px binary")
+
+
+def tile_stats(tiles: DataFrame, keys=("col", "row", "band"),
+               tile_size_col: str = "tile_size") -> DataFrame:
+    """Per-tile NoData-aware pixel sum/count keyed by ``keys`` — the
+    readCells checksum at tile granularity (SubsceneReadingIT.scala:51
+    generalized); one narrow mapInPandas, no shuffle."""
+    keys = list(keys)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            kcols = [pdf[k].to_numpy() for k in keys]
+            for i, (blob, dt, nd, ts) in enumerate(zip(
+                    pdf["px"].to_numpy(), pdf["dtype"].to_numpy(),
+                    pdf["nodata"].to_numpy(), pdf[tile_size_col].to_numpy())):
+                arr = unpack(blob, dt, int(ts)).astype(np.float64)
+                valid = ~np.isclose(arr, nd) & ~np.isnan(arr)
+                row = {k: kc[i] for k, kc in zip(keys, kcols)}
+                row["px_sum"] = float(arr[valid].sum())
+                row["px_count"] = int(valid.sum())
+                out.append(row)
+            yield pd.DataFrame(out, columns=keys + ["px_sum", "px_count"])
+
+    key_schema = ", ".join(f"{k} bigint" for k in keys)
+    return tiles.mapInPandas(stats, f"{key_schema}, px_sum double, px_count bigint")
 
 
 def reproject_to_mercator(tiles: DataFrame, tile_size: int = TILE_SIZE) -> DataFrame:
@@ -314,6 +414,93 @@ def warp_chain_to_mercator(tiles: DataFrame, target_dtype: str, out_size: int,
             yield pdf
 
     return t.mapInPandas(run, out_schema)
+
+
+def reproject_to_grid(tiles: DataFrame, target, method: str = "nearest",
+                      tile_size: int = TILE_SIZE, dst_crs: int = 3857) -> DataFrame:
+    """Reproject the tile table onto an ARBITRARY caller-supplied target
+    GridExtent — the reprojectToGrid / reprojectToRegion surface
+    (RasterSourceF.scala:60-73): pass a grid produced by any of the five
+    ResampleGrid strategies (grid.RESAMPLE_GRID_STRATEGIES). ``method`` is
+    the ResampleMethod ('nearest' | 'bilinear',
+    GeoTiffReprojectRasterSource.scala:43,143-152).
+
+    Per-window pipeline (GeoTiffReprojectRasterSource.scala:118-155), one
+    mapInPandas: each tile computes its footprint's covered target window,
+    back-transforms those target pixel centers into source coords and
+    gather-samples. A target pixel is OWNED by the tile containing its
+    back-transformed center, so the per-tile outputs partition the target
+    grid (no duplicates); non-owned pixels are NaN and drop out at
+    assembly. Tile keys are 4326 (the engine's layout); dst_crs in
+    {3857, 4326} (4326->4326 = pure regridding).
+
+    Output rows in TARGET pixel space: (source_id, band, px_col_min,
+    px_row_min, h, w, dtype='float64', px)."""
+    from geotrellis_contrib_spark import grid as GR
+    from geotrellis_contrib_spark.functions import cells as C
+
+    if dst_crs == 3857:
+        fwd = GR.mercator_to_lonlat        # dst -> src
+        to_dst = GR.lonlat_to_mercator     # src -> dst (footprint corners)
+    elif dst_crs == 4326:
+        fwd = to_dst = lambda x, y: (np.asarray(x, dtype=np.float64),
+                                     np.asarray(y, dtype=np.float64))
+    else:
+        raise ValueError(f"unsupported dst CRS {dst_crs} (4326-keyed tiles -> 3857|4326)")
+    kern = REPROJECT_KERNELS[method]
+    cw, ch = target.cellwidth, target.cellheight
+    tcols, trows = target.cols, target.rows
+    txmin_t, tymax_t = target.xmin, target.ymax
+
+    t = (tiles
+         .withColumn("txmin", C.tile_xmin(F.col("zoom"), F.col("col")))
+         .withColumn("txmax", C.tile_xmax(F.col("zoom"), F.col("col")))
+         .withColumn("tymin", C.tile_ymin(F.col("zoom"), F.col("row")))
+         .withColumn("tymax", C.tile_ymax(F.col("zoom"), F.col("row"))))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                fx0, fy0 = to_dst(r.txmin, r.tymin)
+                fx1, fy1 = to_dst(r.txmax, r.tymax)
+                # covered target window, outset one pixel (ownership trims)
+                c0 = max(int(np.floor((float(fx0) - txmin_t) / cw)) - 1, 0)
+                c1 = min(int(np.floor((float(fx1) - txmin_t) / cw)) + 1, tcols - 1)
+                r0 = max(int(np.floor((tymax_t - float(fy1)) / ch)) - 1, 0)
+                r1 = min(int(np.floor((tymax_t - float(fy0)) / ch)) + 1, trows - 1)
+                if c0 > c1 or r0 > r1:
+                    continue  # tile footprint outside the target region
+                arr = unpack(r.px, r.dtype, tile_size).astype(np.float64)
+                dst_ext = target.bounds_to_extent(c0, r0, c1, r1)
+                win = kern(arr, (r.txmin, r.tymin, r.txmax, r.tymax), dst_ext,
+                           (r1 - r0 + 1, c1 - c0 + 1), fwd, np.nan)
+                out.append({"source_id": r.source_id, "band": int(r.band),
+                            "px_col_min": c0, "px_row_min": r0,
+                            "h": win.shape[0], "w": win.shape[1],
+                            "dtype": "float64", "px": pack(win)})
+            yield pd.DataFrame(out, columns=["source_id", "band", "px_col_min",
+                                             "px_row_min", "h", "w", "dtype", "px"])
+
+    return t.mapInPandas(
+        run, "source_id string, band int, px_col_min bigint, px_row_min bigint, "
+             "h int, w int, dtype string, px binary")
+
+
+def assemble_target(rows, target) -> "np.ndarray":
+    """Driver-side helper: overlay reproject_to_grid output rows (one
+    source+band) onto the full target grid. NaN where no tile owned the
+    pixel; later rows never overwrite earlier non-NaN values (the outputs
+    partition the grid, so order is irrelevant)."""
+    out = np.full((target.rows, target.cols), np.nan)
+    for r in rows:
+        dtype = r.asDict()["dtype"]
+        win = np.frombuffer(r.px, dtype=DTYPES[dtype]).reshape(r.h, r.w)
+        view = out[r.px_row_min: r.px_row_min + r.h,
+                   r.px_col_min: r.px_col_min + r.w]
+        m = ~np.isnan(win)
+        view[m] = win[m]
+    return out
 
 
 def read_window(tiles: DataFrame, bounds: tuple[int, int, int, int],

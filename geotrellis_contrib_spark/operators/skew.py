@@ -98,6 +98,12 @@ def salted_join(fact: DataFrame, dim: DataFrame, salts: dict[int, int],
     d = salted_key_dim(dim, salts).drop("cell")
     if broadcast_dim:
         d = F.broadcast(d)
+    else:
+        # caller asserts the dim is too big to broadcast (the large-large
+        # case salting exists for): pin the shuffled-hash strategy so AQE
+        # doesn't demote to broadcast on small test inputs — the salt fan
+        # then demonstrably spreads hot cells across tasks
+        d = d.hint("shuffle_hash")
     return f.join(d, "salted_key", how).drop("salted_key")
 
 
