@@ -616,6 +616,76 @@ def build_pixel_pyramid_level(tiles: DataFrame, tile_size: int = TILE_SIZE) -> D
               "nodata double, px binary")
 
 
+def retile(tiles: DataFrame, ts_from: int, ts_to: int) -> DataFrame:
+    """Change the tile LAYOUT while keeping the pixel resolution — the
+    LayoutTileSource re-tiling the reference grew out of (CHANGELOG.md:26
+    LayoutTileSource lineage; a (zoom, 64px) layout covers the same ground
+    as (zoom-2, 256px)). Splitting (ts_to < ts_from) is a NARROW mapInPandas
+    explode; assembling (ts_to > ts_from) is one applyInPandas shuffle on
+    the parent key, with missing children becoming NoData quadrants.
+    Keys transform as (zoom ± log2(k), col//k or col*k+i, ...); pixel
+    values are moved verbatim (round-trip identity, tested)."""
+    import math as _m
+
+    if ts_from == ts_to:
+        return tiles
+    out_schema = ("source_id string, source_idx int, zoom int, col bigint, "
+                  "row bigint, band int, dtype string, nodata double, px binary")
+
+    if ts_to < ts_from:  # split: one tile -> k^2 subtiles, narrow
+        k = ts_from // ts_to
+        if k * ts_to != ts_from:
+            raise ValueError(f"tile sizes must nest: {ts_from} -> {ts_to}")
+        dz = int(_m.log2(k))
+
+        def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = []
+                for r in pdf.itertuples(index=False):
+                    arr = unpack(r.px, r.dtype, ts_from)
+                    for i in range(k):
+                        for j in range(k):
+                            sub = arr[j * ts_to:(j + 1) * ts_to,
+                                      i * ts_to:(i + 1) * ts_to]
+                            out.append({
+                                "source_id": r.source_id, "source_idx": int(r.source_idx),
+                                "zoom": int(r.zoom) + dz,
+                                "col": int(r.col) * k + i, "row": int(r.row) * k + j,
+                                "band": int(r.band), "dtype": r.dtype,
+                                "nodata": float(r.nodata), "px": pack(sub)})
+                yield pd.DataFrame(out, columns=["source_id", "source_idx", "zoom",
+                                                 "col", "row", "band", "dtype",
+                                                 "nodata", "px"])
+
+        return tiles.mapInPandas(split, out_schema)
+
+    k = ts_to // ts_from  # assemble: k^2 children -> one parent
+    if k * ts_from != ts_to:
+        raise ValueError(f"tile sizes must nest: {ts_from} -> {ts_to}")
+    dz = int(_m.log2(k))
+    keyed = tiles.withColumn("p_col", F.floor(F.col("col") / float(k))) \
+                 .withColumn("p_row", F.floor(F.col("row") / float(k)))
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        first = pdf.iloc[0]
+        panel = np.full((ts_to, ts_to), float(first.nodata))
+        out_dtype = "float64"
+        for r in pdf.itertuples(index=False):
+            arr = unpack(r.px, r.dtype, ts_from).astype(np.float64)
+            qc = int(r.col % k) * ts_from
+            qr = int(r.row % k) * ts_from
+            panel[qr:qr + ts_from, qc:qc + ts_from] = arr
+        return pd.DataFrame([{
+            "source_id": first.source_id, "source_idx": int(first.source_idx),
+            "zoom": int(first.zoom) - dz,
+            "col": int(first.p_col), "row": int(first.p_row),
+            "band": int(first.band), "dtype": out_dtype,
+            "nodata": float(first.nodata), "px": pack(panel)}])
+
+    return keyed.groupBy("source_id", "source_idx", "zoom", "p_col", "p_row", "band") \
+                .applyInPandas(fold, out_schema)
+
+
 def read_cells_checksum(tiles: DataFrame, tile_size: int = TILE_SIZE) -> DataFrame:
     """Force-evaluate every pixel and aggregate (sum + count, NoData-aware) —
     the readCells full-scan checksum (SubsceneReadingIT.scala:51), used as

@@ -302,3 +302,50 @@ def test_rasterize_points_pixels(spark):
         assert grid.sum() == r.n_points
         total += grid.sum()
     assert total == 200
+
+
+def test_retile_round_trip_identity(spark):
+    """Split 64 -> 16 then reassemble 16 -> 64: pixels and keys identical
+    (the LayoutTileSource re-tiling path, layout change only)."""
+    import numpy as np
+    from geotrellis_contrib_spark import corpus
+    from geotrellis_contrib_spark.operators import pixels as px
+
+    tiles = corpus.synth_px_tiles(spark, tile_size=64)
+    small = px.retile(tiles, 64, 16)
+    # split multiplies keys by 4 and bumps zoom by 2
+    assert small.count() == tiles.count() * 16
+    z = small.select("zoom").distinct().collect()
+    assert [r.zoom for r in z] == [8]
+    back = px.retile(small, 16, 64)
+    orig = {(r.source_id, r.zoom, r.col, r.row, r.band):
+            np.frombuffer(r.px, dtype=np.float64).reshape(64, 64)
+            for r in tiles.collect()}
+    got = {(r.source_id, r.zoom, r.col, r.row, r.band):
+           np.frombuffer(r.px, dtype=np.float64).reshape(64, 64)
+           for r in back.collect()}
+    assert set(got) == set(orig)
+    for key in orig:
+        np.testing.assert_array_equal(got[key], orig[key])
+
+
+def test_retile_up_missing_children_nodata(spark):
+    import numpy as np
+    from geotrellis_contrib_spark import corpus
+    from geotrellis_contrib_spark.operators import pixels as px
+    from pyspark.sql import functions as F
+
+    tiles = corpus.synth_px_tiles(spark, tile_size=64).filter(
+        (F.col("source_idx") == 0) & (F.col("band") == 0)
+        & (F.col("col") == 18) & (F.col("row") == 24))
+    up = px.retile(tiles, 64, 256).collect()
+    assert len(up) == 1
+    r = up[0]
+    assert (r.zoom, r.col, r.row) == (4, 4, 6)
+    panel = np.frombuffer(r.px, dtype=np.float64).reshape(256, 256)
+    # quadrant (col%4=2, row%4=0) holds the child; everything else NoData
+    child = panel[0:64, 128:192]
+    assert not np.isclose(child, -9999.0).all()
+    mask = np.ones((256, 256), dtype=bool)
+    mask[0:64, 128:192] = False
+    assert np.isclose(panel[mask], -9999.0).all()
