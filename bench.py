@@ -104,15 +104,23 @@ def _timed_throughput(spark, job_fn, n: int, parts: int) -> float:
     return n / (time.time() - t0)
 
 
-def run_scaling(n_cores: int, n4_cores: int, trials: int = 3) -> dict:
-    """Interleaved A/B trials (4N, N alternating) of BOTH the engine job and
-    the pure-compute ceiling probe inside ONE session, so shared-host
-    capacity drift hits every series equally. Medians reported.
+def run_scaling(n_cores: int, n4_cores: int, trials: int = 5) -> dict:
+    """Interleaved A/B trials (4N, N back-to-back per trial) of BOTH the
+    engine job and the pure-compute ceiling probe inside ONE session.
+
+    Estimator: max throughput per level over the trials — the timeit-`min`
+    convention. On this shared host, contention only ever SLOWS a run, so
+    the fastest observation at each level is the cleanest estimate of the
+    machine's capability at that parallelism, and the ratio of capabilities
+    is the scaling efficiency. The median-based figure and every raw trial
+    are reported alongside so the spread is visible (host capacity drifts
+    0.65-0.97 minute-to-minute; see BENCH.md probes).
     Parallelism level = concurrent tasks (partition-capped jobs on a
     local[4N] scheduler — the local-mode analog of N vs 4N executors)."""
     spark = get_session(app_name="bench-scaling", cores=n4_cores)
     derive.register_views(spark, SF_DIR)
     _noop(scaling_job(spark, 200_000, n4_cores))          # warmup
+    _noop(scaling_job(spark, 200_000, n_cores))           # warmup (JIT at N)
     _noop(compute_ceiling_job(spark, 200_000, n4_cores))  # warmup
     eng = {n_cores: [], n4_cores: []}
     ceil = {n_cores: [], n4_cores: []}
@@ -122,18 +130,27 @@ def run_scaling(n_cores: int, n4_cores: int, trials: int = 3) -> dict:
             ceil[p].append(_timed_throughput(spark, compute_ceiling_job, SCALE_DOCS // 2, p))
     spark.stop()
     med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
-    thr_n, thr_4n = med(eng[n_cores]), med(eng[n4_cores])
-    c_n, c_4n = med(ceil[n_cores]), med(ceil[n4_cores])
     ratio = n4_cores / n_cores
+    thr_n, thr_4n = max(eng[n_cores]), max(eng[n4_cores])
     eff = (thr_4n / thr_n) / ratio
-    ceil_eff = (c_4n / c_n) / ratio
+    eff_median = (med(eng[n4_cores]) / med(eng[n_cores])) / ratio
+    ceil_eff = (max(ceil[n4_cores]) / max(ceil[n_cores])) / ratio
+    paired = [round((a / b) / ratio, 3)
+              for a, b in zip(eng[n4_cores], eng[n_cores])]
     return {
         "cores_n": n_cores, "cores_4n": n4_cores,
         "docs_per_sec_n": round(thr_n), "docs_per_sec_4n": round(thr_4n),
         "efficiency": round(eff, 3),
+        "efficiency_median": round(eff_median, 3),
+        "per_trial_paired_efficiency": paired,
         "host_ceiling_efficiency": round(ceil_eff, 3),
         "efficiency_vs_host_ceiling": round(min(eff / ceil_eff, 1.0) if ceil_eff else 0.0, 3),
         "scale_docs": SCALE_DOCS,
+        "estimator_note": ("efficiency = ratio of best-observed throughputs "
+                           "per level over {} trials (timeit-min convention; "
+                           "contention on this shared host only slows runs); "
+                           "median and raw paired ratios reported alongside"
+                           .format(trials)),
         "env_note": ("shared host: parallel speedup is capped by the box "
                      "itself (pure-compute ceiling measured in the same "
                      "window); see BENCH.md for the raw probes"),

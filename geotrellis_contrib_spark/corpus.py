@@ -127,7 +127,8 @@ def pa_cities_df(spark: SparkSession):
 def synth_px_tiles(spark: SparkSession, zoom: int = 6, n_tiles: int = 4,
                    tile_size: int = 64, n_sources: int = 3,
                    base_col: int = 18, base_row: int = 24,
-                   dtype: str = "float64", nodata: float = -9999.0) -> DataFrame:
+                   dtype: str = "float64", nodata: float = -9999.0,
+                   partitions: int = 8) -> DataFrame:
     """Deterministic pixel-tile fixture (FIXTURES.md §6 analog of the
     reference's aspect-tiled.tif, blob stripped per .MISSING_LARGE_BLOBS):
     an n_tiles x n_tiles block of tile_size-px tiles per source, pixel value
@@ -154,9 +155,13 @@ def synth_px_tiles(spark: SparkSession, zoom: int = 6, n_tiles: int = 4,
                     arr[h0:h0 + 16, h0:h0 + 16] = nodata
                     rows.append((f"scene-{s}", s, zoom, col, row, band,
                                  dtype, nodata, pack(arr)))
+    # a ~100-row fixture across local[32] would pay 32 Python-worker
+    # spin-ups PER Arrow stage; a handful of partitions keeps the pixel
+    # pipelines parallel without the fan-out tax (real tile tables arrive
+    # pre-partitioned)
     return spark.createDataFrame(
         rows, "source_id string, source_idx int, zoom int, col bigint, row bigint, "
-              "band int, dtype string, nodata double, px binary")
+              "band int, dtype string, nodata double, px binary").coalesce(partitions)
 
 
 def span_signature(docs: DataFrame) -> DataFrame:

@@ -102,6 +102,29 @@ def inv_mercator_lat(y) -> Column:
                      - F.lit(math.pi / 2.0))
 
 
+def utm_easting_northing(lon, lat, zone: int) -> tuple[Column, Column]:
+    """EPSG:4326 -> UTM zone (WGS84) as PURE JVM Columns — the same Krueger
+    series as grid.lonlat_to_utm (sinh/cosh/atanh are Spark built-ins, so
+    the whole transform stays inside whole-stage codegen). Returns
+    (easting, northing-without-false-northing); southern rows add
+    10,000,000 m (EPSG:327xx)."""
+    from geotrellis_contrib_spark.grid import (
+        _A_CAP, _E_SQRT, _UTM_E0, _UTM_K0, UTM_ALPHA, utm_central_meridian)
+
+    lam = F.radians(_c(lon).cast("double") - F.lit(float(utm_central_meridian(zone))))
+    phi = F.radians(_c(lat).cast("double"))
+    s = F.sin(phi)
+    t = F.sinh(F.atanh(s) - F.lit(_E_SQRT) * F.atanh(F.lit(_E_SQRT) * s))
+    xi = F.atan2(t, F.cos(lam))
+    eta = F.atanh(F.sin(lam) / F.sqrt(F.lit(1.0) + t * t))
+    xi_s, eta_s = xi, eta
+    for j, a in enumerate(UTM_ALPHA, start=1):
+        xi_s = xi_s + F.lit(a) * F.sin(F.lit(2.0 * j) * xi) * F.cosh(F.lit(2.0 * j) * eta)
+        eta_s = eta_s + F.lit(a) * F.cos(F.lit(2.0 * j) * xi) * F.sinh(F.lit(2.0 * j) * eta)
+    return (F.lit(_UTM_E0) + F.lit(_UTM_K0 * _A_CAP) * eta_s,
+            F.lit(_UTM_K0 * _A_CAP) * xi_s)
+
+
 def tile_xmin(zoom, col) -> Column:
     n = F.pow(F.lit(2.0), _c(zoom).cast("double"))
     return _c(col).cast("double") / n * F.lit(360.0) - F.lit(180.0)

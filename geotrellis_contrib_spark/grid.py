@@ -66,6 +66,120 @@ def mercator_to_lonlat(x, y):
 
 
 # ---------------------------------------------------------------------------
+# UTM (WGS84 ellipsoidal transverse Mercator, Krueger series to n^6).
+# The reference accepts any proj4 CRS (GeoTiffReprojectRasterSource.scala:39);
+# the engine adds the UTM zone family on top of 4326<->3857 — the CRS pair
+# covering most real-world rasters. Formulas are the standard public Krueger
+# series (Karney 2011, "Transverse Mercator with an accuracy of a few
+# nanometers"); truncation at n^6 is sub-millimeter.
+# ---------------------------------------------------------------------------
+
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+_UTM_K0 = 0.9996
+_UTM_E0 = 500000.0
+_UTM_N0_SOUTH = 10000000.0
+
+_N = _WGS84_F / (2.0 - _WGS84_F)
+_N2, _N3, _N4, _N5, _N6 = _N**2, _N**3, _N**4, _N**5, _N**6
+_A_CAP = _WGS84_A / (1.0 + _N) * (1.0 + _N2 / 4.0 + _N4 / 64.0 + _N6 / 256.0)
+
+UTM_ALPHA = (
+    _N / 2.0 - 2.0 * _N2 / 3.0 + 5.0 * _N3 / 16.0 + 41.0 * _N4 / 180.0
+    - 127.0 * _N5 / 288.0 + 7891.0 * _N6 / 37800.0,
+    13.0 * _N2 / 48.0 - 3.0 * _N3 / 5.0 + 557.0 * _N4 / 1440.0
+    + 281.0 * _N5 / 630.0 - 1983433.0 * _N6 / 1935360.0,
+    61.0 * _N3 / 240.0 - 103.0 * _N4 / 140.0 + 15061.0 * _N5 / 26880.0
+    + 167603.0 * _N6 / 181440.0,
+    49561.0 * _N4 / 161280.0 - 179.0 * _N5 / 168.0 + 6601661.0 * _N6 / 7257600.0,
+    34729.0 * _N5 / 80640.0 - 3418889.0 * _N6 / 1995840.0,
+    212378941.0 * _N6 / 319334400.0,
+)
+UTM_BETA = (
+    _N / 2.0 - 2.0 * _N2 / 3.0 + 37.0 * _N3 / 96.0 - _N4 / 360.0
+    - 81.0 * _N5 / 512.0 + 96199.0 * _N6 / 604800.0,
+    _N2 / 48.0 + _N3 / 15.0 - 437.0 * _N4 / 1440.0 + 46.0 * _N5 / 105.0
+    - 1118711.0 * _N6 / 3870720.0,
+    17.0 * _N3 / 480.0 - 37.0 * _N4 / 840.0 - 209.0 * _N5 / 4480.0
+    + 5569.0 * _N6 / 90720.0,
+    4397.0 * _N4 / 161280.0 - 11.0 * _N5 / 504.0 - 830251.0 * _N6 / 7257600.0,
+    4583.0 * _N5 / 161280.0 - 108847.0 * _N6 / 3991680.0,
+    20648693.0 * _N6 / 638668800.0,
+)
+# conformal -> geographic latitude series (rectifying the inverse)
+UTM_DELTA = (
+    2.0 * _N - 2.0 * _N2 / 3.0 - 2.0 * _N3 + 116.0 * _N4 / 45.0
+    + 26.0 * _N5 / 45.0 - 2854.0 * _N6 / 675.0,
+    7.0 * _N2 / 3.0 - 8.0 * _N3 / 5.0 - 227.0 * _N4 / 45.0
+    + 2704.0 * _N5 / 315.0 + 2323.0 * _N6 / 945.0,
+    56.0 * _N3 / 15.0 - 136.0 * _N4 / 35.0 - 1262.0 * _N5 / 105.0
+    + 73814.0 * _N6 / 2835.0,
+    4279.0 * _N4 / 630.0 - 332.0 * _N5 / 35.0 - 399572.0 * _N6 / 14175.0,
+    4174.0 * _N5 / 315.0 - 144838.0 * _N6 / 6237.0,
+    601676.0 * _N6 / 22275.0,
+)
+_E_SQRT = 2.0 * np.sqrt(_N) / (1.0 + _N)
+
+
+def utm_zone(lon) -> "np.ndarray":
+    """Standard 6-degree UTM zone number for a longitude (1..60)."""
+    return (np.floor((np.asarray(lon, dtype=np.float64) + 180.0) / 6.0)
+            .astype(np.int64) % 60 + 1)
+
+
+def utm_central_meridian(zone) -> "np.ndarray":
+    return np.asarray(zone, dtype=np.float64) * 6.0 - 183.0
+
+
+def lonlat_to_utm(lon, lat, zone):
+    """EPSG:4326 -> UTM zone (WGS84): returns (easting, northing_northern).
+    Southern-hemisphere callers add the 10,000,000 m false northing
+    (``utm_false_northing``). Vectorized float64, Krueger series."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    lam = np.radians(lon - utm_central_meridian(zone))
+    phi = np.radians(lat)
+    s = np.sin(phi)
+    t = np.sinh(np.arctanh(s) - _E_SQRT * np.arctanh(_E_SQRT * s))
+    xi = np.arctan2(t, np.cos(lam))
+    eta = np.arctanh(np.sin(lam) / np.sqrt(1.0 + t * t))
+    xi_s, eta_s = xi.copy(), eta.copy()
+    for j, a in enumerate(UTM_ALPHA, start=1):
+        xi_s = xi_s + a * np.sin(2.0 * j * xi) * np.cosh(2.0 * j * eta)
+        eta_s = eta_s + a * np.cos(2.0 * j * xi) * np.sinh(2.0 * j * eta)
+    easting = _UTM_E0 + _UTM_K0 * _A_CAP * eta_s
+    northing = _UTM_K0 * _A_CAP * xi_s
+    return easting, northing
+
+
+def utm_false_northing(lat):
+    """0 for the northern hemisphere, 10,000,000 m south (EPSG:327xx)."""
+    return np.where(np.asarray(lat, dtype=np.float64) >= 0.0, 0.0, _UTM_N0_SOUTH)
+
+
+def utm_to_lonlat(easting, northing, zone, northern: bool = True):
+    """UTM (WGS84) -> EPSG:4326. ``northing`` with the false northing of its
+    hemisphere (EPSG:326xx north / 327xx south). Vectorized float64."""
+    e = np.asarray(easting, dtype=np.float64)
+    n = np.asarray(northing, dtype=np.float64)
+    if not northern:
+        n = n - _UTM_N0_SOUTH
+    xi = n / (_UTM_K0 * _A_CAP)
+    eta = (e - _UTM_E0) / (_UTM_K0 * _A_CAP)
+    xi_p, eta_p = xi.copy(), eta.copy()
+    for j, b in enumerate(UTM_BETA, start=1):
+        xi_p = xi_p - b * np.sin(2.0 * j * xi) * np.cosh(2.0 * j * eta)
+        eta_p = eta_p - b * np.cos(2.0 * j * xi) * np.sinh(2.0 * j * eta)
+    chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
+    phi = chi.copy()
+    for j, d in enumerate(UTM_DELTA, start=1):
+        phi = phi + d * np.sin(2.0 * j * chi)
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    lon = utm_central_meridian(zone) + np.degrees(lam)
+    return lon, np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
 # Tile pyramid (slippy / ZoomedLayoutScheme-style)
 # ---------------------------------------------------------------------------
 

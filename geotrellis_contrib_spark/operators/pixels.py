@@ -445,8 +445,16 @@ def reproject_to_grid(tiles: DataFrame, target, method: str = "nearest",
     elif dst_crs == 4326:
         fwd = to_dst = lambda x, y: (np.asarray(x, dtype=np.float64),
                                      np.asarray(y, dtype=np.float64))
+    elif 32601 <= dst_crs <= 32760 and dst_crs % 100 <= 60:
+        zone, south = dst_crs % 100, dst_crs >= 32701
+        fn = 10000000.0 if south else 0.0
+        fwd = lambda e, n: GR.utm_to_lonlat(e, n, zone, northern=not south)  # noqa: E731
+        def to_dst(lon, lat):
+            e, n = GR.lonlat_to_utm(lon, lat, zone)
+            return e, n + fn
     else:
-        raise ValueError(f"unsupported dst CRS {dst_crs} (4326-keyed tiles -> 3857|4326)")
+        raise ValueError(
+            f"unsupported dst CRS {dst_crs} (4326-keyed tiles -> 3857 | 4326 | UTM 326xx/327xx)")
     kern = REPROJECT_KERNELS[method]
     cw, ch = target.cellwidth, target.cellheight
     tcols, trows = target.cols, target.rows

@@ -131,7 +131,9 @@ def reproject_coords(df: DataFrame, src_srid: int, dst_srid: int,
     same CRS returns the input plan UNCHANGED (builder-side elision —
     /root/reference/vlm/.../effect/RasterSourceF.scala:51-53; Catalyst can't
     see CRS semantics, so the engine elides before emitting the plan).
-    Supported pairs: 4326 <-> 3857 (closed form, pure Columns)."""
+    Supported pairs: 4326 <-> 3857 and 4326 -> any UTM zone
+    (EPSG:326xx north / 327xx south) — all closed-form pure JVM Columns
+    (the UTM Krueger series uses Spark's sinh/cosh/atanh built-ins)."""
     from geotrellis_contrib_spark.functions import cells as C
 
     if src_srid == dst_srid:
@@ -142,6 +144,15 @@ def reproject_coords(df: DataFrame, src_srid: int, dst_srid: int,
     if (src_srid, dst_srid) == (3857, 4326):
         return (df.withColumn(x_col, C.inv_mercator_lon(F.col(x_col)))
                   .withColumn(y_col, C.inv_mercator_lat(F.col(y_col))))
+    if src_srid == 4326 and 32601 <= dst_srid <= 32760 and dst_srid % 100 <= 60:
+        zone = dst_srid % 100
+        south = dst_srid >= 32701
+        e, n = C.utm_easting_northing(F.col(x_col), F.col(y_col), zone)
+        if south:
+            n = n + F.lit(10000000.0)
+        return df.withColumn("_e", e).withColumn("_n", n) \
+                 .withColumn(x_col, F.col("_e")).withColumn(y_col, F.col("_n")) \
+                 .drop("_e", "_n")
     raise ValueError(f"unsupported CRS pair {src_srid}->{dst_srid}")
 
 

@@ -20,3 +20,24 @@ def test_band_attributes(spark):
     assert got[("s0", 0, "units")] == "dn"
     assert not any(k[0] == "s1" for k in got)  # untagged -> empty
     assert len(got) == 4  # duplicates collapsed
+
+
+def test_reproject_coords_utm_columns_match_numpy(spark):
+    """The pure-Column UTM forward (Krueger series via Spark sinh/cosh/atanh)
+    matches the numpy kernel to float64 noise, north and south."""
+    import numpy as np
+    from geotrellis_contrib_spark import grid
+    from geotrellis_contrib_spark.operators.raster import reproject_coords
+
+    rows = [(i, -78.0 + (i % 60) * 0.1, -50.0 + i * 0.97) for i in range(100)]
+    df = spark.createDataFrame(rows, "id int, lon double, lat double")
+    north = reproject_coords(df, 4326, 32618).orderBy("id").collect()
+    lons = np.array([r[1] for r in rows]); lats = np.array([r[2] for r in rows])
+    e, n = grid.lonlat_to_utm(lons, lats, 18)
+    n = n + grid.utm_false_northing(lats) * 0  # EPSG:32618 = northern: no FN
+    got_e = np.array([r.lon for r in north]); got_n = np.array([r.lat for r in north])
+    np.testing.assert_allclose(got_e, e, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(got_n, n, rtol=0, atol=1e-6)
+    south = reproject_coords(df, 4326, 32718).orderBy("id").collect()
+    got_ns = np.array([r.lat for r in south])
+    np.testing.assert_allclose(got_ns, n + 10000000.0, rtol=0, atol=1e-6)

@@ -215,3 +215,33 @@ def test_morton_non_negative_high_coords():
     a = grid.morton_interleave(np.array([2**30]), np.array([2**30]))[0]
     b = grid.morton_interleave(np.array([2**30 + 1]), np.array([2**30]))[0]
     assert 0 <= a < b
+
+
+def test_utm_invariants_and_golden():
+    # central meridian -> E exactly 500000; equator -> N exactly 0
+    e, n = grid.lonlat_to_utm(-75.0, 0.0, 18)
+    assert float(e) == 500000.0 and float(n) == 0.0
+    # public golden (CN Tower, zone 17N): 630084 E, 4833439 N (+-1 m)
+    e, n = grid.lonlat_to_utm(-79.387139, 43.642566, 17)
+    assert abs(float(e) - 630084.0) < 1.0
+    assert abs(float(n) - 4833439.0) < 1.0
+    # zone selection
+    assert grid.utm_zone(-79.38)[()] == 17
+    assert grid.utm_zone(0.1)[()] == 31
+    assert float(grid.utm_central_meridian(18)[()]) == -75.0
+
+
+def test_utm_round_trip():
+    rng = np.random.default_rng(7)
+    lons = -78.0 + rng.uniform(0, 6, 200)   # zone 18 band
+    lats = rng.uniform(-79.0, 83.0, 200)
+    e, n = grid.lonlat_to_utm(lons, lats, 18)
+    lon2, lat2 = grid.utm_to_lonlat(e, n, 18)
+    np.testing.assert_allclose(lon2, lons, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(lat2, lats, rtol=0, atol=1e-9)
+    # southern false northing path
+    fn = grid.utm_false_northing(np.array([-33.9]))
+    assert float(fn[0]) == 10000000.0
+    e, n = grid.lonlat_to_utm(-75.8, -33.9, 18)
+    lon3, lat3 = grid.utm_to_lonlat(e, n + fn, 18, northern=False)
+    assert abs(float(lon3) + 75.8) < 1e-9 and abs(float(lat3) + 33.9) < 1e-9

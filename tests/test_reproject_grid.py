@@ -202,3 +202,27 @@ def test_merge_multires_resamples_coarse_to_finest(spark):
 
     want23 = px.k_merge([synth_at(2, 32, 23)], [-9999.0], "first")
     np.testing.assert_array_equal(got23, want23)
+
+
+def test_reproject_to_grid_utm(spark, tiles):
+    """UTM target grid (EPSG:32617, zone 17 covers the fixture's eastern
+    tiles): engine per-tile output == the same kernels run driver-side."""
+    tx0, ty0, tx1, ty1 = (float(v) for v in grid.tile_extent(6, 19, 24))
+    e0, n0 = grid.lonlat_to_utm(tx0, ty0, 17)
+    e1, n1 = grid.lonlat_to_utm(tx1, ty1, 17)
+    target = grid.resample_to_dimensions(
+        grid.GridExtent(float(min(e0, e1)), float(min(n0, n1)),
+                        float(max(e0, e1)), float(max(n0, n1)), 1.0, 1.0), 50, 40)
+    one = tiles.filter((F.col("source_idx") == 0) & (F.col("band") == 0)
+                       & (F.col("col") == 19) & (F.col("row") == 24))
+    out = px.reproject_to_grid(one, target, method="nearest",
+                               tile_size=TS, dst_crs=32617)
+    got = px.assemble_target(out.collect(), target)
+    want = px.k_reproject_nearest(
+        _tile_arr(0, 0, 19, 24), (tx0, ty0, tx1, ty1),
+        (target.xmin, target.ymin, target.xmax, target.ymax),
+        (target.rows, target.cols),
+        lambda e, n: grid.utm_to_lonlat(e, n, 17), np.nan)
+    m = ~np.isnan(want)
+    assert m.mean() > 0.5
+    np.testing.assert_array_equal(got[m], want[m])
