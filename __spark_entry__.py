@@ -423,6 +423,34 @@ def q_mosaic_merge_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     return px.tile_stats(merged).select("col", "row", "band", "px_sum", "px_count")
 
 
+# 4326 regrid target: EXACT-decimal extent (tile-column boundaries of the
+# fixture are exact: 18/64*360-180 = -78.75), prime-ish dimensions so no
+# target pixel center lands exactly on a source pixel boundary (round
+# counts like 200 create rational collisions where engine-vs-oracle ulp
+# differences could flip a floor)
+RG_X0, RG_X1, RG_Y0, RG_Y1 = -78.75, -39.375, 24.0, 40.5
+RG_COLS, RG_ROWS = 199, 157
+
+
+def q_reproject_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reprojectToGrid onto an arbitrary caller-supplied target grid
+    (RasterSourceF.scala:60-73): the pixel fixture regridded (4326->4326,
+    nearest) onto an explicit 199x157 GridExtent, then NaN-aware window
+    checksums per (source, band). Oracle: per target pixel, the owning
+    tile and sampled source index recomputed in SQL (all index math is
+    exact-decimal arithmetic both engines share)."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark import grid as GR
+    from geotrellis_contrib_spark.operators import pixels as px
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    target = GR.GridExtent(RG_X0, RG_Y0, RG_X1, RG_Y1,
+                           (RG_X1 - RG_X0) / RG_COLS, (RG_Y1 - RG_Y0) / RG_ROWS)
+    out = px.reproject_to_grid(tiles, target, method="nearest",
+                               tile_size=64, dst_crs=4326)
+    return px.window_stats(out).select("source_id", "band", "px_sum", "px_count")
+
+
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis battery: token counts (ws + BPE-ish), quality ratios,
     language-ID heuristic, rolling-hash fingerprint — all JVM-side."""
@@ -866,6 +894,43 @@ FROM (SELECT col, row, band, mval FROM m64
 GROUP BY 1, 2, 3
 """
 
+    # reproject-to-grid regrid: per target pixel, the OWNING zoom-6 tile
+    # (the one containing the pixel center) and the sampled source index,
+    # recomputed in SQL. Tile x-boundaries and pixel widths are exact
+    # decimals (cols 18..25 -> -78.75..-39.375, cw=0.087890625); tile
+    # y-boundaries use the same EXP-form lat as the other oracles.
+    _rg_cw = repr((RG_X1 - RG_X0) / RG_COLS)
+    _rg_ch = repr((RG_Y1 - RG_Y0) / RG_ROWS)
+    _rg_lat = lambda rr: (f"DEGREES(ATAN((EXP(PI()*(1.0-2.0*({rr})/64.0)) "  # noqa: E731
+                          f"- EXP(-(PI()*(1.0-2.0*({rr})/64.0))))/2.0))")
+    o["reproject_grid"] = f"""
+WITH tgt AS (
+  SELECT {RG_X0} + (c+0.5)*{_rg_cw} AS x, {RG_Y1} - (r+0.5)*{_rg_ch} AS y
+  FROM range(0,{RG_COLS}) cs(c), range(0,{RG_ROWS}) rs(r)
+), own AS (
+  SELECT x, y, {C.sql_tile_col('x', 6)} AS col, {C.sql_tile_row('y', 6)} AS row
+  FROM tgt
+), samp AS (
+  SELECT s, band, col, row,
+    CAST(FLOOR((x - (CAST(col AS DOUBLE)/64.0*360.0-180.0)) / 0.087890625) AS BIGINT) AS ci,
+    CAST(FLOOR(({_rg_lat('CAST(row AS DOUBLE)')} - y)
+         / (({_rg_lat('CAST(row AS DOUBLE)')} - {_rg_lat('CAST(row AS DOUBLE)+1.0')})/64.0)) AS BIGINT) AS ri
+  FROM own, range(0,3) ss(s), range(0,2) bs(band)
+  WHERE col BETWEEN 18+s AND 21+s AND row BETWEEN 24 AND 27
+), vals AS (
+  SELECT s, band,
+    CASE WHEN ri >= (s*11)%48 AND ri < (s*11)%48+16
+          AND ci >= (s*11)%48 AND ci < (s*11)%48+16 THEN -9999.0
+         ELSE s*1000.0 + band*100.0 + col*7.0 + row*3.0 + ri*0.5 + ci*0.25
+              + CAST((ri*31 + ci*17) % 13 AS DOUBLE) END AS v
+  FROM samp
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS BIGINT) AS band,
+       SUM(v) AS px_sum, CAST(COUNT(*) AS BIGINT) AS px_count
+FROM vals GROUP BY 1, 2
+"""
+
     # polygon burn: cover tiles of each hot-cluster box at zoom 9 (box
     # exact-cover == bbox cover), count pixel centers inside ANY box
     # (burn overwrite => n_burned = |union|); cover tiles whose centers all
@@ -1070,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_features": q_text_features,
         "pixel_mosaic_checksum": q_pixel_mosaic_checksum,
         "mosaic_merge_multires": q_mosaic_merge_multires,
+        "reproject_grid": q_reproject_grid,
         "polygon_burn": q_polygon_burn,
         "pixel_warp_chain": q_pixel_warp_chain,
         "embed_topk": q_embed_topk,

@@ -495,6 +495,35 @@ def reproject_to_grid(tiles: DataFrame, target, method: str = "nearest",
              "h int, w int, dtype string, px binary")
 
 
+def window_stats(windows: DataFrame, keys=("source_id", "band")) -> DataFrame:
+    """NaN-aware pixel sum/count over reproject_to_grid output windows,
+    partial-aggregated per ``keys`` — NaN marks not-owned pixels (another
+    tile's territory), so summing windows equals summing the assembled
+    target exactly once. One narrow mapInPandas + one tiny shuffle."""
+    keys = list(keys)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            kcols = [pdf[k].to_numpy() for k in keys]
+            for i, (blob, dt, h, w) in enumerate(zip(
+                    pdf["px"].to_numpy(), pdf["dtype"].to_numpy(),
+                    pdf["h"].to_numpy(), pdf["w"].to_numpy())):
+                arr = np.frombuffer(blob, dtype=DTYPES[dt]).reshape(int(h), int(w))
+                m = ~np.isnan(arr)
+                row = {k: kc[i] for k, kc in zip(keys, kcols)}
+                row["px_sum"] = float(arr[m].sum())
+                row["px_count"] = int(m.sum())
+                out.append(row)
+            yield pd.DataFrame(out, columns=keys + ["px_sum", "px_count"])
+
+    key_schema = ", ".join(
+        f"{k} string" if k == "source_id" else f"{k} bigint" for k in keys)
+    per_win = windows.mapInPandas(stats, f"{key_schema}, px_sum double, px_count bigint")
+    return per_win.groupBy(*keys).agg(
+        F.sum("px_sum").alias("px_sum"), F.sum("px_count").alias("px_count"))
+
+
 def assemble_target(rows, target) -> "np.ndarray":
     """Driver-side helper: overlay reproject_to_grid output rows (one
     source+band) onto the full target grid. NaN where no tile owned the
