@@ -87,6 +87,9 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int,
     cand = v.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
     cand = cand.withColumn(
         "cos", _fold_dot(F.col("qvec"), F.col("vec"), dims) / (F.col("qn") * F.col("vn")))
+    # project the arrays AWAY before the rank window: the top-k shuffle then
+    # moves (query_id, vec_id, cos) scalars, not 64-float embeddings
+    cand = cand.select("query_id", "vec_id", "cos")
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -143,10 +146,17 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
               .withColumn("vn", F.sqrt(_fold_norm2(F.col("vec"), dims)))
     pairs = v.crossJoin(c).withColumn(
         "cos", _fold_dot(F.col("vec"), F.col("cvec"), dims) / (F.col("vn") * F.col("cn")))
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("centroid_id").asc())
-    return (pairs.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "centroid_id", "cos"))
+    # nearest centroid via max(struct(...)): a declarative aggregate that
+    # partial-aggregates map-side over scalars only (no window sort, no
+    # array shuffle) — ordering (cos desc, centroid_id asc) encoded as
+    # max of (cos, -centroid_id)
+    win = F.max(F.struct(F.col("cos").alias("_c"),
+                         (-F.col("centroid_id")).alias("_nc"),
+                         F.col("centroid_id").alias("_id")))
+    return (pairs.select("vec_id", "centroid_id", "cos")
+            .groupBy("vec_id").agg(win.alias("_w"))
+            .select("vec_id", F.col("_w._id").alias("centroid_id"),
+                    F.col("_w._c").alias("cos")))
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
@@ -176,6 +186,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
                  .filter(F.col("vec_id") != F.col("query_id"))
     cand = cand.withColumn(
         "rcos", _fold_dot(F.col("qvec"), F.col("vec"), dims) / (F.col("qn") * F.col("vn")))
+    # drop the embedding arrays before the re-rank shuffle (scalars only)
+    cand = cand.select("query_id", "vec_id", "rcos")
     w = Window.partitionBy("query_id").orderBy(F.col("rcos").desc(), F.col("vec_id").asc())
     return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
