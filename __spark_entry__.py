@@ -174,6 +174,25 @@ def q_windows_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_tiles"), F.sum("val").alias("sum_val")))
 
 
+def q_windows_read_multizoom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-window read over a MULTI-ZOOM tile table (zoom-6 base
+    + synthesized zoom-5 parent rows): the join filters the tile side to
+    the request zoom, so pyramid levels sharing the table can't alias
+    packed keys (ADVICE r1 regression guard). Result == windows_read; the
+    oracle is the same SQL over the single-zoom view."""
+    _views(spark, sf_dir)
+    t = spark.table("tiles").select("zoom", "col", "row", "band", "val")
+    parents = t.select(
+        F.lit(5).alias("zoom"),
+        F.floor(F.col("col") / 2.0).cast("bigint").alias("col"),
+        F.floor(F.col("row") / 2.0).cast("bigint").alias("row"),
+        "band", "val")
+    multi = t.unionByName(parents)
+    joined = tiling.windows_tiles_join(spark.table("windows"), multi, TILES_ZOOM)
+    return (joined.groupBy("win_id")
+            .agg(F.count("*").alias("n_tiles"), F.sum("val").alias("sum_val")))
+
+
 def q_pyramid_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the zoom-5 overview level from zoom-6 tiles (2x2 fold —
     pyramid-as-materialized-aggregate, SURVEY.md §2.4 overview selection)."""
@@ -633,6 +652,11 @@ FROM windows w JOIN tiles t
   ON t.col BETWEEN {wc0} AND {wc1} AND t.row BETWEEN {wr0} AND {wr1}
 GROUP BY w.win_id
 """
+
+    # multizoom variant joins an engine-side multi-zoom union but must
+    # return exactly the single-zoom result (the zoom filter in
+    # windows_tiles_join) — one oracle text
+    o["windows_read_multizoom"] = o["windows_read"]
 
     o["raster_summary"] = f"""
 {derive.cte('tiles')}
@@ -1117,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize": q_rasterize,
         "mosaic_merge": q_mosaic_merge,
         "windows_read": q_windows_read,
+        "windows_read_multizoom": q_windows_read_multizoom,
         "raster_summary": q_raster_summary,
         "pyramid_build": q_pyramid_build,
         "bbox_select": q_bbox_select,

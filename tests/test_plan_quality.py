@@ -50,3 +50,29 @@ def test_single_long_join_keys(spark):
         joins = [seg for seg in plan.split("\n") if "HashJoin" in seg]
         assert joins, f"{name}: no hash join found"
         assert all("cell" in j for j in joins), f"{name}: join not on cell key"
+
+
+def test_mosaic_merge_partial_aggregates(spark):
+    # the merge must be a declarative aggregate (map-side partial agg), not
+    # a row_number window (full shuffle+sort of the tile table)
+    plan = _plan(spark, "mosaic_merge")
+    assert "Window" not in plan, "mosaic_merge regressed to a window"
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+    assert "partial_min" in plan or "partial min" in plan.lower() or plan.count("Aggregate") >= 2, (
+        "no partial aggregation stage visible")
+
+
+def test_salted_join_stays_shuffled(spark):
+    # broadcast_dim=False is a caller assertion the dim is too big: AQE must
+    # not demote the salted large-large join to broadcast on small inputs
+    plan = _plan(spark, "pip_join_salted")
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan[-800:]
+
+
+def test_topk_windows_shuffle_scalars_only(spark):
+    # the embed re-rank windows must not carry embedding arrays through
+    # their sort: the window operates on (query_id, vec_id, cos) scalars
+    plan = _plan(spark, "embed_topk")
+    win = [seg for seg in plan.split("\n") if "Window" in seg or "windowspecdefinition" in seg]
+    assert win, "no rank window found"
+    assert not any("array<" in w for w in win), "embedding arrays in the rank window"
