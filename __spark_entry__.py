@@ -140,6 +140,27 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "point_id", F.col("rank").cast("int").alias("rank"), "dist")
 
 
+KNN_EXACT_ZOOM = 8
+KNN_EXACT_K = 3
+
+
+def q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN for ANY distribution via iterative ring expansion
+    (knn_join_iterative): world-spread sparse queries (every 199th anchor —
+    ocean/desert rows force ring widening at zoom 8, where one cell is
+    ~1.4 deg), per-query coverage guard derived from the actual tile
+    boundaries at the query's row. Oracle: the naive cross-join re-rank."""
+    _views(spark, sf_dir)
+    a = spark.table("anchors").select("doc_id", "lon", "lat")
+    queries = (a.filter(F.col("lon").isNotNull() & (F.col("doc_id") % 199 == 3))
+               .select(F.col("doc_id").alias("query_id"),
+                       F.col("lon").alias("qlon"), F.col("lat").alias("qlat")))
+    out = knn_ops.knn_join_iterative(queries, a, k=KNN_EXACT_K,
+                                     zoom=KNN_EXACT_ZOOM, max_ring=64)
+    return out.select("query_id", "point_id",
+                      F.col("rank").cast("int").alias("rank"), "dist")
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster->vector: tile stats per polygon (BASELINE north_star path)."""
     _views(spark, sf_dir)
@@ -604,6 +625,19 @@ SELECT query_id, point_id, CAST(rank AS INT) AS rank, dist FROM (
   FROM query_points q CROSS JOIN anchors a
   WHERE a.lon IS NOT NULL
 ) t WHERE rank <= {KNN_K}
+"""
+
+    qd2 = _dist_sql("q.qlon", "q.qlat", "a.lon", "a.lat")
+    o["knn_exact"] = f"""
+{derive.cte('anchors')},
+q AS (SELECT doc_id AS query_id, lon AS qlon, lat AS qlat FROM anchors
+      WHERE lon IS NOT NULL AND doc_id % 199 = 3)
+SELECT query_id, point_id, CAST(rank AS INT) AS rank, dist FROM (
+  SELECT q.query_id, a.doc_id AS point_id, {qd2} AS dist,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY {qd2}, a.doc_id) AS rank
+  FROM q CROSS JOIN anchors a
+  WHERE a.lon IS NOT NULL
+) t WHERE rank <= {KNN_EXACT_K}
 """
 
     clon, clat = raster_ops.sql_tile_center("t.zoom", "t.col", "t.row")
@@ -1137,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_join": q_distance_join,
         "haversine_pairs": q_haversine_pairs,
         "knn": q_knn,
+        "knn_exact": q_knn_exact,
         "zonal_stats": q_zonal_stats,
         "rasterize": q_rasterize,
         "mosaic_merge": q_mosaic_merge,
