@@ -310,6 +310,32 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.lsh_candidate_pairs(sigs).filter(F.col("est_sim") >= 0.5)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS -> duplicate CLUSTERS (the step that makes dedup
+    actionable): MinHash-LSH candidate pairs (est_sim >= 0.5) fed through
+    iterative min-label connected components; survivor = the cluster's min
+    doc_id (the exact_dedup convention). Oracle: transitive closure via a
+    recursive CTE over the identical pair set."""
+    from geotrellis_contrib_spark.operators import cluster as cl
+    _views(spark, sf_dir)
+    sigs = dd.minhash_signatures(spark.table("dup_docs"), n=JACCARD_N)
+    pairs = dd.lsh_candidate_pairs(sigs).filter(F.col("est_sim") >= 0.5)
+    return cl.dup_clusters(pairs, "doc_a", "doc_b") \
+             .select("id", "cluster_id", "is_survivor")
+
+
+def q_embed_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup clusters: hyperplane-LSH near pairs (cos >= 0.25)
+    -> connected components -> survivor per cluster (long ids keep the
+    single-long join fast path)."""
+    from geotrellis_contrib_spark.operators import cluster as cl
+    _views(spark, sf_dir)
+    pairs = sim.lsh_near_pairs(spark.table("embeddings"), dims=EMB_DIMS,
+                               min_cos=EMB_MIN_COS)
+    return cl.dup_clusters(pairs, "vec_a", "vec_b") \
+             .select("id", "cluster_id", "is_survivor")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints per doc."""
     _views(spark, sf_dir)
@@ -815,6 +841,39 @@ FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a JOIN sigs sb ON sb.doc_id = c.do
 WHERE ({match_expr}) / {N_HASHES}.0 >= 0.5
 """
 
+    # connected components in SQL: transitive closure over the same pair
+    # set (recursive CTE; component = MIN reachable id). The WITH list is
+    # promoted to WITH RECURSIVE below.
+    def _cc_sql(pairs_select: str, a: str, b: str) -> str:
+        return f"""
+pairs AS ({pairs_select}),
+nodes AS (SELECT {a} AS id FROM pairs UNION SELECT {b} FROM pairs),
+cedges AS (SELECT {a} AS src, {b} AS dst FROM pairs
+           UNION SELECT {b}, {a} FROM pairs),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN cedges e ON e.src = reach.r
+)
+SELECT id, MIN(r) AS cluster_id, (id = MIN(r)) AS is_survivor
+FROM reach GROUP BY id
+"""
+
+    lsh_pairs_select = f"""
+  SELECT c.doc_a, c.doc_b
+  FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a JOIN sigs sb ON sb.doc_id = c.doc_b
+  WHERE ({match_expr}) / {N_HASHES}.0 >= 0.5
+"""
+    o["dedup_clusters"] = (
+        f"{derive.cte('dup_docs')}, {sh_cte}, {sig_cte},\n"
+        f"bands AS ({band_selects}),\n"
+        "cand AS (\n"
+        "  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+        "  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key\n"
+        "  WHERE a.doc_id < b.doc_id),\n"
+        + _cc_sql(lsh_pairs_select, "doc_a", "doc_b")
+    ).replace("WITH ", "WITH RECURSIVE ", 1)
+
     simhash_cte = f"""
 toks AS (
   SELECT DISTINCT doc_id, tok FROM (
@@ -1131,6 +1190,19 @@ WHERE rank <= {EMB_K}
 SELECT vec_id, CAST({bucket_expr} AS BIGINT) AS bucket FROM embeddings
 """
 
+    embed_pairs_select = f"""
+  SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b
+  FROM eb a JOIN eb bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+  JOIN ev va ON va.vec_id = a.vec_id JOIN ev vb ON vb.vec_id = bb.vec_id
+  WHERE LIST_COSINE_SIMILARITY(va.vec, vb.vec) >= {EMB_MIN_COS}
+"""
+    o["embed_dup_clusters"] = (
+        "WITH RECURSIVE "
+        f"eb AS (SELECT vec_id, CAST({bucket_expr} AS BIGINT) AS bucket FROM embeddings),\n"
+        "ev AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),\n"
+        + _cc_sql(embed_pairs_select, "vec_a", "vec_b")
+    )
+
     o["embed_near_pairs"] = f"""
 WITH b AS (SELECT vec_id, CAST({bucket_expr} AS BIGINT) AS bucket FROM embeddings),
 v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
@@ -1187,6 +1259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sigs": q_minhash_sigs,
         "lsh_pairs": q_lsh_pairs,
         "simhash": q_simhash,
+        "dedup_clusters": q_dedup_clusters,
+        "embed_dup_clusters": q_embed_dup_clusters,
         "simhash_pairs": q_simhash_pairs,
         "pricing_summary": q_pricing_summary,
         "segment_revenue": q_segment_revenue,

@@ -1,0 +1,76 @@
+"""Connected components over candidate-pair edges — the dedup-clustering
+step of a training-data pipeline: near-duplicate PAIRS (MinHash-LSH,
+SimHash, embedding-LSH) become duplicate CLUSTERS, and one survivor is kept
+per cluster.
+
+Algorithm: min-label propagation (each node's label converges to the
+smallest node id in its component) — the degenerate-but-robust form of the
+large-star/small-star map-reduce CC family. Each round is one
+shuffle-on-dst join + one groupBy; rounds needed = graph diameter in
+label-hops (log-ish for the blocky near-dup graphs dedup produces, where
+components are dense cliques from shared buckets). The driver loop breaks
+on a converged round; ``localCheckpoint`` truncates lineage so iteration N
+does not replay rounds 1..N-1.
+
+Scale notes: labels are single longs (LongHashedRelation joins); edges are
+symmetrized once; per-round state is (node, label) — 16 bytes/node. At
+10^12 docs the identical loop runs with the label table bucketed by id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
+                         max_iter: int = 25) -> DataFrame:
+    """Label every node of the undirected pair graph with the MIN node id
+    reachable from it. Input: one row per edge (any direction, dupes ok).
+    Output: (id, component). Deterministic."""
+    # ids keep their input type: longs get the LongHashedRelation fast
+    # path; strings still hash-join (MIN over strings = lexicographic,
+    # deterministic — and the corpus's zero-padded doc ids sort numerically)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # co-partition edges and labels ON THE JOIN KEY once: every round's
+    # propagation join then reuses the same partitioning (no re-shuffle of
+    # the edge table per round); n_parts tracks the session default but is
+    # floored so toy graphs don't schedule hundreds of empty tasks
+    n_parts = max(int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")) // 4, 4)
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))) \
+           .distinct().repartition(n_parts, "dst")
+    sym = sym.localCheckpoint(eager=True)
+    labels = sym.select(F.col("src").alias("id")).distinct() \
+                .withColumn("component", F.col("id")) \
+                .repartition(n_parts, "id")
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # every node offers its label to its neighbors; keep the min of
+        # (own, best offered) — one partial-aggregated shuffle per round.
+        # The previous label rides along so convergence is read off the
+        # SAME materialization (no extra join per round).
+        offered = (sym.join(labels, sym.dst == labels.id)
+                   .groupBy("src").agg(F.min("component").alias("offer")))
+        nxt = (labels.join(offered, labels.id == offered.src, "left")
+               .select(labels.id,
+                       F.least(F.col("component"),
+                               F.coalesce(F.col("offer"), F.col("component")))
+                       .alias("component"),
+                       F.col("component").alias("_old")))
+        nxt = nxt.localCheckpoint(eager=True)
+        changed = nxt.filter(F.col("component") != F.col("_old")).limit(1).count()
+        labels = nxt.drop("_old")
+        if changed == 0:
+            break
+    return labels
+
+
+def dup_clusters(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Near-dup pairs -> duplicate clusters: (id, cluster_id, is_survivor).
+    cluster_id = the component's min id; the survivor (the doc a dedup
+    pipeline KEEPS) is that min id — the same min-doc_id convention
+    exact_dedup uses. Nodes in no pair are not duplicates and do not
+    appear (callers keep them all)."""
+    comp = connected_components(pairs, a_col, b_col)
+    return comp.select(F.col("id"), F.col("component").alias("cluster_id"),
+                       (F.col("id") == F.col("component")).alias("is_survivor"))

@@ -1,0 +1,55 @@
+"""Connected-components dedup clustering vs a tiny union-find oracle."""
+
+import numpy as np
+
+from geotrellis_contrib_spark.operators import cluster as cl
+
+
+def _uf_oracle(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_chain_and_clique(spark):
+    # a 6-node CHAIN (needs several propagation rounds), a 4-clique, an
+    # isolated pair — long ids
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+             (10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13),
+             (20, 21)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.component for r in cl.connected_components(df).collect()}
+    want = _uf_oracle(edges)
+    assert got == want
+    assert got[6] == 1 and got[13] == 10 and got[21] == 20
+
+
+def test_dup_clusters_survivors_string_ids(spark):
+    pairs = [("doc-03", "doc-01"), ("doc-02", "doc-01"), ("doc-09", "doc-08")]
+    df = spark.createDataFrame(pairs, "doc_a string, doc_b string")
+    rows = cl.dup_clusters(df, "doc_a", "doc_b").collect()
+    by_id = {r.id: r for r in rows}
+    assert by_id["doc-01"].is_survivor and by_id["doc-01"].cluster_id == "doc-01"
+    assert not by_id["doc-03"].is_survivor and by_id["doc-03"].cluster_id == "doc-01"
+    assert by_id["doc-08"].is_survivor and by_id["doc-09"].cluster_id == "doc-08"
+    # nodes appearing in no pair are absent (not duplicates)
+    assert set(by_id) == {"doc-01", "doc-02", "doc-03", "doc-08", "doc-09"}
+
+
+def test_connected_components_random_vs_oracle(spark):
+    rng = np.random.default_rng(11)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 60, size=(80, 2)) if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.component for r in cl.connected_components(df).collect()}
+    assert got == _uf_oracle(edges)
