@@ -536,6 +536,24 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal tier under the oracle gate: opaque binary payloads ->
+    (stub) decode -> pooled feature chunks, one mapInPandas — the real
+    Spark plumbing with a deterministic decoder whose seed is the
+    engine-owned polynomial BYTE hash of the payload, so DuckDB recomputes
+    decode + chunk means from the same bytes. Features explode to scalar
+    rows for the value-hash compare."""
+    from geotrellis_contrib_spark.operators import media as md
+    _views(spark, sf_dir)
+    m = md.synth_media(spark.table("media")
+                       .select(F.col("doc_id").cast("string").alias("doc_id"),
+                               F.col("media_idx").alias("span_idx"),
+                               "media_ref"))
+    feats = md.extract_features(m)
+    return feats.select("doc_id", "span_idx", "kind",
+                        F.posexplode("feature").alias("chunk_idx", "feat"))
+
+
 def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for every 50th embedding."""
     _views(spark, sf_dir)
@@ -1139,6 +1157,32 @@ SELECT doc_id,
 FROM documents
 """
 
+    # media tier: decode is the deterministic stub, but its seed is the
+    # polynomial BYTE hash of the sha256-hex payload — recomputable from
+    # the same opaque bytes in SQL. Chunk means are exact (image: ints/64;
+    # audio: multiples of 2^-15), so the hash compare is bitwise.
+    o["media_features"] = f"""
+{derive.cte('media')},
+seeds AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, media_idx AS span_idx,
+         CASE WHEN media_idx % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+         {char_hash_sql("SHA256(media_ref)")} AS seed
+  FROM media),
+px AS (
+  SELECT doc_id, span_idx, kind, seed, j AS chunk_idx, (j*64 + k) AS i
+  FROM seeds, range(0,16) js(j), range(0,64) ks(k)),
+vals AS (
+  SELECT doc_id, span_idx, kind, chunk_idx,
+    CASE WHEN kind = 'image'
+         THEN CAST(((seed % 251) + (i//32)*31 + (i%32)*17) % 256 AS DOUBLE)
+         ELSE CAST(((seed % 1000003) + i*7919) % 65536 AS DOUBLE)/32768.0 - 1.0
+    END AS v
+  FROM px)
+SELECT doc_id, CAST(span_idx AS INT) AS span_idx, kind,
+       CAST(chunk_idx AS INT) AS chunk_idx, SUM(v)/64.0 AS feat
+FROM vals GROUP BY 1, 2, 3, 4
+"""
+
     o["embed_topk"] = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id % 50 = 0)
@@ -1267,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "windowed_events": q_windowed_events,
         "text_features": q_text_features,
+        "media_features": q_media_features,
         "pixel_mosaic_checksum": q_pixel_mosaic_checksum,
         "mosaic_merge_multires": q_mosaic_merge_multires,
         "reproject_grid": q_reproject_grid,

@@ -15,7 +15,6 @@ itself is never rewritten (span-sequence invariant).
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -23,25 +22,38 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from geotrellis_contrib_spark.functions.text import FP_BASE, FP_MOD
+
 MEDIA_SCHEMA = ("doc_id string, span_idx int, media_ref string, kind string, "
                 "payload binary, meta map<string,string>")
 
 FEATURE_DIM = 16
 
 
+def payload_seed(payload: bytes) -> int:
+    """Deterministic seed from the OPAQUE payload bytes: the engine-owned
+    polynomial byte hash (mod 1e9+7) — the same arithmetic the text
+    fingerprints use, so a SQL oracle can recompute the decode end-to-end
+    from the identical bytes."""
+    acc = 0
+    for b in payload or b"\x00":
+        acc = (acc * FP_BASE + b) % FP_MOD
+    return acc
+
+
 def _fake_decode_image(payload: bytes, h: int = 32, w: int = 32) -> np.ndarray:
-    """Deterministic stand-in decoder: pixels derived from the payload
-    digest. REPLACE with a real codec on a cluster:
+    """Deterministic stand-in decoder: pixels derived from a payload hash.
+    REPLACE with a real codec on a cluster:
         DECODERS["image"] = lambda b: np.asarray(PIL.Image.open(io.BytesIO(b)))
     """
-    seed = int.from_bytes(hashlib.sha256(payload or b"").digest()[:8], "big")
+    seed = payload_seed(payload)
     r = np.arange(h, dtype=np.int64).reshape(-1, 1)
     c = np.arange(w, dtype=np.int64).reshape(1, -1)
     return ((seed % 251) + r * 31 + c * 17).astype(np.int64) % 256
 
 
 def _fake_decode_audio(payload: bytes, n: int = 1024) -> np.ndarray:
-    seed = int.from_bytes(hashlib.sha256(payload or b"").digest()[:8], "big")
+    seed = payload_seed(payload)
     i = np.arange(n, dtype=np.int64)
     return (((seed % 1000003) + i * 7919) % 65536).astype(np.float64) / 32768.0 - 1.0
 
