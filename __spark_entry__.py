@@ -214,6 +214,28 @@ def q_windows_read_multizoom(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_tiles"), F.sum("val").alias("sum_val")))
 
 
+# global-pixel window for the pixel-bounds read (crosses tile boundaries,
+# crops edge tiles; tile (col,row) covers pixels [col*64,(col+1)*64))
+WINPX = (1200, 1560, 1362, 1700)
+
+
+def q_window_read_px(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed pixel read by PIXEL BOUNDS — the reference's read(bounds)
+    contract (RasterSourceF.scala:100-112): key-range-pruned scan + one
+    mapInPandas crop; edge tiles crop to the window, disjoint tiles drop.
+    Output: per emitted window, its placement + exact pixel checksum.
+    Oracle: the fixture arithmetic filtered to the global pixel window."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import pixels as px
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    win = px.read_window(tiles, WINPX, tile_size=64)
+    return px.window_stats(
+        win, keys=("source_id", "band", "px_col_min", "px_row_min", "h", "w")) \
+        .select("source_id", "band", "px_col_min", "px_row_min", "h", "w",
+                "px_sum", "px_count")
+
+
 def q_pyramid_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the zoom-5 overview level from zoom-6 tiles (2x2 fold —
     pyramid-as-materialized-aggregate, SURVEY.md §2.4 overview selection)."""
@@ -986,6 +1008,25 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM px GROUP BY 1
 """
 
+    _wc0, _wr0, _wc1, _wr1 = WINPX
+    o["window_read_px"] = f"""
+WITH px AS (
+  SELECT s, band, 18+tc+s AS col, 24+tr AS row,
+         (18+tc+s)*64 + c AS P, (24+tr)*64 + r AS Q,
+         {_fval('r', 'c')} AS val
+  FROM range(0,3) ss(s), range(0,2) bs(band), range(0,4) tcs(tc),
+       range(0,4) trs(tr), range(0,64) rs(r), range(0,64) cs(c)
+), hitpx AS (
+  SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+         CAST(band AS BIGINT) AS band, col, row, P, Q, val
+  FROM px WHERE P BETWEEN {_wc0} AND {_wc1} AND Q BETWEEN {_wr0} AND {_wr1})
+SELECT source_id, band,
+       MIN(P) AS px_col_min, MIN(Q) AS px_row_min,
+       MAX(Q) - MIN(Q) + 1 AS h, MAX(P) - MIN(P) + 1 AS w,
+       SUM(val) AS px_sum, CAST(COUNT(*) AS BIGINT) AS px_count
+FROM hitpx GROUP BY source_id, band, col, row
+"""
+
     # Mixed-resolution merge: the 32-px source's value formula uses ITS OWN
     # r,c in [0,32) with hole h0=(2*11)%(32-16)=6; upsampled onto the 64
     # target grid the sampled index is r//2 (nearest at an exact 2x ratio).
@@ -1293,6 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mosaic_merge": q_mosaic_merge,
         "windows_read": q_windows_read,
         "windows_read_multizoom": q_windows_read_multizoom,
+        "window_read_px": q_window_read_px,
         "raster_summary": q_raster_summary,
         "pyramid_build": q_pyramid_build,
         "bbox_select": q_bbox_select,
