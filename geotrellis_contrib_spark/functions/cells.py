@@ -125,6 +125,32 @@ def utm_easting_northing(lon, lat, zone: int) -> tuple[Column, Column]:
             F.lit(_UTM_K0 * _A_CAP) * xi_s)
 
 
+def utm_lon_lat(easting, northing, zone: int, southern: bool = False) -> tuple[Column, Column]:
+    """UTM (WGS84) -> EPSG:4326 as PURE JVM Columns — the inverse Krueger
+    series twin of :func:`utm_easting_northing` (grid.utm_to_lonlat in
+    numpy). ``northing`` carries its hemisphere's false northing."""
+    from geotrellis_contrib_spark.grid import (
+        _A_CAP, _UTM_E0, _UTM_K0, _UTM_N0_SOUTH, UTM_BETA, UTM_DELTA,
+        utm_central_meridian)
+
+    n = _c(northing).cast("double")
+    if southern:
+        n = n - F.lit(_UTM_N0_SOUTH)
+    xi = n / F.lit(_UTM_K0 * _A_CAP)
+    eta = (_c(easting).cast("double") - F.lit(_UTM_E0)) / F.lit(_UTM_K0 * _A_CAP)
+    xi_p, eta_p = xi, eta
+    for j, b in enumerate(UTM_BETA, start=1):
+        xi_p = xi_p - F.lit(b) * F.sin(F.lit(2.0 * j) * xi) * F.cosh(F.lit(2.0 * j) * eta)
+        eta_p = eta_p - F.lit(b) * F.cos(F.lit(2.0 * j) * xi) * F.sinh(F.lit(2.0 * j) * eta)
+    chi = F.asin(F.sin(xi_p) / F.cosh(eta_p))
+    phi = chi
+    for j, d in enumerate(UTM_DELTA, start=1):
+        phi = phi + F.lit(d) * F.sin(F.lit(2.0 * j) * chi)
+    lam = F.atan2(F.sinh(eta_p), F.cos(xi_p))
+    lon = F.lit(float(utm_central_meridian(zone))) + F.degrees(lam)
+    return lon, F.degrees(phi)
+
+
 def tile_xmin(zoom, col) -> Column:
     n = F.pow(F.lit(2.0), _c(zoom).cast("double"))
     return _c(col).cast("double") / n * F.lit(360.0) - F.lit(180.0)

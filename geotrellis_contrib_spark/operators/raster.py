@@ -153,6 +153,13 @@ def reproject_coords(df: DataFrame, src_srid: int, dst_srid: int,
         return df.withColumn("_e", e).withColumn("_n", n) \
                  .withColumn(x_col, F.col("_e")).withColumn(y_col, F.col("_n")) \
                  .drop("_e", "_n")
+    if dst_srid == 4326 and 32601 <= src_srid <= 32760 and src_srid % 100 <= 60:
+        zone = src_srid % 100
+        south = src_srid >= 32701
+        lon, lat = C.utm_lon_lat(F.col(x_col), F.col(y_col), zone, southern=south)
+        return df.withColumn("_lo", lon).withColumn("_la", lat) \
+                 .withColumn(x_col, F.col("_lo")).withColumn(y_col, F.col("_la")) \
+                 .drop("_lo", "_la")
     raise ValueError(f"unsupported CRS pair {src_srid}->{dst_srid}")
 
 

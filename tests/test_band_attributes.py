@@ -41,3 +41,18 @@ def test_reproject_coords_utm_columns_match_numpy(spark):
     south = reproject_coords(df, 4326, 32718).orderBy("id").collect()
     got_ns = np.array([r.lat for r in south])
     np.testing.assert_allclose(got_ns, n + 10000000.0, rtol=0, atol=1e-6)
+
+
+def test_reproject_coords_utm_round_trip_columns(spark):
+    """4326 -> 32618 -> 4326 entirely in JVM Columns round-trips to 1e-9 deg
+    (forward + inverse Krueger series as whole-stage-codegen expressions)."""
+    import numpy as np
+    from geotrellis_contrib_spark.operators.raster import reproject_coords
+
+    rows = [(i, -77.9 + (i % 55) * 0.1, 2.0 + i * 0.8) for i in range(100)]
+    df = spark.createDataFrame(rows, "id int, lon double, lat double")
+    back = reproject_coords(reproject_coords(df, 4326, 32618), 32618, 4326) \
+        .orderBy("id").collect()
+    lons = np.array([r[1] for r in rows]); lats = np.array([r[2] for r in rows])
+    np.testing.assert_allclose(np.array([r.lon for r in back]), lons, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(np.array([r.lat for r in back]), lats, rtol=0, atol=1e-9)
