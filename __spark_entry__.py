@@ -302,6 +302,12 @@ JACCARD_MAX_DF = 500
 EMB_DIMS = 64
 EMB_K = 5
 EMB_MIN_COS = 0.25
+# multi-table hyperplane LSH: 4 tables x 12 planes = 4096 buckets/table
+# (high-cardinality keys; union-of-tables recall instead of one 256-bucket
+# table — the r2 structure was both a recall ceiling and a quadratic-block
+# risk at 10^12 vectors)
+EMB_LSH_TABLES = 4
+EMB_LSH_PLANES = 12
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -353,7 +359,8 @@ def q_embed_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geotrellis_contrib_spark.operators import cluster as cl
     _views(spark, sf_dir)
     pairs = sim.lsh_near_pairs(spark.table("embeddings"), dims=EMB_DIMS,
-                               min_cos=EMB_MIN_COS)
+                               min_cos=EMB_MIN_COS,
+                               n_tables=EMB_LSH_TABLES, n_planes=EMB_LSH_PLANES)
     return cl.dup_clusters(pairs, "vec_a", "vec_b") \
              .select("id", "cluster_id", "is_survivor")
 
@@ -585,35 +592,38 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(e, queries, k=EMB_K, dims=EMB_DIMS)
 
 
-IVF_CENT_MOD = 31
+IVF_K = 64       # FIXED centroid budget: broadcast size is corpus-independent
 IVF_NPROBE = 4
 
 
 def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: deterministic centroids (every 31st vector),
+    """IVF approximate top-k: fixed budget of K=64 deterministic centroids
+    (smallest id-hash — the broadcast stays constant-size at 10^12 vectors),
     nprobe=4 posting-list probe + exact re-rank — the ANN scale path next to
     the brute-force baseline (embed_topk)."""
     _views(spark, sf_dir)
     e = spark.table("embeddings")
-    centroids = e.filter(F.col("vec_id") % IVF_CENT_MOD == 0) \
-                 .select(F.col("vec_id").alias("centroid_id"),
-                         F.col("embedding").alias("cvec"))
+    centroids = sim.select_centroids(e, IVF_K)
     queries = e.filter(F.col("vec_id") % 50 == 0) \
                .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
     return sim.ivf_topk(e, queries, centroids, k=EMB_K, nprobe=IVF_NPROBE, dims=EMB_DIMS)
 
 
 def q_embed_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH bucket per embedding (deterministic planes)."""
+    """Multi-table hyperplane-LSH buckets per embedding (4 tables x 12
+    deterministic planes; one row per (vector, table))."""
     _views(spark, sf_dir)
-    return sim.lsh_buckets(spark.table("embeddings"), dims=EMB_DIMS)
+    return sim.lsh_tables(spark.table("embeddings"), dims=EMB_DIMS,
+                          n_tables=EMB_LSH_TABLES, n_planes=EMB_LSH_PLANES)
 
 
 def q_embed_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate embeddings: LSH-bucket equi-join + exact cosine refine."""
+    """Near-duplicate embeddings: per-table bucket equi-joins unioned across
+    the 4 LSH tables + one exact cosine refine."""
     _views(spark, sf_dir)
     return sim.lsh_near_pairs(spark.table("embeddings"), dims=EMB_DIMS,
-                              min_cos=EMB_MIN_COS)
+                              min_cos=EMB_MIN_COS,
+                              n_tables=EMB_LSH_TABLES, n_planes=EMB_LSH_PLANES)
 
 
 # --------------------------------------------------------------------------
@@ -1238,7 +1248,9 @@ WHERE rank <= {EMB_K}
 
     o["embed_ivf_topk"] = f"""
 WITH cent AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
-              FROM embeddings WHERE vec_id % {IVF_CENT_MOD} = 0),
+              FROM embeddings
+              ORDER BY (vec_id * 2654435761) % 2147483648, vec_id
+              LIMIT {IVF_K}),
 v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
 assign AS (
   SELECT vec_id, centroid_id FROM (
@@ -1267,34 +1279,44 @@ SELECT query_id, vec_id, CAST(rank AS INT) AS rank, cos FROM (
 WHERE rank <= {EMB_K}
 """
 
-    bucket_expr = " + ".join(
-        f"(CASE WHEN LIST_DOT_PRODUCT(embedding::DOUBLE[], "
-        f"{sim.sql_plane_weights_list(p, EMB_DIMS)}) >= 0 THEN 1 ELSE 0 END) * {1 << p}"
-        for p in range(sim.N_PLANES))
+    def table_bucket_expr(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN LIST_DOT_PRODUCT(embedding::DOUBLE[], "
+            f"{sim.sql_plane_weights_list(t * EMB_LSH_PLANES + p, EMB_DIMS)}) >= 0 "
+            f"THEN 1 ELSE 0 END) * {1 << p}"
+            for p in range(EMB_LSH_PLANES))
+
+    eb_cte = " UNION ALL ".join(
+        f"SELECT vec_id, CAST({t} AS INT) AS table_id, "
+        f"CAST({table_bucket_expr(t)} AS BIGINT) AS bucket FROM embeddings"
+        for t in range(EMB_LSH_TABLES))
     o["embed_lsh_buckets"] = f"""
-SELECT vec_id, CAST({bucket_expr} AS BIGINT) AS bucket FROM embeddings
+SELECT vec_id, table_id, bucket FROM ({eb_cte})
 """
 
     embed_pairs_select = f"""
-  SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b
-  FROM eb a JOIN eb bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+  SELECT DISTINCT a.vec_id AS vec_a, bb.vec_id AS vec_b
+  FROM eb a JOIN eb bb ON a.table_id = bb.table_id AND a.bucket = bb.bucket
+   AND a.vec_id < bb.vec_id
   JOIN ev va ON va.vec_id = a.vec_id JOIN ev vb ON vb.vec_id = bb.vec_id
   WHERE LIST_COSINE_SIMILARITY(va.vec, vb.vec) >= {EMB_MIN_COS}
 """
     o["embed_dup_clusters"] = (
         "WITH RECURSIVE "
-        f"eb AS (SELECT vec_id, CAST({bucket_expr} AS BIGINT) AS bucket FROM embeddings),\n"
+        f"eb AS ({eb_cte}),\n"
         "ev AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),\n"
         + _cc_sql(embed_pairs_select, "vec_a", "vec_b")
     )
 
     o["embed_near_pairs"] = f"""
-WITH b AS (SELECT vec_id, CAST({bucket_expr} AS BIGINT) AS bucket FROM embeddings),
-v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
-SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b,
-       LIST_COSINE_SIMILARITY(va.vec, vb.vec) AS cos
-FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
-JOIN v va ON va.vec_id = a.vec_id JOIN v vb ON vb.vec_id = bb.vec_id
+WITH b AS ({eb_cte}),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, bb.vec_id AS vec_b
+  FROM b a JOIN b bb ON a.table_id = bb.table_id AND a.bucket = bb.bucket
+   AND a.vec_id < bb.vec_id)
+SELECT c.vec_a, c.vec_b, LIST_COSINE_SIMILARITY(va.vec, vb.vec) AS cos
+FROM cand c JOIN v va ON va.vec_id = c.vec_a JOIN v vb ON vb.vec_id = c.vec_b
 WHERE LIST_COSINE_SIMILARITY(va.vec, vb.vec) >= {EMB_MIN_COS}
 """
     return o

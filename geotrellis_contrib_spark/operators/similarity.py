@@ -2,71 +2,141 @@
 
   - brute-force cosine top-k (the correctness baseline): cross join of a
     small query set against the corpus, dot/norm computed with JVM
-    ``zip_with`` + ``aggregate`` folds (NO Python; Arrow never engaged);
-  - random-hyperplane LSH bucketing (the scale path): deterministic
-    arithmetic hyperplanes -> sign bits -> bucket key; near-dup candidate
-    pairs come from an equi-join on the bucket instead of all pairs.
+    expressions (NO Python; Arrow never engaged);
+  - random-hyperplane LSH bucketing (the scale path): L independent tables
+    of P deterministic arithmetic hyperplanes -> sign bits -> bucket key;
+    near-dup candidate pairs come from equi-joins on (table, bucket) and a
+    union across tables instead of all pairs (multi-table banding: recall
+    1-(1-p^P)^L instead of a single table's p^P);
+  - IVF posting lists with a FIXED centroid budget K (the broadcast stays
+    constant-size no matter the corpus size — at 10^12 vectors the index
+    build is still one scan against a K-row broadcast).
 
 Float discipline: elements are cast to float64 BEFORE multiplication and
 accumulated by an ordered left fold — the exact op sequence DuckDB's
 list_dot_product/list_cosine_similarity use, so oracles match bitwise
 (verified in tests).
+
+Expression-build discipline (round-3 fix): the unrolled 64-term folds used
+to be assembled Column-by-Column through the py4j bridge — thousands of
+driver IPC round-trips per query (~6.5s quiet, 15-20x worse when the driver
+host is contended; this was the whole embed-tier blowup in BENCH_r02). They
+are now rendered as ONE SQL string handed to a single ``F.expr`` call: the
+JVM parses the text in milliseconds and the resulting expression tree — and
+therefore every result bit — is identical (left-associated ``+`` chain ==
+ordered left fold).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# single-table default (back-compat); the scale path is L x P multi-table
 N_PLANES = 8
 _PLANE_MOD = 10007
+# multi-table defaults: 4 tables x 12 planes = 4096 buckets per table --
+# high-cardinality keys (no quadratic bucket blocks) with recall
+# 1-(1-p^12)^4 for collision prob p = 1 - theta/pi
+N_TABLES = 4
+PLANES_PER_TABLE = 12
 
 
 def plane_weights(plane: int, dims: int) -> list[float]:
-    """Deterministic pseudo-random hyperplane weights in [-0.5, 0.5):
-    w = ((plane*2971 + i*6011 + 13) % 10007) / 10007 - 0.5 (pure arithmetic —
-    reproducible in SQL for the oracle)."""
-    return [((plane * 2971 + i * 6011 + 13) % _PLANE_MOD) / _PLANE_MOD - 0.5
-            for i in range(dims)]
+    """Deterministic VERY SPARSE random-projection hyperplane (Achlioptas
+    2001; Li/Hastie/Church 2006): w_i in {-1, 0, +1} with density
+    1/8 (= 1/sqrt(64)) from the engine-owned arithmetic stream
+    m = (plane*2971 + i*6011 + 13) % 10007; w = +1 if m%16==0, -1 if
+    m%16==1, else 0. Sign-LSH quality is preserved at ~1/8 the per-row
+    compute of a dense plane — the sum is 8 adds, not 64 fused
+    multiply-adds, which keeps 48-plane multi-table bucketing inside
+    whole-stage codegen limits AND is the 10^12-vector hot-path cost model.
+    Pure arithmetic — reproducible in SQL for the oracle; skipping the
+    zero terms / negating for -1 is bit-identical to DuckDB's full
+    LIST_DOT_PRODUCT fold over the same list (x*0.0 adds are IEEE no-ops,
+    x*-1.0 is exact negation)."""
+    ws = []
+    for i in range(dims):
+        m = (plane * 2971 + i * 6011 + 13) % _PLANE_MOD
+        r = m % 16
+        ws.append(1.0 if r == 0 else (-1.0 if r == 1 else 0.0))
+    return ws
 
 
-def _fold_dot(a, b, dims: int | None = None) -> F.Column:
-    """Ordered float64 left-fold dot product (bit-matches list_dot_product).
+# --------------------------------------------------------------------------
+# SQL-text expression builders (single F.expr call; left-fold order)
+# --------------------------------------------------------------------------
 
-    With ``dims`` known (the engine always knows its embedding width) the
-    fold is UNROLLED into a left-associated codegen'd expression chain —
-    higher-order-function lambdas are interpreted per element and ~10x
-    slower; the unrolled chain adds in the identical order, so results stay
-    bit-identical to the HOF fold and to the DuckDB oracle."""
-    if dims is not None:
-        def term(i):
-            return (F.element_at(a, i).cast("double")
-                    * F.element_at(b, i).cast("double"))
-        acc = term(1)
-        for i in range(2, dims + 1):
-            acc = acc + term(i)
-        return acc
+def _elem(col: str, i: int) -> str:
+    return f"CAST(element_at({col}, {i}) AS DOUBLE)"
+
+
+def _dlit(x: float) -> str:
+    """Shortest round-trip double literal (repr round-trips in Java too)."""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def sql_dot(a: str, b: str, dims: int) -> str:
+    """Left-associated dot-product chain over column NAMES (bit-matches
+    DuckDB list_dot_product's ordered fold)."""
+    return " + ".join(f"{_elem(a, i)} * {_elem(b, i)}" for i in range(1, dims + 1))
+
+
+def sql_norm2(a: str, dims: int) -> str:
+    return " + ".join(f"{_elem(a, i)} * {_elem(a, i)}" for i in range(1, dims + 1))
+
+
+def sql_dot_weights(a: str, ws: list[float]) -> str:
+    """dot(a, literal weight vector). Terms with weight 0.0 are skipped and
+    weight ±1.0 renders as ±element — bit-identical to the full ordered
+    fold (x + v*0.0 == x; v*-1.0 == -v; v*1.0 == v, all exact in IEEE),
+    so the DuckDB oracle can keep using LIST_DOT_PRODUCT over the complete
+    64-element list. General weights still render as explicit products."""
+    terms = []
+    for i, w in enumerate(ws):
+        if w == 0.0:
+            continue
+        if w == 1.0:
+            terms.append(_elem(a, i + 1))
+        elif w == -1.0:
+            terms.append(f"(- {_elem(a, i + 1)})")
+        else:
+            terms.append(f"{_elem(a, i + 1)} * {_dlit(w)}")
+    if not terms:
+        return "CAST(0.0 AS DOUBLE)"
+    return " + ".join(terms)
+
+
+def dot_col(a: str, b: str, dims: int) -> Column:
+    return F.expr(sql_dot(a, b, dims))
+
+
+def norm_col(a: str, dims: int) -> Column:
+    """sqrt(|a|^2) as one parsed expression."""
+    return F.expr(f"SQRT({sql_norm2(a, dims)})")
+
+
+def _fold_dot(a, b, dims: int | None = None) -> Column:
+    """HOF fallback for unknown dims (interpreted per element — slow path;
+    the engine always knows its embedding width and uses the text builders)."""
+    if dims is not None and isinstance(a, str) and isinstance(b, str):
+        return dot_col(a, b, dims)
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
 
-def _fold_norm2(a, dims: int | None = None) -> F.Column:
-    if dims is not None:
-        def term(i):
-            v = F.element_at(a, i).cast("double")
-            return v * v
-        acc = term(1)
-        for i in range(2, dims + 1):
-            acc = acc + term(i)
-        return acc
+def _fold_norm2(a, dims: int | None = None) -> Column:
+    if dims is not None and isinstance(a, str):
+        return F.expr(sql_norm2(a, dims))
     return F.aggregate(a, F.lit(0.0),
                        lambda acc, v: acc + v.cast("double") * v.cast("double"))
 
 
-def cosine_cols(a, b, dims: int | None = None) -> F.Column:
+def cosine_cols(a: str, b: str, dims: int) -> Column:
     """cos = dot / (sqrt(|a|^2) * sqrt(|b|^2)) — the list_cosine_similarity
-    op order, for bitwise oracle parity."""
-    return _fold_dot(a, b, dims) / (F.sqrt(_fold_norm2(a, dims)) * F.sqrt(_fold_norm2(b, dims)))
+    op order, for bitwise oracle parity. ``a``/``b`` are column names."""
+    return F.expr(f"({sql_dot(a, b, dims)}) / "
+                  f"(SQRT({sql_norm2(a, dims)}) * SQRT({sql_norm2(b, dims)}))")
 
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int,
@@ -81,12 +151,12 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int,
     precomputed once per VECTOR (not per pair).
     Output: (query_id, vec_id, rank, cos)."""
     q = queries.select(F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qvec")) \
-               .withColumn("qn", F.sqrt(_fold_norm2(F.col("qvec"), dims)))
+               .withColumn("qn", norm_col("qvec", dims))
     v = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")) \
-              .withColumn("vn", F.sqrt(_fold_norm2(F.col("vec"), dims)))
+              .withColumn("vn", norm_col("vec", dims))
     cand = v.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
     cand = cand.withColumn(
-        "cos", _fold_dot(F.col("qvec"), F.col("vec"), dims) / (F.col("qn") * F.col("vn")))
+        "cos", dot_col("qvec", "vec", dims) / (F.col("qn") * F.col("vn")))
     # project the arrays AWAY before the rank window: the top-k shuffle then
     # moves (query_id, vec_id, cos) scalars, not 64-float embeddings
     cand = cand.select("query_id", "vec_id", "cos")
@@ -96,36 +166,101 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int,
             .select("query_id", "vec_id", F.col("rank").cast("int").alias("rank"), "cos"))
 
 
-def lsh_buckets(corpus: DataFrame, dims: int, n_planes: int = N_PLANES,
-                id_col="vec_id", vec_col="embedding") -> DataFrame:
-    """Random-hyperplane LSH: bucket = sum over planes of (dot(v, w_p) >= 0)
-    << p. One narrow JVM stage. Output: (vec_id, bucket)."""
-    bucket = F.lit(0).cast("long")
+def _sql_bucket(vec_col: str, dims: int, n_planes: int, plane_base: int) -> str:
+    """Bucket key for one table: sum over planes of (dot(v, w_p) >= 0) << p,
+    planes ``plane_base .. plane_base + n_planes - 1``. One SQL string."""
+    terms = []
     for p in range(n_planes):
-        w = F.array(*[F.lit(x) for x in plane_weights(p, dims)])
-        bit = F.when(_fold_dot(F.col(vec_col), w, dims) >= 0, F.lit(1).cast("long")).otherwise(0)
-        bucket = bucket + F.shiftleft(bit, p)
+        ws = plane_weights(plane_base + p, dims)
+        terms.append(f"(CASE WHEN {sql_dot_weights(vec_col, ws)} >= 0 "
+                     f"THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+    return " + ".join(terms)
+
+
+def lsh_buckets(corpus: DataFrame, dims: int, n_planes: int = N_PLANES,
+                id_col="vec_id", vec_col="embedding",
+                plane_base: int = 0) -> DataFrame:
+    """Single-table random-hyperplane LSH: bucket = sum over planes of
+    (dot(v, w_p) >= 0) << p. One narrow JVM stage. Output: (vec_id, bucket)."""
+    bucket = F.expr(_sql_bucket(vec_col, dims, n_planes, plane_base))
     return corpus.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
 
 
+def lsh_tables(corpus: DataFrame, dims: int,
+               n_tables: int = N_TABLES, n_planes: int = PLANES_PER_TABLE,
+               id_col="vec_id", vec_col="embedding") -> DataFrame:
+    """Multi-table LSH: L independent tables of P planes each (table t uses
+    planes t*P .. t*P+P-1). Output: (vec_id, table_id, bucket) — one row per
+    (vector, table); the downstream join key packs to the single long
+    ``table_id * 2^P + bucket``, so bucket cardinality is L * 2^P (4096 per
+    table at the defaults — no quadratic blocks at scale).
+
+    Codegen discipline: the L*P plane dots are projected as individual
+    columns BELOW the explode — a Generate is a barrier CollapseProject
+    never crosses, so each 64-term dot compiles as its own small method
+    (one 3072-term expression inside the explode array would blow the 64KB
+    generated-method limit and silently fall back to interpreted eval —
+    measured 13s vs ~1s on 2000 rows)."""
+    dots = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        *[F.expr(sql_dot_weights(vec_col, plane_weights(t * n_planes + p, dims)))
+          .alias(f"_d_{t}_{p}")
+          for t in range(n_tables) for p in range(n_planes)])
+    entries = ", ".join(
+        "named_struct('table_id', CAST({t} AS INT), 'bucket', {bucket})".format(
+            t=t,
+            bucket=" + ".join(
+                f"(CASE WHEN _d_{t}_{p} >= 0 THEN CAST({1 << p} AS BIGINT) "
+                f"ELSE CAST(0 AS BIGINT) END)"
+                for p in range(n_planes)))
+        for t in range(n_tables))
+    tb = F.explode(F.expr(f"array({entries})")).alias("tb")
+    return (dots.select("vec_id", tb)
+            .select("vec_id", F.col("tb.table_id").alias("table_id"),
+                    F.col("tb.bucket").alias("bucket")))
+
+
 def lsh_near_pairs(corpus: DataFrame, dims: int, min_cos: float = 0.8,
-                   n_planes: int = N_PLANES,
+                   n_tables: int = N_TABLES, n_planes: int = PLANES_PER_TABLE,
                    id_col="vec_id", vec_col="embedding") -> DataFrame:
-    """Near-duplicate embedding pairs: equi-join on the LSH bucket (the scale
-    path: candidates collapse from O(n^2) to per-bucket blocks), exact cosine
-    refine. Output: (vec_a, vec_b, cos)."""
-    b = lsh_buckets(corpus, dims, n_planes, id_col, vec_col)
+    """Near-duplicate embedding pairs: candidates = union over the L tables
+    of the (table_id, bucket) equi-join, dedup to distinct (a, b), then one
+    exact cosine refine. Output: (vec_a, vec_b, cos).
+
+    Scale shape: the bucket self-join moves SCALARS only (ids + the packed
+    long key); embeddings are joined back per-id for the refine — arrays
+    never ride through the candidate shuffle."""
+    b = lsh_tables(corpus, dims, n_tables, n_planes, id_col, vec_col) \
+        .select("vec_id",
+                (F.col("table_id").cast("long") * (1 << n_planes)
+                 + F.col("bucket")).alias("tkey"))
+    left = b.select(F.col("vec_id").alias("vec_a"), "tkey")
+    right = b.select(F.col("vec_id").alias("vec_b"), "tkey")
+    pairs = (left.join(right, "tkey")
+             .filter(F.col("vec_a") < F.col("vec_b"))
+             .select("vec_a", "vec_b").distinct())
     v = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")) \
-              .withColumn("nrm", F.sqrt(_fold_norm2(F.col("vec"), dims)))
-    bv = b.join(v, "vec_id")
-    left = bv.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"),
-                     F.col("nrm").alias("na"), "bucket")
-    right = bv.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"),
-                      F.col("nrm").alias("nb"), "bucket")
-    pairs = left.join(right, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
-    pairs = pairs.withColumn(
-        "cos", _fold_dot(F.col("va"), F.col("vb"), dims) / (F.col("na") * F.col("nb")))
-    return pairs.filter(F.col("cos") >= min_cos).select("vec_a", "vec_b", "cos")
+              .withColumn("nrm", norm_col("vec", dims))
+    va = v.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"),
+                  F.col("nrm").alias("na"))
+    vb = v.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"),
+                  F.col("nrm").alias("nb"))
+    ref = pairs.join(va, "vec_a").join(vb, "vec_b").withColumn(
+        "cos", dot_col("va", "vb", dims) / (F.col("na") * F.col("nb")))
+    return ref.filter(F.col("cos") >= min_cos).select("vec_a", "vec_b", "cos")
+
+
+def select_centroids(corpus: DataFrame, k: int,
+                     id_col="vec_id", vec_col="embedding") -> DataFrame:
+    """Fixed-budget centroid selection: the K corpus vectors with the
+    smallest deterministic id-hash (Knuth multiplicative, mod 2^31) —
+    one TakeOrdered pass, output size K regardless of corpus size, so the
+    downstream broadcast stays constant at 10^12 vectors.
+    Output: (centroid_id, cvec)."""
+    h = F.pmod(F.col(id_col).cast("long") * F.lit(2654435761), F.lit(2147483648))
+    return (corpus.select(F.col(id_col).alias("centroid_id"),
+                          F.col(vec_col).alias("cvec"), h.alias("_h"))
+            .orderBy("_h", "centroid_id").limit(k).drop("_h"))
 
 
 def ivf_assign(corpus: DataFrame, centroids: DataFrame,
@@ -133,19 +268,20 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
                id_col="vec_id", vec_col="embedding",
                cid_col="centroid_id", cvec_col="cvec") -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest centroid
-    by cosine (broadcast centroid cross join + window pick; deterministic
+    by cosine (broadcast centroid cross join + max-struct pick; deterministic
     tie-break on centroid_id). Output: (vec_id, centroid_id, cos).
 
     At 10^12 scale this is the index-build pass: one scan of the corpus,
-    centroid list broadcast, output range-partitioned by centroid_id becomes
-    the posting-list table."""
+    fixed-size centroid list broadcast (see :func:`select_centroids`),
+    output range-partitioned by centroid_id becomes the posting-list
+    table."""
     c = F.broadcast(centroids.select(F.col(cid_col).alias("centroid_id"),
                                      F.col(cvec_col).alias("cvec"))
-                    .withColumn("cn", F.sqrt(_fold_norm2(F.col("cvec"), dims))))
+                    .withColumn("cn", norm_col("cvec", dims)))
     v = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")) \
-              .withColumn("vn", F.sqrt(_fold_norm2(F.col("vec"), dims)))
+              .withColumn("vn", norm_col("vec", dims))
     pairs = v.crossJoin(c).withColumn(
-        "cos", _fold_dot(F.col("vec"), F.col("cvec"), dims) / (F.col("vn") * F.col("cn")))
+        "cos", dot_col("vec", "cvec", dims) / (F.col("vn") * F.col("cn")))
     # nearest centroid via max(struct(...)): a declarative aggregate that
     # partial-aggregates map-side over scalars only (no window sort, no
     # array shuffle) — ordering (cos desc, centroid_id asc) encoded as
@@ -170,22 +306,22 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
     """
     assign = ivf_assign(corpus, centroids, dims, id_col, vec_col)
     c = F.broadcast(centroids.select(F.col("centroid_id"), F.col("cvec"))
-                    .withColumn("cn", F.sqrt(_fold_norm2(F.col("cvec"), dims))))
+                    .withColumn("cn", norm_col("cvec", dims)))
     q = queries.select(F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qvec")) \
-               .withColumn("qn", F.sqrt(_fold_norm2(F.col("qvec"), dims)))
+               .withColumn("qn", norm_col("qvec", dims))
     qc = q.crossJoin(c).withColumn(
-        "ccos", _fold_dot(F.col("qvec"), F.col("cvec"), dims) / (F.col("qn") * F.col("cn")))
+        "ccos", dot_col("qvec", "cvec", dims) / (F.col("qn") * F.col("cn")))
     wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("centroid_id").asc())
     probes = (qc.withColumn("rn", F.row_number().over(wq))
               .filter(F.col("rn") <= nprobe)
               .select("query_id", "centroid_id", "qvec", "qn"))
 
     v = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")) \
-              .withColumn("vn", F.sqrt(_fold_norm2(F.col("vec"), dims)))
+              .withColumn("vn", norm_col("vec", dims))
     cand = assign.join(v, "vec_id").join(F.broadcast(probes), "centroid_id") \
                  .filter(F.col("vec_id") != F.col("query_id"))
     cand = cand.withColumn(
-        "rcos", _fold_dot(F.col("qvec"), F.col("vec"), dims) / (F.col("qn") * F.col("vn")))
+        "rcos", dot_col("qvec", "vec", dims) / (F.col("qn") * F.col("vn")))
     # drop the embedding arrays before the re-rank shuffle (scalars only)
     cand = cand.select("query_id", "vec_id", "rcos")
     w = Window.partitionBy("query_id").orderBy(F.col("rcos").desc(), F.col("vec_id").asc())
@@ -197,9 +333,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
 
 
 def sql_plane_weights_list(plane: int, dims: int) -> str:
-    """DuckDB list literal twin of plane_weights (same arithmetic, rendered
-    as exact rationals so both engines parse identical doubles)."""
-    terms = ", ".join(
-        f"(({plane} * 2971 + {i} * 6011 + 13) % {_PLANE_MOD}) / {_PLANE_MOD}.0 - 0.5"
-        for i in range(dims))
+    """DuckDB list literal twin of plane_weights (sparse {-1,0,+1} values
+    rendered exactly)."""
+    terms = ", ".join(repr(w) for w in plane_weights(plane, dims))
     return f"[{terms}]"
