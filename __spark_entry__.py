@@ -8,6 +8,7 @@ parquet + the shared derivations in ``geotrellis_contrib_spark.derive``
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -145,18 +146,19 @@ KNN_EXACT_K = 3
 
 
 def q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact kNN for ANY distribution via iterative ring expansion
-    (knn_join_iterative): world-spread sparse queries (every 199th anchor —
-    ocean/desert rows force ring widening at zoom 8, where one cell is
-    ~1.4 deg), per-query coverage guard derived from the actual tile
-    boundaries at the query's row. Oracle: the naive cross-join re-rank."""
+    """Exact kNN for ANY distribution in ONE plan (knn_join_exact):
+    world-spread sparse queries (every 199th anchor — ocean/desert rows
+    force ring widening at zoom 8, where one cell is ~1.4 deg); each
+    query's required ring is solved in closed form from its ring-1 kth
+    distance, so there is no per-ring driver loop (r2's iterative variant
+    serialized 3-5 full-job rounds). Oracle: the naive cross-join re-rank."""
     _views(spark, sf_dir)
     a = spark.table("anchors").select("doc_id", "lon", "lat")
     queries = (a.filter(F.col("lon").isNotNull() & (F.col("doc_id") % 199 == 3))
                .select(F.col("doc_id").alias("query_id"),
                        F.col("lon").alias("qlon"), F.col("lat").alias("qlat")))
-    out = knn_ops.knn_join_iterative(queries, a, k=KNN_EXACT_K,
-                                     zoom=KNN_EXACT_ZOOM, max_ring=64)
+    out = knn_ops.knn_join_exact(queries, a, k=KNN_EXACT_K,
+                                 zoom=KNN_EXACT_ZOOM, max_ring=64)
     return out.select("query_id", "point_id",
                       F.col("rank").cast("int").alias("rank"), "dist")
 
@@ -371,12 +373,20 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(spark.table("dup_docs"))
 
 
+SIMHASH_BAND_BITS = 12   # scale mode: 4096-value band keys (see dedup.py)
+SIMHASH_MAX_HAM = 3      # pigeonhole: 48/12 = 4 bands > 3
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 8 x 6-bit banded candidates + exact hamming
-    <= 7 (n_bands > max_hamming => pigeonhole-guaranteed recall)."""
+    """SimHash near-dup pairs in the SCALE mode: 4 x 12-bit banded
+    candidates (4096 key values per band — no quadratic bucket blocks at
+    corpus scale) + exact hamming <= 3, pigeonhole recall guaranteed
+    (n_bands > max_hamming). The wide-radius small-corpus mode (8x6 bits,
+    h<=7) stays parameterized in dedup.simhash_near_pairs."""
     _views(spark, sf_dir)
     sims = dd.simhash(spark.table("dup_docs"))
-    return dd.simhash_near_pairs(sims, max_hamming=7, band_bits=6)
+    return dd.simhash_near_pairs(sims, max_hamming=SIMHASH_MAX_HAM,
+                                 band_bits=SIMHASH_BAND_BITS)
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -447,6 +457,66 @@ def q_pixel_mosaic_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("source_idx", F.lit(0))
     return px.read_cells_checksum(merged, tile_size=64) \
              .select("source_id", "px_sum", "px_count")
+
+
+def q_retile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-layout round trip under the oracle gate: 64px tiles assembled
+    into 256px parents (one applyInPandas shuffle; missing children become
+    NoData quadrants) then split back to 64px (narrow explode), readCells
+    checksum per source. NoData-aware checksum == the original fixture's
+    closed form — layout changes move pixels verbatim."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import pixels as px
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    up = px.retile(tiles, 64, 256)
+    back = px.retile(up, 256, 64)
+    return px.read_cells_checksum(back, tile_size=64) \
+             .select("source_id", "px_sum", "px_count")
+
+
+STREAM_ZOOM = 8
+
+
+def q_stream_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming under the oracle gate: the events table read as
+    a FILE STREAM -> watermarked tumbling-window tile aggregation ->
+    availableNow drain to parquet (fresh checkpoint per call), read back.
+    Append mode emits only FINALIZED windows: window_end <= final watermark
+    (max event ts - 30 min) — the oracle recomputes exactly that cutoff, so
+    the late-data/watermark semantics themselves are what's being checked
+    against SQL."""
+    import tempfile
+
+    from geotrellis_contrib_spark.streaming import stream as st
+
+    tmp = tempfile.mkdtemp(prefix="stream_rasterize_")
+    # the file stream source requires a DIRECTORY: link the table in
+    os.makedirs(f"{tmp}/in")
+    os.symlink(os.path.join(sf_dir, "events.parquet"), f"{tmp}/in/events.parquet")
+    ev = st.read_event_stream(
+        spark, f"{tmp}/in",
+        schema="event_id bigint, ts timestamp, user_id bigint, "
+               "event_type string, value double, props string")
+    # deterministic geo anchor from the event id (events carry no lon/lat;
+    # same arithmetic the oracle recomputes)
+    ev = ev.withColumn(
+        "lon", -180.0 + F.pmod(F.col("event_id") * 9973 + 12345, F.lit(100000))
+        .cast("double") / 100000.0 * 360.0).withColumn(
+        "lat", -60.0 + F.pmod(F.col("event_id") * 7919 + 54321, F.lit(100000))
+        .cast("double") / 100000.0 * 120.0)
+    agg = st.rasterize_stream(ev, zoom=STREAM_ZOOM, window="1 hour",
+                              watermark="30 minutes")
+    st.run_available_now(agg, f"{tmp}/out", f"{tmp}/ckpt")
+    out = spark.read.schema(
+        "window_start timestamp, window_end timestamp, cell bigint, "
+        "n_events bigint, sum_value double").parquet(f"{tmp}/out")
+    # timestamps rendered as text: Spark streaming windows are TIMESTAMP
+    # (UTC session) vs DuckDB TIMESTAMP — same instants, strict schema
+    # compare wants one type
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "cell", "n_events", "sum_value")
 
 
 def q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -946,8 +1016,11 @@ shash AS (
 SELECT * FROM shash
 """
 
-    # 8 bands x 6 bits: n_bands > max_hamming=7 => pigeonhole recall
-    band_bits, n_bands, sim_max_ham = 6, SIMHASH_BITS // 6, 7
+    # scale mode: 4 bands x 12 bits (4096-value keys), hamming <= 3;
+    # n_bands > max_hamming => pigeonhole recall
+    band_bits = SIMHASH_BAND_BITS
+    n_bands = SIMHASH_BITS // band_bits
+    sim_max_ham = SIMHASH_MAX_HAM
     sim_bands = "\nUNION ALL\n".join(
         f"SELECT doc_id, simhash, {bi} AS band_idx, "
         f"(simhash >> {bi * band_bits}) & {(1 << band_bits) - 1} AS band_key FROM shash"
@@ -1194,6 +1267,42 @@ SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, even
 FROM events GROUP BY 1, 2
 """
 
+    # retile 64 -> 256 -> 64 round trip: NoData-aware checksum per source ==
+    # the original fixture closed form (extra all-NoData tiles from
+    # non-aligned parent quadrants contribute nothing)
+    o["retile_roundtrip"] = f"""
+WITH px AS (
+  SELECT s, band, r, c, {_fval('r', 'c')} AS val
+  FROM range(0,3) ss(s), range(0,4) tcs(tc), range(0,4) trs(tr),
+       range(0,2) bs(band), range(0,64) rs(r), range(0,64) cs(c)
+)
+SELECT 'scene-' || CAST(s AS VARCHAR) AS source_id,
+       SUM(CASE WHEN val <> -9999.0 THEN val END) AS px_sum,
+       COUNT(CASE WHEN val <> -9999.0 THEN 1 END) AS px_count
+FROM px GROUP BY s
+"""
+
+    # Structured Streaming watermark semantics recomputed in SQL: append
+    # mode emits a tumbling window only once FINALIZED, i.e. the final
+    # watermark (max event ts - 30 min) has passed window_end
+    ev_lon = "-180.0 + ((event_id * 9973 + 12345) % 100000) / 100000.0 * 360.0"
+    ev_lat = "-60.0 + ((event_id * 7919 + 54321) % 100000) / 100000.0 * 120.0"
+    sz = str(STREAM_ZOOM)
+    ev_cell = C.sql_cell_id(sz, C.sql_tile_col("lon", STREAM_ZOOM),
+                            C.sql_tile_row("lat", STREAM_ZOOM))
+    o["stream_rasterize"] = f"""
+WITH ev AS (
+  SELECT ts, value, {ev_lon} AS lon, {ev_lat} AS lat FROM events),
+cells AS (
+  SELECT DATE_TRUNC('hour', ts) AS ws, ts, value, {ev_cell} AS cell FROM ev),
+mx AS (SELECT MAX(ts) AS m FROM events)
+SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS window_start, cell,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM cells GROUP BY ws, cell
+HAVING ws + INTERVAL 1 HOUR <= (SELECT m - INTERVAL 30 MINUTE FROM mx)
+"""
+
     t = "text"
     o["text_features"] = f"""
 SELECT doc_id,
@@ -1374,6 +1483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_revenue": q_segment_revenue,
         "sessionize": q_sessionize,
         "windowed_events": q_windowed_events,
+        "retile_roundtrip": q_retile_roundtrip,
+        "stream_rasterize": q_stream_rasterize,
         "text_features": q_text_features,
         "media_features": q_media_features,
         "pixel_mosaic_checksum": q_pixel_mosaic_checksum,

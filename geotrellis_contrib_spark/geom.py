@@ -31,6 +31,7 @@ WKB_POLYGON = 3
 WKB_MULTIPOINT = 4
 WKB_MULTILINESTRING = 5
 WKB_MULTIPOLYGON = 6
+WKB_GEOMETRYCOLLECTION = 7
 _EWKB_SRID_FLAG = 0x20000000
 
 
@@ -109,6 +110,15 @@ def _decode_geom(r):
         coords = [m["coords"] for m in members]
         if srid is None and members and members[0]["srid"] is not None:
             srid = members[0]["srid"]
+    elif gtype == WKB_GEOMETRYCOLLECTION:
+        # heterogeneous members (PostGisSupport.scala:53-68 column-type
+        # surface includes GEOMETRYCOLLECTION): coords = full member dicts,
+        # nesting (multi* and collections inside collections) allowed
+        n = r.uint32(bo)
+        members = [_decode_geom(r) for _ in range(n)]
+        coords = [{"type": m["type"], "coords": m["coords"]} for m in members]
+        if srid is None and members and members[0]["srid"] is not None:
+            srid = members[0]["srid"]
     else:
         raise ValueError(f"unsupported WKB geometry type {gtype}")
     return {"type": gtype, "srid": srid, "coords": coords}
@@ -141,6 +151,11 @@ def wkb_encode(gtype, coords, srid=None, big_endian=False):
         out += struct.pack(bo + "I", len(coords))
         for member in coords:
             out += wkb_encode(sub, member, srid=None, big_endian=big_endian)
+    elif gtype == WKB_GEOMETRYCOLLECTION:
+        out += struct.pack(bo + "I", len(coords))
+        for member in coords:  # member dicts: {"type": ..., "coords": ...}
+            out += wkb_encode(member["type"], member["coords"],
+                              srid=None, big_endian=big_endian)
     else:
         raise ValueError(f"unsupported WKB geometry type {gtype}")
     return bytes(out)
@@ -186,6 +201,23 @@ def wkt_decode(text: str):
     if up.startswith("MULTIPOINT"):
         inner = s[s.index("(") + 1:s.rindex(")")].replace("(", "").replace(")", "")
         return {"type": WKB_MULTIPOINT, "srid": srid, "coords": nums(inner)}
+    if up.startswith("GEOMETRYCOLLECTION"):
+        body = s[s.index("(") + 1:s.rindex(")")]
+        # split top-level members on commas at paren depth 0
+        members, depth, start = [], 0, 0
+        for i, ch in enumerate(body):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                members.append(body[start:i])
+                start = i + 1
+        members.append(body[start:])
+        decoded = [wkt_decode(m.strip()) for m in members if m.strip()]
+        return {"type": WKB_GEOMETRYCOLLECTION, "srid": srid,
+                "coords": [{"type": m["type"], "coords": m["coords"]}
+                           for m in decoded]}
     raise ValueError(f"unsupported WKT: {s[:40]}")
 
 
@@ -211,6 +243,10 @@ def ewkt(gtype, coords, srid):
     elif gtype == WKB_POLYGON:
         rings = ", ".join("(" + ", ".join(f"{x:g} {y:g}" for x, y in ring) + ")" for ring in coords)
         wkt = f"POLYGON ({rings})"
+    elif gtype == WKB_GEOMETRYCOLLECTION:
+        inner = ", ".join(ewkt(m["type"], m["coords"], srid).split(";", 1)[1]
+                          for m in coords)
+        wkt = f"GEOMETRYCOLLECTION ({inner})"
     else:
         raise ValueError(f"unsupported geometry type {gtype}")
     return f"SRID={srid};{wkt}"

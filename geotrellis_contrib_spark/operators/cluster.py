@@ -44,6 +44,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                 .withColumn("component", F.col("id")) \
                 .repartition(n_parts, "id")
     labels = labels.localCheckpoint(eager=True)
+    changed = 1
     for _ in range(max_iter):
         # every node offers its label to its neighbors; keep the min of
         # (own, best offered) — one partial-aggregated shuffle per round.
@@ -62,6 +63,13 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         labels = nxt.drop("_old")
         if changed == 0:
             break
+    if changed != 0:
+        # min-label propagation spreads one hop per round: a component whose
+        # label-hop diameter exceeds max_iter would exit here UNCONVERGED and
+        # silently split clusters (wrong survivors downstream). Fail loudly.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(graph label-hop diameter > max_iter); raise max_iter")
     return labels
 
 

@@ -197,9 +197,18 @@ def simhash_near_pairs(sims: DataFrame, max_hamming: int = 7,
     at most h bands, so it shares an unchanged band — and is guaranteed to
     surface — iff n_bands > h. The constructor ENFORCES n_bands >
     max_hamming (r1 shipped 3x16-bit bands with max_hamming=8, silently
-    missing pairs that differed in all 3 bands). Default 8 bands x 6 bits
-    covers hamming <= 7 with 64 buckets per band; fewer bits per band buys
-    a larger guaranteed radius at the cost of bigger candidate buckets."""
+    missing pairs that differed in all 3 bands).
+
+    RADIUS vs KEY-CARDINALITY TRADEOFF (the 100TB constraint): pigeonhole
+    banding with radius h needs > h bands, so wide radii force narrow
+    keys — 8 bands x 6 bits covers h <= 7 but gives only 64 key values per
+    band, an n^2/64-per-band candidate generator at corpus scale. The SCALE
+    MODE is the narrow radius: band_bits=12, max_hamming=3 (4 bands, 4096
+    key values each — random fingerprints spread n rows over 4096 buckets,
+    so per-bucket blocks stay ~n/4096 and candidates ~n^2/4096 per band,
+    64x fewer). True near-dups sit at h <= 3 for 48-bit SimHash in
+    practice; the wide-radius mode remains available for small corpora
+    (Manku et al. WWW'07 make the same block-count/key-width tradeoff)."""
     n_bands = SIMHASH_BITS // band_bits
     if n_bands <= max_hamming:
         raise ValueError(

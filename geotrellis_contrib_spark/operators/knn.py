@@ -123,7 +123,10 @@ def knn_join_iterative(queries: DataFrame, points: DataFrame, k: int, zoom: int,
         guard = res.groupBy("query_id") \
                    .agg(F.max("dist").alias("kth"), F.count("*").alias("nres")) \
                    .join(qb, "query_id")
-        ok_ids = guard.filter((F.col("nres") >= k) & (F.col("kth") <= F.col("_covered"))) \
+        # STRICT compare: a point exactly AT the coverage bound could tie the
+        # kth distance and win the (dist, point_id) tie-break without ever
+        # being a candidate — equality must force another ring expansion
+        ok_ids = guard.filter((F.col("nres") >= k) & (F.col("kth") < F.col("_covered"))) \
                       .select("query_id")
         done_parts.append(res.join(F.broadcast(ok_ids), "query_id", "left_semi"))
         remaining = remaining.join(F.broadcast(ok_ids),
@@ -137,3 +140,103 @@ def knn_join_iterative(queries: DataFrame, points: DataFrame, k: int, zoom: int,
     for part in done_parts[1:]:
         out = out.unionByName(part)
     return out
+
+
+def knn_join_exact(queries: DataFrame, points: DataFrame, k: int, zoom: int,
+                   max_ring: int = 8, **names) -> DataFrame:
+    """Exact kNN in ONE plan (replaces the per-ring driver loop of
+    :func:`knn_join_iterative`, which serialized 3-5 full-job rounds
+    through ``limit(1).count()`` actions).
+
+      pass 1   ring-1 cell join -> per-query kth candidate distance d1
+               (an UPPER bound on the true kth distance: more candidates
+               can only shrink it);
+      solve    per query, the smallest ring whose coverage bound exceeds
+               d1 — solved in closed form from the tile geometry
+               (lon: ceil(d1 * n / 360); lat: the mercator row containing
+               qlat +/- d1), plus ONE whole-cell margin so coverage is
+               STRICT (a point at distance exactly d1 could win the
+               (dist, point_id) tie-break);
+      pass 2   only unresolved queries re-join at their OWN ring
+               (variable explode over sequence(-r, r)), exact re-rank.
+
+    Queries with < k ring-1 candidates take ring = max_ring directly (no
+    density assumption — same contract as the iterative fallback). The
+    ring-1 result is localCheckpoint'ed once (a single materialization;
+    the union plan references it three times), so the whole operator is
+    two jobs instead of a ring-doubling driver loop.
+    Output: (query_id, point_id, rank, dist)."""
+    qid = names.get("query_id", "query_id")
+    qlon = names.get("qlon", "qlon")
+    qlat = names.get("qlat", "qlat")
+    pid = names.get("point_id", "doc_id")
+    lon = names.get("lon", "lon")
+    lat = names.get("lat", "lat")
+    n = 1 << zoom
+    ring_cap = min(max_ring, n // 2 - 1)
+    if ring_cap < 1:
+        raise ValueError(f"zoom {zoom} grid too small for any ring")
+
+    res1 = knn_join(queries, points, k, zoom, ring=1, query_id=qid,
+                    qlon=qlon, qlat=qlat, point_id=pid, lon=lon, lat=lat) \
+        .localCheckpoint(eager=True)
+
+    # per-query ring-1 coverage bound (same geometry as the iterative guard)
+    qb = (queries.select(F.col(qid).alias("query_id"),
+                         F.col(qlon).alias("_qlon"), F.col(qlat).alias("_qlat"))
+          .withColumn("_qrow", C.tile_row(F.col("_qlat"), zoom)))
+    inf = F.lit(1e9)
+    gx = F.lit(360.0 / n)
+    gy_n = F.when(F.col("_qrow") - 1 <= 0, inf).otherwise(
+        C.tile_ymax(F.lit(zoom), F.col("_qrow") - 1) - F.col("_qlat"))
+    gy_s = F.when(F.col("_qrow") + 1 >= n - 1, inf).otherwise(
+        F.col("_qlat") - C.tile_ymin(F.lit(zoom), F.col("_qrow") + 1))
+    qb = qb.withColumn("_covered", F.least(gx, gy_n, gy_s))
+
+    agg1 = res1.groupBy("query_id").agg(F.max("dist").alias("_kth"),
+                                        F.count("*").alias("_nres"))
+    st = qb.join(agg1, "query_id", "left")  # left keeps 0-candidate queries
+    resolved = (F.col("_nres") >= k) & (F.col("_kth") < F.col("_covered"))
+    # closed-form required ring from d1 (kth observed): cover the
+    # (|dlon|, |dlat|) <= d1 box, +1 cell margin for strictness
+    rx = (F.floor(F.col("_kth") * n / F.lit(360.0)) + 1).cast("int")
+    rn = (F.col("_qrow")
+          - C.tile_row(F.col("_qlat") + F.col("_kth"), zoom)).cast("int")
+    rs = (C.tile_row(F.col("_qlat") - F.col("_kth"), zoom)
+          - F.col("_qrow")).cast("int")
+    ring_needed = F.greatest(rx, rn, rs, F.lit(1)) + F.lit(1)
+    ring_col = F.when(F.coalesce(F.col("_nres"), F.lit(0)) >= k,
+                      F.least(ring_needed, F.lit(ring_cap))) \
+                .otherwise(F.lit(ring_cap))
+    st = (st.withColumn("_resolved", F.coalesce(resolved, F.lit(False)))
+            .withColumn("_ring", ring_col))
+
+    ok_ids = st.filter(F.col("_resolved")).select("query_id")
+    done = res1.join(F.broadcast(ok_ids), "query_id", "left_semi")
+
+    todo = st.filter(~F.col("_resolved")) \
+             .select("query_id", "_qlon", "_qlat", "_qrow", "_ring")
+    q2 = (todo.withColumn("_qcol", C.tile_col(F.col("_qlon"), zoom))
+          .withColumn("_dc", F.explode(F.sequence(-F.col("_ring"), F.col("_ring"))))
+          .withColumn("_dr", F.explode(F.sequence(-F.col("_ring"), F.col("_ring"))))
+          .filter((F.col("_qrow") + F.col("_dr") >= 0)
+                  & (F.col("_qrow") + F.col("_dr") < n))
+          .withColumn("cell", C.cell_id(
+              F.lit(zoom),
+              F.pmod(F.col("_qcol") + F.col("_dc"), F.lit(n)),
+              F.col("_qrow") + F.col("_dr")))
+          .select("query_id", F.col("_qlon").alias("qlon"),
+                  F.col("_qlat").alias("qlat"), "cell"))
+    p = (points.filter(F.col(lon).isNotNull() & F.col(lat).isNotNull())
+         .select(F.col(pid).alias("point_id"),
+                 F.col(lon).alias("p_lon"), F.col(lat).alias("p_lat"))
+         .withColumn("cell", C.encode_point(F.col("p_lon"), F.col("p_lat"), zoom)))
+    cand2 = p.join(F.broadcast(q2), "cell", "inner").withColumn(
+        "dist", G.planar_distance(F.col("qlon"), F.col("qlat"),
+                                  F.col("p_lon"), F.col("p_lat")))
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(),
+                                               F.col("point_id").asc())
+    res2 = (cand2.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "point_id", "rank", "dist"))
+    return done.unionByName(res2)

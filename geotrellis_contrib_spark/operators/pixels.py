@@ -470,13 +470,29 @@ def reproject_to_grid(tiles: DataFrame, target, method: str = "nearest",
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
-                fx0, fy0 = to_dst(r.txmin, r.tymin)
-                fx1, fy1 = to_dst(r.txmax, r.tymax)
+                # Footprint bbox from the SAMPLED TILE BOUNDARY, not two
+                # corners: UTM (and any non-axis-monotone dst) puts easting/
+                # northing extremes mid-edge (min northing sits on the
+                # central meridian when the tile crosses it), so a corner
+                # bbox can under-cover by more than the 1px outset and drop
+                # owned pixels as NaN holes. Extremes of these conformal
+                # projections over a lon/lat rectangle lie on its boundary,
+                # so edge sampling + the outset is sufficient.
+                es = np.linspace(0.0, 1.0, 9)
+                bx = np.concatenate([r.txmin + (r.txmax - r.txmin) * es,
+                                     r.txmin + (r.txmax - r.txmin) * es,
+                                     np.full(9, r.txmin), np.full(9, r.txmax)])
+                by = np.concatenate([np.full(9, r.tymin), np.full(9, r.tymax),
+                                     r.tymin + (r.tymax - r.tymin) * es,
+                                     r.tymin + (r.tymax - r.tymin) * es])
+                fx, fy = to_dst(bx, by)
+                fx0, fx1 = float(np.min(fx)), float(np.max(fx))
+                fy0, fy1 = float(np.min(fy)), float(np.max(fy))
                 # covered target window, outset one pixel (ownership trims)
-                c0 = max(int(np.floor((float(fx0) - txmin_t) / cw)) - 1, 0)
-                c1 = min(int(np.floor((float(fx1) - txmin_t) / cw)) + 1, tcols - 1)
-                r0 = max(int(np.floor((tymax_t - float(fy1)) / ch)) - 1, 0)
-                r1 = min(int(np.floor((tymax_t - float(fy0)) / ch)) + 1, trows - 1)
+                c0 = max(int(np.floor((fx0 - txmin_t) / cw)) - 1, 0)
+                c1 = min(int(np.floor((fx1 - txmin_t) / cw)) + 1, tcols - 1)
+                r0 = max(int(np.floor((tymax_t - fy1) / ch)) - 1, 0)
+                r1 = min(int(np.floor((tymax_t - fy0) / ch)) + 1, trows - 1)
                 if c0 > c1 or r0 > r1:
                     continue  # tile footprint outside the target region
                 arr = unpack(r.px, r.dtype, tile_size).astype(np.float64)
@@ -671,8 +687,12 @@ def retile(tiles: DataFrame, ts_from: int, ts_to: int) -> DataFrame:
 
     if ts_to < ts_from:  # split: one tile -> k^2 subtiles, narrow
         k = ts_from // ts_to
-        if k * ts_to != ts_from:
-            raise ValueError(f"tile sizes must nest: {ts_from} -> {ts_to}")
+        if k * ts_to != ts_from or (k & (k - 1)) != 0:
+            # quadtree key arithmetic (zoom +/- log2 k) only holds for
+            # power-of-two ratios; e.g. 192->64 nests (k=3) but log2 would
+            # silently truncate and corrupt every (zoom, col, row) key
+            raise ValueError(
+                f"tile sizes must nest by a power of two: {ts_from} -> {ts_to}")
         dz = int(_m.log2(k))
 
         def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -697,8 +717,9 @@ def retile(tiles: DataFrame, ts_from: int, ts_to: int) -> DataFrame:
         return tiles.mapInPandas(split, out_schema)
 
     k = ts_to // ts_from  # assemble: k^2 children -> one parent
-    if k * ts_from != ts_to:
-        raise ValueError(f"tile sizes must nest: {ts_from} -> {ts_to}")
+    if k * ts_from != ts_to or (k & (k - 1)) != 0:
+        raise ValueError(
+            f"tile sizes must nest by a power of two: {ts_from} -> {ts_to}")
     dz = int(_m.log2(k))
     keyed = tiles.withColumn("p_col", F.floor(F.col("col") / float(k))) \
                  .withColumn("p_row", F.floor(F.col("row") / float(k)))

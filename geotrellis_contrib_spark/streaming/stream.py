@@ -42,8 +42,12 @@ def rasterize_stream(events: DataFrame, zoom: int,
     e = events.filter(F.col("lon").isNotNull() & F.col("lat").isNotNull())
     e = (e.withColumn("cell", C.encode_point(F.col("lon"), F.col("lat"), zoom))
           .withWatermark("ts", watermark))
+    # DECIMAL accumulator: exact, order-independent (double sums differ in
+    # the last ulp across accumulation orders — batch/stream/oracle parity)
     return (e.groupBy(F.window("ts", window).alias("w"), F.col("cell"))
-            .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,6)"))
+                 .cast("double").alias("sum_value"))
             .select(F.col("w.start").alias("window_start"),
                     F.col("w.end").alias("window_end"),
                     "cell", "n_events", "sum_value"))

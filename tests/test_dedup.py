@@ -45,3 +45,48 @@ def test_jaccard_max_df_caps_hot_shingle(spark):
     # no boilerplate-only pair survives: every surviving pair has jaccard
     # computed over CAPPED sets, so boilerplate docs share nothing
     assert all("dup" in a or "dup" in b for a, b in capped_pairs)
+
+
+def test_simhash_scale_mode_recall_and_bounded_candidates(spark):
+    """Scale mode (4 x 12-bit bands, h <= 3): planted hamming-3 pairs are
+    guaranteed found, and the candidate count stays near the true-pair
+    count — NOT n^2/64 (the r2 wide-radius mode's fan-out at scale)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    n = 2000
+    base = [rng.getrandbits(48) for _ in range(n)]
+    rows = [(f"d{i:05d}", h) for i, h in enumerate(base)]
+    # plant 5 pairs at exact hamming 3 (flip 3 distinct bits)
+    planted = []
+    for i in range(5):
+        h = base[i]
+        bits = rng.sample(range(48), 3)
+        h2 = h
+        for b in bits:
+            h2 ^= 1 << b
+        rows.append((f"p{i:05d}", h2))
+        planted.append((f"d{i:05d}", f"p{i:05d}"))
+    sims = spark.createDataFrame(rows, "doc_id string, simhash long")
+    out = dd.simhash_near_pairs(sims, max_hamming=3, band_bits=12)
+    got = {(r.doc_a, r.doc_b) for r in out.collect()}
+    for a, b in planted:
+        assert (min(a, b), max(a, b)) in got
+    # candidate volume check: count the banded join's raw candidates
+    n_bands, mask = 4, (1 << 12) - 1
+    bands = F.array(*[F.struct(
+        F.lit(bi).alias("band_idx"),
+        F.shiftright(F.col("simhash"), bi * 12).bitwiseAND(F.lit(mask)).alias("band_key"))
+        for bi in range(n_bands)])
+    e = sims.select("doc_id", F.explode(bands).alias("b")) \
+            .select("doc_id", F.col("b.band_idx").alias("band_idx"),
+                    F.col("b.band_key").alias("band_key"))
+    a = e.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
+    b = e.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
+    n_cand = (a.join(b, ["band_idx", "band_key"])
+              .filter(F.col("doc_a") < F.col("doc_b")).count())
+    # 2005 random 48-bit hashes over 4096 buckets/band: ~n^2/4096 per band
+    # ~ 4 * 500 expected; the old 64-bucket keys would give ~250k
+    assert n_cand < 10000, n_cand

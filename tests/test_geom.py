@@ -119,3 +119,48 @@ def test_haversine():
     # equator degree ~ 111.19 km with mean radius
     d = geom.haversine_m([0.0], [0.0], [1.0], [0.0])
     assert abs(d[0] - 111195.0) < 100
+
+
+# ---------------------------------------------------------------------------
+# GEOMETRYCOLLECTION codec (PostGisSupport.scala:53-68 column-type surface)
+# ---------------------------------------------------------------------------
+
+def test_geometrycollection_wkb_roundtrip():
+    gc = {"type": geom.WKB_GEOMETRYCOLLECTION, "srid": 4326, "coords": [
+        {"type": geom.WKB_POINT, "coords": (1.0, 2.0)},
+        {"type": geom.WKB_LINESTRING, "coords": [(0.0, 0.0), (1.0, 1.0)]},
+        {"type": geom.WKB_MULTIPOLYGON, "coords": [
+            [[(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 0.0)]],
+        ]},
+    ]}
+    for be in (False, True):
+        blob = geom.wkb_encode(gc["type"], gc["coords"], srid=4326, big_endian=be)
+        back = geom.wkb_decode(blob)
+        assert back["type"] == geom.WKB_GEOMETRYCOLLECTION
+        assert back["srid"] == 4326
+        assert back["coords"] == gc["coords"]
+
+
+def test_geometrycollection_nested_roundtrip():
+    inner = {"type": geom.WKB_GEOMETRYCOLLECTION, "coords": [
+        {"type": geom.WKB_POINT, "coords": (5.0, 6.0)},
+    ]}
+    gc = [{"type": geom.WKB_POINT, "coords": (9.0, 9.0)}, inner]
+    blob = geom.wkb_encode(geom.WKB_GEOMETRYCOLLECTION, gc)
+    back = geom.wkb_decode(blob)
+    assert back["coords"][1]["type"] == geom.WKB_GEOMETRYCOLLECTION
+    assert back["coords"][1]["coords"][0]["coords"] == (5.0, 6.0)
+
+
+def test_geometrycollection_wkt_and_ewkt():
+    d = geom.wkt_decode(
+        "SRID=4326;GEOMETRYCOLLECTION (POINT (1 2), "
+        "LINESTRING (0 0, 1 1), POLYGON ((0 0, 3 0, 3 3, 0 0)))")
+    assert d["type"] == geom.WKB_GEOMETRYCOLLECTION
+    assert d["srid"] == 4326
+    assert [m["type"] for m in d["coords"]] == [
+        geom.WKB_POINT, geom.WKB_LINESTRING, geom.WKB_POLYGON]
+    assert d["coords"][0]["coords"] == (1.0, 2.0)
+    # emit -> reparse is identity
+    txt = geom.ewkt(d["type"], d["coords"], 4326)
+    assert geom.wkt_decode(txt) == d

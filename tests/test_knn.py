@@ -71,3 +71,34 @@ def test_iterative_exact_high_latitude(spark):
         got.setdefault(r.query_id, []).append((r.point_id, r.dist))
     for qid, expect in oracle.items():
         assert [p for p, _ in got[qid]] == [p for p, _ in expect], qid
+
+def test_one_pass_exact_everywhere(spark, data):
+    points, queries, pts, qs = data
+    res = knn_ops.knn_join_exact(queries, points, k=K, zoom=ZOOM, max_ring=64)
+    oracle = _oracle(pts, qs, K)
+    got = {}
+    for r in res.orderBy("query_id", "rank").collect():
+        got.setdefault(r.query_id, []).append((r.point_id, r.dist))
+    assert set(got) == {1, 2, 3, 4}
+    for qid, expect in oracle.items():
+        assert [p for p, _ in got[qid]] == [p for p, _ in expect], qid
+        np.testing.assert_allclose([d for _, d in got[qid]],
+                                   [d for _, d in expect], rtol=0, atol=0)
+
+
+def test_one_pass_exact_high_latitude(spark):
+    # mercator rows shrink toward the pole: the closed-form ring solve must
+    # use the actual tile boundaries (tile_row at qlat +/- d1), not a fixed
+    # degrees-per-cell assumption
+    pts = [(i, 10.0 + (i % 10) * 0.3, 78.0 + (i // 10) * 0.05) for i in range(100)]
+    pts.append((999, 14.0, 79.9))
+    points = spark.createDataFrame(pts, "doc_id long, lon double, lat double")
+    qs = [(1, 10.0, 78.0), (2, 14.0, 79.85)]
+    queries = spark.createDataFrame(qs, "query_id long, qlon double, qlat double")
+    res = knn_ops.knn_join_exact(queries, points, k=K, zoom=ZOOM, max_ring=64)
+    oracle = _oracle(pts, qs, K)
+    got = {}
+    for r in res.orderBy("query_id", "rank").collect():
+        got.setdefault(r.query_id, []).append((r.point_id, r.dist))
+    for qid, expect in oracle.items():
+        assert [p for p, _ in got[qid]] == [p for p, _ in expect], qid
