@@ -76,3 +76,36 @@ def test_topk_windows_shuffle_scalars_only(spark):
     win = [seg for seg in plan.split("\n") if "Window" in seg or "windowspecdefinition" in seg]
     assert win, "no rank window found"
     assert not any("array<" in w for w in win), "embedding arrays in the rank window"
+
+
+def test_lsh_candidate_join_shuffles_scalars_only(spark):
+    # the multi-table candidate self-join must move (vec_id, tkey) scalars,
+    # never the 64-float embedding arrays
+    plan = _plan(spark, "embed_near_pairs")
+    joins = [seg for seg in plan.split("\n")
+             if "HashJoin" in seg and "tkey" in seg]
+    assert joins, "no bucket-key join found"
+    assert not any("array<" in j for j in joins), "arrays in the candidate join"
+
+
+def test_lsh_codegen_not_disabled(spark):
+    # the 48-plane bucket computation must stay inside whole-stage codegen
+    # (a too-large expression silently falls back to interpreted eval);
+    # WholeStageCodegen spans print as *(n) prefixes
+    plan = _plan(spark, "embed_lsh_buckets")
+    assert "*(1)" in plan, "no whole-stage codegen span in the bucket stage"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_knn_exact_no_python_no_cartesian(spark):
+    plan = _plan(spark, "knn_exact")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan, "exact kNN fell back to a cross join"
+
+
+def test_ivf_centroid_broadcast_is_bounded(spark):
+    # fixed centroid budget: the centroid selection is a TakeOrdered (limit),
+    # so the broadcast side is constant-size regardless of corpus size
+    plan = _plan(spark, "embed_ivf_topk")
+    assert "TakeOrderedAndProject" in plan, "centroid selection not a bounded TakeOrdered"
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
