@@ -511,3 +511,159 @@ def zoom_for_cell_size(target_cell_size_deg, tile_size=TILE_SIZE, max_zoom=22):
             continue
         return min(z + 1, max_zoom)
     return 0
+
+
+# ---------------------------------------------------------------------------
+# Equal-area projections (WGS84/GRS80 ellipsoid): Lambert Azimuthal
+# Equal-Area (EPSG:3035 family) and Albers Equal-Area Conic (EPSG:5070
+# family). Snyder, "Map Projections — A Working Manual" (USGS PP 1395),
+# ch. 24 / ch. 14 ellipsoidal forms with authalic latitude. Vectorized
+# float64. Validation is property-based (tests/test_equal_area.py): exact
+# round trips, the EQUAL-AREA property against authalic-sphere areas, unit
+# scale along Albers' standard parallels — stronger than transcribed
+# goldens. (GRS80 vs WGS84 e^2 differ in the 12th digit — sub-0.1mm here.)
+# ---------------------------------------------------------------------------
+
+_E2 = _WGS84_F * (2.0 - _WGS84_F)
+_E1 = np.sqrt(_E2)
+
+
+def _q_authalic(phi):
+    """Snyder (3-12): q such that the authalic sphere area from the equator
+    to phi is proportional to q; q(90 deg) = _QP."""
+    s = np.sin(phi)
+    return (1.0 - _E2) * (s / (1.0 - _E2 * s * s)
+                          - (1.0 / (2.0 * _E1))
+                          * np.log((1.0 - _E1 * s) / (1.0 + _E1 * s)))
+
+
+_QP = float(_q_authalic(np.pi / 2.0))
+_RQ = _WGS84_A * np.sqrt(_QP / 2.0)   # authalic sphere radius
+
+
+def _phi_from_q(q):
+    """Invert q -> geodetic latitude (Snyder 3-16 iteration, with the
+    polar clamp where |q| -> qp and the derivative degenerates)."""
+    q = np.asarray(q, dtype=np.float64)
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    polar = np.abs(q) >= _QP * (1.0 - 1e-14)
+    for _ in range(8):
+        s = np.sin(phi)
+        c = np.cos(phi)
+        den = 1.0 - _E2 * s * s
+        f = (q / (1.0 - _E2) - s / den
+             + (1.0 / (2.0 * _E1)) * np.log((1.0 - _E1 * s) / (1.0 + _E1 * s)))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            step = np.where(polar, 0.0, den * den / (2.0 * np.maximum(c, 1e-300)) * f)
+        phi = phi + step
+    return np.where(polar, np.sign(q) * (np.pi / 2.0), phi)
+
+
+def _m_ell(phi):
+    """Snyder (14-15): m = cos(phi) / sqrt(1 - e^2 sin^2 phi)."""
+    s = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1.0 - _E2 * s * s)
+
+
+def _wrap_deg(d):
+    return (np.asarray(d, dtype=np.float64) + 180.0) % 360.0 - 180.0
+
+
+def lonlat_to_laea(lon, lat, lon0: float, lat0: float,
+                   fe: float = 0.0, fn: float = 0.0):
+    """EPSG:4326 -> oblique ellipsoidal Lambert Azimuthal Equal-Area
+    centered at (lon0, lat0) with false easting/northing (Snyder 24-2..8).
+    EPSG:3035 = (10, 52, 4321000, 3210000)."""
+    lam = np.radians(_wrap_deg(np.asarray(lon, dtype=np.float64) - lon0))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    p0 = np.radians(lat0)
+    q = _q_authalic(phi)
+    q0 = float(_q_authalic(p0))
+    beta = np.arcsin(np.clip(q / _QP, -1.0, 1.0))
+    beta0 = np.arcsin(np.clip(q0 / _QP, -1.0, 1.0))
+    d_cap = _WGS84_A * float(_m_ell(p0)) / (_RQ * np.cos(beta0))
+    b_cap = _RQ * np.sqrt(2.0 / (1.0 + np.sin(beta0) * np.sin(beta)
+                                 + np.cos(beta0) * np.cos(beta) * np.cos(lam)))
+    x = b_cap * d_cap * np.cos(beta) * np.sin(lam)
+    y = (b_cap / d_cap) * (np.cos(beta0) * np.sin(beta)
+                           - np.sin(beta0) * np.cos(beta) * np.cos(lam))
+    return x + fe, y + fn
+
+
+def laea_to_lonlat(x, y, lon0: float, lat0: float,
+                   fe: float = 0.0, fn: float = 0.0):
+    """Inverse oblique ellipsoidal LAEA (Snyder 24-16..19, 26)."""
+    x = np.asarray(x, dtype=np.float64) - fe
+    y = np.asarray(y, dtype=np.float64) - fn
+    p0 = np.radians(lat0)
+    q0 = float(_q_authalic(p0))
+    beta0 = np.arcsin(np.clip(q0 / _QP, -1.0, 1.0))
+    d_cap = _WGS84_A * float(_m_ell(p0)) / (_RQ * np.cos(beta0))
+    rho = np.sqrt((x / d_cap) ** 2 + (d_cap * y) ** 2)
+    ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * _RQ), -1.0, 1.0))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q = _QP * (np.cos(ce) * np.sin(beta0)
+                   + d_cap * y * np.sin(ce) * np.cos(beta0) / rho)
+        lam = np.arctan2(x * np.sin(ce),
+                         d_cap * rho * np.cos(beta0) * np.cos(ce)
+                         - d_cap * d_cap * y * np.sin(beta0) * np.sin(ce))
+    center = rho == 0.0
+    q = np.where(center, _QP * np.sin(beta0), q)
+    lam = np.where(center, 0.0, lam)
+    phi = _phi_from_q(q)
+    return _wrap_deg(lon0 + np.degrees(lam)), np.degrees(phi)
+
+
+def albers_constants(lat0: float, lat1: float, lat2: float):
+    """Albers projection constants n, C, rho0 (Snyder 14-3..14-6)."""
+    p0, p1, p2 = (np.radians(v) for v in (lat0, lat1, lat2))
+    m1, m2 = float(_m_ell(p1)), float(_m_ell(p2))
+    q0, q1, q2 = (float(_q_authalic(p)) for p in (p0, p1, p2))
+    if abs(lat1 - lat2) < 1e-12:
+        n = float(np.sin(p1))
+    else:
+        n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    c_cap = m1 * m1 + n * q1
+    rho0 = _WGS84_A * np.sqrt(c_cap - n * q0) / n
+    return n, c_cap, rho0
+
+
+def lonlat_to_albers(lon, lat, lon0: float, lat0: float,
+                     lat1: float, lat2: float,
+                     fe: float = 0.0, fn: float = 0.0):
+    """EPSG:4326 -> ellipsoidal Albers Equal-Area Conic (Snyder 14-1..14-6).
+    EPSG:5070 (Conus Albers) = (lon0=-96, lat0=23, lat1=29.5, lat2=45.5)."""
+    n, c_cap, rho0 = albers_constants(lat0, lat1, lat2)
+    lam = np.radians(_wrap_deg(np.asarray(lon, dtype=np.float64) - lon0))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    theta = n * lam
+    rho = _WGS84_A * np.sqrt(np.maximum(c_cap - n * _q_authalic(phi), 0.0)) / n
+    x = rho * np.sin(theta)
+    y = rho0 - rho * np.cos(theta)
+    return x + fe, y + fn
+
+
+def albers_to_lonlat(x, y, lon0: float, lat0: float,
+                     lat1: float, lat2: float,
+                     fe: float = 0.0, fn: float = 0.0):
+    """Inverse ellipsoidal Albers (Snyder 14-10..14-11)."""
+    n, c_cap, rho0 = albers_constants(lat0, lat1, lat2)
+    x = np.asarray(x, dtype=np.float64) - fe
+    y = np.asarray(y, dtype=np.float64) - fn
+    sgn = 1.0 if n >= 0 else -1.0
+    rho = sgn * np.sqrt(x * x + (rho0 - y) ** 2)
+    theta = np.arctan2(sgn * x, sgn * (rho0 - y))
+    q = (c_cap - (rho * n / _WGS84_A) ** 2) / n
+    phi = _phi_from_q(q)
+    return _wrap_deg(lon0 + np.degrees(theta / n)), np.degrees(phi)
+
+
+# named equal-area CRS registry: EPSG -> (forward lonlat->xy, inverse)
+EQUAL_AREA_CRS = {
+    # ETRS89-extended / LAEA Europe
+    3035: (lambda lon, lat: lonlat_to_laea(lon, lat, 10.0, 52.0, 4321000.0, 3210000.0),
+           lambda x, y: laea_to_lonlat(x, y, 10.0, 52.0, 4321000.0, 3210000.0)),
+    # NAD83 / Conus Albers
+    5070: (lambda lon, lat: lonlat_to_albers(lon, lat, -96.0, 23.0, 29.5, 45.5),
+           lambda x, y: albers_to_lonlat(x, y, -96.0, 23.0, 29.5, 45.5)),
+}

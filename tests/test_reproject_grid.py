@@ -226,3 +226,64 @@ def test_reproject_to_grid_utm(spark, tiles):
     m = ~np.isnan(want)
     assert m.mean() > 0.5
     np.testing.assert_array_equal(got[m], want[m])
+
+
+def test_reproject_to_grid_laea_3035(spark, tiles):
+    """Equal-area LAEA target grid (EPSG:3035): engine per-tile output ==
+    the same kernels run driver-side with the registry transforms. The
+    fixture tiles sit near (-75..-66, 45..52) — inside 3035's oblique
+    validity (centered 10E/52N) though far west; the non-monotone footprint
+    path (boundary sampling) is exercised."""
+    fwd3035, inv3035 = grid.EQUAL_AREA_CRS[3035]
+    tx0, ty0, tx1, ty1 = (float(v) for v in grid.tile_extent(6, 19, 24))
+    xs, ys = fwd3035(np.array([tx0, tx1, tx0, tx1]), np.array([ty0, ty0, ty1, ty1]))
+    target = grid.resample_to_dimensions(
+        grid.GridExtent(float(np.min(xs)), float(np.min(ys)),
+                        float(np.max(xs)), float(np.max(ys)), 1.0, 1.0), 50, 40)
+    one = tiles.filter((F.col("source_idx") == 0) & (F.col("band") == 0)
+                       & (F.col("col") == 19) & (F.col("row") == 24))
+    out = px.reproject_to_grid(one, target, method="nearest",
+                               tile_size=TS, dst_crs=3035)
+    got = px.assemble_target(out.collect(), target)
+    want = px.k_reproject_nearest(
+        _tile_arr(0, 0, 19, 24), (tx0, ty0, tx1, ty1),
+        (target.xmin, target.ymin, target.xmax, target.ymax),
+        (target.rows, target.cols), inv3035, np.nan)
+    m = ~np.isnan(want)
+    assert m.mean() > 0.4
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+    np.testing.assert_array_equal(got[m], want[m])
+
+
+def test_reproject_to_grid_albers_5070(spark, tiles):
+    """Albers Conus target (EPSG:5070): the fixture's NE-US tiles are in
+    the projection's home region."""
+    fwd5070, inv5070 = grid.EQUAL_AREA_CRS[5070]
+    tx0, ty0, tx1, ty1 = (float(v) for v in grid.tile_extent(6, 19, 25))
+    xs, ys = fwd5070(np.array([tx0, tx1, tx0, tx1]), np.array([ty0, ty0, ty1, ty1]))
+    target = grid.resample_to_dimensions(
+        grid.GridExtent(float(np.min(xs)), float(np.min(ys)),
+                        float(np.max(xs)), float(np.max(ys)), 1.0, 1.0), 50, 40)
+    one = tiles.filter((F.col("source_idx") == 0) & (F.col("band") == 0)
+                       & (F.col("col") == 19) & (F.col("row") == 25))
+    out = px.reproject_to_grid(one, target, method="bilinear",
+                               tile_size=TS, dst_crs=5070)
+    got = px.assemble_target(out.collect(), target)
+    # the engine reads tile extents from the JVM Columns, whose trig can
+    # differ from numpy's libm by 1 ulp on some rows (tile_ymax(6,25) does);
+    # evaluate the SAME JVM expressions for the oracle so bilinear weights
+    # stay bitwise-comparable
+    from geotrellis_contrib_spark.functions import cells as C
+    jvm = spark.range(1).select(
+        C.tile_xmin(F.lit(6), F.lit(19)).alias("x0"),
+        C.tile_xmax(F.lit(6), F.lit(19)).alias("x1"),
+        C.tile_ymin(F.lit(6), F.lit(25)).alias("y0"),
+        C.tile_ymax(F.lit(6), F.lit(25)).alias("y1")).collect()[0]
+    want = px.k_reproject_bilinear(
+        _tile_arr(0, 0, 19, 25), (jvm.x0, jvm.y0, jvm.x1, jvm.y1),
+        (target.xmin, target.ymin, target.xmax, target.ymax),
+        (target.rows, target.cols), inv5070, np.nan)
+    m = ~np.isnan(want)
+    assert m.mean() > 0.4
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+    np.testing.assert_array_equal(got[m], want[m])
