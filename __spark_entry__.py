@@ -616,6 +616,32 @@ def q_reproject_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return px.window_stats(out).select("source_id", "band", "px_sum", "px_count")
 
 
+# LAEA (EPSG:3035) target grid over the pixel fixture's footprint —
+# integer-meter literals so Spark and the SQL oracle share exact doubles
+LA_X0, LA_Y0, LA_X1, LA_Y1 = -3000000.0, 850000.0, 1160000.0, 6070000.0
+LA_COLS, LA_ROWS = 104, 87
+
+
+def q_reproject_laea(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reprojectToGrid onto an EQUAL-AREA destination (EPSG:3035, oblique
+    ellipsoidal LAEA — Snyder ch.24): the pixel fixture warped onto an
+    explicit 3035 GridExtent, NaN-aware window checksums per (source,
+    band). Oracle: the full inverse projection (rho/ce/q/lambda closed
+    forms + the 8-step Newton phi(q) iteration) recomputed in SQL; all
+    compared quantities are floor-index sums of exact quarter-multiples,
+    robust to last-ulp libm differences."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark import grid as GR
+    from geotrellis_contrib_spark.operators import pixels as px
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    target = GR.GridExtent(LA_X0, LA_Y0, LA_X1, LA_Y1,
+                           (LA_X1 - LA_X0) / LA_COLS, (LA_Y1 - LA_Y0) / LA_ROWS)
+    out = px.reproject_to_grid(tiles, target, method="nearest",
+                               tile_size=64, dst_crs=3035)
+    return px.window_stats(out).select("source_id", "band", "px_sum", "px_count")
+
+
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis battery: token counts (ws + BPE-ish), quality ratios,
     language-ID heuristic, rolling-hash fingerprint — all JVM-side."""
@@ -1190,6 +1216,86 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM vals GROUP BY 1, 2
 """
 
+    # LAEA (EPSG:3035) reproject: full SQL twin of the oblique ellipsoidal
+    # inverse (Snyder 24-16..26 + the 3-16 Newton iteration, 8 unrolled
+    # steps). Constants rendered as shortest-round-trip literals of the
+    # exact doubles the engine computes.
+    import numpy as _np
+
+    from geotrellis_contrib_spark import grid as _gr
+    _dl = lambda x: f"CAST('{x!r}' AS DOUBLE)"  # noqa: E731 (keep literals DOUBLE: DuckDB DECIMAL literals overflow when chained)
+    _la_qp = _dl(_gr._QP)
+    _la_rq = _dl(float(_gr._RQ))
+    _la_e = _dl(float(_gr._E1))
+    _la_e2 = _dl(float(_gr._E2))
+    _la_b0 = _dl(float(_np.arcsin(_np.clip(
+        float(_gr._q_authalic(_np.radians(52.0))) / _gr._QP, -1, 1))))
+    _la_d = _dl(float(_gr._WGS84_A * _gr._m_ell(_np.radians(52.0))
+                      / (_gr._RQ * _np.cos(_np.arcsin(_np.clip(
+                          float(_gr._q_authalic(_np.radians(52.0))) / _gr._QP,
+                          -1, 1))))))
+    _la_cw = _dl((LA_X1 - LA_X0) / LA_COLS)
+    _la_ch = _dl((LA_Y1 - LA_Y0) / LA_ROWS)
+    _phi_step = (
+        "POWER(1.0 - {e2}*SIN(phi)*SIN(phi), 2) / (2.0*COS(phi)) * "
+        "(q/(1.0 - {e2}) - SIN(phi)/(1.0 - {e2}*SIN(phi)*SIN(phi)) "
+        " + (1.0/(2.0*{e})) * LN((1.0 - {e}*SIN(phi))/(1.0 + {e}*SIN(phi))))"
+    ).format(e2=_la_e2, e=_la_e)
+    # MATERIALIZED: each step references phi ~6 times; un-materialized CTE
+    # inlining would grow the expression 6^8-fold and hang the planner
+    _phi_iters = "".join(
+        f", it{i} AS MATERIALIZED (SELECT * EXCLUDE (phi), "
+        f"phi + {_phi_step} AS phi FROM it{i - 1})\n"
+        for i in range(1, 9))
+    _la_lat6 = lambda rr: (f"DEGREES(ATAN((EXP(PI()*(1.0-2.0*({rr})/64.0)) "  # noqa: E731
+                           f"- EXP(-(PI()*(1.0-2.0*({rr})/64.0))))/2.0))")
+    o["reproject_laea"] = f"""
+WITH tgt AS (
+  SELECT CAST({LA_X0} AS DOUBLE) + (c+0.5)*{_la_cw} - 4321000.0 AS xs,
+         CAST({LA_Y1} AS DOUBLE) - (r+0.5)*{_la_ch} - 3210000.0 AS ys
+  FROM range(0,{LA_COLS}) cs(c), range(0,{LA_ROWS}) rs(r)
+), inv AS (
+  SELECT xs, ys,
+    SQRT(POWER(xs/{_la_d}, 2) + POWER({_la_d}*ys, 2)) AS rho,
+    2.0*ASIN(LEAST(GREATEST(SQRT(POWER(xs/{_la_d},2) + POWER({_la_d}*ys,2))
+                            / (2.0*{_la_rq}), -1.0), 1.0)) AS ce
+  FROM tgt
+), inq AS (
+  SELECT xs, ys,
+    {_la_qp}*(COS(ce)*SIN({_la_b0})
+              + {_la_d}*ys*SIN(ce)*COS({_la_b0})/rho) AS q,
+    ATAN2(xs*SIN(ce),
+          {_la_d}*rho*COS({_la_b0})*COS(ce)
+          - {_la_d}*{_la_d}*ys*SIN({_la_b0})*SIN(ce)) AS lam
+  FROM inv WHERE rho > 0
+), it0 AS (
+  SELECT *, ASIN(LEAST(GREATEST(q/2.0, -1.0), 1.0)) AS phi FROM inq)
+{_phi_iters}, pts AS (
+  SELECT 10.0 + DEGREES(lam) AS lon, DEGREES(phi) AS lat FROM it8
+), own AS (
+  SELECT lon, lat, {C.sql_tile_col('lon', 6)} AS col, {C.sql_tile_row('lat', 6)} AS row
+  FROM pts
+), samp AS (
+  SELECT s, band, col, row,
+    CAST(FLOOR((lon - (CAST(col AS DOUBLE)/64.0*360.0-180.0)) / 0.087890625) AS BIGINT) AS ci,
+    CAST(FLOOR(({_la_lat6('CAST(row AS DOUBLE)')} - lat)
+         / (({_la_lat6('CAST(row AS DOUBLE)')} - {_la_lat6('CAST(row AS DOUBLE)+1.0')})/64.0)) AS BIGINT) AS ri
+  FROM own, range(0,3) ss(s), range(0,2) bs(band)
+  WHERE col BETWEEN 18+s AND 21+s AND row BETWEEN 24 AND 27
+), vals AS (
+  SELECT s, band,
+    CASE WHEN ri >= (s*11)%48 AND ri < (s*11)%48+16
+          AND ci >= (s*11)%48 AND ci < (s*11)%48+16 THEN -9999.0
+         ELSE s*1000.0 + band*100.0 + col*7.0 + row*3.0 + ri*0.5 + ci*0.25
+              + CAST((ri*31 + ci*17) % 13 AS DOUBLE) END AS v
+  FROM samp
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS BIGINT) AS band,
+       SUM(v) AS px_sum, CAST(COUNT(*) AS BIGINT) AS px_count
+FROM vals GROUP BY 1, 2
+"""
+
     # polygon burn: cover tiles of each hot-cluster box at zoom 9 (box
     # exact-cover == bbox cover), count pixel centers inside ANY box
     # (burn overwrite => n_burned = |union|); cover tiles whose centers all
@@ -1490,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pixel_mosaic_checksum": q_pixel_mosaic_checksum,
         "mosaic_merge_multires": q_mosaic_merge_multires,
         "reproject_grid": q_reproject_grid,
+        "reproject_laea": q_reproject_laea,
         "polygon_burn": q_polygon_burn,
         "pixel_warp_chain": q_pixel_warp_chain,
         "embed_topk": q_embed_topk,
