@@ -642,6 +642,29 @@ def q_reproject_laea(spark: SparkSession, sf_dir: str) -> DataFrame:
     return px.window_stats(out).select("source_id", "band", "px_sum", "px_count")
 
 
+# Albers Conus (EPSG:5070) target grid over the fixture footprint
+AB_X0, AB_Y0, AB_X1, AB_Y1 = 1430000.0, 50000.0, 6120000.0, 3640000.0
+AB_COLS, AB_ROWS = 96, 72
+
+
+def q_reproject_albers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reprojectToGrid onto an Albers Equal-Area Conic destination
+    (EPSG:5070, Snyder ch.14 ellipsoidal): the pixel fixture warped onto
+    an explicit 5070 GridExtent, window checksums per (source, band).
+    Oracle: the conic inverse (rho/theta closed form + the Newton phi(q)
+    iteration) recomputed in SQL."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark import grid as GR
+    from geotrellis_contrib_spark.operators import pixels as px
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    target = GR.GridExtent(AB_X0, AB_Y0, AB_X1, AB_Y1,
+                           (AB_X1 - AB_X0) / AB_COLS, (AB_Y1 - AB_Y0) / AB_ROWS)
+    out = px.reproject_to_grid(tiles, target, method="nearest",
+                               tile_size=64, dst_crs=5070)
+    return px.window_stats(out).select("source_id", "band", "px_sum", "px_count")
+
+
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis battery: token counts (ws + BPE-ish), quality ratios,
     language-ID heuristic, rolling-hash fingerprint — all JVM-side."""
@@ -1296,6 +1319,53 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM vals GROUP BY 1, 2
 """
 
+    # Albers (EPSG:5070) reproject: SQL twin of the conic inverse
+    # (Snyder 14-10/11 + the same phi(q) iteration); shares the LAEA
+    # oracle's machinery (MATERIALIZED iteration CTEs, DOUBLE constants).
+    _ab_n, _ab_c, _ab_rho0 = _gr.albers_constants(23.0, 29.5, 45.5)
+    _ab_n_s, _ab_c_s, _ab_rho0_s = _dl(_ab_n), _dl(_ab_c), _dl(float(_ab_rho0))
+    _ab_a = _dl(float(_gr._WGS84_A))
+    _ab_cw = _dl((AB_X1 - AB_X0) / AB_COLS)
+    _ab_ch = _dl((AB_Y1 - AB_Y0) / AB_ROWS)
+    o["reproject_albers"] = f"""
+WITH tgt AS (
+  SELECT CAST({AB_X0} AS DOUBLE) + (c+0.5)*{_ab_cw} AS xs,
+         CAST({AB_Y1} AS DOUBLE) - (r+0.5)*{_ab_ch} AS ys
+  FROM range(0,{AB_COLS}) cs(c), range(0,{AB_ROWS}) rs(r)
+), inq AS (
+  SELECT
+    ({_ab_c_s} - POWER(SQRT(xs*xs + ({_ab_rho0_s} - ys)*({_ab_rho0_s} - ys))
+                       * {_ab_n_s} / {_ab_a}, 2)) / {_ab_n_s} AS q,
+    ATAN2(xs, {_ab_rho0_s} - ys) / {_ab_n_s} AS lam
+  FROM tgt
+), it0 AS (
+  SELECT *, ASIN(LEAST(GREATEST(q/2.0, -1.0), 1.0)) AS phi FROM inq)
+{_phi_iters}, pts AS (
+  SELECT -96.0 + DEGREES(lam) AS lon, DEGREES(phi) AS lat FROM it8
+), own AS (
+  SELECT lon, lat, {C.sql_tile_col('lon', 6)} AS col, {C.sql_tile_row('lat', 6)} AS row
+  FROM pts
+), samp AS (
+  SELECT s, band, col, row,
+    CAST(FLOOR((lon - (CAST(col AS DOUBLE)/64.0*360.0-180.0)) / 0.087890625) AS BIGINT) AS ci,
+    CAST(FLOOR(({_la_lat6('CAST(row AS DOUBLE)')} - lat)
+         / (({_la_lat6('CAST(row AS DOUBLE)')} - {_la_lat6('CAST(row AS DOUBLE)+1.0')})/64.0)) AS BIGINT) AS ri
+  FROM own, range(0,3) ss(s), range(0,2) bs(band)
+  WHERE col BETWEEN 18+s AND 21+s AND row BETWEEN 24 AND 27
+), vals AS (
+  SELECT s, band,
+    CASE WHEN ri >= (s*11)%48 AND ri < (s*11)%48+16
+          AND ci >= (s*11)%48 AND ci < (s*11)%48+16 THEN -9999.0
+         ELSE s*1000.0 + band*100.0 + col*7.0 + row*3.0 + ri*0.5 + ci*0.25
+              + CAST((ri*31 + ci*17) % 13 AS DOUBLE) END AS v
+  FROM samp
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS BIGINT) AS band,
+       SUM(v) AS px_sum, CAST(COUNT(*) AS BIGINT) AS px_count
+FROM vals GROUP BY 1, 2
+"""
+
     # polygon burn: cover tiles of each hot-cluster box at zoom 9 (box
     # exact-cover == bbox cover), count pixel centers inside ANY box
     # (burn overwrite => n_burned = |union|); cover tiles whose centers all
@@ -1597,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mosaic_merge_multires": q_mosaic_merge_multires,
         "reproject_grid": q_reproject_grid,
         "reproject_laea": q_reproject_laea,
+        "reproject_albers": q_reproject_albers,
         "polygon_burn": q_polygon_burn,
         "pixel_warp_chain": q_pixel_warp_chain,
         "embed_topk": q_embed_topk,
