@@ -667,3 +667,79 @@ EQUAL_AREA_CRS = {
     5070: (lambda lon, lat: lonlat_to_albers(lon, lat, -96.0, 23.0, 29.5, 45.5),
            lambda x, y: albers_to_lonlat(x, y, -96.0, 23.0, 29.5, 45.5)),
 }
+
+
+# ---------------------------------------------------------------------------
+# Lambert Conformal Conic (Snyder ch. 15, ellipsoidal, two standard
+# parallels) — the state-plane / national-grid family (EPSG:2154
+# Lambert-93 et al). Property oracle: CONFORMALITY (isotropic local scale,
+# right angles preserved) + unit scale on both standard parallels.
+# ---------------------------------------------------------------------------
+
+def _t_conf(phi):
+    """Snyder (15-9): conformal-latitude auxiliary t."""
+    s = np.sin(phi)
+    return (np.tan(np.pi / 4.0 - phi / 2.0)
+            / np.power((1.0 - _E1 * s) / (1.0 + _E1 * s), _E1 / 2.0))
+
+
+def lcc_constants(lat0: float, lat1: float, lat2: float):
+    """LCC cone constant n, F, rho0 (Snyder 15-8, 15-10, 15-7a)."""
+    p0, p1, p2 = (np.radians(v) for v in (lat0, lat1, lat2))
+    m1, m2 = float(_m_ell(p1)), float(_m_ell(p2))
+    t0, t1, t2 = (float(_t_conf(p)) for p in (p0, p1, p2))
+    if abs(lat1 - lat2) < 1e-12:
+        n = float(np.sin(p1))
+    else:
+        n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+    f_cap = m1 / (n * t1 ** n)
+    rho0 = _WGS84_A * f_cap * t0 ** n
+    return n, f_cap, rho0
+
+
+def lonlat_to_lcc(lon, lat, lon0: float, lat0: float,
+                  lat1: float, lat2: float,
+                  fe: float = 0.0, fn: float = 0.0):
+    """EPSG:4326 -> ellipsoidal Lambert Conformal Conic (Snyder 15-1..15-10).
+    EPSG:2154 (Lambert-93) = (lon0=3, lat0=46.5, lat1=49, lat2=44,
+    FE=700000, FN=6600000)."""
+    n, f_cap, rho0 = lcc_constants(lat0, lat1, lat2)
+    lam = np.radians(_wrap_deg(np.asarray(lon, dtype=np.float64) - lon0))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    rho = _WGS84_A * f_cap * np.power(_t_conf(phi), n)
+    theta = n * lam
+    x = rho * np.sin(theta)
+    y = rho0 - rho * np.cos(theta)
+    return x + fe, y + fn
+
+
+def lcc_to_lonlat(x, y, lon0: float, lat0: float,
+                  lat1: float, lat2: float,
+                  fe: float = 0.0, fn: float = 0.0):
+    """Inverse ellipsoidal LCC (Snyder 15-11, 7-9 iteration)."""
+    n, f_cap, rho0 = lcc_constants(lat0, lat1, lat2)
+    x = np.asarray(x, dtype=np.float64) - fe
+    y = np.asarray(y, dtype=np.float64) - fn
+    sgn = 1.0 if n >= 0 else -1.0
+    rho = sgn * np.sqrt(x * x + (rho0 - y) ** 2)
+    theta = np.arctan2(sgn * x, sgn * (rho0 - y))
+    t = np.power(rho / (_WGS84_A * f_cap), 1.0 / n)
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(8):
+        s = np.sin(phi)
+        phi = (np.pi / 2.0
+               - 2.0 * np.arctan(t * np.power((1.0 - _E1 * s) / (1.0 + _E1 * s),
+                                              _E1 / 2.0)))
+    return _wrap_deg(lon0 + np.degrees(theta / n)), np.degrees(phi)
+
+
+# umbrella registry of all named projected CRS (equal-area family plus
+# the conformal conics); EQUAL_AREA_CRS stays as the equal-area subset
+NAMED_CRS = dict(EQUAL_AREA_CRS)
+# RGF93 / Lambert-93
+NAMED_CRS[2154] = (
+    lambda lon, lat: lonlat_to_lcc(lon, lat, 3.0, 46.5, 49.0, 44.0,
+                                   700000.0, 6600000.0),
+    lambda x, y: lcc_to_lonlat(x, y, 3.0, 46.5, 49.0, 44.0,
+                               700000.0, 6600000.0),
+)

@@ -452,13 +452,13 @@ def reproject_to_grid(tiles: DataFrame, target, method: str = "nearest",
         def to_dst(lon, lat):
             e, n = GR.lonlat_to_utm(lon, lat, zone)
             return e, n + fn
-    elif dst_crs in GR.EQUAL_AREA_CRS:
-        # LAEA/Albers (equal-area family, Snyder ellipsoidal forms)
-        to_dst, fwd = GR.EQUAL_AREA_CRS[dst_crs][0], GR.EQUAL_AREA_CRS[dst_crs][1]
+    elif dst_crs in GR.NAMED_CRS:
+        # LAEA/Albers/LCC (Snyder ellipsoidal forms, grid.NAMED_CRS)
+        to_dst, fwd = GR.NAMED_CRS[dst_crs][0], GR.NAMED_CRS[dst_crs][1]
     else:
         raise ValueError(
             f"unsupported dst CRS {dst_crs} (4326-keyed tiles -> 3857 | 4326 | "
-            f"UTM 326xx/327xx | {sorted(GR.EQUAL_AREA_CRS)})")
+            f"UTM 326xx/327xx | {sorted(GR.NAMED_CRS)})")
     kern = REPROJECT_KERNELS[method]
     cw, ch = target.cellwidth, target.cellheight
     tcols, trows = target.cols, target.rows

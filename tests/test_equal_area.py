@@ -100,3 +100,74 @@ def test_laea_center_and_axis():
 def test_phi_from_q_poles():
     assert abs(float(grid._phi_from_q(grid._QP)) - np.pi / 2) < 1e-12
     assert abs(float(grid._phi_from_q(-grid._QP)) + np.pi / 2) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Lambert Conformal Conic (EPSG:2154 Lambert-93): conformality IS the
+# property oracle — isotropic local scale (h == k), right angles preserved
+# — plus unit scale on both standard parallels and exact round trips.
+# ---------------------------------------------------------------------------
+
+def _local_jacobian(fwd, lon, lat, d=1e-6):
+    x0, y0 = fwd(lon, lat)
+    xe, ye = fwd(lon + d, lat)
+    xn, yn = fwd(lon, lat + d)
+    return (np.array([float(xe - x0), float(ye - y0)]) / d,
+            np.array([float(xn - x0), float(yn - y0)]) / d)
+
+
+def test_lcc_roundtrip_exact():
+    rng = np.random.RandomState(9)
+    fwd, inv = grid.NAMED_CRS[2154]
+    lons = rng.uniform(-5, 10, 400)
+    lats = rng.uniform(41, 51, 400)
+    x, y = fwd(lons, lats)
+    blo, bla = inv(x, y)
+    assert np.max(np.abs(blo - lons)) < 1e-12
+    assert np.max(np.abs(bla - lats)) < 1e-12
+
+
+def test_lcc_conformality():
+    """A conformal map's Jacobian is a scaled rotation: the projected east
+    and north tangent vectors stay orthogonal and (after dividing by the
+    ellipsoidal metric) equal in length."""
+    a, f = 6378137.0, 1 / 298.257223563
+    e2 = f * (2 - f)
+    fwd, _ = grid.NAMED_CRS[2154]
+    rng = np.random.RandomState(4)
+    for _ in range(20):
+        lon = rng.uniform(-4, 9)
+        lat = rng.uniform(41.5, 50.5)
+        ve, vn = _local_jacobian(fwd, lon, lat)
+        s = np.sin(np.radians(lat))
+        w = np.sqrt(1 - e2 * s * s)
+        # meters on the ellipsoid per degree of lon / lat
+        me = np.radians(1.0) * a * np.cos(np.radians(lat)) / w
+        mn = np.radians(1.0) * a * (1 - e2) / w ** 3
+        k = np.linalg.norm(ve) / me   # parallel scale
+        h = np.linalg.norm(vn) / mn   # meridian scale
+        assert abs(k / h - 1.0) < 1e-6, (lon, lat, k, h)
+        cosang = ve @ vn / (np.linalg.norm(ve) * np.linalg.norm(vn))
+        assert abs(cosang) < 1e-6, (lon, lat, cosang)
+
+
+def test_lcc_unit_scale_on_standard_parallels():
+    a, f = 6378137.0, 1 / 298.257223563
+    e2 = f * (2 - f)
+    fwd, _ = grid.NAMED_CRS[2154]
+    for lat_sp, expect_unit in ((44.0, True), (49.0, True), (46.5, False)):
+        ve, _vn = _local_jacobian(fwd, 3.0, lat_sp)
+        s = np.sin(np.radians(lat_sp))
+        me = np.radians(1.0) * a * np.cos(np.radians(lat_sp)) / np.sqrt(1 - e2 * s * s)
+        k = np.linalg.norm(ve) / me
+        if expect_unit:
+            assert abs(k - 1.0) < 1e-7, (lat_sp, k)
+        else:
+            assert abs(k - 1.0) > 1e-5  # the test CAN fail between parallels
+
+
+def test_lcc_center_golden():
+    fwd, _ = grid.NAMED_CRS[2154]
+    x, y = fwd(3.0, 46.5)
+    assert abs(float(x) - 700000.0) < 1e-6
+    assert abs(float(y) - 6600000.0) < 1e-6

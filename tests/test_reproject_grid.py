@@ -287,3 +287,33 @@ def test_reproject_to_grid_albers_5070(spark, tiles):
     assert m.mean() > 0.4
     np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
     np.testing.assert_array_equal(got[m], want[m])
+
+
+def test_reproject_to_grid_lcc_2154(spark, tiles):
+    """Lambert-93 (EPSG:2154, conformal conic) target: engine per-tile
+    output == driver-side kernels with the registry transforms — the
+    conformal family through the same NAMED_CRS dispatch."""
+    fwd2154, inv2154 = grid.NAMED_CRS[2154]
+    tx0, ty0, tx1, ty1 = (float(v) for v in grid.tile_extent(6, 19, 24))
+    es = np.linspace(0.0, 1.0, 9)
+    bx = np.concatenate([tx0 + (tx1 - tx0) * es, tx0 + (tx1 - tx0) * es,
+                         np.full(9, tx0), np.full(9, tx1)])
+    by = np.concatenate([np.full(9, ty0), np.full(9, ty1),
+                         ty0 + (ty1 - ty0) * es, ty0 + (ty1 - ty0) * es])
+    xs, ys = fwd2154(bx, by)
+    target = grid.resample_to_dimensions(
+        grid.GridExtent(float(np.min(xs)), float(np.min(ys)),
+                        float(np.max(xs)), float(np.max(ys)), 1.0, 1.0), 50, 40)
+    one = tiles.filter((F.col("source_idx") == 0) & (F.col("band") == 0)
+                       & (F.col("col") == 19) & (F.col("row") == 24))
+    out = px.reproject_to_grid(one, target, method="nearest",
+                               tile_size=TS, dst_crs=2154)
+    got = px.assemble_target(out.collect(), target)
+    want = px.k_reproject_nearest(
+        _tile_arr(0, 0, 19, 24), (tx0, ty0, tx1, ty1),
+        (target.xmin, target.ymin, target.xmax, target.ymax),
+        (target.rows, target.cols), inv2154, np.nan)
+    m = ~np.isnan(want)
+    assert m.mean() > 0.3
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+    np.testing.assert_array_equal(got[m], want[m])
