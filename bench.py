@@ -144,8 +144,14 @@ def _run_worker(cores: int) -> dict:
         [sys.executable, os.path.abspath(__file__), "--scale-worker",
          str(cores), str(SCALE_DOCS), "1", str(SCALE_REPS)],
         capture_output=True, text=True, timeout=1800)
-    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
+    if out.returncode != 0 or not lines:
+        # surface the real failure (OOM, JVM start, traceback) instead of a
+        # bare IndexError on missing stdout
+        raise RuntimeError(
+            f"scale worker local[{cores}] failed (rc={out.returncode}); "
+            f"stderr tail:\n{out.stderr[-4000:]}")
+    return json.loads(lines[-1])
 
 
 def run_scaling(n_cores: int, n4_cores: int, trials: int = SCALE_TRIALS) -> dict:
@@ -223,7 +229,19 @@ def main() -> None:
         "throughput_docs_per_sec": scaling["docs_per_sec_4n"],
         "scaling": scaling,
     }
-    print(json.dumps(out))
+    # full result to a file first (the durable copy), then the verbose
+    # sub-objects move OFF the final stdout line: BENCH_r03.json lost its
+    # head because the driver's stdout capture clipped the front of one
+    # long line — the last line must stay compact and self-contained.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_full.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+    slim = dict(out)
+    slim["scaling"] = {k: v for k, v in scaling.items()
+                       if k not in ("raw_throughputs", "estimator_note",
+                                    "env_note")}
+    slim["full_result_file"] = "bench_full.json"
+    print(json.dumps(slim))
 
 
 if __name__ == "__main__":

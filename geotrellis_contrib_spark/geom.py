@@ -161,9 +161,35 @@ def wkb_encode(gtype, coords, srid=None, big_endian=False):
     return bytes(out)
 
 
+def _split_members(body: str) -> list[str]:
+    """Split a WKT body on commas at paren depth 0 (top-level members)."""
+    members, depth, start = [], 0, 0
+    for i, ch in enumerate(body):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            members.append(body[start:i])
+            start = i + 1
+    members.append(body[start:])
+    return [m.strip() for m in members if m.strip()]
+
+
+def _strip_parens(chunk: str) -> str:
+    """Remove ONE layer of enclosing parens if present."""
+    c = chunk.strip()
+    if c.startswith("(") and c.endswith(")"):
+        return c[1:-1]
+    return c
+
+
 def wkt_decode(text: str):
-    """Parse WKT/EWKT for POINT/LINESTRING/POLYGON/MULTIPOINT into the same
-    dict shape as wkb_decode. Accepts the ``SRID=<n>;<wkt>`` EWKT prefix."""
+    """Parse WKT/EWKT for POINT/LINESTRING/POLYGON and every MULTI* +
+    GEOMETRYCOLLECTION into the same dict shape as wkb_decode (the full
+    PostGIS column-type surface — the WKB codec already covered these, the
+    text path now round-trips them too). Accepts the ``SRID=<n>;<wkt>``
+    EWKT prefix."""
     s = text.strip()
     srid = None
     if s.upper().startswith("SRID="):
@@ -179,14 +205,7 @@ def wkt_decode(text: str):
             pts.append((float(x), float(y)))
         return pts
 
-    if up.startswith("POINT"):
-        inner = s[s.index("(") + 1:s.rindex(")")]
-        return {"type": WKB_POINT, "srid": srid, "coords": nums(inner)[0]}
-    if up.startswith("LINESTRING"):
-        inner = s[s.index("(") + 1:s.rindex(")")]
-        return {"type": WKB_LINESTRING, "srid": srid, "coords": nums(inner)}
-    if up.startswith("POLYGON"):
-        body = s[s.index("(") + 1:s.rindex(")")]
+    def rings_of(body):
         rings, depth, start = [], 0, None
         for i, ch in enumerate(body):
             if ch == "(":
@@ -197,24 +216,32 @@ def wkt_decode(text: str):
                 depth -= 1
                 if depth == 0:
                     rings.append(nums(body[start:i]))
-        return {"type": WKB_POLYGON, "srid": srid, "coords": rings}
+        return rings
+
+    if up.startswith("POINT"):
+        inner = s[s.index("(") + 1:s.rindex(")")]
+        return {"type": WKB_POINT, "srid": srid, "coords": nums(inner)[0]}
+    if up.startswith("LINESTRING"):
+        inner = s[s.index("(") + 1:s.rindex(")")]
+        return {"type": WKB_LINESTRING, "srid": srid, "coords": nums(inner)}
+    if up.startswith("POLYGON"):
+        body = s[s.index("(") + 1:s.rindex(")")]
+        return {"type": WKB_POLYGON, "srid": srid, "coords": rings_of(body)}
     if up.startswith("MULTIPOINT"):
         inner = s[s.index("(") + 1:s.rindex(")")].replace("(", "").replace(")", "")
         return {"type": WKB_MULTIPOINT, "srid": srid, "coords": nums(inner)}
+    if up.startswith("MULTILINESTRING"):
+        body = s[s.index("(") + 1:s.rindex(")")]
+        return {"type": WKB_MULTILINESTRING, "srid": srid,
+                "coords": [nums(_strip_parens(m)) for m in _split_members(body)]}
+    if up.startswith("MULTIPOLYGON"):
+        body = s[s.index("(") + 1:s.rindex(")")]
+        return {"type": WKB_MULTIPOLYGON, "srid": srid,
+                "coords": [rings_of(_strip_parens(m))
+                           for m in _split_members(body)]}
     if up.startswith("GEOMETRYCOLLECTION"):
         body = s[s.index("(") + 1:s.rindex(")")]
-        # split top-level members on commas at paren depth 0
-        members, depth, start = [], 0, 0
-        for i, ch in enumerate(body):
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            elif ch == "," and depth == 0:
-                members.append(body[start:i])
-                start = i + 1
-        members.append(body[start:])
-        decoded = [wkt_decode(m.strip()) for m in members if m.strip()]
+        decoded = [wkt_decode(m) for m in _split_members(body)]
         return {"type": WKB_GEOMETRYCOLLECTION, "srid": srid,
                 "coords": [{"type": m["type"], "coords": m["coords"]}
                            for m in decoded]}
@@ -243,6 +270,19 @@ def ewkt(gtype, coords, srid):
     elif gtype == WKB_POLYGON:
         rings = ", ".join("(" + ", ".join(f"{x:g} {y:g}" for x, y in ring) + ")" for ring in coords)
         wkt = f"POLYGON ({rings})"
+    elif gtype == WKB_MULTIPOINT:
+        pts = ", ".join(f"({x:g} {y:g})" for x, y in coords)
+        wkt = f"MULTIPOINT ({pts})"
+    elif gtype == WKB_MULTILINESTRING:
+        lines = ", ".join("(" + ", ".join(f"{x:g} {y:g}" for x, y in ln) + ")"
+                          for ln in coords)
+        wkt = f"MULTILINESTRING ({lines})"
+    elif gtype == WKB_MULTIPOLYGON:
+        polys = ", ".join(
+            "(" + ", ".join("(" + ", ".join(f"{x:g} {y:g}" for x, y in ring) + ")"
+                            for ring in poly) + ")"
+            for poly in coords)
+        wkt = f"MULTIPOLYGON ({polys})"
     elif gtype == WKB_GEOMETRYCOLLECTION:
         inner = ", ".join(ewkt(m["type"], m["coords"], srid).split(";", 1)[1]
                           for m in coords)

@@ -15,10 +15,13 @@ Plan (SURVEY.md §2.3):
 
 Exactness: results are exact iff the k-th neighbor lies within the ring's
 guaranteed radius (ring R at zoom z covers Chebyshev distance >= R cells
-~ R * 360/2^z * cos(lat) degrees). ``iterative=True`` keeps widening the
-ring for queries that haven't met that bound, so the result is exact for
-any distribution; each round is one more cell-join on only the unfinished
-queries (a tiny, shrinking side).
+~ R * 360/2^z * cos(lat) degrees). :func:`knn_join_exact` solves each
+query's required ring in closed form from its ring-1 candidates and
+re-joins only unresolved queries at their own ring — exact for any
+distribution in TWO jobs, no driver loop. (A per-ring-doubling driver
+loop variant existed through round 3; it serialized 3-5 full jobs through
+``limit(1).count()`` actions and was retired once the one-plan rewrite
+matched it bit-for-bit.)
 """
 
 from __future__ import annotations
@@ -80,73 +83,9 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, zoom: int,
                 .select("query_id", "point_id", "rank", "dist"))
 
 
-def knn_join_iterative(queries: DataFrame, points: DataFrame, k: int, zoom: int,
-                       max_ring: int = 8, **names) -> DataFrame:
-    """Exact kNN for any distribution: widen the ring until every query's
-    k-th candidate distance is covered by the ring guarantee, then re-rank.
-
-    Each round only re-joins the queries that FAILED the guarantee — a
-    shrinking, typically tiny DataFrame — so the total work approaches one
-    bounded-ring join plus a few stragglers (driver loop, lazy plans).
-    """
-    qid = names.get("query_id", "query_id")
-    qlon = names.get("qlon", "qlon")
-    qlat = names.get("qlat", "qlat")
-    max_ring = min(max_ring, (1 << zoom) // 2 - 1)  # ring guard (see knn_join)
-    remaining = queries
-    done_parts: list[DataFrame] = []
-    ring = 1
-    while ring <= max_ring:
-        res = knn_join(remaining, points, k, zoom, ring=ring,
-                       query_id=qid, qlon=names.get("qlon", "qlon"),
-                       qlat=qlat, point_id=names.get("point_id", "doc_id"),
-                       lon=names.get("lon", "lon"), lat=names.get("lat", "lat"))
-        # Exact per-query ring guarantee: any point OUTSIDE the ring region
-        # differs from the query by >= gx in lon OR >= gy in lat, so its
-        # planar distance is >= min(gx, gy_north, gy_south). gx is the
-        # wrap-safe lon bound (ring whole tiles); gy_* are the actual lat
-        # gaps to the region's north/south tile boundaries at the query's
-        # row — exact at any latitude (the old fixed cos(66 deg) bound was
-        # unsound above 66 deg where tiles are shorter than it assumed).
-        n = 1 << zoom
-        qb = (remaining.select(F.col(qid).alias("query_id"),
-                               F.col(qlat).alias("_qlat"))
-              .withColumn("_qrow", C.tile_row(F.col("_qlat"), zoom)))
-        inf = F.lit(1e9)
-        gx = F.lit(ring * 360.0 / n)
-        gy_n = F.when(F.col("_qrow") - ring <= 0, inf).otherwise(
-            C.tile_ymax(F.lit(zoom), F.col("_qrow") - ring) - F.col("_qlat"))
-        gy_s = F.when(F.col("_qrow") + ring >= n - 1, inf).otherwise(
-            F.col("_qlat") - C.tile_ymin(F.lit(zoom), F.col("_qrow") + ring))
-        qb = qb.withColumn("_covered", F.least(gx, gy_n, gy_s)) \
-               .select("query_id", "_covered")
-        guard = res.groupBy("query_id") \
-                   .agg(F.max("dist").alias("kth"), F.count("*").alias("nres")) \
-                   .join(qb, "query_id")
-        # STRICT compare: a point exactly AT the coverage bound could tie the
-        # kth distance and win the (dist, point_id) tie-break without ever
-        # being a candidate — equality must force another ring expansion
-        ok_ids = guard.filter((F.col("nres") >= k) & (F.col("kth") < F.col("_covered"))) \
-                      .select("query_id")
-        done_parts.append(res.join(F.broadcast(ok_ids), "query_id", "left_semi"))
-        remaining = remaining.join(F.broadcast(ok_ids),
-                                   remaining[qid] == ok_ids["query_id"], "left_anti")
-        if remaining.limit(1).count() == 0:
-            break
-        ring *= 2
-    else:
-        done_parts.append(knn_join(remaining, points, k, zoom, ring=max_ring, **names))
-    out = done_parts[0]
-    for part in done_parts[1:]:
-        out = out.unionByName(part)
-    return out
-
-
 def knn_join_exact(queries: DataFrame, points: DataFrame, k: int, zoom: int,
                    max_ring: int = 8, **names) -> DataFrame:
-    """Exact kNN in ONE plan (replaces the per-ring driver loop of
-    :func:`knn_join_iterative`, which serialized 3-5 full-job rounds
-    through ``limit(1).count()`` actions).
+    """Exact kNN in ONE plan (no per-ring driver loop; two jobs total).
 
       pass 1   ring-1 cell join -> per-query kth candidate distance d1
                (an UPPER bound on the true kth distance: more candidates
@@ -161,10 +100,13 @@ def knn_join_exact(queries: DataFrame, points: DataFrame, k: int, zoom: int,
                (variable explode over sequence(-r, r)), exact re-rank.
 
     Queries with < k ring-1 candidates take ring = max_ring directly (no
-    density assumption — same contract as the iterative fallback). The
-    ring-1 result is localCheckpoint'ed once (a single materialization;
-    the union plan references it three times), so the whole operator is
-    two jobs instead of a ring-doubling driver loop.
+    density assumption — the documented sparse-region fallback). A query
+    WITH >= k ring-1 candidates whose closed-form required ring exceeds
+    ``max_ring`` raises inside the plan instead of silently capping (an
+    "exact" function must not return inexact results; callers widen
+    max_ring or coarsen the zoom). The ring-1 result is
+    localCheckpoint'ed once (a single materialization; the union plan
+    references it three times), so the whole operator is two jobs.
     Output: (query_id, point_id, rank, dist)."""
     qid = names.get("query_id", "query_id")
     qlon = names.get("qlon", "qlon")
@@ -205,8 +147,21 @@ def knn_join_exact(queries: DataFrame, points: DataFrame, k: int, zoom: int,
     rs = (C.tile_row(F.col("_qlat") - F.col("_kth"), zoom)
           - F.col("_qrow")).cast("int")
     ring_needed = F.greatest(rx, rn, rs, F.lit(1)) + F.lit(1)
-    ring_col = F.when(F.coalesce(F.col("_nres"), F.lit(0)) >= k,
-                      F.least(ring_needed, F.lit(ring_cap))) \
+    # fail-LOUD when the closed-form ring exceeds the cap for a query that
+    # HAS >= k ring-1 candidates: capping silently would return inexact
+    # results from a function named "exact" (unreachable at the entry's
+    # zoom-8/max_ring-64 config, but latent for tighter configs). The check
+    # rides the ring value itself so Catalyst cannot prune it away.
+    ring_over = (F.coalesce(resolved, F.lit(False)) == F.lit(False)) \
+        & (F.coalesce(F.col("_nres"), F.lit(0)) >= k) \
+        & (ring_needed > F.lit(ring_cap))
+    ring_checked = F.when(ring_over, F.raise_error(F.concat(
+        F.lit("knn_join_exact: required ring "), ring_needed.cast("string"),
+        F.lit(f" exceeds max_ring {ring_cap} at zoom {zoom} for query "),
+        F.col("query_id").cast("string"),
+        F.lit("; raise max_ring or coarsen the zoom"))).cast("int")) \
+        .otherwise(ring_needed)
+    ring_col = F.when(F.coalesce(F.col("_nres"), F.lit(0)) >= k, ring_checked) \
                 .otherwise(F.lit(ring_cap))
     st = (st.withColumn("_resolved", F.coalesce(resolved, F.lit(False)))
             .withColumn("_ring", ring_col))

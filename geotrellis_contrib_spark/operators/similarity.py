@@ -256,8 +256,15 @@ def select_centroids(corpus: DataFrame, k: int,
     smallest deterministic id-hash (Knuth multiplicative, mod 2^31) —
     one TakeOrdered pass, output size K regardless of corpus size, so the
     downstream broadcast stays constant at 10^12 vectors.
-    Output: (centroid_id, cvec)."""
-    h = F.pmod(F.col(id_col).cast("long") * F.lit(2654435761), F.lit(2147483648))
+    Output: (centroid_id, cvec).
+
+    Overflow discipline: the id is masked into 2^31 BEFORE the Knuth
+    multiply, so the product stays < 2^31 * 2654435761 < 2^63 for ANY
+    long id — the unmasked form silently wrapped in Spark (and errors
+    under ANSI mode / DuckDB) for ids beyond ~3.5e9; the oracle SQL
+    mirrors the masked arithmetic exactly."""
+    h = F.pmod(F.pmod(F.col(id_col).cast("long"), F.lit(2147483648))
+               * F.lit(2654435761), F.lit(2147483648))
     return (corpus.select(F.col(id_col).alias("centroid_id"),
                           F.col(vec_col).alias("cvec"), h.alias("_h"))
             .orderBy("_h", "centroid_id").limit(k).drop("_h"))

@@ -164,3 +164,37 @@ def test_geometrycollection_wkt_and_ewkt():
     # emit -> reparse is identity
     txt = geom.ewkt(d["type"], d["coords"], 4326)
     assert geom.wkt_decode(txt) == d
+
+
+def test_multi_geometry_text_roundtrip():
+    # MULTI* members must round-trip through the TEXT path too (the WKB
+    # codec always accepted them; ewkt/wkt_decode were the asymmetric gap)
+    cases = [
+        (geom.WKB_MULTIPOINT, [(1.0, 2.0), (3.0, 4.0)]),
+        (geom.WKB_MULTILINESTRING,
+         [[(0.0, 0.0), (1.0, 1.0)], [(2.0, 2.0), (3.0, 4.0), (5.0, 5.0)]]),
+        (geom.WKB_MULTIPOLYGON,
+         [[[(0.0, 0.0), (3.0, 0.0), (3.0, 3.0), (0.0, 0.0)]],
+          [[(10.0, 10.0), (14.0, 10.0), (14.0, 14.0), (10.0, 10.0)],
+           [(11.0, 11.0), (12.0, 11.0), (12.0, 12.0), (11.0, 11.0)]]]),
+    ]
+    for gtype, coords in cases:
+        txt = geom.ewkt(gtype, coords, 4326)
+        back = geom.wkt_decode(txt)
+        assert back == {"type": gtype, "srid": 4326, "coords": coords}, txt
+        # and the text path agrees with the binary path
+        blob = geom.wkb_encode(gtype, coords, srid=4326)
+        assert geom.wkb_decode(blob)["coords"] == coords
+
+
+def test_collection_with_multi_members_text_roundtrip():
+    # a WKB-decoded collection containing MULTI* members can now round-trip
+    # through ewkt -> wkt_decode (round-3 advice gap)
+    gc = [{"type": geom.WKB_MULTIPOINT, "coords": [(1.0, 2.0), (3.0, 4.0)]},
+          {"type": geom.WKB_MULTIPOLYGON,
+           "coords": [[[(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 0.0)]]]}]
+    blob = geom.wkb_encode(geom.WKB_GEOMETRYCOLLECTION, gc, srid=4326)
+    d = geom.wkb_decode(blob)
+    txt = geom.ewkt(d["type"], d["coords"], 4326)
+    back = geom.wkt_decode(txt)
+    assert back["coords"] == gc

@@ -1,4 +1,4 @@
-"""kNN: bounded-ring vs iterative expansion vs brute-force numpy oracle."""
+"""kNN: bounded-ring and one-plan exact variants vs brute-force numpy oracle."""
 
 import numpy as np
 import pytest
@@ -41,36 +41,40 @@ def test_bounded_ring_misses_far_queries(spark, data):
     assert 4 not in got  # far query has no candidates in ring 1 — documented limit
 
 
-def test_iterative_exact_everywhere(spark, data):
-    points, queries, pts, qs = data
-    res = knn_ops.knn_join_iterative(queries, points, k=K, zoom=ZOOM, max_ring=64)
-    oracle = _oracle(pts, qs, K)
-    got = {}
-    for r in res.orderBy("query_id", "rank").collect():
-        got.setdefault(r.query_id, []).append((r.point_id, r.dist))
-    assert set(got) == {1, 2, 3, 4}
-    for qid, expect in oracle.items():
-        assert [p for p, _ in got[qid]] == [p for p, _ in expect], qid
-        np.testing.assert_allclose([d for _, d in got[qid]],
-                                   [d for _, d in expect], rtol=0, atol=0)
-
-
-def test_iterative_exact_high_latitude(spark):
-    # Above 66 deg the old fixed-cos guard over-promised coverage; the ring
-    # guarantee must come from the actual tile boundaries at the query's row.
-    pts = [(i, 10.0 + (i % 10) * 0.3, 78.0 + (i // 10) * 0.05) for i in range(100)]
-    # one far point the naive guard could wrongly exclude
-    pts.append((999, 14.0, 79.9))
+def test_exact_all_queries_empty_region(spark):
+    # PATHOLOGICAL sparse case: EVERY query has zero ring-1 candidates, so
+    # every query takes the documented < k-candidate fallback (ring =
+    # max_ring) — the whole pass-2 side runs with an empty "done" branch.
+    pts = [(i, -74.0 + (i % 40) * 0.002, 40.6 + (i % 25) * 0.002)
+           for i in range(200)]
     points = spark.createDataFrame(pts, "doc_id long, lon double, lat double")
-    qs = [(1, 10.0, 78.0), (2, 14.0, 79.85)]
+    # zoom 5: 11.25-deg cells, ring cap = min(64, 15) = 15; every query is
+    # 3-10 cells from the cluster -> zero ring-1 candidates, cap reachable
+    qs = [(1, -30.0, 10.0), (2, 30.0, -30.0), (3, -74.0, -40.0)]
     queries = spark.createDataFrame(qs, "query_id long, qlon double, qlat double")
-    res = knn_ops.knn_join_iterative(queries, points, k=K, zoom=ZOOM, max_ring=64)
+    res = knn_ops.knn_join_exact(queries, points, k=K, zoom=5, max_ring=64)
     oracle = _oracle(pts, qs, K)
     got = {}
     for r in res.orderBy("query_id", "rank").collect():
         got.setdefault(r.query_id, []).append((r.point_id, r.dist))
+    assert set(got) == {1, 2, 3}
     for qid, expect in oracle.items():
         assert [p for p, _ in got[qid]] == [p for p, _ in expect], qid
+
+
+def test_exact_raises_when_required_ring_exceeds_cap(spark):
+    # A query WITH >= k ring-1 candidates whose kth distance needs a ring
+    # beyond max_ring must raise, not silently return an inexact answer
+    # (capped-ring path made fail-loud per round-3 advice). Candidates sit
+    # in the eastern neighbor cell ~5.5 deg away (> the 2.8125-deg ring-1
+    # coverage at zoom 7), so ring_needed ~ 3 > max_ring = 1.
+    pts = [(i, 5.5 + i * 0.001, 0.5) for i in range(10)]
+    points = spark.createDataFrame(pts, "doc_id long, lon double, lat double")
+    queries = spark.createDataFrame([(1, 0.01, 0.5)],
+                                    "query_id long, qlon double, qlat double")
+    res = knn_ops.knn_join_exact(queries, points, k=K, zoom=ZOOM, max_ring=1)
+    with pytest.raises(Exception, match="exceeds max_ring"):
+        res.collect()
 
 def test_one_pass_exact_everywhere(spark, data):
     points, queries, pts, qs = data
