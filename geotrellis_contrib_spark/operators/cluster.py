@@ -9,9 +9,17 @@ round is (a) one shuffle-on-dst join + groupBy taking the min label over
 neighbors, then (b) one label self-join following each node's label to its
 label's label. Step (b) makes convergence O(log d) rounds in the label-hop
 diameter d instead of O(d): a 10^6-node chain converges in ~20 rounds, not
-10^6 (measured on the sf0.1 embed near-pair graph: 18 rounds -> 6). The
-driver loop breaks on a converged round; ``localCheckpoint`` truncates
-lineage so iteration N does not replay rounds 1..N-1.
+10^6 (measured on the sf0.1 embed near-pair graph: 18 rounds -> 6).
+
+Round batching (round-4): the driver-side fixed cost per materialization
+(one localCheckpoint job + one convergence-count job, ~0.6s each on a busy
+host) dominated the per-round WORK at test scale — 12 materializations was
+~80% of embed_dup_clusters' 15.6s. ``rounds_per_sync`` propagation+doubling
+rounds now run inside ONE lazy plan between materializations, halving the
+job count at identical results (min-label propagation is idempotent and
+order-free; running two rounds before checking convergence can only
+converge faster). Convergence is still read off the same materialization
+(``_old`` = labels at sync-batch start rides through the batch).
 
 Scale notes: labels are single longs (LongHashedRelation joins); edges are
 symmetrized once; per-round state is (node, label) — 16 bytes/node. At
@@ -24,11 +32,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _propagate_and_double(sym: DataFrame, cur: DataFrame) -> DataFrame:
+    """One logical CC round on ``cur`` (id, component, _old): every node
+    offers its label to its neighbors, keep min(own, best offer), then
+    pointer-double (jump to the label of my label's node). ``_old`` rides
+    through untouched so convergence is read off the batch's single
+    materialization. Pure plan construction — no action."""
+    offered = (sym.join(cur, sym.dst == cur.id)
+               .groupBy("src").agg(F.min("component").alias("offer")))
+    tent = (cur.join(offered, cur.id == offered.src, "left")
+            .select(cur.id,
+                    F.least(F.col("component"),
+                            F.coalesce(F.col("offer"), F.col("component")))
+                    .alias("component"),
+                    F.col("_old")))
+    # pointer doubling: labels are always node ids, so the lookup side is
+    # tent itself — min is idempotent/order-free, stays deterministic
+    lk = tent.select(F.col("id").alias("_lid"),
+                     F.col("component").alias("_lcomp"))
+    return (tent.join(lk, tent.component == lk._lid, "left")
+            .select(tent.id,
+                    F.least(F.col("component"),
+                            F.coalesce(F.col("_lcomp"), F.col("component")))
+                    .alias("component"),
+                    F.col("_old")))
+
+
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         rounds_per_sync: int = 2) -> DataFrame:
     """Label every node of the undirected pair graph with the MIN node id
     reachable from it. Input: one row per edge (any direction, dupes ok).
-    Output: (id, component). Deterministic."""
+    Output: (id, component). Deterministic.
+
+    ``max_iter`` counts materialization batches; each batch runs
+    ``rounds_per_sync`` propagate+double rounds lazily, so the effective
+    propagation depth is max_iter * rounds_per_sync (with doubling:
+    exponential in it)."""
     # ids keep their input type: longs get the LongHashedRelation fast
     # path; strings still hash-join (MIN over strings = lexicographic,
     # deterministic — and the corpus's zero-padded doc ids sort numerically)
@@ -47,41 +87,22 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     labels = labels.localCheckpoint(eager=True)
     changed = 1
     for _ in range(max_iter):
-        # every node offers its label to its neighbors; keep the min of
-        # (own, best offered) — one partial-aggregated shuffle per round.
-        # The previous label rides along so convergence is read off the
-        # SAME materialization (no extra join per round).
-        offered = (sym.join(labels, sym.dst == labels.id)
-                   .groupBy("src").agg(F.min("component").alias("offer")))
-        tent = (labels.join(offered, labels.id == offered.src, "left")
-                .select(labels.id,
-                        F.least(F.col("component"),
-                                F.coalesce(F.col("offer"), F.col("component")))
-                        .alias("component"),
-                        F.col("component").alias("_old")))
-        # pointer doubling: jump to the label of my label's node (labels are
-        # always node ids, so the lookup side is tent itself) — min is
-        # idempotent/order-free, so this stays deterministic
-        lk = tent.select(F.col("id").alias("_lid"),
-                         F.col("component").alias("_lcomp"))
-        nxt = (tent.join(lk, tent.component == lk._lid, "left")
-               .select(tent.id,
-                       F.least(F.col("component"),
-                               F.coalesce(F.col("_lcomp"), F.col("component")))
-                       .alias("component"),
-                       F.col("_old")))
-        nxt = nxt.localCheckpoint(eager=True)
+        cur = labels.withColumn("_old", F.col("component"))
+        for _ in range(rounds_per_sync):
+            cur = _propagate_and_double(sym, cur)
+        nxt = cur.localCheckpoint(eager=True)
         changed = nxt.filter(F.col("component") != F.col("_old")).limit(1).count()
         labels = nxt.drop("_old")
         if changed == 0:
             break
     if changed != 0:
         # min-label propagation spreads one hop per round: a component whose
-        # label-hop diameter exceeds max_iter would exit here UNCONVERGED and
-        # silently split clusters (wrong survivors downstream). Fail loudly.
+        # label-hop diameter exceeds the budget would exit here UNCONVERGED
+        # and silently split clusters (wrong survivors downstream). Fail loudly.
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            f"(graph label-hop diameter > max_iter); raise max_iter")
+            f"connected_components did not converge in {max_iter} sync "
+            f"batches x {rounds_per_sync} rounds (graph label-hop diameter "
+            f"too large); raise max_iter")
     return labels
 
 

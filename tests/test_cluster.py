@@ -53,3 +53,29 @@ def test_connected_components_random_vs_oracle(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.id: r.component for r in cl.connected_components(df).collect()}
     assert got == _uf_oracle(edges)
+
+
+def test_batched_rounds_halve_materializations(spark):
+    # round-4 regression guard: 2 propagate+double rounds run lazily per
+    # localCheckpoint sync, so a 64-node chain (worst-case label-hop shape)
+    # must converge well within ~log2(64)=6 sync batches + the final
+    # no-change batch — count the actual materializations via max_iter.
+    edges = [(i, i + 1) for i in range(64)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.component
+           for r in cl.connected_components(df, max_iter=7).collect()}
+    assert got == _uf_oracle(edges)
+    assert set(got.values()) == {0}
+
+
+def test_batched_rounds_match_single_round_labels(spark):
+    # batching must be result-identical to one round per sync (min-label
+    # propagation is idempotent/order-free)
+    rng = np.random.default_rng(7)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 80, size=(100, 2)) if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    one = {r.id: r.component
+           for r in cl.connected_components(df, rounds_per_sync=1).collect()}
+    two = {r.id: r.component
+           for r in cl.connected_components(df, rounds_per_sync=2).collect()}
+    assert one == two == _uf_oracle(edges)
