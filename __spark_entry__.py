@@ -110,6 +110,52 @@ def q_pip_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return refined.select("doc_id", "poly_id")
 
 
+# planted skew-stress corpus: 90% of points land in ONE zoom-6 cell (the
+# corpus's organic hot cluster is ~30%; this is the adversarial case)
+HOT_N = 200_000
+HOT_PARTS = 32
+
+
+def _hot_anchors(spark: SparkSession) -> DataFrame:
+    """Deterministic 90%-hot-cell point set, closed-form in the row id so
+    the oracle regenerates it exactly (op order mirrored in SQL)."""
+    hot = F.pmod(F.col("id"), F.lit(10)) < 9
+    u1 = F.pmod(F.col("id") * 9973 + 12345, F.lit(100000)).cast("double") / 100000.0
+    u2 = F.pmod(F.col("id") * 7919 + 54321, F.lit(100000)).cast("double") / 100000.0
+    return spark.range(0, HOT_N, 1, HOT_PARTS).select(
+        F.col("id").alias("doc_id"),
+        F.when(hot, -74.2 + u1 * 0.4).otherwise(-180.0 + u1 * 360.0).alias("lon"),
+        F.when(hot, 40.5 + u2 * 0.4).otherwise(-60.0 + u2 * 120.0).alias("lat"))
+
+
+def q_pip_join_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adversarial skew gate: the salted large-large PIP join over a
+    planted corpus with 90% of points in ONE zoom-6 cell — an unsalted
+    shuffle would hand 180k of 200k rows to a single task; the adaptive
+    conjugate salting (histogram -> per-cell salt factor -> packed
+    single-long key) spreads the hot cell across ~90 tasks (task-spread
+    bound asserted by tests/test_skew.py; numbers in BENCH.md). Output is
+    the per-polygon count + id-sum checksum of the identical join result
+    the plain SQL oracle computes."""
+    from geotrellis_contrib_spark.functions import geometry as G
+    from geotrellis_contrib_spark.operators import skew
+    _views(spark, sf_dir)
+    a = _hot_anchors(spark) \
+        .withColumn("cell", C.encode_point(F.col("lon"), F.col("lat"), 6))
+    cov = sj.with_cover_cells(spark.table("polygon_boxes"), 6) \
+            .drop("cell_col", "cell_row")
+    hist = skew.cell_histogram(a, sample_frac=0.05, seed=7)
+    salts = skew.plan_salts(hist, rows_per_task=2000)
+    joined = skew.salted_join(a, cov, salts, row_key="doc_id",
+                              broadcast_dim=False)
+    refined = joined.filter(
+        G.point_in_box(F.col("lon"), F.col("lat"),
+                       F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")))
+    return refined.groupBy("poly_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"))
+
+
 def q_haversine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spherical distance theta-join: hot-cluster anchor pairs within 10 km
     great-circle distance (haversine refine after the cell-ring join)."""
@@ -699,6 +745,35 @@ def q_reproject_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return px.window_stats(out).select("source_id", "band", "px_sum", "px_count")
 
 
+# proj4-string dispatch under the oracle gate: a shifted-center LAEA that
+# exists in NO EPSG registry entry of the engine — the generic parallels/
+# centers path (grid.parse_proj4), checked by the SAME full-inverse oracle
+# machinery as EPSG:3035, just with different constants
+PJ_DEF = ("+proj=laea +lat_0=48 +lon_0=8 +x_0=4000000 +y_0=2800000 "
+          "+ellps=WGS84 +units=m +no_defs")
+PJ_X0, PJ_Y0, PJ_X1, PJ_Y1 = -3290000.0, 1310000.0, 280000.0, 5770000.0
+PJ_COLS, PJ_ROWS = 97, 83
+
+
+def q_reproject_proj4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reprojectToGrid onto a proj4-STRING destination (no EPSG code):
+    arbitrary-center ellipsoidal LAEA parsed by grid.parse_proj4 and
+    dispatched onto the same Snyder kernels as the named registry —
+    reference parity with accepting any CRS object
+    (GeoTiffReprojectRasterSource.scala:39). Oracle: the full LAEA inverse
+    with the shifted constants recomputed in SQL."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark import grid as GR
+    from geotrellis_contrib_spark.operators import pixels as px
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    target = GR.GridExtent(PJ_X0, PJ_Y0, PJ_X1, PJ_Y1,
+                           (PJ_X1 - PJ_X0) / PJ_COLS, (PJ_Y1 - PJ_Y0) / PJ_ROWS)
+    out = px.reproject_to_grid(tiles, target, method="nearest",
+                               tile_size=64, dst_crs=PJ_DEF)
+    return px.window_stats(out).select("source_id", "band", "px_sum", "px_count")
+
+
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis battery: token counts (ws + BPE-ish), quality ratios,
     language-ID heuristic, rolling-hash fingerprint — all JVM-side."""
@@ -840,6 +915,29 @@ WHERE a.lon IS NOT NULL
 
     # the salted join is semantically the SAME join — one oracle text
     o["pip_join_salted"] = o["pip_join"]
+
+    # 90%-hot-cell skew gate: the planted corpus regenerated closed-form
+    # (op order mirrors _hot_anchors exactly; all quantities are exact
+    # IEEE sequences shared by both engines)
+    o["pip_join_hot"] = f"""
+{derive.cte('polygon_boxes')},
+pts AS (
+  SELECT id AS doc_id,
+    CASE WHEN id % 10 < 9
+         THEN -74.2 + CAST((id*9973+12345) % 100000 AS DOUBLE)/100000.0*0.4
+         ELSE -180.0 + CAST((id*9973+12345) % 100000 AS DOUBLE)/100000.0*360.0
+    END AS lon,
+    CASE WHEN id % 10 < 9
+         THEN 40.5 + CAST((id*7919+54321) % 100000 AS DOUBLE)/100000.0*0.4
+         ELSE -60.0 + CAST((id*7919+54321) % 100000 AS DOUBLE)/100000.0*120.0
+    END AS lat
+  FROM range(0, {HOT_N}) t(id))
+SELECT p.poly_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(a.doc_id) AS BIGINT) AS id_sum
+FROM pts a JOIN polygon_boxes p
+  ON a.lon >= p.xmin AND a.lon < p.xmax AND a.lat >= p.ymin AND a.lat < p.ymax
+GROUP BY 1
+"""
 
     dd = _dist_sql("a.lon", "a.lat", "b.lon", "b.lat")
     o["distance_join"] = f"""
@@ -1306,14 +1404,6 @@ FROM vals GROUP BY 1, 2
     _la_rq = _dl(float(_gr._RQ))
     _la_e = _dl(float(_gr._E1))
     _la_e2 = _dl(float(_gr._E2))
-    _la_b0 = _dl(float(_np.arcsin(_np.clip(
-        float(_gr._q_authalic(_np.radians(52.0))) / _gr._QP, -1, 1))))
-    _la_d = _dl(float(_gr._WGS84_A * _gr._m_ell(_np.radians(52.0))
-                      / (_gr._RQ * _np.cos(_np.arcsin(_np.clip(
-                          float(_gr._q_authalic(_np.radians(52.0))) / _gr._QP,
-                          -1, 1))))))
-    _la_cw = _dl((LA_X1 - LA_X0) / LA_COLS)
-    _la_ch = _dl((LA_Y1 - LA_Y0) / LA_ROWS)
     _phi_step = (
         "POWER(1.0 - {e2}*SIN(phi)*SIN(phi), 2) / (2.0*COS(phi)) * "
         "(q/(1.0 - {e2}) - SIN(phi)/(1.0 - {e2}*SIN(phi)*SIN(phi)) "
@@ -1327,29 +1417,45 @@ FROM vals GROUP BY 1, 2
         for i in range(1, 9))
     _la_lat6 = lambda rr: (f"DEGREES(ATAN((EXP(PI()*(1.0-2.0*({rr})/64.0)) "  # noqa: E731
                            f"- EXP(-(PI()*(1.0-2.0*({rr})/64.0))))/2.0))")
-    o["reproject_laea"] = f"""
+
+    def _laea_reproject_sql(lon0, lat0, fe, fn, x0, y0, x1, y1, cols, rows):
+        """Full SQL twin of the oblique ellipsoidal LAEA inverse (Snyder
+        24-16..26 + the 3-16 Newton iteration, 8 unrolled MATERIALIZED
+        steps) for ANY center/false-origin — shared by the EPSG:3035
+        oracle and the proj4-string gate. Constants rendered as
+        shortest-round-trip literals of the exact doubles the engine
+        computes."""
+        b0 = _dl(float(_np.arcsin(_np.clip(
+            float(_gr._q_authalic(_np.radians(lat0))) / _gr._QP, -1, 1))))
+        d = _dl(float(_gr._WGS84_A * _gr._m_ell(_np.radians(lat0))
+                      / (_gr._RQ * _np.cos(_np.arcsin(_np.clip(
+                          float(_gr._q_authalic(_np.radians(lat0))) / _gr._QP,
+                          -1, 1))))))
+        cw = _dl((x1 - x0) / cols)
+        ch = _dl((y1 - y0) / rows)
+        return f"""
 WITH tgt AS (
-  SELECT CAST({LA_X0} AS DOUBLE) + (c+0.5)*{_la_cw} - 4321000.0 AS xs,
-         CAST({LA_Y1} AS DOUBLE) - (r+0.5)*{_la_ch} - 3210000.0 AS ys
-  FROM range(0,{LA_COLS}) cs(c), range(0,{LA_ROWS}) rs(r)
+  SELECT CAST({x0} AS DOUBLE) + (c+0.5)*{cw} - {fe!r} AS xs,
+         CAST({y1} AS DOUBLE) - (r+0.5)*{ch} - {fn!r} AS ys
+  FROM range(0,{cols}) cs(c), range(0,{rows}) rs(r)
 ), inv AS (
   SELECT xs, ys,
-    SQRT(POWER(xs/{_la_d}, 2) + POWER({_la_d}*ys, 2)) AS rho,
-    2.0*ASIN(LEAST(GREATEST(SQRT(POWER(xs/{_la_d},2) + POWER({_la_d}*ys,2))
+    SQRT(POWER(xs/{d}, 2) + POWER({d}*ys, 2)) AS rho,
+    2.0*ASIN(LEAST(GREATEST(SQRT(POWER(xs/{d},2) + POWER({d}*ys,2))
                             / (2.0*{_la_rq}), -1.0), 1.0)) AS ce
   FROM tgt
 ), inq AS (
   SELECT xs, ys,
-    {_la_qp}*(COS(ce)*SIN({_la_b0})
-              + {_la_d}*ys*SIN(ce)*COS({_la_b0})/rho) AS q,
+    {_la_qp}*(COS(ce)*SIN({b0})
+              + {d}*ys*SIN(ce)*COS({b0})/rho) AS q,
     ATAN2(xs*SIN(ce),
-          {_la_d}*rho*COS({_la_b0})*COS(ce)
-          - {_la_d}*{_la_d}*ys*SIN({_la_b0})*SIN(ce)) AS lam
+          {d}*rho*COS({b0})*COS(ce)
+          - {d}*{d}*ys*SIN({b0})*SIN(ce)) AS lam
   FROM inv WHERE rho > 0
 ), it0 AS (
   SELECT *, ASIN(LEAST(GREATEST(q/2.0, -1.0), 1.0)) AS phi FROM inq)
 {_phi_iters}, pts AS (
-  SELECT 10.0 + DEGREES(lam) AS lon, DEGREES(phi) AS lat FROM it8
+  SELECT {lon0!r} + DEGREES(lam) AS lon, DEGREES(phi) AS lat FROM it8
 ), own AS (
   SELECT lon, lat, {C.sql_tile_col('lon', 6)} AS col, {C.sql_tile_row('lat', 6)} AS row
   FROM pts
@@ -1373,6 +1479,15 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
        SUM(v) AS px_sum, CAST(COUNT(*) AS BIGINT) AS px_count
 FROM vals GROUP BY 1, 2
 """
+
+    o["reproject_laea"] = _laea_reproject_sql(
+        10.0, 52.0, 4321000.0, 3210000.0,
+        LA_X0, LA_Y0, LA_X1, LA_Y1, LA_COLS, LA_ROWS)
+    # proj4-string gate: the SAME inverse machinery with the shifted
+    # constants of PJ_DEF (+lat_0=48 +lon_0=8 +x_0=4000000 +y_0=2800000)
+    o["reproject_proj4"] = _laea_reproject_sql(
+        8.0, 48.0, 4000000.0, 2800000.0,
+        PJ_X0, PJ_Y0, PJ_X1, PJ_Y1, PJ_COLS, PJ_ROWS)
 
     # Albers (EPSG:5070) reproject: SQL twin of the conic inverse
     # (Snyder 14-10/11 + the same phi(q) iteration); shares the LAEA
@@ -1774,6 +1889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": q_tile_assign,
         "pip_join": q_pip_join,
         "pip_join_salted": q_pip_join_salted,
+        "pip_join_hot": q_pip_join_hot,
         "distance_join": q_distance_join,
         "haversine_pairs": q_haversine_pairs,
         "knn": q_knn,
@@ -1812,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_laea": q_reproject_laea,
         "reproject_albers": q_reproject_albers,
         "reproject_lcc": q_reproject_lcc,
+        "reproject_proj4": q_reproject_proj4,
         "polygon_burn": q_polygon_burn,
         "pixel_warp_chain": q_pixel_warp_chain,
         "embed_topk": q_embed_topk,

@@ -131,13 +131,30 @@ def utm_central_meridian(zone) -> "np.ndarray":
     return np.asarray(zone, dtype=np.float64) * 6.0 - 183.0
 
 
-def lonlat_to_utm(lon, lat, zone):
-    """EPSG:4326 -> UTM zone (WGS84): returns (easting, northing_northern).
-    Southern-hemisphere callers add the 10,000,000 m false northing
-    (``utm_false_northing``). Vectorized float64, Krueger series."""
+def _meridian_xi(lat0: float) -> float:
+    """Rectifying (Krueger) xi of the meridian arc at lat0 (eta = 0) —
+    the tmerc +lat_0 northing offset. 0.0 at the equator by construction."""
+    if lat0 == 0.0:
+        return 0.0
+    phi = np.radians(np.float64(lat0))
+    s = np.sin(phi)
+    t = np.sinh(np.arctanh(s) - _E_SQRT * np.arctanh(_E_SQRT * s))
+    xi = np.arctan(t)
+    xi_s = xi
+    for j, a in enumerate(UTM_ALPHA, start=1):
+        xi_s = xi_s + a * np.sin(2.0 * j * xi)  # cosh(0) == 1
+    return float(xi_s)
+
+
+def lonlat_to_tmerc(lon, lat, lon0, k0: float = 1.0,
+                    x0: float = 0.0, y0: float = 0.0, lat0: float = 0.0):
+    """EPSG:4326 -> transverse Mercator (WGS84, Krueger series to n^6) with
+    arbitrary central meridian / scale / false origin — the generalized
+    kernel behind the UTM zone family (proj4 ``+proj=tmerc``). ``lon0``
+    may be an array (per-point central meridian, the UTM case)."""
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
-    lam = np.radians(lon - utm_central_meridian(zone))
+    lam = np.radians(lon - lon0)
     phi = np.radians(lat)
     s = np.sin(phi)
     t = np.sinh(np.arctanh(s) - _E_SQRT * np.arctanh(_E_SQRT * s))
@@ -147,25 +164,20 @@ def lonlat_to_utm(lon, lat, zone):
     for j, a in enumerate(UTM_ALPHA, start=1):
         xi_s = xi_s + a * np.sin(2.0 * j * xi) * np.cosh(2.0 * j * eta)
         eta_s = eta_s + a * np.cos(2.0 * j * xi) * np.sinh(2.0 * j * eta)
-    easting = _UTM_E0 + _UTM_K0 * _A_CAP * eta_s
-    northing = _UTM_K0 * _A_CAP * xi_s
+    k0a = k0 * _A_CAP
+    easting = x0 + k0a * eta_s
+    northing = y0 + k0a * xi_s - k0a * _meridian_xi(lat0)
     return easting, northing
 
 
-def utm_false_northing(lat):
-    """0 for the northern hemisphere, 10,000,000 m south (EPSG:327xx)."""
-    return np.where(np.asarray(lat, dtype=np.float64) >= 0.0, 0.0, _UTM_N0_SOUTH)
-
-
-def utm_to_lonlat(easting, northing, zone, northern: bool = True):
-    """UTM (WGS84) -> EPSG:4326. ``northing`` with the false northing of its
-    hemisphere (EPSG:326xx north / 327xx south). Vectorized float64."""
+def tmerc_to_lonlat(easting, northing, lon0, k0: float = 1.0,
+                    x0: float = 0.0, y0: float = 0.0, lat0: float = 0.0):
+    """Inverse generalized transverse Mercator (see lonlat_to_tmerc)."""
     e = np.asarray(easting, dtype=np.float64)
     n = np.asarray(northing, dtype=np.float64)
-    if not northern:
-        n = n - _UTM_N0_SOUTH
-    xi = n / (_UTM_K0 * _A_CAP)
-    eta = (e - _UTM_E0) / (_UTM_K0 * _A_CAP)
+    k0a = k0 * _A_CAP
+    xi = (n - y0 + k0a * _meridian_xi(lat0)) / k0a
+    eta = (e - x0) / k0a
     xi_p, eta_p = xi.copy(), eta.copy()
     for j, b in enumerate(UTM_BETA, start=1):
         xi_p = xi_p - b * np.sin(2.0 * j * xi) * np.cosh(2.0 * j * eta)
@@ -175,8 +187,33 @@ def utm_to_lonlat(easting, northing, zone, northern: bool = True):
     for j, d in enumerate(UTM_DELTA, start=1):
         phi = phi + d * np.sin(2.0 * j * chi)
     lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
-    lon = utm_central_meridian(zone) + np.degrees(lam)
-    return lon, np.degrees(phi)
+    return np.asarray(lon0, dtype=np.float64) + np.degrees(lam), np.degrees(phi)
+
+
+def lonlat_to_utm(lon, lat, zone):
+    """EPSG:4326 -> UTM zone (WGS84): returns (easting, northing_northern).
+    Southern-hemisphere callers add the 10,000,000 m false northing
+    (``utm_false_northing``). Vectorized float64, Krueger series.
+    Bit-identical delegation to the generalized tmerc kernel (k0*A and the
+    false-origin adds reduce to the historical expressions exactly)."""
+    return lonlat_to_tmerc(lon, lat, utm_central_meridian(zone),
+                           k0=_UTM_K0, x0=_UTM_E0, y0=0.0, lat0=0.0)
+
+
+def utm_false_northing(lat):
+    """0 for the northern hemisphere, 10,000,000 m south (EPSG:327xx)."""
+    return np.where(np.asarray(lat, dtype=np.float64) >= 0.0, 0.0, _UTM_N0_SOUTH)
+
+
+def utm_to_lonlat(easting, northing, zone, northern: bool = True):
+    """UTM (WGS84) -> EPSG:4326. ``northing`` with the false northing of its
+    hemisphere (EPSG:326xx north / 327xx south). Vectorized float64.
+    Delegates to the generalized tmerc inverse (bit-identical)."""
+    n = np.asarray(northing, dtype=np.float64)
+    if not northern:
+        n = n - _UTM_N0_SOUTH
+    return tmerc_to_lonlat(easting, n, utm_central_meridian(zone),
+                           k0=_UTM_K0, x0=_UTM_E0, y0=0.0, lat0=0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -743,3 +780,125 @@ NAMED_CRS[2154] = (
     lambda x, y: lcc_to_lonlat(x, y, 3.0, 46.5, 49.0, 44.0,
                                700000.0, 6600000.0),
 )
+
+
+# ---------------------------------------------------------------------------
+# proj4-string CRS dispatch: arbitrary parallels/centers onto the existing
+# Snyder/Krueger kernels, closing the CRS family generically instead of
+# EPSG-by-EPSG (reference parity: GeoTiffReprojectRasterSource.scala:39
+# accepts any CRS object). WGS84 ellipsoid only — datum shifts and other
+# ellipsoids fail loudly rather than silently reprojecting wrong.
+# ---------------------------------------------------------------------------
+
+_PROJ4_IGNORED = {"no_defs", "wktext", "type"}
+_PROJ4_PARAM_KEYS = {"proj", "lat_0", "lon_0", "lat_1", "lat_2",
+                     "x_0", "y_0", "k_0", "k", "units", "ellps", "datum",
+                     "towgs84", "a", "b", "R"}
+
+
+def parse_proj4(s: str):
+    """Parse a proj4 string into ``(forward, inverse)`` lon/lat<->x/y
+    closures. Supported projections: ``longlat`` (identity), ``merc``
+    (spherical, +R or +a=+b), ``tmerc`` (Krueger, any +lon_0/+k_0/+lat_0),
+    ``laea``, ``aea``, ``lcc`` (Snyder ellipsoidal, any parallels/centers),
+    each with +x_0/+y_0 false origins. Unknown keys, non-WGS84 ellipsoids,
+    datum shifts, and non-meter units raise ``ValueError`` — a CRS the
+    engine cannot honor exactly must not be silently approximated."""
+    toks = [t for t in s.strip().split() if t]
+    kv: dict[str, str] = {}
+    for tok in toks:
+        if not tok.startswith("+"):
+            raise ValueError(f"proj4 token must start with '+': {tok!r}")
+        body = tok[1:]
+        if "=" in body:
+            k, v = body.split("=", 1)
+        else:
+            k, v = body, ""
+        if k in _PROJ4_IGNORED:
+            continue
+        if k not in _PROJ4_PARAM_KEYS:
+            raise ValueError(f"unsupported proj4 parameter +{k} in {s!r}")
+        kv[k] = v
+
+    if kv.get("units", "m") != "m":
+        raise ValueError(f"only meter units supported: {s!r}")
+    if kv.get("towgs84", "0,0,0") not in ("0,0,0", "0,0,0,0,0,0,0"):
+        raise ValueError(f"datum shifts unsupported: {s!r}")
+    proj = kv.get("proj")
+    if proj is None:
+        raise ValueError(f"missing +proj in {s!r}")
+
+    def fnum(key: str, default: float | None = None) -> float:
+        if key not in kv:
+            if default is None:
+                raise ValueError(f"+proj={proj} requires +{key}: {s!r}")
+            return default
+        return float(kv[key])
+
+    # ellipsoid checks: longlat/merc may be spherical; the ellipsoidal
+    # projections must be WGS84
+    a, b = kv.get("a"), kv.get("b")
+    ellps = kv.get("ellps", kv.get("datum", "WGS84"))
+    spherical = a is not None and a == b
+    if proj in ("tmerc", "laea", "aea", "lcc"):
+        # GRS80 accepted as WGS84: same semi-major axis, flattening differs
+        # in the 10th decimal (sub-0.1mm) — the named EPSG registry above
+        # (3035/5070/2154 are GRS80-based) already makes this equivalence
+        if spherical or ellps not in ("WGS84", "wgs84", "GRS80"):
+            raise ValueError(f"+proj={proj} supported on WGS84 only: {s!r}")
+        if a is not None and float(a) != _WGS84_A:
+            raise ValueError(f"non-WGS84 semi-major axis: {s!r}")
+
+    lon0 = fnum("lon_0", 0.0)
+    lat0 = fnum("lat_0", 0.0)
+    x0 = fnum("x_0", 0.0)
+    y0 = fnum("y_0", 0.0)
+    k0 = float(kv.get("k_0", kv.get("k", "1.0")))
+
+    if proj == "longlat":
+        ident = lambda u, v: (np.asarray(u, dtype=np.float64),  # noqa: E731
+                              np.asarray(v, dtype=np.float64))
+        return ident, ident
+    if proj == "merc":
+        # spherical mercator only (EPSG:3857 publishes +a=+b=6378137);
+        # ellipsoidal merc would need the conformal-latitude form
+        radius = float(kv["R"]) if "R" in kv else (float(a) if spherical else None)
+        if radius is None:
+            raise ValueError(f"ellipsoidal +proj=merc unsupported (pass +R "
+                             f"or +a=+b for the spherical form): {s!r}")
+
+        def m_fwd(lon, lat):
+            lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+            phi = np.radians(np.asarray(lat, dtype=np.float64))
+            x = k0 * radius * lam + x0
+            y = k0 * radius * np.log(np.tan(np.pi / 4.0 + phi / 2.0)) + y0
+            return x, y
+
+        def m_inv(x, y):
+            x = np.asarray(x, dtype=np.float64) - x0
+            y = np.asarray(y, dtype=np.float64) - y0
+            lon = lon0 + np.degrees(x / (k0 * radius))
+            lat = np.degrees(2.0 * np.arctan(np.exp(y / (k0 * radius)))
+                             - np.pi / 2.0)
+            return _wrap_deg(lon), lat
+        return m_fwd, m_inv
+    if proj == "tmerc":
+        return (lambda lon, lat: lonlat_to_tmerc(lon, lat, lon0, k0, x0, y0, lat0),
+                lambda x, y: tmerc_to_lonlat(x, y, lon0, k0, x0, y0, lat0))
+    if proj == "laea":
+        return (lambda lon, lat: lonlat_to_laea(lon, lat, lon0, lat0, x0, y0),
+                lambda x, y: laea_to_lonlat(x, y, lon0, lat0, x0, y0))
+    if proj == "aea":
+        lat1, lat2 = fnum("lat_1"), fnum("lat_2")
+        return (lambda lon, lat: lonlat_to_albers(lon, lat, lon0, lat0,
+                                                  lat1, lat2, x0, y0),
+                lambda x, y: albers_to_lonlat(x, y, lon0, lat0,
+                                              lat1, lat2, x0, y0))
+    if proj == "lcc":
+        lat1 = fnum("lat_1")
+        lat2 = fnum("lat_2", lat1)  # 1SP degenerates to lat_2 = lat_1
+        return (lambda lon, lat: lonlat_to_lcc(lon, lat, lon0, lat0,
+                                               lat1, lat2, x0, y0),
+                lambda x, y: lcc_to_lonlat(x, y, lon0, lat0,
+                                           lat1, lat2, x0, y0))
+    raise ValueError(f"unsupported +proj={proj}: {s!r}")

@@ -417,7 +417,8 @@ def warp_chain_to_mercator(tiles: DataFrame, target_dtype: str, out_size: int,
 
 
 def reproject_to_grid(tiles: DataFrame, target, method: str = "nearest",
-                      tile_size: int = TILE_SIZE, dst_crs: int = 3857) -> DataFrame:
+                      tile_size: int = TILE_SIZE,
+                      dst_crs: "int | str" = 3857) -> DataFrame:
     """Reproject the tile table onto an ARBITRARY caller-supplied target
     GridExtent — the reprojectToGrid / reprojectToRegion surface
     (RasterSourceF.scala:60-73): pass a grid produced by any of the five
@@ -431,15 +432,21 @@ def reproject_to_grid(tiles: DataFrame, target, method: str = "nearest",
     gather-samples. A target pixel is OWNED by the tile containing its
     back-transformed center, so the per-tile outputs partition the target
     grid (no duplicates); non-owned pixels are NaN and drop out at
-    assembly. Tile keys are 4326 (the engine's layout); dst_crs in
-    {3857, 4326} (4326->4326 = pure regridding).
+    assembly. Tile keys are 4326 (the engine's layout); dst_crs is an EPSG
+    int (3857 | 4326 | UTM 326xx/327xx | grid.NAMED_CRS) or a proj4 STRING
+    (grid.parse_proj4: longlat/merc/tmerc/laea/aea/lcc with arbitrary
+    parallels/centers); 4326->4326 = pure regridding.
 
     Output rows in TARGET pixel space: (source_id, band, px_col_min,
     px_row_min, h, w, dtype='float64', px)."""
     from geotrellis_contrib_spark import grid as GR
     from geotrellis_contrib_spark.functions import cells as C
 
-    if dst_crs == 3857:
+    if isinstance(dst_crs, str):
+        # proj4 string: arbitrary parallels/centers dispatched onto the
+        # same Snyder/Krueger kernels the named registry uses
+        to_dst, fwd = GR.parse_proj4(dst_crs)
+    elif dst_crs == 3857:
         fwd = GR.mercator_to_lonlat        # dst -> src
         to_dst = GR.lonlat_to_mercator     # src -> dst (footprint corners)
     elif dst_crs == 4326:

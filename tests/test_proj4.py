@@ -1,0 +1,123 @@
+"""proj4-string CRS dispatch: arbitrary parallels/centers onto the Snyder/
+Krueger kernels (grid.parse_proj4), plus bit-identity of the UTM->tmerc
+refactor and parity with the named EPSG registry."""
+
+import numpy as np
+import pytest
+
+from geotrellis_contrib_spark import grid as gr
+
+RNG = np.random.default_rng(42)
+LON = RNG.uniform(-170, 170, 500)
+LAT = RNG.uniform(-80, 80, 500)
+
+
+def _roundtrip(fwd, inv, lon, lat, tol=1e-12):
+    x, y = fwd(lon, lat)
+    lon2, lat2 = inv(x, y)
+    np.testing.assert_allclose(lon2, lon, rtol=0, atol=tol)
+    np.testing.assert_allclose(lat2, lat, rtol=0, atol=tol)
+
+
+def test_proj4_nonregistry_roundtrips():
+    # three parameterizations that exist in NO EPSG registry entry of the
+    # engine: shifted LAEA, custom-parallel Albers, custom tmerc with
+    # non-unit scale and false origin at a nonzero lat_0
+    cases = [
+        ("+proj=laea +lat_0=48 +lon_0=8 +x_0=4000000 +y_0=2800000 "
+         "+ellps=WGS84 +units=m +no_defs",
+         LON, LAT),
+        ("+proj=aea +lat_0=10 +lon_0=25 +lat_1=15 +lat_2=55 "
+         "+x_0=100000 +y_0=-50000 +ellps=GRS80 +units=m +no_defs",
+         np.clip(LON, -60, 110), LAT),
+        ("+proj=tmerc +lat_0=40 +lon_0=-3 +k_0=0.9998 +x_0=350000 "
+         "+y_0=650000 +ellps=WGS84 +units=m +no_defs",
+         RNG.uniform(-8, 2, 300), RNG.uniform(20, 70, 300)),
+        ("+proj=lcc +lat_0=35 +lat_1=33 +lat_2=45 +lon_0=-120 "
+         "+x_0=0 +y_0=-4000000 +ellps=WGS84 +units=m +no_defs",
+         RNG.uniform(-130, -110, 300), RNG.uniform(20, 60, 300)),
+    ]
+    for s, lon, lat in cases:
+        fwd, inv = gr.parse_proj4(s)
+        _roundtrip(fwd, inv, lon, lat, tol=1e-9)
+
+
+def test_proj4_matches_named_registry():
+    # the published proj4 definitions of the registry EPSG codes must
+    # dispatch to BIT-IDENTICAL transforms
+    defs = {
+        3035: "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 "
+              "+ellps=GRS80 +towgs84=0,0,0,0,0,0,0 +units=m +no_defs",
+        5070: "+proj=aea +lat_0=23 +lat_1=29.5 +lat_2=45.5 +lon_0=-96 "
+              "+x_0=0 +y_0=0 +ellps=GRS80 +towgs84=0,0,0,0,0,0,0 "
+              "+units=m +no_defs",
+        2154: "+proj=lcc +lat_0=46.5 +lat_1=49 +lat_2=44 +lon_0=3 "
+              "+x_0=700000 +y_0=6600000 +ellps=GRS80 +towgs84=0,0,0,0,0,0,0 "
+              "+units=m +no_defs",
+    }
+    lon = np.clip(LON, -30, 60)
+    for epsg, s in defs.items():
+        fwd_p, inv_p = gr.parse_proj4(s)
+        fwd_n, inv_n = gr.NAMED_CRS[epsg]
+        xp, yp = fwd_p(lon, LAT)
+        xn, yn = fwd_n(lon, LAT)
+        assert np.array_equal(xp, xn) and np.array_equal(yp, yn), epsg
+        lp = inv_p(xn, yn)
+        ln = inv_n(xn, yn)
+        assert np.array_equal(lp[0], ln[0]) and np.array_equal(lp[1], ln[1]), epsg
+
+
+def test_proj4_tmerc_matches_utm():
+    # +proj=tmerc with the UTM zone-33 constants == the engine's UTM kernel
+    # bit for bit (the refactor delegated UTM onto the generalized tmerc)
+    s = ("+proj=tmerc +lat_0=0 +lon_0=15 +k_0=0.9996 +x_0=500000 +y_0=0 "
+         "+ellps=WGS84 +units=m +no_defs")
+    fwd, inv = gr.parse_proj4(s)
+    lon = RNG.uniform(12, 18, 400)
+    lat = RNG.uniform(-75, 75, 400)
+    e1, n1 = fwd(lon, lat)
+    e2, n2 = gr.lonlat_to_utm(lon, lat, 33)
+    assert np.array_equal(e1, e2) and np.array_equal(n1, n2)
+    b1 = inv(e1, n1)
+    b2 = gr.utm_to_lonlat(e1, n1, 33)
+    assert np.array_equal(b1[0], b2[0]) and np.array_equal(b1[1], b2[1])
+
+
+def test_proj4_merc_spherical_matches_3857():
+    s = ("+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 "
+         "+k=1 +units=m +no_defs")
+    # +lat_ts is not in the supported key set -> must fail loudly, not be
+    # silently dropped (it changes the scale when nonzero)
+    with pytest.raises(ValueError, match="lat_ts"):
+        gr.parse_proj4(s)
+    s_ok = ("+proj=merc +a=6378137 +b=6378137 +lon_0=0 +x_0=0 +y_0=0 "
+            "+k=1 +units=m +no_defs")
+    fwd, inv = gr.parse_proj4(s_ok)
+    lon = np.clip(LON, -179, 179)
+    lat = np.clip(LAT, -80, 80)
+    x, y = fwd(lon, lat)
+    xr, yr = gr.lonlat_to_mercator(lon, lat)
+    np.testing.assert_allclose(x, xr, rtol=1e-15)
+    np.testing.assert_allclose(y, yr, rtol=1e-12)
+    _roundtrip(fwd, inv, lon, lat, tol=1e-9)
+
+
+def test_proj4_fail_loud():
+    for bad in [
+        "+proj=laea +lat_0=52 +lon_0=10 +ellps=bessel",   # wrong ellipsoid
+        "+proj=laea +lat_0=52 +units=ft",                  # non-meter units
+        "+proj=laea +towgs84=598.1,73.7,418.2",            # datum shift
+        "+proj=stere +lat_0=90",                           # unsupported proj
+        "+proj=aea +lat_0=10",                             # missing parallels
+        "proj=laea",                                       # malformed token
+    ]:
+        with pytest.raises(ValueError):
+            gr.parse_proj4(bad)
+
+
+def test_proj4_longlat_identity():
+    fwd, inv = gr.parse_proj4("+proj=longlat +ellps=WGS84 +no_defs")
+    x, y = fwd(LON, LAT)
+    assert np.array_equal(x, LON) and np.array_equal(y, LAT)
+    x2, y2 = inv(LON, LAT)
+    assert np.array_equal(x2, LON) and np.array_equal(y2, LAT)

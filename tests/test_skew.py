@@ -66,3 +66,43 @@ def test_repartition_spatial_sorted(skewed):
         yield 1
 
     assert out.rdd.mapPartitions(check_sorted).count() == 8
+
+
+def test_salted_join_bounds_task_skew(spark):
+    # ADVERSARIAL 90%-hot-cell corpus (the q_pip_join_hot gate): after the
+    # salted shuffle the hot cell must fan across tasks — max partition
+    # share bounded — while the unsalted shuffled join concentrates ~90%
+    # of rows in one partition. This is the task-skew evidence the 100TB
+    # posture rests on (BENCH.md).
+    import __spark_entry__ as E
+    from geotrellis_contrib_spark.operators import spatial_join as sj
+    pts = E._hot_anchors(spark) \
+        .withColumn("cell", C.encode_point(F.col("lon"), F.col("lat"), 6))
+    dim = pts.select("cell").distinct() \
+             .withColumn("dim_tag", F.col("cell").cast("string"))
+
+    def max_share(df):
+        rows = df.groupBy(F.spark_partition_id().alias("p")).count().collect()
+        total = sum(r["count"] for r in rows)
+        return max(r["count"] for r in rows) / total
+
+    # AQE partition COALESCING merges the tiny test shuffle back into one
+    # partition (correct at this volume — partitions are far below the
+    # target size), which would mask the partitioner's spread; disable
+    # just the coalescing to observe the raw hash partitioning a full-size
+    # shuffle would exhibit per task.
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        unsalted = pts.join(dim.hint("shuffle_hash"), "cell")
+        hist = skew.cell_histogram(pts, sample_frac=0.05, seed=7)
+        salts = skew.plan_salts(hist, rows_per_task=2000)
+        assert salts, "hot cell must be detected by the sampled histogram"
+        salted = skew.salted_join(pts, dim, salts, row_key="doc_id",
+                                  broadcast_dim=False)
+        u, s = max_share(unsalted), max_share(salted)
+    finally:
+        spark.conf.set(key, prev)
+    assert u > 0.5, f"unsalted join should concentrate the hot cell ({u})"
+    assert s < 0.2, f"salted join must bound per-task share ({s})"
