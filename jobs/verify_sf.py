@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Scale-posture verification: run EVERY driver query at an arbitrary sf
+dir (default the .scratch/sf1.0 built by jobs/make_sf.py) and compare the
+full result set against its DuckDB oracle EXACTLY (symmetric EXCEPT ALL
+over name-sorted columns cast to VARCHAR — no pandas, no sampling).
+
+Engine results are written to parquet and compared inside DuckDB, so the
+compare itself scales to 10^8-row results. Each oracle runs in its own
+subprocess under a time budget; a budget overrun records
+``oracle="budget"`` (the quadratic self-join oracles are O(n^2) in DuckDB
+with no index — the ENGINE result is still produced and timed).
+
+Prints one JSON line per query:
+  {"q": name, "engine_s": ..., "rows": ..., "oracle_s": ...,
+   "match": true|false|"budget"|"no-oracle"}
+and a final summary line.
+
+Usage: python jobs/verify_sf.py [sf_dir] [oracle_budget_s] [only,names]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _oracle_worker(sf_dir: str, name: str, spark_parquet: str) -> None:
+    """Subprocess: run one oracle in DuckDB and compare vs the engine
+    parquet. Prints one JSON line."""
+    import duckdb
+
+    import __spark_entry__ as E
+    from geotrellis_contrib_spark import derive
+    con = duckdb.connect()
+    for t in derive.TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    t0 = time.time()
+    con.execute(f"CREATE TABLE ocl AS ({E.oracle_sql()[name]})")
+    oracle_s = time.time() - t0
+    cols = sorted(r[0] for r in con.execute("DESCRIBE ocl").fetchall())
+    sel = ", ".join(f'CAST("{c}" AS VARCHAR) AS "{c}"' for c in cols)
+    con.execute(f"CREATE VIEW spk AS SELECT {sel} FROM "
+                f"read_parquet('{spark_parquet}/*.parquet')")
+    con.execute(f"CREATE VIEW ocl_v AS SELECT {sel} FROM ocl")
+    n_o = con.execute("SELECT COUNT(*) FROM ocl_v").fetchone()[0]
+    n_s = con.execute("SELECT COUNT(*) FROM spk").fetchone()[0]
+    diff = con.execute(
+        "SELECT (SELECT COUNT(*) FROM (SELECT * FROM ocl_v EXCEPT ALL "
+        "SELECT * FROM spk)) + (SELECT COUNT(*) FROM (SELECT * FROM spk "
+        "EXCEPT ALL SELECT * FROM ocl_v))").fetchone()[0]
+    print(json.dumps({"oracle_rows": n_o, "spark_rows": n_s,
+                      "oracle_s": round(oracle_s, 2),
+                      "match": bool(diff == 0 and n_o == n_s)}))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else \
+        os.path.join(REPO, ".scratch", "sf1.0")
+    budget = float(sys.argv[2]) if len(sys.argv) > 2 else 900.0
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+
+    import __spark_entry__ as E
+    from geotrellis_contrib_spark.session import get_session
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_session(app_name="verify-sf", cores=cpus)
+    out_root = tempfile.mkdtemp(prefix="verify_sf_")
+    results = {}
+    names = [n for n in E.queries() if only is None or n in only]
+    for name in names:
+        fn = E.queries()[name]
+        dest = os.path.join(out_root, name)
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).write.mode("overwrite").parquet(dest)
+            engine_s = round(time.time() - t0, 2)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            results[name] = {"q": name, "engine_s": None,
+                             "match": f"engine-error: {exc}"[:300]}
+            print(json.dumps(results[name]), flush=True)
+            continue
+        rec = {"q": name, "engine_s": engine_s}
+        if name not in E.oracle_sql():
+            rec["match"] = "no-oracle"
+        else:
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--oracle-worker", sf_dir, name, dest],
+                    capture_output=True, text=True, timeout=budget)
+                lines = [ln for ln in out.stdout.splitlines()
+                         if ln.startswith("{")]
+                if out.returncode != 0 or not lines:
+                    rec["match"] = f"oracle-error: {out.stderr[-300:]}"
+                else:
+                    rec.update(json.loads(lines[-1]))
+            except subprocess.TimeoutExpired:
+                rec["match"] = "budget"
+        results[name] = rec
+        print(json.dumps(rec), flush=True)
+    ok = sum(1 for r in results.values() if r.get("match") is True)
+    print(json.dumps({"summary": True, "sf_dir": sf_dir, "n": len(results),
+                      "value_match": ok,
+                      "budget": [n for n, r in results.items()
+                                 if r.get("match") == "budget"],
+                      "engine_total_s": round(sum(
+                          r["engine_s"] or 0 for r in results.values()), 1)}),
+          flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--oracle-worker":
+        _oracle_worker(sys.argv[2], sys.argv[3], sys.argv[4])
+    else:
+        main()
