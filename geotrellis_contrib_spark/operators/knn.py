@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from geotrellis_contrib_spark.functions import cells as C
 from geotrellis_contrib_spark.functions import geometry as G
+from geotrellis_contrib_spark.util import ensure_min_parallelism
 
 
 def _ring_cells(queries: DataFrame, zoom: int, ring: int) -> DataFrame:
@@ -72,6 +73,10 @@ def knn_join(queries: DataFrame, points: DataFrame, k: int, zoom: int,
          .select(F.col(point_id).alias("point_id"),
                  F.col(lon).alias("p_lon"), F.col(lat).alias("p_lat"))
          .withColumn("cell", C.encode_point(F.col("p_lon"), F.col("p_lat"), zoom)))
+    # the candidate join can fan out 1000x per probe row (dense query sets
+    # sharing the hot cell): guarantee the probe side has enough partitions
+    # to spread the explosion (no-op on real at-scale tables — see util)
+    p = ensure_min_parallelism(p)
 
     # queries (exploded) are the small side -> broadcast them, stream points.
     cand = p.join(F.broadcast(q), "cell", "inner")
@@ -186,6 +191,7 @@ def knn_join_exact(queries: DataFrame, points: DataFrame, k: int, zoom: int,
          .select(F.col(pid).alias("point_id"),
                  F.col(lon).alias("p_lon"), F.col(lat).alias("p_lat"))
          .withColumn("cell", C.encode_point(F.col("p_lon"), F.col("p_lat"), zoom)))
+    p = ensure_min_parallelism(p)
     cand2 = p.join(F.broadcast(q2), "cell", "inner").withColumn(
         "dist", G.planar_distance(F.col("qlon"), F.col("qlat"),
                                   F.col("p_lon"), F.col("p_lat")))

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from geotrellis_contrib_spark.util import ensure_min_parallelism
+
 # single-table default (back-compat); the scale path is L x P multi-table
 N_PLANES = 8
 _PLANE_MOD = 10007
@@ -154,6 +156,9 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int,
                .withColumn("qn", norm_col("qvec", dims))
     v = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")) \
               .withColumn("vn", norm_col("vec", dims))
+    # the cross join fans out |queries|x per corpus row: spread a
+    # small-on-disk corpus scan across cores (no-op at real scale)
+    v = ensure_min_parallelism(v)
     cand = v.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
     cand = cand.withColumn(
         "cos", dot_col("qvec", "vec", dims) / (F.col("qn") * F.col("vn")))
@@ -287,6 +292,7 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
                     .withColumn("cn", norm_col("cvec", dims)))
     v = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")) \
               .withColumn("vn", norm_col("vec", dims))
+    v = ensure_min_parallelism(v)  # K-way fan-out per corpus row
     pairs = v.crossJoin(c).withColumn(
         "cos", dot_col("vec", "cvec", dims) / (F.col("vn") * F.col("cn")))
     # nearest centroid via max(struct(...)): a declarative aggregate that

@@ -88,7 +88,9 @@ def main() -> None:
             print(json.dumps(results[name]), flush=True)
             continue
         rec = {"q": name, "engine_s": engine_s}
-        if name not in E.oracle_sql():
+        if budget <= 0:
+            rec["match"] = "skipped"   # timing-only run (ratio baselines)
+        elif name not in E.oracle_sql():
             rec["match"] = "no-oracle"
         else:
             try:
