@@ -32,6 +32,58 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _scale_oracles() -> dict[str, str]:
+    """Scale-mode REWRITES of the O(n^2) oracles: same values, expressed
+    as bucketed equi-joins DuckDB can execute at sf1.0 (the driver-facing
+    oracles in __spark_entry__ stay in their simplest declarative form —
+    the sf0.01 gate runs those; these exist only so the sf1.0 posture run
+    gets VALUE checks instead of budget timeouts). The refine predicates
+    and output expressions are copied verbatim, so results are
+    bit-identical to the simple forms."""
+    import __spark_entry__ as E
+    from geotrellis_contrib_spark import derive
+    from geotrellis_contrib_spark.functions import cells as C
+    o = {}
+    # distance theta self-join: 0.5-deg buckets, 3x3 neighbor equi-join
+    # (a pair within dist < 0.5 differs by < 0.5 in each axis, so it
+    # shares or neighbors a bucket — identical pair set)
+    dd = E._dist_sql("a.lon", "a.lat", "b.lon", "b.lat")
+    o["distance_join"] = f"""
+{derive.cte('anchors')},
+pts AS (SELECT doc_id, lon, lat,
+               CAST(FLOOR(lon/0.5) AS BIGINT) AS bx,
+               CAST(FLOOR(lat/0.5) AS BIGINT) AS by
+        FROM anchors WHERE lon IS NOT NULL),
+offs AS (SELECT dx, dy FROM (SELECT UNNEST([-1,0,1]) AS dx),
+                            (SELECT UNNEST([-1,0,1]) AS dy))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {dd} AS dist,
+       CAST(FLOOR({dd} * 10000.0 + 0.5) AS BIGINT) AS dist_e4
+FROM pts a JOIN offs ON TRUE
+JOIN pts b ON b.bx = a.bx + offs.dx AND b.by = a.by + offs.dy
+          AND a.doc_id < b.doc_id
+WHERE {dd} < {E.DIST_RADIUS}
+"""
+    # windows x tiles range join -> explicit cover-cell equi-join (the
+    # BETWEEN ranges ARE the cover cells; join on (col,row) keys)
+    wc0 = C.sql_tile_col("w.xmin", 6)
+    wc1 = C.sql_tile_col("w.xmax", 6)
+    wr0 = C.sql_tile_row("w.ymax", 6)
+    wr1 = C.sql_tile_row("w.ymin", 6)
+    o["windows_read"] = f"""
+{derive.cte('windows', 'tiles')},
+cov AS (
+  SELECT w.win_id, cc.col, rr.row
+  FROM windows w,
+       LATERAL (SELECT UNNEST(RANGE({wc0}, {wc1}+1)) AS col) cc,
+       LATERAL (SELECT UNNEST(RANGE({wr0}, {wr1}+1)) AS row) rr)
+SELECT cov.win_id, CAST(COUNT(*) AS BIGINT) AS n_tiles, SUM(t.val) AS sum_val
+FROM cov JOIN tiles t ON t.col = cov.col AND t.row = cov.row
+GROUP BY cov.win_id
+"""
+    o["windows_read_multizoom"] = o["windows_read"]
+    return o
+
+
 def _oracle_worker(sf_dir: str, name: str, spark_parquet: str) -> None:
     """Subprocess: run one oracle in DuckDB and compare vs the engine
     parquet. Prints one JSON line."""
@@ -43,8 +95,10 @@ def _oracle_worker(sf_dir: str, name: str, spark_parquet: str) -> None:
     for t in derive.TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
+    sql = (_scale_oracles().get(name) if os.environ.get("SCALE_ORACLES")
+           else None) or E.oracle_sql()[name]
     t0 = time.time()
-    con.execute(f"CREATE TABLE ocl AS ({E.oracle_sql()[name]})")
+    con.execute(f"CREATE TABLE ocl AS ({sql})")
     oracle_s = time.time() - t0
     cols = sorted(r[0] for r in con.execute("DESCRIBE ocl").fetchall())
     sel = ", ".join(f'CAST("{c}" AS VARCHAR) AS "{c}"' for c in cols)
