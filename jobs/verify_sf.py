@@ -81,6 +81,16 @@ FROM cov JOIN tiles t ON t.col = cov.col AND t.row = cov.row
 GROUP BY cov.win_id
 """
     o["windows_read_multizoom"] = o["windows_read"]
+    # CC oracles: force MATERIALIZED on the non-recursive CTEs — DuckDB
+    # otherwise re-inlines the whole LSH candidate join into every
+    # recursive-closure step (identical results, orders of magnitude
+    # slower at sf1.0)
+    for qn in ("dedup_clusters", "embed_dup_clusters"):
+        sql = E.oracle_sql()[qn]
+        for cte_name in ("eb", "ev", "sh", "sigs", "bands", "cand",
+                         "pairs", "nodes", "cedges", "dup_docs"):
+            sql = sql.replace(f"{cte_name} AS (", f"{cte_name} AS MATERIALIZED (")
+        o[qn] = sql
     return o
 
 
@@ -107,13 +117,27 @@ def _oracle_worker(sf_dir: str, name: str, spark_parquet: str) -> None:
     con.execute(f"CREATE VIEW ocl_v AS SELECT {sel} FROM ocl")
     n_o = con.execute("SELECT COUNT(*) FROM ocl_v").fetchone()[0]
     n_s = con.execute("SELECT COUNT(*) FROM spk").fetchone()[0]
-    diff = con.execute(
-        "SELECT (SELECT COUNT(*) FROM (SELECT * FROM ocl_v EXCEPT ALL "
-        "SELECT * FROM spk)) + (SELECT COUNT(*) FROM (SELECT * FROM spk "
-        "EXCEPT ALL SELECT * FROM ocl_v))").fetchone()[0]
+    if n_o != n_s:
+        match, mode = False, "rows"
+    elif n_o <= 20_000_000:
+        diff = con.execute(
+            "SELECT (SELECT COUNT(*) FROM (SELECT * FROM ocl_v EXCEPT ALL "
+            "SELECT * FROM spk)) + (SELECT COUNT(*) FROM (SELECT * FROM spk "
+            "EXCEPT ALL SELECT * FROM ocl_v))").fetchone()[0]
+        match, mode = bool(diff == 0), "except_all"
+    else:
+        # huge results: order-independent per-row hash-sum multiset
+        # checksum (DuckDB hash() on BOTH sides — same engine, same bits;
+        # EXCEPT ALL on 10^8 VARCHAR rows is what blows the budget, the
+        # values compared are identical)
+        concat = " || '|' || ".join(f'COALESCE("{c}", chr(1))' for c in cols)
+        hs = f"SELECT SUM(CAST(hash({concat}) AS HUGEINT))"
+        h_o = con.execute(f"{hs} FROM ocl_v").fetchone()[0]
+        h_s = con.execute(f"{hs} FROM spk").fetchone()[0]
+        match, mode = bool(h_o == h_s), "hash_sum"
     print(json.dumps({"oracle_rows": n_o, "spark_rows": n_s,
                       "oracle_s": round(oracle_s, 2),
-                      "match": bool(diff == 0 and n_o == n_s)}))
+                      "compare": mode, "match": match}))
 
 
 def main() -> None:
