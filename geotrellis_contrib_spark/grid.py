@@ -860,27 +860,44 @@ def parse_proj4(s: str):
                               np.asarray(v, dtype=np.float64))
         return ident, ident
     if proj == "merc":
-        # spherical mercator only (EPSG:3857 publishes +a=+b=6378137);
-        # ellipsoidal merc would need the conformal-latitude form
+        # spherical form when +R or +a=+b (EPSG:3857 publishes
+        # +a=+b=6378137); otherwise ELLIPSOIDAL mercator on WGS84 via the
+        # conformal latitude (y = -a ln t(phi), Snyder 7-7; inverse by the
+        # same Snyder 7-9 fixed-point iteration the LCC inverse uses)
         radius = float(kv["R"]) if "R" in kv else (float(a) if spherical else None)
-        if radius is None:
-            raise ValueError(f"ellipsoidal +proj=merc unsupported (pass +R "
-                             f"or +a=+b for the spherical form): {s!r}")
+        if radius is None and ellps not in ("WGS84", "wgs84", "GRS80"):
+            raise ValueError(f"+proj=merc supported on a sphere (+R / +a=+b)"
+                             f" or the WGS84 ellipsoid only: {s!r}")
 
         def m_fwd(lon, lat):
-            lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+            lam = np.radians(_wrap_deg(np.asarray(lon, dtype=np.float64) - lon0))
             phi = np.radians(np.asarray(lat, dtype=np.float64))
-            x = k0 * radius * lam + x0
-            y = k0 * radius * np.log(np.tan(np.pi / 4.0 + phi / 2.0)) + y0
+            if radius is not None:
+                x = k0 * radius * lam + x0
+                y = k0 * radius * np.log(np.tan(np.pi / 4.0 + phi / 2.0)) + y0
+            else:
+                x = k0 * _WGS84_A * lam + x0
+                y = -k0 * _WGS84_A * np.log(_t_conf(phi)) + y0
             return x, y
 
         def m_inv(x, y):
             x = np.asarray(x, dtype=np.float64) - x0
             y = np.asarray(y, dtype=np.float64) - y0
-            lon = lon0 + np.degrees(x / (k0 * radius))
-            lat = np.degrees(2.0 * np.arctan(np.exp(y / (k0 * radius)))
-                             - np.pi / 2.0)
-            return _wrap_deg(lon), lat
+            if radius is not None:
+                lon = lon0 + np.degrees(x / (k0 * radius))
+                lat = np.degrees(2.0 * np.arctan(np.exp(y / (k0 * radius)))
+                                 - np.pi / 2.0)
+                return _wrap_deg(lon), lat
+            lon = lon0 + np.degrees(x / (k0 * _WGS84_A))
+            t = np.exp(-y / (k0 * _WGS84_A))
+            phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+            for _ in range(8):
+                sn = np.sin(phi)
+                phi = (np.pi / 2.0
+                       - 2.0 * np.arctan(t * np.power((1.0 - _E1 * sn)
+                                                      / (1.0 + _E1 * sn),
+                                                      _E1 / 2.0)))
+            return _wrap_deg(lon), np.degrees(phi)
         return m_fwd, m_inv
     if proj == "tmerc":
         return (lambda lon, lat: lonlat_to_tmerc(lon, lat, lon0, k0, x0, y0, lat0),

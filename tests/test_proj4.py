@@ -121,3 +121,21 @@ def test_proj4_longlat_identity():
     assert np.array_equal(x, LON) and np.array_equal(y, LAT)
     x2, y2 = inv(LON, LAT)
     assert np.array_equal(x2, LON) and np.array_equal(y2, LAT)
+
+
+def test_proj4_merc_ellipsoidal():
+    # ellipsoidal mercator (no +R, no +a=+b): conformal-latitude form;
+    # EPSG:3395 "World Mercator" parameterization
+    fwd, inv = gr.parse_proj4(
+        "+proj=merc +lon_0=0 +k=1 +x_0=0 +y_0=0 +ellps=WGS84 +units=m +no_defs")
+    lon = np.clip(LON, -179, 179)
+    lat = np.clip(LAT, -80, 80)
+    _roundtrip(fwd, inv, lon, lat, tol=1e-9)
+    # public golden (the EPSG:3395 worked example): (lon=2, lat=49) ->
+    # E 222638.98, N 6242595.9999
+    x, y = fwd(np.array([2.0]), np.array([49.0]))
+    assert abs(x[0] - 222638.9816) < 0.01
+    assert abs(y[0] - 6242595.9999) < 0.01
+    # differs from the spherical form by the ellipsoidal correction (~0.3%)
+    ys = gr.lonlat_to_mercator(np.array([2.0]), np.array([49.0]))[1]
+    assert abs(ys[0] - y[0]) > 10000
