@@ -572,6 +572,49 @@ def q_stream_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming under the oracle gate: exactly-once
+    ingestion dedup via applyInPandasWithState (the seen-set state lives in
+    the stream checkpoint). Three overlapping document-id slices (evens,
+    every-3rd, evens REPLAYED) arrive as separate micro-batches
+    (maxFilesPerTrigger=1); a doc_id must be emitted exactly once — the
+    replayed batch is swallowed entirely by state. The output is
+    batch-order-invariant by construction, so the oracle is the plain
+    DISTINCT over the union of slices; any duplicate emission or dropped
+    key hash-mismatches."""
+    import shutil
+    import tempfile
+
+    from geotrellis_contrib_spark.streaming import stateful as stf
+
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+    try:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")) \
+                    .select(F.col("doc_id").cast("string").alias("doc_id"))
+        os.makedirs(f"{tmp}/in")
+        slices = [docs.filter(F.col("doc_id").cast("long") % 2 == 0),
+                  docs.filter(F.col("doc_id").cast("long") % 3 == 0),
+                  docs.filter(F.col("doc_id").cast("long") % 2 == 0)]
+        for i, s in enumerate(slices):
+            s.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/raw/b{i}")
+            part = [f for f in os.listdir(f"{tmp}/raw/b{i}")
+                    if f.endswith(".parquet")][0]
+            os.rename(f"{tmp}/raw/b{i}/{part}", f"{tmp}/in/b{i}.parquet")
+        stream = spark.readStream.schema("doc_id string") \
+            .option("maxFilesPerTrigger", "1").parquet(f"{tmp}/in")
+        out = stf.dedup_stream(stream)
+        (out.writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True).start().awaitTermination())
+        res = spark.read.schema("doc_id string, first_seen_batch int") \
+                   .parquet(f"{tmp}/out")
+        return res.select("doc_id").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-hour event aggregation per event_type (the batch shape of
     the streaming rasterize path; SURVEY.md §2.8)."""
@@ -1709,6 +1752,13 @@ FROM cells GROUP BY ws, cell
 HAVING ws + INTERVAL 1 HOUR <= (SELECT m - INTERVAL 30 MINUTE FROM mx)
 """
 
+    # stateful streaming dedup: exactly-once emission across micro-batches
+    # == plain DISTINCT over the union of the planted slices
+    o["stream_dedup"] = """
+SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id
+FROM documents WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
+"""
+
     t = "text"
     o["text_features"] = f"""
 SELECT doc_id,
@@ -1919,6 +1969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_events": q_windowed_events,
         "retile_roundtrip": q_retile_roundtrip,
         "stream_rasterize": q_stream_rasterize,
+        "stream_dedup": q_stream_dedup,
         "text_features": q_text_features,
         "media_features": q_media_features,
         "media_real_features": q_media_real_features,
