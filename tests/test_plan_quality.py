@@ -109,3 +109,21 @@ def test_ivf_centroid_broadcast_is_bounded(spark):
     plan = _plan(spark, "embed_ivf_topk")
     assert "TakeOrderedAndProject" in plan, "centroid selection not a bounded TakeOrdered"
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_fanout_probe_side_parallelism(spark):
+    # broadcast-join parallelism floor (round 4): the kNN / cosine probe
+    # sides must carry >= defaultParallelism partitions even when the
+    # source is a single parquet split — the 1000x join fan-out otherwise
+    # runs in 1-2 tasks (measured 272s at sf1.0)
+    # (the post-join partition count is AQE-coalesced on tiny data, so the
+    # observable invariant is the ROUND-ROBIN exchange feeding the join)
+    for name in ("knn", "embed_topk"):
+        plan = _plan(spark, name)
+        assert "RoundRobinPartitioning" in plan, (
+            f"{name}: probe side not spread before the fan-out join")
+    # and the guard itself is a no-op on an already-parallel input
+    from geotrellis_contrib_spark.util import ensure_min_parallelism
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 1000, 1, target * 2)
+    assert ensure_min_parallelism(wide) is wide
