@@ -284,6 +284,29 @@ def q_window_read_px(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "px_sum", "px_count")
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) sorted write layout under the oracle gate: anchors
+    keyed at zoom 12, morton-interleaved, ranked WITHIN their zoom-6
+    parent cell (the range-partition bucket) — the locality-preserving
+    (cell, morton) layout a 100TB tile/doc table is written in (scan
+    pruning + neighbor locality). Rank is per-bucket, so the sort is a
+    per-partition sort at scale, never a global one. Oracle: identical
+    bit-spreading arithmetic in DuckDB (<< / & / |) + the same window."""
+    _views(spark, sf_dir)
+    a = spark.table("anchors").filter(F.col("lon").isNotNull())
+    from pyspark.sql import Window as W
+    a = (a.select("doc_id",
+                  C.tile_col(F.col("lon"), 12).alias("col12"),
+                  C.tile_row(F.col("lat"), 12).alias("row12"),
+                  C.tile_col(F.col("lon"), 6).alias("c6"),
+                  C.tile_row(F.col("lat"), 6).alias("r6"))
+         .withColumn("morton", C.morton_code("col12", "row12"))
+         .withColumn("bucket", C.cell_id(F.lit(6), F.col("c6"), F.col("r6"))))
+    w = W.partitionBy("bucket").orderBy("morton", "doc_id")
+    return a.select("doc_id", "bucket", "morton",
+                    F.row_number().over(w).alias("zrank"))
+
+
 def q_pyramid_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the zoom-5 overview level from zoom-6 tiles (2x2 fold —
     pyramid-as-materialized-aggregate, SURVEY.md §2.4 overview selection)."""
@@ -936,6 +959,25 @@ def _oracles() -> dict[str, str]:
 SELECT doc_id, {col12} AS col12, {row12} AS row12,
        {C.sql_cell_id('12', col12, row12)} AS cell12
 FROM anchors WHERE lon IS NOT NULL
+"""
+
+    zc6 = C.sql_tile_col("lon", 6)
+    zr6 = C.sql_tile_row("lat", 6)
+    o["zorder_layout"] = f"""
+{derive.cte('anchors')},
+keyed AS (
+  SELECT doc_id,
+         {C.sql_tile_col('lon', 12)} AS col12,
+         {C.sql_tile_row('lat', 12)} AS row12,
+         {C.sql_cell_id('6', zc6, zr6)} AS bucket
+  FROM anchors WHERE lon IS NOT NULL)
+SELECT doc_id, bucket,
+       {C.sql_morton_duckdb('col12', 'row12')} AS morton,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY bucket
+         ORDER BY {C.sql_morton_duckdb('col12', 'row12')}, doc_id)
+        AS INT) AS zrank
+FROM keyed
 """
 
     assigns = []
@@ -1952,6 +1994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_read_px": q_window_read_px,
         "raster_summary": q_raster_summary,
         "pyramid_build": q_pyramid_build,
+        "zorder_layout": q_zorder_layout,
         "bbox_select": q_bbox_select,
         "poly_lang_rollup": q_poly_lang_rollup,
         "cell_percentiles": q_cell_percentiles,

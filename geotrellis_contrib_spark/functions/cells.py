@@ -212,3 +212,42 @@ def sql_tile_row(lat: str, zoom: int) -> str:
 
 def sql_cell_id(zoom: str, col: str, row: str) -> str:
     return f"(CAST({zoom} AS BIGINT) * {1 << _ZOOM_SHIFT} + CAST({col} AS BIGINT) * {1 << _COL_SHIFT} + CAST({row} AS BIGINT))"
+
+
+# --- Z-order (Morton) sort key --------------------------------------------
+# Column + SQL twins of grid.morton_interleave: the locality-preserving
+# layout key for range-partitioned tile/doc writes (SURVEY.md §2.6 sorted
+# layout). Identical bit-spreading magic as the numpy kernel; intermediates
+# stay below 2^62 for 31-bit inputs, so signed int64 arithmetic is exact in
+# Spark, DuckDB, and numpy alike.
+
+_MORTON_STAGES = ((16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+                  (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
+                  (1, 0x5555555555555555))
+
+
+def _sql_spread(x: str, shift_fmt) -> str:
+    e = f"(CAST({x} AS BIGINT) & 2147483647)"
+    for sh, m in _MORTON_STAGES:
+        e = f"(({e} | {shift_fmt(e, sh)}) & {m})"
+    return e
+
+
+def sql_morton_spark(col: str, row: str) -> str:
+    """Spark SQL text (shiftleft function)."""
+    s = lambda e, n: f"shiftleft({e}, {n})"  # noqa: E731
+    return (f"({_sql_spread(col, s)} | "
+            f"shiftleft({_sql_spread(row, s)}, 1))")
+
+
+def sql_morton_duckdb(col: str, row: str) -> str:
+    """DuckDB SQL text (<< operator)."""
+    s = lambda e, n: f"({e} << {n})"  # noqa: E731
+    return f"({_sql_spread(col, s)} | ({_sql_spread(row, s)} << 1))"
+
+
+def morton_code(col_name: str, row_name: str) -> Column:
+    """Z-order interleave of two named int columns as ONE parsed JVM
+    expression (same single-F.expr discipline as the LSH builders — no
+    py4j Column-by-Column assembly)."""
+    return F.expr(sql_morton_spark(col_name, row_name))

@@ -245,3 +245,27 @@ def test_utm_round_trip():
     e, n = grid.lonlat_to_utm(-75.8, -33.9, 18)
     lon3, lat3 = grid.utm_to_lonlat(e, n + fn, 18, northern=False)
     assert abs(float(lon3) + 75.8) < 1e-9 and abs(float(lat3) + 33.9) < 1e-9
+
+
+def test_morton_column_matches_numpy(spark):
+    # the Column/SQL twins of morton_interleave must be bit-identical to
+    # the numpy kernel, including large 31-bit coords near the sign-safety
+    # boundary
+    import numpy as np
+    from geotrellis_contrib_spark import grid as gr
+    from geotrellis_contrib_spark.functions import cells as C
+    from pyspark.sql import functions as F
+    rng = np.random.default_rng(3)
+    cols = np.concatenate([rng.integers(0, 4096, 200),
+                           rng.integers(0, 2**31, 200)])
+    rows = np.concatenate([rng.integers(0, 4096, 200),
+                           rng.integers(0, 2**31, 200)])
+    want = gr.morton_interleave(cols, rows)
+    df = spark.createDataFrame(
+        [(int(c), int(r)) for c, r in zip(cols, rows)], "c long, r long")
+    got = [x["m"] for x in
+           df.select(C.morton_code("c", "r").alias("m")).collect()]
+    assert got == list(want)
+    # monotone locality sanity: (0,0) < (1,0) < (0,2) in z-order
+    assert gr.morton_interleave(0, 0) < gr.morton_interleave(1, 0) \
+        < gr.morton_interleave(0, 2)
