@@ -28,6 +28,7 @@ Arrow-vectorized pandas UDFs without per-row Python.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache as _lru_cache
 
 import numpy as np
 
@@ -80,45 +81,57 @@ _UTM_K0 = 0.9996
 _UTM_E0 = 500000.0
 _UTM_N0_SOUTH = 10000000.0
 
-_N = _WGS84_F / (2.0 - _WGS84_F)
-_N2, _N3, _N4, _N5, _N6 = _N**2, _N**3, _N**4, _N**5, _N**6
-_A_CAP = _WGS84_A / (1.0 + _N) * (1.0 + _N2 / 4.0 + _N4 / 64.0 + _N6 / 256.0)
 
-UTM_ALPHA = (
-    _N / 2.0 - 2.0 * _N2 / 3.0 + 5.0 * _N3 / 16.0 + 41.0 * _N4 / 180.0
-    - 127.0 * _N5 / 288.0 + 7891.0 * _N6 / 37800.0,
-    13.0 * _N2 / 48.0 - 3.0 * _N3 / 5.0 + 557.0 * _N4 / 1440.0
-    + 281.0 * _N5 / 630.0 - 1983433.0 * _N6 / 1935360.0,
-    61.0 * _N3 / 240.0 - 103.0 * _N4 / 140.0 + 15061.0 * _N5 / 26880.0
-    + 167603.0 * _N6 / 181440.0,
-    49561.0 * _N4 / 161280.0 - 179.0 * _N5 / 168.0 + 6601661.0 * _N6 / 7257600.0,
-    34729.0 * _N5 / 80640.0 - 3418889.0 * _N6 / 1995840.0,
-    212378941.0 * _N6 / 319334400.0,
-)
-UTM_BETA = (
-    _N / 2.0 - 2.0 * _N2 / 3.0 + 37.0 * _N3 / 96.0 - _N4 / 360.0
-    - 81.0 * _N5 / 512.0 + 96199.0 * _N6 / 604800.0,
-    _N2 / 48.0 + _N3 / 15.0 - 437.0 * _N4 / 1440.0 + 46.0 * _N5 / 105.0
-    - 1118711.0 * _N6 / 3870720.0,
-    17.0 * _N3 / 480.0 - 37.0 * _N4 / 840.0 - 209.0 * _N5 / 4480.0
-    + 5569.0 * _N6 / 90720.0,
-    4397.0 * _N4 / 161280.0 - 11.0 * _N5 / 504.0 - 830251.0 * _N6 / 7257600.0,
-    4583.0 * _N5 / 161280.0 - 108847.0 * _N6 / 3991680.0,
-    20648693.0 * _N6 / 638668800.0,
-)
-# conformal -> geographic latitude series (rectifying the inverse)
-UTM_DELTA = (
-    2.0 * _N - 2.0 * _N2 / 3.0 - 2.0 * _N3 + 116.0 * _N4 / 45.0
-    + 26.0 * _N5 / 45.0 - 2854.0 * _N6 / 675.0,
-    7.0 * _N2 / 3.0 - 8.0 * _N3 / 5.0 - 227.0 * _N4 / 45.0
-    + 2704.0 * _N5 / 315.0 + 2323.0 * _N6 / 945.0,
-    56.0 * _N3 / 15.0 - 136.0 * _N4 / 35.0 - 1262.0 * _N5 / 105.0
-    + 73814.0 * _N6 / 2835.0,
-    4279.0 * _N4 / 630.0 - 332.0 * _N5 / 35.0 - 399572.0 * _N6 / 14175.0,
-    4174.0 * _N5 / 315.0 - 144838.0 * _N6 / 6237.0,
-    601676.0 * _N6 / 22275.0,
-)
-_E_SQRT = 2.0 * np.sqrt(_N) / (1.0 + _N)
+@_lru_cache(maxsize=None)
+def _krueger_params(a: float, f: float):
+    """Krueger-series parameters for an ellipsoid (a, f): rectifying radius
+    A, the first-eccentricity-from-n shortcut e', and the alpha/beta/delta
+    coefficient tuples (all functions of the third flattening n alone).
+    Cached per ellipsoid; WGS84 is the module default, non-WGS84 ellipsoids
+    (Airy, Bessel, ...) reuse the same kernels via these parameters."""
+    n = f / (2.0 - f)
+    n2, n3, n4, n5, n6 = n**2, n**3, n**4, n**5, n**6
+    a_cap = a / (1.0 + n) * (1.0 + n2 / 4.0 + n4 / 64.0 + n6 / 256.0)
+    alpha = (
+        n / 2.0 - 2.0 * n2 / 3.0 + 5.0 * n3 / 16.0 + 41.0 * n4 / 180.0
+        - 127.0 * n5 / 288.0 + 7891.0 * n6 / 37800.0,
+        13.0 * n2 / 48.0 - 3.0 * n3 / 5.0 + 557.0 * n4 / 1440.0
+        + 281.0 * n5 / 630.0 - 1983433.0 * n6 / 1935360.0,
+        61.0 * n3 / 240.0 - 103.0 * n4 / 140.0 + 15061.0 * n5 / 26880.0
+        + 167603.0 * n6 / 181440.0,
+        49561.0 * n4 / 161280.0 - 179.0 * n5 / 168.0 + 6601661.0 * n6 / 7257600.0,
+        34729.0 * n5 / 80640.0 - 3418889.0 * n6 / 1995840.0,
+        212378941.0 * n6 / 319334400.0,
+    )
+    beta = (
+        n / 2.0 - 2.0 * n2 / 3.0 + 37.0 * n3 / 96.0 - n4 / 360.0
+        - 81.0 * n5 / 512.0 + 96199.0 * n6 / 604800.0,
+        n2 / 48.0 + n3 / 15.0 - 437.0 * n4 / 1440.0 + 46.0 * n5 / 105.0
+        - 1118711.0 * n6 / 3870720.0,
+        17.0 * n3 / 480.0 - 37.0 * n4 / 840.0 - 209.0 * n5 / 4480.0
+        + 5569.0 * n6 / 90720.0,
+        4397.0 * n4 / 161280.0 - 11.0 * n5 / 504.0 - 830251.0 * n6 / 7257600.0,
+        4583.0 * n5 / 161280.0 - 108847.0 * n6 / 3991680.0,
+        20648693.0 * n6 / 638668800.0,
+    )
+    # conformal -> geographic latitude series (rectifying the inverse)
+    delta = (
+        2.0 * n - 2.0 * n2 / 3.0 - 2.0 * n3 + 116.0 * n4 / 45.0
+        + 26.0 * n5 / 45.0 - 2854.0 * n6 / 675.0,
+        7.0 * n2 / 3.0 - 8.0 * n3 / 5.0 - 227.0 * n4 / 45.0
+        + 2704.0 * n5 / 315.0 + 2323.0 * n6 / 945.0,
+        56.0 * n3 / 15.0 - 136.0 * n4 / 35.0 - 1262.0 * n5 / 105.0
+        + 73814.0 * n6 / 2835.0,
+        4279.0 * n4 / 630.0 - 332.0 * n5 / 35.0 - 399572.0 * n6 / 14175.0,
+        4174.0 * n5 / 315.0 - 144838.0 * n6 / 6237.0,
+        601676.0 * n6 / 22275.0,
+    )
+    e_sqrt = 2.0 * np.sqrt(n) / (1.0 + n)
+    return a_cap, e_sqrt, alpha, beta, delta
+
+
+_A_CAP, _E_SQRT, UTM_ALPHA, UTM_BETA, UTM_DELTA = \
+    _krueger_params(_WGS84_A, _WGS84_F)
 
 
 def utm_zone(lon) -> "np.ndarray":
@@ -131,60 +144,69 @@ def utm_central_meridian(zone) -> "np.ndarray":
     return np.asarray(zone, dtype=np.float64) * 6.0 - 183.0
 
 
-def _meridian_xi(lat0: float) -> float:
+def _meridian_xi(lat0: float, ell_a: float = _WGS84_A,
+                 ell_f: float = _WGS84_F) -> float:
     """Rectifying (Krueger) xi of the meridian arc at lat0 (eta = 0) —
     the tmerc +lat_0 northing offset. 0.0 at the equator by construction."""
     if lat0 == 0.0:
         return 0.0
+    _, e_sqrt, alpha, _, _ = _krueger_params(ell_a, ell_f)
     phi = np.radians(np.float64(lat0))
     s = np.sin(phi)
-    t = np.sinh(np.arctanh(s) - _E_SQRT * np.arctanh(_E_SQRT * s))
+    t = np.sinh(np.arctanh(s) - e_sqrt * np.arctanh(e_sqrt * s))
     xi = np.arctan(t)
     xi_s = xi
-    for j, a in enumerate(UTM_ALPHA, start=1):
+    for j, a in enumerate(alpha, start=1):
         xi_s = xi_s + a * np.sin(2.0 * j * xi)  # cosh(0) == 1
     return float(xi_s)
 
 
 def lonlat_to_tmerc(lon, lat, lon0, k0: float = 1.0,
-                    x0: float = 0.0, y0: float = 0.0, lat0: float = 0.0):
-    """EPSG:4326 -> transverse Mercator (WGS84, Krueger series to n^6) with
+                    x0: float = 0.0, y0: float = 0.0, lat0: float = 0.0,
+                    ell_a: float = _WGS84_A, ell_f: float = _WGS84_F):
+    """Geodetic lon/lat -> transverse Mercator (Krueger series to n^6) with
     arbitrary central meridian / scale / false origin — the generalized
     kernel behind the UTM zone family (proj4 ``+proj=tmerc``). ``lon0``
-    may be an array (per-point central meridian, the UTM case)."""
+    may be an array (per-point central meridian, the UTM case). The
+    ellipsoid defaults to WGS84; (ell_a, ell_f) select another (e.g. Airy
+    for the OSGB national grid) — input lon/lat must be geodetic ON that
+    ellipsoid's datum (parse_proj4 composes the Helmert shift in front)."""
+    a_cap, e_sqrt, alpha, _, _ = _krueger_params(ell_a, ell_f)
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
     lam = np.radians(lon - lon0)
     phi = np.radians(lat)
     s = np.sin(phi)
-    t = np.sinh(np.arctanh(s) - _E_SQRT * np.arctanh(_E_SQRT * s))
+    t = np.sinh(np.arctanh(s) - e_sqrt * np.arctanh(e_sqrt * s))
     xi = np.arctan2(t, np.cos(lam))
     eta = np.arctanh(np.sin(lam) / np.sqrt(1.0 + t * t))
     xi_s, eta_s = xi.copy(), eta.copy()
-    for j, a in enumerate(UTM_ALPHA, start=1):
+    for j, a in enumerate(alpha, start=1):
         xi_s = xi_s + a * np.sin(2.0 * j * xi) * np.cosh(2.0 * j * eta)
         eta_s = eta_s + a * np.cos(2.0 * j * xi) * np.sinh(2.0 * j * eta)
-    k0a = k0 * _A_CAP
+    k0a = k0 * a_cap
     easting = x0 + k0a * eta_s
-    northing = y0 + k0a * xi_s - k0a * _meridian_xi(lat0)
+    northing = y0 + k0a * xi_s - k0a * _meridian_xi(lat0, ell_a, ell_f)
     return easting, northing
 
 
 def tmerc_to_lonlat(easting, northing, lon0, k0: float = 1.0,
-                    x0: float = 0.0, y0: float = 0.0, lat0: float = 0.0):
+                    x0: float = 0.0, y0: float = 0.0, lat0: float = 0.0,
+                    ell_a: float = _WGS84_A, ell_f: float = _WGS84_F):
     """Inverse generalized transverse Mercator (see lonlat_to_tmerc)."""
+    a_cap, _, _, beta, delta = _krueger_params(ell_a, ell_f)
     e = np.asarray(easting, dtype=np.float64)
     n = np.asarray(northing, dtype=np.float64)
-    k0a = k0 * _A_CAP
-    xi = (n - y0 + k0a * _meridian_xi(lat0)) / k0a
+    k0a = k0 * a_cap
+    xi = (n - y0 + k0a * _meridian_xi(lat0, ell_a, ell_f)) / k0a
     eta = (e - x0) / k0a
     xi_p, eta_p = xi.copy(), eta.copy()
-    for j, b in enumerate(UTM_BETA, start=1):
+    for j, b in enumerate(beta, start=1):
         xi_p = xi_p - b * np.sin(2.0 * j * xi) * np.cosh(2.0 * j * eta)
         eta_p = eta_p - b * np.cos(2.0 * j * xi) * np.sinh(2.0 * j * eta)
     chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
     phi = chi.copy()
-    for j, d in enumerate(UTM_DELTA, start=1):
+    for j, d in enumerate(delta, start=1):
         phi = phi + d * np.sin(2.0 * j * chi)
     lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
     return np.asarray(lon0, dtype=np.float64) + np.degrees(lam), np.degrees(phi)
@@ -596,10 +618,10 @@ def _phi_from_q(q):
     return np.where(polar, np.sign(q) * (np.pi / 2.0), phi)
 
 
-def _m_ell(phi):
+def _m_ell(phi, e2: float = _E2):
     """Snyder (14-15): m = cos(phi) / sqrt(1 - e^2 sin^2 phi)."""
     s = np.sin(phi)
-    return np.cos(phi) / np.sqrt(1.0 - _E2 * s * s)
+    return np.cos(phi) / np.sqrt(1.0 - e2 * s * s)
 
 
 def _wrap_deg(d):
@@ -713,37 +735,43 @@ EQUAL_AREA_CRS = {
 # right angles preserved) + unit scale on both standard parallels.
 # ---------------------------------------------------------------------------
 
-def _t_conf(phi):
+def _t_conf(phi, e1: float = _E1):
     """Snyder (15-9): conformal-latitude auxiliary t."""
     s = np.sin(phi)
     return (np.tan(np.pi / 4.0 - phi / 2.0)
-            / np.power((1.0 - _E1 * s) / (1.0 + _E1 * s), _E1 / 2.0))
+            / np.power((1.0 - e1 * s) / (1.0 + e1 * s), e1 / 2.0))
 
 
-def lcc_constants(lat0: float, lat1: float, lat2: float):
-    """LCC cone constant n, F, rho0 (Snyder 15-8, 15-10, 15-7a)."""
+def lcc_constants(lat0: float, lat1: float, lat2: float,
+                  ell_a: float = _WGS84_A, e2: float = _E2):
+    """LCC cone constant n, F, rho0 (Snyder 15-8, 15-10, 15-7a). Ellipsoid
+    defaults to WGS84; (ell_a, e2) select another (national conformal grids
+    on Airy/Bessel via parse_proj4)."""
+    e1 = np.sqrt(e2)
     p0, p1, p2 = (np.radians(v) for v in (lat0, lat1, lat2))
-    m1, m2 = float(_m_ell(p1)), float(_m_ell(p2))
-    t0, t1, t2 = (float(_t_conf(p)) for p in (p0, p1, p2))
+    m1, m2 = float(_m_ell(p1, e2)), float(_m_ell(p2, e2))
+    t0, t1, t2 = (float(_t_conf(p, e1)) for p in (p0, p1, p2))
     if abs(lat1 - lat2) < 1e-12:
         n = float(np.sin(p1))
     else:
         n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
     f_cap = m1 / (n * t1 ** n)
-    rho0 = _WGS84_A * f_cap * t0 ** n
+    rho0 = ell_a * f_cap * t0 ** n
     return n, f_cap, rho0
 
 
 def lonlat_to_lcc(lon, lat, lon0: float, lat0: float,
                   lat1: float, lat2: float,
-                  fe: float = 0.0, fn: float = 0.0):
-    """EPSG:4326 -> ellipsoidal Lambert Conformal Conic (Snyder 15-1..15-10).
-    EPSG:2154 (Lambert-93) = (lon0=3, lat0=46.5, lat1=49, lat2=44,
-    FE=700000, FN=6600000)."""
-    n, f_cap, rho0 = lcc_constants(lat0, lat1, lat2)
+                  fe: float = 0.0, fn: float = 0.0,
+                  ell_a: float = _WGS84_A, e2: float = _E2):
+    """Geodetic lon/lat -> ellipsoidal Lambert Conformal Conic (Snyder
+    15-1..15-10). EPSG:2154 (Lambert-93) = (lon0=3, lat0=46.5, lat1=49,
+    lat2=44, FE=700000, FN=6600000) on WGS84/GRS80 (the default)."""
+    e1 = np.sqrt(e2)
+    n, f_cap, rho0 = lcc_constants(lat0, lat1, lat2, ell_a, e2)
     lam = np.radians(_wrap_deg(np.asarray(lon, dtype=np.float64) - lon0))
     phi = np.radians(np.asarray(lat, dtype=np.float64))
-    rho = _WGS84_A * f_cap * np.power(_t_conf(phi), n)
+    rho = ell_a * f_cap * np.power(_t_conf(phi, e1), n)
     theta = n * lam
     x = rho * np.sin(theta)
     y = rho0 - rho * np.cos(theta)
@@ -752,21 +780,23 @@ def lonlat_to_lcc(lon, lat, lon0: float, lat0: float,
 
 def lcc_to_lonlat(x, y, lon0: float, lat0: float,
                   lat1: float, lat2: float,
-                  fe: float = 0.0, fn: float = 0.0):
+                  fe: float = 0.0, fn: float = 0.0,
+                  ell_a: float = _WGS84_A, e2: float = _E2):
     """Inverse ellipsoidal LCC (Snyder 15-11, 7-9 iteration)."""
-    n, f_cap, rho0 = lcc_constants(lat0, lat1, lat2)
+    e1 = np.sqrt(e2)
+    n, f_cap, rho0 = lcc_constants(lat0, lat1, lat2, ell_a, e2)
     x = np.asarray(x, dtype=np.float64) - fe
     y = np.asarray(y, dtype=np.float64) - fn
     sgn = 1.0 if n >= 0 else -1.0
     rho = sgn * np.sqrt(x * x + (rho0 - y) ** 2)
     theta = np.arctan2(sgn * x, sgn * (rho0 - y))
-    t = np.power(rho / (_WGS84_A * f_cap), 1.0 / n)
+    t = np.power(rho / (ell_a * f_cap), 1.0 / n)
     phi = np.pi / 2.0 - 2.0 * np.arctan(t)
     for _ in range(8):
         s = np.sin(phi)
         phi = (np.pi / 2.0
-               - 2.0 * np.arctan(t * np.power((1.0 - _E1 * s) / (1.0 + _E1 * s),
-                                              _E1 / 2.0)))
+               - 2.0 * np.arctan(t * np.power((1.0 - e1 * s) / (1.0 + e1 * s),
+                                              e1 / 2.0)))
     return _wrap_deg(lon0 + np.degrees(theta / n)), np.degrees(phi)
 
 
@@ -783,11 +813,136 @@ NAMED_CRS[2154] = (
 
 
 # ---------------------------------------------------------------------------
+# Ellipsoids & datum shifts (7-parameter Helmert, position-vector
+# convention — the proj4 ``+towgs84`` semantics). Closes the national-grid
+# family (EPSG:27700 OSGB on Airy, Bessel grids, ...) the reference reaches
+# through arbitrary proj4 CRS objects (GeoTiffReprojectRasterSource.scala:39).
+# Grid-file shifts (NTv2/NADCON — e.g. NAD27) stay fail-loud: the engine
+# must not silently approximate what it cannot compute exactly.
+# ---------------------------------------------------------------------------
+
+# name -> (semi-major a [m], inverse flattening rf; rf = 0 means sphere).
+# Values are the published defining constants of each ellipsoid.
+ELLIPSOIDS = {
+    "WGS84": (6378137.0, 298.257223563),
+    "GRS80": (6378137.0, 298.257222101),
+    "airy": (6377563.396, 299.3249646),       # OSGB36 / EPSG:27700
+    "bessel": (6377397.155, 299.1528128),     # DHDN, CH1903, Tokyo
+    "intl": (6378388.0, 297.0),               # ED50 (Hayford 1924)
+    "clrk66": (6378206.4, 294.9786982138982), # NAD27 (a=6378206.4 b=6356583.8)
+    "sphere": (6370997.0, 0.0),
+}
+
+
+def ellipsoid_params(name: str) -> tuple[float, float, float]:
+    """(a, f, e2) for a named ellipsoid; f = e2 = 0 for a sphere."""
+    key = {"wgs84": "WGS84", "grs80": "GRS80"}.get(name.lower(), name)
+    if key not in ELLIPSOIDS:
+        raise ValueError(f"unknown ellipsoid {name!r} "
+                         f"(supported: {sorted(ELLIPSOIDS)})")
+    a, rf = ELLIPSOIDS[key]
+    f = 0.0 if rf == 0.0 else 1.0 / rf
+    return a, f, f * (2.0 - f)
+
+
+def geodetic_to_geocentric(lon, lat, ell_a: float = _WGS84_A,
+                           e2: float = _E2):
+    """Geodetic lon/lat (h = 0 on the ellipsoid surface) -> geocentric
+    cartesian (X, Y, Z) meters. Vectorized float64."""
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    s, c = np.sin(phi), np.cos(phi)
+    nu = ell_a / np.sqrt(1.0 - e2 * s * s)
+    return nu * c * np.cos(lam), nu * c * np.sin(lam), nu * (1.0 - e2) * s
+
+
+_GEOCENTRIC_ITERS = 8  # fixed count: the SQL oracle unrolls the same 8 steps
+
+
+def geocentric_to_geodetic(x, y, z, ell_a: float = _WGS84_A,
+                           e2: float = _E2):
+    """Geocentric (X, Y, Z) -> geodetic lon/lat, dropping height (the 2D
+    datum-shift convention). Fixed-point latitude iteration
+    phi <- atan2(Z + e2*nu(phi)*sin(phi), p), 8 steps from the reduced
+    first guess — deliberately iteration-count-pinned so the DuckDB oracle
+    can unroll the identical arithmetic."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    z = np.asarray(z, dtype=np.float64)
+    lon = np.degrees(np.arctan2(y, x))
+    p = np.sqrt(x * x + y * y)
+    phi = np.arctan2(z, p * (1.0 - e2))
+    for _ in range(_GEOCENTRIC_ITERS):
+        s = np.sin(phi)
+        nu = ell_a / np.sqrt(1.0 - e2 * s * s)
+        phi = np.arctan2(z + e2 * nu * s, p)
+    return lon, np.degrees(phi)
+
+
+@_lru_cache(maxsize=None)
+def helmert_matrices(dx: float, dy: float, dz: float,
+                     rx_as: float = 0.0, ry_as: float = 0.0,
+                     rz_as: float = 0.0, s_ppm: float = 0.0):
+    """Forward matrix M and its EXACT inverse for a 7-parameter Helmert
+    transform in the position-vector convention (proj4 ``+towgs84``
+    semantics: rotations in arc-seconds, scale in ppm, local datum ->
+    WGS84): X_wgs = M @ X_local + T. The inverse uses the true 3x3 matrix
+    inverse (not the historical negate-the-parameters approximation), so
+    round trips are exact to machine precision."""
+    m = 1.0 + s_ppm * 1e-6
+    rx, ry, rz = (float(np.radians(v / 3600.0)) for v in (rx_as, ry_as, rz_as))
+    mat = m * np.array([[1.0, -rz, ry],
+                        [rz, 1.0, -rx],
+                        [-ry, rx, 1.0]])
+    inv = np.linalg.inv(mat)
+    t = np.array([dx, dy, dz])
+    return mat, inv, t
+
+
+def helmert_apply(x, y, z, mat, t):
+    """Apply X' = mat @ X + t elementwise over coordinate arrays. The
+    expansion is written out so the SQL oracle can mirror it term-for-term."""
+    return (mat[0, 0] * x + mat[0, 1] * y + mat[0, 2] * z + t[0],
+            mat[1, 0] * x + mat[1, 1] * y + mat[1, 2] * z + t[1],
+            mat[2, 0] * x + mat[2, 1] * y + mat[2, 2] * z + t[2])
+
+
+def datum_to_wgs84(lon, lat, towgs84: tuple, ell_a: float, e2: float):
+    """Geodetic lon/lat on a local datum -> WGS84 lon/lat via geocentric
+    Helmert (position-vector, local -> WGS84)."""
+    mat, _, t = helmert_matrices(*towgs84)
+    xl, yl, zl = geodetic_to_geocentric(lon, lat, ell_a, e2)
+    xw, yw, zw = helmert_apply(xl, yl, zl, mat, t)
+    return geocentric_to_geodetic(xw, yw, zw, _WGS84_A, _E2)
+
+
+def wgs84_to_datum(lon, lat, towgs84: tuple, ell_a: float, e2: float):
+    """WGS84 lon/lat -> geodetic lon/lat on a local datum (exact inverse
+    Helmert)."""
+    mat, inv, t = helmert_matrices(*towgs84)
+    xw, yw, zw = geodetic_to_geocentric(lon, lat, _WGS84_A, _E2)
+    xl, yl, zl = helmert_apply(xw - t[0], yw - t[1], zw - t[2],
+                               inv, np.zeros(3))
+    return geocentric_to_geodetic(xl, yl, zl, ell_a, e2)
+
+
+# minimal named-datum registry: name -> (ellipsoid, towgs84 7-tuple).
+# OSGB36 carries the published OSTN-free national 7-parameter set. Datums
+# needing grid files (NAD27 et al) are deliberately absent -> fail-loud.
+DATUMS = {
+    "WGS84": ("WGS84", (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+    "OSGB36": ("airy", (446.448, -125.157, 542.06,
+                        0.15, 0.247, 0.842, -20.489)),
+}
+
+
+# ---------------------------------------------------------------------------
 # proj4-string CRS dispatch: arbitrary parallels/centers onto the existing
 # Snyder/Krueger kernels, closing the CRS family generically instead of
 # EPSG-by-EPSG (reference parity: GeoTiffReprojectRasterSource.scala:39
-# accepts any CRS object). WGS84 ellipsoid only — datum shifts and other
-# ellipsoids fail loudly rather than silently reprojecting wrong.
+# accepts any CRS object). tmerc/lcc/merc accept any registered ellipsoid
+# plus a +towgs84 Helmert shift; laea/aea stay WGS84-only; grid-file datum
+# shifts (NTv2) fail loudly rather than silently reprojecting wrong.
 # ---------------------------------------------------------------------------
 
 _PROJ4_IGNORED = {"no_defs", "wktext", "type"}
@@ -797,13 +952,19 @@ _PROJ4_PARAM_KEYS = {"proj", "lat_0", "lon_0", "lat_1", "lat_2",
 
 
 def parse_proj4(s: str):
-    """Parse a proj4 string into ``(forward, inverse)`` lon/lat<->x/y
-    closures. Supported projections: ``longlat`` (identity), ``merc``
-    (spherical, +R or +a=+b), ``tmerc`` (Krueger, any +lon_0/+k_0/+lat_0),
-    ``laea``, ``aea``, ``lcc`` (Snyder ellipsoidal, any parallels/centers),
-    each with +x_0/+y_0 false origins. Unknown keys, non-WGS84 ellipsoids,
-    datum shifts, and non-meter units raise ``ValueError`` — a CRS the
-    engine cannot honor exactly must not be silently approximated."""
+    """Parse a proj4 string into ``(forward, inverse)`` WGS84-lon/lat <->
+    x/y closures. Supported projections: ``longlat``, ``merc`` (spherical
+    via +R / lone +a / +a=+b, or ellipsoidal via conformal latitude),
+    ``tmerc`` (Krueger, any +lon_0/+k_0/+lat_0), ``laea``, ``aea``, ``lcc``
+    (Snyder ellipsoidal, any parallels/centers), each with +x_0/+y_0 false
+    origins. ``tmerc``/``lcc``/``merc``/``longlat`` accept any registered
+    ellipsoid (+ellps=airy/bessel/intl/clrk66/...) and a 3- or 7-parameter
+    ``+towgs84`` Helmert datum shift (position-vector convention, exact
+    matrix inverse) — the EPSG:27700/OSGB family. ``laea``/``aea`` remain
+    WGS84-only (their authalic machinery is WGS84-bound). Unknown keys,
+    unsupported ellipsoid/datum combinations, grid-file datums, and
+    non-meter units raise ``ValueError`` — a CRS the engine cannot honor
+    exactly must not be silently approximated."""
     toks = [t for t in s.strip().split() if t]
     kv: dict[str, str] = {}
     for tok in toks:
@@ -822,8 +983,6 @@ def parse_proj4(s: str):
 
     if kv.get("units", "m") != "m":
         raise ValueError(f"only meter units supported: {s!r}")
-    if kv.get("towgs84", "0,0,0") not in ("0,0,0", "0,0,0,0,0,0,0"):
-        raise ValueError(f"datum shifts unsupported: {s!r}")
     proj = kv.get("proj")
     if proj is None:
         raise ValueError(f"missing +proj in {s!r}")
@@ -835,19 +994,61 @@ def parse_proj4(s: str):
             return default
         return float(kv[key])
 
-    # ellipsoid checks: longlat/merc may be spherical; the ellipsoidal
-    # projections must be WGS84
-    a, b = kv.get("a"), kv.get("b")
-    ellps = kv.get("ellps", kv.get("datum", "WGS84"))
-    spherical = a is not None and a == b
-    if proj in ("tmerc", "laea", "aea", "lcc"):
-        # GRS80 accepted as WGS84: same semi-major axis, flattening differs
-        # in the 10th decimal (sub-0.1mm) — the named EPSG registry above
-        # (3035/5070/2154 are GRS80-based) already makes this equivalence
-        if spherical or ellps not in ("WGS84", "wgs84", "GRS80"):
-            raise ValueError(f"+proj={proj} supported on WGS84 only: {s!r}")
-        if a is not None and float(a) != _WGS84_A:
-            raise ValueError(f"non-WGS84 semi-major axis: {s!r}")
+    # --- datum resolution: +datum name -> (ellipsoid, towgs84) ------------
+    datum_ell, datum_towgs84 = None, None
+    if "datum" in kv:
+        if kv["datum"] not in DATUMS:
+            raise ValueError(
+                f"unsupported +datum={kv['datum']} (grid-file datums like "
+                f"NAD27 need NTv2 shifts the engine will not approximate): "
+                f"{s!r}")
+        datum_ell, datum_towgs84 = DATUMS[kv["datum"]]
+
+    # --- towgs84: explicit parameter wins over the datum registry ---------
+    shift = None
+    if "towgs84" in kv:
+        vals = tuple(float(v) for v in kv["towgs84"].split(","))
+        if len(vals) == 3:
+            vals = vals + (0.0, 0.0, 0.0, 0.0)
+        if len(vals) != 7:
+            raise ValueError(f"+towgs84 needs 3 or 7 parameters: {s!r}")
+        shift = vals
+    elif datum_towgs84 is not None:
+        shift = datum_towgs84
+    if shift is not None and not any(v != 0.0 for v in shift):
+        shift = None  # identity shift == no shift
+
+    # --- ellipsoid resolution (proj4 precedence: +a/+b/+R > +ellps > datum)
+    a_str, b_str = kv.get("a"), kv.get("b")
+    if b_str is not None and a_str is None:
+        raise ValueError(f"+b without +a: {s!r}")
+    if a_str is not None:
+        a_val = float(a_str)
+        if b_str is not None and float(b_str) != a_val:
+            b_val = float(b_str)
+            ell_f = (a_val - b_val) / a_val
+            ell = (a_val, ell_f, ell_f * (2.0 - ell_f))
+        else:
+            # proj4 semantics: +a with no unequal +b is a SPHERE of radius
+            # a (+a=+b compares numerically — '+b=6378137.0' == '+a=6378137')
+            ell = (a_val, 0.0, 0.0)
+    elif "R" in kv:
+        ell = (float(kv["R"]), 0.0, 0.0)
+    else:
+        ename = kv.get("ellps", datum_ell or "WGS84")
+        # GRS80 == WGS84 here: same semi-major axis, flattening differs in
+        # the 10th decimal (sub-0.1mm) — keeps proj4 strings of the GRS80-
+        # based EPSG registry entries (3035/5070/2154) BIT-identical to the
+        # named kernels
+        if ename in ("GRS80", "grs80"):
+            ename = "WGS84"
+        ell = ellipsoid_params(ename)
+    ell_a, ell_f, ell_e2 = ell
+    spherical = ell_f == 0.0
+
+    if shift is not None and spherical:
+        raise ValueError(f"+towgs84 on a sphere is meaningless: {s!r}")
+    is_wgs84 = (ell_a, ell_f) == (_WGS84_A, _WGS84_F)
 
     lon0 = fnum("lon_0", 0.0)
     lat0 = fnum("lat_0", 0.0)
@@ -855,19 +1056,32 @@ def parse_proj4(s: str):
     y0 = fnum("y_0", 0.0)
     k0 = float(kv.get("k_0", kv.get("k", "1.0")))
 
+    def compose(p_fwd, p_inv):
+        """Wrap projection closures (geodetic-on-local-datum <-> x/y) with
+        the Helmert datum legs so the returned pair is WGS84 <-> x/y."""
+        if shift is None:
+            return p_fwd, p_inv
+
+        def fwd(lon, lat):
+            dlon, dlat = wgs84_to_datum(lon, lat, shift, ell_a, ell_e2)
+            return p_fwd(dlon, dlat)
+
+        def inv(x, y):
+            dlon, dlat = p_inv(x, y)
+            return datum_to_wgs84(dlon, dlat, shift, ell_a, ell_e2)
+        return fwd, inv
+
     if proj == "longlat":
         ident = lambda u, v: (np.asarray(u, dtype=np.float64),  # noqa: E731
                               np.asarray(v, dtype=np.float64))
-        return ident, ident
+        return compose(ident, ident)
     if proj == "merc":
-        # spherical form when +R or +a=+b (EPSG:3857 publishes
-        # +a=+b=6378137); otherwise ELLIPSOIDAL mercator on WGS84 via the
-        # conformal latitude (y = -a ln t(phi), Snyder 7-7; inverse by the
-        # same Snyder 7-9 fixed-point iteration the LCC inverse uses)
-        radius = float(kv["R"]) if "R" in kv else (float(a) if spherical else None)
-        if radius is None and ellps not in ("WGS84", "wgs84", "GRS80"):
-            raise ValueError(f"+proj=merc supported on a sphere (+R / +a=+b)"
-                             f" or the WGS84 ellipsoid only: {s!r}")
+        # spherical form when +R / lone +a / +a=+b (EPSG:3857 publishes
+        # +a=+b=6378137); otherwise ELLIPSOIDAL mercator via the conformal
+        # latitude (y = -a ln t(phi), Snyder 7-7; inverse by the same
+        # Snyder 7-9 fixed-point iteration the LCC inverse uses)
+        radius = ell_a if spherical else None
+        m_e1 = None if spherical else np.sqrt(ell_e2)
 
         def m_fwd(lon, lat):
             lam = np.radians(_wrap_deg(np.asarray(lon, dtype=np.float64) - lon0))
@@ -876,8 +1090,8 @@ def parse_proj4(s: str):
                 x = k0 * radius * lam + x0
                 y = k0 * radius * np.log(np.tan(np.pi / 4.0 + phi / 2.0)) + y0
             else:
-                x = k0 * _WGS84_A * lam + x0
-                y = -k0 * _WGS84_A * np.log(_t_conf(phi)) + y0
+                x = k0 * ell_a * lam + x0
+                y = -k0 * ell_a * np.log(_t_conf(phi, m_e1)) + y0
             return x, y
 
         def m_inv(x, y):
@@ -888,34 +1102,49 @@ def parse_proj4(s: str):
                 lat = np.degrees(2.0 * np.arctan(np.exp(y / (k0 * radius)))
                                  - np.pi / 2.0)
                 return _wrap_deg(lon), lat
-            lon = lon0 + np.degrees(x / (k0 * _WGS84_A))
-            t = np.exp(-y / (k0 * _WGS84_A))
+            lon = lon0 + np.degrees(x / (k0 * ell_a))
+            t = np.exp(-y / (k0 * ell_a))
             phi = np.pi / 2.0 - 2.0 * np.arctan(t)
             for _ in range(8):
                 sn = np.sin(phi)
                 phi = (np.pi / 2.0
-                       - 2.0 * np.arctan(t * np.power((1.0 - _E1 * sn)
-                                                      / (1.0 + _E1 * sn),
-                                                      _E1 / 2.0)))
+                       - 2.0 * np.arctan(t * np.power((1.0 - m_e1 * sn)
+                                                      / (1.0 + m_e1 * sn),
+                                                      m_e1 / 2.0)))
             return _wrap_deg(lon), np.degrees(phi)
-        return m_fwd, m_inv
+        return compose(m_fwd, m_inv)
     if proj == "tmerc":
-        return (lambda lon, lat: lonlat_to_tmerc(lon, lat, lon0, k0, x0, y0, lat0),
-                lambda x, y: tmerc_to_lonlat(x, y, lon0, k0, x0, y0, lat0))
+        if spherical:
+            raise ValueError(f"spherical tmerc unsupported (Krueger kernel "
+                             f"is ellipsoidal): {s!r}")
+        return compose(
+            lambda lon, lat: lonlat_to_tmerc(lon, lat, lon0, k0, x0, y0,
+                                             lat0, ell_a, ell_f),
+            lambda x, y: tmerc_to_lonlat(x, y, lon0, k0, x0, y0,
+                                         lat0, ell_a, ell_f))
     if proj == "laea":
+        if not is_wgs84 or shift is not None:
+            raise ValueError(f"+proj=laea supported on WGS84 only (its "
+                             f"authalic machinery is WGS84-bound): {s!r}")
         return (lambda lon, lat: lonlat_to_laea(lon, lat, lon0, lat0, x0, y0),
                 lambda x, y: laea_to_lonlat(x, y, lon0, lat0, x0, y0))
     if proj == "aea":
+        if not is_wgs84 or shift is not None:
+            raise ValueError(f"+proj=aea supported on WGS84 only (its "
+                             f"authalic machinery is WGS84-bound): {s!r}")
         lat1, lat2 = fnum("lat_1"), fnum("lat_2")
         return (lambda lon, lat: lonlat_to_albers(lon, lat, lon0, lat0,
                                                   lat1, lat2, x0, y0),
                 lambda x, y: albers_to_lonlat(x, y, lon0, lat0,
                                               lat1, lat2, x0, y0))
     if proj == "lcc":
+        if spherical:
+            raise ValueError(f"spherical lcc unsupported: {s!r}")
         lat1 = fnum("lat_1")
         lat2 = fnum("lat_2", lat1)  # 1SP degenerates to lat_2 = lat_1
-        return (lambda lon, lat: lonlat_to_lcc(lon, lat, lon0, lat0,
-                                               lat1, lat2, x0, y0),
-                lambda x, y: lcc_to_lonlat(x, y, lon0, lat0,
-                                           lat1, lat2, x0, y0))
+        return compose(
+            lambda lon, lat: lonlat_to_lcc(lon, lat, lon0, lat0,
+                                           lat1, lat2, x0, y0, ell_a, ell_e2),
+            lambda x, y: lcc_to_lonlat(x, y, lon0, lat0,
+                                       lat1, lat2, x0, y0, ell_a, ell_e2))
     raise ValueError(f"unsupported +proj={proj}: {s!r}")

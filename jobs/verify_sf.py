@@ -129,9 +129,12 @@ def _oracle_worker(sf_dir: str, name: str, spark_parquet: str) -> None:
         # huge results: order-independent per-row hash-sum multiset
         # checksum (DuckDB hash() on BOTH sides — same engine, same bits;
         # EXCEPT ALL on 10^8 VARCHAR rows is what blows the budget, the
-        # values compared are identical)
-        concat = " || '|' || ".join(f'COALESCE("{c}", chr(1))' for c in cols)
-        hs = f"SELECT SUM(CAST(hash({concat}) AS HUGEINT))"
+        # values compared are identical). Multi-argument hash() keeps each
+        # column a distinct hash input — no separator ambiguity
+        # (('a|b','c') vs ('a','b|c')) and no NULL-vs-sentinel collisions
+        # the old string-concat form allowed.
+        args = ", ".join(f'"{c}"' for c in cols)
+        hs = f"SELECT SUM(CAST(hash({args}) AS HUGEINT))"
         h_o = con.execute(f"{hs} FROM ocl_v").fetchone()[0]
         h_s = con.execute(f"{hs} FROM spk").fetchone()[0]
         match, mode = bool(h_o == h_s), "hash_sum"
