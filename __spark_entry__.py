@@ -70,6 +70,50 @@ def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "poly_id")
 
 
+# Arbitrary-WKB polygon fixtures over the hot cluster: a CONCAVE L-shape
+# and a DONUT (square exterior + square hole) — the two shapes a
+# rectangle-only gate can't distinguish from bbox containment. Vertices are
+# exact-decimal literals shared verbatim with the DuckDB oracle; the
+# reference's semantics oracle is polygon containment
+# (slick/src/test/scala/geotrellis/slick/PostgisSpec.scala:161-170).
+PIP_WKB_POLYS = {
+    "poly-L": [[(-74.25, 40.45), (-73.95, 40.45), (-73.95, 40.65),
+                (-74.10, 40.65), (-74.10, 40.85), (-74.25, 40.85),
+                (-74.25, 40.45)]],
+    # donut placed on the anchors' congruential lattice so BOTH semantics
+    # bite at sf0.01: ~74 anchors in the ring, ~32 excluded by the hole
+    "poly-D": [[(-74.22, 40.50), (-73.96, 40.50), (-73.96, 40.93),
+                (-74.22, 40.93), (-74.22, 40.50)],
+               [(-74.16, 40.60), (-74.10, 40.60), (-74.10, 40.85),
+                (-74.16, 40.85), (-74.16, 40.60)]],
+}
+PIP_WKB_ZOOM = 7
+
+
+def q_pip_join_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join against ARBITRARY WKB polygons (holes + concavity) under
+    the value gate: the 30 region/nation boxes as real 5-point WKB rings
+    (via box_to_wkb) plus the concave-L and donut fixtures, through the
+    exact-cover cell join (grid.keys_for_polygon) and the Arrow-vectorized
+    crossing-number refine (operators/spatial_join.py:87-124, geom.py:299).
+    Oracle: the SAME crossing-parity arithmetic per (point, ring) edge set
+    in SQL — inside = odd exterior parity AND even parity for every hole."""
+    from geotrellis_contrib_spark import geom as GM
+    from geotrellis_contrib_spark.functions import geometry as G
+    _views(spark, sf_dir)
+    boxes = spark.table("polygon_boxes")
+    rect = boxes.withColumn("wkb", G.box_to_wkb(
+        F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"))) \
+        .select("poly_id", "wkb")
+    fix = spark.createDataFrame(
+        [(pid, bytearray(GM.wkb_encode(GM.WKB_POLYGON, rings)))
+         for pid, rings in PIP_WKB_POLYS.items()],
+        "poly_id string, wkb binary")
+    polys = rect.unionByName(fix)
+    return sj.pip_join_wkb(spark.table("anchors"), polys,
+                           zoom=PIP_WKB_ZOOM).select("doc_id", "poly_id")
+
+
 def q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distance theta self-join (< 0.5 deg), cell-ring equi-join + exact
     refine (reference semantics PostgisSpec.scala:174-188)."""
@@ -840,6 +884,44 @@ def q_reproject_proj4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return px.window_stats(out).select("source_id", "band", "px_sum", "px_count")
 
 
+# Datum-shift destination: the EPSG:27700 OSGB chain (tmerc on the AIRY
+# ellipsoid + the published OSGB 7-parameter Helmert +towgs84) relocated
+# onto the fixture footprint (central meridian -62; Krueger diverges past
+# ~30 deg of lon_0, and the real OSGB grid sits over Britain, not the
+# fixture's Atlantic footprint — ellipsoid, scale, false origin, and datum
+# parameters are the real EPSG:27700 ones). Integer-meter extent literals,
+# prime-ish dims (see RG_COLS note).
+DT_DEF = ("+proj=tmerc +lat_0=30 +lon_0=-62 +k=0.9996012717 +x_0=400000 "
+          "+y_0=-100000 +ellps=airy "
+          "+towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.489 "
+          "+units=m +no_defs")
+DT_X0, DT_Y0, DT_X1, DT_Y1 = -1200000.0, -900000.0, 2100000.0, 1200000.0
+DT_COLS, DT_ROWS = 103, 97
+
+
+def q_reproject_datum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reprojectToGrid onto a DATUM-SHIFTED destination (Airy ellipsoid +
+    7-parameter Helmert — the EPSG:27700/OSGB national-grid chain through
+    grid.parse_proj4): the pixel fixture warped onto an explicit target
+    GridExtent, NaN-aware window checksums per (source, band). Oracle: the
+    FULL inverse chain recomputed in SQL — Krueger tmerc inverse on Airy
+    (closed-form beta/delta series), geodetic->geocentric on Airy, the
+    exact 7-param Helmert matrix (literal entries), then the 8-step
+    geocentric->geodetic fixed-point iteration on WGS84 — the same
+    dual-execution bar as the other reproject gates. Reference parity:
+    arbitrary CRS objects at GeoTiffReprojectRasterSource.scala:39."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark import grid as GR
+    from geotrellis_contrib_spark.operators import pixels as px
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    target = GR.GridExtent(DT_X0, DT_Y0, DT_X1, DT_Y1,
+                           (DT_X1 - DT_X0) / DT_COLS, (DT_Y1 - DT_Y0) / DT_ROWS)
+    out = px.reproject_to_grid(tiles, target, method="nearest",
+                               tile_size=64, dst_crs=DT_DEF)
+    return px.window_stats(out).select("source_id", "band", "px_sum", "px_count")
+
+
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis battery: token counts (ws + BPE-ish), quality ratios,
     language-ID heuristic, rolling-hash fingerprint — all JVM-side."""
@@ -896,6 +978,33 @@ def q_media_real_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = md.extract_features(m, decoders=md.REAL_DECODERS)
     return feats.select("doc_id", "span_idx", "kind",
                         F.posexplode("feature").alias("chunk_idx", "feat"))
+
+
+def q_geom_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar geometry functions under the value gate (SURVEY.md §2.7;
+    PostGIS slick surface, PostGisProjectionSupportSpec.scala:60-92 length/
+    centroid, PostgisSpec.scala:193-196 asGeoJSON): every polygon box round-
+    trips through REAL WKB — a 5-point polygon ring (centroid via the
+    shoelace kernel) and an L-path linestring (segment-sum length) — and
+    the integral-center nation boxes additionally emit the GeoJSON point
+    string. Oracle: the shoelace/segment arithmetic mirrored term-for-term
+    in SQL (sequential-sum order preserved -> identical doubles)."""
+    from geotrellis_contrib_spark.functions import geometry as G
+    _views(spark, sf_dir)
+    b = spark.table("polygon_boxes")
+    g = (b.withColumn("wkb", G.box_to_wkb(
+            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")))
+          .withColumn("path", G.lpath_to_wkb(
+            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")))
+          .withColumn("cen", G.centroid_wkb(F.col("wkb")))
+          .withColumn("path_len", G.linestring_length_wkb(F.col("path"))))
+    cx, cy = F.col("cen.x"), F.col("cen.y")
+    return g.select(
+        "poly_id",
+        F.col("path_len"),
+        cx.alias("cx"), cy.alias("cy"),
+        F.when(F.col("poly_id").startswith("poly-n"),
+               G.point_geojson(cx, cy)).alias("geojson"))
 
 
 def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1022,6 +1131,82 @@ SELECT p.poly_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM pts a JOIN polygon_boxes p
   ON a.lon >= p.xmin AND a.lon < p.xmax AND a.lat >= p.ymin AND a.lat < p.ymax
 GROUP BY 1
+"""
+
+    # arbitrary-WKB polygon PIP: crossing-number parity recomputed in SQL
+    # over the unified edge set — box rings derived from polygon_boxes
+    # columns (vertex-order-independent: parity only reads each edge's
+    # (y1<=py)<>(y2<=py) straddle and the ray-intersection x), fixture
+    # rings as literal VALUES from the same PIP_WKB_POLYS tuples the engine
+    # encodes to WKB. The ray-x expression is term-for-term the engine's
+    # geom.point_in_ring arithmetic, so boundary parities agree exactly.
+    fix_edges = []
+    for pid, rings in PIP_WKB_POLYS.items():
+        for ri, ring in enumerate(rings):
+            pts = ring[:-1] if ring[0] == ring[-1] else ring
+            for i, (x1, y1) in enumerate(pts):
+                x2, y2 = pts[(i + 1) % len(pts)]
+                fix_edges.append(f"('{pid}', {ri}, CAST({x1!r} AS DOUBLE), "
+                                 f"CAST({y1!r} AS DOUBLE), CAST({x2!r} AS DOUBLE), "
+                                 f"CAST({y2!r} AS DOUBLE))")
+    _fix_vals = ",\n    ".join(fix_edges)
+    _cross = ("(e.y1 <= a.lat) <> (e.y2 <= a.lat) AND a.lon < "
+              "e.x1 + (a.lat - e.y1) / (e.y2 - e.y1) * (e.x2 - e.x1)")
+    o["pip_join_wkb"] = f"""
+{derive.cte('anchors', 'polygon_boxes')},
+edges AS (
+  SELECT poly_id, 0 AS ring, xmin AS x1, ymin AS y1, xmin AS x2, ymax AS y2 FROM polygon_boxes
+  UNION ALL SELECT poly_id, 0, xmin, ymax, xmax, ymax FROM polygon_boxes
+  UNION ALL SELECT poly_id, 0, xmax, ymax, xmax, ymin FROM polygon_boxes
+  UNION ALL SELECT poly_id, 0, xmax, ymin, xmin, ymin FROM polygon_boxes
+  UNION ALL SELECT * FROM (VALUES
+    {_fix_vals}) fx(poly_id, ring, x1, y1, x2, y2)
+), par AS (
+  SELECT a.doc_id, e.poly_id, e.ring,
+         SUM(CASE WHEN {_cross} THEN 1 ELSE 0 END) % 2 AS parity
+  FROM anchors a CROSS JOIN edges e
+  WHERE a.lon IS NOT NULL
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, poly_id FROM par
+GROUP BY doc_id, poly_id
+HAVING MAX(CASE WHEN ring = 0 THEN parity END) = 1
+   AND COALESCE(MAX(CASE WHEN ring > 0 THEN parity END), 0) = 0
+"""
+
+    # scalar geometry functions: the shoelace centroid of the box ring
+    # [(x0,y0),(x0,y1),(x1,y1),(x1,y0)] and the L-path segment-sum length,
+    # mirrored term-for-term in numpy's sequential-sum order (identical
+    # doubles); GeoJSON only over the integral-center nation boxes, where
+    # the integer formatting branch is exact in both engines.
+    _gs_cross = ("(xmin*ymax - xmin*ymin) AS c0, (xmin*ymax - xmax*ymax) AS c1, "
+                 "(xmax*ymin - xmax*ymax) AS c2, (xmax*ymin - xmin*ymin) AS c3")
+    _gs_fmt = lambda v: (f"CASE WHEN {v} = CAST(CAST({v} AS BIGINT) AS DOUBLE) "  # noqa: E731
+                         f"THEN CAST(CAST({v} AS BIGINT) AS VARCHAR) "
+                         f"ELSE CAST({v} AS VARCHAR) END")
+    o["geom_scalars"] = f"""
+{derive.cte('polygon_boxes')},
+g AS (
+  SELECT poly_id, xmin, ymin, xmax, ymax, {_gs_cross}
+  FROM polygon_boxes
+), ar AS (
+  SELECT *, (((c0 + c1) + c2) + c3) / 2.0 AS a FROM g
+), cen AS (
+  SELECT poly_id,
+    SQRT(0.0*0.0 + (ymax - ymin)*(ymax - ymin))
+      + SQRT((xmax - xmin)*(xmax - xmin) + 0.0*0.0) AS path_len,
+    ((((xmin+xmin)*c0 + (xmin+xmax)*c1) + (xmax+xmax)*c2) + (xmax+xmin)*c3)
+      / (6.0 * a) AS cx,
+    ((((ymin+ymax)*c0 + (ymax+ymax)*c1) + (ymax+ymin)*c2) + (ymin+ymin)*c3)
+      / (6.0 * a) AS cy
+  FROM ar
+)
+SELECT poly_id, path_len, cx, cy,
+       CASE WHEN poly_id LIKE 'poly-n%' THEN
+         CONCAT('{{"type":"Point","coordinates":[', {_gs_fmt('cx')}, ',',
+                {_gs_fmt('cy')}, ']}}')
+       END AS geojson
+FROM cen
 """
 
     dd = _dist_sql("a.lon", "a.lat", "b.lon", "b.lat")
@@ -1681,6 +1866,103 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM vals GROUP BY 1, 2
 """
 
+    # Datum-shift reproject (DT_DEF): SQL twin of the FULL inverse chain —
+    # Krueger tmerc inverse on the Airy ellipsoid (closed-form beta/delta
+    # series; sinh/cosh expanded via EXP), geodetic->geocentric on Airy,
+    # the exact 7-parameter Helmert matrix (literal entries of the engine's
+    # position-vector matrix), then the same 8-step unrolled
+    # geocentric->geodetic fixed-point iteration the engine pins
+    # (grid._GEOCENTRIC_ITERS). All constants are shortest-round-trip
+    # literals of the exact doubles the engine computes.
+    _dt_a, _dt_f, _dt_e2 = _gr.ellipsoid_params("airy")
+    _dt_acap, _, _, _dt_beta, _dt_delta = _gr._krueger_params(_dt_a, _dt_f)
+    _dt_k0a = 0.9996012717 * _dt_acap
+    _dt_xi0 = _gr._meridian_xi(30.0, _dt_a, _dt_f)
+    _dt_mat, _, _dt_t = _gr.helmert_matrices(
+        446.448, -125.157, 542.06, 0.15, 0.247, 0.842, -20.489)
+    _dt_aw, _dt_e2w = _gr._WGS84_A, float(_gr._E2)
+    _sh = lambda x: f"((EXP({x}) - EXP(-({x}))) / 2.0)"   # noqa: E731
+    _chh = lambda x: f"((EXP({x}) + EXP(-({x}))) / 2.0)"  # noqa: E731
+    _dt_xip = " - ".join(["xi"] + [
+        f"{_dl(b)}*SIN({2 * j}.0*xi)*{_chh(f'{2 * j}.0*eta')}"
+        for j, b in enumerate(_dt_beta, 1)])
+    _dt_etap = " - ".join(["eta"] + [
+        f"{_dl(b)}*COS({2 * j}.0*xi)*{_sh(f'{2 * j}.0*eta')}"
+        for j, b in enumerate(_dt_beta, 1)])
+    _dt_phi_os = " + ".join(["chi"] + [
+        f"{_dl(d)}*SIN({2 * j}.0*chi)" for j, d in enumerate(_dt_delta, 1)])
+    # WGS84 fixed-point step: phi <- atan2(z + e2*nu(phi)*sin(phi), p)
+    _dt_step = (f"ATAN2(zw + {_dl(_dt_e2w)}*({_dl(_dt_aw)}"
+                f"/SQRT(1.0 - {_dl(_dt_e2w)}*SIN(phi)*SIN(phi)))*SIN(phi), p)")
+    _dt_iters = "".join(
+        f", gd{i} AS MATERIALIZED (SELECT * EXCLUDE (phi), "
+        f"{_dt_step} AS phi FROM gd{i - 1})\n"
+        for i in range(1, 9))
+    _dt_cw = _dl((DT_X1 - DT_X0) / DT_COLS)
+    _dt_ch = _dl((DT_Y1 - DT_Y0) / DT_ROWS)
+    o["reproject_datum"] = f"""
+WITH tgt AS (
+  SELECT CAST({DT_X0} AS DOUBLE) + (c+0.5)*{_dt_cw} AS e,
+         CAST({DT_Y1} AS DOUBLE) - (r+0.5)*{_dt_ch} AS n
+  FROM range(0,{DT_COLS}) cs(c), range(0,{DT_ROWS}) rs(r)
+), tm AS (
+  SELECT (n - (-100000.0) + {_dl(_dt_k0a)}*{_dl(_dt_xi0)}) / {_dl(_dt_k0a)} AS xi,
+         (e - 400000.0) / {_dl(_dt_k0a)} AS eta
+  FROM tgt
+), tser AS MATERIALIZED (
+  SELECT {_dt_xip} AS xip, {_dt_etap} AS etap FROM tm
+), geo AS MATERIALIZED (
+  SELECT ASIN(SIN(xip) / {_chh('etap')}) AS chi,
+         ATAN2({_sh('etap')}, COS(xip)) AS lam
+  FROM tser
+), osll AS (
+  SELECT {_dt_phi_os} AS phi_os, -62.0 + DEGREES(lam) AS lon_os FROM geo
+), xyz AS MATERIALIZED (
+  SELECT ({_dl(_dt_a)} / SQRT(1.0 - {_dl(float(_dt_e2))}*SIN(phi_os)*SIN(phi_os)))
+           * COS(phi_os) * COS(RADIANS(lon_os)) AS xl,
+         ({_dl(_dt_a)} / SQRT(1.0 - {_dl(float(_dt_e2))}*SIN(phi_os)*SIN(phi_os)))
+           * COS(phi_os) * SIN(RADIANS(lon_os)) AS yl,
+         ({_dl(_dt_a)} / SQRT(1.0 - {_dl(float(_dt_e2))}*SIN(phi_os)*SIN(phi_os)))
+           * (1.0 - {_dl(float(_dt_e2))}) * SIN(phi_os) AS zl
+  FROM osll
+), wgs AS MATERIALIZED (
+  SELECT {_dl(float(_dt_mat[0, 0]))}*xl + {_dl(float(_dt_mat[0, 1]))}*yl
+           + {_dl(float(_dt_mat[0, 2]))}*zl + {_dl(float(_dt_t[0]))} AS xw,
+         {_dl(float(_dt_mat[1, 0]))}*xl + {_dl(float(_dt_mat[1, 1]))}*yl
+           + {_dl(float(_dt_mat[1, 2]))}*zl + {_dl(float(_dt_t[1]))} AS yw,
+         {_dl(float(_dt_mat[2, 0]))}*xl + {_dl(float(_dt_mat[2, 1]))}*yl
+           + {_dl(float(_dt_mat[2, 2]))}*zl + {_dl(float(_dt_t[2]))} AS zw
+  FROM xyz
+), gd0 AS (
+  SELECT xw, yw, zw, SQRT(xw*xw + yw*yw) AS p,
+         ATAN2(zw, SQRT(xw*xw + yw*yw)*(1.0 - {_dl(_dt_e2w)})) AS phi
+  FROM wgs)
+{_dt_iters}, pts AS (
+  SELECT DEGREES(ATAN2(yw, xw)) AS lon, DEGREES(phi) AS lat FROM gd8
+), own AS (
+  SELECT lon, lat, {C.sql_tile_col('lon', 6)} AS col, {C.sql_tile_row('lat', 6)} AS row
+  FROM pts
+), samp AS (
+  SELECT s, band, col, row,
+    CAST(FLOOR((lon - (CAST(col AS DOUBLE)/64.0*360.0-180.0)) / 0.087890625) AS BIGINT) AS ci,
+    CAST(FLOOR(({_la_lat6('CAST(row AS DOUBLE)')} - lat)
+         / (({_la_lat6('CAST(row AS DOUBLE)')} - {_la_lat6('CAST(row AS DOUBLE)+1.0')})/64.0)) AS BIGINT) AS ri
+  FROM own, range(0,3) ss(s), range(0,2) bs(band)
+  WHERE col BETWEEN 18+s AND 21+s AND row BETWEEN 24 AND 27
+), vals AS (
+  SELECT s, band,
+    CASE WHEN ri >= (s*11)%48 AND ri < (s*11)%48+16
+          AND ci >= (s*11)%48 AND ci < (s*11)%48+16 THEN -9999.0
+         ELSE s*1000.0 + band*100.0 + col*7.0 + row*3.0 + ri*0.5 + ci*0.25
+              + CAST((ri*31 + ci*17) % 13 AS DOUBLE) END AS v
+  FROM samp
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS BIGINT) AS band,
+       SUM(v) AS px_sum, CAST(COUNT(*) AS BIGINT) AS px_count
+FROM vals GROUP BY 1, 2
+"""
+
     # polygon burn: cover tiles of each hot-cluster box at zoom 9 (box
     # exact-cover == bbox cover), count pixel centers inside ANY box
     # (burn overwrite => n_burned = |union|); cover tiles whose centers all
@@ -1982,6 +2264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join": q_pip_join,
         "pip_join_salted": q_pip_join_salted,
         "pip_join_hot": q_pip_join_hot,
+        "pip_join_wkb": q_pip_join_wkb,
+        "geom_scalars": q_geom_scalars,
         "distance_join": q_distance_join,
         "haversine_pairs": q_haversine_pairs,
         "knn": q_knn,
@@ -2023,6 +2307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_albers": q_reproject_albers,
         "reproject_lcc": q_reproject_lcc,
         "reproject_proj4": q_reproject_proj4,
+        "reproject_datum": q_reproject_datum,
         "polygon_burn": q_polygon_burn,
         "pixel_warp_chain": q_pixel_warp_chain,
         "embed_topk": q_embed_topk,

@@ -140,6 +140,19 @@ def box_to_wkb(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Serie
 
 
 @F.pandas_udf(T.BinaryType())
+def lpath_to_wkb(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.Series:
+    """Axis-aligned L-path -> WKB linestring (SW corner up, then across to
+    NE): exact length = (ymax-ymin) + (xmax-xmin) — the measurable
+    linestring fixture for the scalar-function gate
+    (PostGisProjectionSupportSpec.scala:60-72 length semantics)."""
+    return pd.Series([
+        geom.wkb_encode(geom.WKB_LINESTRING,
+                        [(x0, y0), (x0, y1), (x1, y1)])
+        for x0, y0, x1, y1 in zip(xmin, ymin, xmax, ymax)
+    ])
+
+
+@F.pandas_udf(T.BinaryType())
 def point_to_wkb(x: pd.Series, y: pd.Series, srid: pd.Series) -> pd.Series:
     """Encode points as EWKB (little-endian) — the sink-side codec."""
     return pd.Series([
