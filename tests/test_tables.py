@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from geotrellis_contrib_spark import derive
 from geotrellis_contrib_spark.sources import tables
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_MED, SF_SMALL
 
 
 @pytest.fixture(scope="module")
@@ -50,6 +50,67 @@ def test_bbox_bucket_pruning(spark, tile_path):
     cols = {r.col for r in boxed.select("col").distinct().collect()}
     assert cols  # cover cells of the bbox only (bucket 8x8 blocks)
     assert all(16 <= c <= 23 for c in cols)  # bucket (2,3) spans cols 16..23
+
+
+def _rg_morton_ranges(path):
+    """(min, max) of the morton column per parquet ROW GROUP across all
+    files — the stats a reader (Spark parquet pushdown in-reader, Iceberg/
+    Delta at file level) uses to skip."""
+    import glob
+
+    import pyarrow.parquet as pq
+    out = []
+    for f in glob.glob(f"{path}/**/*.parquet", recursive=True):
+        md = pq.ParquetFile(f).metadata
+        idx = next(i for i in range(md.num_columns)
+                   if md.schema.column(i).name == "morton")
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            out.append((st.min, st.max))
+    return out
+
+
+def test_zorder_layout_rowgroup_skipping(spark, tmp_path_factory):
+    """The Z-order write layout must make a bbox read's morton interval
+    skip MORE row groups than the legacy (cell, id) col-major sort, and
+    both layouts must return identical rows for the same bbox."""
+    import math
+
+    import numpy as np
+
+    from geotrellis_contrib_spark import grid
+    derive.load_base_views(spark, SF_MED)
+    tiles = spark.sql(derive.TILES_SQL)
+    pz = str(tmp_path_factory.mktemp("zw") / "z")
+    pr = str(tmp_path_factory.mktemp("zw") / "r")
+    tables.write_tile_table(tiles, pz, layout="zorder",
+                            n_partitions=64, rowgroup_bytes=4096)
+    tables.write_tile_table(tiles, pr, layout="rowmajor", rowgroup_bytes=4096)
+    # quarter-of-bucket query: tile cols 16..19 x rows 24..27 — an ALIGNED
+    # morton subtree, the shape where col-stripe sorting must over-read
+    lo = int(grid.morton_interleave(np.int64(16), np.int64(24)))
+    hi = int(grid.morton_interleave(np.int64(19), np.int64(27)))
+    rz, rr = _rg_morton_ranges(pz), _rg_morton_ranges(pr)
+    n_z = sum(1 for a, b in rz if a <= hi and b >= lo)
+    n_r = sum(1 for a, b in rr if a <= hi and b >= lo)
+    assert n_z < n_r, (n_z, n_r)
+    # identical result rows from both layouts for the matching bbox
+    lon0, lon1 = 16 / 64 * 360 - 180, 20 / 64 * 360 - 180 - 1e-9
+
+    def lat_row(r):
+        return math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * r / 64.0))))
+    bbox = (lon0, lat_row(28) + 1e-9, lon1, lat_row(24) - 1e-9)
+    cols = ["col", "row", "band", "val", "source_idx"]
+    key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731 (NoData NULLs)
+    got_z = sorted(map(tuple, tables.read_tiles(spark, pz, zoom=6, bbox=bbox)
+                       .select(*cols).collect()), key=key)
+    got_r = sorted(map(tuple, tables.read_tiles(spark, pr, zoom=6, bbox=bbox)
+                       .select(*cols).collect()), key=key)
+    assert got_z and got_z == got_r
+    # the morton interval must be PUSHED to the parquet scan
+    plan = _plan(tables.read_tiles(spark, pz, zoom=6, bbox=bbox))
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "GreaterThanOrEqual(morton" in pushed and "LessThanOrEqual(morton" in pushed
 
 
 def test_doc_table_roundtrip(spark, tmp_path_factory):
