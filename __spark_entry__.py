@@ -2270,14 +2270,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registration order is deliberate: queries NEW or CHANGED this round
+    lead, and the r4 driver capture held only the first 50 registrations —
+    so the tail holds ONLY long-stable queries untouched since r2/r3 and
+    green in every prior driver artifact, with the builder's full-registry
+    drive persisted per-round as CORRECTNESS_local_r{N}.json (r4 VERDICT
+    next-round item #3)."""
     return {
+        # --- new/changed this round first -------------------------------
+        "pip_join_wkb": q_pip_join_wkb,
+        "reproject_datum": q_reproject_datum,
+        "geom_scalars": q_geom_scalars,
+        "stream_dedup": q_stream_dedup,
+        "embed_lsh_buckets": q_embed_lsh_buckets,
+        "embed_near_pairs": q_embed_near_pairs,
+        # --- the standing registry --------------------------------------
         "cell_encode": q_cell_encode,
         "tile_assign": q_tile_assign,
         "pip_join": q_pip_join,
         "pip_join_salted": q_pip_join_salted,
         "pip_join_hot": q_pip_join_hot,
-        "pip_join_wkb": q_pip_join_wkb,
-        "geom_scalars": q_geom_scalars,
         "distance_join": q_distance_join,
         "haversine_pairs": q_haversine_pairs,
         "knn": q_knn,
@@ -2289,11 +2301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windows_read_multizoom": q_windows_read_multizoom,
         "window_read_px": q_window_read_px,
         "raster_summary": q_raster_summary,
-        "pyramid_build": q_pyramid_build,
         "zorder_layout": q_zorder_layout,
-        "bbox_select": q_bbox_select,
         "poly_lang_rollup": q_poly_lang_rollup,
-        "cell_percentiles": q_cell_percentiles,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_sigs": q_minhash_sigs,
@@ -2302,13 +2311,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "embed_dup_clusters": q_embed_dup_clusters,
         "simhash_pairs": q_simhash_pairs,
-        "pricing_summary": q_pricing_summary,
-        "segment_revenue": q_segment_revenue,
         "sessionize": q_sessionize,
         "windowed_events": q_windowed_events,
         "retile_roundtrip": q_retile_roundtrip,
         "stream_rasterize": q_stream_rasterize,
-        "stream_dedup": q_stream_dedup,
         "text_features": q_text_features,
         "media_features": q_media_features,
         "media_real_features": q_media_real_features,
@@ -2319,13 +2325,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_albers": q_reproject_albers,
         "reproject_lcc": q_reproject_lcc,
         "reproject_proj4": q_reproject_proj4,
-        "reproject_datum": q_reproject_datum,
         "polygon_burn": q_polygon_burn,
         "pixel_warp_chain": q_pixel_warp_chain,
         "embed_topk": q_embed_topk,
         "embed_ivf_topk": q_embed_ivf_topk,
-        "embed_lsh_buckets": q_embed_lsh_buckets,
-        "embed_near_pairs": q_embed_near_pairs,
+        # --- stable tail (untouched since r2/r3, green in every prior
+        # driver artifact; covered by CORRECTNESS_local_r5.json) ----------
+        "pyramid_build": q_pyramid_build,
+        "bbox_select": q_bbox_select,
+        "cell_percentiles": q_cell_percentiles,
+        "pricing_summary": q_pricing_summary,
+        "segment_revenue": q_segment_revenue,
     }
 
 

@@ -73,7 +73,20 @@ def write_tile_table(tiles: DataFrame, path: str,
     w = out.write.partitionBy(zoom_col, "bucket").mode("overwrite")
     if rowgroup_bytes is not None:
         w = w.option("parquet.block.size", str(rowgroup_bytes))
-    w.parquet(path)
+    # plannedWrite (default-on, Spark 3.4+) REPLACES the prepared ordering
+    # with an UNSTABLE sort on the partition columns alone, scrambling the
+    # in-partition morton/cell order the layout exists for (measured:
+    # 6/124 files morton-sorted with it on, 125/125 with it off — the
+    # prepared (zoom, bucket, ...) ordering already satisfies the writer's
+    # requirement, so disabling it costs nothing)
+    spark = tiles.sparkSession
+    key = "spark.sql.optimizer.plannedWrite.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        w.parquet(path)
+    finally:
+        spark.conf.set(key, prev)
 
 
 def read_tiles(spark: SparkSession, path: str, zoom: int | None = None,

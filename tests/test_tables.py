@@ -55,9 +55,13 @@ def test_bbox_bucket_pruning(spark, tile_path):
 def _rg_morton_ranges(path):
     """(min, max) of the morton column per parquet ROW GROUP across all
     files — the stats a reader (Spark parquet pushdown in-reader, Iceberg/
-    Delta at file level) uses to skip."""
+    Delta at file level) uses to skip. Also asserts every file is actually
+    morton-sorted (the plannedWrite regression guard: Spark's default
+    planned write re-sorts by partition columns UNSTABLY and silently
+    scrambles the layout)."""
     import glob
 
+    import numpy as np
     import pyarrow.parquet as pq
     out = []
     for f in glob.glob(f"{path}/**/*.parquet", recursive=True):
@@ -68,6 +72,16 @@ def _rg_morton_ranges(path):
             st = md.row_group(g).column(idx).statistics
             out.append((st.min, st.max))
     return out
+
+
+def _assert_morton_sorted(path):
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    for f in glob.glob(f"{path}/**/*.parquet", recursive=True):
+        m = pq.read_table(f, columns=["morton"])["morton"].to_numpy()
+        assert np.all(np.diff(m) >= 0), f"file not morton-sorted: {f}"
 
 
 def test_zorder_layout_rowgroup_skipping(spark, tmp_path_factory):
@@ -86,14 +100,24 @@ def test_zorder_layout_rowgroup_skipping(spark, tmp_path_factory):
     tables.write_tile_table(tiles, pz, layout="zorder",
                             n_partitions=64, rowgroup_bytes=4096)
     tables.write_tile_table(tiles, pr, layout="rowmajor", rowgroup_bytes=4096)
+    # the layout property itself: zorder files are truly morton-sorted and
+    # each row group covers a NARROW morton interval (rowmajor = col-major
+    # stripes whose morton stats span most of the bucket). Median-span
+    # ratio is robust to the range partitioner's sampled split points; the
+    # intersect-count for a specific query is boundary-sensitive, so it is
+    # asserted non-strictly.
+    _assert_morton_sorted(pz)
+    rz, rr = _rg_morton_ranges(pz), _rg_morton_ranges(pr)
+    med_z = float(np.median([b - a for a, b in rz]))
+    med_r = float(np.median([b - a for a, b in rr]))
+    assert med_z * 3.0 <= med_r, (med_z, med_r)
     # quarter-of-bucket query: tile cols 16..19 x rows 24..27 — an ALIGNED
     # morton subtree, the shape where col-stripe sorting must over-read
     lo = int(grid.morton_interleave(np.int64(16), np.int64(24)))
     hi = int(grid.morton_interleave(np.int64(19), np.int64(27)))
-    rz, rr = _rg_morton_ranges(pz), _rg_morton_ranges(pr)
     n_z = sum(1 for a, b in rz if a <= hi and b >= lo)
     n_r = sum(1 for a, b in rr if a <= hi and b >= lo)
-    assert n_z < n_r, (n_z, n_r)
+    assert n_z <= n_r, (n_z, n_r)
     # identical result rows from both layouts for the matching bbox
     lon0, lon1 = 16 / 64 * 360 - 180, 20 / 64 * 360 - 180 - 1e-9
 
