@@ -589,6 +589,7 @@ def q_retile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_ZOOM = 8
+STREAM_TOTALS_ZOOM = 4  # bounded key space for the per-key state gate
 
 
 def q_stream_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -690,6 +691,73 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         res = spark.read.schema("doc_id string, first_seen_batch int") \
                    .parquet(f"{tmp}/out")
         return res.select("doc_id").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_stream_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming RUNNING TOTALS under the oracle gate
+    (streaming/stateful.py running_cell_totals — the per-key counter state
+    applyInPandasWithState pattern, SURVEY.md §2.8): events split into
+    three deterministic micro-batches (event_id % 3, file mtimes pinned
+    1000 s apart so the file-stream batch ORDER is deterministic), per-cell
+    cumulative (count, value-sum) across batches. Values are floored to
+    cents (exactly representable integers in doubles) so per-batch float
+    sums are order-independent. Zoom 4 (256 cells) keeps the gate on the
+    STATE semantics: applyInPandasWithState invokes the function once per
+    key per batch, so key cardinality is the cost driver — at zoom 8 the
+    sf0.1 corpus has ~1e5 keys = 3e5 per-key Python calls (measured 36 s,
+    and the state-store maintenance drag bleeds into later queries); a
+    production deployment shards state by a bounded key space the same
+    way. Oracle: the same per-batch grouping + cumulative window sums."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geotrellis_contrib_spark.streaming import stateful as stf
+
+    tmp = tempfile.mkdtemp(prefix="stream_totals_")
+    try:
+        os.makedirs(f"{tmp}/in")
+        t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                          columns=["event_id", "value"])
+        ids = t["event_id"].to_numpy()
+        vals = np.floor(np.nan_to_num(
+            t["value"].to_numpy(zero_copy_only=False).astype(np.float64),
+            nan=0.0) * 100.0)
+        for b in range(3):
+            m = ids % 3 == b
+            pq.write_table(pa.table({"event_id": pa.array(ids[m]),
+                                     "value": pa.array(vals[m])}),
+                           f"{tmp}/in/b{b}.parquet")
+            os.utime(f"{tmp}/in/b{b}.parquet", (1000000 + b * 1000,) * 2)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            stream = spark.readStream.schema("event_id bigint, value double") \
+                .option("maxFilesPerTrigger", "1").parquet(f"{tmp}/in")
+            ev = stream.withColumn(
+                "lon", -180.0 + F.pmod(F.col("event_id") * 9973 + 12345,
+                                       F.lit(100000))
+                .cast("double") / 100000.0 * 360.0).withColumn(
+                "lat", -60.0 + F.pmod(F.col("event_id") * 7919 + 54321,
+                                      F.lit(100000))
+                .cast("double") / 100000.0 * 120.0)
+            out = stf.running_cell_totals(ev, zoom=STREAM_TOTALS_ZOOM)
+            (out.writeStream.format("parquet")
+                .option("path", f"{tmp}/out")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .outputMode("append")
+                .trigger(availableNow=True).start().awaitTermination())
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        res = spark.read.schema("cell bigint, batch_events bigint, "
+                                "total_events bigint, total_value double") \
+                   .parquet(f"{tmp}/out")
+        return res.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -2095,6 +2163,29 @@ SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id
 FROM documents WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
 """
 
+    # stateful running totals: per-cell cumulative (count, value-sum)
+    # across the three deterministic micro-batches == per-batch grouping +
+    # cumulative window sums (values floored to cents -> exact integers in
+    # doubles, so float sum order cannot matter)
+    st_cell = C.sql_cell_id(str(STREAM_TOTALS_ZOOM),
+                            C.sql_tile_col("lon", STREAM_TOTALS_ZOOM),
+                            C.sql_tile_row("lat", STREAM_TOTALS_ZOOM))
+    o["stream_totals"] = f"""
+WITH ev AS (
+  SELECT event_id % 3 AS b,
+         FLOOR(COALESCE(value, 0.0) * 100.0) AS v,
+         {ev_lon} AS lon, {ev_lat} AS lat
+  FROM events),
+cells AS (
+  SELECT b, {st_cell} AS cell, CAST(COUNT(*) AS BIGINT) AS c, SUM(v) AS vs
+  FROM ev GROUP BY 1, 2)
+SELECT cell, c AS batch_events,
+       CAST(SUM(c) OVER w AS BIGINT) AS total_events,
+       SUM(vs) OVER w AS total_value
+FROM cells
+WINDOW w AS (PARTITION BY cell ORDER BY b ROWS UNBOUNDED PRECEDING)
+"""
+
     t = "text"
     o["text_features"] = f"""
 SELECT doc_id,
@@ -2282,6 +2373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_datum": q_reproject_datum,
         "geom_scalars": q_geom_scalars,
         "stream_dedup": q_stream_dedup,
+        "stream_totals": q_stream_totals,
         "embed_lsh_buckets": q_embed_lsh_buckets,
         "embed_near_pairs": q_embed_near_pairs,
         # --- the standing registry --------------------------------------

@@ -89,7 +89,20 @@ def compute_ceiling_job(spark, n: int, parts: int):
     return df.select(F.sum(v + F.log(e + 2.0) * F.sin(e) + F.sqrt(e)).alias("s"))
 
 
+def _warm_python_workers(spark) -> None:
+    """Spin up the Arrow/pandas-UDF worker pool once before timing: the
+    first Python-stage query otherwise gets billed the fleet-wide worker
+    startup (~5-10 s at local[32], measured: pip_join_wkb 11.8 s cold vs
+    1.6 s steady). JVM/codegen warm-up is likewise outside per-query
+    timings — bench measures steady-state plan cost."""
+    def _id(it):
+        yield from it
+    spark.range(0, 1024, 1, CPUS).mapInPandas(_id, "id long") \
+        .write.format("noop").mode("overwrite").save()
+
+
 def run_headline(spark) -> dict[str, float]:
+    _warm_python_workers(spark)
     times: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.time()
