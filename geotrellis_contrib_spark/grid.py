@@ -587,31 +587,41 @@ _E2 = _WGS84_F * (2.0 - _WGS84_F)
 _E1 = np.sqrt(_E2)
 
 
-def _q_authalic(phi):
+def _q_authalic(phi, e2: float = _E2):
     """Snyder (3-12): q such that the authalic sphere area from the equator
     to phi is proportional to q; q(90 deg) = _QP."""
+    e1 = np.sqrt(e2)
     s = np.sin(phi)
-    return (1.0 - _E2) * (s / (1.0 - _E2 * s * s)
-                          - (1.0 / (2.0 * _E1))
-                          * np.log((1.0 - _E1 * s) / (1.0 + _E1 * s)))
+    return (1.0 - e2) * (s / (1.0 - e2 * s * s)
+                         - (1.0 / (2.0 * e1))
+                         * np.log((1.0 - e1 * s) / (1.0 + e1 * s)))
 
 
 _QP = float(_q_authalic(np.pi / 2.0))
 _RQ = _WGS84_A * np.sqrt(_QP / 2.0)   # authalic sphere radius
 
 
-def _phi_from_q(q):
+@_lru_cache(maxsize=None)
+def _authalic_params(ell_a: float, e2: float) -> tuple[float, float]:
+    """(qp, rq) for an ellipsoid: total authalic q at the pole and the
+    authalic sphere radius. WGS84 reproduces the module constants' bits."""
+    qp = float(_q_authalic(np.pi / 2.0, e2))
+    return qp, ell_a * np.sqrt(qp / 2.0)
+
+
+def _phi_from_q(q, e2: float = _E2, qp: float = _QP):
     """Invert q -> geodetic latitude (Snyder 3-16 iteration, with the
     polar clamp where |q| -> qp and the derivative degenerates)."""
+    e1 = np.sqrt(e2)
     q = np.asarray(q, dtype=np.float64)
     phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
-    polar = np.abs(q) >= _QP * (1.0 - 1e-14)
+    polar = np.abs(q) >= qp * (1.0 - 1e-14)
     for _ in range(8):
         s = np.sin(phi)
         c = np.cos(phi)
-        den = 1.0 - _E2 * s * s
-        f = (q / (1.0 - _E2) - s / den
-             + (1.0 / (2.0 * _E1)) * np.log((1.0 - _E1 * s) / (1.0 + _E1 * s)))
+        den = 1.0 - e2 * s * s
+        f = (q / (1.0 - e2) - s / den
+             + (1.0 / (2.0 * e1)) * np.log((1.0 - e1 * s) / (1.0 + e1 * s)))
         with np.errstate(divide="ignore", invalid="ignore"):
             step = np.where(polar, 0.0, den * den / (2.0 * np.maximum(c, 1e-300)) * f)
         phi = phi + step
@@ -629,20 +639,24 @@ def _wrap_deg(d):
 
 
 def lonlat_to_laea(lon, lat, lon0: float, lat0: float,
-                   fe: float = 0.0, fn: float = 0.0):
-    """EPSG:4326 -> oblique ellipsoidal Lambert Azimuthal Equal-Area
+                   fe: float = 0.0, fn: float = 0.0,
+                   ell_a: float = _WGS84_A, e2: float = _E2):
+    """Geodetic lon/lat -> oblique ellipsoidal Lambert Azimuthal Equal-Area
     centered at (lon0, lat0) with false easting/northing (Snyder 24-2..8).
-    EPSG:3035 = (10, 52, 4321000, 3210000)."""
+    EPSG:3035 = (10, 52, 4321000, 3210000) on the default WGS84/GRS80;
+    (ell_a, e2) select another ellipsoid (parse_proj4 composes any datum
+    shift in front)."""
+    qp, rq = _authalic_params(ell_a, e2)
     lam = np.radians(_wrap_deg(np.asarray(lon, dtype=np.float64) - lon0))
     phi = np.radians(np.asarray(lat, dtype=np.float64))
     p0 = np.radians(lat0)
-    q = _q_authalic(phi)
-    q0 = float(_q_authalic(p0))
-    beta = np.arcsin(np.clip(q / _QP, -1.0, 1.0))
-    beta0 = np.arcsin(np.clip(q0 / _QP, -1.0, 1.0))
-    d_cap = _WGS84_A * float(_m_ell(p0)) / (_RQ * np.cos(beta0))
-    b_cap = _RQ * np.sqrt(2.0 / (1.0 + np.sin(beta0) * np.sin(beta)
-                                 + np.cos(beta0) * np.cos(beta) * np.cos(lam)))
+    q = _q_authalic(phi, e2)
+    q0 = float(_q_authalic(p0, e2))
+    beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+    beta0 = np.arcsin(np.clip(q0 / qp, -1.0, 1.0))
+    d_cap = ell_a * float(_m_ell(p0, e2)) / (rq * np.cos(beta0))
+    b_cap = rq * np.sqrt(2.0 / (1.0 + np.sin(beta0) * np.sin(beta)
+                                + np.cos(beta0) * np.cos(beta) * np.cos(lam)))
     x = b_cap * d_cap * np.cos(beta) * np.sin(lam)
     y = (b_cap / d_cap) * (np.cos(beta0) * np.sin(beta)
                            - np.sin(beta0) * np.cos(beta) * np.cos(lam))
@@ -650,53 +664,58 @@ def lonlat_to_laea(lon, lat, lon0: float, lat0: float,
 
 
 def laea_to_lonlat(x, y, lon0: float, lat0: float,
-                   fe: float = 0.0, fn: float = 0.0):
+                   fe: float = 0.0, fn: float = 0.0,
+                   ell_a: float = _WGS84_A, e2: float = _E2):
     """Inverse oblique ellipsoidal LAEA (Snyder 24-16..19, 26)."""
+    qp, rq = _authalic_params(ell_a, e2)
     x = np.asarray(x, dtype=np.float64) - fe
     y = np.asarray(y, dtype=np.float64) - fn
     p0 = np.radians(lat0)
-    q0 = float(_q_authalic(p0))
-    beta0 = np.arcsin(np.clip(q0 / _QP, -1.0, 1.0))
-    d_cap = _WGS84_A * float(_m_ell(p0)) / (_RQ * np.cos(beta0))
+    q0 = float(_q_authalic(p0, e2))
+    beta0 = np.arcsin(np.clip(q0 / qp, -1.0, 1.0))
+    d_cap = ell_a * float(_m_ell(p0, e2)) / (rq * np.cos(beta0))
     rho = np.sqrt((x / d_cap) ** 2 + (d_cap * y) ** 2)
-    ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * _RQ), -1.0, 1.0))
+    ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * rq), -1.0, 1.0))
     with np.errstate(divide="ignore", invalid="ignore"):
-        q = _QP * (np.cos(ce) * np.sin(beta0)
-                   + d_cap * y * np.sin(ce) * np.cos(beta0) / rho)
+        q = qp * (np.cos(ce) * np.sin(beta0)
+                  + d_cap * y * np.sin(ce) * np.cos(beta0) / rho)
         lam = np.arctan2(x * np.sin(ce),
                          d_cap * rho * np.cos(beta0) * np.cos(ce)
                          - d_cap * d_cap * y * np.sin(beta0) * np.sin(ce))
     center = rho == 0.0
-    q = np.where(center, _QP * np.sin(beta0), q)
+    q = np.where(center, qp * np.sin(beta0), q)
     lam = np.where(center, 0.0, lam)
-    phi = _phi_from_q(q)
+    phi = _phi_from_q(q, e2, qp)
     return _wrap_deg(lon0 + np.degrees(lam)), np.degrees(phi)
 
 
-def albers_constants(lat0: float, lat1: float, lat2: float):
+def albers_constants(lat0: float, lat1: float, lat2: float,
+                     ell_a: float = _WGS84_A, e2: float = _E2):
     """Albers projection constants n, C, rho0 (Snyder 14-3..14-6)."""
     p0, p1, p2 = (np.radians(v) for v in (lat0, lat1, lat2))
-    m1, m2 = float(_m_ell(p1)), float(_m_ell(p2))
-    q0, q1, q2 = (float(_q_authalic(p)) for p in (p0, p1, p2))
+    m1, m2 = float(_m_ell(p1, e2)), float(_m_ell(p2, e2))
+    q0, q1, q2 = (float(_q_authalic(p, e2)) for p in (p0, p1, p2))
     if abs(lat1 - lat2) < 1e-12:
         n = float(np.sin(p1))
     else:
         n = (m1 * m1 - m2 * m2) / (q2 - q1)
     c_cap = m1 * m1 + n * q1
-    rho0 = _WGS84_A * np.sqrt(c_cap - n * q0) / n
+    rho0 = ell_a * np.sqrt(c_cap - n * q0) / n
     return n, c_cap, rho0
 
 
 def lonlat_to_albers(lon, lat, lon0: float, lat0: float,
                      lat1: float, lat2: float,
-                     fe: float = 0.0, fn: float = 0.0):
-    """EPSG:4326 -> ellipsoidal Albers Equal-Area Conic (Snyder 14-1..14-6).
-    EPSG:5070 (Conus Albers) = (lon0=-96, lat0=23, lat1=29.5, lat2=45.5)."""
-    n, c_cap, rho0 = albers_constants(lat0, lat1, lat2)
+                     fe: float = 0.0, fn: float = 0.0,
+                     ell_a: float = _WGS84_A, e2: float = _E2):
+    """Geodetic lon/lat -> ellipsoidal Albers Equal-Area Conic (Snyder
+    14-1..14-6). EPSG:5070 (Conus Albers) = (lon0=-96, lat0=23, lat1=29.5,
+    lat2=45.5) on the default WGS84/GRS80."""
+    n, c_cap, rho0 = albers_constants(lat0, lat1, lat2, ell_a, e2)
     lam = np.radians(_wrap_deg(np.asarray(lon, dtype=np.float64) - lon0))
     phi = np.radians(np.asarray(lat, dtype=np.float64))
     theta = n * lam
-    rho = _WGS84_A * np.sqrt(np.maximum(c_cap - n * _q_authalic(phi), 0.0)) / n
+    rho = ell_a * np.sqrt(np.maximum(c_cap - n * _q_authalic(phi, e2), 0.0)) / n
     x = rho * np.sin(theta)
     y = rho0 - rho * np.cos(theta)
     return x + fe, y + fn
@@ -704,16 +723,18 @@ def lonlat_to_albers(lon, lat, lon0: float, lat0: float,
 
 def albers_to_lonlat(x, y, lon0: float, lat0: float,
                      lat1: float, lat2: float,
-                     fe: float = 0.0, fn: float = 0.0):
+                     fe: float = 0.0, fn: float = 0.0,
+                     ell_a: float = _WGS84_A, e2: float = _E2):
     """Inverse ellipsoidal Albers (Snyder 14-10..14-11)."""
-    n, c_cap, rho0 = albers_constants(lat0, lat1, lat2)
+    qp, _ = _authalic_params(ell_a, e2)
+    n, c_cap, rho0 = albers_constants(lat0, lat1, lat2, ell_a, e2)
     x = np.asarray(x, dtype=np.float64) - fe
     y = np.asarray(y, dtype=np.float64) - fn
     sgn = 1.0 if n >= 0 else -1.0
     rho = sgn * np.sqrt(x * x + (rho0 - y) ** 2)
     theta = np.arctan2(sgn * x, sgn * (rho0 - y))
-    q = (c_cap - (rho * n / _WGS84_A) ** 2) / n
-    phi = _phi_from_q(q)
+    q = (c_cap - (rho * n / ell_a) ** 2) / n
+    phi = _phi_from_q(q, e2, qp)
     return _wrap_deg(lon0 + np.degrees(theta / n)), np.degrees(phi)
 
 
@@ -941,7 +962,7 @@ DATUMS = {
 # Snyder/Krueger kernels, closing the CRS family generically instead of
 # EPSG-by-EPSG (reference parity: GeoTiffReprojectRasterSource.scala:39
 # accepts any CRS object). tmerc/lcc/merc accept any registered ellipsoid
-# plus a +towgs84 Helmert shift; laea/aea stay WGS84-only; grid-file datum
+# plus a +towgs84 Helmert shift (all six projections); grid-file datum
 # shifts (NTv2) fail loudly rather than silently reprojecting wrong.
 # ---------------------------------------------------------------------------
 
@@ -960,8 +981,8 @@ def parse_proj4(s: str):
     origins. ``tmerc``/``lcc``/``merc``/``longlat`` accept any registered
     ellipsoid (+ellps=airy/bessel/intl/clrk66/...) and a 3- or 7-parameter
     ``+towgs84`` Helmert datum shift (position-vector convention, exact
-    matrix inverse) — the EPSG:27700/OSGB family. ``laea``/``aea`` remain
-    WGS84-only (their authalic machinery is WGS84-bound). Unknown keys,
+    matrix inverse) — the EPSG:27700/OSGB family; ``laea``/``aea`` run
+    their authalic machinery on the selected ellipsoid too. Unknown keys,
     unsupported ellipsoid/datum combinations, grid-file datums, and
     non-meter units raise ``ValueError`` — a CRS the engine cannot honor
     exactly must not be silently approximated."""
@@ -1048,8 +1069,6 @@ def parse_proj4(s: str):
 
     if shift is not None and spherical:
         raise ValueError(f"+towgs84 on a sphere is meaningless: {s!r}")
-    is_wgs84 = (ell_a, ell_f) == (_WGS84_A, _WGS84_F)
-
     lon0 = fnum("lon_0", 0.0)
     lat0 = fnum("lat_0", 0.0)
     x0 = fnum("x_0", 0.0)
@@ -1123,20 +1142,25 @@ def parse_proj4(s: str):
             lambda x, y: tmerc_to_lonlat(x, y, lon0, k0, x0, y0,
                                          lat0, ell_a, ell_f))
     if proj == "laea":
-        if not is_wgs84 or shift is not None:
-            raise ValueError(f"+proj=laea supported on WGS84 only (its "
-                             f"authalic machinery is WGS84-bound): {s!r}")
-        return (lambda lon, lat: lonlat_to_laea(lon, lat, lon0, lat0, x0, y0),
-                lambda x, y: laea_to_lonlat(x, y, lon0, lat0, x0, y0))
+        if spherical:
+            raise ValueError(f"spherical laea unsupported (the kernel is "
+                             f"the ellipsoidal authalic form): {s!r}")
+        return compose(
+            lambda lon, lat: lonlat_to_laea(lon, lat, lon0, lat0, x0, y0,
+                                            ell_a, ell_e2),
+            lambda x, y: laea_to_lonlat(x, y, lon0, lat0, x0, y0,
+                                        ell_a, ell_e2))
     if proj == "aea":
-        if not is_wgs84 or shift is not None:
-            raise ValueError(f"+proj=aea supported on WGS84 only (its "
-                             f"authalic machinery is WGS84-bound): {s!r}")
+        if spherical:
+            raise ValueError(f"spherical aea unsupported: {s!r}")
         lat1, lat2 = fnum("lat_1"), fnum("lat_2")
-        return (lambda lon, lat: lonlat_to_albers(lon, lat, lon0, lat0,
-                                                  lat1, lat2, x0, y0),
-                lambda x, y: albers_to_lonlat(x, y, lon0, lat0,
-                                              lat1, lat2, x0, y0))
+        return compose(
+            lambda lon, lat: lonlat_to_albers(lon, lat, lon0, lat0,
+                                              lat1, lat2, x0, y0,
+                                              ell_a, ell_e2),
+            lambda x, y: albers_to_lonlat(x, y, lon0, lat0,
+                                          lat1, lat2, x0, y0,
+                                          ell_a, ell_e2))
     if proj == "lcc":
         if spherical:
             raise ValueError(f"spherical lcc unsupported: {s!r}")

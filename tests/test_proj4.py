@@ -104,15 +104,40 @@ def test_proj4_merc_spherical_matches_3857():
 
 def test_proj4_fail_loud():
     for bad in [
-        "+proj=laea +lat_0=52 +lon_0=10 +ellps=bessel",   # wrong ellipsoid
         "+proj=laea +lat_0=52 +units=ft",                  # non-meter units
-        "+proj=laea +towgs84=598.1,73.7,418.2",            # datum shift
+        "+proj=laea +lat_0=52 +R=6371000",                 # spherical laea
         "+proj=stere +lat_0=90",                           # unsupported proj
         "+proj=aea +lat_0=10",                             # missing parallels
         "proj=laea",                                       # malformed token
     ]:
         with pytest.raises(ValueError):
             gr.parse_proj4(bad)
+
+
+def test_proj4_laea_aea_other_ellipsoids():
+    # r5: the authalic machinery is ellipsoid-parameterized — LAEA/Albers
+    # on Bessel (with the DHDN Helmert) round-trip, and differ measurably
+    # from the WGS84 kernels
+    s_laea = ("+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 "
+              "+ellps=bessel +towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7 "
+              "+units=m +no_defs")
+    fwd, inv = gr.parse_proj4(s_laea)
+    lon = RNG.uniform(-10, 30, 300)
+    lat = RNG.uniform(35, 70, 300)
+    x, y = fwd(lon, lat)
+    l2 = inv(x, y)
+    np.testing.assert_allclose(l2[0], lon, rtol=0, atol=1e-7)
+    np.testing.assert_allclose(l2[1], lat, rtol=0, atol=1e-7)
+    xw, yw = gr.NAMED_CRS[3035][0](lon, lat)
+    assert np.max(np.abs(x - xw)) > 50.0  # datum+ellipsoid move it
+    s_aea = ("+proj=aea +lat_0=23 +lat_1=29.5 +lat_2=45.5 +lon_0=-96 "
+             "+ellps=intl +units=m +no_defs")
+    f2, i2 = gr.parse_proj4(s_aea)
+    lon = RNG.uniform(-120, -70, 300)
+    lat = RNG.uniform(25, 50, 300)
+    l3 = i2(*f2(lon, lat))
+    np.testing.assert_allclose(l3[0], lon, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(l3[1], lat, rtol=0, atol=1e-9)
 
 
 def test_proj4_longlat_identity():
