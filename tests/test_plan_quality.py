@@ -127,3 +127,23 @@ def test_fanout_probe_side_parallelism(spark):
     target = spark.sparkContext.defaultParallelism
     wide = spark.range(0, 1000, 1, target * 2)
     assert ensure_min_parallelism(wide) is wide
+
+
+def test_pip_wkb_coarse_join_broadcast_on_cell(spark):
+    # arbitrary-polygon PIP: the exploded cover-cell side must broadcast
+    # and the coarse join must ride the single-long cell key; Python
+    # appears ONLY as the Arrow refine (pip_wkb) + the tiny polygon-side
+    # encoders, never row-at-a-time
+    plan = _plan(spark, "pip_join_wkb")
+    assert "BatchEvalPython" not in plan, "row-at-a-time Python in pip_join_wkb"
+    joins = [seg for seg in plan.split("\n") if "BroadcastHashJoin" in seg]
+    assert joins, "cover join is not broadcast"
+    assert all("cell" in j for j in joins), "coarse join not on the cell key"
+
+
+def test_stream_totals_state_partitions_restored(spark):
+    # the stateful gate floors spark.sql.shuffle.partitions in-stream and
+    # MUST restore the session value afterwards
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    entrymod.queries()["stream_totals"](spark, SF_SMALL).count()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
