@@ -105,10 +105,14 @@ def q_pip_join_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
     rect = boxes.withColumn("wkb", G.box_to_wkb(
         F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"))) \
         .select("poly_id", "wkb")
-    fix = spark.createDataFrame(
-        [(pid, bytearray(GM.wkb_encode(GM.WKB_POLYGON, rings)))
-         for pid, rings in PIP_WKB_POLYS.items()],
-        "poly_id string, wkb binary")
+    # fixture rows as pure-JVM literals (array+explode over range(1)):
+    # createDataFrame would plan a 32-partition Python RDD whose near-empty
+    # partitions each pay an Arrow-stage worker round-trip inside the
+    # broadcast build (measured: ~8s of the query's first-run cost)
+    fix = spark.range(1).select(F.explode(F.array(*[
+        F.struct(F.lit(pid).alias("poly_id"),
+                 F.lit(bytes(GM.wkb_encode(GM.WKB_POLYGON, rings))).alias("wkb"))
+        for pid, rings in PIP_WKB_POLYS.items()])).alias("s")).select("s.*")
     polys = rect.unionByName(fix)
     return sj.pip_join_wkb(spark.table("anchors"), polys,
                            zoom=PIP_WKB_ZOOM).select("doc_id", "poly_id")
