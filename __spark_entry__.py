@@ -1006,6 +1006,37 @@ def q_reproject_datum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return px.window_stats(out).select("source_id", "band", "px_sum", "px_count")
 
 
+# Spherical destination: Lambert conformal conic on the authalic sphere
+# (Snyder PP1395 closed forms — the +R / +a=+b / +ellps=sphere family of
+# proj4 CRS; grid.lcc_sph_* kernels, goldens in tests/test_sphere.py from
+# Snyder's own worked example). Parallels are the classic 33/45 conic pair,
+# relocated to the fixture footprint's central meridian like the datum gate.
+SP_DEF = ("+proj=lcc +lat_1=33 +lat_2=45 +lat_0=23 +lon_0=-62 +x_0=500000 "
+          "+y_0=-300000 +R=6370997 +units=m +no_defs")
+SP_X0, SP_Y0, SP_X1, SP_Y1 = -1350000.0, -500000.0, 2950000.0, 2000000.0
+SP_COLS, SP_ROWS = 101, 89
+
+
+def q_reproject_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reprojectToGrid onto a SPHERICAL destination (the +R proj4 family —
+    spherical LCC closed forms, grid.lcc_sph_to_lonlat): the pixel fixture
+    warped onto an explicit target GridExtent, NaN-aware window checksums
+    per (source, band). Oracle: the Snyder 15-5/14-11 inverse recomputed
+    in SQL with the engine's own (n, rf=k0*R*F, rho0, 1/n) constants as
+    literals — rho/theta/phi arithmetic term-for-term. Reference parity:
+    arbitrary CRS objects at GeoTiffReprojectRasterSource.scala:39."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark import grid as GR
+    from geotrellis_contrib_spark.operators import pixels as px
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    target = GR.GridExtent(SP_X0, SP_Y0, SP_X1, SP_Y1,
+                           (SP_X1 - SP_X0) / SP_COLS, (SP_Y1 - SP_Y0) / SP_ROWS)
+    out = px.reproject_to_grid(tiles, target, method="nearest",
+                               tile_size=64, dst_crs=SP_DEF)
+    return px.window_stats(out).select("source_id", "band", "px_sum", "px_count")
+
+
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis battery: token counts (ws + BPE-ish), quality ratios,
     language-ID heuristic, rolling-hash fingerprint — all JVM-side."""
@@ -2047,6 +2078,55 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM vals GROUP BY 1, 2
 """
 
+    # Spherical reproject (SP_DEF): SQL twin of the Snyder spherical LCC
+    # inverse (15-5 / 14-10 / 14-11) — rho, theta, then phi =
+    # 2*atan((rf/rho)^(1/n)) - pi/2 with the engine's own precomputed
+    # (n, rf=k0*R*F, rho0, 1/n) doubles as literals
+    # (grid.lcc_sph_constants / lcc_sph_to_lonlat, same expression tree).
+    _sp_n, _sp_rf, _sp_rho0 = _gr.lcc_sph_constants(23.0, 33.0, 45.0,
+                                                    6370997.0, 1.0)
+    assert _sp_n > 0  # the SQL twin omits the sign-flip legs
+    _sp_inv_n = 1.0 / _sp_n
+    _sp_cw = _dl((SP_X1 - SP_X0) / SP_COLS)
+    _sp_ch = _dl((SP_Y1 - SP_Y0) / SP_ROWS)
+    o["reproject_sphere"] = f"""
+WITH tgt AS (
+  SELECT CAST({SP_X0} AS DOUBLE) + (c+0.5)*{_sp_cw} - 500000.0 AS xs,
+         CAST({SP_Y1} AS DOUBLE) - (r+0.5)*{_sp_ch} - (-300000.0) AS ys
+  FROM range(0,{SP_COLS}) cs(c), range(0,{SP_ROWS}) rs(r)
+), inv AS (
+  SELECT SQRT(xs*xs + ({_dl(_sp_rho0)}-ys)*({_dl(_sp_rho0)}-ys)) AS rho,
+         ATAN2(xs, {_dl(_sp_rho0)}-ys) AS theta
+  FROM tgt
+), pts AS (
+  SELECT -62.0 + DEGREES(theta/{_dl(_sp_n)}) AS lon,
+         DEGREES(2.0*ATAN(POWER({_dl(_sp_rf)}/rho, {_dl(_sp_inv_n)}))
+                 - PI()/2.0) AS lat
+  FROM inv
+), own AS (
+  SELECT lon, lat, {C.sql_tile_col('lon', 6)} AS col, {C.sql_tile_row('lat', 6)} AS row
+  FROM pts
+), samp AS (
+  SELECT s, band, col, row,
+    CAST(FLOOR((lon - (CAST(col AS DOUBLE)/64.0*360.0-180.0)) / 0.087890625) AS BIGINT) AS ci,
+    CAST(FLOOR(({_la_lat6('CAST(row AS DOUBLE)')} - lat)
+         / (({_la_lat6('CAST(row AS DOUBLE)')} - {_la_lat6('CAST(row AS DOUBLE)+1.0')})/64.0)) AS BIGINT) AS ri
+  FROM own, range(0,3) ss(s), range(0,2) bs(band)
+  WHERE col BETWEEN 18+s AND 21+s AND row BETWEEN 24 AND 27
+), vals AS (
+  SELECT s, band,
+    CASE WHEN ri >= (s*11)%48 AND ri < (s*11)%48+16
+          AND ci >= (s*11)%48 AND ci < (s*11)%48+16 THEN -9999.0
+         ELSE s*1000.0 + band*100.0 + col*7.0 + row*3.0 + ri*0.5 + ci*0.25
+              + CAST((ri*31 + ci*17) % 13 AS DOUBLE) END AS v
+  FROM samp
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS BIGINT) AS band,
+       SUM(v) AS px_sum, CAST(COUNT(*) AS BIGINT) AS px_count
+FROM vals GROUP BY 1, 2
+"""
+
     # polygon burn: cover tiles of each hot-cluster box at zoom 9 (box
     # exact-cover == bbox cover), count pixel centers inside ANY box
     # (burn overwrite => n_burned = |union|); cover tiles whose centers all
@@ -2374,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new/changed this round first -------------------------------
         "pip_join_wkb": q_pip_join_wkb,
+        "reproject_sphere": q_reproject_sphere,
         "reproject_datum": q_reproject_datum,
         "geom_scalars": q_geom_scalars,
         "stream_dedup": q_stream_dedup,

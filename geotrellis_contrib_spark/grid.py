@@ -821,6 +821,169 @@ def lcc_to_lonlat(x, y, lon0: float, lat0: float,
     return _wrap_deg(lon0 + np.degrees(theta / n)), np.degrees(phi)
 
 
+# ---------------------------------------------------------------------------
+# Spherical projection forms (Snyder, USGS PP 1395 — closed forms, no
+# series/iterations). proj4 selects these when the CRS carries +R, a lone
+# +a, +a=+b, or +ellps=sphere; they are distinct projections from the
+# ellipsoidal kernels above (a sphere is not the e->0 special case of the
+# code paths, it has its own exact closed forms). Reference parity:
+# arbitrary proj4 CRS objects at GeoTiffReprojectRasterSource.scala:39.
+# ---------------------------------------------------------------------------
+
+def lonlat_to_tmerc_sph(lon, lat, lon0: float, k0: float = 1.0,
+                        x0: float = 0.0, y0: float = 0.0, lat0: float = 0.0,
+                        radius: float = 6370997.0):
+    """Spherical transverse Mercator forward (Snyder 8-1, 8-3): x =
+    k0*R*atanh(B), y = k0*R*(atan2(tan(phi), cos(lam)) - phi0)."""
+    lam = np.radians(_wrap_deg(np.asarray(lon, dtype=np.float64) - lon0))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    b = np.cos(phi) * np.sin(lam)
+    kr = k0 * radius
+    x = x0 + kr * np.arctanh(b)
+    y = y0 + kr * (np.arctan2(np.tan(phi), np.cos(lam)) - np.radians(lat0))
+    return x, y
+
+
+def tmerc_sph_to_lonlat(x, y, lon0: float, k0: float = 1.0,
+                        x0: float = 0.0, y0: float = 0.0, lat0: float = 0.0,
+                        radius: float = 6370997.0):
+    """Spherical transverse Mercator inverse (Snyder 8-6..8-8)."""
+    kr = k0 * radius
+    xp = (np.asarray(x, dtype=np.float64) - x0) / kr
+    d = (np.asarray(y, dtype=np.float64) - y0) / kr + np.radians(lat0)
+    phi = np.arcsin(np.clip(np.sin(d) / np.cosh(xp), -1.0, 1.0))
+    lam = np.arctan2(np.sinh(xp), np.cos(d))
+    return _wrap_deg(lon0 + np.degrees(lam)), np.degrees(phi)
+
+
+def lonlat_to_laea_sph(lon, lat, lon0: float, lat0: float,
+                       x0: float = 0.0, y0: float = 0.0,
+                       radius: float = 6370997.0):
+    """Spherical oblique Lambert azimuthal equal-area forward (Snyder
+    24-2..24-4)."""
+    lam = np.radians(_wrap_deg(np.asarray(lon, dtype=np.float64) - lon0))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    phi0 = np.radians(np.float64(lat0))
+    kp = np.sqrt(2.0 / (1.0 + np.sin(phi0) * np.sin(phi)
+                        + np.cos(phi0) * np.cos(phi) * np.cos(lam)))
+    x = x0 + radius * kp * np.cos(phi) * np.sin(lam)
+    y = y0 + radius * kp * (np.cos(phi0) * np.sin(phi)
+                            - np.sin(phi0) * np.cos(phi) * np.cos(lam))
+    return x, y
+
+
+def laea_sph_to_lonlat(x, y, lon0: float, lat0: float,
+                       x0: float = 0.0, y0: float = 0.0,
+                       radius: float = 6370997.0):
+    """Spherical oblique LAEA inverse (Snyder 20-14..20-18 with
+    24-16..24-19): rho = 0 maps to the projection center exactly."""
+    xs = np.asarray(x, dtype=np.float64) - x0
+    ys = np.asarray(y, dtype=np.float64) - y0
+    phi0 = np.radians(np.float64(lat0))
+    rho = np.sqrt(xs * xs + ys * ys)
+    c = 2.0 * np.arcsin(np.clip(rho / (2.0 * radius), -1.0, 1.0))
+    safe = np.where(rho > 0.0, rho, 1.0)
+    phi = np.arcsin(np.clip(
+        np.cos(c) * np.sin(phi0)
+        + np.where(rho > 0.0, ys * np.sin(c) * np.cos(phi0) / safe, 0.0),
+        -1.0, 1.0))
+    lam = np.arctan2(xs * np.sin(c),
+                     safe * np.cos(phi0) * np.cos(c)
+                     - ys * np.sin(phi0) * np.sin(c))
+    lam = np.where(rho > 0.0, lam, 0.0)
+    return _wrap_deg(lon0 + np.degrees(lam)), np.degrees(phi)
+
+
+def albers_sph_constants(lat0: float, lat1: float, lat2: float,
+                         radius: float = 6370997.0):
+    """Spherical Albers cone constants (Snyder 14-5, 14-6, 14-3 at phi0):
+    (n, C, rho0)."""
+    phi0, phi1, phi2 = (np.radians(np.float64(v)) for v in (lat0, lat1, lat2))
+    n = (np.sin(phi1) + np.sin(phi2)) / 2.0
+    c_cap = np.cos(phi1) ** 2 + 2.0 * n * np.sin(phi1)
+    rho0 = radius * np.sqrt(c_cap - 2.0 * n * np.sin(phi0)) / n
+    return float(n), float(c_cap), float(rho0)
+
+
+def lonlat_to_albers_sph(lon, lat, lon0: float, lat0: float,
+                         lat1: float, lat2: float,
+                         x0: float = 0.0, y0: float = 0.0,
+                         radius: float = 6370997.0):
+    """Spherical Albers equal-area conic forward (Snyder 14-1..14-4)."""
+    n, c_cap, rho0 = albers_sph_constants(lat0, lat1, lat2, radius)
+    lam = np.radians(_wrap_deg(np.asarray(lon, dtype=np.float64) - lon0))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    rho = radius * np.sqrt(c_cap - 2.0 * n * np.sin(phi)) / n
+    theta = n * lam
+    return x0 + rho * np.sin(theta), y0 + rho0 - rho * np.cos(theta)
+
+
+def albers_sph_to_lonlat(x, y, lon0: float, lat0: float,
+                         lat1: float, lat2: float,
+                         x0: float = 0.0, y0: float = 0.0,
+                         radius: float = 6370997.0):
+    """Spherical Albers inverse (Snyder 14-8..14-11)."""
+    n, c_cap, rho0 = albers_sph_constants(lat0, lat1, lat2, radius)
+    xs = np.asarray(x, dtype=np.float64) - x0
+    ys = np.asarray(y, dtype=np.float64) - y0
+    sgn = 1.0 if n >= 0 else -1.0
+    rho = sgn * np.sqrt(xs * xs + (rho0 - ys) * (rho0 - ys))
+    theta = np.arctan2(sgn * xs, sgn * (rho0 - ys))
+    phi = np.arcsin(np.clip((c_cap - (rho * n / radius) ** 2) / (2.0 * n),
+                            -1.0, 1.0))
+    return _wrap_deg(lon0 + np.degrees(theta / n)), np.degrees(phi)
+
+
+def lcc_sph_constants(lat0: float, lat1: float, lat2: float,
+                      radius: float = 6370997.0, k0: float = 1.0):
+    """Spherical Lambert conformal conic constants (Snyder 15-3, 15-2,
+    15-1a at phi0): (n, rf, rho0) where rf = k0*R*F so the inverse's
+    rf/rho is ONE precomputed double (the SQL oracle renders it as a
+    literal and must reproduce the engine arithmetic term-for-term)."""
+    phi0, phi1, phi2 = (np.radians(np.float64(v)) for v in (lat0, lat1, lat2))
+    if lat1 == lat2:
+        n = np.sin(phi1)
+    else:
+        n = (np.log(np.cos(phi1) / np.cos(phi2))
+             / np.log(np.tan(np.pi / 4.0 + phi2 / 2.0)
+                      / np.tan(np.pi / 4.0 + phi1 / 2.0)))
+    f_cap = np.cos(phi1) * np.tan(np.pi / 4.0 + phi1 / 2.0) ** n / n
+    rf = k0 * radius * f_cap
+    rho0 = rf / np.tan(np.pi / 4.0 + phi0 / 2.0) ** n
+    return float(n), float(rf), float(rho0)
+
+
+def lonlat_to_lcc_sph(lon, lat, lon0: float, lat0: float,
+                      lat1: float, lat2: float,
+                      x0: float = 0.0, y0: float = 0.0,
+                      radius: float = 6370997.0, k0: float = 1.0):
+    """Spherical Lambert conformal conic forward (Snyder 15-1, 15-4)."""
+    n, rf, rho0 = lcc_sph_constants(lat0, lat1, lat2, radius, k0)
+    lam = np.radians(_wrap_deg(np.asarray(lon, dtype=np.float64) - lon0))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    rho = rf / np.tan(np.pi / 4.0 + phi / 2.0) ** n
+    theta = n * lam
+    return x0 + rho * np.sin(theta), y0 + rho0 - rho * np.cos(theta)
+
+
+def lcc_sph_to_lonlat(x, y, lon0: float, lat0: float,
+                      lat1: float, lat2: float,
+                      x0: float = 0.0, y0: float = 0.0,
+                      radius: float = 6370997.0, k0: float = 1.0):
+    """Spherical LCC inverse (Snyder 15-5, 14-10/11): phi = 2*atan((rf/
+    rho)^(1/n)) - pi/2. The expression tree mirrors the SQL oracle of the
+    reproject_sphere gate exactly (same precomputed rf, rho0, 1/n)."""
+    n, rf, rho0 = lcc_sph_constants(lat0, lat1, lat2, radius, k0)
+    inv_n = 1.0 / n
+    xs = np.asarray(x, dtype=np.float64) - x0
+    ys = np.asarray(y, dtype=np.float64) - y0
+    sgn = 1.0 if n >= 0 else -1.0
+    rho = sgn * np.sqrt(xs * xs + (rho0 - ys) * (rho0 - ys))
+    theta = np.arctan2(sgn * xs, sgn * (rho0 - ys))
+    phi = 2.0 * np.arctan(np.power(rf / rho, inv_n)) - np.pi / 2.0
+    return _wrap_deg(lon0 + np.degrees(theta / n)), np.degrees(phi)
+
+
 # umbrella registry of all named projected CRS (equal-area family plus
 # the conformal conics); EQUAL_AREA_CRS stays as the equal-area subset
 NAMED_CRS = dict(EQUAL_AREA_CRS)
@@ -969,16 +1132,16 @@ DATUMS = {
 _PROJ4_IGNORED = {"no_defs", "wktext", "type"}
 _PROJ4_PARAM_KEYS = {"proj", "lat_0", "lon_0", "lat_1", "lat_2",
                      "x_0", "y_0", "k_0", "k", "units", "ellps", "datum",
-                     "towgs84", "a", "b", "R"}
+                     "towgs84", "nadgrids", "a", "b", "R"}
 
 
 def parse_proj4(s: str):
     """Parse a proj4 string into ``(forward, inverse)`` WGS84-lon/lat <->
-    x/y closures. Supported projections: ``longlat``, ``merc`` (spherical
-    via +R / lone +a / +a=+b, or ellipsoidal via conformal latitude),
-    ``tmerc`` (Krueger, any +lon_0/+k_0/+lat_0), ``laea``, ``aea``, ``lcc``
-    (Snyder ellipsoidal, any parallels/centers), each with +x_0/+y_0 false
-    origins. ``tmerc``/``lcc``/``merc``/``longlat`` accept any registered
+    x/y closures. Supported projections: ``longlat``, ``merc``, ``tmerc``
+    (Krueger, any +lon_0/+k_0/+lat_0), ``laea``, ``aea``, ``lcc`` (Snyder,
+    any parallels/centers), each with +x_0/+y_0 false origins, each in BOTH
+    the ellipsoidal form and the spherical closed form (+R / lone +a /
+    +a=+b / +ellps=sphere select the Snyder spherical kernels). ``tmerc``/``lcc``/``merc``/``longlat`` accept any registered
     ellipsoid (+ellps=airy/bessel/intl/clrk66/...) and a 3- or 7-parameter
     ``+towgs84`` Helmert datum shift (position-vector convention, exact
     matrix inverse) — the EPSG:27700/OSGB family; ``laea``/``aea`` run
@@ -1021,7 +1184,8 @@ def parse_proj4(s: str):
         if kv["datum"] not in DATUMS:
             raise ValueError(
                 f"unsupported +datum={kv['datum']} (grid-file datums like "
-                f"NAD27 need NTv2 shifts the engine will not approximate): "
+                f"NAD27 need their NTv2 grid — pass it explicitly via "
+                f"+nadgrids=<file.gsb>; the engine will not approximate): "
                 f"{s!r}")
         datum_ell, datum_towgs84 = DATUMS[kv["datum"]]
 
@@ -1038,6 +1202,20 @@ def parse_proj4(s: str):
         shift = datum_towgs84
     if shift is not None and not any(v != 0.0 for v in shift):
         shift = None  # identity shift == no shift
+
+    # --- nadgrids: NTv2 grid-file datum (loaded EAGERLY at parse time so
+    # the returned closures carry the shift arrays, not the file path) ----
+    ntv2 = None
+    if "nadgrids" in kv:
+        if kv["nadgrids"] in ("@null", "null"):
+            pass  # explicit no-shift marker (proj4 convention)
+        else:
+            if shift is not None:
+                raise ValueError(
+                    f"+nadgrids combined with +towgs84/+datum shift is "
+                    f"ambiguous — pick one: {s!r}")
+            from geotrellis_contrib_spark import gridshift as _gs
+            ntv2 = _gs.read_ntv2(kv["nadgrids"])
 
     # --- ellipsoid resolution (proj4 precedence: +a/+b/+R > +ellps > datum)
     a_str, b_str = kv.get("a"), kv.get("b")
@@ -1067,8 +1245,8 @@ def parse_proj4(s: str):
     ell_a, ell_f, ell_e2 = ell
     spherical = ell_f == 0.0
 
-    if shift is not None and spherical:
-        raise ValueError(f"+towgs84 on a sphere is meaningless: {s!r}")
+    if (shift is not None or ntv2 is not None) and spherical:
+        raise ValueError(f"datum shift on a sphere is meaningless: {s!r}")
     lon0 = fnum("lon_0", 0.0)
     lat0 = fnum("lat_0", 0.0)
     x0 = fnum("x_0", 0.0)
@@ -1077,7 +1255,19 @@ def parse_proj4(s: str):
 
     def compose(p_fwd, p_inv):
         """Wrap projection closures (geodetic-on-local-datum <-> x/y) with
-        the Helmert datum legs so the returned pair is WGS84 <-> x/y."""
+        the datum legs (7-param Helmert or NTv2 grid shift) so the returned
+        pair is WGS84 <-> x/y."""
+        if ntv2 is not None:
+            from geotrellis_contrib_spark import gridshift as _gs
+
+            def fwd_g(lon, lat):
+                dlon, dlat = _gs.shift_inverse(lon, lat, ntv2)
+                return p_fwd(dlon, dlat)
+
+            def inv_g(x, y):
+                dlon, dlat = p_inv(x, y)
+                return _gs.shift_forward(dlon, dlat, ntv2)
+            return fwd_g, inv_g
         if shift is None:
             return p_fwd, p_inv
 
@@ -1134,26 +1324,41 @@ def parse_proj4(s: str):
         return compose(m_fwd, m_inv)
     if proj == "tmerc":
         if spherical:
-            raise ValueError(f"spherical tmerc unsupported (Krueger kernel "
-                             f"is ellipsoidal): {s!r}")
+            return compose(
+                lambda lon, lat: lonlat_to_tmerc_sph(lon, lat, lon0, k0,
+                                                     x0, y0, lat0, ell_a),
+                lambda x, y: tmerc_sph_to_lonlat(x, y, lon0, k0,
+                                                 x0, y0, lat0, ell_a))
         return compose(
             lambda lon, lat: lonlat_to_tmerc(lon, lat, lon0, k0, x0, y0,
                                              lat0, ell_a, ell_f),
             lambda x, y: tmerc_to_lonlat(x, y, lon0, k0, x0, y0,
                                          lat0, ell_a, ell_f))
     if proj == "laea":
+        if k0 != 1.0:
+            raise ValueError(f"+k_0 is not a laea parameter: {s!r}")
         if spherical:
-            raise ValueError(f"spherical laea unsupported (the kernel is "
-                             f"the ellipsoidal authalic form): {s!r}")
+            return compose(
+                lambda lon, lat: lonlat_to_laea_sph(lon, lat, lon0, lat0,
+                                                    x0, y0, ell_a),
+                lambda x, y: laea_sph_to_lonlat(x, y, lon0, lat0,
+                                                x0, y0, ell_a))
         return compose(
             lambda lon, lat: lonlat_to_laea(lon, lat, lon0, lat0, x0, y0,
                                             ell_a, ell_e2),
             lambda x, y: laea_to_lonlat(x, y, lon0, lat0, x0, y0,
                                         ell_a, ell_e2))
     if proj == "aea":
-        if spherical:
-            raise ValueError(f"spherical aea unsupported: {s!r}")
+        if k0 != 1.0:
+            raise ValueError(f"+k_0 is not an aea parameter: {s!r}")
         lat1, lat2 = fnum("lat_1"), fnum("lat_2")
+        if spherical:
+            return compose(
+                lambda lon, lat: lonlat_to_albers_sph(lon, lat, lon0, lat0,
+                                                      lat1, lat2, x0, y0,
+                                                      ell_a),
+                lambda x, y: albers_sph_to_lonlat(x, y, lon0, lat0,
+                                                  lat1, lat2, x0, y0, ell_a))
         return compose(
             lambda lon, lat: lonlat_to_albers(lon, lat, lon0, lat0,
                                               lat1, lat2, x0, y0,
@@ -1162,10 +1367,20 @@ def parse_proj4(s: str):
                                           lat1, lat2, x0, y0,
                                           ell_a, ell_e2))
     if proj == "lcc":
-        if spherical:
-            raise ValueError(f"spherical lcc unsupported: {s!r}")
         lat1 = fnum("lat_1")
         lat2 = fnum("lat_2", lat1)  # 1SP degenerates to lat_2 = lat_1
+        if spherical:
+            return compose(
+                lambda lon, lat: lonlat_to_lcc_sph(lon, lat, lon0, lat0,
+                                                   lat1, lat2, x0, y0,
+                                                   ell_a, k0),
+                lambda x, y: lcc_sph_to_lonlat(x, y, lon0, lat0,
+                                               lat1, lat2, x0, y0,
+                                               ell_a, k0))
+        if k0 != 1.0:
+            raise ValueError(f"+k_0 != 1 on ellipsoidal lcc is not wired "
+                             f"into the Snyder kernel (it would be silently "
+                             f"ignored): {s!r}")
         return compose(
             lambda lon, lat: lonlat_to_lcc(lon, lat, lon0, lat0,
                                            lat1, lat2, x0, y0, ell_a, ell_e2),

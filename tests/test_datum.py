@@ -177,11 +177,8 @@ def test_datum_fail_loud():
     for bad in [
         "+proj=tmerc +lat_0=49 +lon_0=-2 +datum=NAD27",   # grid-file datum
         "+proj=tmerc +lon_0=0 +ellps=hough",              # unknown ellipsoid
-        "+proj=tmerc +lon_0=0 +R=6371000",                # spherical tmerc
-        "+proj=lcc +lat_1=30 +a=6371000",                 # spherical lcc
         "+proj=merc +R=6371000 +towgs84=100,0,0",         # shift on a sphere
         "+proj=tmerc +lon_0=0 +towgs84=1,2",              # malformed towgs84
-        "+proj=aea +lat_1=20 +lat_2=40 +a=6371000",       # spherical aea
     ]:
         with pytest.raises(ValueError):
             gr.parse_proj4(bad)

@@ -1,0 +1,133 @@
+"""NTv2 grid-shift datum: .gsb codec, bilinear application, proj4 wiring.
+
+Reference parity: arbitrary proj4 CRS objects (incl. grid-file datums) at
+/root/reference/vlm/src/main/scala/geotrellis/contrib/vlm/geotiff/
+GeoTiffReprojectRasterSource.scala:39. The binary layout is the public
+NTv2 spec (Geodetic Survey of Canada; the format PROJ consumes).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from geotrellis_contrib_spark import grid as GR
+from geotrellis_contrib_spark import gridshift as GS
+
+
+def synth_field(nrows: int, ncols: int):
+    """Deterministic f32-exact shift field (arc-seconds): multiples of
+    1/64 — the same closed form the reproject_nadgrid oracle recomputes."""
+    i = np.arange(nrows).reshape(-1, 1)
+    j = np.arange(ncols).reshape(1, -1)
+    lat_shift = (((i * 13 + j * 7) % 32) * 16 + 256).astype(np.float32)
+    lon_shift = (((i * 5 + j * 11) % 32) * 16 + 320).astype(np.float32)
+    return lat_shift, lon_shift
+
+
+def make_grid(tmp_path, s_lat_deg=20.0, n_lat_deg=43.0,
+              e_long_deg=38.0, w_long_deg=80.0, inc_deg=0.5):
+    nrows = round((n_lat_deg - s_lat_deg) / inc_deg) + 1
+    ncols = round((w_long_deg - e_long_deg) / inc_deg) + 1
+    lat_shift, lon_shift = synth_field(nrows, ncols)
+    path = os.path.join(tmp_path, "synth.gsb")
+    GS.write_ntv2(path, s_lat_deg * 3600.0, n_lat_deg * 3600.0,
+                  e_long_deg * 3600.0, w_long_deg * 3600.0,
+                  inc_deg * 3600.0, inc_deg * 3600.0, lat_shift, lon_shift)
+    return path, lat_shift, lon_shift
+
+
+def test_codec_roundtrip(tmp_path):
+    path, lat_shift, lon_shift = make_grid(str(tmp_path))
+    g = GS.read_ntv2(path)
+    assert g.nrows == 47 and g.ncols == 85
+    assert g.s_lat == 20.0 * 3600.0 and g.w_long == 80.0 * 3600.0
+    np.testing.assert_array_equal(g.lat_shift, lat_shift)
+    np.testing.assert_array_equal(g.lon_shift, lon_shift)
+
+
+def test_bilinear_at_nodes_and_midpoints(tmp_path):
+    path, lat_shift, lon_shift = make_grid(str(tmp_path))
+    g = GS.read_ntv2(path)
+    # node (i=4, j=10): lat = 20 + 4*0.5 = 22, lon_east = -(38 + 10*0.5) = -43
+    dlat, dlon = GS._bilinear(g, np.array([-43.0]), np.array([22.0]))
+    assert dlat[0] == float(lat_shift[4, 10])
+    assert dlon[0] == float(lon_shift[4, 10])
+    # midpoint between 4 nodes = average of the corners
+    dlat, dlon = GS._bilinear(g, np.array([-43.25]), np.array([22.25]))
+    assert dlat[0] == pytest.approx(
+        float(lat_shift[4:6, 10:12].astype(np.float64).mean()), abs=1e-9)
+    assert dlon[0] == pytest.approx(
+        float(lon_shift[4:6, 10:12].astype(np.float64).mean()), abs=1e-9)
+
+
+def test_forward_inverse_roundtrip(tmp_path):
+    path, _, _ = make_grid(str(tmp_path))
+    g = GS.read_ntv2(path)
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-78.0, -40.0, 500)
+    lat = rng.uniform(22.0, 41.0, 500)
+    flon, flat = GS.shift_forward(lon, lat, g)
+    # shifts are ~0.07-0.21 degrees by construction — they must bite
+    assert np.min(np.abs(flat - lat)) > 0.05
+    blon, blat = GS.shift_inverse(flon, flat, g)
+    np.testing.assert_allclose(blon, lon, atol=1e-9)
+    np.testing.assert_allclose(blat, lat, atol=1e-9)
+
+
+def test_outside_grid_raises(tmp_path):
+    path, _, _ = make_grid(str(tmp_path))
+    g = GS.read_ntv2(path)
+    with pytest.raises(ValueError, match="outside the NTv2 grid"):
+        GS.shift_forward(np.array([-100.0]), np.array([30.0]), g)
+    with pytest.raises(ValueError, match="outside the NTv2 grid"):
+        GS.shift_forward(np.array([-50.0]), np.array([55.0]), g)
+
+
+def test_parse_proj4_nadgrids_roundtrip(tmp_path):
+    path, _, _ = make_grid(str(tmp_path))
+    crs = (f"+proj=lcc +lat_1=33 +lat_2=45 +lat_0=23 +lon_0=-62 "
+           f"+x_0=500000 +y_0=-300000 +ellps=clrk66 +nadgrids={path} "
+           f"+units=m +no_defs")
+    fwd, inv = GR.parse_proj4(crs)
+    lon = np.array([-75.0, -62.0, -45.5])
+    lat = np.array([35.0, 32.0, 33.3])
+    x, y = fwd(lon, lat)
+    rlon, rlat = inv(x, y)
+    np.testing.assert_allclose(rlon, lon, atol=1e-8)
+    np.testing.assert_allclose(rlat, lat, atol=1e-8)
+    # the grid must actually bite: same projection WITHOUT the shift
+    fwd0, _ = GR.parse_proj4(
+        "+proj=lcc +lat_1=33 +lat_2=45 +lat_0=23 +lon_0=-62 "
+        "+x_0=500000 +y_0=-300000 +ellps=clrk66 +units=m +no_defs")
+    x0, y0 = fwd0(lon, lat)
+    assert np.min(np.abs(y - y0)) > 1000.0  # ~0.1 deg of shift in meters
+
+
+def test_parse_proj4_nadgrids_fail_loud(tmp_path):
+    path, _, _ = make_grid(str(tmp_path))
+    with pytest.raises(FileNotFoundError):
+        GR.parse_proj4("+proj=longlat +ellps=clrk66 +nadgrids=/nope.gsb")
+    with pytest.raises(ValueError, match="ambiguous"):
+        GR.parse_proj4(f"+proj=longlat +ellps=clrk66 +nadgrids={path} "
+                       f"+towgs84=1,2,3")
+    with pytest.raises(ValueError, match="sphere"):
+        GR.parse_proj4(f"+proj=lcc +lat_1=33 +lat_0=23 +lon_0=-62 "
+                       f"+R=6370997 +nadgrids={path}")
+    # @null marker = no shift at all
+    fwd, _ = GR.parse_proj4("+proj=longlat +ellps=clrk66 +nadgrids=@null")
+    x, y = fwd(np.array([-62.0]), np.array([33.0]))
+    assert x[0] == -62.0 and y[0] == 33.0
+
+
+def test_multi_subgrid_rejected(tmp_path):
+    path, lat_shift, lon_shift = make_grid(str(tmp_path))
+    data = bytearray(open(path, "rb").read())
+    # patch NUM_FILE to 2
+    import struct
+    off = 2 * 16 + 8
+    data[off:off + 4] = struct.pack("<i", 2)
+    p2 = os.path.join(str(tmp_path), "multi.gsb")
+    open(p2, "wb").write(bytes(data))
+    with pytest.raises(ValueError, match="multi-sub-grid"):
+        GS.read_ntv2(p2)

@@ -105,7 +105,6 @@ def test_proj4_merc_spherical_matches_3857():
 def test_proj4_fail_loud():
     for bad in [
         "+proj=laea +lat_0=52 +units=ft",                  # non-meter units
-        "+proj=laea +lat_0=52 +R=6371000",                 # spherical laea
         "+proj=stere +lat_0=90",                           # unsupported proj
         "+proj=aea +lat_0=10",                             # missing parallels
         "proj=laea",                                       # malformed token
