@@ -1037,6 +1037,49 @@ def q_reproject_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
     return px.window_stats(out).select("source_id", "band", "px_sum", "px_count")
 
 
+# NTv2 grid-file datum destination: datum-shifted longlat regridding (the
+# NAD27-raster shape: same graticule, grid-file datum). Target GridExtent
+# in FROM-datum degrees; the synthetic .gsb (corpus.synth_nadgrid) covers
+# it with >=1 degree margin on every side.
+ND_X0, ND_Y0, ND_X1, ND_Y1 = -79.0, 21.5, -39.0, 41.5
+ND_COLS, ND_ROWS = 101, 89
+
+
+def q_reproject_nadgrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reprojectToGrid onto an NTv2 GRID-FILE datum destination (the
+    +nadgrids family a 7-param Helmert cannot express — NAD27/OSTN-style):
+    the query writes the canonical synthetic .gsb (public NTv2 binary
+    layout, gridshift.write_ntv2), parse_proj4 loads it EAGERLY at plan
+    build (the closures carry the shift arrays, so the scratch file is
+    gone before execution), and the pixel fixture regrids onto a
+    FROM-datum longlat GridExtent. Oracle: the forward bilinear shift
+    (gridshift._bilinear term-for-term — row/col scaling, clamped floor,
+    w00..w11 weighted sum) with node values from the closed-form field
+    (corpus.synth_nadgrid_field) recomputed arithmetically in SQL.
+    Reference parity: GeoTiffReprojectRasterSource.scala:39."""
+    import shutil
+    import tempfile
+
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark import grid as GR
+    from geotrellis_contrib_spark.operators import pixels as px
+
+    tmp = tempfile.mkdtemp(prefix="nadgrid_")
+    try:
+        path = corpus_mod.synth_nadgrid(os.path.join(tmp, "synth.gsb"))
+        dst = f"+proj=longlat +ellps=clrk66 +nadgrids={path} +no_defs"
+        tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+        target = GR.GridExtent(ND_X0, ND_Y0, ND_X1, ND_Y1,
+                               (ND_X1 - ND_X0) / ND_COLS,
+                               (ND_Y1 - ND_Y0) / ND_ROWS)
+        out = px.reproject_to_grid(tiles, target, method="nearest",
+                                   tile_size=64, dst_crs=dst)
+        return px.window_stats(out).select("source_id", "band",
+                                           "px_sum", "px_count")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis battery: token counts (ws + BPE-ish), quality ratios,
     language-ID heuristic, rolling-hash fingerprint — all JVM-side."""
@@ -2127,6 +2170,73 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM vals GROUP BY 1, 2
 """
 
+    # NTv2 grid-file datum reproject (reproject_nadgrid): SQL twin of the
+    # forward bilinear shift (gridshift._bilinear / shift_forward) — node
+    # values recomputed from the closed-form synthetic field
+    # (corpus.synth_nadgrid_field), weights in the engine's exact w00..w11
+    # order. Grid constants: s_lat=72000, e_long=136800, inc=1800 arc-sec,
+    # 47x85 nodes (clamp bounds 45/83).
+    _nd_cw = _dl((ND_X1 - ND_X0) / ND_COLS)
+    _nd_ch = _dl((ND_Y1 - ND_Y0) / ND_ROWS)
+    _nd_lat_node = ("CAST(((({i})*13 + ({j})*7) % 32) * 16 + 256 AS DOUBLE)")
+    _nd_lon_node = ("CAST(((({i})*5 + ({j})*11) % 32) * 16 + 320 AS DOUBLE)")
+
+    def _nd_bilin(node_tpl: str) -> str:
+        return (f"((1.0-fr)*(1.0-fc))*{node_tpl.format(i='ii', j='jj')}"
+                f" + ((1.0-fr)*fc)*{node_tpl.format(i='ii', j='jj+1')}"
+                f" + (fr*(1.0-fc))*{node_tpl.format(i='ii+1', j='jj')}"
+                f" + (fr*fc)*{node_tpl.format(i='ii+1', j='jj+1')}")
+
+    o["reproject_nadgrid"] = f"""
+WITH tgt AS (
+  SELECT CAST({ND_X0} AS DOUBLE) + (c+0.5)*{_nd_cw} AS lon_d,
+         CAST({ND_Y1} AS DOUBLE) - (r+0.5)*{_nd_ch} AS lat_d
+  FROM range(0,{ND_COLS}) cs(c), range(0,{ND_ROWS}) rs(r)
+), gsc AS (
+  SELECT lon_d, lat_d,
+         (lat_d*3600.0 - 72000.0)/1800.0 AS grow,
+         (-(lon_d*3600.0) - 136800.0)/1800.0 AS gcol
+  FROM tgt
+), gfl AS (
+  SELECT lon_d, lat_d, grow, gcol,
+         LEAST(GREATEST(FLOOR(grow), 0.0), 45.0) AS i0,
+         LEAST(GREATEST(FLOOR(gcol), 0.0), 83.0) AS j0
+  FROM gsc
+), gw AS (
+  SELECT lon_d, lat_d, grow - i0 AS fr, gcol - j0 AS fc,
+         CAST(i0 AS BIGINT) AS ii, CAST(j0 AS BIGINT) AS jj
+  FROM gfl
+), gsh AS (
+  SELECT lon_d, lat_d,
+         {_nd_bilin(_nd_lat_node)} AS dlat,
+         {_nd_bilin(_nd_lon_node)} AS dlon
+  FROM gw
+), pts AS (
+  SELECT lon_d - dlon/3600.0 AS lon, lat_d + dlat/3600.0 AS lat FROM gsh
+), own AS (
+  SELECT lon, lat, {C.sql_tile_col('lon', 6)} AS col, {C.sql_tile_row('lat', 6)} AS row
+  FROM pts
+), samp AS (
+  SELECT s, band, col, row,
+    CAST(FLOOR((lon - (CAST(col AS DOUBLE)/64.0*360.0-180.0)) / 0.087890625) AS BIGINT) AS ci,
+    CAST(FLOOR(({_la_lat6('CAST(row AS DOUBLE)')} - lat)
+         / (({_la_lat6('CAST(row AS DOUBLE)')} - {_la_lat6('CAST(row AS DOUBLE)+1.0')})/64.0)) AS BIGINT) AS ri
+  FROM own, range(0,3) ss(s), range(0,2) bs(band)
+  WHERE col BETWEEN 18+s AND 21+s AND row BETWEEN 24 AND 27
+), vals AS (
+  SELECT s, band,
+    CASE WHEN ri >= (s*11)%48 AND ri < (s*11)%48+16
+          AND ci >= (s*11)%48 AND ci < (s*11)%48+16 THEN -9999.0
+         ELSE s*1000.0 + band*100.0 + col*7.0 + row*3.0 + ri*0.5 + ci*0.25
+              + CAST((ri*31 + ci*17) % 13 AS DOUBLE) END AS v
+  FROM samp
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS BIGINT) AS band,
+       SUM(v) AS px_sum, CAST(COUNT(*) AS BIGINT) AS px_count
+FROM vals GROUP BY 1, 2
+"""
+
     # polygon burn: cover tiles of each hot-cluster box at zoom 9 (box
     # exact-cover == bbox cover), count pixel centers inside ANY box
     # (burn overwrite => n_burned = |union|); cover tiles whose centers all
@@ -2455,6 +2565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new/changed this round first -------------------------------
         "pip_join_wkb": q_pip_join_wkb,
         "reproject_sphere": q_reproject_sphere,
+        "reproject_nadgrid": q_reproject_nadgrid,
         "reproject_datum": q_reproject_datum,
         "geom_scalars": q_geom_scalars,
         "stream_dedup": q_stream_dedup,

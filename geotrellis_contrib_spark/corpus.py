@@ -164,6 +164,44 @@ def synth_px_tiles(spark: SparkSession, zoom: int = 6, n_tiles: int = 4,
               "band int, dtype string, nodata double, px binary").coalesce(partitions)
 
 
+# Canonical synthetic NTv2 grid (FIXTURES.md-style): covers the pixel-tile
+# footprint with margin; shift field is a CLOSED FORM of the node indices
+# with f32-exact values (multiples of 1/64 scaled to integers), so the
+# reproject_nadgrid SQL oracle recomputes node values arithmetically
+# without reading the binary. Shifts are amplified to ~0.07-0.21 degrees
+# (a real NAD27 shift is ~arcseconds) so the value gate BITES — the
+# mechanism under test is the grid machinery, not NAD27's magnitudes.
+NADGRID_SPEC = {"s_lat_deg": 20.0, "n_lat_deg": 43.0,
+                "e_long_deg": 38.0, "w_long_deg": 80.0, "inc_deg": 0.5}
+
+
+def synth_nadgrid_field(nrows: int, ncols: int):
+    """(lat_shift, lon_shift) arc-second f32 arrays — the closed form the
+    reproject_nadgrid oracle mirrors term-for-term."""
+    import numpy as np
+
+    i = np.arange(nrows).reshape(-1, 1)
+    j = np.arange(ncols).reshape(1, -1)
+    lat_shift = (((i * 13 + j * 7) % 32) * 16 + 256).astype(np.float32)
+    lon_shift = (((i * 5 + j * 11) % 32) * 16 + 320).astype(np.float32)
+    return lat_shift, lon_shift
+
+
+def synth_nadgrid(path: str) -> str:
+    """Write the canonical synthetic NTv2 .gsb fixture; returns ``path``."""
+    from geotrellis_contrib_spark import gridshift as GS
+
+    sp = NADGRID_SPEC
+    nrows = round((sp["n_lat_deg"] - sp["s_lat_deg"]) / sp["inc_deg"]) + 1
+    ncols = round((sp["w_long_deg"] - sp["e_long_deg"]) / sp["inc_deg"]) + 1
+    lat_shift, lon_shift = synth_nadgrid_field(nrows, ncols)
+    GS.write_ntv2(path, sp["s_lat_deg"] * 3600.0, sp["n_lat_deg"] * 3600.0,
+                  sp["e_long_deg"] * 3600.0, sp["w_long_deg"] * 3600.0,
+                  sp["inc_deg"] * 3600.0, sp["inc_deg"] * 3600.0,
+                  lat_shift, lon_shift)
+    return path
+
+
 def span_signature(docs: DataFrame) -> DataFrame:
     """Canonical per-doc span-sequence signature for invariant checks:
     concat of (kind, text, media_ref) in order. Two tables with equal

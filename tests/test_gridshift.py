@@ -11,29 +11,15 @@ import os
 import numpy as np
 import pytest
 
-from geotrellis_contrib_spark import grid as GR
+from geotrellis_contrib_spark import corpus, grid as GR
 from geotrellis_contrib_spark import gridshift as GS
 
 
-def synth_field(nrows: int, ncols: int):
-    """Deterministic f32-exact shift field (arc-seconds): multiples of
-    1/64 — the same closed form the reproject_nadgrid oracle recomputes."""
-    i = np.arange(nrows).reshape(-1, 1)
-    j = np.arange(ncols).reshape(1, -1)
-    lat_shift = (((i * 13 + j * 7) % 32) * 16 + 256).astype(np.float32)
-    lon_shift = (((i * 5 + j * 11) % 32) * 16 + 320).astype(np.float32)
-    return lat_shift, lon_shift
-
-
-def make_grid(tmp_path, s_lat_deg=20.0, n_lat_deg=43.0,
-              e_long_deg=38.0, w_long_deg=80.0, inc_deg=0.5):
-    nrows = round((n_lat_deg - s_lat_deg) / inc_deg) + 1
-    ncols = round((w_long_deg - e_long_deg) / inc_deg) + 1
-    lat_shift, lon_shift = synth_field(nrows, ncols)
-    path = os.path.join(tmp_path, "synth.gsb")
-    GS.write_ntv2(path, s_lat_deg * 3600.0, n_lat_deg * 3600.0,
-                  e_long_deg * 3600.0, w_long_deg * 3600.0,
-                  inc_deg * 3600.0, inc_deg * 3600.0, lat_shift, lon_shift)
+def make_grid(tmp_path):
+    """The canonical fixture grid (corpus.synth_nadgrid — the same file the
+    reproject_nadgrid gate writes), plus the expected node arrays."""
+    path = corpus.synth_nadgrid(os.path.join(tmp_path, "synth.gsb"))
+    lat_shift, lon_shift = corpus.synth_nadgrid_field(47, 85)
     return path, lat_shift, lon_shift
 
 
