@@ -1037,6 +1037,38 @@ def q_reproject_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
     return px.window_stats(out).select("source_id", "band", "px_sum", "px_count")
 
 
+# Polar stereographic destination: the EPSG:3413 parameter set (NSIDC
+# sea-ice north polar grid — lat_ts=70, lon_0=-45, WGS84) with shifted
+# false origins. The fixture footprint sits at lat 22-41, far from the
+# pole, which exercises the radial geometry hard (rho ~ 6-8e6 m).
+ST_DEF = ("+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +x_0=2000000 "
+          "+y_0=-3000000 +ellps=WGS84 +units=m +no_defs")
+ST_X0, ST_Y0, ST_X1, ST_Y1 = -1300000.0, -11050000.0, 2600000.0, -8500000.0
+ST_COLS, ST_ROWS = 103, 97
+
+
+def q_reproject_stere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reprojectToGrid onto a POLAR STEREOGRAPHIC destination (the
+    EPSG:3413/3031/5041 family — grid.stere_polar_* kernels, +lat_ts
+    scaling via rf = a*m(ts)/t(ts)): the pixel fixture warped onto an
+    explicit target GridExtent, NaN-aware window checksums per (source,
+    band). Oracle: the Snyder 21-39/40 inverse + the same 8-step pinned
+    conformal fixed point the engine runs, recomputed in SQL with the
+    engine's rf constant as a literal. Golden anchor: Snyder PP1395 polar
+    example bit-matched in tests/test_sphere.py. Reference parity:
+    arbitrary CRS objects at GeoTiffReprojectRasterSource.scala:39."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark import grid as GR
+    from geotrellis_contrib_spark.operators import pixels as px
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    target = GR.GridExtent(ST_X0, ST_Y0, ST_X1, ST_Y1,
+                           (ST_X1 - ST_X0) / ST_COLS, (ST_Y1 - ST_Y0) / ST_ROWS)
+    out = px.reproject_to_grid(tiles, target, method="nearest",
+                               tile_size=64, dst_crs=ST_DEF)
+    return px.window_stats(out).select("source_id", "band", "px_sum", "px_count")
+
+
 # NTv2 grid-file datum destination: datum-shifted longlat regridding (the
 # NAD27-raster shape: same graticule, grid-file datum). Target GridExtent
 # in FROM-datum degrees; the synthetic .gsb (corpus.synth_nadgrid) covers
@@ -2170,6 +2202,58 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM vals GROUP BY 1, 2
 """
 
+    # Polar stereographic reproject (reproject_stere): SQL twin of the
+    # Snyder 21-39/40 inverse — rho, t = rho/rf, then the SAME 8-step
+    # conformal fixed point as the merc/lcc oracles (engine pins
+    # grid._STERE_ITERS = 8), lam = atan2(xs, -ys) for the north aspect.
+    # rf is the engine's own stere_polar_rf(lat_ts=70) double.
+    _st_rf = _dl(_gr.stere_polar_rf(lat_ts=70.0))
+    _st_cw = _dl((ST_X1 - ST_X0) / ST_COLS)
+    _st_ch = _dl((ST_Y1 - ST_Y0) / ST_ROWS)
+    _st_step = (f"PI()/2.0 - 2.0*ATAN(t * POWER((1.0 - {_la_e}*SIN(phi))"
+                f"/(1.0 + {_la_e}*SIN(phi)), {_dl(float(_gr._E1 / 2.0))}))")
+    _st_iters = "".join(
+        f", st{i} AS MATERIALIZED (SELECT * EXCLUDE (phi), "
+        f"{_st_step} AS phi FROM st{i - 1})\n"
+        for i in range(1, 9))
+    o["reproject_stere"] = f"""
+WITH tgt AS (
+  SELECT CAST({ST_X0} AS DOUBLE) + (c+0.5)*{_st_cw} - 2000000.0 AS xs,
+         CAST({ST_Y1} AS DOUBLE) - (r+0.5)*{_st_ch} - (-3000000.0) AS ys
+  FROM range(0,{ST_COLS}) cs(c), range(0,{ST_ROWS}) rs(r)
+), inq AS (
+  SELECT xs, ys,
+         SQRT(xs*xs + ys*ys) / {_st_rf} AS t,
+         ATAN2(xs, -ys) AS lam
+  FROM tgt
+), st0 AS (
+  SELECT *, PI()/2.0 - 2.0*ATAN(t) AS phi FROM inq)
+{_st_iters}, pts AS (
+  SELECT -45.0 + DEGREES(lam) AS lon, DEGREES(phi) AS lat FROM st8
+), own AS (
+  SELECT lon, lat, {C.sql_tile_col('lon', 6)} AS col, {C.sql_tile_row('lat', 6)} AS row
+  FROM pts
+), samp AS (
+  SELECT s, band, col, row,
+    CAST(FLOOR((lon - (CAST(col AS DOUBLE)/64.0*360.0-180.0)) / 0.087890625) AS BIGINT) AS ci,
+    CAST(FLOOR(({_la_lat6('CAST(row AS DOUBLE)')} - lat)
+         / (({_la_lat6('CAST(row AS DOUBLE)')} - {_la_lat6('CAST(row AS DOUBLE)+1.0')})/64.0)) AS BIGINT) AS ri
+  FROM own, range(0,3) ss(s), range(0,2) bs(band)
+  WHERE col BETWEEN 18+s AND 21+s AND row BETWEEN 24 AND 27
+), vals AS (
+  SELECT s, band,
+    CASE WHEN ri >= (s*11)%48 AND ri < (s*11)%48+16
+          AND ci >= (s*11)%48 AND ci < (s*11)%48+16 THEN -9999.0
+         ELSE s*1000.0 + band*100.0 + col*7.0 + row*3.0 + ri*0.5 + ci*0.25
+              + CAST((ri*31 + ci*17) % 13 AS DOUBLE) END AS v
+  FROM samp
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS BIGINT) AS band,
+       SUM(v) AS px_sum, CAST(COUNT(*) AS BIGINT) AS px_count
+FROM vals GROUP BY 1, 2
+"""
+
     # NTv2 grid-file datum reproject (reproject_nadgrid): SQL twin of the
     # forward bilinear shift (gridshift._bilinear / shift_forward) — node
     # values recomputed from the closed-form synthetic field
@@ -2566,6 +2650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join_wkb": q_pip_join_wkb,
         "reproject_sphere": q_reproject_sphere,
         "reproject_nadgrid": q_reproject_nadgrid,
+        "reproject_stere": q_reproject_stere,
         "reproject_datum": q_reproject_datum,
         "geom_scalars": q_geom_scalars,
         "stream_dedup": q_stream_dedup,

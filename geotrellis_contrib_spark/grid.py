@@ -984,6 +984,107 @@ def lcc_sph_to_lonlat(x, y, lon0: float, lat0: float,
     return _wrap_deg(lon0 + np.degrees(theta / n)), np.degrees(phi)
 
 
+# ---------------------------------------------------------------------------
+# Stereographic (Snyder ch. 21): POLAR ellipsoidal aspect (the EPSG:3413 /
+# 3031 / 5041 polar-grid family, +lat_ts or +k_0 scaling) and the general
+# OBLIQUE spherical form. Oblique ELLIPSOIDAL stereographic is fail-loud in
+# parse_proj4 (the EPSG variant is the double-stereographic, a different
+# projection the engine does not approximate).
+# ---------------------------------------------------------------------------
+
+def stere_polar_rf(k0: float | None = None, lat_ts: float | None = None,
+                   ell_a: float = _WGS84_A, e2: float = _E2) -> float:
+    """The single radial constant rf of the polar stereographic: rho =
+    rf * t(|phi|). With +lat_ts (Snyder 21-34): rf = a*m(ts)/t(ts); with
+    +k_0 (Snyder 21-33): rf = 2*a*k0 / sqrt((1+e)^(1+e)*(1-e)^(1-e))."""
+    e1 = float(np.sqrt(e2))
+    if lat_ts is not None:
+        ts = np.radians(np.float64(abs(lat_ts)))
+        return float(ell_a * _m_ell(ts, e2) / _t_conf(ts, e1))
+    return float(2.0 * ell_a * (1.0 if k0 is None else k0)
+                 / np.sqrt((1.0 + e1) ** (1.0 + e1) * (1.0 - e1) ** (1.0 - e1)))
+
+
+def lonlat_to_stere_polar(lon, lat, lon0: float, rf: float,
+                          x0: float = 0.0, y0: float = 0.0,
+                          north: bool = True, e2: float = _E2):
+    """Polar ellipsoidal stereographic forward (Snyder 21-30/31 with
+    21-33/34 folded into ``rf``). South aspect mirrors phi and the y
+    axis (Snyder's phi->-phi, lam->lam convention)."""
+    e1 = np.sqrt(e2)
+    lam = np.radians(_wrap_deg(np.asarray(lon, dtype=np.float64) - lon0))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    if not north:
+        phi = -phi
+    rho = rf * _t_conf(phi, e1)
+    x = x0 + rho * np.sin(lam)
+    y = y0 - rho * np.cos(lam) if north else y0 + rho * np.cos(lam)
+    return x, y
+
+
+_STERE_ITERS = 8  # same pinned conformal iteration count as merc/lcc
+
+
+def stere_polar_to_lonlat(x, y, lon0: float, rf: float,
+                          x0: float = 0.0, y0: float = 0.0,
+                          north: bool = True, e2: float = _E2):
+    """Polar ellipsoidal stereographic inverse (Snyder 21-39/40 + the 7-9
+    conformal fixed point, 8 steps pinned — the reproject_stere SQL twin
+    unrolls the identical arithmetic)."""
+    e1 = np.sqrt(e2)
+    xs = np.asarray(x, dtype=np.float64) - x0
+    ys = np.asarray(y, dtype=np.float64) - y0
+    rho = np.sqrt(xs * xs + ys * ys)
+    t = rho / rf
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(_STERE_ITERS):
+        s = np.sin(phi)
+        phi = (np.pi / 2.0
+               - 2.0 * np.arctan(t * np.power((1.0 - e1 * s) / (1.0 + e1 * s),
+                                              e1 / 2.0)))
+    lam = np.arctan2(xs, -ys) if north else np.arctan2(xs, ys)
+    if not north:
+        phi = -phi
+    return _wrap_deg(lon0 + np.degrees(lam)), np.degrees(phi)
+
+
+def lonlat_to_stere_sph(lon, lat, lon0: float, lat0: float,
+                        x0: float = 0.0, y0: float = 0.0,
+                        radius: float = 6370997.0, k0: float = 1.0):
+    """Oblique spherical stereographic forward (Snyder 21-2..21-4)."""
+    lam = np.radians(_wrap_deg(np.asarray(lon, dtype=np.float64) - lon0))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    phi0 = np.radians(np.float64(lat0))
+    k = 2.0 * k0 / (1.0 + np.sin(phi0) * np.sin(phi)
+                    + np.cos(phi0) * np.cos(phi) * np.cos(lam))
+    x = x0 + radius * k * np.cos(phi) * np.sin(lam)
+    y = y0 + radius * k * (np.cos(phi0) * np.sin(phi)
+                           - np.sin(phi0) * np.cos(phi) * np.cos(lam))
+    return x, y
+
+
+def stere_sph_to_lonlat(x, y, lon0: float, lat0: float,
+                        x0: float = 0.0, y0: float = 0.0,
+                        radius: float = 6370997.0, k0: float = 1.0):
+    """Oblique spherical stereographic inverse (Snyder 20-14..20-17 with
+    c = 2*atan(rho/(2*R*k0)), 21-15)."""
+    xs = np.asarray(x, dtype=np.float64) - x0
+    ys = np.asarray(y, dtype=np.float64) - y0
+    phi0 = np.radians(np.float64(lat0))
+    rho = np.sqrt(xs * xs + ys * ys)
+    c = 2.0 * np.arctan(rho / (2.0 * radius * k0))
+    safe = np.where(rho > 0.0, rho, 1.0)
+    phi = np.arcsin(np.clip(
+        np.cos(c) * np.sin(phi0)
+        + np.where(rho > 0.0, ys * np.sin(c) * np.cos(phi0) / safe, 0.0),
+        -1.0, 1.0))
+    lam = np.arctan2(xs * np.sin(c),
+                     safe * np.cos(phi0) * np.cos(c)
+                     - ys * np.sin(phi0) * np.sin(c))
+    lam = np.where(rho > 0.0, lam, 0.0)
+    return _wrap_deg(lon0 + np.degrees(lam)), np.degrees(phi)
+
+
 # umbrella registry of all named projected CRS (equal-area family plus
 # the conformal conics); EQUAL_AREA_CRS stays as the equal-area subset
 NAMED_CRS = dict(EQUAL_AREA_CRS)
@@ -1130,7 +1231,7 @@ DATUMS = {
 # ---------------------------------------------------------------------------
 
 _PROJ4_IGNORED = {"no_defs", "wktext", "type"}
-_PROJ4_PARAM_KEYS = {"proj", "lat_0", "lon_0", "lat_1", "lat_2",
+_PROJ4_PARAM_KEYS = {"proj", "lat_0", "lon_0", "lat_1", "lat_2", "lat_ts",
                      "x_0", "y_0", "k_0", "k", "units", "ellps", "datum",
                      "towgs84", "nadgrids", "a", "b", "R"}
 
@@ -1284,11 +1385,23 @@ def parse_proj4(s: str):
         ident = lambda u, v: (np.asarray(u, dtype=np.float64),  # noqa: E731
                               np.asarray(v, dtype=np.float64))
         return compose(ident, ident)
+    if "lat_ts" in kv and proj not in ("merc", "stere"):
+        raise ValueError(f"+lat_ts is not a +proj={proj} parameter: {s!r}")
+
     if proj == "merc":
         # spherical form when +R / lone +a / +a=+b (EPSG:3857 publishes
         # +a=+b=6378137); otherwise ELLIPSOIDAL mercator via the conformal
         # latitude (y = -a ln t(phi), Snyder 7-7; inverse by the same
         # Snyder 7-9 fixed-point iteration the LCC inverse uses)
+        if "lat_ts" in kv:
+            # standard-parallel scaling (Snyder 7-3 / 14-15): exact, and
+            # lat_ts=0 gives k0=1.0 BITWISE (the canonical EPSG:3857
+            # proj4 string carries +lat_ts=0)
+            if k0 != 1.0:
+                raise ValueError(f"+lat_ts and +k_0 are alternative "
+                                 f"mercator scalings — pass one: {s!r}")
+            ts = np.radians(np.float64(fnum("lat_ts")))
+            k0 = float(np.cos(ts)) if spherical else float(_m_ell(ts, ell_e2))
         radius = ell_a if spherical else None
         m_e1 = None if spherical else np.sqrt(ell_e2)
 
@@ -1386,4 +1499,33 @@ def parse_proj4(s: str):
                                            lat1, lat2, x0, y0, ell_a, ell_e2),
             lambda x, y: lcc_to_lonlat(x, y, lon0, lat0,
                                        lat1, lat2, x0, y0, ell_a, ell_e2))
+    if proj == "stere":
+        if spherical:
+            if "lat_ts" in kv:
+                raise ValueError(
+                    f"+lat_ts on spherical stere unsupported (scale via "
+                    f"+k_0): {s!r}")
+            return compose(
+                lambda lon, lat: lonlat_to_stere_sph(lon, lat, lon0, lat0,
+                                                     x0, y0, ell_a, k0),
+                lambda x, y: stere_sph_to_lonlat(x, y, lon0, lat0,
+                                                 x0, y0, ell_a, k0))
+        if lat0 not in (90.0, -90.0):
+            raise ValueError(
+                f"oblique ellipsoidal stereographic unsupported (the EPSG "
+                f"variant is the double-stereographic, a different "
+                f"projection; polar aspects +lat_0=90/-90 are supported): "
+                f"{s!r}")
+        if "lat_ts" in kv and ("k_0" in kv or "k" in kv):
+            raise ValueError(f"+lat_ts and +k_0 are alternative polar-"
+                             f"stereographic scalings — pass one: {s!r}")
+        rf = stere_polar_rf(k0=None if "lat_ts" in kv else k0,
+                            lat_ts=fnum("lat_ts") if "lat_ts" in kv else None,
+                            ell_a=ell_a, e2=ell_e2)
+        north = lat0 == 90.0
+        return compose(
+            lambda lon, lat: lonlat_to_stere_polar(lon, lat, lon0, rf,
+                                                   x0, y0, north, ell_e2),
+            lambda x, y: stere_polar_to_lonlat(x, y, lon0, rf,
+                                               x0, y0, north, ell_e2))
     raise ValueError(f"unsupported +proj={proj}: {s!r}")

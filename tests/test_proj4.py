@@ -84,15 +84,26 @@ def test_proj4_tmerc_matches_utm():
 
 
 def test_proj4_merc_spherical_matches_3857():
-    s = ("+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 "
-         "+k=1 +units=m +no_defs")
-    # +lat_ts is not in the supported key set -> must fail loudly, not be
-    # silently dropped (it changes the scale when nonzero)
-    with pytest.raises(ValueError, match="lat_ts"):
-        gr.parse_proj4(s)
-    s_ok = ("+proj=merc +a=6378137 +b=6378137 +lon_0=0 +x_0=0 +y_0=0 "
-            "+k=1 +units=m +no_defs")
+    # the CANONICAL EPSG:3857 proj4 string (incl. +lat_ts=0, which is the
+    # exact unit scale — lat_ts support landed r5 session 2; a NONZERO
+    # lat_ts on merc scales by cos(ts)/m(ts), tested below)
+    s_ok = ("+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 +x_0=0 "
+            "+y_0=0 +k=1 +units=m +no_defs")
     fwd, inv = gr.parse_proj4(s_ok)
+    # nonzero standard parallel: spherical scale is exactly cos(ts)
+    fts, _ = gr.parse_proj4("+proj=merc +R=6378137 +lat_ts=30")
+    f1, _ = gr.parse_proj4("+proj=merc +R=6378137")
+    xts, _ = fts(np.array([10.0]), np.array([0.0]))
+    x1, _ = f1(np.array([10.0]), np.array([0.0]))
+    # bitwise: the engine's (k0*R)*lam association, k0 = cos(ts)
+    k30 = float(np.cos(np.radians(np.float64(30.0))))
+    assert xts[0] == k30 * 6378137.0 * np.radians(np.float64(10.0))
+    np.testing.assert_allclose(xts[0], x1[0] * k30, rtol=1e-15)
+    # +lat_ts stays fail-loud on projections that have no such parameter
+    with pytest.raises(ValueError, match="lat_ts"):
+        gr.parse_proj4("+proj=laea +lat_0=52 +lon_0=10 +lat_ts=45 +ellps=WGS84")
+    with pytest.raises(ValueError, match="lat_ts"):
+        gr.parse_proj4("+proj=merc +R=6378137 +lat_ts=30 +k_0=0.9")
     lon = np.clip(LON, -179, 179)
     lat = np.clip(LAT, -80, 80)
     x, y = fwd(lon, lat)
@@ -105,7 +116,9 @@ def test_proj4_merc_spherical_matches_3857():
 def test_proj4_fail_loud():
     for bad in [
         "+proj=laea +lat_0=52 +units=ft",                  # non-meter units
-        "+proj=stere +lat_0=90",                           # unsupported proj
+        "+proj=omerc +lat_0=45",                           # unsupported proj
+        "+proj=stere +lat_0=45 +ellps=WGS84",              # oblique ell. stere
+        "+proj=stere +lat_0=90 +lat_ts=70 +k_0=0.994",     # both scalings
         "+proj=aea +lat_0=10",                             # missing parallels
         "proj=laea",                                       # malformed token
     ]:

@@ -177,3 +177,54 @@ def test_parse_proj4_ellipsoidal_paths_unchanged():
     x2, y2 = GR.lonlat_to_lcc(LONS, LATS, 3.0, 46.5, 49.0, 44.0,
                               700000.0, 6600000.0)
     assert np.array_equal(x1, x2) and np.array_equal(y1, y2)
+
+
+# --- stereographic (Snyder ch. 21) -------------------------------------------
+
+def test_stere_polar_snyder_example():
+    # Snyder PP1395 polar stereographic example: International ellipsoid,
+    # SOUTH aspect, lat_ts=-71, lon0=-100, point (75S, 150E):
+    # x = -1,540,033.6  y = -560,526.4
+    a, f, e2 = GR.ellipsoid_params("intl")
+    rf = GR.stere_polar_rf(lat_ts=-71.0, ell_a=a, e2=e2)
+    x, y = GR.lonlat_to_stere_polar(150.0, -75.0, -100.0, rf,
+                                    0.0, 0.0, north=False, e2=e2)
+    assert float(x) == pytest.approx(-1540033.6, abs=0.1)
+    assert float(y) == pytest.approx(-560526.4, abs=0.1)
+    lon, lat = GR.stere_polar_to_lonlat(x, y, -100.0, rf,
+                                        0.0, 0.0, north=False, e2=e2)
+    assert float(lon) == pytest.approx(150.0, abs=1e-9)
+    assert float(lat) == pytest.approx(-75.0, abs=1e-9)
+
+
+@pytest.mark.parametrize("crs", [
+    # EPSG:3413 (NSIDC north) and EPSG:5041 (UPS north, k_0 scaling)
+    "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +x_0=2000000 "
+    "+y_0=-3000000 +ellps=WGS84 +units=m +no_defs",
+    "+proj=stere +lat_0=90 +k_0=0.994 +lon_0=0 +x_0=2000000 "
+    "+y_0=2000000 +ellps=WGS84 +units=m +no_defs",
+    # EPSG:3031-style south
+    "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +ellps=WGS84 +units=m",
+    # oblique spherical
+    "+proj=stere +lat_0=40 +lon_0=-62 +R=6370997 +k_0=0.9",
+])
+def test_parse_proj4_stere_roundtrip(crs):
+    fwd, inv = GR.parse_proj4(crs)
+    lats = -LATS if "lat_0=-90" in crs else LATS
+    x, y = fwd(LONS, lats)
+    lon, lat = inv(x, y)
+    np.testing.assert_allclose(lon, LONS, atol=1e-9)
+    np.testing.assert_allclose(lat, lats, atol=1e-9)
+
+
+@pytest.mark.parametrize("crs", [
+    # oblique ellipsoidal stere = the double-stereographic family: raise
+    "+proj=stere +lat_0=52.15 +lon_0=5.38 +k_0=0.9999 +ellps=bessel",
+    # lat_ts + k_0 together is ambiguous
+    "+proj=stere +lat_0=90 +lat_ts=70 +k_0=0.994 +ellps=WGS84",
+    # lat_ts on a sphere
+    "+proj=stere +lat_0=90 +lat_ts=70 +R=6370997",
+])
+def test_parse_proj4_stere_fail_loud(crs):
+    with pytest.raises(ValueError):
+        GR.parse_proj4(crs)
