@@ -1069,6 +1069,69 @@ def q_reproject_stere(spark: SparkSession, sf_dir: str) -> DataFrame:
     return px.window_stats(out).select("source_id", "band", "px_sum", "px_count")
 
 
+# MODIS sinusoidal destination: the CANONICAL MODIS land-product grid CRS
+# (sphere R=6371007.181, lon_0=0 — the single most common non-EPSG raster
+# CRS in the wild). Spherical sinusoidal inverse is exact closed form
+# (Snyder 30-5/30-6), so the SQL twin carries no iteration.
+SN_DEF = "+proj=sinu +lon_0=0 +x_0=0 +y_0=0 +R=6371007.181 +units=m +no_defs"
+SN_X0, SN_Y0, SN_X1, SN_Y1 = -8300000.0, 2300000.0, -3600000.0, 4700000.0
+SN_COLS, SN_ROWS = 107, 93
+
+
+def q_reproject_sinu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reprojectToGrid onto the MODIS SINUSOIDAL grid (grid.sinu_sph_*
+    kernels on the MODIS sphere): the pixel fixture warped onto an explicit
+    target GridExtent, NaN-aware window checksums per (source, band).
+    Oracle: the exact closed-form spherical inverse (phi = y/R, lam =
+    x/(R cos phi)) incl. the engine's wrap arithmetic, recomputed in SQL.
+    Goldens: published MODIS grid extent/tile-size constants in
+    tests/test_sinu_cea.py. Reference parity: arbitrary CRS objects at
+    GeoTiffReprojectRasterSource.scala:39."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark import grid as GR
+    from geotrellis_contrib_spark.operators import pixels as px
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    target = GR.GridExtent(SN_X0, SN_Y0, SN_X1, SN_Y1,
+                           (SN_X1 - SN_X0) / SN_COLS, (SN_Y1 - SN_Y0) / SN_ROWS)
+    out = px.reproject_to_grid(tiles, target, method="nearest",
+                               tile_size=64, dst_crs=SN_DEF)
+    return px.window_stats(out).select("source_id", "band", "px_sum", "px_count")
+
+
+# Cylindrical equal-area destination: the EASE-Grid 2.0 global CRS
+# (EPSG:6933 — +lat_ts=30 on WGS84, the standard passive-microwave /
+# soil-moisture product grid). The ellipsoidal CEA inverse rides the SAME
+# 8-step pinned phi(q) Newton as LAEA/Albers, so the SQL twin reuses the
+# MATERIALIZED iteration CTEs.
+CE_DEF = ("+proj=cea +lat_ts=30 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84 "
+          "+units=m +no_defs")
+CE_X0, CE_Y0, CE_X1, CE_Y1 = -7800000.0, 2600000.0, -4100000.0, 4950000.0
+CE_COLS, CE_ROWS = 101, 89
+
+
+def q_reproject_cea(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reprojectToGrid onto the EASE-Grid 2.0 CYLINDRICAL EQUAL-AREA grid
+    (EPSG:6933 — grid.cea_* ellipsoidal kernels, k0 = m(30 deg)): the pixel
+    fixture warped onto an explicit target GridExtent, NaN-aware window
+    checksums per (source, band). Oracle: Snyder 10-26 (q = 2*k0*y/a,
+    lam = x/(a*k0)) + the same 8-step phi(q) fixed point as the
+    LAEA/Albers oracles, recomputed in SQL with the engine's k0 double as
+    a literal. Goldens: published EASE2 extent constants in
+    tests/test_sinu_cea.py. Reference parity:
+    GeoTiffReprojectRasterSource.scala:39."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark import grid as GR
+    from geotrellis_contrib_spark.operators import pixels as px
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    target = GR.GridExtent(CE_X0, CE_Y0, CE_X1, CE_Y1,
+                           (CE_X1 - CE_X0) / CE_COLS, (CE_Y1 - CE_Y0) / CE_ROWS)
+    out = px.reproject_to_grid(tiles, target, method="nearest",
+                               tile_size=64, dst_crs=CE_DEF)
+    return px.window_stats(out).select("source_id", "band", "px_sum", "px_count")
+
+
 # NTv2 grid-file datum destination: datum-shifted longlat regridding (the
 # NAD27-raster shape: same graticule, grid-file datum). Target GridExtent
 # in FROM-datum degrees; the synthetic .gsb (corpus.synth_nadgrid) covers
@@ -2254,6 +2317,92 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM vals GROUP BY 1, 2
 """
 
+    # MODIS sinusoidal reproject (reproject_sinu): exact closed-form
+    # spherical inverse (Snyder 30-5/30-6) — no iteration; the wrap
+    # arithmetic ((lon+180) % 360 - 180) is mirrored bitwise (the %
+    # is an fmod identity for the footprint's positive operands).
+    _sn_r = _dl(6371007.181)
+    _sn_cw = _dl((SN_X1 - SN_X0) / SN_COLS)
+    _sn_ch = _dl((SN_Y1 - SN_Y0) / SN_ROWS)
+    o["reproject_sinu"] = f"""
+WITH tgt AS (
+  SELECT CAST({SN_X0} AS DOUBLE) + (c+0.5)*{_sn_cw} AS xs,
+         CAST({SN_Y1} AS DOUBLE) - (r+0.5)*{_sn_ch} AS ys
+  FROM range(0,{SN_COLS}) cs(c), range(0,{SN_ROWS}) rs(r)
+), pts AS (
+  SELECT ((0.0 + DEGREES(xs / ({_sn_r} * COS(ys/{_sn_r})))) + 180.0)
+           % 360.0 - 180.0 AS lon,
+         DEGREES(ys/{_sn_r}) AS lat
+  FROM tgt
+), own AS (
+  SELECT lon, lat, {C.sql_tile_col('lon', 6)} AS col, {C.sql_tile_row('lat', 6)} AS row
+  FROM pts
+), samp AS (
+  SELECT s, band, col, row,
+    CAST(FLOOR((lon - (CAST(col AS DOUBLE)/64.0*360.0-180.0)) / 0.087890625) AS BIGINT) AS ci,
+    CAST(FLOOR(({_la_lat6('CAST(row AS DOUBLE)')} - lat)
+         / (({_la_lat6('CAST(row AS DOUBLE)')} - {_la_lat6('CAST(row AS DOUBLE)+1.0')})/64.0)) AS BIGINT) AS ri
+  FROM own, range(0,3) ss(s), range(0,2) bs(band)
+  WHERE col BETWEEN 18+s AND 21+s AND row BETWEEN 24 AND 27
+), vals AS (
+  SELECT s, band,
+    CASE WHEN ri >= (s*11)%48 AND ri < (s*11)%48+16
+          AND ci >= (s*11)%48 AND ci < (s*11)%48+16 THEN -9999.0
+         ELSE s*1000.0 + band*100.0 + col*7.0 + row*3.0 + ri*0.5 + ci*0.25
+              + CAST((ri*31 + ci*17) % 13 AS DOUBLE) END AS v
+  FROM samp
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS BIGINT) AS band,
+       SUM(v) AS px_sum, CAST(COUNT(*) AS BIGINT) AS px_count
+FROM vals GROUP BY 1, 2
+"""
+
+    # EASE-Grid 2.0 CEA reproject (reproject_cea): Snyder 10-26 inverse
+    # (q = 2*k0*y/a, lam = x/(a*k0)) + the SAME 8-step phi(q) fixed point
+    # as the LAEA/Albers oracles; k0 is the engine's cea_k0(30) double.
+    _ce_k0 = _dl(_gr.cea_k0(30.0))
+    _ce_a = _dl(float(_gr._WGS84_A))
+    _ce_cw = _dl((CE_X1 - CE_X0) / CE_COLS)
+    _ce_ch = _dl((CE_Y1 - CE_Y0) / CE_ROWS)
+    o["reproject_cea"] = f"""
+WITH tgt AS (
+  SELECT CAST({CE_X0} AS DOUBLE) + (c+0.5)*{_ce_cw} AS xs,
+         CAST({CE_Y1} AS DOUBLE) - (r+0.5)*{_ce_ch} AS ys
+  FROM range(0,{CE_COLS}) cs(c), range(0,{CE_ROWS}) rs(r)
+), inq AS (
+  SELECT 2.0*{_ce_k0}*ys/{_ce_a} AS q,
+         xs/({_ce_a}*{_ce_k0}) AS lam
+  FROM tgt
+), it0 AS (
+  SELECT *, ASIN(LEAST(GREATEST(q/2.0, -1.0), 1.0)) AS phi FROM inq)
+{_phi_iters}, pts AS (
+  SELECT ((0.0 + DEGREES(lam)) + 180.0) % 360.0 - 180.0 AS lon,
+         DEGREES(phi) AS lat FROM it8
+), own AS (
+  SELECT lon, lat, {C.sql_tile_col('lon', 6)} AS col, {C.sql_tile_row('lat', 6)} AS row
+  FROM pts
+), samp AS (
+  SELECT s, band, col, row,
+    CAST(FLOOR((lon - (CAST(col AS DOUBLE)/64.0*360.0-180.0)) / 0.087890625) AS BIGINT) AS ci,
+    CAST(FLOOR(({_la_lat6('CAST(row AS DOUBLE)')} - lat)
+         / (({_la_lat6('CAST(row AS DOUBLE)')} - {_la_lat6('CAST(row AS DOUBLE)+1.0')})/64.0)) AS BIGINT) AS ri
+  FROM own, range(0,3) ss(s), range(0,2) bs(band)
+  WHERE col BETWEEN 18+s AND 21+s AND row BETWEEN 24 AND 27
+), vals AS (
+  SELECT s, band,
+    CASE WHEN ri >= (s*11)%48 AND ri < (s*11)%48+16
+          AND ci >= (s*11)%48 AND ci < (s*11)%48+16 THEN -9999.0
+         ELSE s*1000.0 + band*100.0 + col*7.0 + row*3.0 + ri*0.5 + ci*0.25
+              + CAST((ri*31 + ci*17) % 13 AS DOUBLE) END AS v
+  FROM samp
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS BIGINT) AS band,
+       SUM(v) AS px_sum, CAST(COUNT(*) AS BIGINT) AS px_count
+FROM vals GROUP BY 1, 2
+"""
+
     # NTv2 grid-file datum reproject (reproject_nadgrid): SQL twin of the
     # forward bilinear shift (gridshift._bilinear / shift_forward) — node
     # values recomputed from the closed-form synthetic field
@@ -2651,6 +2800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_sphere": q_reproject_sphere,
         "reproject_nadgrid": q_reproject_nadgrid,
         "reproject_stere": q_reproject_stere,
+        "reproject_sinu": q_reproject_sinu,
+        "reproject_cea": q_reproject_cea,
         "reproject_datum": q_reproject_datum,
         "geom_scalars": q_geom_scalars,
         "stream_dedup": q_stream_dedup,

@@ -1085,6 +1085,165 @@ def stere_sph_to_lonlat(x, y, lon0: float, lat0: float,
     return _wrap_deg(lon0 + np.degrees(lam)), np.degrees(phi)
 
 
+# ---------------------------------------------------------------------------
+# Sinusoidal (Snyder ch. 30) — the MODIS land-product grid family
+# (+proj=sinu +R=6371007.181). Spherical closed forms plus the ellipsoidal
+# form via the meridional arc (Snyder 3-21 series + pinned Newton inverse).
+# ---------------------------------------------------------------------------
+
+MODIS_SPHERE_R = 6371007.181  # the authalic radius the MODIS grid publishes
+
+
+def lonlat_to_sinu_sph(lon, lat, lon0: float,
+                       x0: float = 0.0, y0: float = 0.0,
+                       radius: float = MODIS_SPHERE_R):
+    """Spherical sinusoidal forward (Snyder 30-1/30-2): x = R*lam*cos(phi),
+    y = R*phi. Equal-area, pseudocylindrical."""
+    lam = np.radians(_wrap_deg(np.asarray(lon, dtype=np.float64) - lon0))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    return x0 + radius * lam * np.cos(phi), y0 + radius * phi
+
+
+def sinu_sph_to_lonlat(x, y, lon0: float,
+                       x0: float = 0.0, y0: float = 0.0,
+                       radius: float = MODIS_SPHERE_R):
+    """Spherical sinusoidal inverse (Snyder 30-5/30-6, exact closed form —
+    the reproject_sinu SQL twin recomputes the identical arithmetic)."""
+    phi = (np.asarray(y, dtype=np.float64) - y0) / radius
+    lam = (np.asarray(x, dtype=np.float64) - x0) / (radius * np.cos(phi))
+    return _wrap_deg(lon0 + np.degrees(lam)), np.degrees(phi)
+
+
+@_lru_cache(maxsize=None)
+def _merid_coeffs(e2: float) -> tuple[float, float, float, float]:
+    """Meridional-arc series coefficients (Snyder 3-21), cached per e2."""
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    return (1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0,
+            3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0,
+            15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0,
+            35.0 * e6 / 3072.0)
+
+
+def merid_arc(phi, ell_a: float = _WGS84_A, e2: float = _E2):
+    """Meridional arc length M(phi) from the equator (Snyder 3-21)."""
+    c0, c2, c4, c6 = _merid_coeffs(e2)
+    phi = np.asarray(phi, dtype=np.float64)
+    return ell_a * (c0 * phi - c2 * np.sin(2.0 * phi)
+                    + c4 * np.sin(4.0 * phi) - c6 * np.sin(6.0 * phi))
+
+
+_SINU_ITERS = 6  # pinned Newton steps for the meridional-arc inverse
+
+
+def lonlat_to_sinu(lon, lat, lon0: float,
+                   x0: float = 0.0, y0: float = 0.0,
+                   ell_a: float = _WGS84_A, e2: float = _E2):
+    """Ellipsoidal sinusoidal forward (Snyder 30-8/30-9):
+    x = a*lam*cos(phi)/sqrt(1 - e2*sin^2 phi), y = M(phi)."""
+    lam = np.radians(_wrap_deg(np.asarray(lon, dtype=np.float64) - lon0))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    s = np.sin(phi)
+    x = x0 + ell_a * lam * np.cos(phi) / np.sqrt(1.0 - e2 * s * s)
+    return x, y0 + merid_arc(phi, ell_a, e2)
+
+
+def sinu_to_lonlat(x, y, lon0: float,
+                   x0: float = 0.0, y0: float = 0.0,
+                   ell_a: float = _WGS84_A, e2: float = _E2):
+    """Ellipsoidal sinusoidal inverse: phi from M by pinned Newton
+    (rectifying-latitude start, derivative a(1-e2)/(1-e2 sin^2)^(3/2) —
+    Snyder 30-10/30-11), then lam from 30-8."""
+    c0, _, _, _ = _merid_coeffs(e2)
+    m = np.asarray(y, dtype=np.float64) - y0
+    phi = m / (ell_a * c0)
+    for _ in range(_SINU_ITERS):
+        s = np.sin(phi)
+        dm = ell_a * (1.0 - e2) / np.power(1.0 - e2 * s * s, 1.5)
+        phi = phi - (merid_arc(phi, ell_a, e2) - m) / dm
+    s = np.sin(phi)
+    lam = ((np.asarray(x, dtype=np.float64) - x0)
+           * np.sqrt(1.0 - e2 * s * s) / (ell_a * np.cos(phi)))
+    return _wrap_deg(lon0 + np.degrees(lam)), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# Cylindrical equal-area (Snyder ch. 10) — the EASE-Grid 2.0 family
+# (EPSG:6933 global, +lat_ts=30 on WGS84). Ellipsoidal form rides the same
+# authalic q machinery as LAEA/Albers; spherical is the Lambert/Behrmann
+# closed form.
+# ---------------------------------------------------------------------------
+
+def cea_k0(lat_ts: float, e2: float = _E2) -> float:
+    """Standard-parallel scale of the ellipsoidal CEA: k0 = m(ts) =
+    cos(ts)/sqrt(1 - e2 sin^2 ts) (Snyder 10-13)."""
+    return float(_m_ell(np.radians(np.float64(lat_ts)), e2))
+
+
+def lonlat_to_cea(lon, lat, lon0: float, k0: float,
+                  x0: float = 0.0, y0: float = 0.0,
+                  ell_a: float = _WGS84_A, e2: float = _E2):
+    """Ellipsoidal cylindrical equal-area forward (Snyder 10-14/10-15):
+    x = a*k0*lam, y = a*q(phi)/(2*k0)."""
+    lam = np.radians(_wrap_deg(np.asarray(lon, dtype=np.float64) - lon0))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    x = x0 + ell_a * k0 * lam
+    y = y0 + ell_a * _q_authalic(phi, e2) / (2.0 * k0)
+    return x, y
+
+
+def cea_to_lonlat(x, y, lon0: float, k0: float,
+                  x0: float = 0.0, y0: float = 0.0,
+                  ell_a: float = _WGS84_A, e2: float = _E2):
+    """Ellipsoidal CEA inverse (Snyder 10-26 + the 3-16 phi(q) iteration —
+    the same 8-step pinned Newton the LAEA/Albers inverses use, so the
+    reproject_cea SQL twin reuses their MATERIALIZED iteration CTEs)."""
+    qp, _ = _authalic_params(ell_a, e2)
+    q = 2.0 * k0 * (np.asarray(y, dtype=np.float64) - y0) / ell_a
+    phi = _phi_from_q(q, e2, qp)
+    lam = (np.asarray(x, dtype=np.float64) - x0) / (ell_a * k0)
+    return _wrap_deg(lon0 + np.degrees(lam)), np.degrees(phi)
+
+
+def lonlat_to_cea_sph(lon, lat, lon0: float, k0: float,
+                      x0: float = 0.0, y0: float = 0.0,
+                      radius: float = 6370997.0):
+    """Spherical CEA forward (Snyder 10-1/10-2): x = R*k0*lam,
+    y = R*sin(phi)/k0. k0 = cos(lat_ts)."""
+    lam = np.radians(_wrap_deg(np.asarray(lon, dtype=np.float64) - lon0))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    return x0 + radius * k0 * lam, y0 + radius * np.sin(phi) / k0
+
+
+def cea_sph_to_lonlat(x, y, lon0: float, k0: float,
+                      x0: float = 0.0, y0: float = 0.0,
+                      radius: float = 6370997.0):
+    """Spherical CEA inverse (Snyder 10-6/10-7)."""
+    phi = np.arcsin(np.clip(
+        (np.asarray(y, dtype=np.float64) - y0) * k0 / radius, -1.0, 1.0))
+    lam = (np.asarray(x, dtype=np.float64) - x0) / (radius * k0)
+    return _wrap_deg(lon0 + np.degrees(lam)), np.degrees(phi)
+
+
+def lonlat_to_eqc(lon, lat, lon0: float, k0: float,
+                  x0: float = 0.0, y0: float = 0.0,
+                  radius: float = _WGS84_A):
+    """Equirectangular / plate carree forward (Snyder 12-1/12-2; proj4
+    ``+proj=eqc`` semantics — SPHERICAL formulas on the semi-major axis
+    regardless of +ellps, k0 = cos(lat_ts)): x = a*k0*lam, y = a*phi."""
+    lam = np.radians(_wrap_deg(np.asarray(lon, dtype=np.float64) - lon0))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    return x0 + radius * k0 * lam, y0 + radius * phi
+
+
+def eqc_to_lonlat(x, y, lon0: float, k0: float,
+                  x0: float = 0.0, y0: float = 0.0,
+                  radius: float = _WGS84_A):
+    """Equirectangular inverse (exact closed form)."""
+    phi = (np.asarray(y, dtype=np.float64) - y0) / radius
+    lam = (np.asarray(x, dtype=np.float64) - x0) / (radius * k0)
+    return _wrap_deg(lon0 + np.degrees(lam)), np.degrees(phi)
+
+
 # umbrella registry of all named projected CRS (equal-area family plus
 # the conformal conics); EQUAL_AREA_CRS stays as the equal-area subset
 NAMED_CRS = dict(EQUAL_AREA_CRS)
@@ -1240,16 +1399,20 @@ def parse_proj4(s: str):
     """Parse a proj4 string into ``(forward, inverse)`` WGS84-lon/lat <->
     x/y closures. Supported projections: ``longlat``, ``merc``, ``tmerc``
     (Krueger, any +lon_0/+k_0/+lat_0), ``laea``, ``aea``, ``lcc`` (Snyder,
-    any parallels/centers), each with +x_0/+y_0 false origins, each in BOTH
-    the ellipsoidal form and the spherical closed form (+R / lone +a /
-    +a=+b / +ellps=sphere select the Snyder spherical kernels). ``tmerc``/``lcc``/``merc``/``longlat`` accept any registered
-    ellipsoid (+ellps=airy/bessel/intl/clrk66/...) and a 3- or 7-parameter
-    ``+towgs84`` Helmert datum shift (position-vector convention, exact
-    matrix inverse) — the EPSG:27700/OSGB family; ``laea``/``aea`` run
-    their authalic machinery on the selected ellipsoid too. Unknown keys,
-    unsupported ellipsoid/datum combinations, grid-file datums, and
-    non-meter units raise ``ValueError`` — a CRS the engine cannot honor
-    exactly must not be silently approximated."""
+    any parallels/centers), ``stere`` (polar ellipsoidal + oblique
+    spherical), ``sinu`` (the MODIS grid family), ``cea`` (the EASE-Grid
+    2.0 family), ``eqc`` (plate carree), each with +x_0/+y_0 false
+    origins, each in BOTH the ellipsoidal form and the spherical closed
+    form (+R / lone +a / +a=+b / +ellps=sphere select the Snyder spherical
+    kernels). All ellipsoidal kernels accept any registered ellipsoid
+    (+ellps=airy/bessel/intl/clrk66/...), a 3- or 7-parameter ``+towgs84``
+    Helmert datum shift (position-vector convention, exact matrix inverse)
+    — the EPSG:27700/OSGB family — and ``+nadgrids=<file.gsb>`` NTv2
+    grid-file datums (single- or multi-sub-grid, finest-containing-grid
+    refinement). Unknown keys, unsupported ellipsoid/datum combinations,
+    parameters a kernel would ignore, and non-meter units raise
+    ``ValueError`` — a CRS the engine cannot honor exactly must not be
+    silently approximated."""
     toks = [t for t in s.strip().split() if t]
     kv: dict[str, str] = {}
     for tok in toks:
@@ -1385,7 +1548,7 @@ def parse_proj4(s: str):
         ident = lambda u, v: (np.asarray(u, dtype=np.float64),  # noqa: E731
                               np.asarray(v, dtype=np.float64))
         return compose(ident, ident)
-    if "lat_ts" in kv and proj not in ("merc", "stere"):
+    if "lat_ts" in kv and proj not in ("merc", "stere", "cea", "eqc"):
         raise ValueError(f"+lat_ts is not a +proj={proj} parameter: {s!r}")
 
     if proj == "merc":
@@ -1528,4 +1691,58 @@ def parse_proj4(s: str):
                                                    x0, y0, north, ell_e2),
             lambda x, y: stere_polar_to_lonlat(x, y, lon0, rf,
                                                x0, y0, north, ell_e2))
+    if proj == "sinu":
+        # sinusoidal has no scale factor or latitude-of-origin parameter
+        if k0 != 1.0:
+            raise ValueError(f"+k_0 is not a +proj=sinu parameter: {s!r}")
+        if lat0 != 0.0:
+            raise ValueError(f"+lat_0 is not a +proj=sinu parameter: {s!r}")
+        if spherical:  # the MODIS land-grid family (+R=6371007.181)
+            return compose(
+                lambda lon, lat: lonlat_to_sinu_sph(lon, lat, lon0,
+                                                    x0, y0, ell_a),
+                lambda x, y: sinu_sph_to_lonlat(x, y, lon0, x0, y0, ell_a))
+        return compose(
+            lambda lon, lat: lonlat_to_sinu(lon, lat, lon0,
+                                            x0, y0, ell_a, ell_e2),
+            lambda x, y: sinu_to_lonlat(x, y, lon0, x0, y0, ell_a, ell_e2))
+    if proj == "cea":
+        # standard-parallel (+lat_ts, the EASE-Grid/Behrmann convention)
+        # and +k_0 are alternative scalings, like merc/stere
+        if lat0 != 0.0:
+            raise ValueError(f"+lat_0 is not a +proj=cea parameter: {s!r}")
+        if "lat_ts" in kv:
+            if k0 != 1.0:
+                raise ValueError(f"+lat_ts and +k_0 are alternative CEA "
+                                 f"scalings — pass one: {s!r}")
+            ts = fnum("lat_ts")
+            k0 = (float(np.cos(np.radians(np.float64(ts)))) if spherical
+                  else cea_k0(ts, ell_e2))
+        if spherical:
+            return compose(
+                lambda lon, lat: lonlat_to_cea_sph(lon, lat, lon0, k0,
+                                                   x0, y0, ell_a),
+                lambda x, y: cea_sph_to_lonlat(x, y, lon0, k0,
+                                               x0, y0, ell_a))
+        return compose(
+            lambda lon, lat: lonlat_to_cea(lon, lat, lon0, k0,
+                                           x0, y0, ell_a, ell_e2),
+            lambda x, y: cea_to_lonlat(x, y, lon0, k0,
+                                       x0, y0, ell_a, ell_e2))
+    if proj == "eqc":
+        # proj4 eqc is SPHERICAL formulas on the semi-major axis regardless
+        # of +ellps (plate carree); +lat_0 offsets y (y = a*(phi - phi_0))
+        if k0 != 1.0:
+            raise ValueError(f"+k_0 is not a +proj=eqc parameter (use "
+                             f"+lat_ts): {s!r}")
+        if "lat_ts" in kv:
+            k0 = float(np.cos(np.radians(np.float64(fnum("lat_ts")))))
+        y0_eqc = y0 - ell_a * float(np.radians(np.float64(lat0)))
+        if shift is not None or ntv2 is not None:
+            raise ValueError(f"datum shift on +proj=eqc (spherical-on-a "
+                             f"semantics) unsupported: {s!r}")
+        return (
+            lambda lon, lat: lonlat_to_eqc(lon, lat, lon0, k0,
+                                           x0, y0_eqc, ell_a),
+            lambda x, y: eqc_to_lonlat(x, y, lon0, k0, x0, y0_eqc, ell_a))
     raise ValueError(f"unsupported +proj={proj}: {s!r}")

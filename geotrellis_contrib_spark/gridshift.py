@@ -14,9 +14,12 @@ the same layout PROJ consumes):
   * Longitudes are POSITIVE WEST (E_LONG <= W_LONG numerically); nodes run
     south->north by row and east->west within a row.
 
-Scope is deliberately bounded and fail-loud: exactly ONE sub-grid,
-GS_TYPE=SECONDS, points outside the grid raise — the engine must not
-silently extrapolate a datum shift.
+Scope is bounded and fail-loud: GS_TYPE=SECONDS only, and points outside
+every sub-grid raise — the engine must not silently extrapolate a datum
+shift. MULTI-sub-grid files are supported with the standard NTv2
+refinement semantics: each point uses the FINEST sub-grid containing it
+(children refine parents; real NAD83/NTv2 files nest state grids inside
+the national grid).
 
 Application semantics (the published NTv2 convention):
   forward  (FROM datum -> TO datum):  phi' = phi + bilinear(lat_shift)/3600
@@ -64,14 +67,29 @@ class NTv2Grid:
         return self.lat_shift.shape[1]
 
 
-def write_ntv2(path: str, s_lat: float, n_lat: float,
-               e_long: float, w_long: float,
-               lat_inc: float, lon_inc: float,
-               lat_shift: np.ndarray, lon_shift: np.ndarray,
-               system_f: str = "NAD27", system_t: str = "NAD83") -> None:
-    """Write a single-sub-grid NTv2 .gsb file (all units arc-seconds,
-    longitudes positive west, shift arrays [nrows, ncols] row 0 = S_LAT,
-    col 0 = E_LONG)."""
+@dataclass(frozen=True)
+class NTv2MultiGrid:
+    """A multi-sub-grid NTv2 file: sub-grids plus their SUB_NAME/PARENT
+    links. Lookup picks the finest containing sub-grid per point."""
+    grids: tuple
+    names: tuple
+    parents: tuple
+
+
+def _name(sv: str) -> bytes:
+    return sv.ljust(8)[:8].encode("ascii")
+
+
+def _srec(k: str, v: str) -> bytes:
+    return _REC.pack(_name(k), _name(v))
+
+
+def _subgrid_block(sub_name: str, parent: str,
+                   s_lat: float, n_lat: float,
+                   e_long: float, w_long: float,
+                   lat_inc: float, lon_inc: float,
+                   lat_shift: np.ndarray, lon_shift: np.ndarray) -> bytes:
+    """One sub-grid: 11 header records + GS_COUNT node records."""
     lat_shift = np.asarray(lat_shift, dtype=np.float32)
     lon_shift = np.asarray(lon_shift, dtype=np.float32)
     nrows, ncols = lat_shift.shape
@@ -81,93 +99,168 @@ def write_ntv2(path: str, s_lat: float, n_lat: float,
         raise ValueError("nrows inconsistent with S_LAT/N_LAT/LAT_INC")
     if ncols != round((w_long - e_long) / lon_inc) + 1:
         raise ValueError("ncols inconsistent with E_LONG/W_LONG/LONG_INC")
-
-    def name(sv: str) -> bytes:
-        return sv.ljust(8)[:8].encode("ascii")
-
-    def srec(k: str, v: str) -> bytes:
-        return _REC.pack(name(k), name(v))
-
     out = [
-        _INT_REC.pack(name("NUM_OREC"), 11),
-        _INT_REC.pack(name("NUM_SREC"), 11),
-        _INT_REC.pack(name("NUM_FILE"), 1),
-        srec("GS_TYPE", "SECONDS"),
-        srec("VERSION", "NTv2.0"),
-        srec("SYSTEM_F", system_f),
-        srec("SYSTEM_T", system_t),
-        _DBL_REC.pack(name("MAJOR_F"), 6378206.4),   # clrk66
-        _DBL_REC.pack(name("MINOR_F"), 6356583.8),
-        _DBL_REC.pack(name("MAJOR_T"), 6378137.0),   # GRS80/WGS84
-        _DBL_REC.pack(name("MINOR_T"), 6356752.314),
-        srec("SUB_NAME", "SYNTH"),
-        srec("PARENT", "NONE"),
-        srec("CREATED", "20260817"),
-        srec("UPDATED", "20260817"),
-        _DBL_REC.pack(name("S_LAT"), float(s_lat)),
-        _DBL_REC.pack(name("N_LAT"), float(n_lat)),
-        _DBL_REC.pack(name("E_LONG"), float(e_long)),
-        _DBL_REC.pack(name("W_LONG"), float(w_long)),
-        _DBL_REC.pack(name("LAT_INC"), float(lat_inc)),
-        _DBL_REC.pack(name("LONG_INC"), float(lon_inc)),
-        _INT_REC.pack(name("GS_COUNT"), nrows * ncols),
+        _srec("SUB_NAME", sub_name),
+        _srec("PARENT", parent),
+        _srec("CREATED", "20260817"),
+        _srec("UPDATED", "20260817"),
+        _DBL_REC.pack(_name("S_LAT"), float(s_lat)),
+        _DBL_REC.pack(_name("N_LAT"), float(n_lat)),
+        _DBL_REC.pack(_name("E_LONG"), float(e_long)),
+        _DBL_REC.pack(_name("W_LONG"), float(w_long)),
+        _DBL_REC.pack(_name("LAT_INC"), float(lat_inc)),
+        _DBL_REC.pack(_name("LONG_INC"), float(lon_inc)),
+        _INT_REC.pack(_name("GS_COUNT"), nrows * ncols),
     ]
     for i in range(nrows):
         for j in range(ncols):
             out.append(_NODE.pack(float(lat_shift[i, j]),
                                   float(lon_shift[i, j]), 0.0, 0.0))
+    return b"".join(out)
+
+
+def write_ntv2_multi(path: str, subgrids: list,
+                     system_f: str = "NAD27",
+                     system_t: str = "NAD83") -> None:
+    """Write an NTv2 .gsb file with one or more sub-grids. ``subgrids`` is
+    a list of dicts with keys sub_name, parent, s_lat, n_lat, e_long,
+    w_long, lat_inc, lon_inc, lat_shift, lon_shift (units arc-seconds,
+    longitudes positive west, arrays [nrows, ncols] row 0 = S_LAT,
+    col 0 = E_LONG)."""
+    out = [
+        _INT_REC.pack(_name("NUM_OREC"), 11),
+        _INT_REC.pack(_name("NUM_SREC"), 11),
+        _INT_REC.pack(_name("NUM_FILE"), len(subgrids)),
+        _srec("GS_TYPE", "SECONDS"),
+        _srec("VERSION", "NTv2.0"),
+        _srec("SYSTEM_F", system_f),
+        _srec("SYSTEM_T", system_t),
+        _DBL_REC.pack(_name("MAJOR_F"), 6378206.4),   # clrk66
+        _DBL_REC.pack(_name("MINOR_F"), 6356583.8),
+        _DBL_REC.pack(_name("MAJOR_T"), 6378137.0),   # GRS80/WGS84
+        _DBL_REC.pack(_name("MINOR_T"), 6356752.314),
+    ]
+    out.extend(_subgrid_block(**sg) for sg in subgrids)
     out.append(_REC.pack(b"END     ", b"\x00" * 8))
     with open(path, "wb") as f:
         f.write(b"".join(out))
 
 
-def read_ntv2(path: str) -> NTv2Grid:
-    """Parse a single-sub-grid NTv2 .gsb file; raises on multi-sub-grid
-    files and non-SECONDS units (bounded, fail-loud scope)."""
+def write_ntv2(path: str, s_lat: float, n_lat: float,
+               e_long: float, w_long: float,
+               lat_inc: float, lon_inc: float,
+               lat_shift: np.ndarray, lon_shift: np.ndarray,
+               system_f: str = "NAD27", system_t: str = "NAD83") -> None:
+    """Write a single-sub-grid NTv2 .gsb file (all units arc-seconds,
+    longitudes positive west, shift arrays [nrows, ncols] row 0 = S_LAT,
+    col 0 = E_LONG)."""
+    write_ntv2_multi(path, [dict(
+        sub_name="SYNTH", parent="NONE", s_lat=s_lat, n_lat=n_lat,
+        e_long=e_long, w_long=w_long, lat_inc=lat_inc, lon_inc=lon_inc,
+        lat_shift=lat_shift, lon_shift=lon_shift)],
+        system_f=system_f, system_t=system_t)
+
+
+def read_ntv2(path: str):
+    """Parse an NTv2 .gsb file. Returns an ``NTv2Grid`` for single-sub-grid
+    files (the common case — bit-identical behavior to the original
+    reader) or an ``NTv2MultiGrid`` for multi-sub-grid files. Raises on
+    non-SECONDS units (bounded, fail-loud scope)."""
     with open(path, "rb") as f:
         data = f.read()
 
     pos = 0
-    hdr: dict[str, bytes] = {}
 
     def take() -> tuple[str, bytes]:
         nonlocal pos
+        if pos + _REC.size > len(data):
+            raise ValueError(f"truncated NTv2 file: {path!r}")
         n, v = _REC.unpack_from(data, pos)
         pos += _REC.size
         return n.decode("ascii").strip(), v
 
+    hdr: dict[str, bytes] = {}
     for _ in range(11):
         k, v = take()
         hdr[k] = v
-    if struct.unpack("<i", hdr["NUM_FILE"][:4])[0] != 1:
-        raise ValueError(f"multi-sub-grid NTv2 unsupported: {path!r}")
+    n_file = struct.unpack("<i", hdr["NUM_FILE"][:4])[0]
+    if n_file < 1:
+        raise ValueError(f"NUM_FILE must be >= 1: {path!r}")
     if hdr["GS_TYPE"].decode("ascii").strip() != "SECONDS":
         raise ValueError(f"NTv2 GS_TYPE must be SECONDS: {path!r}")
 
-    sub: dict[str, bytes] = {}
-    for _ in range(11):
-        k, v = take()
-        sub[k] = v
-    dbl = lambda k: struct.unpack("<d", sub[k])[0]  # noqa: E731
-    s_lat, n_lat = dbl("S_LAT"), dbl("N_LAT")
-    e_long, w_long = dbl("E_LONG"), dbl("W_LONG")
-    lat_inc, lon_inc = dbl("LAT_INC"), dbl("LONG_INC")
-    count = struct.unpack("<i", sub["GS_COUNT"][:4])[0]
-    nrows = round((n_lat - s_lat) / lat_inc) + 1
-    ncols = round((w_long - e_long) / lon_inc) + 1
-    if count != nrows * ncols:
-        raise ValueError(f"GS_COUNT {count} != {nrows}x{ncols}: {path!r}")
-    nodes = np.frombuffer(data, dtype="<f4", count=count * 4, offset=pos)
-    nodes = nodes.reshape(count, 4)
-    lat_shift = nodes[:, 0].reshape(nrows, ncols).copy()
-    lon_shift = nodes[:, 1].reshape(nrows, ncols).copy()
-    return NTv2Grid(s_lat, n_lat, e_long, w_long, lat_inc, lon_inc,
-                    lat_shift, lon_shift)
+    grids, names, parents = [], [], []
+    for _ in range(n_file):
+        sub: dict[str, bytes] = {}
+        for _ in range(11):
+            k, v = take()
+            sub[k] = v
+        dbl = lambda k: struct.unpack("<d", sub[k])[0]  # noqa: E731
+        s_lat, n_lat = dbl("S_LAT"), dbl("N_LAT")
+        e_long, w_long = dbl("E_LONG"), dbl("W_LONG")
+        lat_inc, lon_inc = dbl("LAT_INC"), dbl("LONG_INC")
+        count = struct.unpack("<i", sub["GS_COUNT"][:4])[0]
+        nrows = round((n_lat - s_lat) / lat_inc) + 1
+        ncols = round((w_long - e_long) / lon_inc) + 1
+        if count != nrows * ncols:
+            raise ValueError(f"GS_COUNT {count} != {nrows}x{ncols}: {path!r}")
+        if pos + count * _NODE.size > len(data):
+            raise ValueError(f"truncated NTv2 file: {path!r}")
+        nodes = np.frombuffer(data, dtype="<f4", count=count * 4, offset=pos)
+        pos += count * _NODE.size
+        nodes = nodes.reshape(count, 4)
+        lat_shift = nodes[:, 0].reshape(nrows, ncols).copy()
+        lon_shift = nodes[:, 1].reshape(nrows, ncols).copy()
+        grids.append(NTv2Grid(s_lat, n_lat, e_long, w_long,
+                              lat_inc, lon_inc, lat_shift, lon_shift))
+        names.append(sub["SUB_NAME"].decode("ascii").strip())
+        parents.append(sub["PARENT"].decode("ascii").strip())
+    if n_file == 1:
+        return grids[0]
+    return NTv2MultiGrid(tuple(grids), tuple(names), tuple(parents))
 
 
-def _bilinear(grid: NTv2Grid, lon, lat):
+def _contains(grid: NTv2Grid, lon, lat, eps: float = 1e-9):
+    """Inclusive containment mask in the sub-grid's bounds (same eps
+    convention as the _bilinear edge landing)."""
+    row = (lat * 3600.0 - grid.s_lat) / grid.lat_inc
+    col = (-(lon * 3600.0) - grid.e_long) / grid.lon_inc
+    return ((row >= -eps) & (row <= grid.nrows - 1 + eps)
+            & (col >= -eps) & (col <= grid.ncols - 1 + eps))
+
+
+def _bilinear_multi(multi: NTv2MultiGrid, lon, lat):
+    """Per-point sub-grid selection (the NTv2 refinement rule: the FINEST
+    containing sub-grid wins — children refine parents), then the
+    single-grid bilinear per selected group."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    sel = np.full(lon.shape, -1, dtype=np.int64)
+    # coarsest first so finer grids overwrite where they also contain
+    order = sorted(range(len(multi.grids)),
+                   key=lambda i: -(multi.grids[i].lat_inc
+                                   * multi.grids[i].lon_inc))
+    for i in order:
+        sel[_contains(multi.grids[i], lon, lat)] = i
+    if np.any(sel < 0):
+        raise ValueError(
+            "point outside every NTv2 sub-grid — the engine will not "
+            "extrapolate a datum shift")
+    dlat = np.empty_like(lon)
+    dlon = np.empty_like(lon)
+    for i in np.unique(sel):
+        m = sel == i
+        a, b = _bilinear(multi.grids[i], lon[m], lat[m])
+        dlat[m] = a
+        dlon[m] = b
+    return dlat, dlon
+
+
+def _bilinear(grid, lon, lat):
     """(shift_lat_sec, shift_lon_pw_sec) at east-positive degrees lon/lat.
     Expression tree mirrored by the reproject_nadgrid SQL oracle."""
+    if isinstance(grid, NTv2MultiGrid):
+        return _bilinear_multi(grid, lon, lat)
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
     row = (lat * 3600.0 - grid.s_lat) / grid.lat_inc

@@ -106,14 +106,98 @@ def test_parse_proj4_nadgrids_fail_loud(tmp_path):
     assert x[0] == -62.0 and y[0] == 33.0
 
 
-def test_multi_subgrid_rejected(tmp_path):
-    path, lat_shift, lon_shift = make_grid(str(tmp_path))
+def _multi_fixture(tmp_path):
+    """Parent grid (1-deg cells, lon -80..-38 / lat 20..43) + a FINER child
+    (0.25-deg cells, lon -60..-50 / lat 25..32) with a DIFFERENT shift
+    field — the NAD83-style nesting (state grid inside the national one)."""
+    ps_lat, pn_lat = 20.0 * 3600, 43.0 * 3600
+    pe, pw = 38.0 * 3600, 80.0 * 3600
+    pinc = 3600.0
+    pr = round((pn_lat - ps_lat) / pinc) + 1
+    pc = round((pw - pe) / pinc) + 1
+    ii, jj = np.meshgrid(np.arange(pr), np.arange(pc), indexing="ij")
+    p_lat = (100.0 + 3.0 * ii + 2.0 * jj).astype(np.float32)
+    p_lon = (50.0 + 2.0 * ii - 1.0 * jj).astype(np.float32)
+    cs_lat, cn_lat = 25.0 * 3600, 32.0 * 3600
+    ce, cw = 50.0 * 3600, 60.0 * 3600
+    cinc = 900.0
+    cr = round((cn_lat - cs_lat) / cinc) + 1
+    cc = round((cw - ce) / cinc) + 1
+    ii, jj = np.meshgrid(np.arange(cr), np.arange(cc), indexing="ij")
+    c_lat = (400.0 + 1.0 * ii + 0.5 * jj).astype(np.float32)
+    c_lon = (-200.0 + 0.5 * ii + 1.0 * jj).astype(np.float32)
+    path = os.path.join(str(tmp_path), "multi.gsb")
+    GS.write_ntv2_multi(path, [
+        dict(sub_name="NATION", parent="NONE", s_lat=ps_lat, n_lat=pn_lat,
+             e_long=pe, w_long=pw, lat_inc=pinc, lon_inc=pinc,
+             lat_shift=p_lat, lon_shift=p_lon),
+        dict(sub_name="STATE", parent="NATION", s_lat=cs_lat, n_lat=cn_lat,
+             e_long=ce, w_long=cw, lat_inc=cinc, lon_inc=cinc,
+             lat_shift=c_lat, lon_shift=c_lon),
+    ])
+    return path
+
+
+def test_multi_subgrid_refinement(tmp_path):
+    path = _multi_fixture(tmp_path)
+    m = GS.read_ntv2(path)
+    assert isinstance(m, GS.NTv2MultiGrid)
+    assert m.names == ("NATION", "STATE") and m.parents == ("NONE", "NATION")
+    # a point inside the child uses the CHILD field (finest wins) — check
+    # against the child's own single-grid bilinear
+    in_child = (np.array([-55.5]), np.array([28.25]))
+    got = GS._bilinear(m, *in_child)
+    want = GS._bilinear(m.grids[1], *in_child)
+    assert got[0][0] == want[0][0] and got[1][0] == want[1][0]
+    # ...and differs from what the parent alone would give
+    par = GS._bilinear(m.grids[0], *in_child)
+    assert got[0][0] != par[0][0]
+    # a point in the parent only falls back to the parent field
+    out_child = (np.array([-70.0]), np.array([40.5]))
+    got2 = GS._bilinear(m, *out_child)
+    want2 = GS._bilinear(m.grids[0], *out_child)
+    assert got2[0][0] == want2[0][0] and got2[1][0] == want2[1][0]
+    # outside every sub-grid still raises
+    with pytest.raises(ValueError, match="outside every NTv2 sub-grid"):
+        GS.shift_forward(np.array([-100.0]), np.array([30.0]), m)
+
+
+def test_multi_subgrid_roundtrip_across_boundary(tmp_path):
+    path = _multi_fixture(tmp_path)
+    m = GS.read_ntv2(path)
+    rng = np.random.default_rng(11)
+    # sample points straddling the child boundary
+    lon = np.concatenate([rng.uniform(-59.5, -50.5, 200),
+                          rng.uniform(-78.0, -62.0, 200)])
+    lat = np.concatenate([rng.uniform(25.5, 31.5, 200),
+                          rng.uniform(21.0, 42.0, 200)])
+    flon, flat = GS.shift_forward(lon, lat, m)
+    blon, blat = GS.shift_inverse(flon, flat, m)
+    np.testing.assert_allclose(blon, lon, atol=1e-9)
+    np.testing.assert_allclose(blat, lat, atol=1e-9)
+
+
+def test_multi_subgrid_through_proj4(tmp_path):
+    path = _multi_fixture(tmp_path)
+    crs = (f"+proj=lcc +lat_1=33 +lat_2=45 +lat_0=23 +lon_0=-62 "
+           f"+x_0=500000 +y_0=-300000 +ellps=clrk66 +nadgrids={path} "
+           f"+units=m +no_defs")
+    fwd, inv = GR.parse_proj4(crs)
+    lon = np.array([-55.0, -70.0])   # one in the child, one parent-only
+    lat = np.array([28.0, 40.0])
+    rlon, rlat = inv(*fwd(lon, lat))
+    np.testing.assert_allclose(rlon, lon, atol=1e-8)
+    np.testing.assert_allclose(rlat, lat, atol=1e-8)
+
+
+def test_truncated_file_rejected(tmp_path):
+    path, _, _ = make_grid(str(tmp_path))
     data = bytearray(open(path, "rb").read())
-    # patch NUM_FILE to 2
+    # patch NUM_FILE to 2 without appending a second sub-grid
     import struct
     off = 2 * 16 + 8
     data[off:off + 4] = struct.pack("<i", 2)
-    p2 = os.path.join(str(tmp_path), "multi.gsb")
+    p2 = os.path.join(str(tmp_path), "lying.gsb")
     open(p2, "wb").write(bytes(data))
-    with pytest.raises(ValueError, match="multi-sub-grid"):
+    with pytest.raises(ValueError):
         GS.read_ntv2(p2)
