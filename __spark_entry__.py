@@ -1132,6 +1132,40 @@ def q_reproject_cea(spark: SparkSession, sf_dir: str) -> DataFrame:
     return px.window_stats(out).select("source_id", "band", "px_sum", "px_count")
 
 
+# Oblique (double) stereographic destination: the EPSG:28992 RD New METHOD
+# (Gauss conformal sphere + oblique spherical stere; +proj=sterea) with
+# the real RD scale/false-origin constants on Bessel, relocated to the
+# fixture footprint (lat_0=32, lon_0=-62) like the datum gate. Golden
+# anchor: the EPSG GN7-2 Amersfoort worked example (196105.283/557057.739)
+# sub-mm in tests/test_sterea.py.
+SA_DEF = ("+proj=sterea +lat_0=32 +lon_0=-62 +k_0=0.9999079 +x_0=155000 "
+          "+y_0=463000 +ellps=bessel +units=m +no_defs")
+SA_X0, SA_Y0, SA_X1, SA_Y1 = -1650000.0, -700000.0, 2000000.0, 1650000.0
+SA_COLS, SA_ROWS = 109, 97
+
+
+def q_reproject_sterea(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reprojectToGrid onto an OBLIQUE DOUBLE-STEREOGRAPHIC destination
+    (the EPSG oblique stereographic method of RD New / EPSG:28992 —
+    grid.lonlat_to_sterea/sterea_to_lonlat, conformal-sphere chain): the
+    pixel fixture warped onto an explicit target GridExtent, NaN-aware
+    window checksums per (source, band). Oracle: the EPSG GN7-2 inverse
+    (g/h/i/j closed forms to (chi, Lambda), then the 8-step pinned
+    isometric-latitude fixed point) recomputed in SQL with the engine's
+    conformal-sphere constants (R, n, c, chi0) as literals. Reference
+    parity: arbitrary CRS objects at GeoTiffReprojectRasterSource.scala:39."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark import grid as GR
+    from geotrellis_contrib_spark.operators import pixels as px
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    target = GR.GridExtent(SA_X0, SA_Y0, SA_X1, SA_Y1,
+                           (SA_X1 - SA_X0) / SA_COLS, (SA_Y1 - SA_Y0) / SA_ROWS)
+    out = px.reproject_to_grid(tiles, target, method="nearest",
+                               tile_size=64, dst_crs=SA_DEF)
+    return px.window_stats(out).select("source_id", "band", "px_sum", "px_count")
+
+
 # NTv2 grid-file datum destination: datum-shifted longlat regridding (the
 # NAD27-raster shape: same graticule, grid-file datum). Target GridExtent
 # in FROM-datum degrees; the synthetic .gsb (corpus.synth_nadgrid) covers
@@ -2403,6 +2437,82 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM vals GROUP BY 1, 2
 """
 
+    # Oblique double-stereographic reproject (reproject_sterea): SQL twin
+    # of the EPSG GN7-2 inverse — g/h/i/j closed forms to (chi, Lambda),
+    # then the SAME 8-step pinned isometric-latitude fixed point the
+    # engine runs (grid._STEREA_ITERS = 8). Constants are the engine's
+    # conformal-sphere doubles (R, n, c, chi0) rendered as literals.
+    _sa_ell = _gr.ellipsoid_params("bessel")
+    _sa_rncc = _gr._sterea_params(32.0, _sa_ell[0], _sa_ell[2])
+    _sa_r, _sa_n, _sa_c, _sa_chi0 = (_dl(v) for v in _sa_rncc)
+    _sa_e1 = _dl(float(_np.sqrt(_sa_ell[2])))
+    _sa_e1h = _dl(float(_np.sqrt(_sa_ell[2]) / 2.0))
+    _sa_e2 = _dl(_sa_ell[2])
+    _sa_k0 = _dl(0.9999079)
+    _sa_cw = _dl((SA_X1 - SA_X0) / SA_COLS)
+    _sa_ch = _dl((SA_Y1 - SA_Y0) / SA_ROWS)
+    _sa_step = (
+        f"(LN(TAN(phi/2.0 + PI()/4.0)) "
+        f"- {_sa_e1h}*LN((1.0 + {_sa_e1}*SIN(phi))/(1.0 - {_sa_e1}*SIN(phi))) "
+        f"- psi) * COS(phi) * (1.0 - {_sa_e2}*SIN(phi)*SIN(phi)) "
+        f"/ (1.0 - {_sa_e2})")
+    _sa_iters = "".join(
+        f", sa{i} AS MATERIALIZED (SELECT * EXCLUDE (phi), "
+        f"phi - {_sa_step} AS phi FROM sa{i - 1})\n"
+        for i in range(1, 9))
+    o["reproject_sterea"] = f"""
+WITH tgt AS (
+  SELECT CAST({SA_X0} AS DOUBLE) + (c+0.5)*{_sa_cw} - 155000.0 AS xs,
+         CAST({SA_Y1} AS DOUBLE) - (r+0.5)*{_sa_ch} - 463000.0 AS ys
+  FROM range(0,{SA_COLS}) cs(c), range(0,{SA_ROWS}) rs(r)
+), gij AS (
+  SELECT xs, ys,
+         ATAN2(xs, (4.0*{_sa_r}*{_sa_k0}*TAN({_sa_chi0})
+                    + 2.0*{_sa_r}*{_sa_k0}*TAN(PI()/4.0 - {_sa_chi0}/2.0))
+                   + ys) AS i,
+         ATAN2(xs, 2.0*{_sa_r}*{_sa_k0}*TAN(PI()/4.0 - {_sa_chi0}/2.0) - ys)
+           - ATAN2(xs, (4.0*{_sa_r}*{_sa_k0}*TAN({_sa_chi0})
+                        + 2.0*{_sa_r}*{_sa_k0}*TAN(PI()/4.0 - {_sa_chi0}/2.0))
+                       + ys) AS j
+  FROM tgt
+), chl AS (
+  SELECT
+    {_sa_chi0} + 2.0*ATAN((ys - xs*TAN(j/2.0)) / (2.0*{_sa_r}*{_sa_k0})) AS chi,
+    ((-62.0 + DEGREES((j + 2.0*i)/{_sa_n})) + 180.0) % 360.0 - 180.0 AS lon
+  FROM gij
+), sa0 AS (
+  SELECT lon,
+         0.5*LN((1.0 + SIN(chi)) / ({_sa_c}*(1.0 - SIN(chi))))/{_sa_n} AS psi,
+         2.0*ATAN(EXP(0.5*LN((1.0 + SIN(chi))
+                             / ({_sa_c}*(1.0 - SIN(chi))))/{_sa_n}))
+           - PI()/2.0 AS phi
+  FROM chl)
+{_sa_iters}, pts AS (
+  SELECT lon, DEGREES(phi) AS lat FROM sa8
+), own AS (
+  SELECT lon, lat, {C.sql_tile_col('lon', 6)} AS col, {C.sql_tile_row('lat', 6)} AS row
+  FROM pts
+), samp AS (
+  SELECT s, band, col, row,
+    CAST(FLOOR((lon - (CAST(col AS DOUBLE)/64.0*360.0-180.0)) / 0.087890625) AS BIGINT) AS ci,
+    CAST(FLOOR(({_la_lat6('CAST(row AS DOUBLE)')} - lat)
+         / (({_la_lat6('CAST(row AS DOUBLE)')} - {_la_lat6('CAST(row AS DOUBLE)+1.0')})/64.0)) AS BIGINT) AS ri
+  FROM own, range(0,3) ss(s), range(0,2) bs(band)
+  WHERE col BETWEEN 18+s AND 21+s AND row BETWEEN 24 AND 27
+), vals AS (
+  SELECT s, band,
+    CASE WHEN ri >= (s*11)%48 AND ri < (s*11)%48+16
+          AND ci >= (s*11)%48 AND ci < (s*11)%48+16 THEN -9999.0
+         ELSE s*1000.0 + band*100.0 + col*7.0 + row*3.0 + ri*0.5 + ci*0.25
+              + CAST((ri*31 + ci*17) % 13 AS DOUBLE) END AS v
+  FROM samp
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS BIGINT) AS band,
+       SUM(v) AS px_sum, CAST(COUNT(*) AS BIGINT) AS px_count
+FROM vals GROUP BY 1, 2
+"""
+
     # NTv2 grid-file datum reproject (reproject_nadgrid): SQL twin of the
     # forward bilinear shift (gridshift._bilinear / shift_forward) — node
     # values recomputed from the closed-form synthetic field
@@ -2802,6 +2912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_stere": q_reproject_stere,
         "reproject_sinu": q_reproject_sinu,
         "reproject_cea": q_reproject_cea,
+        "reproject_sterea": q_reproject_sterea,
         "reproject_datum": q_reproject_datum,
         "geom_scalars": q_geom_scalars,
         "stream_dedup": q_stream_dedup,

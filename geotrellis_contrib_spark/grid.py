@@ -1086,6 +1086,89 @@ def stere_sph_to_lonlat(x, y, lon0: float, lat0: float,
 
 
 # ---------------------------------------------------------------------------
+# Oblique (double) stereographic — the EPSG "Oblique Stereographic" method
+# (Guidance Note 7-2; proj4 ``+proj=sterea``), i.e. the EPSG:28992
+# Amersfoort / RD New national grid: ellipsoid -> Gauss conformal sphere ->
+# oblique spherical stereographic. This is a DIFFERENT projection from
+# Snyder's +proj=stere (which stays fail-loud for oblique ellipsoidal).
+# ---------------------------------------------------------------------------
+
+@_lru_cache(maxsize=None)
+def _sterea_params(lat0: float, ell_a: float, e2: float):
+    """Conformal-sphere constants (R, n, c, chi0) of the EPSG oblique
+    stereographic at latitude-of-origin ``lat0`` (GN 7-2: R = sqrt(rho0 *
+    nu0), n, the w1/w2 chain and the conformal origin latitude chi0)."""
+    e1 = float(np.sqrt(e2))
+    p0 = np.radians(np.float64(lat0))
+    s0 = float(np.sin(p0))
+    rho0 = ell_a * (1.0 - e2) / (1.0 - e2 * s0 * s0) ** 1.5
+    nu0 = ell_a / np.sqrt(1.0 - e2 * s0 * s0)
+    r = float(np.sqrt(rho0 * nu0))
+    n = float(np.sqrt(1.0 + e2 * np.cos(p0) ** 4 / (1.0 - e2)))
+    s1 = (1.0 + s0) / (1.0 - s0)
+    s2 = (1.0 - e1 * s0) / (1.0 + e1 * s0)
+    w1 = (s1 * s2 ** e1) ** n
+    sin_chi00 = (w1 - 1.0) / (w1 + 1.0)
+    c = ((n + s0) * (1.0 - sin_chi00)) / ((n - s0) * (1.0 + sin_chi00))
+    w2 = c * w1
+    chi0 = float(np.arcsin((w2 - 1.0) / (w2 + 1.0)))
+    return r, n, c, chi0
+
+
+def lonlat_to_sterea(lon, lat, lon0: float, lat0: float, k0: float = 1.0,
+                     x0: float = 0.0, y0: float = 0.0,
+                     ell_a: float = _WGS84_A, e2: float = _E2):
+    """EPSG oblique (double) stereographic forward (GN 7-2): conformal
+    latitude chi via the w chain, then the spherical oblique stereographic
+    on the conformal sphere."""
+    r, n, c, chi0 = _sterea_params(lat0, ell_a, e2)
+    e1 = np.sqrt(e2)
+    dl = n * np.radians(_wrap_deg(np.asarray(lon, dtype=np.float64) - lon0))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    s = np.sin(phi)
+    w = c * np.power(((1.0 + s) / (1.0 - s))
+                     * np.power((1.0 - e1 * s) / (1.0 + e1 * s), e1), n)
+    chi = np.arcsin((w - 1.0) / (w + 1.0))
+    b = (1.0 + np.sin(chi) * np.sin(chi0)
+         + np.cos(chi) * np.cos(chi0) * np.cos(dl))
+    x = x0 + 2.0 * r * k0 * np.cos(chi) * np.sin(dl) / b
+    y = y0 + 2.0 * r * k0 * (np.sin(chi) * np.cos(chi0)
+                             - np.cos(chi) * np.sin(chi0) * np.cos(dl)) / b
+    return x, y
+
+
+_STEREA_ITERS = 8  # pinned isometric-latitude iteration (SQL-twinned)
+
+
+def sterea_to_lonlat(x, y, lon0: float, lat0: float, k0: float = 1.0,
+                     x0: float = 0.0, y0: float = 0.0,
+                     ell_a: float = _WGS84_A, e2: float = _E2):
+    """EPSG oblique stereographic inverse (GN 7-2): the g/h/i/j closed
+    forms to (chi, Lambda), then the pinned isometric-latitude fixed point
+    phi <- phi - (psi(phi) - psi)*cos(phi)*(1 - e2 sin^2 phi)/(1 - e2)."""
+    r, n, c, chi0 = _sterea_params(lat0, ell_a, e2)
+    e1 = np.sqrt(e2)
+    xs = np.asarray(x, dtype=np.float64) - x0
+    ys = np.asarray(y, dtype=np.float64) - y0
+    g = 2.0 * r * k0 * np.tan(np.pi / 4.0 - chi0 / 2.0)
+    h = 4.0 * r * k0 * np.tan(chi0) + g
+    i = np.arctan2(xs, h + ys)
+    j = np.arctan2(xs, g - ys) - i
+    chi = chi0 + 2.0 * np.arctan((ys - xs * np.tan(j / 2.0))
+                                 / (2.0 * r * k0))
+    lon = _wrap_deg(lon0 + np.degrees((j + 2.0 * i) / n))
+    psi = 0.5 * np.log((1.0 + np.sin(chi))
+                       / (c * (1.0 - np.sin(chi)))) / n
+    phi = 2.0 * np.arctan(np.exp(psi)) - np.pi / 2.0
+    for _ in range(_STEREA_ITERS):
+        s = np.sin(phi)
+        psi_i = (np.log(np.tan(phi / 2.0 + np.pi / 4.0))
+                 - (e1 / 2.0) * np.log((1.0 + e1 * s) / (1.0 - e1 * s)))
+        phi = phi - (psi_i - psi) * np.cos(phi) * (1.0 - e2 * s * s) / (1.0 - e2)
+    return lon, np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
 # Sinusoidal (Snyder ch. 30) — the MODIS land-product grid family
 # (+proj=sinu +R=6371007.181). Spherical closed forms plus the ellipsoidal
 # form via the meridional arc (Snyder 3-21 series + pinned Newton inverse).
@@ -1392,7 +1475,7 @@ DATUMS = {
 _PROJ4_IGNORED = {"no_defs", "wktext", "type"}
 _PROJ4_PARAM_KEYS = {"proj", "lat_0", "lon_0", "lat_1", "lat_2", "lat_ts",
                      "x_0", "y_0", "k_0", "k", "units", "ellps", "datum",
-                     "towgs84", "nadgrids", "a", "b", "R"}
+                     "towgs84", "nadgrids", "a", "b", "R", "zone", "south"}
 
 
 def parse_proj4(s: str):
@@ -1550,6 +1633,45 @@ def parse_proj4(s: str):
         return compose(ident, ident)
     if "lat_ts" in kv and proj not in ("merc", "stere", "cea", "eqc"):
         raise ValueError(f"+lat_ts is not a +proj={proj} parameter: {s!r}")
+    if ("zone" in kv or "south" in kv) and proj != "utm":
+        raise ValueError(f"+zone/+south are +proj=utm parameters: {s!r}")
+
+    if proj == "utm":
+        # the common shorthand for tmerc with the UTM constants
+        # (k0=0.9996, x_0=500000, y_0=0/10000000, lon_0 from the zone)
+        zone = int(fnum("zone"))
+        if not 1 <= zone <= 60 or float(kv["zone"]) != zone:
+            raise ValueError(f"+zone must be an integer in 1..60: {s!r}")
+        for bad_key in ("lat_0", "lon_0", "x_0", "y_0", "k_0", "k"):
+            if bad_key in kv:
+                raise ValueError(f"+{bad_key} conflicts with +proj=utm "
+                                 f"(fixed UTM constants): {s!r}")
+        if spherical:
+            raise ValueError(f"+proj=utm on a sphere unsupported: {s!r}")
+        lon0u = float(zone * 6 - 183)
+        y0u = 10000000.0 if "south" in kv else 0.0
+        return compose(
+            lambda lon, lat: lonlat_to_tmerc(lon, lat, lon0u, 0.9996,
+                                             500000.0, y0u, 0.0,
+                                             ell_a, ell_f),
+            lambda x, y: tmerc_to_lonlat(x, y, lon0u, 0.9996,
+                                         500000.0, y0u, 0.0, ell_a, ell_f))
+
+    if proj == "sterea":
+        # EPSG oblique (double) stereographic — the RD New / EPSG:28992
+        # method. On a sphere the conformal-sphere mapping is the identity
+        # (n=1, c=1, chi=phi), i.e. exactly the spherical oblique stere.
+        if spherical:
+            return compose(
+                lambda lon, lat: lonlat_to_stere_sph(lon, lat, lon0, lat0,
+                                                     x0, y0, ell_a, k0),
+                lambda x, y: stere_sph_to_lonlat(x, y, lon0, lat0,
+                                                 x0, y0, ell_a, k0))
+        return compose(
+            lambda lon, lat: lonlat_to_sterea(lon, lat, lon0, lat0, k0,
+                                              x0, y0, ell_a, ell_e2),
+            lambda x, y: sterea_to_lonlat(x, y, lon0, lat0, k0,
+                                          x0, y0, ell_a, ell_e2))
 
     if proj == "merc":
         # spherical form when +R / lone +a / +a=+b (EPSG:3857 publishes
