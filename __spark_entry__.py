@@ -1166,6 +1166,25 @@ def q_reproject_sterea(spark: SparkSession, sf_dir: str) -> DataFrame:
     return px.window_stats(out).select("source_id", "band", "px_sum", "px_count")
 
 
+def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal (3x3 neighborhood) MEAN over the tiled raster with CROSS-TILE
+    halo exchange (operators/focal.py — strip extraction before the one
+    co-partitioned shuffle, vectorized numpy stencil per assembled tile;
+    NoData and mosaic-edge cells excluded from the neighborhood). Output:
+    per-tile quantized checksums (floor(focal*2^20+0.5) summed as int64 —
+    order-independent by construction). Oracle: the 9-term neighborhood
+    recomputed per pixel from the closed-form fixture values in SQL, same
+    fixed chained-add order, same single division, same quantization.
+    Reference parity: the reference's fixtures feed GeoTrellis focal ops
+    (aspect-tiled.tif, RasterSourceSpec); the contrib tier owns exactly
+    this tiling/halo plumbing."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import focal as FO
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    return FO.focal_stats(tiles, op="mean", radius=1)
+
+
 # NTv2 grid-file datum destination: datum-shifted longlat regridding (the
 # NAD27-raster shape: same graticule, grid-file datum). Target GridExtent
 # in FROM-datum degrees; the synthetic .gsb (corpus.synth_nadgrid) covers
@@ -2513,6 +2532,54 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM vals GROUP BY 1, 2
 """
 
+    # Focal 3x3 mean with halo exchange (focal_stats): per-pixel 9-term
+    # neighborhood recomputed from the closed-form fixture values — same
+    # fixed (dr,dc) chained-add order as the engine's stencil loop, same
+    # acc/cnt division, same floor(x*2^20+0.5) quantization, INTEGER sum
+    # per tile (order-independent). Validity = inside the source's tile
+    # footprint AND outside its nodata hole (h0 = (s*11)%48).
+    def _fo_term(odr, odc):
+        gr = f"(row*64 + ri + {odr})"
+        gc = f"(col*64 + ci + {odc})"
+        r2, ri2 = f"({gr}//64)", f"({gr}%64)"
+        c2, ci2 = f"({gc}//64)", f"({gc}%64)"
+        valid = (f"({c2} BETWEEN 18+s AND 21+s AND {r2} BETWEEN 24 AND 27"
+                 f" AND NOT ({ri2} >= h0 AND {ri2} < h0+16"
+                 f" AND {ci2} >= h0 AND {ci2} < h0+16))")
+        v = (f"(s*1000.0 + band*100.0 + {c2}*7.0 + {r2}*3.0"
+             f" + {ri2}*0.5 + {ci2}*0.25"
+             f" + CAST(({ri2}*31 + {ci2}*17) % 13 AS DOUBLE))")
+        return (f"CASE WHEN {valid} THEN {v} ELSE 0.0 END",
+                f"CASE WHEN {valid} THEN 1 ELSE 0 END")
+
+    _fo_terms = [_fo_term(odr, odc)
+                 for odr in (-1, 0, 1) for odc in (-1, 0, 1)]
+    _fo_acc = " + ".join(tv for tv, _ in _fo_terms)
+    _fo_cnt = " + ".join(tc for _, tc in _fo_terms)
+    o["focal_stats"] = f"""
+WITH px AS (
+  SELECT s, band, 18 + s + tcc AS col, 24 + trr AS row, ri, ci,
+         (s*11) % 48 AS h0
+  FROM range(0,3) ss(s), range(0,2) bs(band),
+       range(0,4) tcs(tcc), range(0,4) trs(trr),
+       range(0,64) ris(ri), range(0,64) cis(ci)
+), acc AS (
+  SELECT s, band, col, row,
+         {_fo_acc} AS a,
+         {_fo_cnt} AS n
+  FROM px
+), q AS (
+  SELECT s, band, col, row,
+         CAST(FLOOR(a / CAST(n AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS qv
+  FROM acc WHERE n > 0
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS BIGINT) AS band, col, row,
+       CAST(SUM(qv) AS BIGINT) AS focal_sum,
+       CAST(COUNT(*) AS BIGINT) AS focal_count
+FROM q GROUP BY 1, 2, 3, 4
+"""
+
     # NTv2 grid-file datum reproject (reproject_nadgrid): SQL twin of the
     # forward bilinear shift (gridshift._bilinear / shift_forward) — node
     # values recomputed from the closed-form synthetic field
@@ -2913,6 +2980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_sinu": q_reproject_sinu,
         "reproject_cea": q_reproject_cea,
         "reproject_sterea": q_reproject_sterea,
+        "focal_stats": q_focal_stats,
         "reproject_datum": q_reproject_datum,
         "geom_scalars": q_geom_scalars,
         "stream_dedup": q_stream_dedup,

@@ -1,0 +1,151 @@
+"""Focal (neighborhood) map algebra over the distributed tile table — the
+canonical stencil pattern: per-tile HALO EXCHANGE, then a vectorized numpy
+stencil per assembled tile.
+
+Reference parity: the reference's RasterSources feed GeoTrellis focal ops
+(aspect-tiled.tif is literally an aspect/slope fixture —
+vlm/src/test/resources, RasterSourceSpec reads it); the contrib layer's
+job is exactly this tiling/halo plumbing.
+
+Spark-first plan (scale posture):
+  1. ``mapInPandas`` strip extraction — each tile CUTS the r-wide edge
+     strips its 8 neighbors need BEFORE the shuffle, so shuffle volume is
+     ~(1 + 4r/T) x tile bytes, not 9x (no full-tile replication).
+  2. ONE shuffle: ``groupBy(source, band, col, row).applyInPandas`` —
+     assemble the (T+2r)^2 padded frame (missing neighbors / NoData ->
+     NaN), run the stencil, emit per-tile results.
+At 100 TB this is one co-partitioned shuffle of ~1.06x the raster bytes;
+the stencil itself is embarrassingly parallel per tile.
+
+Determinism contract (mirrored by the ``focal_stats`` SQL oracle in
+``__spark_entry__.py`` — change one only with the other):
+  * the 3x3 accumulation adds the 9 neighbor terms in FIXED lexicographic
+    (dr, dc) order: (-1,-1), (-1,0), ..., (1,1) — chained left-to-right
+    float adds, invalid terms contribute literal 0.0;
+  * focal_mean = acc / count (one division, both operands bit-identical
+    on both sides);
+  * the per-tile checksum quantizes FIRST — floor(v * 2^20 + 0.5) as
+    int64 — then sums INTEGERS, so the sum is order-independent (float
+    sums of quotients would depend on order; integer sums do not).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from geotrellis_contrib_spark.operators.pixels import DTYPES, pack
+
+_Q = 1048576.0  # 2^20 quantization for the order-independent checksum
+
+# fixed lexicographic neighbor order — the SQL oracle's chained-add order
+_OFFSETS = [(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)]
+
+
+def _strip(arr: np.ndarray, dr: int, dc: int, r: int) -> np.ndarray:
+    rows = slice(None) if dr == 0 else (slice(-r, None) if dr == 1
+                                        else slice(0, r))
+    cols = slice(None) if dc == 0 else (slice(-r, None) if dc == 1
+                                        else slice(0, r))
+    return arr[rows, cols]
+
+
+def focal_stats(tiles: DataFrame, op: str = "mean", radius: int = 1,
+                tile_size: int = 64) -> DataFrame:
+    """Focal ``op`` over every pixel's (2r+1)^2 neighborhood ACROSS tile
+    boundaries (halo exchange), NoData/edge cells excluded from the
+    neighborhood; returns the per-tile quantized checksum
+    ``(source_id, band, col, row, focal_sum, focal_count)`` where
+    focal_sum = sum of floor(focal * 2^20 + 0.5) over cells with at least
+    one valid neighbor and focal_count = that cell count."""
+    if op not in ("mean", "sum", "max", "min"):
+        raise ValueError(f"unsupported focal op: {op!r}")
+    if radius < 1 or radius >= tile_size:
+        raise ValueError(f"radius must be in 1..{tile_size - 1}: {radius}")
+    r, t = int(radius), int(tile_size)
+
+    def cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row_t in pdf.itertuples(index=False):
+                arr = np.frombuffer(row_t.px, dtype=DTYPES[row_t.dtype]) \
+                        .reshape(t, t).astype(np.float64)
+                for dr, dc in _OFFSETS:
+                    piece = arr if (dr == 0 and dc == 0) \
+                        else _strip(arr, dr, dc, r)
+                    out.append({
+                        "source_id": row_t.source_id, "band": row_t.band,
+                        "col": row_t.col + dc, "row": row_t.row + dr,
+                        "dr": dr, "dc": dc, "nodata": row_t.nodata,
+                        "h": piece.shape[0], "w": piece.shape[1],
+                        "px": pack(np.ascontiguousarray(piece)),
+                    })
+            yield pd.DataFrame(out, columns=[
+                "source_id", "band", "col", "row", "dr", "dc", "nodata",
+                "h", "w", "px"])
+
+    pieces = tiles.mapInPandas(
+        cut, "source_id string, band int, col bigint, row bigint, "
+             "dr int, dc int, nodata double, h int, w int, px binary")
+
+    p = t + 2 * r
+
+    def stencil(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        source_id, band, col, row = key
+        frame = np.full((p, p), np.nan)
+        have_center = False
+        nodata = None
+        for row_t in pdf.itertuples(index=False):
+            arr = np.frombuffer(row_t.px, dtype=np.float64) \
+                    .reshape(int(row_t.h), int(row_t.w))
+            nodata = row_t.nodata
+            dr, dc = int(row_t.dr), int(row_t.dc)
+            if dr == 0 and dc == 0:
+                have_center = True
+            # a piece sent with offset (dr, dc) sits at the OPPOSITE edge
+            # of the receiver's padded frame
+            rows = slice(r, r + t) if dr == 0 else (
+                slice(0, r) if dr == 1 else slice(p - r, p))
+            cols = slice(r, r + t) if dc == 0 else (
+                slice(0, r) if dc == 1 else slice(p - r, p))
+            frame[rows, cols] = arr
+        if not have_center:
+            # halo-only group: the target tile does not exist
+            return pd.DataFrame(columns=["source_id", "band", "col", "row",
+                                         "focal_sum", "focal_count"])
+        frame[frame == nodata] = np.nan
+        valid = ~np.isnan(frame)
+        acc = np.zeros((t, t))
+        cnt = np.zeros((t, t), dtype=np.int64)
+        ext = None
+        for dr, dc in ((dr0, dc0) for dr0 in range(-r, r + 1)
+                       for dc0 in range(-r, r + 1)):
+            win = frame[r + dr:r + dr + t, r + dc:r + dc + t]
+            vw = valid[r + dr:r + dr + t, r + dc:r + dc + t]
+            if op in ("mean", "sum"):
+                acc = acc + np.where(vw, win, 0.0)
+            else:
+                cur = np.where(vw, win, np.nan)
+                ext = cur if ext is None else (
+                    np.fmax(ext, cur) if op == "max" else np.fmin(ext, cur))
+            cnt = cnt + vw
+        any_valid = cnt > 0
+        if op == "mean":
+            focal = np.where(any_valid, acc / np.maximum(cnt, 1), np.nan)
+        elif op == "sum":
+            focal = np.where(any_valid, acc, np.nan)
+        else:
+            focal = ext
+        q = np.floor(focal[any_valid] * _Q + 0.5).astype(np.int64)
+        return pd.DataFrame([{
+            "source_id": source_id, "band": int(band),
+            "col": int(col), "row": int(row),
+            "focal_sum": int(q.sum()), "focal_count": int(any_valid.sum()),
+        }])
+
+    return pieces.groupBy("source_id", "band", "col", "row").applyInPandas(
+        stencil, "source_id string, band bigint, col bigint, row bigint, "
+                 "focal_sum bigint, focal_count bigint")

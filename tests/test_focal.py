@@ -1,0 +1,118 @@
+"""Focal (neighborhood) map algebra: halo exchange across tile
+boundaries + numpy stencil, engine vs a brute-force single-array oracle.
+
+The brute-force oracle assembles the WHOLE mosaic of one source into one
+numpy array (no tiling) and runs the same neighborhood definition —
+any halo-exchange bug (wrong strip, wrong placement, off-by-one) shows up
+as a mismatch on the tile-boundary pixels.
+
+Reference parity: the reference's fixtures feed GeoTrellis focal ops
+(vlm/src/test/resources aspect-tiled.tif via RasterSourceSpec); the
+contrib tier owns the tiling/halo plumbing this module implements.
+"""
+import numpy as np
+import pytest
+
+from geotrellis_contrib_spark import corpus
+from geotrellis_contrib_spark.operators import focal as FO
+
+T = 64
+NOD = -9999.0
+
+
+def _mosaic(s: int, band: int) -> np.ndarray:
+    """One source's 4x4-tile mosaic as a single (256, 256) array
+    (cols 18+s..21+s, rows 24..27), NaN outside nodata holes."""
+    big = np.full((4 * T, 4 * T), np.nan)
+    h0 = (s * 11) % (T - 16)
+    for tc in range(4):
+        for tr in range(4):
+            col, row = 18 + s + tc, 24 + tr
+            r = np.arange(T).reshape(-1, 1)
+            c = np.arange(T).reshape(1, -1)
+            val = (s * 1000.0 + band * 100.0 + col * 7.0 + row * 3.0
+                   + r * 0.5 + c * 0.25 + ((r * 31 + c * 17) % 13))
+            a = val.astype(np.float64)
+            a[h0:h0 + 16, h0:h0 + 16] = np.nan
+            big[tr * T:(tr + 1) * T, tc * T:(tc + 1) * T] = a
+    return big
+
+
+def _brute(big: np.ndarray, op: str, r: int = 1):
+    """Brute-force focal over the padded mosaic; returns (focal, count)."""
+    p = np.pad(big, r, constant_values=np.nan)
+    n = big.shape[0]
+    acc = np.zeros((n, n))
+    cnt = np.zeros((n, n), dtype=np.int64)
+    ext = None
+    for dr in range(-r, r + 1):
+        for dc in range(-r, r + 1):
+            w = p[r + dr:r + dr + n, r + dc:r + dc + n]
+            v = ~np.isnan(w)
+            if op in ("mean", "sum"):
+                acc = acc + np.where(v, w, 0.0)
+            else:
+                cur = np.where(v, w, np.nan)
+                ext = cur if ext is None else (
+                    np.fmax(ext, cur) if op == "max" else np.fmin(ext, cur))
+            cnt = cnt + v
+    if op == "mean":
+        focal = np.where(cnt > 0, acc / np.maximum(cnt, 1), np.nan)
+    elif op == "sum":
+        focal = np.where(cnt > 0, acc, np.nan)
+    else:
+        focal = ext
+    return focal, cnt
+
+
+@pytest.mark.parametrize("op", ["mean", "max", "sum"])
+def test_focal_matches_untiled_bruteforce(spark, op):
+    tiles = corpus.synth_px_tiles(spark, tile_size=T)
+    got = {(r["source_id"], r["band"], r["col"], r["row"]):
+           (r["focal_sum"], r["focal_count"])
+           for r in FO.focal_stats(tiles, op=op, radius=1).collect()}
+    assert len(got) == 3 * 2 * 16
+    for s in range(3):
+        for band in range(2):
+            focal, cnt = _brute(_mosaic(s, band), op)
+            for tc in range(4):
+                for tr in range(4):
+                    blk = focal[tr * T:(tr + 1) * T, tc * T:(tc + 1) * T]
+                    m = ~np.isnan(blk)
+                    want_sum = int(np.floor(blk[m] * FO._Q + 0.5)
+                                   .astype(np.int64).sum())
+                    key = (f"scene-{s}", band, 18 + s + tc, 24 + tr)
+                    assert got[key] == (want_sum, int(m.sum())), (op, key)
+
+
+def test_focal_radius2_boundary(spark):
+    # radius 2 pulls 2-wide strips across tile boundaries — same
+    # brute-force comparison catches wrong strip widths
+    tiles = corpus.synth_px_tiles(spark, tile_size=T)
+    got = {(r["source_id"], r["band"], r["col"], r["row"]):
+           (r["focal_sum"], r["focal_count"])
+           for r in FO.focal_stats(tiles, op="mean", radius=2).collect()}
+    focal, _ = _brute(_mosaic(1, 0), "mean", r=2)
+    blk = focal[0:T, T:2 * T]  # tile (col 20, row 24) of scene-1
+    m = ~np.isnan(blk)
+    want = int(np.floor(blk[m] * FO._Q + 0.5).astype(np.int64).sum())
+    assert got[("scene-1", 0, 20, 24)] == (want, int(m.sum()))
+
+
+def test_focal_single_shuffle_plan(spark):
+    # scale posture: exactly ONE exchange (the groupBy on tile keys) —
+    # strip extraction must not add a shuffle
+    tiles = corpus.synth_px_tiles(spark, tile_size=T)
+    plan = FO.focal_stats(tiles, op="mean", radius=1) \
+        ._jdf.queryExecution().executedPlan().toString()
+    n_exchange = plan.count("Exchange")
+    assert n_exchange - plan.count("ReusedExchange") <= 1, plan
+
+
+def test_focal_fail_loud():
+    with pytest.raises(ValueError, match="focal op"):
+        FO.focal_stats(None, op="median")
+    with pytest.raises(ValueError, match="radius"):
+        FO.focal_stats(None, op="mean", radius=0)
+    with pytest.raises(ValueError, match="radius"):
+        FO.focal_stats(None, op="mean", radius=64)
