@@ -1185,6 +1185,22 @@ def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FO.focal_stats(tiles, op="mean", radius=1)
 
 
+def q_terrain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slope + aspect via the HORN (1981) 3x3 kernel with cross-tile halo
+    exchange (operators/focal.py terrain_stats — the op family behind the
+    reference's own aspect-tiled.tif fixture, RasterSourceSpec). Output:
+    per-tile quantized checksums of slope/aspect over cells whose FULL
+    3x3 neighborhood is valid (GDAL edge convention). Oracle: the nine
+    neighbor values recomputed from the closed-form fixture field, the
+    identical Horn expressions (p, q, atan/sqrt/atan2 chains, flat-cell
+    rule, (x+360)%360 wrap on positive operands), identical quantization."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import focal as FO
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    return FO.terrain_stats(tiles, dx=30.0, dy=30.0)
+
+
 # NTv2 grid-file datum destination: datum-shifted longlat regridding (the
 # NAD27-raster shape: same graticule, grid-file datum). Target GridExtent
 # in FROM-datum degrees; the synthetic .gsb (corpus.synth_nadgrid) covers
@@ -2580,6 +2596,65 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM q GROUP BY 1, 2, 3, 4
 """
 
+    # Horn slope/aspect with halo exchange (terrain_stats): the nine
+    # neighbor values as NULL-able CTE columns, output only where the
+    # FULL 3x3 is valid; p/q/slope/aspect arithmetic mirrored
+    # term-for-term (single divisions, ATAN2(q,-p), (x+360)%360 on
+    # positive operands = numpy fmod), quantize-first integer sums.
+    def _tr_nb(odr, odc):
+        gr = f"(row*64 + ri + {odr})"
+        gc = f"(col*64 + ci + {odc})"
+        r2, ri2 = f"({gr}//64)", f"({gr}%64)"
+        c2, ci2 = f"({gc}//64)", f"({gc}%64)"
+        valid = (f"({c2} BETWEEN 18+s AND 21+s AND {r2} BETWEEN 24 AND 27"
+                 f" AND NOT ({ri2} >= h0 AND {ri2} < h0+16"
+                 f" AND {ci2} >= h0 AND {ci2} < h0+16))")
+        v = (f"(s*1000.0 + band*100.0 + {c2}*7.0 + {r2}*3.0"
+             f" + {ri2}*0.5 + {ci2}*0.25"
+             f" + CAST(({ri2}*31 + {ci2}*17) % 13 AS DOUBLE))")
+        return f"CASE WHEN {valid} THEN {v} ELSE NULL END"
+
+    _tr_cols = ", ".join(
+        f"{_tr_nb(odr, odc)} AS {nm}"
+        for nm, (odr, odc) in zip(
+            ("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh", "ii"),
+            [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1),
+             (1, -1), (1, 0), (1, 1)]))
+    _tr_ok = " AND ".join(f"{nm} IS NOT NULL" for nm in
+                          ("aa", "bb", "cc", "dd", "ee", "ff", "gg",
+                           "hh", "ii"))
+    o["terrain_stats"] = f"""
+WITH px AS (
+  SELECT s, band, 18 + s + tcc AS col, 24 + trr AS row, ri, ci,
+         (s*11) % 48 AS h0
+  FROM range(0,3) ss(s), range(0,2) bs(band),
+       range(0,4) tcs(tcc), range(0,4) trs(trr),
+       range(0,64) ris(ri), range(0,64) cis(ci)
+), nb AS MATERIALIZED (
+  SELECT s, band, col, row, {_tr_cols}
+  FROM px
+), pq AS (
+  SELECT s, band, col, row,
+         ((cc + 2.0*ff + ii) - (aa + 2.0*dd + gg)) / (8.0*30.0) AS p,
+         ((gg + 2.0*hh + ii) - (aa + 2.0*bb + cc)) / (8.0*30.0) AS q
+  FROM nb WHERE {_tr_ok}
+), ang AS (
+  SELECT s, band, col, row,
+         DEGREES(ATAN(SQRT(p*p + q*q))) AS slope,
+         CASE WHEN p = 0.0 AND q = 0.0 THEN 0.0
+              ELSE (DEGREES(ATAN2(q, -p)) + 360.0) % 360.0 END AS aspect
+  FROM pq
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS BIGINT) AS band, col, row,
+       CAST(SUM(CAST(FLOOR(slope * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS slope_sum,
+       CAST(SUM(CAST(FLOOR(aspect * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS aspect_sum,
+       CAST(COUNT(*) AS BIGINT) AS terrain_count
+FROM ang GROUP BY 1, 2, 3, 4
+"""
+
     # NTv2 grid-file datum reproject (reproject_nadgrid): SQL twin of the
     # forward bilinear shift (gridshift._bilinear / shift_forward) — node
     # values recomputed from the closed-form synthetic field
@@ -2981,6 +3056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_cea": q_reproject_cea,
         "reproject_sterea": q_reproject_sterea,
         "focal_stats": q_focal_stats,
+        "terrain_stats": q_terrain_stats,
         "reproject_datum": q_reproject_datum,
         "geom_scalars": q_geom_scalars,
         "stream_dedup": q_stream_dedup,

@@ -53,19 +53,10 @@ def _strip(arr: np.ndarray, dr: int, dc: int, r: int) -> np.ndarray:
     return arr[rows, cols]
 
 
-def focal_stats(tiles: DataFrame, op: str = "mean", radius: int = 1,
-                tile_size: int = 64) -> DataFrame:
-    """Focal ``op`` over every pixel's (2r+1)^2 neighborhood ACROSS tile
-    boundaries (halo exchange), NoData/edge cells excluded from the
-    neighborhood; returns the per-tile quantized checksum
-    ``(source_id, band, col, row, focal_sum, focal_count)`` where
-    focal_sum = sum of floor(focal * 2^20 + 0.5) over cells with at least
-    one valid neighbor and focal_count = that cell count."""
-    if op not in ("mean", "sum", "max", "min"):
-        raise ValueError(f"unsupported focal op: {op!r}")
-    if radius < 1 or radius >= tile_size:
-        raise ValueError(f"radius must be in 1..{tile_size - 1}: {radius}")
-    r, t = int(radius), int(tile_size)
+def _halo_pieces(tiles: DataFrame, r: int, t: int) -> DataFrame:
+    """Stage 1 of the stencil pattern: every tile cuts the r-wide edge
+    strips its 8 neighbors need BEFORE the shuffle (no full-tile
+    replication); keyed by the RECEIVING tile."""
 
     def cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -87,36 +78,60 @@ def focal_stats(tiles: DataFrame, op: str = "mean", radius: int = 1,
                 "source_id", "band", "col", "row", "dr", "dc", "nodata",
                 "h", "w", "px"])
 
-    pieces = tiles.mapInPandas(
+    return tiles.mapInPandas(
         cut, "source_id string, band int, col bigint, row bigint, "
              "dr int, dc int, nodata double, h int, w int, px binary")
 
+
+def _assemble_frame(pdf: pd.DataFrame, r: int, t: int):
+    """Stage 2 helper: build the (t+2r)^2 padded frame from a receiving
+    tile's pieces — NaN where no neighbor exists or NoData. Returns None
+    for halo-only groups (the target tile itself does not exist)."""
     p = t + 2 * r
+    frame = np.full((p, p), np.nan)
+    have_center = False
+    nodata = None
+    for row_t in pdf.itertuples(index=False):
+        arr = np.frombuffer(row_t.px, dtype=np.float64) \
+                .reshape(int(row_t.h), int(row_t.w))
+        nodata = row_t.nodata
+        dr, dc = int(row_t.dr), int(row_t.dc)
+        if dr == 0 and dc == 0:
+            have_center = True
+        # a piece sent with offset (dr, dc) sits at the OPPOSITE edge
+        # of the receiver's padded frame
+        rows = slice(r, r + t) if dr == 0 else (
+            slice(0, r) if dr == 1 else slice(p - r, p))
+        cols = slice(r, r + t) if dc == 0 else (
+            slice(0, r) if dc == 1 else slice(p - r, p))
+        frame[rows, cols] = arr
+    if not have_center:
+        return None
+    frame[frame == nodata] = np.nan
+    return frame
+
+
+def focal_stats(tiles: DataFrame, op: str = "mean", radius: int = 1,
+                tile_size: int = 64) -> DataFrame:
+    """Focal ``op`` over every pixel's (2r+1)^2 neighborhood ACROSS tile
+    boundaries (halo exchange), NoData/edge cells excluded from the
+    neighborhood; returns the per-tile quantized checksum
+    ``(source_id, band, col, row, focal_sum, focal_count)`` where
+    focal_sum = sum of floor(focal * 2^20 + 0.5) over cells with at least
+    one valid neighbor and focal_count = that cell count."""
+    if op not in ("mean", "sum", "max", "min"):
+        raise ValueError(f"unsupported focal op: {op!r}")
+    if radius < 1 or radius >= tile_size:
+        raise ValueError(f"radius must be in 1..{tile_size - 1}: {radius}")
+    r, t = int(radius), int(tile_size)
+    pieces = _halo_pieces(tiles, r, t)
 
     def stencil(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         source_id, band, col, row = key
-        frame = np.full((p, p), np.nan)
-        have_center = False
-        nodata = None
-        for row_t in pdf.itertuples(index=False):
-            arr = np.frombuffer(row_t.px, dtype=np.float64) \
-                    .reshape(int(row_t.h), int(row_t.w))
-            nodata = row_t.nodata
-            dr, dc = int(row_t.dr), int(row_t.dc)
-            if dr == 0 and dc == 0:
-                have_center = True
-            # a piece sent with offset (dr, dc) sits at the OPPOSITE edge
-            # of the receiver's padded frame
-            rows = slice(r, r + t) if dr == 0 else (
-                slice(0, r) if dr == 1 else slice(p - r, p))
-            cols = slice(r, r + t) if dc == 0 else (
-                slice(0, r) if dc == 1 else slice(p - r, p))
-            frame[rows, cols] = arr
-        if not have_center:
-            # halo-only group: the target tile does not exist
+        frame = _assemble_frame(pdf, r, t)
+        if frame is None:
             return pd.DataFrame(columns=["source_id", "band", "col", "row",
                                          "focal_sum", "focal_count"])
-        frame[frame == nodata] = np.nan
         valid = ~np.isnan(frame)
         acc = np.zeros((t, t))
         cnt = np.zeros((t, t), dtype=np.int64)
@@ -149,3 +164,61 @@ def focal_stats(tiles: DataFrame, op: str = "mean", radius: int = 1,
     return pieces.groupBy("source_id", "band", "col", "row").applyInPandas(
         stencil, "source_id string, band bigint, col bigint, row bigint, "
                  "focal_sum bigint, focal_count bigint")
+
+
+def terrain_stats(tiles: DataFrame, dx: float = 30.0, dy: float = 30.0,
+                  tile_size: int = 64) -> DataFrame:
+    """Slope + aspect via the HORN (1981) 3x3 kernel over the same halo
+    machinery — the op family behind the reference's own aspect fixture
+    (vlm/src/test/resources aspect-tiled.tif, read by RasterSourceSpec).
+
+    Horn derivatives on the padded frame (rows grow southward, cols
+    eastward):
+        p = dz/dx = ((c + 2f + i) - (a + 2d + g)) / (8*dx)
+        q = dz/dy = ((g + 2h + i) - (a + 2b + c)) / (8*dy)
+        slope_deg  = degrees(atan(sqrt(p*p + q*q)))
+        aspect_deg = (degrees(atan2(q, -p)) + 360) % 360, flat cells -> 0
+    A cell gets output only when ALL 9 neighborhood cells are valid
+    (the GDAL edge convention). Returns per-tile quantized checksums
+    ``(source_id, band, col, row, slope_sum, aspect_sum, terrain_count)``
+    — floor(v * 2^20 + 0.5) summed as int64, order-independent. The
+    ``terrain_stats`` SQL oracle mirrors this arithmetic term-for-term —
+    change one only with the other."""
+    t = int(tile_size)
+    pieces = _halo_pieces(tiles, 1, t)
+
+    def horn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        source_id, band, col, row = key
+        cols = ["source_id", "band", "col", "row",
+                "slope_sum", "aspect_sum", "terrain_count"]
+        frame = _assemble_frame(pdf, 1, t)
+        if frame is None:
+            return pd.DataFrame(columns=cols)
+        a = frame[0:t, 0:t]
+        b = frame[0:t, 1:t + 1]
+        c = frame[0:t, 2:t + 2]
+        d = frame[1:t + 1, 0:t]
+        e = frame[1:t + 1, 1:t + 1]
+        f = frame[1:t + 1, 2:t + 2]
+        g = frame[2:t + 2, 0:t]
+        h = frame[2:t + 2, 1:t + 1]
+        i = frame[2:t + 2, 2:t + 2]
+        ok = ~np.isnan(a + b + c + d + e + f + g + h + i)
+        with np.errstate(invalid="ignore"):
+            p = ((c + 2.0 * f + i) - (a + 2.0 * d + g)) / (8.0 * dx)
+            q = ((g + 2.0 * h + i) - (a + 2.0 * b + c)) / (8.0 * dy)
+            slope = np.degrees(np.arctan(np.sqrt(p * p + q * q)))
+            aspect = (np.degrees(np.arctan2(q, -p)) + 360.0) % 360.0
+            aspect = np.where((p == 0.0) & (q == 0.0), 0.0, aspect)
+        qs = np.floor(slope[ok] * _Q + 0.5).astype(np.int64)
+        qa = np.floor(aspect[ok] * _Q + 0.5).astype(np.int64)
+        return pd.DataFrame([{
+            "source_id": source_id, "band": int(band),
+            "col": int(col), "row": int(row),
+            "slope_sum": int(qs.sum()), "aspect_sum": int(qa.sum()),
+            "terrain_count": int(ok.sum()),
+        }])
+
+    return pieces.groupBy("source_id", "band", "col", "row").applyInPandas(
+        horn, "source_id string, band bigint, col bigint, row bigint, "
+              "slope_sum bigint, aspect_sum bigint, terrain_count bigint")

@@ -116,3 +116,40 @@ def test_focal_fail_loud():
         FO.focal_stats(None, op="mean", radius=0)
     with pytest.raises(ValueError, match="radius"):
         FO.focal_stats(None, op="mean", radius=64)
+
+
+def test_terrain_matches_untiled_bruteforce(spark):
+    # Horn slope/aspect vs the same kernel on the UNTILED mosaic — the
+    # all-9-valid rule means every tile-boundary pixel depends on the halo
+    tiles = corpus.synth_px_tiles(spark, tile_size=T)
+    got = {(r["source_id"], r["band"], r["col"], r["row"]):
+           (r["slope_sum"], r["aspect_sum"], r["terrain_count"])
+           for r in FO.terrain_stats(tiles, dx=30.0, dy=30.0).collect()}
+    assert len(got) == 3 * 2 * 16
+    for s in (0, 2):
+        big = _mosaic(s, 1)
+        p = np.pad(big, 1, constant_values=np.nan)
+        n = big.shape[0]
+        a = p[0:n, 0:n]; b = p[0:n, 1:n + 1]; c = p[0:n, 2:n + 2]
+        d = p[1:n + 1, 0:n]; e = p[1:n + 1, 1:n + 1]; f = p[1:n + 1, 2:n + 2]
+        g = p[2:n + 2, 0:n]; h = p[2:n + 2, 1:n + 1]; i = p[2:n + 2, 2:n + 2]
+        ok = ~np.isnan(a + b + c + d + e + f + g + h + i)
+        with np.errstate(invalid="ignore"):
+            px_ = ((c + 2.0 * f + i) - (a + 2.0 * d + g)) / (8.0 * 30.0)
+            qy = ((g + 2.0 * h + i) - (a + 2.0 * b + c)) / (8.0 * 30.0)
+            slope = np.degrees(np.arctan(np.sqrt(px_ * px_ + qy * qy)))
+            aspect = (np.degrees(np.arctan2(qy, -px_)) + 360.0) % 360.0
+            aspect = np.where((px_ == 0.0) & (qy == 0.0), 0.0, aspect)
+        for tc in range(4):
+            for tr in range(4):
+                sl = slope[tr * T:(tr + 1) * T, tc * T:(tc + 1) * T]
+                asp = aspect[tr * T:(tr + 1) * T, tc * T:(tc + 1) * T]
+                m = ok[tr * T:(tr + 1) * T, tc * T:(tc + 1) * T]
+                want = (int(np.floor(sl[m] * FO._Q + 0.5).astype(np.int64).sum()),
+                        int(np.floor(asp[m] * FO._Q + 0.5).astype(np.int64).sum()),
+                        int(m.sum()))
+                assert got[(f"scene-{s}", 1, 18 + s + tc, 24 + tr)] == want
+    # slope is nontrivial (the fixture gradient bites) and aspect spans
+    # quadrants (the mod-13 texture flips signs)
+    sums = np.array([v[0] for v in got.values()])
+    assert np.all(sums > 0)
