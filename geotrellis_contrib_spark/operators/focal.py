@@ -222,3 +222,55 @@ def terrain_stats(tiles: DataFrame, dx: float = 30.0, dy: float = 30.0,
     return pieces.groupBy("source_id", "band", "col", "row").applyInPandas(
         horn, "source_id string, band bigint, col bigint, row bigint, "
               "slope_sum bigint, aspect_sum bigint, terrain_count bigint")
+
+
+def hillshade_stats(tiles: DataFrame, azimuth: float = 315.0,
+                    altitude: float = 45.0, dx: float = 30.0,
+                    dy: float = 30.0, tile_size: int = 64) -> DataFrame:
+    """Hillshade (GDALDEM/ESRI convention) on the Horn p/q derivatives:
+        shade = 255 * max(0, cos(zen)*cos(slope)
+                             + sin(zen)*sin(slope)*cos(az_rad - aspect_rad))
+    with zen = 90 - altitude, az measured clockwise from north and
+    aspect_rad = atan2(q, -p) in the same frame. Same halo machinery and
+    all-9-valid edge rule as terrain_stats; per-tile quantized checksums
+    ``(source_id, band, col, row, shade_sum, shade_count)``."""
+    t = int(tile_size)
+    zen = np.radians(np.float64(90.0 - altitude))
+    az = np.radians(np.float64(azimuth))
+    pieces = _halo_pieces(tiles, 1, t)
+
+    def shade(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        source_id, band, col, row = key
+        cols = ["source_id", "band", "col", "row",
+                "shade_sum", "shade_count"]
+        frame = _assemble_frame(pdf, 1, t)
+        if frame is None:
+            return pd.DataFrame(columns=cols)
+        a = frame[0:t, 0:t]
+        b = frame[0:t, 1:t + 1]
+        c = frame[0:t, 2:t + 2]
+        d = frame[1:t + 1, 0:t]
+        e = frame[1:t + 1, 1:t + 1]
+        f = frame[1:t + 1, 2:t + 2]
+        g = frame[2:t + 2, 0:t]
+        h = frame[2:t + 2, 1:t + 1]
+        i = frame[2:t + 2, 2:t + 2]
+        ok = ~np.isnan(a + b + c + d + e + f + g + h + i)
+        with np.errstate(invalid="ignore"):
+            p = ((c + 2.0 * f + i) - (a + 2.0 * d + g)) / (8.0 * dx)
+            q = ((g + 2.0 * h + i) - (a + 2.0 * b + c)) / (8.0 * dy)
+            slope = np.arctan(np.sqrt(p * p + q * q))
+            aspect = np.arctan2(q, -p)
+            sh = 255.0 * np.maximum(
+                0.0, np.cos(zen) * np.cos(slope)
+                + np.sin(zen) * np.sin(slope) * np.cos(az - aspect))
+        qs = np.floor(sh[ok] * _Q + 0.5).astype(np.int64)
+        return pd.DataFrame([{
+            "source_id": source_id, "band": int(band),
+            "col": int(col), "row": int(row),
+            "shade_sum": int(qs.sum()), "shade_count": int(ok.sum()),
+        }])
+
+    return pieces.groupBy("source_id", "band", "col", "row").applyInPandas(
+        shade, "source_id string, band bigint, col bigint, row bigint, "
+               "shade_sum bigint, shade_count bigint")

@@ -153,3 +153,39 @@ def test_terrain_matches_untiled_bruteforce(spark):
     # quadrants (the mod-13 texture flips signs)
     sums = np.array([v[0] for v in got.values()])
     assert np.all(sums > 0)
+
+
+def test_hillshade_matches_untiled_bruteforce(spark):
+    tiles = corpus.synth_px_tiles(spark, tile_size=T)
+    got = {(r["source_id"], r["band"], r["col"], r["row"]):
+           (r["shade_sum"], r["shade_count"])
+           for r in FO.hillshade_stats(tiles, azimuth=315.0, altitude=45.0,
+                                       dx=30.0, dy=30.0).collect()}
+    assert len(got) == 3 * 2 * 16
+    big = _mosaic(1, 0)
+    p = np.pad(big, 1, constant_values=np.nan)
+    n = big.shape[0]
+    a = p[0:n, 0:n]; b = p[0:n, 1:n + 1]; c = p[0:n, 2:n + 2]
+    d = p[1:n + 1, 0:n]; e = p[1:n + 1, 1:n + 1]; f = p[1:n + 1, 2:n + 2]
+    g = p[2:n + 2, 0:n]; h = p[2:n + 2, 1:n + 1]; i = p[2:n + 2, 2:n + 2]
+    ok = ~np.isnan(a + b + c + d + e + f + g + h + i)
+    zen = np.radians(np.float64(45.0))
+    az = np.radians(np.float64(315.0))
+    with np.errstate(invalid="ignore"):
+        px_ = ((c + 2.0 * f + i) - (a + 2.0 * d + g)) / (8.0 * 30.0)
+        qy = ((g + 2.0 * h + i) - (a + 2.0 * b + c)) / (8.0 * 30.0)
+        slope = np.arctan(np.sqrt(px_ * px_ + qy * qy))
+        aspect = np.arctan2(qy, -px_)
+        sh = 255.0 * np.maximum(0.0, np.cos(zen) * np.cos(slope)
+                                + np.sin(zen) * np.sin(slope)
+                                * np.cos(az - aspect))
+    for tc in range(4):
+        for tr in range(4):
+            blk = sh[tr * T:(tr + 1) * T, tc * T:(tc + 1) * T]
+            m = ok[tr * T:(tr + 1) * T, tc * T:(tc + 1) * T]
+            want = (int(np.floor(blk[m] * FO._Q + 0.5).astype(np.int64).sum()),
+                    int(m.sum()))
+            assert got[("scene-1", 0, 19 + tc, 24 + tr)] == want
+    # the fixture slopes face a consistent direction — shading must vary
+    sums = sorted(v[0] for v in got.values())
+    assert sums[0] < sums[-1]
