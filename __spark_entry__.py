@@ -1201,6 +1201,37 @@ def q_terrain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FO.terrain_stats(tiles, dx=30.0, dy=30.0)
 
 
+def q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hillshade (GDALDEM/ESRI convention, sun az 315 / alt 45) on the Horn
+    p/q derivatives with cross-tile halo exchange (operators/focal.py
+    hillshade_stats): shade = 255*max(0, cos(zen)cos(slope) +
+    sin(zen)sin(slope)cos(az - aspect)), all-9-valid GDAL edge rule,
+    per-tile quantized checksums. Oracle: the identical arithmetic chain in
+    SQL over the nine recomputed neighbor columns, with the engine's
+    cos(zen)/sin(zen)/az doubles embedded as exact literals. Reference
+    parity: the aspect-tiled.tif kernel family (RasterSourceSpec)."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import focal as FO
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    return FO.hillshade_stats(tiles, azimuth=315.0, altitude=45.0,
+                              dx=30.0, dy=30.0)
+
+
+def q_tri_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRI (Wilson) + TPI + roughness — the rest of the GDALDEM terrain
+    family (operators/focal.py tri_stats) on the same halo machinery and
+    all-9-valid edge rule. Output: per-tile quantized checksums (TPI can be
+    negative — floor-toward--inf quantization is identical in numpy and
+    SQL). Oracle: the identical 8-term chained-add / single-division /
+    GREATEST-LEAST arithmetic over the nine recomputed neighbor columns."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import focal as FO
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    return FO.tri_stats(tiles)
+
+
 # NTv2 grid-file datum destination: datum-shifted longlat regridding (the
 # NAD27-raster shape: same graticule, grid-file datum). Target GridExtent
 # in FROM-datum degrees; the synthetic .gsb (corpus.synth_nadgrid) covers
@@ -2655,6 +2686,84 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM ang GROUP BY 1, 2, 3, 4
 """
 
+    # Hillshade (GDALDEM convention, az 315 / alt 45): same nine-neighbor
+    # CTE and Horn p/q as terrain_stats; the engine's cos(zen)/sin(zen)/az
+    # doubles are embedded as exact repr literals (computed HERE with the
+    # same numpy calls hillshade_stats makes), so the SQL chain is
+    # term-for-term identical: 255*GREATEST(0, cz*COS(slope) +
+    # sz*SIN(slope)*COS(az - aspect)).
+    import numpy as _np
+    _hs_zen = _np.radians(_np.float64(90.0 - 45.0))
+    _hs_cz = _dl(float(_np.cos(_hs_zen)))
+    _hs_sz = _dl(float(_np.sin(_hs_zen)))
+    _hs_az = _dl(float(_np.radians(_np.float64(315.0))))
+    o["hillshade"] = f"""
+WITH px AS (
+  SELECT s, band, 18 + s + tcc AS col, 24 + trr AS row, ri, ci,
+         (s*11) % 48 AS h0
+  FROM range(0,3) ss(s), range(0,2) bs(band),
+       range(0,4) tcs(tcc), range(0,4) trs(trr),
+       range(0,64) ris(ri), range(0,64) cis(ci)
+), nb AS MATERIALIZED (
+  SELECT s, band, col, row, {_tr_cols}
+  FROM px
+), pq AS (
+  SELECT s, band, col, row,
+         ((cc + 2.0*ff + ii) - (aa + 2.0*dd + gg)) / (8.0*30.0) AS p,
+         ((gg + 2.0*hh + ii) - (aa + 2.0*bb + cc)) / (8.0*30.0) AS q
+  FROM nb WHERE {_tr_ok}
+), sh AS (
+  SELECT s, band, col, row,
+         255.0 * GREATEST(0.0,
+           {_hs_cz} * COS(ATAN(SQRT(p*p + q*q)))
+           + {_hs_sz} * SIN(ATAN(SQRT(p*p + q*q)))
+             * COS({_hs_az} - ATAN2(q, -p))) AS shade
+  FROM pq
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS BIGINT) AS band, col, row,
+       CAST(SUM(CAST(FLOOR(shade * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS shade_sum,
+       CAST(COUNT(*) AS BIGINT) AS shade_count
+FROM sh GROUP BY 1, 2, 3, 4
+"""
+
+    # TRI/TPI/roughness (the rest of the GDALDEM family): same neighbor
+    # CTE; the 8-term chained adds mirror the engine's fixed
+    # a,b,c,d,f,g,h,i left-to-right order, one division by 8.0;
+    # GREATEST/LEAST are exact (no rounding) so order is free; TPI is
+    # NEGATIVE-capable — FLOOR is toward -inf on both sides.
+    o["tri_stats"] = f"""
+WITH px AS (
+  SELECT s, band, 18 + s + tcc AS col, 24 + trr AS row, ri, ci,
+         (s*11) % 48 AS h0
+  FROM range(0,3) ss(s), range(0,2) bs(band),
+       range(0,4) tcs(tcc), range(0,4) trs(trr),
+       range(0,64) ris(ri), range(0,64) cis(ci)
+), nb AS MATERIALIZED (
+  SELECT s, band, col, row, {_tr_cols}
+  FROM px
+), tt AS (
+  SELECT s, band, col, row,
+         (ABS(ee-aa) + ABS(ee-bb) + ABS(ee-cc) + ABS(ee-dd) + ABS(ee-ff)
+          + ABS(ee-gg) + ABS(ee-hh) + ABS(ee-ii)) / 8.0 AS tri,
+         ee - (aa + bb + cc + dd + ff + gg + hh + ii) / 8.0 AS tpi,
+         GREATEST(aa, bb, cc, dd, ee, ff, gg, hh, ii)
+           - LEAST(aa, bb, cc, dd, ee, ff, gg, hh, ii) AS rough
+  FROM nb WHERE {_tr_ok}
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS BIGINT) AS band, col, row,
+       CAST(SUM(CAST(FLOOR(tri * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS tri_sum,
+       CAST(SUM(CAST(FLOOR(tpi * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS tpi_sum,
+       CAST(SUM(CAST(FLOOR(rough * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS rough_sum,
+       CAST(COUNT(*) AS BIGINT) AS tri_count
+FROM tt GROUP BY 1, 2, 3, 4
+"""
+
     # NTv2 grid-file datum reproject (reproject_nadgrid): SQL twin of the
     # forward bilinear shift (gridshift._bilinear / shift_forward) — node
     # values recomputed from the closed-form synthetic field
@@ -3057,6 +3166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_sterea": q_reproject_sterea,
         "focal_stats": q_focal_stats,
         "terrain_stats": q_terrain_stats,
+        "hillshade": q_hillshade,
+        "tri_stats": q_tri_stats,
         "reproject_datum": q_reproject_datum,
         "geom_scalars": q_geom_scalars,
         "stream_dedup": q_stream_dedup,

@@ -166,6 +166,73 @@ def focal_stats(tiles: DataFrame, op: str = "mean", radius: int = 1,
                  "focal_sum bigint, focal_count bigint")
 
 
+def _nb9(frame: np.ndarray, t: int):
+    """The nine 3x3-neighborhood slices (a..i, row-major: a=NW, e=center,
+    i=SE) of a radius-1 padded frame — shared by the Horn/GDALDEM kernels."""
+    return (frame[0:t, 0:t], frame[0:t, 1:t + 1], frame[0:t, 2:t + 2],
+            frame[1:t + 1, 0:t], frame[1:t + 1, 1:t + 1],
+            frame[1:t + 1, 2:t + 2],
+            frame[2:t + 2, 0:t], frame[2:t + 2, 1:t + 1],
+            frame[2:t + 2, 2:t + 2])
+
+
+def tri_stats(tiles: DataFrame, tile_size: int = 64) -> DataFrame:
+    """TRI + TPI + roughness — the rest of the GDALDEM terrain family
+    (gdaldem tri/tpi/roughness), on the same halo machinery and all-9-valid
+    edge rule as the Horn kernels:
+
+        TRI (Wilson)  = mean of |e - neighbor| over the 8 neighbors
+        TPI           = e - mean of the 8 neighbors
+        roughness     = max(3x3) - min(3x3)
+
+    Determinism contract (mirrored by the ``tri_stats`` SQL oracle —
+    change one only with the other): the 8-term chained adds run in FIXED
+    a,b,c,d,f,g,h,i order (left-to-right float adds), one division by 8.0,
+    max/min are order-free exactly; quantize-first (floor(v*2^20+0.5) as
+    int64 — TPI can be negative; floor-toward--inf is identical in numpy
+    and SQL) then integer sums. Returns per-tile checksums
+    ``(source_id, band, col, row, tri_sum, tpi_sum, rough_sum, tri_count)``.
+    Reference parity: the reference's aspect-tiled.tif fixture family
+    (vlm/src/test/resources, RasterSourceSpec) — the contrib tier owns the
+    tiling/halo plumbing these kernels ride."""
+    t = int(tile_size)
+    pieces = _halo_pieces(tiles, 1, t)
+
+    def kern(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        source_id, band, col, row = key
+        cols = ["source_id", "band", "col", "row",
+                "tri_sum", "tpi_sum", "rough_sum", "tri_count"]
+        frame = _assemble_frame(pdf, 1, t)
+        if frame is None:
+            return pd.DataFrame(columns=cols)
+        a, b, c, d, e, f, g, h, i = _nb9(frame, t)
+        ok = ~np.isnan(a + b + c + d + e + f + g + h + i)
+        with np.errstate(invalid="ignore"):
+            tri = (np.abs(e - a) + np.abs(e - b) + np.abs(e - c)
+                   + np.abs(e - d) + np.abs(e - f) + np.abs(e - g)
+                   + np.abs(e - h) + np.abs(e - i)) / 8.0
+            tpi = e - (a + b + c + d + f + g + h + i) / 8.0
+            mx = np.fmax(np.fmax(np.fmax(np.fmax(a, b), np.fmax(c, d)),
+                                 np.fmax(np.fmax(e, f), np.fmax(g, h))), i)
+            mn = np.fmin(np.fmin(np.fmin(np.fmin(a, b), np.fmin(c, d)),
+                                 np.fmin(np.fmin(e, f), np.fmin(g, h))), i)
+            rough = mx - mn
+        qt = np.floor(tri[ok] * _Q + 0.5).astype(np.int64)
+        qp = np.floor(tpi[ok] * _Q + 0.5).astype(np.int64)
+        qr = np.floor(rough[ok] * _Q + 0.5).astype(np.int64)
+        return pd.DataFrame([{
+            "source_id": source_id, "band": int(band),
+            "col": int(col), "row": int(row),
+            "tri_sum": int(qt.sum()), "tpi_sum": int(qp.sum()),
+            "rough_sum": int(qr.sum()), "tri_count": int(ok.sum()),
+        }])
+
+    return pieces.groupBy("source_id", "band", "col", "row").applyInPandas(
+        kern, "source_id string, band bigint, col bigint, row bigint, "
+              "tri_sum bigint, tpi_sum bigint, rough_sum bigint, "
+              "tri_count bigint")
+
+
 def terrain_stats(tiles: DataFrame, dx: float = 30.0, dy: float = 30.0,
                   tile_size: int = 64) -> DataFrame:
     """Slope + aspect via the HORN (1981) 3x3 kernel over the same halo
@@ -194,15 +261,7 @@ def terrain_stats(tiles: DataFrame, dx: float = 30.0, dy: float = 30.0,
         frame = _assemble_frame(pdf, 1, t)
         if frame is None:
             return pd.DataFrame(columns=cols)
-        a = frame[0:t, 0:t]
-        b = frame[0:t, 1:t + 1]
-        c = frame[0:t, 2:t + 2]
-        d = frame[1:t + 1, 0:t]
-        e = frame[1:t + 1, 1:t + 1]
-        f = frame[1:t + 1, 2:t + 2]
-        g = frame[2:t + 2, 0:t]
-        h = frame[2:t + 2, 1:t + 1]
-        i = frame[2:t + 2, 2:t + 2]
+        a, b, c, d, e, f, g, h, i = _nb9(frame, t)
         ok = ~np.isnan(a + b + c + d + e + f + g + h + i)
         with np.errstate(invalid="ignore"):
             p = ((c + 2.0 * f + i) - (a + 2.0 * d + g)) / (8.0 * dx)
@@ -246,15 +305,7 @@ def hillshade_stats(tiles: DataFrame, azimuth: float = 315.0,
         frame = _assemble_frame(pdf, 1, t)
         if frame is None:
             return pd.DataFrame(columns=cols)
-        a = frame[0:t, 0:t]
-        b = frame[0:t, 1:t + 1]
-        c = frame[0:t, 2:t + 2]
-        d = frame[1:t + 1, 0:t]
-        e = frame[1:t + 1, 1:t + 1]
-        f = frame[1:t + 1, 2:t + 2]
-        g = frame[2:t + 2, 0:t]
-        h = frame[2:t + 2, 1:t + 1]
-        i = frame[2:t + 2, 2:t + 2]
+        a, b, c, d, e, f, g, h, i = _nb9(frame, t)
         ok = ~np.isnan(a + b + c + d + e + f + g + h + i)
         with np.errstate(invalid="ignore"):
             p = ((c + 2.0 * f + i) - (a + 2.0 * d + g)) / (8.0 * dx)

@@ -155,6 +155,43 @@ def test_terrain_matches_untiled_bruteforce(spark):
     assert np.all(sums > 0)
 
 
+def test_tri_tpi_roughness_matches_untiled_bruteforce(spark):
+    # GDALDEM tri/tpi/roughness vs the same kernels on the UNTILED mosaic
+    tiles = corpus.synth_px_tiles(spark, tile_size=T)
+    got = {(r["source_id"], r["band"], r["col"], r["row"]):
+           (r["tri_sum"], r["tpi_sum"], r["rough_sum"], r["tri_count"])
+           for r in FO.tri_stats(tiles).collect()}
+    assert len(got) == 3 * 2 * 16
+    for s in (0, 2):
+        big = _mosaic(s, 1)
+        p = np.pad(big, 1, constant_values=np.nan)
+        n = big.shape[0]
+        a = p[0:n, 0:n]; b = p[0:n, 1:n + 1]; c = p[0:n, 2:n + 2]
+        d = p[1:n + 1, 0:n]; e = p[1:n + 1, 1:n + 1]; f = p[1:n + 1, 2:n + 2]
+        g = p[2:n + 2, 0:n]; h = p[2:n + 2, 1:n + 1]; i = p[2:n + 2, 2:n + 2]
+        ok = ~np.isnan(a + b + c + d + e + f + g + h + i)
+        with np.errstate(invalid="ignore"):
+            tri = (np.abs(e - a) + np.abs(e - b) + np.abs(e - c)
+                   + np.abs(e - d) + np.abs(e - f) + np.abs(e - g)
+                   + np.abs(e - h) + np.abs(e - i)) / 8.0
+            tpi = e - (a + b + c + d + f + g + h + i) / 8.0
+            rough = (np.fmax.reduce([a, b, c, d, e, f, g, h, i])
+                     - np.fmin.reduce([a, b, c, d, e, f, g, h, i]))
+        for tc in range(4):
+            for tr in range(4):
+                m = ok[tr * T:(tr + 1) * T, tc * T:(tc + 1) * T]
+                want = tuple(
+                    int(np.floor(x[tr * T:(tr + 1) * T, tc * T:(tc + 1) * T][m]
+                                 * FO._Q + 0.5).astype(np.int64).sum())
+                    for x in (tri, tpi, rough)) + (int(m.sum()),)
+                assert got[(f"scene-{s}", 1, 18 + s + tc, 24 + tr)] == want
+    # the kernels must bite: TRI and roughness strictly positive on this
+    # fixture (the mod-13 texture guarantees local relief), TPI nonzero
+    # somewhere (it cancels on the pure linear gradient, not on the texture)
+    assert all(v[0] > 0 and v[2] > 0 for v in got.values())
+    assert any(v[1] != 0 for v in got.values())
+
+
 def test_hillshade_matches_untiled_bruteforce(spark):
     tiles = corpus.synth_px_tiles(spark, tile_size=T)
     got = {(r["source_id"], r["band"], r["col"], r["row"]):
