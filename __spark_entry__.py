@@ -1166,6 +1166,66 @@ def q_reproject_sterea(spark: SparkSession, sf_dir: str) -> DataFrame:
     return px.window_stats(out).select("source_id", "band", "px_sum", "px_count")
 
 
+# Geostationary destination: the GOES-East ABI fixed-grid CRS (the native
+# projection of geostationary weather rasters — projected coords are
+# h-scaled scan angles; +sweep=x is the GOES convention). Golden anchor:
+# the GOES-R PUG vol. 3 worked example (x=-0.024052, y=0.095340 rad ->
+# lon -84.690932, lat 33.846162) in tests/test_geos_moll.py.
+GE_DEF = ("+proj=geos +h=35786023.0 +lon_0=-75.0 +sweep=x +ellps=GRS80 "
+          "+units=m +no_defs")
+GE_X0, GE_Y0, GE_X1, GE_Y1 = -300000.0, 2300000.0, 2800000.0, 3900000.0
+GE_COLS, GE_ROWS = 103, 97
+
+
+def q_reproject_geos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reprojectToGrid onto the GOES-East GEOSTATIONARY fixed grid
+    (+proj=geos +sweep=x — grid.lonlat_to_geos/geos_to_lonlat, the CGMS
+    scan-angle geometry): the pixel fixture warped onto an explicit target
+    GridExtent, NaN-aware window checksums per (source, band). Oracle: the
+    exact closed-form inverse (tan scan angles -> view ray -> nearest
+    ellipsoid intersection via the quadratic, atan2/atan chain to geodetic
+    lon/lat) recomputed in SQL with the engine's rg/rp2/h doubles as
+    literals. Reference parity: arbitrary CRS objects at
+    GeoTiffReprojectRasterSource.scala:39."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark import grid as GR
+    from geotrellis_contrib_spark.operators import pixels as px
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    target = GR.GridExtent(GE_X0, GE_Y0, GE_X1, GE_Y1,
+                           (GE_X1 - GE_X0) / GE_COLS, (GE_Y1 - GE_Y0) / GE_ROWS)
+    out = px.reproject_to_grid(tiles, target, method="nearest",
+                               tile_size=64, dst_crs=GE_DEF)
+    return px.window_stats(out).select("source_id", "band", "px_sum", "px_count")
+
+
+# Mollweide destination: ESRI:54009 "World Mollweide" (proj4 spherical-on-a
+# semantics, like eqc). The inverse is exact closed form (asin chains).
+MO_DEF = "+proj=moll +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84 +units=m +no_defs"
+MO_X0, MO_Y0, MO_X1, MO_Y1 = -7400000.0, 2750000.0, -3900000.0, 4820000.0
+MO_COLS, MO_ROWS = 107, 93
+
+
+def q_reproject_moll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reprojectToGrid onto a MOLLWEIDE destination (ESRI:54009 world
+    equal-area — grid.lonlat_to_moll/moll_to_lonlat, pinned-Newton forward
+    + exact closed-form inverse): the pixel fixture warped onto an explicit
+    target GridExtent, NaN-aware window checksums per (source, band).
+    Oracle: theta = asin(y/(sqrt2 R)), phi = asin((2 theta + sin 2 theta)/pi),
+    lam = x/((2 sqrt2/pi) R cos theta) recomputed in SQL with the engine's
+    constants as literals (clips mirrored as LEAST/GREATEST)."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark import grid as GR
+    from geotrellis_contrib_spark.operators import pixels as px
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    target = GR.GridExtent(MO_X0, MO_Y0, MO_X1, MO_Y1,
+                           (MO_X1 - MO_X0) / MO_COLS, (MO_Y1 - MO_Y0) / MO_ROWS)
+    out = px.reproject_to_grid(tiles, target, method="nearest",
+                               tile_size=64, dst_crs=MO_DEF)
+    return px.window_stats(out).select("source_id", "band", "px_sum", "px_count")
+
+
 def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Focal (3x3 neighborhood) MEAN over the tiled raster with CROSS-TILE
     halo exchange (operators/focal.py — strip extraction before the one
@@ -2503,6 +2563,114 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM vals GROUP BY 1, 2
 """
 
+    # Geostationary reproject (reproject_geos): SQL twin of the exact
+    # closed-form inverse (grid.geos_to_lonlat, GOES sweep=x) — tan scan
+    # angles, view-ray quadratic (nearest-root k), atan2/atan chain,
+    # geocentric->geodetic via /rp2. rg = 1 + h/a and rp2 = 1 - e2 are the
+    # engine's doubles as literals; the wrap is the fmod identity (the
+    # footprint's lon+180 is positive).
+    _ge_h = _dl(35786023.0)
+    _ge_rg = _dl(1.0 + 35786023.0 / float(_gr._WGS84_A))
+    _ge_rp2 = _dl(1.0 - float(_gr._E2))
+    _ge_cw = _dl((GE_X1 - GE_X0) / GE_COLS)
+    _ge_ch = _dl((GE_Y1 - GE_Y0) / GE_ROWS)
+    o["reproject_geos"] = f"""
+WITH tgt AS (
+  SELECT CAST({GE_X0} AS DOUBLE) + (c+0.5)*{_ge_cw} AS xs,
+         CAST({GE_Y1} AS DOUBLE) - (r+0.5)*{_ge_ch} AS ys
+  FROM range(0,{GE_COLS}) cs(c), range(0,{GE_ROWS}) rs(r)
+), vv AS (
+  SELECT TAN(ys/{_ge_h}) AS vz,
+         TAN(xs/{_ge_h}) * SQRT(1.0 + TAN(ys/{_ge_h})*TAN(ys/{_ge_h})) AS vy
+  FROM tgt
+), qq AS (
+  SELECT vy, vz, vy*vy + vz*vz/{_ge_rp2} + 1.0 AS qa
+  FROM vv
+), kk AS (
+  SELECT vy, vz,
+         (2.0*{_ge_rg} - SQRT((2.0*{_ge_rg})*(2.0*{_ge_rg})
+            - 4.0*qa*({_ge_rg}*{_ge_rg} - 1.0))) / (2.0*qa) AS k
+  FROM qq
+), ww AS (
+  SELECT {_ge_rg} - k AS wx, k*vy AS wy, k*vz AS wz FROM kk
+), ang AS (
+  SELECT ATAN2(wy, wx) AS lam, wx, wz FROM ww
+), pts AS (
+  SELECT ((-75.0 + DEGREES(lam)) + 180.0) % 360.0 - 180.0 AS lon,
+         DEGREES(ATAN((wz*COS(lam)/wx)/{_ge_rp2})) AS lat
+  FROM ang
+), own AS (
+  SELECT lon, lat, {C.sql_tile_col('lon', 6)} AS col, {C.sql_tile_row('lat', 6)} AS row
+  FROM pts
+), samp AS (
+  SELECT s, band, col, row,
+    CAST(FLOOR((lon - (CAST(col AS DOUBLE)/64.0*360.0-180.0)) / 0.087890625) AS BIGINT) AS ci,
+    CAST(FLOOR(({_la_lat6('CAST(row AS DOUBLE)')} - lat)
+         / (({_la_lat6('CAST(row AS DOUBLE)')} - {_la_lat6('CAST(row AS DOUBLE)+1.0')})/64.0)) AS BIGINT) AS ri
+  FROM own, range(0,3) ss(s), range(0,2) bs(band)
+  WHERE col BETWEEN 18+s AND 21+s AND row BETWEEN 24 AND 27
+), vals AS (
+  SELECT s, band,
+    CASE WHEN ri >= (s*11)%48 AND ri < (s*11)%48+16
+          AND ci >= (s*11)%48 AND ci < (s*11)%48+16 THEN -9999.0
+         ELSE s*1000.0 + band*100.0 + col*7.0 + row*3.0 + ri*0.5 + ci*0.25
+              + CAST((ri*31 + ci*17) % 13 AS DOUBLE) END AS v
+  FROM samp
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS BIGINT) AS band,
+       SUM(v) AS px_sum, CAST(COUNT(*) AS BIGINT) AS px_count
+FROM vals GROUP BY 1, 2
+"""
+
+    # Mollweide reproject (reproject_moll): SQL twin of the exact
+    # closed-form inverse (grid.moll_to_lonlat) — theta from asin,
+    # phi from the (2 theta + sin 2 theta)/pi closed form, lam by the
+    # cos(theta) division; clips mirrored as LEAST/GREATEST, constants
+    # (sqrt2, 2 sqrt2/pi) the engine's doubles as literals.
+    _mo_a = _dl(float(_gr._WGS84_A))
+    _mo_cx = _dl(_gr._MOLL_CX)
+    _mo_cy = _dl(_gr._MOLL_CY)
+    _mo_cw = _dl((MO_X1 - MO_X0) / MO_COLS)
+    _mo_ch = _dl((MO_Y1 - MO_Y0) / MO_ROWS)
+    o["reproject_moll"] = f"""
+WITH tgt AS (
+  SELECT CAST({MO_X0} AS DOUBLE) + (c+0.5)*{_mo_cw} AS xs,
+         CAST({MO_Y1} AS DOUBLE) - (r+0.5)*{_mo_ch} AS ys
+  FROM range(0,{MO_COLS}) cs(c), range(0,{MO_ROWS}) rs(r)
+), th AS (
+  SELECT xs, ASIN(LEAST(GREATEST(ys/({_mo_cy}*{_mo_a}), -1.0), 1.0)) AS t
+  FROM tgt
+), pts AS (
+  SELECT ((0.0 + DEGREES(xs/({_mo_cx}*{_mo_a}*COS(t)))) + 180.0)
+           % 360.0 - 180.0 AS lon,
+         DEGREES(ASIN(LEAST(GREATEST((2.0*t + SIN(2.0*t))/PI(),
+                                     -1.0), 1.0))) AS lat
+  FROM th
+), own AS (
+  SELECT lon, lat, {C.sql_tile_col('lon', 6)} AS col, {C.sql_tile_row('lat', 6)} AS row
+  FROM pts
+), samp AS (
+  SELECT s, band, col, row,
+    CAST(FLOOR((lon - (CAST(col AS DOUBLE)/64.0*360.0-180.0)) / 0.087890625) AS BIGINT) AS ci,
+    CAST(FLOOR(({_la_lat6('CAST(row AS DOUBLE)')} - lat)
+         / (({_la_lat6('CAST(row AS DOUBLE)')} - {_la_lat6('CAST(row AS DOUBLE)+1.0')})/64.0)) AS BIGINT) AS ri
+  FROM own, range(0,3) ss(s), range(0,2) bs(band)
+  WHERE col BETWEEN 18+s AND 21+s AND row BETWEEN 24 AND 27
+), vals AS (
+  SELECT s, band,
+    CASE WHEN ri >= (s*11)%48 AND ri < (s*11)%48+16
+          AND ci >= (s*11)%48 AND ci < (s*11)%48+16 THEN -9999.0
+         ELSE s*1000.0 + band*100.0 + col*7.0 + row*3.0 + ri*0.5 + ci*0.25
+              + CAST((ri*31 + ci*17) % 13 AS DOUBLE) END AS v
+  FROM samp
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS BIGINT) AS band,
+       SUM(v) AS px_sum, CAST(COUNT(*) AS BIGINT) AS px_count
+FROM vals GROUP BY 1, 2
+"""
+
     # Oblique double-stereographic reproject (reproject_sterea): SQL twin
     # of the EPSG GN7-2 inverse — g/h/i/j closed forms to (chi, Lambda),
     # then the SAME 8-step pinned isometric-latitude fixed point the
@@ -3164,6 +3332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_sinu": q_reproject_sinu,
         "reproject_cea": q_reproject_cea,
         "reproject_sterea": q_reproject_sterea,
+        "reproject_geos": q_reproject_geos,
+        "reproject_moll": q_reproject_moll,
         "focal_stats": q_focal_stats,
         "terrain_stats": q_terrain_stats,
         "hillshade": q_hillshade,

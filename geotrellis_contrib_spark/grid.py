@@ -1327,6 +1327,131 @@ def eqc_to_lonlat(x, y, lon0: float, k0: float,
     return _wrap_deg(lon0 + np.degrees(lam)), np.degrees(phi)
 
 
+# ---------------------------------------------------------------------------
+# Geostationary satellite view (proj4 ``+proj=geos``) — the GOES-R ABI /
+# Meteosat SEVIRI fixed-grid CRS, the native projection of geostationary
+# weather rasters. Implemented from the published normalized geostationary
+# projection geometry (CGMS LRIT/HRIT Global Specification; GOES-R PUG
+# vol. 3 §5.1.2.8): projected coordinates are SCALED SCAN ANGLES,
+# x = h * angle, seen from a satellite at geocentric distance a + h on the
+# equatorial plane at lon_0. ``sweep="x"`` is the GOES convention (x-axis
+# scan first), ``sweep="y"`` the Meteosat convention. Works for both the
+# ellipsoidal (rp2 = 1 - e2) and spherical (rp2 = 1) cases in one kernel.
+# ---------------------------------------------------------------------------
+
+def lonlat_to_geos(lon, lat, lon0: float, h: float, sweep: str = "y",
+                   x0: float = 0.0, y0: float = 0.0,
+                   ell_a: float = _WGS84_A, e2: float = _E2):
+    """Geostationary forward: geodetic -> geocentric latitude on the
+    a-normalized ellipsoid, view vector from the satellite, scan angles
+    scaled by h. Points not visible from the satellite (behind the limb)
+    map to NaN — the warp machinery treats them as outside the footprint."""
+    lam = np.radians(_wrap_deg(np.asarray(lon, dtype=np.float64) - lon0))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    rp2 = 1.0 - e2                      # (b/a)^2
+    rg = 1.0 + h / ell_a                # satellite geocentric dist / a
+    phi_c = np.arctan(rp2 * np.tan(phi))
+    cc, sc = np.cos(phi_c), np.sin(phi_c)
+    r = np.sqrt(rp2) / np.sqrt(rp2 * cc * cc + sc * sc)
+    vx = r * np.cos(lam) * cc
+    vy = r * np.sin(lam) * cc
+    vz = r * sc
+    tmp = rg - vx
+    vis = (tmp * vx - vy * vy - vz * vz / rp2) >= 0.0
+    with np.errstate(invalid="ignore"):
+        if sweep == "x":                # GOES: x scans along the x-axis
+            x = h * np.arctan(vy / np.sqrt(vz * vz + tmp * tmp))
+            y = h * np.arctan(vz / tmp)
+        else:                           # Meteosat
+            x = h * np.arctan(vy / tmp)
+            y = h * np.arctan(vz / np.sqrt(vy * vy + tmp * tmp))
+    return (np.where(vis, x + x0, np.nan),
+            np.where(vis, y + y0, np.nan))
+
+
+def geos_to_lonlat(x, y, lon0: float, h: float, sweep: str = "y",
+                   x0: float = 0.0, y0: float = 0.0,
+                   ell_a: float = _WGS84_A, e2: float = _E2):
+    """Geostationary inverse (exact closed form): scan angles -> view-ray
+    direction -> nearest intersection with the a-normalized ellipsoid
+    (quadratic in the ray parameter; negative discriminant = ray misses
+    the Earth -> NaN) -> geocentric then geodetic latitude. Mirrored
+    term-for-term by the ``reproject_geos`` SQL oracle — change one only
+    with the other."""
+    xn = (np.asarray(x, dtype=np.float64) - x0) / h
+    yn = (np.asarray(y, dtype=np.float64) - y0) / h
+    rp2 = 1.0 - e2
+    rg = 1.0 + h / ell_a
+    if sweep == "x":
+        vz = np.tan(yn)
+        vy = np.tan(xn) * np.sqrt(1.0 + vz * vz)
+    else:
+        vy = np.tan(xn)
+        vz = np.tan(yn) * np.sqrt(1.0 + vy * vy)
+    qa = vy * vy + vz * vz / rp2 + 1.0
+    det = (2.0 * rg) * (2.0 * rg) - 4.0 * qa * (rg * rg - 1.0)
+    with np.errstate(invalid="ignore"):
+        k = (2.0 * rg - np.sqrt(det)) / (2.0 * qa)
+        wx = rg - k
+        wy = k * vy
+        wz = k * vz
+        lam = np.arctan2(wy, wx)
+        phi = np.arctan((wz * np.cos(lam) / wx) / rp2)
+    return _wrap_deg(lon0 + np.degrees(lam)), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# Mollweide (proj4 ``+proj=moll``) — the equal-area pseudocylindrical world
+# projection (ESRI:54009 "World Mollweide"). proj4 semantics are SPHERICAL
+# formulas on the semi-major axis regardless of +ellps (like eqc). Forward
+# needs the auxiliary angle from 2*theta + sin(2*theta) = pi*sin(phi)
+# (pinned Newton, _MOLL_ITERS steps); the inverse is exact closed form.
+# ---------------------------------------------------------------------------
+
+_MOLL_CX = float(2.0 * np.sqrt(2.0) / np.pi)
+_MOLL_CY = float(np.sqrt(2.0))
+_MOLL_ITERS = 8  # pinned like the other fixed-point inverses
+
+
+def lonlat_to_moll(lon, lat, lon0: float,
+                   x0: float = 0.0, y0: float = 0.0,
+                   radius: float = _WGS84_A):
+    """Mollweide forward: x = (2*sqrt(2)/pi)*R*lam*cos(theta),
+    y = sqrt(2)*R*sin(theta) with 2*theta + sin(2*theta) = pi*sin(phi)
+    solved by _MOLL_ITERS pinned Newton steps from theta = phi; a
+    zero-denominator guard (the poles, where 2 + 2*cos(2*theta) -> 0)
+    freezes the iterate instead of dividing by ~0."""
+    lam = np.radians(_wrap_deg(np.asarray(lon, dtype=np.float64) - lon0))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    p = np.pi * np.sin(phi)
+    th = phi.copy()
+    for _ in range(_MOLL_ITERS):
+        den = 2.0 + 2.0 * np.cos(2.0 * th)
+        step = np.where(np.abs(den) < 1e-14, 0.0,
+                        (2.0 * th + np.sin(2.0 * th) - p)
+                        / np.where(np.abs(den) < 1e-14, 1.0, den))
+        th = th - step
+    x = x0 + _MOLL_CX * radius * lam * np.cos(th)
+    y = y0 + _MOLL_CY * radius * np.sin(th)
+    return x, y
+
+
+def moll_to_lonlat(x, y, lon0: float,
+                   x0: float = 0.0, y0: float = 0.0,
+                   radius: float = _WGS84_A):
+    """Mollweide inverse (exact closed form): theta = asin(y/(sqrt(2)R)),
+    phi = asin((2*theta + sin(2*theta))/pi), lam = x/((2sqrt2/pi)R cos
+    theta). Mirrored term-for-term by the ``reproject_moll`` SQL oracle."""
+    sth = np.clip((np.asarray(y, dtype=np.float64) - y0)
+                  / (_MOLL_CY * radius), -1.0, 1.0)
+    th = np.arcsin(sth)
+    phi = np.arcsin(np.clip((2.0 * th + np.sin(2.0 * th)) / np.pi,
+                            -1.0, 1.0))
+    lam = ((np.asarray(x, dtype=np.float64) - x0)
+           / (_MOLL_CX * radius * np.cos(th)))
+    return _wrap_deg(lon0 + np.degrees(lam)), np.degrees(phi)
+
+
 # umbrella registry of all named projected CRS (equal-area family plus
 # the conformal conics); EQUAL_AREA_CRS stays as the equal-area subset
 NAMED_CRS = dict(EQUAL_AREA_CRS)
@@ -1475,7 +1600,8 @@ DATUMS = {
 _PROJ4_IGNORED = {"no_defs", "wktext", "type"}
 _PROJ4_PARAM_KEYS = {"proj", "lat_0", "lon_0", "lat_1", "lat_2", "lat_ts",
                      "x_0", "y_0", "k_0", "k", "units", "ellps", "datum",
-                     "towgs84", "nadgrids", "a", "b", "R", "zone", "south"}
+                     "towgs84", "nadgrids", "a", "b", "R", "zone", "south",
+                     "h", "sweep"}
 
 
 def parse_proj4(s: str):
@@ -1635,6 +1761,8 @@ def parse_proj4(s: str):
         raise ValueError(f"+lat_ts is not a +proj={proj} parameter: {s!r}")
     if ("zone" in kv or "south" in kv) and proj != "utm":
         raise ValueError(f"+zone/+south are +proj=utm parameters: {s!r}")
+    if ("h" in kv or "sweep" in kv) and proj != "geos":
+        raise ValueError(f"+h/+sweep are +proj=geos parameters: {s!r}")
 
     if proj == "utm":
         # the common shorthand for tmerc with the UTM constants
@@ -1851,6 +1979,42 @@ def parse_proj4(s: str):
                                            x0, y0, ell_a, ell_e2),
             lambda x, y: cea_to_lonlat(x, y, lon0, k0,
                                        x0, y0, ell_a, ell_e2))
+    if proj == "geos":
+        # geostationary satellite view (GOES-R ABI / Meteosat SEVIRI fixed
+        # grid): +h (satellite height above the ellipsoid) is REQUIRED,
+        # +sweep=x (GOES) or y (Meteosat, the proj4 default); one kernel
+        # covers ellipsoidal and spherical (rp2 = 1). lat_0 is fixed at the
+        # equator by the geometry.
+        h = fnum("h")
+        if h <= 0.0:
+            raise ValueError(f"+h must be positive: {s!r}")
+        sweep = kv.get("sweep", "y")
+        if sweep not in ("x", "y"):
+            raise ValueError(f"+sweep must be x or y: {s!r}")
+        if lat0 != 0.0:
+            raise ValueError(f"+lat_0 is not a +proj=geos parameter "
+                             f"(the satellite sits on the equator): {s!r}")
+        if k0 != 1.0:
+            raise ValueError(f"+k_0 is not a +proj=geos parameter: {s!r}")
+        e2_g = 0.0 if spherical else ell_e2
+        return compose(
+            lambda lon, lat: lonlat_to_geos(lon, lat, lon0, h, sweep,
+                                            x0, y0, ell_a, e2_g),
+            lambda x, y: geos_to_lonlat(x, y, lon0, h, sweep,
+                                        x0, y0, ell_a, e2_g))
+    if proj == "moll":
+        # proj4 moll is SPHERICAL formulas on the semi-major axis
+        # regardless of +ellps (like eqc) — ESRI:54009 "World Mollweide"
+        if k0 != 1.0:
+            raise ValueError(f"+k_0 is not a +proj=moll parameter: {s!r}")
+        if lat0 != 0.0:
+            raise ValueError(f"+lat_0 is not a +proj=moll parameter: {s!r}")
+        if shift is not None or ntv2 is not None:
+            raise ValueError(f"datum shift on +proj=moll (spherical-on-a "
+                             f"semantics) unsupported: {s!r}")
+        return (
+            lambda lon, lat: lonlat_to_moll(lon, lat, lon0, x0, y0, ell_a),
+            lambda x, y: moll_to_lonlat(x, y, lon0, x0, y0, ell_a))
     if proj == "eqc":
         # proj4 eqc is SPHERICAL formulas on the semi-major axis regardless
         # of +ellps (plate carree); +lat_0 offsets y (y = a*(phi - phi_0))
