@@ -1261,6 +1261,22 @@ def q_terrain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FO.terrain_stats(tiles, dx=30.0, dy=30.0)
 
 
+def q_local_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL (per-pixel) map algebra — the GeoTrellis Tile.combine /
+    reclassify family (operators/local.py ndvi_reclass_stats): per pixel
+    ndvi = (b0 - b1)/(b0 + b1) (NoData in either band -> excluded) and a
+    fixed-breaks reclassify of b0 (exact comparisons), cross-band rows
+    assembled by ONE co-partitioned shuffle on (source_id, col, row).
+    Output: per-tile order-independent quantized checksums. Oracle: both
+    band values recomputed per pixel from the closed-form fixture in SQL,
+    identical subtract/add/divide and CASE-comparison chains."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import local as LO
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    return LO.ndvi_reclass_stats(tiles, breaks=(500.0, 1500.0, 2250.0))
+
+
 def q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hillshade (GDALDEM/ESRI convention, sun az 315 / alt 45) on the Horn
     p/q derivatives with cross-tile halo exchange (operators/focal.py
@@ -2854,6 +2870,44 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM ang GROUP BY 1, 2, 3, 4
 """
 
+    # Local map algebra (local_algebra): both band values recomputed per
+    # pixel from the closed-form fixture (the holes coincide across bands
+    # — h0 depends only on s — so valid-b0 == valid-both); ndvi is one
+    # subtract/add/divide, reclassify is exact comparisons, quantize-first
+    # integer sums.
+    _la_v = ("s*1000.0 + {b}*100.0 + col*7.0 + row*3.0 + ri*0.5 + ci*0.25"
+             " + CAST((ri*31 + ci*17) % 13 AS DOUBLE)")
+    o["local_algebra"] = f"""
+WITH px AS (
+  SELECT s, 18 + s + tcc AS col, 24 + trr AS row, ri, ci,
+         (s*11) % 48 AS h0
+  FROM range(0,3) ss(s),
+       range(0,4) tcs(tcc), range(0,4) trs(trr),
+       range(0,64) ris(ri), range(0,64) cis(ci)
+), vals AS (
+  SELECT s, col, row,
+         CASE WHEN NOT (ri >= h0 AND ri < h0+16 AND ci >= h0 AND ci < h0+16)
+              THEN {_la_v.format(b='0.0')} END AS v0,
+         CASE WHEN NOT (ri >= h0 AND ri < h0+16 AND ci >= h0 AND ci < h0+16)
+              THEN {_la_v.format(b='1.0')} END AS v1
+  FROM px
+), comp AS (
+  SELECT s, col, row,
+         (v0 - v1) / (v0 + v1) AS nd,
+         1 + (CASE WHEN v0 >= 500.0 THEN 1 ELSE 0 END)
+           + (CASE WHEN v0 >= 1500.0 THEN 1 ELSE 0 END)
+           + (CASE WHEN v0 >= 2250.0 THEN 1 ELSE 0 END) AS cls
+  FROM vals WHERE v0 IS NOT NULL
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id, col, row,
+       CAST(SUM(CAST(FLOOR(nd * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS ndvi_sum,
+       CAST(COUNT(*) AS BIGINT) AS ndvi_count,
+       CAST(SUM(cls) AS BIGINT) AS class_sum,
+       CAST(COUNT(*) AS BIGINT) AS class_count
+FROM comp GROUP BY 1, 2, 3
+"""
+
     # Hillshade (GDALDEM convention, az 315 / alt 45): same nine-neighbor
     # CTE and Horn p/q as terrain_stats; the engine's cos(zen)/sin(zen)/az
     # doubles are embedded as exact repr literals (computed HERE with the
@@ -3338,6 +3392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terrain_stats": q_terrain_stats,
         "hillshade": q_hillshade,
         "tri_stats": q_tri_stats,
+        "local_algebra": q_local_algebra,
         "reproject_datum": q_reproject_datum,
         "geom_scalars": q_geom_scalars,
         "stream_dedup": q_stream_dedup,
