@@ -1245,6 +1245,22 @@ def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FO.focal_stats(tiles, op="mean", radius=1)
 
 
+def q_focal_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal MEDIAN (3x3, cross-tile halo exchange) — rank-based over the
+    VARIABLE-count valid window (NoData holes and mosaic edges shrink it),
+    so the per-pixel value is EXACT: sort, take the two middle order
+    statistics, (lo+hi)/2.0 (bitwise lo for odd counts). Oracle: DuckDB
+    list_filter/list_sort over the nine recomputed NULL-able neighbor
+    columns with the same 1-based middle picks and the same division.
+    Reference parity: GeoTrellis focal.Median over the reference's tiled
+    fixtures (RasterSourceSpec)."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import focal as FO
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    return FO.focal_stats(tiles, op="median", radius=1)
+
+
 def q_terrain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slope + aspect via the HORN (1981) 3x3 kernel with cross-tile halo
     exchange (operators/focal.py terrain_stats — the op family behind the
@@ -2908,6 +2924,38 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id, col, row,
 FROM comp GROUP BY 1, 2, 3
 """
 
+    # Focal median (focal_median): the nine NULL-able neighbor columns ->
+    # list_filter (drop NULLs) -> list_sort -> the two middle 1-based
+    # picks, (lo+hi)/2.0 — rank-based so every term is EXACT; (x+x)/2.0
+    # is bitwise x for the odd-count case on both sides.
+    o["focal_median"] = f"""
+WITH px AS (
+  SELECT s, band, 18 + s + tcc AS col, 24 + trr AS row, ri, ci,
+         (s*11) % 48 AS h0
+  FROM range(0,3) ss(s), range(0,2) bs(band),
+       range(0,4) tcs(tcc), range(0,4) trs(trr),
+       range(0,64) ris(ri), range(0,64) cis(ci)
+), nb AS MATERIALIZED (
+  SELECT s, band, col, row, {_tr_cols}
+  FROM px
+), lst AS (
+  SELECT s, band, col, row,
+         list_sort(list_filter([aa, bb, cc, dd, ee, ff, gg, hh, ii],
+                               x -> x IS NOT NULL)) AS l
+  FROM nb
+), med AS (
+  SELECT s, band, col, row,
+         (l[(len(l)-1)//2 + 1] + l[len(l)//2 + 1]) / 2.0 AS v
+  FROM lst WHERE len(l) > 0
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS BIGINT) AS band, col, row,
+       CAST(SUM(CAST(FLOOR(v * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS focal_sum,
+       CAST(COUNT(*) AS BIGINT) AS focal_count
+FROM med GROUP BY 1, 2, 3, 4
+"""
+
     # Hillshade (GDALDEM convention, az 315 / alt 45): same nine-neighbor
     # CTE and Horn p/q as terrain_stats; the engine's cos(zen)/sin(zen)/az
     # doubles are embedded as exact repr literals (computed HERE with the
@@ -3389,6 +3437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_geos": q_reproject_geos,
         "reproject_moll": q_reproject_moll,
         "focal_stats": q_focal_stats,
+        "focal_median": q_focal_median,
         "terrain_stats": q_terrain_stats,
         "hillshade": q_hillshade,
         "tri_stats": q_tri_stats,

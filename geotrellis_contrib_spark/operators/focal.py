@@ -119,7 +119,7 @@ def focal_stats(tiles: DataFrame, op: str = "mean", radius: int = 1,
     ``(source_id, band, col, row, focal_sum, focal_count)`` where
     focal_sum = sum of floor(focal * 2^20 + 0.5) over cells with at least
     one valid neighbor and focal_count = that cell count."""
-    if op not in ("mean", "sum", "max", "min"):
+    if op not in ("mean", "sum", "max", "min", "median"):
         raise ValueError(f"unsupported focal op: {op!r}")
     if radius < 1 or radius >= tile_size:
         raise ValueError(f"radius must be in 1..{tile_size - 1}: {radius}")
@@ -136,12 +136,15 @@ def focal_stats(tiles: DataFrame, op: str = "mean", radius: int = 1,
         acc = np.zeros((t, t))
         cnt = np.zeros((t, t), dtype=np.int64)
         ext = None
+        wins = []
         for dr, dc in ((dr0, dc0) for dr0 in range(-r, r + 1)
                        for dc0 in range(-r, r + 1)):
             win = frame[r + dr:r + dr + t, r + dc:r + dc + t]
             vw = valid[r + dr:r + dr + t, r + dc:r + dc + t]
             if op in ("mean", "sum"):
                 acc = acc + np.where(vw, win, 0.0)
+            elif op == "median":
+                wins.append(np.where(vw, win, np.nan))
             else:
                 cur = np.where(vw, win, np.nan)
                 ext = cur if ext is None else (
@@ -152,6 +155,18 @@ def focal_stats(tiles: DataFrame, op: str = "mean", radius: int = 1,
             focal = np.where(any_valid, acc / np.maximum(cnt, 1), np.nan)
         elif op == "sum":
             focal = np.where(any_valid, acc, np.nan)
+        elif op == "median":
+            # rank-based, so EXACT: sort (NaN last), take the two middle
+            # order statistics of the valid prefix, (lo + hi)/2.0 — for an
+            # odd count lo == hi and (x + x)/2.0 is bitwise x; the SQL
+            # oracle mirrors with list_sort/list_filter + 1-based picks
+            srt = np.sort(np.stack(wins, axis=-1), axis=-1)
+            il = np.maximum((cnt - 1) // 2, 0)
+            ih = cnt // 2
+            lo = np.take_along_axis(srt, il[..., None], axis=-1)[..., 0]
+            hi = np.take_along_axis(srt, ih[..., None], axis=-1)[..., 0]
+            with np.errstate(invalid="ignore"):
+                focal = np.where(any_valid, (lo + hi) / 2.0, np.nan)
         else:
             focal = ext
         q = np.floor(focal[any_valid] * _Q + 0.5).astype(np.int64)

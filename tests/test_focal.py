@@ -109,9 +109,40 @@ def test_focal_single_shuffle_plan(spark):
     assert n_exchange - plan.count("ReusedExchange") <= 1, plan
 
 
+def test_focal_median_matches_untiled_bruteforce(spark):
+    # rank-based median over the VARIABLE-count valid window (holes and
+    # mosaic edges shrink it) — brute force recomputes the same two
+    # middle order statistics per pixel on the untiled mosaic
+    tiles = corpus.synth_px_tiles(spark, tile_size=T)
+    got = {(r["source_id"], r["band"], r["col"], r["row"]):
+           (r["focal_sum"], r["focal_count"])
+           for r in FO.focal_stats(tiles, op="median", radius=1).collect()}
+    assert len(got) == 3 * 2 * 16
+    for s in (0, 1):
+        big = _mosaic(s, 1)
+        p = np.pad(big, 1, constant_values=np.nan)
+        n = big.shape[0]
+        wins = np.stack([p[1 + dr:1 + dr + n, 1 + dc:1 + dc + n]
+                         for dr in (-1, 0, 1) for dc in (-1, 0, 1)], axis=-1)
+        cnt = (~np.isnan(wins)).sum(axis=-1)
+        srt = np.sort(wins, axis=-1)
+        lo = np.take_along_axis(
+            srt, np.maximum((cnt - 1) // 2, 0)[..., None], axis=-1)[..., 0]
+        hi = np.take_along_axis(srt, (cnt // 2)[..., None], axis=-1)[..., 0]
+        with np.errstate(invalid="ignore"):
+            med = np.where(cnt > 0, (lo + hi) / 2.0, np.nan)
+        for tc in range(4):
+            for tr in range(4):
+                blk = med[tr * T:(tr + 1) * T, tc * T:(tc + 1) * T]
+                m = ~np.isnan(blk)
+                want = (int(np.floor(blk[m] * FO._Q + 0.5)
+                            .astype(np.int64).sum()), int(m.sum()))
+                assert got[(f"scene-{s}", 1, 18 + s + tc, 24 + tr)] == want
+
+
 def test_focal_fail_loud():
     with pytest.raises(ValueError, match="focal op"):
-        FO.focal_stats(None, op="median")
+        FO.focal_stats(None, op="mode")
     with pytest.raises(ValueError, match="radius"):
         FO.focal_stats(None, op="mean", radius=0)
     with pytest.raises(ValueError, match="radius"):
