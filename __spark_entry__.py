@@ -1226,6 +1226,39 @@ def q_reproject_moll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return px.window_stats(out).select("source_id", "band", "px_sum", "px_count")
 
 
+# Swiss oblique Mercator destination: the CH1903 / LV03 (EPSG:21781)
+# METHOD (Gauss conformal sphere + rotated-sphere Mercator; +proj=somerc)
+# with the LV03 false origins, relocated to the fixture footprint
+# (lat_0=32, lon_0=-62) like the sterea/datum gates.
+SO_DEF = ("+proj=somerc +lat_0=32 +lon_0=-62 +k_0=1 +x_0=600000 "
+          "+y_0=200000 +ellps=bessel +units=m +no_defs")
+SO_X0, SO_Y0, SO_X1, SO_Y1 = -1100000.0, -880000.0, 2350000.0, 1270000.0
+SO_COLS, SO_ROWS = 101, 89
+
+
+def q_reproject_somerc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reprojectToGrid onto a SWISS OBLIQUE MERCATOR destination (the
+    CH1903/LV03 national-grid method — grid.lonlat_to_somerc/
+    somerc_to_lonlat, Gauss conformal-sphere chain + rotated-sphere
+    Mercator): the pixel fixture warped onto an explicit target
+    GridExtent, NaN-aware window checksums per (source, band). Oracle:
+    the Mercator inverse on the rotated sphere, the inverse rotation, and
+    the SAME 8-step pinned isometric-latitude fixed point as the sterea
+    oracle, recomputed in SQL with the engine's conformal-sphere doubles
+    (R, alpha, b0, K) as literals. Reference parity: arbitrary CRS objects
+    at GeoTiffReprojectRasterSource.scala:39."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark import grid as GR
+    from geotrellis_contrib_spark.operators import pixels as px
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    target = GR.GridExtent(SO_X0, SO_Y0, SO_X1, SO_Y1,
+                           (SO_X1 - SO_X0) / SO_COLS, (SO_Y1 - SO_Y0) / SO_ROWS)
+    out = px.reproject_to_grid(tiles, target, method="nearest",
+                               tile_size=64, dst_crs=SO_DEF)
+    return px.window_stats(out).select("source_id", "band", "px_sum", "px_count")
+
+
 def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Focal (3x3 neighborhood) MEAN over the tiled raster with CROSS-TILE
     halo exchange (operators/focal.py — strip extraction before the one
@@ -2779,6 +2812,67 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM vals GROUP BY 1, 2
 """
 
+    # Swiss oblique Mercator reproject (reproject_somerc): SQL twin of
+    # the somerc inverse — Mercator inverse on the rotated conformal
+    # sphere, the inverse rotation (asin/atan2 chain), then the SAME
+    # pinned isometric-latitude fixed point as the sterea oracle (the
+    # _sa_step string and its Bessel e literals are reused verbatim);
+    # constants are the engine's _somerc_params(32, bessel) doubles.
+    _so_rc = _gr._somerc_params(32.0, _sa_ell[0], _sa_ell[2])
+    _so_r, _so_al, _so_b0, _so_k = (_dl(v) for v in _so_rc)
+    _so_kr = _dl(1.0 * _so_rc[0])  # k0 * R with the gate's k0 = 1
+    _so_cw = _dl((SO_X1 - SO_X0) / SO_COLS)
+    _so_ch = _dl((SO_Y1 - SO_Y0) / SO_ROWS)
+    _so_iters = "".join(
+        f", so{i} AS MATERIALIZED (SELECT * EXCLUDE (phi), "
+        f"phi - {_sa_step} AS phi FROM so{i - 1})\n"
+        for i in range(1, 9))
+    o["reproject_somerc"] = f"""
+WITH tgt AS (
+  SELECT CAST({SO_X0} AS DOUBLE) + (c+0.5)*{_so_cw} - 600000.0 AS xs,
+         CAST({SO_Y1} AS DOUBLE) - (r+0.5)*{_so_ch} - 200000.0 AS ys
+  FROM range(0,{SO_COLS}) cs(c), range(0,{SO_ROWS}) rs(r)
+), rot AS (
+  SELECT xs/{_so_kr} AS ll,
+         2.0*ATAN(EXP(ys/{_so_kr})) - PI()/2.0 AS bb
+  FROM tgt
+), sph AS (
+  SELECT ASIN(COS({_so_b0})*SIN(bb) + SIN({_so_b0})*COS(bb)*COS(ll)) AS b,
+         ATAN2(COS(bb)*SIN(ll),
+               COS({_so_b0})*COS(bb)*COS(ll) - SIN({_so_b0})*SIN(bb)) AS lam
+  FROM rot
+), so0 AS (
+  SELECT ((-62.0 + DEGREES(lam/{_so_al})) + 180.0) % 360.0 - 180.0 AS lon,
+         (LN(TAN(PI()/4.0 + b/2.0)) - {_so_k})/{_so_al} AS psi,
+         2.0*ATAN(EXP((LN(TAN(PI()/4.0 + b/2.0)) - {_so_k})/{_so_al}))
+           - PI()/2.0 AS phi
+  FROM sph)
+{_so_iters}, pts AS (
+  SELECT lon, DEGREES(phi) AS lat FROM so8
+), own AS (
+  SELECT lon, lat, {C.sql_tile_col('lon', 6)} AS col, {C.sql_tile_row('lat', 6)} AS row
+  FROM pts
+), samp AS (
+  SELECT s, band, col, row,
+    CAST(FLOOR((lon - (CAST(col AS DOUBLE)/64.0*360.0-180.0)) / 0.087890625) AS BIGINT) AS ci,
+    CAST(FLOOR(({_la_lat6('CAST(row AS DOUBLE)')} - lat)
+         / (({_la_lat6('CAST(row AS DOUBLE)')} - {_la_lat6('CAST(row AS DOUBLE)+1.0')})/64.0)) AS BIGINT) AS ri
+  FROM own, range(0,3) ss(s), range(0,2) bs(band)
+  WHERE col BETWEEN 18+s AND 21+s AND row BETWEEN 24 AND 27
+), vals AS (
+  SELECT s, band,
+    CASE WHEN ri >= (s*11)%48 AND ri < (s*11)%48+16
+          AND ci >= (s*11)%48 AND ci < (s*11)%48+16 THEN -9999.0
+         ELSE s*1000.0 + band*100.0 + col*7.0 + row*3.0 + ri*0.5 + ci*0.25
+              + CAST((ri*31 + ci*17) % 13 AS DOUBLE) END AS v
+  FROM samp
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS BIGINT) AS band,
+       SUM(v) AS px_sum, CAST(COUNT(*) AS BIGINT) AS px_count
+FROM vals GROUP BY 1, 2
+"""
+
     # Focal 3x3 mean with halo exchange (focal_stats): per-pixel 9-term
     # neighborhood recomputed from the closed-form fixture values — same
     # fixed (dr,dc) chained-add order as the engine's stencil loop, same
@@ -3436,6 +3530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_sterea": q_reproject_sterea,
         "reproject_geos": q_reproject_geos,
         "reproject_moll": q_reproject_moll,
+        "reproject_somerc": q_reproject_somerc,
         "focal_stats": q_focal_stats,
         "focal_median": q_focal_median,
         "terrain_stats": q_terrain_stats,

@@ -1169,6 +1169,92 @@ def sterea_to_lonlat(x, y, lon0: float, lat0: float, k0: float = 1.0,
 
 
 # ---------------------------------------------------------------------------
+# Swiss oblique Mercator (proj4 ``+proj=somerc``) — the CH1903 / LV03
+# (EPSG:21781) and CH1903+ / LV95 (EPSG:2056) national-grid method, from
+# the published swisstopo projection formulas ("Formulas and constants for
+# the calculation of the Swiss conformal cylindrical projection"): a
+# DOUBLE projection like sterea — ellipsoid -> Gauss conformal sphere
+# (R = sqrt(M0*N0), alpha, b0, K at the latitude of origin), then the
+# sphere is rotated so the projection centre becomes the origin, then a
+# plain Mercator on the rotated sphere. The inverse closes with the same
+# pinned isometric-latitude fixed point the sterea kernel uses.
+# ---------------------------------------------------------------------------
+
+def _somerc_params(lat0: float, ell_a: float, e2: float):
+    """Gauss conformal-sphere constants (R, alpha, b0, K) of the Swiss
+    oblique Mercator at latitude-of-origin ``lat0``."""
+    e1 = float(np.sqrt(e2))
+    p0 = np.radians(np.float64(lat0))
+    s0 = float(np.sin(p0))
+    r = float(ell_a * np.sqrt(1.0 - e2) / (1.0 - e2 * s0 * s0))
+    alpha = float(np.sqrt(1.0 + e2 * np.cos(p0) ** 4 / (1.0 - e2)))
+    b0 = float(np.arcsin(s0 / alpha))
+    k = float(np.log(np.tan(np.pi / 4.0 + b0 / 2.0))
+              - alpha * np.log(np.tan(np.pi / 4.0 + p0 / 2.0))
+              + alpha * e1 / 2.0
+              * np.log((1.0 + e1 * s0) / (1.0 - e1 * s0)))
+    return r, alpha, b0, k
+
+
+def lonlat_to_somerc(lon, lat, lon0: float, lat0: float, k0: float = 1.0,
+                     x0: float = 0.0, y0: float = 0.0,
+                     ell_a: float = _WGS84_A, e2: float = _E2):
+    """Swiss oblique Mercator forward: conformal-sphere latitude b from
+    the isometric chain (S = alpha*psi(phi) + K), rotation taking the
+    centre (b0, 0) to the origin, Mercator on the rotated sphere."""
+    r, alpha, b0, k = _somerc_params(lat0, ell_a, e2)
+    e1 = np.sqrt(e2)
+    lam = alpha * np.radians(_wrap_deg(np.asarray(lon, dtype=np.float64)
+                                       - lon0))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    s = np.sin(phi)
+    big_s = (alpha * np.log(np.tan(np.pi / 4.0 + phi / 2.0))
+             - alpha * (e1 / 2.0)
+             * np.log((1.0 + e1 * s) / (1.0 - e1 * s)) + k)
+    b = 2.0 * (np.arctan(np.exp(big_s)) - np.pi / 4.0)
+    sb, cb = np.sin(b), np.cos(b)
+    sb0, cb0 = np.sin(b0), np.cos(b0)
+    bb = np.arcsin(cb0 * sb - sb0 * cb * np.cos(lam))
+    ll = np.arctan2(cb * np.sin(lam), cb0 * cb * np.cos(lam) + sb0 * sb)
+    x = x0 + k0 * r * ll
+    y = y0 + k0 * r * (0.5 * np.log((1.0 + np.sin(bb))
+                                    / (1.0 - np.sin(bb))))
+    return x, y
+
+
+_SOMERC_ITERS = 8  # same pinned isometric-latitude iteration as sterea
+
+
+def somerc_to_lonlat(x, y, lon0: float, lat0: float, k0: float = 1.0,
+                     x0: float = 0.0, y0: float = 0.0,
+                     ell_a: float = _WGS84_A, e2: float = _E2):
+    """Swiss oblique Mercator inverse: Mercator inverse on the rotated
+    sphere, inverse rotation, then the ellipsoidal latitude by the pinned
+    isometric-latitude fixed point (psi = (S - K)/alpha). Mirrored
+    term-for-term by the ``reproject_somerc`` SQL oracle."""
+    r, alpha, b0, k = _somerc_params(lat0, ell_a, e2)
+    e1 = np.sqrt(e2)
+    ll = (np.asarray(x, dtype=np.float64) - x0) / (k0 * r)
+    bb = 2.0 * np.arctan(np.exp((np.asarray(y, dtype=np.float64) - y0)
+                                / (k0 * r))) - np.pi / 2.0
+    sb0, cb0 = np.sin(b0), np.cos(b0)
+    sbb, cbb = np.sin(bb), np.cos(bb)
+    b = np.arcsin(cb0 * sbb + sb0 * cbb * np.cos(ll))
+    lam = np.arctan2(cbb * np.sin(ll),
+                     cb0 * cbb * np.cos(ll) - sb0 * sbb)
+    lon = _wrap_deg(lon0 + np.degrees(lam / alpha))
+    psi = (np.log(np.tan(np.pi / 4.0 + b / 2.0)) - k) / alpha
+    phi = 2.0 * np.arctan(np.exp(psi)) - np.pi / 2.0
+    for _ in range(_SOMERC_ITERS):
+        s = np.sin(phi)
+        psi_i = (np.log(np.tan(phi / 2.0 + np.pi / 4.0))
+                 - (e1 / 2.0) * np.log((1.0 + e1 * s) / (1.0 - e1 * s)))
+        phi = phi - (psi_i - psi) * np.cos(phi) \
+            * (1.0 - e2 * s * s) / (1.0 - e2)
+    return lon, np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
 # Sinusoidal (Snyder ch. 30) — the MODIS land-product grid family
 # (+proj=sinu +R=6371007.181). Spherical closed forms plus the ellipsoidal
 # form via the meridional arc (Snyder 3-21 series + pinned Newton inverse).
@@ -1801,6 +1887,16 @@ def parse_proj4(s: str):
             lambda x, y: sterea_to_lonlat(x, y, lon0, lat0, k0,
                                           x0, y0, ell_a, ell_e2))
 
+    if proj == "somerc":
+        # Swiss oblique Mercator (CH1903 LV03 / CH1903+ LV95). On a
+        # sphere the Gauss chain is the identity (alpha=1, K=0) and the
+        # kernel is the plain rotated-sphere Mercator — same code path.
+        e2_s = 0.0 if spherical else ell_e2
+        return compose(
+            lambda lon, lat: lonlat_to_somerc(lon, lat, lon0, lat0, k0,
+                                              x0, y0, ell_a, e2_s),
+            lambda x, y: somerc_to_lonlat(x, y, lon0, lat0, k0,
+                                          x0, y0, ell_a, e2_s))
     if proj == "merc":
         # spherical form when +R / lone +a / +a=+b (EPSG:3857 publishes
         # +a=+b=6378137); otherwise ELLIPSOIDAL mercator via the conformal
