@@ -1326,6 +1326,49 @@ def q_local_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LO.ndvi_reclass_stats(tiles, breaks=(500.0, 1500.0, 2250.0))
 
 
+def q_render_ramp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Color-ramp RENDER checksum (operators/render.py render_stats — the
+    GeoTrellis ColorRamp/Png family): every valid pixel maps through the
+    8-stop linear ramp to (r,g,b,255) packed as one exact integer, summed
+    per tile; NoData is transparent/excluded. Zero shuffles (per-tile
+    map). Oracle: the identical clip/floor/lerp chain in SQL with the
+    ramp stops as DOUBLE list literals."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import render as RD
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    return RD.render_stats(tiles, vmin=0.0, vmax=2400.0)
+
+
+def q_raster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bucket raster HISTOGRAM per (source, band) — per-tile bucket
+    counts computed inside the Arrow batch (numpy bincount), ONE shuffle
+    of only (source, band, bucket, count) rows (map-side combine; at
+    100 TB the shuffled volume is KBs). Bucketing is
+    clip(floor((v-vmin)/(vmax-vmin)*nbins)) — exact integers. Oracle:
+    the same bucket expression per pixel in SQL, GROUP BY bucket."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import render as RD
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    return RD.histogram_stats(tiles, vmin=0.0, vmax=2400.0, nbins=256)
+
+
+def q_raster_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram QUANTILE BREAKS (quartiles) — the classification-breaks
+    path of the rendering pipeline, pure JVM after the histogram: window
+    cumulative sum over the tiny histogram + a broadcast join against the
+    integer ceil-division targets, first bucket reaching each target.
+    Oracle: the same window/target/min-bucket logic in SQL (all-integer,
+    then one mirrored float op for the break value)."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import render as RD
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    hist = RD.histogram_stats(tiles, vmin=0.0, vmax=2400.0, nbins=256)
+    return RD.quantile_breaks(hist, vmin=0.0, vmax=2400.0, nbins=256, k=4)
+
+
 def q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hillshade (GDALDEM/ESRI convention, sun az 315 / alt 45) on the Horn
     p/q derivatives with cross-tile halo exchange (operators/focal.py
@@ -3050,6 +3093,96 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM med GROUP BY 1, 2, 3, 4
 """
 
+    # Color-ramp render (render_ramp): fixture values per pixel, then the
+    # identical clip -> pos -> i (kept DOUBLE for f) -> floor-lerp chain
+    # per channel with the TERRAIN_RAMP stops as DOUBLE list literals;
+    # packed RGBA is an exact integer.
+    _rd_px = """
+  SELECT s, band, 18 + s + tcc AS col, 24 + trr AS row,
+         s*1000.0 + band*100.0 + (18 + s + tcc)*7.0 + (24 + trr)*3.0
+           + ri*0.5 + ci*0.25
+           + CAST((ri*31 + ci*17) % 13 AS DOUBLE) AS v
+  FROM range(0,3) ss(s), range(0,2) bs(band),
+       range(0,4) tcs(tcc), range(0,4) trs(trr),
+       range(0,64) ris(ri), range(0,64) cis(ci)
+  WHERE NOT (ri >= (s*11)%48 AND ri < (s*11)%48+16
+             AND ci >= (s*11)%48 AND ci < (s*11)%48+16)
+"""
+    _rd_r = "[0.0, 0.0, 32.0, 160.0, 224.0, 224.0, 160.0, 255.0]"
+    _rd_g = "[32.0, 128.0, 192.0, 224.0, 224.0, 128.0, 64.0, 255.0]"
+    _rd_b = "[128.0, 192.0, 96.0, 64.0, 0.0, 0.0, 0.0, 255.0]"
+    o["render_ramp"] = f"""
+WITH px AS ({_rd_px}), rp AS (
+  SELECT s, band, col, row,
+         LEAST(GREATEST((v - 0.0)/2400.0, 0.0), 1.0) * 7.0 AS pos
+  FROM px
+), lerp AS (
+  SELECT s, band, col, row,
+         pos - LEAST(FLOOR(pos), 6.0) AS f,
+         CAST(LEAST(FLOOR(pos), 6.0) AS INT) + 1 AS i
+  FROM rp
+), chans AS (
+  SELECT s, band, col, row,
+         FLOOR({_rd_r}[i] + f*({_rd_r}[i+1] - {_rd_r}[i]) + 0.5) AS r,
+         FLOOR({_rd_g}[i] + f*({_rd_g}[i+1] - {_rd_g}[i]) + 0.5) AS g,
+         FLOOR({_rd_b}[i] + f*({_rd_b}[i+1] - {_rd_b}[i]) + 0.5) AS b
+  FROM lerp
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS BIGINT) AS band, col, row,
+       CAST(SUM(CAST(r AS BIGINT)*16777216 + CAST(g AS BIGINT)*65536
+                + CAST(b AS BIGINT)*256 + 255) AS BIGINT) AS rgba_sum,
+       CAST(COUNT(*) AS BIGINT) AS rgba_count
+FROM chans GROUP BY 1, 2, 3, 4
+"""
+
+    # Fixed-bucket histogram (raster_histogram): the same bucket
+    # expression per pixel — floor((v-vmin)/(vmax-vmin)*nbins) clipped,
+    # exact integers — grouped by (source, band, bucket).
+    o["raster_histogram"] = f"""
+WITH px AS ({_rd_px})
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS BIGINT) AS band,
+       CAST(LEAST(GREATEST(FLOOR((v - 0.0)/2400.0*256.0), 0.0), 255.0)
+            AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM px GROUP BY 1, 2, 3
+"""
+
+    # Histogram quantile breaks (raster_breaks): window cumulative sum
+    # over the histogram, integer ceil-division targets (q*total+3)//4,
+    # first bucket reaching each target; one mirrored float op for the
+    # break value (vmin + (bucket+1)*width, width = 9.375 — an exact
+    # binary fraction, 2400/256).
+    o["raster_breaks"] = f"""
+WITH px AS ({_rd_px}), hist AS (
+  SELECT s, band,
+         CAST(LEAST(GREATEST(FLOOR((v - 0.0)/2400.0*256.0), 0.0), 255.0)
+              AS BIGINT) AS bucket,
+         COUNT(*) AS cnt
+  FROM px GROUP BY 1, 2, 3
+), tot AS (
+  SELECT s, band, SUM(cnt) AS total FROM hist GROUP BY 1, 2
+), cum AS (
+  SELECT s, band, bucket,
+         SUM(cnt) OVER (PARTITION BY s, band ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+), tgt AS (
+  SELECT s, band, q, (q*total + 3)//4 AS target
+  FROM tot, range(1,4) qs(q)
+), hit AS (
+  SELECT c.s, c.band, t.q, MIN(c.bucket) AS bucket
+  FROM cum c JOIN tgt t ON c.s = t.s AND c.band = t.band
+  WHERE c.cum >= t.target
+  GROUP BY 1, 2, 3
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS BIGINT) AS band, CAST(q AS BIGINT) AS q,
+       bucket, 0.0 + (CAST(bucket AS DOUBLE) + 1.0) * 9.375 AS break_value
+FROM hit
+"""
+
     # Hillshade (GDALDEM convention, az 315 / alt 45): same nine-neighbor
     # CTE and Horn p/q as terrain_stats; the engine's cos(zen)/sin(zen)/az
     # doubles are embedded as exact repr literals (computed HERE with the
@@ -3537,6 +3670,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hillshade": q_hillshade,
         "tri_stats": q_tri_stats,
         "local_algebra": q_local_algebra,
+        "render_ramp": q_render_ramp,
+        "raster_histogram": q_raster_histogram,
+        "raster_breaks": q_raster_breaks,
         "reproject_datum": q_reproject_datum,
         "geom_scalars": q_geom_scalars,
         "stream_dedup": q_stream_dedup,

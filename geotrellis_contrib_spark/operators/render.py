@@ -1,0 +1,247 @@
+"""Raster rendering + statistics: color-ramp RGBA rendering, RGBA PNG
+tile encoding, histograms with map-side partial counts, and histogram
+quantile breaks.
+
+Reference parity: the GeoTrellis render family (ColorRamp / ColorMap /
+Png) and StreamingHistogram-based classification breaks fed by the
+reference's RasterSources; the contrib tier owns the per-tile plumbing.
+
+Spark-first plan (scale posture):
+  * ``render_stats`` / ``render_png_tiles`` are per-tile maps — zero
+    shuffles, embarrassingly parallel.
+  * ``histogram_stats`` computes per-tile bucket counts INSIDE the Arrow
+    batch (numpy bincount) and ships only (band, bucket, count) rows —
+    the groupBy sum is a shuffle of O(bands x buckets) rows, not pixels:
+    the classic map-side-combine story. At 100 TB the shuffled volume is
+    a few KB per executor.
+  * ``quantile_breaks`` is pure JVM: a window cumulative sum over the
+    tiny histogram plus a broadcast-size join — no Python in the plan.
+
+Determinism contract (mirrored by the render/histogram SQL oracles in
+``__spark_entry__.py`` — change one only with the other): ramp
+interpolation is t = clip((v-vmin)/(vmax-vmin), 0, 1), pos = t*(N-1),
+i = min(floor(pos), N-2) kept as a DOUBLE for f = pos - i, channel =
+floor(c0 + f*(c1-c0) + 0.5) — every step a single mirrored float op;
+histogram bucketing is floor((v-vmin)/(vmax-vmin)*nbins) clipped, an
+exact integer; breaks use integer ceil-division targets only.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from geotrellis_contrib_spark.operators.pixels import DTYPES
+
+# an 8-stop elevation-style ramp (deep blue -> water blue -> greens ->
+# yellows -> browns -> white); deliberately self-defined literals
+TERRAIN_RAMP = ((0, 32, 128), (0, 128, 192), (32, 192, 96),
+                (160, 224, 64), (224, 224, 0), (224, 128, 0),
+                (160, 64, 0), (255, 255, 255))
+
+
+def _ramp_channels(arr: np.ndarray, vmin: float, vmax: float,
+                   ramp=TERRAIN_RAMP):
+    """Vectorized ramp interpolation -> (r, g, b) int64 arrays (invalid
+    inputs produce garbage — mask with validity outside)."""
+    n = len(ramp)
+    stops = np.asarray(ramp, dtype=np.float64)  # (n, 3)
+    t = np.clip((arr - vmin) / (vmax - vmin), 0.0, 1.0)
+    pos = t * float(n - 1)
+    i_f = np.minimum(np.floor(pos), float(n - 2))
+    f = pos - i_f
+    idx = i_f.astype(np.int64)
+    out = []
+    for ch in range(3):
+        c0 = stops[:, ch][idx]
+        c1 = stops[:, ch][idx + 1]
+        out.append(np.floor(c0 + f * (c1 - c0) + 0.5).astype(np.int64))
+    return out
+
+
+def render_stats(tiles: DataFrame, vmin: float, vmax: float,
+                 ramp=TERRAIN_RAMP, tile_size: int = 64) -> DataFrame:
+    """Color-ramp render checksum per tile: each valid pixel maps through
+    the linear ramp to (r, g, b, 255), packed as r*2^24 + g*2^16 + b*2^8
+    + 255 (an exact integer), summed per tile. NoData pixels are excluded
+    (transparent). Zero shuffles."""
+    t = int(tile_size)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row_t in pdf.itertuples(index=False):
+                arr = np.frombuffer(row_t.px, dtype=DTYPES[row_t.dtype]) \
+                        .reshape(t, t).astype(np.float64)
+                valid = arr != row_t.nodata
+                r, g, b = _ramp_channels(arr, vmin, vmax, ramp)
+                packed = (r * 16777216 + g * 65536 + b * 256 + 255)
+                out.append({
+                    "source_id": row_t.source_id, "band": int(row_t.band),
+                    "col": int(row_t.col), "row": int(row_t.row),
+                    "rgba_sum": int(packed[valid].sum()),
+                    "rgba_count": int(valid.sum()),
+                })
+            yield pd.DataFrame(out, columns=[
+                "source_id", "band", "col", "row", "rgba_sum",
+                "rgba_count"])
+
+    return tiles.mapInPandas(
+        run, "source_id string, band bigint, col bigint, row bigint, "
+             "rgba_sum bigint, rgba_count bigint")
+
+
+def encode_png_rgba(rgba: np.ndarray) -> bytes:
+    """uint8 HxWx4 RGBA -> PNG bytes (color type 6, filter-0 scanlines,
+    one IDAT) — the public PNG spec via stdlib zlib, like the grayscale
+    codec in operators/media.py."""
+    rgba = np.asarray(rgba, dtype=np.uint8)
+    h, w, c = rgba.shape
+    if c != 4:
+        raise ValueError(f"expected HxWx4 RGBA, got {rgba.shape}")
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    raw = b"".join(b"\x00" + rgba[r].tobytes() for r in range(h))
+    return (sig + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def decode_png_rgba(payload: bytes) -> np.ndarray:
+    """Filter-0 8-bit RGBA PNG -> int64 HxWx4 (this module's encoder
+    output; anything else raises)."""
+    payload = bytes(payload)
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG byte stream")
+    pos, idat = 8, b""
+    w = h = bitdepth = color = None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, bitdepth, color, _c, _f, _i = struct.unpack(">IIBBBBB",
+                                                              data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if bitdepth != 8 or color != 6:
+        raise ValueError("only 8-bit RGBA supported")
+    raw = zlib.decompress(idat)
+    stride = w * 4 + 1
+    out = np.empty((h, w, 4), dtype=np.uint8)
+    for r in range(h):
+        if raw[r * stride] != 0:
+            raise ValueError("only filter-0 scanlines supported")
+        out[r] = np.frombuffer(raw[r * stride + 1:(r + 1) * stride],
+                               dtype=np.uint8).reshape(w, 4)
+    return out.astype(np.int64)
+
+
+def render_png_tiles(tiles: DataFrame, vmin: float, vmax: float,
+                     ramp=TERRAIN_RAMP, tile_size: int = 64) -> DataFrame:
+    """Render each tile through the ramp and PNG-encode it (RGBA, NoData
+    -> fully transparent). Zero shuffles; output
+    (source_id, band, col, row, png binary)."""
+    t = int(tile_size)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row_t in pdf.itertuples(index=False):
+                arr = np.frombuffer(row_t.px, dtype=DTYPES[row_t.dtype]) \
+                        .reshape(t, t).astype(np.float64)
+                valid = arr != row_t.nodata
+                r, g, b = _ramp_channels(arr, vmin, vmax, ramp)
+                rgba = np.zeros((t, t, 4), dtype=np.uint8)
+                rgba[..., 0] = np.where(valid, r, 0)
+                rgba[..., 1] = np.where(valid, g, 0)
+                rgba[..., 2] = np.where(valid, b, 0)
+                rgba[..., 3] = np.where(valid, 255, 0)
+                out.append({
+                    "source_id": row_t.source_id, "band": int(row_t.band),
+                    "col": int(row_t.col), "row": int(row_t.row),
+                    "png": encode_png_rgba(rgba),
+                })
+            yield pd.DataFrame(out, columns=[
+                "source_id", "band", "col", "row", "png"])
+
+    return tiles.mapInPandas(
+        run, "source_id string, band bigint, col bigint, row bigint, "
+             "png binary")
+
+
+def histogram_stats(tiles: DataFrame, vmin: float, vmax: float,
+                    nbins: int = 32, tile_size: int = 64) -> DataFrame:
+    """Fixed-bucket histogram per (source_id, band): bucket =
+    clip(floor((v - vmin)/(vmax - vmin)*nbins), 0, nbins-1) counted
+    per tile INSIDE the Arrow batch (numpy bincount), then ONE shuffle of
+    only (source, band, bucket, count) rows — map-side combine."""
+    t = int(tile_size)
+    nb = int(nbins)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row_t in pdf.itertuples(index=False):
+                arr = np.frombuffer(row_t.px, dtype=DTYPES[row_t.dtype]) \
+                        .reshape(t, t).astype(np.float64)
+                v = arr[arr != row_t.nodata]
+                bucket = np.clip(
+                    np.floor((v - vmin) / (vmax - vmin) * nb),
+                    0.0, float(nb - 1)).astype(np.int64)
+                cnt = np.bincount(bucket, minlength=nb)
+                for bk in np.nonzero(cnt)[0]:
+                    out.append({"source_id": row_t.source_id,
+                                "band": int(row_t.band),
+                                "bucket": int(bk), "cnt": int(cnt[bk])})
+            yield pd.DataFrame(out, columns=["source_id", "band",
+                                             "bucket", "cnt"])
+
+    partial = tiles.mapInPandas(
+        run, "source_id string, band bigint, bucket bigint, cnt bigint")
+    return partial.groupBy("source_id", "band", "bucket") \
+        .agg(F.sum("cnt").alias("cnt"))
+
+
+def quantile_breaks(hist: DataFrame, vmin: float, vmax: float,
+                    nbins: int = 32, k: int = 4) -> DataFrame:
+    """Classification breaks from the histogram — pure JVM (window
+    cumulative sum + a tiny join, no Python): for q in 1..k-1 the break
+    bucket is the first whose cumulative count reaches
+    ceil(q*total/k) (integer ceil-division), and the break value is that
+    bucket's upper edge vmin + (bucket+1)*(vmax-vmin)/nbins."""
+    w = Window.partitionBy("source_id", "band").orderBy("bucket") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    tot = hist.groupBy("source_id", "band") \
+        .agg(F.sum("cnt").alias("total"))
+    qs = F.explode(F.array(*[F.lit(q).cast("long")
+                             for q in range(1, int(k))])).alias("q")
+    targets = tot.select("source_id", "band", "total", qs) \
+        .withColumn("target",
+                    F.expr(f"CAST((q * total + {int(k)} - 1) "
+                           f"DIV {int(k)} AS BIGINT)"))
+    hit = cum.join(F.broadcast(targets), ["source_id", "band"]) \
+        .filter(F.col("cum") >= F.col("target")) \
+        .groupBy("source_id", "band", "q") \
+        .agg(F.min("bucket").alias("bucket"))
+    width = (vmax - vmin) / float(nbins)
+    return hit.withColumn(
+        "break_value",
+        F.lit(float(vmin)) + (F.col("bucket").cast("double") + 1.0)
+        * F.lit(width)).select("source_id", "band", "q", "bucket",
+                               "break_value")

@@ -1,0 +1,111 @@
+"""Rendering + histogram family: ramp interpolation goldens, RGBA PNG
+round trip, histogram vs numpy, quantile-break invariants, plan quality
+(render is shuffle-free; histogram ships only bucket rows).
+
+Reference parity: the GeoTrellis ColorRamp/ColorMap/Png render family and
+StreamingHistogram classification breaks fed by RasterSources."""
+import numpy as np
+
+from geotrellis_contrib_spark import corpus
+from geotrellis_contrib_spark.operators import render as RD
+
+T = 64
+
+
+def test_ramp_endpoints_and_midstops():
+    # below vmin clamps to the first stop, above vmax to the last,
+    # exact stop positions return the stop colors exactly
+    arr = np.array([[-100.0, 0.0], [2400.0, 9000.0]])
+    r, g, b = RD._ramp_channels(arr, 0.0, 2400.0)
+    first, last = RD.TERRAIN_RAMP[0], RD.TERRAIN_RAMP[-1]
+    assert (r[0, 0], g[0, 0], b[0, 0]) == first
+    assert (r[0, 1], g[0, 1], b[0, 1]) == first
+    assert (r[1, 0], g[1, 0], b[1, 0]) == last
+    assert (r[1, 1], g[1, 1], b[1, 1]) == last
+    # the exact interior stop at 1/7 of the range is stop 1
+    arr = np.array([[2400.0 / 7.0]])
+    r, g, b = RD._ramp_channels(arr, 0.0, 2400.0)
+    assert (r[0, 0], g[0, 0], b[0, 0]) == RD.TERRAIN_RAMP[1]
+    # halfway between stops 0 and 1: rounded midpoint per channel
+    arr = np.array([[2400.0 / 14.0]])
+    r, g, b = RD._ramp_channels(arr, 0.0, 2400.0)
+    s0, s1 = RD.TERRAIN_RAMP[0], RD.TERRAIN_RAMP[1]
+    want = tuple(int(np.floor(c0 + 0.5 * (c1 - c0) + 0.5))
+                 for c0, c1 in zip(s0, s1))
+    assert (r[0, 0], g[0, 0], b[0, 0]) == want
+
+
+def test_png_rgba_roundtrip():
+    rng = np.arange(T * T * 4, dtype=np.int64) % 251
+    rgba = rng.reshape(T, T, 4).astype(np.uint8)
+    out = RD.decode_png_rgba(RD.encode_png_rgba(rgba))
+    assert np.array_equal(out, rgba.astype(np.int64))
+
+
+def test_render_png_tiles_nodata_transparent(spark):
+    tiles = corpus.synth_px_tiles(spark, tile_size=T)
+    out = RD.render_png_tiles(tiles, vmin=0.0, vmax=2400.0, tile_size=T)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    row = out.filter("source_id = 'scene-1' AND band = 0 AND col = 20 "
+                     "AND row = 25").collect()[0]
+    rgba = RD.decode_png_rgba(row["png"])
+    h0 = (1 * 11) % (T - 16)
+    # the nodata hole is fully transparent, everything else opaque
+    assert np.all(rgba[h0:h0 + 16, h0:h0 + 16, 3] == 0)
+    mask = np.ones((T, T), dtype=bool)
+    mask[h0:h0 + 16, h0:h0 + 16] = False
+    assert np.all(rgba[..., 3][mask] == 255)
+
+
+def test_histogram_matches_numpy(spark):
+    tiles = corpus.synth_px_tiles(spark, tile_size=T)
+    got = {(r["source_id"], r["band"], r["bucket"]): r["cnt"]
+           for r in RD.histogram_stats(tiles, 0.0, 2400.0, nbins=256,
+                                       tile_size=T).collect()}
+    # brute force for scene-2 band 1
+    want = np.zeros(256, dtype=np.int64)
+    for tc in range(4):
+        for tr in range(4):
+            col, row = 20 + tc, 24 + tr
+            r = np.arange(T).reshape(-1, 1)
+            c = np.arange(T).reshape(1, -1)
+            v = (2000.0 + 100.0 + col * 7.0 + row * 3.0 + r * 0.5
+                 + c * 0.25 + ((r * 31 + c * 17) % 13)).astype(np.float64)
+            h0 = (2 * 11) % (T - 16)
+            m = np.ones((T, T), dtype=bool)
+            m[h0:h0 + 16, h0:h0 + 16] = False
+            bk = np.clip(np.floor(v[m] / 2400.0 * 256.0), 0, 255) \
+                .astype(np.int64)
+            want += np.bincount(bk, minlength=256)
+    for bk in np.nonzero(want)[0]:
+        assert got[("scene-2", 1, int(bk))] == int(want[bk])
+    # totals: every valid pixel counted exactly once
+    tot = sum(v for (s, b, _), v in got.items() if s == "scene-2" and b == 1)
+    assert tot == int(want.sum()) == 16 * (T * T - 256)
+
+
+def test_quantile_breaks_invariants(spark):
+    tiles = corpus.synth_px_tiles(spark, tile_size=T)
+    hist = RD.histogram_stats(tiles, 0.0, 2400.0, nbins=256, tile_size=T)
+    rows = RD.quantile_breaks(hist, 0.0, 2400.0, nbins=256, k=4).collect()
+    assert len(rows) == 3 * 2 * 3  # sources x bands x quartiles
+    by_key = {}
+    for r in rows:
+        by_key.setdefault((r["source_id"], r["band"]), {})[r["q"]] = r
+    hcnt = {(r["source_id"], r["band"], r["bucket"]): r["cnt"]
+            for r in hist.collect()}
+    for (s, b), qs in by_key.items():
+        # monotone breaks, and each break bucket really reaches its target
+        assert qs[1]["bucket"] <= qs[2]["bucket"] <= qs[3]["bucket"]
+        total = sum(v for (s2, b2, _), v in hcnt.items()
+                    if s2 == s and b2 == b)
+        for q in (1, 2, 3):
+            bk = qs[q]["bucket"]
+            cum = sum(v for (s2, b2, k2), v in hcnt.items()
+                      if s2 == s and b2 == b and k2 <= bk)
+            cum_prev = sum(v for (s2, b2, k2), v in hcnt.items()
+                           if s2 == s and b2 == b and k2 < bk)
+            target = (q * total + 3) // 4
+            assert cum >= target > cum_prev
+            assert qs[q]["break_value"] == (bk + 1.0) * 9.375
