@@ -1259,6 +1259,42 @@ def q_reproject_somerc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return px.window_stats(out).select("source_id", "band", "px_sum", "px_count")
 
 
+# Hotine oblique Mercator destination: the Timbalai 1948 / RSO Borneo
+# METHOD (EPSG 9815 variant B — +proj=omerc +alpha) with the real RSO
+# azimuth/grid-angle/k_0/false-origin parameters, relocated to the
+# fixture footprint (lat_0=40, lonc=-62) like the somerc/sterea gates.
+# Everest Sabah-Sarawak ellipsoid — a FRESH ellipsoid under a gate.
+OM_DEF = ("+proj=omerc +lat_0=40 +lonc=-62 +alpha=53.31582047222222 "
+          "+gamma=53.13010236111111 +k_0=0.99984 +x_0=590476.87 "
+          "+y_0=442857.65 +ellps=evrstSS +units=m +no_defs")
+OM_X0, OM_Y0, OM_X1, OM_Y1 = -1100000.0, -1540000.0, 2380000.0, 660000.0
+OM_COLS, OM_ROWS = 103, 91
+
+
+def q_reproject_omerc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reprojectToGrid onto a HOTINE OBLIQUE MERCATOR destination (EPSG
+    method 9815 variant B — the Timbalai 1948 / RSO Borneo and Malaysia
+    RSO national-grid method; grid.lonlat_to_omerc/omerc_to_lonlat, GN7-2
+    B/A/H/gamma0/lam0/u_c constant set on the Everest Sabah-Sarawak
+    ellipsoid): the pixel fixture warped onto an explicit target
+    GridExtent, NaN-aware window checksums per (source, band). Oracle:
+    the de-rectification, Q'/S'/T'/U'/V' chain to t', and the SAME pinned
+    isometric-latitude fixed point as the somerc/sterea oracles (psi =
+    -ln t' IS the isometric latitude), recomputed in SQL with the
+    engine's constants as literals. Reference parity: arbitrary CRS
+    objects at GeoTiffReprojectRasterSource.scala:39."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark import grid as GR
+    from geotrellis_contrib_spark.operators import pixels as px
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    target = GR.GridExtent(OM_X0, OM_Y0, OM_X1, OM_Y1,
+                           (OM_X1 - OM_X0) / OM_COLS, (OM_Y1 - OM_Y0) / OM_ROWS)
+    out = px.reproject_to_grid(tiles, target, method="nearest",
+                               tile_size=64, dst_crs=OM_DEF)
+    return px.window_stats(out).select("source_id", "band", "px_sum", "px_count")
+
+
 def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Focal (3x3 neighborhood) MEAN over the tiled raster with CROSS-TILE
     halo exchange (operators/focal.py — strip extraction before the one
@@ -2916,6 +2952,90 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM vals GROUP BY 1, 2
 """
 
+    # Hotine oblique Mercator reproject (reproject_omerc): SQL twin of
+    # the GN7-2 variant-B inverse — de-rectification by the grid angle,
+    # Q'/S'/T'/U'/V' chain to t' (POW with the engine's 1/B double as the
+    # literal exponent), lambda from the atan2 chain, and the SAME pinned
+    # 8-step isometric-latitude fixed point as the somerc/sterea oracles
+    # (psi = -LN(t')). Constants are the engine's _omerc_params(40,
+    # alpha_RSO, 0.99984, evrstSS) doubles as literals.
+    _om_ell = _gr.ellipsoid_params("evrstSS")
+    _om_c = _gr._omerc_params(40.0, 53.31582047222222, 0.99984,
+                              _om_ell[0], _om_ell[2])
+    _om_b, _om_a, _om_h, _om_g0v, _om_l0off, _om_ucv = _om_c
+    _om_bl, _om_al, _om_hl = _dl(_om_b), _dl(_om_a), _dl(_om_h)
+    _om_g0 = _dl(_om_g0v)
+    _om_uc = _dl(_om_ucv)
+    _om_ib = _dl(1.0 / _om_b)
+    _om_lam0 = _dl(float(_np.radians(_np.float64(-62.0)) - _om_l0off))
+    _om_gc = _dl(float(_np.radians(_np.float64(53.13010236111111))))
+    _om_e1 = _dl(float(_np.sqrt(_om_ell[2])))
+    _om_e1h = _dl(float(_np.sqrt(_om_ell[2]) / 2.0))
+    _om_e2l = _dl(_om_ell[2])
+    _om_cw = _dl((OM_X1 - OM_X0) / OM_COLS)
+    _om_ch = _dl((OM_Y1 - OM_Y0) / OM_ROWS)
+    _om_step = (
+        f"(LN(TAN(phi/2.0 + PI()/4.0)) "
+        f"- {_om_e1h}*LN((1.0 + {_om_e1}*SIN(phi))/(1.0 - {_om_e1}*SIN(phi))) "
+        f"- psi) * COS(phi) * (1.0 - {_om_e2l}*SIN(phi)*SIN(phi)) "
+        f"/ (1.0 - {_om_e2l})")
+    _om_iters = "".join(
+        f", om{i} AS MATERIALIZED (SELECT * EXCLUDE (phi), "
+        f"phi - {_om_step} AS phi FROM om{i - 1})\n"
+        for i in range(1, 9))
+    o["reproject_omerc"] = f"""
+WITH tgt AS (
+  SELECT CAST({OM_X0} AS DOUBLE) + (c+0.5)*{_om_cw} - 590476.87 AS xs,
+         CAST({OM_Y1} AS DOUBLE) - (r+0.5)*{_om_ch} - 442857.65 AS ys
+  FROM range(0,{OM_COLS}) cs(c), range(0,{OM_ROWS}) rs(r)
+), uv AS (
+  SELECT xs*COS({_om_gc}) - ys*SIN({_om_gc}) AS vr,
+         ys*COS({_om_gc}) + xs*SIN({_om_gc}) + {_om_uc} AS ur
+  FROM tgt
+), qst AS (
+  SELECT ur,
+         (EXP(-({_om_bl}*vr/{_om_al})) - 1.0/EXP(-({_om_bl}*vr/{_om_al})))/2.0 AS sp,
+         (EXP(-({_om_bl}*vr/{_om_al})) + 1.0/EXP(-({_om_bl}*vr/{_om_al})))/2.0 AS tp,
+         SIN({_om_bl}*ur/{_om_al}) AS vp
+  FROM uv
+), upt AS (
+  SELECT ur, sp, vp,
+         (vp*COS({_om_g0}) + sp*SIN({_om_g0}))/tp AS up
+  FROM qst
+), om0 AS (
+  SELECT (DEGREES({_om_lam0} - ATAN2(sp*COS({_om_g0}) - vp*SIN({_om_g0}),
+                                     COS({_om_bl}*ur/{_om_al}))/{_om_bl})
+           + 180.0) % 360.0 - 180.0 AS lon,
+         -LN(POW({_om_hl} / SQRT((1.0 + up)/(1.0 - up)), {_om_ib})) AS psi,
+         2.0*ATAN(EXP(-LN(POW({_om_hl} / SQRT((1.0 + up)/(1.0 - up)),
+                              {_om_ib})))) - PI()/2.0 AS phi
+  FROM upt)
+{_om_iters}, pts AS (
+  SELECT lon, DEGREES(phi) AS lat FROM om8
+), own AS (
+  SELECT lon, lat, {C.sql_tile_col('lon', 6)} AS col, {C.sql_tile_row('lat', 6)} AS row
+  FROM pts
+), samp AS (
+  SELECT s, band, col, row,
+    CAST(FLOOR((lon - (CAST(col AS DOUBLE)/64.0*360.0-180.0)) / 0.087890625) AS BIGINT) AS ci,
+    CAST(FLOOR(({_la_lat6('CAST(row AS DOUBLE)')} - lat)
+         / (({_la_lat6('CAST(row AS DOUBLE)')} - {_la_lat6('CAST(row AS DOUBLE)+1.0')})/64.0)) AS BIGINT) AS ri
+  FROM own, range(0,3) ss(s), range(0,2) bs(band)
+  WHERE col BETWEEN 18+s AND 21+s AND row BETWEEN 24 AND 27
+), vals AS (
+  SELECT s, band,
+    CASE WHEN ri >= (s*11)%48 AND ri < (s*11)%48+16
+          AND ci >= (s*11)%48 AND ci < (s*11)%48+16 THEN -9999.0
+         ELSE s*1000.0 + band*100.0 + col*7.0 + row*3.0 + ri*0.5 + ci*0.25
+              + CAST((ri*31 + ci*17) % 13 AS DOUBLE) END AS v
+  FROM samp
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS BIGINT) AS band,
+       SUM(v) AS px_sum, CAST(COUNT(*) AS BIGINT) AS px_count
+FROM vals GROUP BY 1, 2
+"""
+
     # Focal 3x3 mean with halo exchange (focal_stats): per-pixel 9-term
     # neighborhood recomputed from the closed-form fixture values — same
     # fixed (dr,dc) chained-add order as the engine's stencil loop, same
@@ -3654,6 +3774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "reproject_omerc": q_reproject_omerc,
         "pip_join_wkb": q_pip_join_wkb,
         "reproject_sphere": q_reproject_sphere,
         "reproject_nadgrid": q_reproject_nadgrid,

@@ -1255,6 +1255,128 @@ def somerc_to_lonlat(x, y, lon0: float, lat0: float, k0: float = 1.0,
 
 
 # ---------------------------------------------------------------------------
+# Hotine oblique Mercator (proj4 ``+proj=omerc`` with +alpha — EPSG methods
+# 9812 "variant A" / 9815 "variant B"): the Timbalai 1948 / RSO Borneo
+# (EPSG:29871-29873), Malaysia GDM2000 RSO, Alaska zone 1 and Swiss-style
+# rotated-grid family. EPSG Guidance Note 7-2 formulas: an "aposphere"
+# constant set (B, A, t0, D, F, H, G, gamma0, lam0) at the projection
+# centre, conformal mapping to (u, v) skew coordinates along the initial
+# line at azimuth alpha_c, then rectification by the grid angle gamma_c.
+# Variant B (proj4 default) additionally shifts u by the centre offset
+# u_c so the false origin sits at the projection CENTRE; ``+no_off``
+# selects variant A (natural-origin false easting/northing).
+# ---------------------------------------------------------------------------
+
+@_lru_cache(maxsize=None)
+def _omerc_params(lat0: float, alphac: float, k0: float,
+                  ell_a: float, e2: float):
+    """EPSG GN7-2 Hotine constants (B, A, H, gamma0, lam0_offset, u_c)
+    at centre latitude ``lat0`` and initial-line azimuth ``alphac``
+    (both degrees). ``lam0_offset`` is the (radian) longitude offset
+    lam_c - lam_0; u_c carries SIGN(lat0) per the EPSG convention."""
+    e1 = float(np.sqrt(e2))
+    p0 = np.radians(np.float64(lat0))
+    s0, c0 = float(np.sin(p0)), float(np.cos(p0))
+    big_b = float(np.sqrt(1.0 + e2 * c0 ** 4 / (1.0 - e2)))
+    big_a = float(ell_a * big_b * k0 * np.sqrt(1.0 - e2)
+                  / (1.0 - e2 * s0 * s0))
+    t0 = float(np.tan(np.pi / 4.0 - p0 / 2.0)
+               / ((1.0 - e1 * s0) / (1.0 + e1 * s0)) ** (e1 / 2.0))
+    big_d = float(big_b * np.sqrt(1.0 - e2)
+                  / (c0 * np.sqrt(1.0 - e2 * s0 * s0)))
+    d2 = big_d * big_d if big_d * big_d >= 1.0 else 1.0  # EPSG: clamp
+    sign0 = 1.0 if lat0 >= 0.0 else -1.0
+    big_f = float(big_d + np.sqrt(d2 - 1.0) * sign0)
+    big_h = float(big_f * t0 ** big_b)
+    big_g = float((big_f - 1.0 / big_f) / 2.0)
+    ac = np.radians(np.float64(alphac))
+    gamma0 = float(np.arcsin(np.sin(ac) / big_d))
+    lam0_off = float(np.arcsin(big_g * np.tan(gamma0)) / big_b)
+    uc = float((big_a / big_b) * np.arctan2(np.sqrt(d2 - 1.0),
+                                            np.cos(ac)) * sign0)
+    return big_b, big_a, big_h, gamma0, lam0_off, uc
+
+
+def lonlat_to_omerc(lon, lat, lonc: float, lat0: float, alphac: float,
+                    gammac: float, k0: float = 1.0,
+                    x0: float = 0.0, y0: float = 0.0,
+                    no_off: bool = False,
+                    ell_a: float = _WGS84_A, e2: float = _E2):
+    """Hotine oblique Mercator forward (EPSG GN7-2 variant B; variant A
+    with ``no_off=True``): conformal t(phi), Q/S/T/U/V chain to the skew
+    (u, v) axes, then rectification by the grid angle ``gammac``."""
+    big_b, big_a, big_h, g0, l0off, uc = _omerc_params(lat0, alphac, k0,
+                                                       ell_a, e2)
+    e1 = np.sqrt(e2)
+    lam0_deg = lonc - np.degrees(l0off)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    sphi = np.sin(phi)
+    t = (np.tan(np.pi / 4.0 - phi / 2.0)
+         / np.power((1.0 - e1 * sphi) / (1.0 + e1 * sphi), e1 / 2.0))
+    big_q = big_h / np.power(t, big_b)
+    big_s = (big_q - 1.0 / big_q) / 2.0
+    big_t = (big_q + 1.0 / big_q) / 2.0
+    dlr = big_b * np.radians(_wrap_deg(np.asarray(lon, dtype=np.float64)
+                                       - lam0_deg))
+    big_v = np.sin(dlr)
+    big_u = (-big_v * np.cos(g0) + big_s * np.sin(g0)) / big_t
+    v = big_a * np.log((1.0 - big_u) / (1.0 + big_u)) / (2.0 * big_b)
+    u = big_a * np.arctan2(big_s * np.cos(g0) + big_v * np.sin(g0),
+                           np.cos(dlr)) / big_b
+    if not no_off:
+        u = u - uc
+    gc = np.radians(np.float64(gammac))
+    x = v * np.cos(gc) + u * np.sin(gc) + x0
+    y = u * np.cos(gc) - v * np.sin(gc) + y0
+    return x, y
+
+
+_OMERC_ITERS = 8  # pinned isometric-latitude iteration (as somerc/sterea)
+
+
+def omerc_to_lonlat(x, y, lonc: float, lat0: float, alphac: float,
+                    gammac: float, k0: float = 1.0,
+                    x0: float = 0.0, y0: float = 0.0,
+                    no_off: bool = False,
+                    ell_a: float = _WGS84_A, e2: float = _E2):
+    """Hotine oblique Mercator inverse (EPSG GN7-2): de-rectify to
+    (u', v'), Q'/S'/T'/U'/V' chain to t', then the ellipsoidal latitude
+    by the pinned isometric-latitude fixed point (psi = -ln t' IS the
+    isometric latitude, so the iteration is the somerc/sterea one
+    verbatim). Mirrored term-for-term by the ``reproject_omerc`` SQL
+    oracle."""
+    big_b, big_a, big_h, g0, l0off, uc = _omerc_params(lat0, alphac, k0,
+                                                       ell_a, e2)
+    e1 = np.sqrt(e2)
+    lam0 = np.radians(np.float64(lonc)) - l0off
+    gc = np.radians(np.float64(gammac))
+    xs = np.asarray(x, dtype=np.float64) - x0
+    ys = np.asarray(y, dtype=np.float64) - y0
+    vr = xs * np.cos(gc) - ys * np.sin(gc)
+    ur = ys * np.cos(gc) + xs * np.sin(gc)
+    if not no_off:
+        ur = ur + uc
+    qp = np.exp(-(big_b * vr / big_a))
+    sp = (qp - 1.0 / qp) / 2.0
+    tp = (qp + 1.0 / qp) / 2.0
+    vp = np.sin(big_b * ur / big_a)
+    up = (vp * np.cos(g0) + sp * np.sin(g0)) / tp
+    t_p = np.power(big_h / np.sqrt((1.0 + up) / (1.0 - up)), 1.0 / big_b)
+    lam = lam0 - np.arctan2(sp * np.cos(g0) - vp * np.sin(g0),
+                            np.cos(big_b * ur / big_a)) / big_b
+    lon = _wrap_deg(np.degrees(lam))
+    psi = -np.log(t_p)
+    phi = 2.0 * np.arctan(np.exp(psi)) - np.pi / 2.0
+    for _ in range(_OMERC_ITERS):
+        s = np.sin(phi)
+        psi_i = (np.log(np.tan(phi / 2.0 + np.pi / 4.0))
+                 - (e1 / 2.0) * np.log((1.0 + e1 * s) / (1.0 - e1 * s)))
+        phi = phi - (psi_i - psi) * np.cos(phi) \
+            * (1.0 - e2 * s * s) / (1.0 - e2)
+    return lon, np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
 # Sinusoidal (Snyder ch. 30) — the MODIS land-product grid family
 # (+proj=sinu +R=6371007.181). Spherical closed forms plus the ellipsoidal
 # form via the meridional arc (Snyder 3-21 series + pinned Newton inverse).
@@ -1568,6 +1690,7 @@ ELLIPSOIDS = {
     "bessel": (6377397.155, 299.1528128),     # DHDN, CH1903, Tokyo
     "intl": (6378388.0, 297.0),               # ED50 (Hayford 1924)
     "clrk66": (6378206.4, 294.9786982138982), # NAD27 (a=6378206.4 b=6356583.8)
+    "evrstSS": (6377298.556, 300.8017),       # Everest 1830 (1967/Sabah-Sarawak)
     "sphere": (6370997.0, 0.0),
 }
 
@@ -1687,7 +1810,8 @@ _PROJ4_IGNORED = {"no_defs", "wktext", "type"}
 _PROJ4_PARAM_KEYS = {"proj", "lat_0", "lon_0", "lat_1", "lat_2", "lat_ts",
                      "x_0", "y_0", "k_0", "k", "units", "ellps", "datum",
                      "towgs84", "nadgrids", "a", "b", "R", "zone", "south",
-                     "h", "sweep"}
+                     "h", "sweep", "lonc", "alpha", "gamma", "no_off",
+                     "no_uoff", "no_rot"}
 
 
 def parse_proj4(s: str):
@@ -1849,6 +1973,47 @@ def parse_proj4(s: str):
         raise ValueError(f"+zone/+south are +proj=utm parameters: {s!r}")
     if ("h" in kv or "sweep" in kv) and proj != "geos":
         raise ValueError(f"+h/+sweep are +proj=geos parameters: {s!r}")
+    if (any(k in kv for k in ("lonc", "alpha", "gamma", "no_off",
+                              "no_uoff", "no_rot"))
+            and proj != "omerc"):
+        raise ValueError(f"+lonc/+alpha/+gamma/+no_off/+no_rot are "
+                         f"+proj=omerc parameters: {s!r}")
+
+    if proj == "omerc":
+        # Hotine oblique Mercator, azimuth (+alpha) form — EPSG 9812
+        # (variant A, +no_off) / 9815 (variant B, the proj4 default).
+        # The two-point form (+lon_1/+lat_1/+lon_2/+lat_2), +no_rot
+        # (skew u/v output), alpha = +-90 (Laborde-degenerate) and
+        # spheres stay FAIL-LOUD: the engine must not approximate.
+        if "alpha" not in kv:
+            raise ValueError(f"+proj=omerc supports only the azimuth "
+                             f"(+alpha) form — two-point omerc is "
+                             f"unsupported: {s!r}")
+        if "no_rot" in kv:
+            raise ValueError(f"+no_rot (skew-axis output) unsupported: "
+                             f"{s!r}")
+        if "lonc" not in kv:
+            raise ValueError(f"+proj=omerc requires +lonc (NOT +lon_0 — "
+                             f"proj4 omerc semantics): {s!r}")
+        if "lon_0" in kv:
+            raise ValueError(f"+lon_0 conflicts with +proj=omerc "
+                             f"(+lonc is the centre longitude): {s!r}")
+        if spherical:
+            raise ValueError(f"+proj=omerc on a sphere unsupported: {s!r}")
+        alpha_c = fnum("alpha")
+        if abs(abs(alpha_c) - 90.0) < 1e-12 or abs(lat0) >= 90.0:
+            raise ValueError(f"omerc with +alpha=+-90 or polar +lat_0 is "
+                             f"degenerate (use tmerc/stere): {s!r}")
+        gamma_c = fnum("gamma", alpha_c)  # proj4 default: gamma = alpha
+        lonc_v = fnum("lonc")
+        nooff = ("no_off" in kv) or ("no_uoff" in kv)
+        return compose(
+            lambda lon, lat: lonlat_to_omerc(lon, lat, lonc_v, lat0,
+                                             alpha_c, gamma_c, k0, x0, y0,
+                                             nooff, ell_a, ell_e2),
+            lambda x, y: omerc_to_lonlat(x, y, lonc_v, lat0,
+                                         alpha_c, gamma_c, k0, x0, y0,
+                                         nooff, ell_a, ell_e2))
 
     if proj == "utm":
         # the common shorthand for tmerc with the UTM constants
