@@ -1330,6 +1330,54 @@ def q_focal_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FO.focal_stats(tiles, op="median", radius=1)
 
 
+def q_focal_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal STANDARD DEVIATION (3x3, cross-tile halo exchange —
+    GeoTrellis focal.StandardDeviation): population stddev over the
+    variable-count valid window. Exactness: the fixture's quarter-
+    multiples make both the sum and the sum-of-squares accumulators
+    EXACT (hence order-free); then ONE division each for mean and
+    mean-of-squares, var = m2 - m*m clamped at 0, sqrt, quantize-first
+    integer checksums. Oracle: the nine value and value^2 terms
+    recomputed per pixel from the closed-form fixture in SQL, identical
+    division/subtract/GREATEST/SQRT chain."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import focal as FO
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    return FO.focal_stats(tiles, op="stddev", radius=1)
+
+
+def q_focal_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal MODE / majority filter (3x3, halo exchange — GeoTrellis
+    focal.Mode, a categorical-raster op): cells are first RECLASSIFIED
+    (floor(v/500) — small integer classes so neighborhoods have real
+    ties), then each pixel takes the most frequent class in its valid
+    window, SMALLEST class on ties (deterministic categorical rule).
+    Oracle: the nine NULL-able class columns recomputed in SQL, UNNEST +
+    count + ROW_NUMBER ordered by (count DESC, class ASC) — the same
+    majority-with-smallest-tie-break rule."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import focal as FO
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    return FO.focal_stats(tiles, op="mode", radius=1, classify_div=500.0)
+
+
+def q_focal_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel CONVOLUTION (GeoTrellis focal.Convolve with the binomial
+    3x3 kernel 1,2,1/2,4,2/1,2,1) with halo exchange and NoData
+    RENORMALIZATION: out = sum(w*v over valid)/sum(w over valid). The
+    integer kernel times the fixture's quarter-multiples keeps both
+    accumulators exact; one division, quantize-first checksums. Oracle:
+    per-pixel weighted terms recomputed from the closed-form fixture in
+    SQL, identical chained-add order and division."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import focal as FO
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    return FO.convolve_stats(tiles)
+
+
 def q_terrain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slope + aspect via the HORN (1981) 3x3 kernel with cross-tile halo
     exchange (operators/focal.py terrain_stats — the op family behind the
@@ -3084,6 +3132,159 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM q GROUP BY 1, 2, 3, 4
 """
 
+    # Focal standard deviation (focal_stddev): same 9-term neighborhood
+    # machinery with value AND value^2 accumulators (both exact on the
+    # quarter-multiple fixture), then the engine's exact op chain —
+    # m = a/n, m2 = a2/n, var = GREATEST(m2 - m*m, 0), SQRT, quantize.
+    # value^2 terms: regenerated with the square spelled out (same
+    # validity predicate, same chained-add order as _fo_terms)
+    def _fo_term_sq(odr, odc):
+        gr = f"(row*64 + ri + {odr})"
+        gc = f"(col*64 + ci + {odc})"
+        r2, ri2 = f"({gr}//64)", f"({gr}%64)"
+        c2, ci2 = f"({gc}//64)", f"({gc}%64)"
+        valid = (f"({c2} BETWEEN 18+s AND 21+s AND {r2} BETWEEN 24 AND 27"
+                 f" AND NOT ({ri2} >= h0 AND {ri2} < h0+16"
+                 f" AND {ci2} >= h0 AND {ci2} < h0+16))")
+        v = (f"(s*1000.0 + band*100.0 + {c2}*7.0 + {r2}*3.0"
+             f" + {ri2}*0.5 + {ci2}*0.25"
+             f" + CAST(({ri2}*31 + {ci2}*17) % 13 AS DOUBLE))")
+        return f"CASE WHEN {valid} THEN {v}*{v} ELSE 0.0 END"
+
+    _fs2_sq = " + ".join(_fo_term_sq(odr, odc)
+                         for odr in (-1, 0, 1) for odc in (-1, 0, 1))
+    o["focal_stddev"] = f"""
+WITH px AS (
+  SELECT s, band, 18 + s + tcc AS col, 24 + trr AS row, ri, ci,
+         (s*11) % 48 AS h0
+  FROM range(0,3) ss(s), range(0,2) bs(band),
+       range(0,4) tcs(tcc), range(0,4) trs(trr),
+       range(0,64) ris(ri), range(0,64) cis(ci)
+), acc AS (
+  SELECT s, band, col, row,
+         {_fo_acc} AS a,
+         {_fs2_sq} AS a2,
+         {_fo_cnt} AS n
+  FROM px
+), q AS (
+  SELECT s, band, col, row,
+         CAST(FLOOR(SQRT(GREATEST(
+               a2 / CAST(n AS DOUBLE)
+               - (a / CAST(n AS DOUBLE)) * (a / CAST(n AS DOUBLE)),
+               0.0)) * 1048576.0 + 0.5) AS BIGINT) AS qv
+  FROM acc WHERE n > 0
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS BIGINT) AS band, col, row,
+       CAST(SUM(qv) AS BIGINT) AS focal_sum,
+       CAST(COUNT(*) AS BIGINT) AS focal_count
+FROM q GROUP BY 1, 2, 3, 4
+"""
+
+    # Focal mode / majority (focal_mode): nine NULL-able CLASS columns
+    # (floor(v/500)), UNNEST + per-class counts + ROW_NUMBER ordered by
+    # (count DESC, class ASC) — the engine's majority-with-smallest-tie-
+    # break rule exactly.
+    def _fm_nb(odr, odc):
+        gr = f"(row*64 + ri + {odr})"
+        gc = f"(col*64 + ci + {odc})"
+        r2, ri2 = f"({gr}//64)", f"({gr}%64)"
+        c2, ci2 = f"({gc}//64)", f"({gc}%64)"
+        valid = (f"({c2} BETWEEN 18+s AND 21+s AND {r2} BETWEEN 24 AND 27"
+                 f" AND NOT ({ri2} >= h0 AND {ri2} < h0+16"
+                 f" AND {ci2} >= h0 AND {ci2} < h0+16))")
+        v = (f"(s*1000.0 + band*100.0 + {c2}*7.0 + {r2}*3.0"
+             f" + {ri2}*0.5 + {ci2}*0.25"
+             f" + CAST(({ri2}*31 + {ci2}*17) % 13 AS DOUBLE))")
+        return f"CASE WHEN {valid} THEN FLOOR({v}/500.0) ELSE NULL END"
+
+    _fm_lst = ", ".join(_fm_nb(odr, odc)
+                        for odr in (-1, 0, 1) for odc in (-1, 0, 1))
+    o["focal_mode"] = f"""
+WITH px AS (
+  SELECT s, band, 18 + s + tcc AS col, 24 + trr AS row, ri, ci,
+         (s*11) % 48 AS h0
+  FROM range(0,3) ss(s), range(0,2) bs(band),
+       range(0,4) tcs(tcc), range(0,4) trs(trr),
+       range(0,64) ris(ri), range(0,64) cis(ci)
+), lst AS (
+  SELECT s, band, col, row, ri, ci, u.cv
+  FROM px, UNNEST([{_fm_lst}]) AS u(cv)
+  WHERE u.cv IS NOT NULL
+), cl AS (
+  SELECT s, band, col, row, ri, ci, cv, COUNT(*) AS c
+  FROM lst GROUP BY ALL
+), pick AS (
+  SELECT s, band, col, row, cv,
+         ROW_NUMBER() OVER (PARTITION BY s, band, col, row, ri, ci
+                            ORDER BY c DESC, cv ASC) AS rn
+  FROM cl
+), q AS (
+  SELECT s, band, col, row,
+         CAST(FLOOR(cv * 1048576.0 + 0.5) AS BIGINT) AS qv
+  FROM pick WHERE rn = 1
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS BIGINT) AS band, col, row,
+       CAST(SUM(qv) AS BIGINT) AS focal_sum,
+       CAST(COUNT(*) AS BIGINT) AS focal_count
+FROM q GROUP BY 1, 2, 3, 4
+"""
+
+    # Kernel convolution (focal_conv): binomial 1,2,1/2,4,2/1,2,1 kernel,
+    # NoData-renormalizing — weighted value and weight accumulators in the
+    # engine's chained-add order, one division, quantize-first.
+    _cv_w = {(-1, -1): "1.0", (-1, 0): "2.0", (-1, 1): "1.0",
+             (0, -1): "2.0", (0, 0): "4.0", (0, 1): "2.0",
+             (1, -1): "1.0", (1, 0): "2.0", (1, 1): "1.0"}
+
+    def _cv_term(odr, odc):
+        gr = f"(row*64 + ri + {odr})"
+        gc = f"(col*64 + ci + {odc})"
+        r2, ri2 = f"({gr}//64)", f"({gr}%64)"
+        c2, ci2 = f"({gc}//64)", f"({gc}%64)"
+        valid = (f"({c2} BETWEEN 18+s AND 21+s AND {r2} BETWEEN 24 AND 27"
+                 f" AND NOT ({ri2} >= h0 AND {ri2} < h0+16"
+                 f" AND {ci2} >= h0 AND {ci2} < h0+16))")
+        v = (f"(s*1000.0 + band*100.0 + {c2}*7.0 + {r2}*3.0"
+             f" + {ri2}*0.5 + {ci2}*0.25"
+             f" + CAST(({ri2}*31 + {ci2}*17) % 13 AS DOUBLE))")
+        w = _cv_w[(odr, odc)]
+        return (f"CASE WHEN {valid} THEN {w}*{v} ELSE 0.0 END",
+                f"CASE WHEN {valid} THEN {w} ELSE 0.0 END",
+                f"CASE WHEN {valid} THEN 1 ELSE 0 END")
+
+    _cv_terms = [_cv_term(odr, odc)
+                 for odr in (-1, 0, 1) for odc in (-1, 0, 1)]
+    _cv_acc = " + ".join(tv for tv, _, _ in _cv_terms)
+    _cv_wacc = " + ".join(tw for _, tw, _ in _cv_terms)
+    _cv_cnt = " + ".join(tc for _, _, tc in _cv_terms)
+    o["focal_conv"] = f"""
+WITH px AS (
+  SELECT s, band, 18 + s + tcc AS col, 24 + trr AS row, ri, ci,
+         (s*11) % 48 AS h0
+  FROM range(0,3) ss(s), range(0,2) bs(band),
+       range(0,4) tcs(tcc), range(0,4) trs(trr),
+       range(0,64) ris(ri), range(0,64) cis(ci)
+), acc AS (
+  SELECT s, band, col, row,
+         {_cv_acc} AS a,
+         {_cv_wacc} AS wa,
+         {_cv_cnt} AS n
+  FROM px
+), q AS (
+  SELECT s, band, col, row,
+         CAST(FLOOR(a / (CASE WHEN wa = 0.0 THEN 1.0 ELSE wa END)
+                    * 1048576.0 + 0.5) AS BIGINT) AS qv
+  FROM acc WHERE n > 0
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS BIGINT) AS band, col, row,
+       CAST(SUM(qv) AS BIGINT) AS conv_sum,
+       CAST(COUNT(*) AS BIGINT) AS conv_count
+FROM q GROUP BY 1, 2, 3, 4
+"""
+
     # Horn slope/aspect with halo exchange (terrain_stats): the nine
     # neighbor values as NULL-able CTE columns, output only where the
     # FULL 3x3 is valid; p/q/slope/aspect arithmetic mirrored
@@ -3787,6 +3988,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_somerc": q_reproject_somerc,
         "focal_stats": q_focal_stats,
         "focal_median": q_focal_median,
+        "focal_stddev": q_focal_stddev,
+        "focal_mode": q_focal_mode,
+        "focal_conv": q_focal_conv,
         "terrain_stats": q_terrain_stats,
         "hillshade": q_hillshade,
         "tri_stats": q_tri_stats,

@@ -112,17 +112,20 @@ def _assemble_frame(pdf: pd.DataFrame, r: int, t: int):
 
 
 def focal_stats(tiles: DataFrame, op: str = "mean", radius: int = 1,
-                tile_size: int = 64) -> DataFrame:
+                tile_size: int = 64,
+                classify_div: float | None = None) -> DataFrame:
     """Focal ``op`` over every pixel's (2r+1)^2 neighborhood ACROSS tile
     boundaries (halo exchange), NoData/edge cells excluded from the
     neighborhood; returns the per-tile quantized checksum
     ``(source_id, band, col, row, focal_sum, focal_count)`` where
     focal_sum = sum of floor(focal * 2^20 + 0.5) over cells with at least
     one valid neighbor and focal_count = that cell count."""
-    if op not in ("mean", "sum", "max", "min", "median"):
+    if op not in ("mean", "sum", "max", "min", "median", "stddev", "mode"):
         raise ValueError(f"unsupported focal op: {op!r}")
     if radius < 1 or radius >= tile_size:
         raise ValueError(f"radius must be in 1..{tile_size - 1}: {radius}")
+    if classify_div is not None and op != "mode":
+        raise ValueError("classify_div is a mode-only parameter")
     r, t = int(radius), int(tile_size)
     pieces = _halo_pieces(tiles, r, t)
 
@@ -132,8 +135,13 @@ def focal_stats(tiles: DataFrame, op: str = "mean", radius: int = 1,
         if frame is None:
             return pd.DataFrame(columns=["source_id", "band", "col", "row",
                                          "focal_sum", "focal_count"])
+        if classify_div is not None:
+            # majority filter runs on RECLASSIFIED cells (GeoTrellis Mode
+            # is for categorical rasters) — floor(v/div), NoData stays NaN
+            frame = np.floor(frame / classify_div)
         valid = ~np.isnan(frame)
         acc = np.zeros((t, t))
+        acc2 = np.zeros((t, t))
         cnt = np.zeros((t, t), dtype=np.int64)
         ext = None
         wins = []
@@ -143,7 +151,12 @@ def focal_stats(tiles: DataFrame, op: str = "mean", radius: int = 1,
             vw = valid[r + dr:r + dr + t, r + dc:r + dc + t]
             if op in ("mean", "sum"):
                 acc = acc + np.where(vw, win, 0.0)
-            elif op == "median":
+            elif op == "stddev":
+                # sum AND sum-of-squares in the same fixed chained-add
+                # order; the fixture's quarter-multiples make both EXACT
+                acc = acc + np.where(vw, win, 0.0)
+                acc2 = acc2 + np.where(vw, win * win, 0.0)
+            elif op in ("median", "mode"):
                 wins.append(np.where(vw, win, np.nan))
             else:
                 cur = np.where(vw, win, np.nan)
@@ -155,6 +168,35 @@ def focal_stats(tiles: DataFrame, op: str = "mean", radius: int = 1,
             focal = np.where(any_valid, acc / np.maximum(cnt, 1), np.nan)
         elif op == "sum":
             focal = np.where(any_valid, acc, np.nan)
+        elif op == "stddev":
+            # population stddev: ONE division each for mean and mean-of-
+            # squares, var = m2 - m*m clamped at 0 (float dust), sqrt —
+            # mirrored op-for-op by the focal_stddev SQL oracle
+            n = np.maximum(cnt, 1).astype(np.float64)
+            m = acc / n
+            m2 = acc2 / n
+            var = np.maximum(m2 - m * m, 0.0)
+            focal = np.where(any_valid, np.sqrt(var), np.nan)
+        elif op == "mode":
+            # majority vote over the valid window, SMALLEST value on ties
+            # (deterministic categorical rule). Exact: class values are
+            # small integers, equality is exact. O(k^2) vectorized over
+            # the k=(2r+1)^2 window slices.
+            stack = np.stack(wins, axis=-1)
+            best_v = np.full((t, t), np.nan)
+            best_c = np.zeros((t, t), dtype=np.int64)
+            for j in range(stack.shape[-1]):
+                vj = stack[..., j]
+                with np.errstate(invalid="ignore"):
+                    cj = np.nansum(
+                        (stack == vj[..., None]).astype(np.int64), axis=-1)
+                ok_j = ~np.isnan(vj)
+                take = ok_j & ((cj > best_c)
+                               | ((cj == best_c)
+                                  & ~(np.isnan(best_v) | (vj >= best_v))))
+                best_v = np.where(take, vj, best_v)
+                best_c = np.where(take, cj, best_c)
+            focal = best_v
         elif op == "median":
             # rank-based, so EXACT: sort (NaN last), take the two middle
             # order statistics of the valid prefix, (lo + hi)/2.0 — for an
@@ -340,3 +382,65 @@ def hillshade_stats(tiles: DataFrame, azimuth: float = 315.0,
     return pieces.groupBy("source_id", "band", "col", "row").applyInPandas(
         shade, "source_id string, band bigint, col bigint, row bigint, "
                "shade_sum bigint, shade_count bigint")
+
+
+def convolve_stats(tiles: DataFrame,
+                   kernel: tuple = ((1.0, 2.0, 1.0),
+                                    (2.0, 4.0, 2.0),
+                                    (1.0, 2.0, 1.0)),
+                   tile_size: int = 64) -> DataFrame:
+    """Kernel CONVOLUTION (GeoTrellis focal.Convolve / Kernel) with
+    cross-tile halo exchange: out = sum(w_ij * v_ij over valid cells)
+    / sum(w_ij over valid cells) — the NoData-renormalizing convolution
+    (a plain weighted sum would bleed NoData). Kernel must be odd-sized.
+
+    Determinism contract (mirrored by the ``focal_conv`` SQL oracle —
+    change one only with the other): the weighted terms accumulate in
+    FIXED lexicographic (dr, dc) order (chained left-to-right float adds;
+    the default integer kernel times the fixture's quarter-multiples is
+    EXACT, so both accumulators are order-free anyway), ONE division,
+    quantize-first checksums. Returns
+    ``(source_id, band, col, row, conv_sum, conv_count)``."""
+    kh = len(kernel)
+    kw = len(kernel[0])
+    if kh % 2 != 1 or kw % 2 != 1 or kh != kw:
+        raise ValueError(f"kernel must be odd square: {kh}x{kw}")
+    r = kh // 2
+    t = int(tile_size)
+    if r < 1 or r >= t:
+        raise ValueError(f"kernel radius must be in 1..{t - 1}: {r}")
+    pieces = _halo_pieces(tiles, r, t)
+
+    def conv(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        source_id, band, col, row = key
+        cols = ["source_id", "band", "col", "row",
+                "conv_sum", "conv_count"]
+        frame = _assemble_frame(pdf, r, t)
+        if frame is None:
+            return pd.DataFrame(columns=cols)
+        valid = ~np.isnan(frame)
+        acc = np.zeros((t, t))
+        wacc = np.zeros((t, t))
+        cnt = np.zeros((t, t), dtype=np.int64)
+        for dr in range(-r, r + 1):
+            for dc in range(-r, r + 1):
+                w = float(kernel[dr + r][dc + r])
+                win = frame[r + dr:r + dr + t, r + dc:r + dc + t]
+                vw = valid[r + dr:r + dr + t, r + dc:r + dc + t]
+                acc = acc + np.where(vw, w * win, 0.0)
+                wacc = wacc + np.where(vw, w, 0.0)
+                cnt = cnt + vw
+        any_valid = cnt > 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            focal = np.where(any_valid, acc / np.where(wacc == 0.0, 1.0,
+                                                       wacc), np.nan)
+        q = np.floor(focal[any_valid] * _Q + 0.5).astype(np.int64)
+        return pd.DataFrame([{
+            "source_id": source_id, "band": int(band),
+            "col": int(col), "row": int(row),
+            "conv_sum": int(q.sum()), "conv_count": int(any_valid.sum()),
+        }])
+
+    return pieces.groupBy("source_id", "band", "col", "row").applyInPandas(
+        conv, "source_id string, band bigint, col bigint, row bigint, "
+              "conv_sum bigint, conv_count bigint")

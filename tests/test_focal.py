@@ -142,7 +142,7 @@ def test_focal_median_matches_untiled_bruteforce(spark):
 
 def test_focal_fail_loud():
     with pytest.raises(ValueError, match="focal op"):
-        FO.focal_stats(None, op="mode")
+        FO.focal_stats(None, op="variance")
     with pytest.raises(ValueError, match="radius"):
         FO.focal_stats(None, op="mean", radius=0)
     with pytest.raises(ValueError, match="radius"):
@@ -257,3 +257,114 @@ def test_hillshade_matches_untiled_bruteforce(spark):
     # the fixture slopes face a consistent direction — shading must vary
     sums = sorted(v[0] for v in got.values())
     assert sums[0] < sums[-1]
+
+
+def test_focal_stddev_matches_untiled_bruteforce(spark):
+    # population stddev over the variable-count valid window: brute force
+    # recomputes sum + sum-of-squares (exact on the quarter-multiple
+    # fixture) and the identical m/m2/var/sqrt chain
+    tiles = corpus.synth_px_tiles(spark, tile_size=T)
+    got = {(r["source_id"], r["band"], r["col"], r["row"]):
+           (r["focal_sum"], r["focal_count"])
+           for r in FO.focal_stats(tiles, op="stddev", radius=1).collect()}
+    assert len(got) == 3 * 2 * 16
+    for s in (0, 2):
+        big = _mosaic(s, 0)
+        p = np.pad(big, 1, constant_values=np.nan)
+        n = big.shape[0]
+        acc = np.zeros((n, n))
+        acc2 = np.zeros((n, n))
+        cnt = np.zeros((n, n), dtype=np.int64)
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                w = p[1 + dr:1 + dr + n, 1 + dc:1 + dc + n]
+                v = ~np.isnan(w)
+                acc = acc + np.where(v, w, 0.0)
+                acc2 = acc2 + np.where(v, w * w, 0.0)
+                cnt = cnt + v
+        nn = np.maximum(cnt, 1).astype(np.float64)
+        m = acc / nn
+        var = np.maximum(acc2 / nn - m * m, 0.0)
+        std = np.where(cnt > 0, np.sqrt(var), np.nan)
+        for tc in range(4):
+            for tr in range(4):
+                blk = std[tr * T:(tr + 1) * T, tc * T:(tc + 1) * T]
+                msk = ~np.isnan(blk)
+                want = (int(np.floor(blk[msk] * FO._Q + 0.5)
+                            .astype(np.int64).sum()), int(msk.sum()))
+                assert got[(f"scene-{s}", 0, 18 + s + tc, 24 + tr)] == want
+
+
+def test_focal_mode_matches_untiled_bruteforce(spark):
+    # majority over reclassified classes, smallest class on ties — brute
+    # force runs an explicit per-pixel Counter with the same rule
+    tiles = corpus.synth_px_tiles(spark, tile_size=T)
+    got = {(r["source_id"], r["band"], r["col"], r["row"]):
+           (r["focal_sum"], r["focal_count"])
+           for r in FO.focal_stats(tiles, op="mode", radius=1,
+                                   classify_div=500.0).collect()}
+    assert len(got) == 3 * 2 * 16
+    s, band = 1, 1
+    big = np.floor(_mosaic(s, band) / 500.0)
+    p = np.pad(big, 1, constant_values=np.nan)
+    n = big.shape[0]
+    mode = np.full((n, n), np.nan)
+    for rr in range(n):
+        for cc in range(n):
+            vals = p[rr:rr + 3, cc:cc + 3].ravel()
+            vals = vals[~np.isnan(vals)]
+            if len(vals) == 0:
+                continue
+            uniq, counts = np.unique(vals, return_counts=True)
+            mode[rr, cc] = uniq[np.argmax(counts)]  # unique is sorted —
+            # argmax takes the FIRST max → smallest class on ties
+    for tc in range(4):
+        for tr in range(4):
+            blk = mode[tr * T:(tr + 1) * T, tc * T:(tc + 1) * T]
+            msk = ~np.isnan(blk)
+            want = (int(np.floor(blk[msk] * FO._Q + 0.5)
+                        .astype(np.int64).sum()), int(msk.sum()))
+            assert got[(f"scene-{s}", band, 18 + s + tc, 24 + tr)] == want
+
+
+def test_focal_conv_matches_untiled_bruteforce(spark):
+    # NoData-renormalizing binomial convolution — brute force accumulates
+    # w*v and w over valid cells and divides once
+    tiles = corpus.synth_px_tiles(spark, tile_size=T)
+    got = {(r["source_id"], r["band"], r["col"], r["row"]):
+           (r["conv_sum"], r["conv_count"])
+           for r in FO.convolve_stats(tiles).collect()}
+    assert len(got) == 3 * 2 * 16
+    kern = np.array([[1.0, 2.0, 1.0], [2.0, 4.0, 2.0], [1.0, 2.0, 1.0]])
+    for s in (0, 1):
+        big = _mosaic(s, 0)
+        p = np.pad(big, 1, constant_values=np.nan)
+        n = big.shape[0]
+        acc = np.zeros((n, n))
+        wacc = np.zeros((n, n))
+        cnt = np.zeros((n, n), dtype=np.int64)
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                w = kern[dr + 1, dc + 1]
+                win = p[1 + dr:1 + dr + n, 1 + dc:1 + dc + n]
+                v = ~np.isnan(win)
+                acc = acc + np.where(v, w * win, 0.0)
+                wacc = wacc + np.where(v, w, 0.0)
+                cnt = cnt + v
+        conv = np.where(cnt > 0, acc / np.where(wacc == 0.0, 1.0, wacc),
+                        np.nan)
+        for tc in range(4):
+            for tr in range(4):
+                blk = conv[tr * T:(tr + 1) * T, tc * T:(tc + 1) * T]
+                msk = ~np.isnan(blk)
+                want = (int(np.floor(blk[msk] * FO._Q + 0.5)
+                            .astype(np.int64).sum()), int(msk.sum()))
+                assert got[(f"scene-{s}", 0, 18 + s + tc, 24 + tr)] == want
+
+
+def test_focal_conv_rejects_bad_kernel(spark):
+    tiles = corpus.synth_px_tiles(spark, tile_size=T)
+    with pytest.raises(ValueError):
+        FO.convolve_stats(tiles, kernel=((1.0, 2.0), (2.0, 4.0)))
+    with pytest.raises(ValueError):
+        FO.focal_stats(tiles, op="mean", classify_div=10.0)
