@@ -273,6 +273,24 @@ def q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("col", "row", "n_points", "sum_weight")
 
 
+def q_kernel_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KERNEL DENSITY (GeoTrellis raster.density.KernelDensity — the
+    kernel-stamped vector->raster path): every anchor stamps a triangle
+    kernel (R = 4 px) in continuous zoom-6 global pixel space; per-pixel
+    density = order-independent integer sum of quantized contributions
+    (floor(w*2^20+0.5)); per-tile (density_sum, n_nonzero) over tiles
+    with positive totals. Scale plan: bounded <=2x2 tile replication
+    JVM-side, ONE shuffle, vectorized stamps. Oracle: the same per-
+    (pixel, point) contribution recomputed in SQL over a bounded offset
+    range, grouped per pixel then per tile."""
+    from geotrellis_contrib_spark.operators import pixels as px
+
+    _views(spark, sf_dir)
+    out = px.kernel_density(spark.table("anchors"), zoom=6, radius_px=4.0,
+                            tile_size=64)
+    return out.select("zoom", "col", "row", "density_sum", "n_nonzero")
+
+
 def q_mosaic_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mosaic merge: same-key tiles from 3 sources, first non-NoData wins,
     deterministic left bias (MosaicRasterSource.scala:121-131)."""
@@ -1884,6 +1902,43 @@ SELECT {rc} AS col, {rr} AS row,
        CAST(SUM(doc_id % 256) AS BIGINT) AS sum_weight
 FROM anchors WHERE lon IS NOT NULL
 GROUP BY 1, 2
+"""
+
+    # Kernel density (kernel_density): per-(pixel, point) triangle-kernel
+    # contribution recomputed in SQL — the engine's continuous global-
+    # pixel coords (sql_gpix twins of gpix), identical dy^2+dx^2 /
+    # GREATEST / quantize chain, bounded 10x10 candidate-offset range
+    # (pixels past the engine's window quantize to 0), per-pixel integer
+    # sums then per-tile rollup over positive tiles only.
+    _kd_npx = (1 << 6) * 64
+    _kd_dx = "(CAST(pxx AS DOUBLE) + 0.5 - gx)"
+    _kd_dy = "(CAST(pyy AS DOUBLE) + 0.5 - gy)"
+    o["kernel_density"] = f"""
+{derive.cte('anchors')}
+, pts AS (
+  SELECT {C.sql_gpix_x('lon', 6, 64)} AS gx,
+         {C.sql_gpix_y('lat', 6, 64)} AS gy
+  FROM anchors WHERE lon IS NOT NULL AND lat IS NOT NULL
+), contrib AS (
+  SELECT CAST(CEIL(gx - 0.5 - 4.0) AS BIGINT) + ox AS pxx,
+         CAST(CEIL(gy - 0.5 - 4.0) AS BIGINT) + oy AS pyy,
+         gx, gy
+  FROM pts, range(0, 10) o1(ox), range(0, 10) o2(oy)
+), qw AS (
+  SELECT pxx, pyy,
+         CAST(FLOOR(GREATEST(0.0, 1.0 - SQRT({_kd_dy}*{_kd_dy}
+                                             + {_kd_dx}*{_kd_dx}) / 4.0)
+                    * 1048576.0 + 0.5) AS BIGINT) AS q
+  FROM contrib
+  WHERE pxx BETWEEN 0 AND {_kd_npx - 1} AND pyy BETWEEN 0 AND {_kd_npx - 1}
+), pxsum AS (
+  SELECT pxx // 64 AS col, pyy // 64 AS row, pxx, pyy, SUM(q) AS s
+  FROM qw GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(6 AS INT) AS zoom, col, row,
+       CAST(SUM(s) AS BIGINT) AS density_sum,
+       CAST(COUNT(*) FILTER (WHERE s > 0) AS BIGINT) AS n_nonzero
+FROM pxsum GROUP BY 1, 2, 3 HAVING SUM(s) > 0
 """
 
     o["mosaic_merge"] = f"""
@@ -3991,6 +4046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_stddev": q_focal_stddev,
         "focal_mode": q_focal_mode,
         "focal_conv": q_focal_conv,
+        "kernel_density": q_kernel_density,
         "terrain_stats": q_terrain_stats,
         "hillshade": q_hillshade,
         "tri_stats": q_tri_stats,

@@ -50,6 +50,24 @@ def tile_row(lat, zoom) -> Column:
     return F.least(F.greatest(raw, F.lit(0).cast("long")), (n - F.lit(1.0)).cast("long"))
 
 
+def gpix_x(lon, zoom: int, tile_size: int) -> Column:
+    """CONTINUOUS global pixel x at ``zoom`` (web-mercator pixel space,
+    pixel centers at integer+0.5): (lon+180)/360 * 2^zoom * T. DOUBLE —
+    the un-floored twin of tile_col*T; mirrored by sql_gpix_x."""
+    npx = float((1 << zoom) * tile_size)
+    return (_c(lon).cast("double") + F.lit(180.0)) / F.lit(360.0) * F.lit(npx)
+
+
+def gpix_y(lat, zoom: int, tile_size: int) -> Column:
+    """CONTINUOUS global pixel y: (1 - ln(tan(lat)+sec(lat))/pi)/2
+    * 2^zoom * T (same ln(tan + 1/cos) form as tile_row); mirrored by
+    sql_gpix_y."""
+    npx = float((1 << zoom) * tile_size)
+    lr = F.radians(clamp_lat(lat))
+    merc = F.log(F.tan(lr) + F.lit(1.0) / F.cos(lr))
+    return (F.lit(1.0) - merc / F.lit(math.pi)) / F.lit(2.0) * F.lit(npx)
+
+
 def cell_id(zoom, col, row) -> Column:
     """Pack (zoom, col, row) into one int64: (z<<58) | (col<<29) | row."""
     return (
@@ -208,6 +226,18 @@ def sql_tile_row(lat: str, zoom: int) -> str:
     lr = f"RADIANS(LEAST(GREATEST({lat}, {MIN_LAT!r}), {MAX_LAT!r}))"
     merc = f"LN(TAN({lr}) + 1.0 / COS({lr}))"
     return (f"CAST(LEAST(GREATEST(FLOOR((1.0 - {merc} / PI()) / 2.0 * {n}), 0), {n - 1:.1f}) AS BIGINT)")
+
+
+def sql_gpix_x(lon: str, zoom: int, tile_size: int) -> str:
+    npx = float((1 << zoom) * tile_size)
+    return f"(({lon} + 180.0) / 360.0 * {npx!r})"
+
+
+def sql_gpix_y(lat: str, zoom: int, tile_size: int) -> str:
+    npx = float((1 << zoom) * tile_size)
+    lr = f"RADIANS(LEAST(GREATEST({lat}, {MIN_LAT!r}), {MAX_LAT!r}))"
+    merc = f"LN(TAN({lr}) + 1.0 / COS({lr}))"
+    return f"((1.0 - {merc} / PI()) / 2.0 * {npx!r})"
 
 
 def sql_cell_id(zoom: str, col: str, row: str) -> str:

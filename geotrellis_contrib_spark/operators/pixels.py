@@ -954,3 +954,81 @@ def rasterize_points_pixels(points: DataFrame, zoom: int, tile_size: int = TILE_
 
     return pts.groupBy("col", "row").applyInPandas(
         burn, "zoom int, col bigint, row bigint, n_points bigint, px binary")
+
+
+def kernel_density(points: DataFrame, zoom: int, radius_px: float = 4.0,
+                   tile_size: int = TILE_SIZE,
+                   lon="lon", lat="lat") -> DataFrame:
+    """GeoTrellis KernelDensity analog (vector->raster with a stamped
+    kernel): each point stamps a TRIANGLE kernel w = max(0, 1 - d/R) over
+    the pixels whose CENTERS lie within R pixels of the point (d measured
+    in continuous global web-mercator pixel space at ``zoom``), and
+    per-pixel density is the sum over points.
+
+    Scale plan: points replicate JVM-side to every tile their kernel
+    square overlaps (<= 4 tiles for R < T — a bounded fan-out, not a
+    cross join), ONE shuffle on the tile key, then a vectorized stamp per
+    tile in applyInPandas.
+
+    Determinism contract (mirrored by the ``kernel_density`` SQL oracle —
+    change one only with the other): each (pixel, point) contribution is
+    quantized FIRST — floor(w * 2^20 + 0.5) as int64 — and the per-pixel
+    density is the INTEGER sum, so it is independent of point order.
+    Only tiles with a positive total are emitted (a kernel square can
+    overlap a tile whose pixel centers all miss the kernel disc).
+    Output: (zoom, col, row, density_sum, n_nonzero, px int64 grid)."""
+    from geotrellis_contrib_spark.functions import cells as C
+
+    if radius_px <= 0 or radius_px >= tile_size:
+        raise ValueError(f"radius_px must be in (0, {tile_size}): "
+                         f"{radius_px}")
+    r = float(radius_px)
+    t = int(tile_size)
+    n = 1 << zoom
+    pts = (points.filter(F.col(lon).isNotNull() & F.col(lat).isNotNull())
+           .select(C.gpix_x(F.col(lon), zoom, t).alias("gx"),
+                   C.gpix_y(F.col(lat), zoom, t).alias("gy")))
+    # candidate tiles: every tile the kernel SQUARE overlaps, clamped to
+    # the grid — bounded explode (<= 2x2), keyed for ONE co-partitioned
+    # shuffle
+    txmin = F.greatest(F.floor((F.col("gx") - F.lit(r)) / F.lit(float(t)))
+                       .cast("long"), F.lit(0).cast("long"))
+    txmax = F.least(F.floor((F.col("gx") + F.lit(r)) / F.lit(float(t)))
+                    .cast("long"), F.lit(int(n - 1)).cast("long"))
+    tymin = F.greatest(F.floor((F.col("gy") - F.lit(r)) / F.lit(float(t)))
+                       .cast("long"), F.lit(0).cast("long"))
+    tymax = F.least(F.floor((F.col("gy") + F.lit(r)) / F.lit(float(t)))
+                    .cast("long"), F.lit(int(n - 1)).cast("long"))
+    cand = (pts.withColumn("tx", F.explode(F.sequence(txmin, txmax)))
+            .withColumn("ty", F.explode(F.sequence(tymin, tymax))))
+
+    def stamp(pdf: pd.DataFrame) -> pd.DataFrame:
+        col, row = int(pdf.tx.iloc[0]), int(pdf.ty.iloc[0])
+        bx, by = col * t, row * t
+        grid = np.zeros((t, t), dtype=np.int64)
+        for gx, gy in zip(pdf.gx.to_numpy(), pdf.gy.to_numpy()):
+            p0 = max(bx, int(np.ceil(gx - 0.5 - r)))
+            p1 = min(bx + t - 1, int(np.floor(gx - 0.5 + r)))
+            q0 = max(by, int(np.ceil(gy - 0.5 - r)))
+            q1 = min(by + t - 1, int(np.floor(gy - 0.5 + r)))
+            if p1 < p0 or q1 < q0:
+                continue
+            dx = np.arange(p0, p1 + 1, dtype=np.float64) + 0.5 - gx
+            dy = (np.arange(q0, q1 + 1, dtype=np.float64)
+                  + 0.5 - gy).reshape(-1, 1)
+            w = np.maximum(0.0, 1.0 - np.sqrt(dy * dy + dx * dx) / r)
+            grid[q0 - by:q1 + 1 - by, p0 - bx:p1 + 1 - bx] += \
+                np.floor(w * 1048576.0 + 0.5).astype(np.int64)
+        total = int(grid.sum())
+        if total == 0:
+            return pd.DataFrame(columns=["zoom", "col", "row",
+                                         "density_sum", "n_nonzero", "px"])
+        return pd.DataFrame([{
+            "zoom": zoom, "col": col, "row": row,
+            "density_sum": total, "n_nonzero": int((grid > 0).sum()),
+            "px": grid.tobytes(),
+        }])
+
+    return cand.groupBy("tx", "ty").applyInPandas(
+        stamp, "zoom int, col bigint, row bigint, density_sum bigint, "
+               "n_nonzero bigint, px binary")
