@@ -1396,6 +1396,29 @@ def q_focal_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FO.convolve_stats(tiles)
 
 
+def q_region_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGION GROUP (GeoTrellis RegionGroup — raster connected
+    components) ACROSS tile boundaries: 4-connected components of a
+    lattice-blob mask ((gr%11<3) & (gc%9<3), NoData excluded — blobs
+    straddle tile edges in x, y AND at a 4-tile corner, and the NoData
+    holes split some blobs) labeled with the MIN global pixel id.
+    Two-phase scale plan: zero-shuffle in-tile min-label propagation +
+    boundary-only equivalence merge through the engine's iterative
+    doubling CC on the label graph (O(border) shuffle bytes). Oracle: the
+    mask recomputed from the closed-form fixture, adjacency self-joins,
+    and a recursive-CTE reachability closure with MIN-root labels —
+    feasible exactly because regions are small; the ENGINE's plan never
+    builds a transitive closure."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import region as RG
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    out = RG.region_group(
+        tiles, lambda vals, gr, gc: (gr % 11 < 3) & (gc % 9 < 3),
+        tile_size=64, npx=4096)
+    return out.select("source_id", "band", "region_id", "n_pixels")
+
+
 def q_terrain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slope + aspect via the HORN (1981) 3x3 kernel with cross-tile halo
     exchange (operators/focal.py terrain_stats — the op family behind the
@@ -3340,6 +3363,51 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM q GROUP BY 1, 2, 3, 4
 """
 
+    # Region group (region_group): the lattice-blob mask recomputed from
+    # the closed-form fixture, 4-adjacency via two self-joins, and a
+    # recursive reachability closure (the _cc_sql pattern) over encoded
+    # ids eid = (s*2+band)*2^24 + (gr*4096+gc); MIN root per id, regions
+    # rolled up by root. Closure cost is bounded because regions are
+    # <= a few pixels — the engine's distributed plan never builds one.
+    o["region_group"] = """
+WITH RECURSIVE px AS (
+  SELECT s, band, 18 + s + tcc AS col, 24 + trr AS row, ri, ci,
+         (s*11) % 48 AS h0
+  FROM range(0,3) ss(s), range(0,2) bs(band),
+       range(0,4) tcs(tcc), range(0,4) trs(trr),
+       range(0,64) ris(ri), range(0,64) cis(ci)
+), mask AS (
+  SELECT s, band, (row*64 + ri) AS gr2, (col*64 + ci) AS gc2,
+         (s*2 + band)*16777216 + (row*64 + ri)*4096 + (col*64 + ci) AS eid
+  FROM px
+  WHERE NOT (ri >= h0 AND ri < h0+16 AND ci >= h0 AND ci < h0+16)
+    AND ((row*64 + ri) % 11) < 3 AND ((col*64 + ci) % 9) < 3
+), cedges AS (
+  SELECT a.eid AS src, b.eid AS dst FROM mask a JOIN mask b
+    ON a.s = b.s AND a.band = b.band AND a.gr2 = b.gr2 AND a.gc2 + 1 = b.gc2
+  UNION ALL
+  SELECT b.eid, a.eid FROM mask a JOIN mask b
+    ON a.s = b.s AND a.band = b.band AND a.gr2 = b.gr2 AND a.gc2 + 1 = b.gc2
+  UNION ALL
+  SELECT a.eid, b.eid FROM mask a JOIN mask b
+    ON a.s = b.s AND a.band = b.band AND a.gr2 + 1 = b.gr2 AND a.gc2 = b.gc2
+  UNION ALL
+  SELECT b.eid, a.eid FROM mask a JOIN mask b
+    ON a.s = b.s AND a.band = b.band AND a.gr2 + 1 = b.gr2 AND a.gc2 = b.gc2
+), reach(id, r) AS (
+  SELECT eid, eid FROM mask
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN cedges e ON e.src = reach.r
+), lab AS (
+  SELECT id, MIN(r) AS root FROM reach GROUP BY id
+)
+SELECT CONCAT('scene-', CAST(id // 16777216 // 2 AS VARCHAR)) AS source_id,
+       CAST((id // 16777216) % 2 AS BIGINT) AS band,
+       CAST(root % 16777216 AS BIGINT) AS region_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pixels
+FROM lab GROUP BY 1, 2, root
+"""
+
     # Horn slope/aspect with halo exchange (terrain_stats): the nine
     # neighbor values as NULL-able CTE columns, output only where the
     # FULL 3x3 is valid; p/q/slope/aspect arithmetic mirrored
@@ -4047,6 +4115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_mode": q_focal_mode,
         "focal_conv": q_focal_conv,
         "kernel_density": q_kernel_density,
+        "region_group": q_region_group,
         "terrain_stats": q_terrain_stats,
         "hillshade": q_hillshade,
         "tri_stats": q_tri_stats,
