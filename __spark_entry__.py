@@ -1396,6 +1396,31 @@ def q_focal_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FO.convolve_stats(tiles)
 
 
+def q_geotiff_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoTiff source end-to-end (GeoTiffRasterSource.scala:46 — streaming
+    RangeReader open + windowed segment reads): the three-scene fixture
+    written as REAL GeoTiffs (one byte-order/compression/interleave combo
+    per file: LE+deflate+planar2+overview, BE+deflate+planar2,
+    LE+none+chunky), driver-side header/IFD parse into a tile CATALOG
+    DataFrame (one row per band-tile byte range), mapInPandas ranged
+    fetch+decode, then a ZERO-shuffle per-tile quantized checksum — every
+    decoded byte and the (col,row) placement sit under the value gate.
+    Oracle: the closed-form fixture arithmetic recomputed in SQL (the
+    pixel_mosaic_checksum field), rolled up per tile. The scratch
+    GeoTiffs are write-once/atomic under a content-versioned dir (the
+    read must hit real files at execution time)."""
+    import os
+    import tempfile
+
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.sources import geotiff as GT
+
+    root = os.path.join(tempfile.gettempdir(), "gt_gate_v1")
+    specs = corpus_mod.synth_geotiff_scenes(root)
+    cat = GT.geotiff_tile_catalog(spark, specs)
+    return GT.per_tile_checksum(GT.read_catalog_tiles(cat))
+
+
 def q_region_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REGION GROUP (GeoTrellis RegionGroup — raster connected
     components) ACROSS tile boundaries: 4-connected components of a
@@ -2205,6 +2230,28 @@ FROM cand WHERE BIT_COUNT(XOR(sim_a, sim_b)) <= {sim_max_ham}
                             f"s*1000.0 + band*100.0 + (18+tc+s)*7.0 + (24+tr)*3.0 "
                             f"+ ({rr})*0.5 + ({cc})*0.25 "
                             f"+ CAST((({rr})*31 + ({cc})*17) % 13 AS DOUBLE) END")
+
+    # GeoTiff source gate (geotiff_read): per-tile quantized checksum of
+    # the closed-form fixture field — 4*val is an exact int64 (quarter
+    # multiples), so integer sums are order-independent across the three
+    # byte-order/compression/interleave variants the files encode.
+    o["geotiff_read"] = f"""
+WITH px AS (
+  SELECT s, band, tc, tr, r, c, {_fval('r', 'c')} AS val
+  FROM range(0,3) ss(s), range(0,2) bs(band), range(0,4) tcs(tc),
+       range(0,4) trs(tr), range(0,64) rs(r), range(0,64) cs(c)
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS INT) AS band,
+       CAST(18 + tc + s AS BIGINT) AS col,
+       CAST(24 + tr AS BIGINT) AS row,
+       CAST(SUM(CASE WHEN val <> -9999.0
+                     THEN CAST(val * 4 AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS px_qsum,
+       CAST(COUNT(CASE WHEN val <> -9999.0 THEN 1 END) AS BIGINT)
+         AS px_count
+FROM px GROUP BY 1, 2, 3, 4
+"""
 
     o["pixel_mosaic_checksum"] = f"""
 WITH px AS (
@@ -4116,6 +4163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_conv": q_focal_conv,
         "kernel_density": q_kernel_density,
         "region_group": q_region_group,
+        "geotiff_read": q_geotiff_read,
         "terrain_stats": q_terrain_stats,
         "hillshade": q_hillshade,
         "tri_stats": q_tri_stats,

@@ -224,3 +224,71 @@ def assert_span_invariant(before: DataFrame, after: DataFrame) -> None:
     n = bad.limit(1).count()
     if n:
         raise AssertionError("span-sequence invariant violated")
+
+
+def synth_scene_mosaic(s: int, tile_size: int = 64, n_tiles: int = 4,
+                       base_col: int = 18, base_row: int = 24,
+                       nodata: float = -9999.0):
+    """The synth_px_tiles closed-form field assembled as ONE
+    (2, n_tiles*T, n_tiles*T) mosaic for scene ``s`` — the array a real
+    GeoTiff of that scene holds (same values, same per-tile NoData
+    holes)."""
+    import numpy as np
+
+    T = tile_size
+    out = np.empty((2, n_tiles * T, n_tiles * T), dtype=np.float64)
+    r = np.arange(T).reshape(-1, 1)
+    c = np.arange(T).reshape(1, -1)
+    h0 = (s * 11) % (T - 16)
+    for band in range(2):
+        for tc in range(n_tiles):
+            for tr in range(n_tiles):
+                col, row = base_col + tc + s, base_row + tr
+                val = (s * 1000.0 + band * 100.0 + col * 7.0 + row * 3.0
+                       + r * 0.5 + c * 0.25 + ((r * 31 + c * 17) % 13))
+                a = val.astype(np.float64)
+                a[h0:h0 + 16, h0:h0 + 16] = nodata
+                out[band, tr * T:(tr + 1) * T, tc * T:(tc + 1) * T] = a
+    return out
+
+
+def synth_geotiff_scenes(root: str, tile_size: int = 64) -> list[dict]:
+    """Write the three-scene fixture as REAL GeoTiffs (write-once,
+    atomic): scene-0 LE+deflate+planar2+1 overview, scene-1 BE+deflate+
+    planar2, scene-2 LE+uncompressed+planar1 (chunky) — one byte
+    order / compression / interleave combination per file so the gate
+    exercises every decode path. Returns catalog specs for
+    geotiff_tile_catalog."""
+    import os
+    import tempfile
+
+    from geotrellis_contrib_spark.sources import geotiff as GT
+
+    os.makedirs(root, exist_ok=True)
+    variants = [{"byteorder": "<", "compress": "deflate", "planar": 2,
+                 "overviews": 1},
+                {"byteorder": ">", "compress": "deflate", "planar": 2,
+                 "overviews": 0},
+                {"byteorder": "<", "compress": "none", "planar": 1,
+                 "overviews": 0}]
+    specs = []
+    for s, var in enumerate(variants):
+        path = os.path.join(root, f"scene-{s}.tif")
+        if not os.path.exists(path):
+            arr = synth_scene_mosaic(s, tile_size=tile_size)
+            # zoom-6 web-mercator tile extent of the 4x4 block (meters)
+            web = 20037508.342789244
+            tsz = 2.0 * web / 64.0
+            xmin = -web + (18 + s) * tsz
+            ymax = web - 24 * tsz
+            xmax, ymin = xmin + 4 * tsz, ymax - 4 * tsz
+            fd, tmp = tempfile.mkstemp(dir=root, suffix=".part")
+            os.close(fd)
+            GT.write_geotiff(tmp, arr, (xmin, ymin, xmax, ymax),
+                             epsg=3857, nodata=-9999.0,
+                             tile_size=tile_size, **var)
+            os.replace(tmp, path)
+        specs.append({"path": path, "source_id": f"scene-{s}",
+                      "source_idx": s, "zoom": 6, "base_col": 18 + s,
+                      "base_row": 24})
+    return specs

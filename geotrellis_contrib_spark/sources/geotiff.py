@@ -1,0 +1,581 @@
+"""GeoTiff source: a from-scratch TIFF 6.0 + GeoTIFF 1.1 codec (public
+format specs, stdlib ``struct``/``zlib`` only) plus the distributed
+windowed-read path the reference builds on.
+
+Reference parity: ``GeoTiffRasterSource.scala:46`` opens a tiff through a
+streaming ``RangeReader`` (never the whole file), exposes
+``gridExtent``/``crs``/``resolutions`` (base + overview IFDs,
+``GeoTiffRasterSource.scala:60-64``) and reads windows as cropped segment
+fetches. The Spark-first re-expression:
+
+  1. ``read_geotiff_info`` parses ONLY the header + IFD chain (a few KB of
+     seeks — the RangeReader analog), yielding per-segment (offset, size)
+     tables, grid transform, CRS and nodata;
+  2. ``geotiff_tile_catalog`` turns that driver-side parse into a tile
+     CATALOG DataFrame — one row per (band, tile) with its absolute byte
+     range — so window/extent pruning happens in the PLAN (a filter on
+     catalog columns Catalyst can push), not in Python;
+  3. ``read_catalog_tiles`` fetches only the surviving byte ranges inside
+     ``mapInPandas`` (per-task: group by path, one open, seek+read each
+     segment) and emits the engine's canonical pixel-tile rows, so every
+     downstream operator (mosaic/focal/warp/checksum) runs unchanged on
+     real GeoTiff bytes.
+
+At cluster scale the catalog rows carry object-store keys and the
+seek+read becomes a ranged GET; shuffle volume is zero (the read is a
+narrow map over the pruned catalog).
+
+Scope (fail-loud beyond it): classic TIFF (no BigTIFF), both byte orders,
+tiled and stripped layouts, compression none/deflate (8 and legacy 32946),
+predictor 1, planar 1 (chunky) and 2 (separate), sample formats
+uint8/16/32, int16/32, float32/64, overview IFDs (NewSubfileType=1),
+ModelPixelScale+ModelTiepoint georeferencing (no ModelTransformation),
+GTModelType geographic/projected with an EPSG code, GDAL_NODATA."""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+from typing import Iterator
+
+import numpy as np
+
+# TIFF field types -> (struct letter, byte size)
+_FIELD = {1: ("B", 1), 2: ("c", 1), 3: ("H", 2), 4: ("I", 4),
+          5: ("II", 8), 12: ("d", 8)}
+
+_TAG = {"NewSubfileType": 254, "ImageWidth": 256, "ImageLength": 257,
+        "BitsPerSample": 258, "Compression": 259, "Photometric": 262,
+        "StripOffsets": 273, "SamplesPerPixel": 277, "RowsPerStrip": 278,
+        "StripByteCounts": 279, "PlanarConfig": 284, "Predictor": 317,
+        "TileWidth": 322, "TileLength": 323, "TileOffsets": 324,
+        "TileByteCounts": 325, "SampleFormat": 339,
+        "ModelPixelScale": 33550, "ModelTiepoint": 33922,
+        "GeoKeyDirectory": 34735, "GeoDoubleParams": 34736,
+        "GeoAsciiParams": 34737, "GdalNodata": 42113}
+
+# (bits, sample_format) <-> engine dtype string
+_DT_TO_TIFF = {"uint8": (8, 1), "uint16": (16, 1), "uint32": (32, 1),
+               "int16": (16, 2), "int32": (32, 2),
+               "float32": (32, 3), "float64": (64, 3)}
+_TIFF_TO_DT = {v: k for k, v in _DT_TO_TIFF.items()}
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+class _IFD:
+    """One IFD under construction: entries with deferred external data."""
+
+    def __init__(self, bo: str):
+        self.bo = bo
+        self.entries: list[tuple[int, int, int, bytes]] = []
+
+    def add(self, tag: int, typ: int, values) -> None:
+        letter, size = _FIELD[typ]
+        if typ == 2:  # ASCII: values is bytes incl. NUL
+            payload = values
+            count = len(values)
+        else:
+            vals = list(values) if hasattr(values, "__iter__") else [values]
+            count = len(vals)
+            payload = b"".join(struct.pack(self.bo + letter, v)
+                               for v in vals)
+        self.entries.append((tag, typ, count, payload))
+
+    def size(self) -> int:
+        return 2 + 12 * len(self.entries) + 4
+
+    def external_size(self) -> int:
+        return sum(len(p) for _, _, _, p in self.entries if len(p) > 4)
+
+    def serialize(self, my_offset: int, next_ifd: int) -> bytes:
+        """Serialize entries (sorted by tag, as TIFF requires) with
+        external payloads placed immediately after the IFD block."""
+        ext_cursor = my_offset + self.size()
+        head = struct.pack(self.bo + "H", len(self.entries))
+        body, ext = b"", b""
+        for tag, typ, count, payload in sorted(self.entries):
+            if len(payload) <= 4:
+                val = payload + b"\x00" * (4 - len(payload))
+            else:
+                val = struct.pack(self.bo + "I", ext_cursor)
+                ext_cursor += len(payload)
+                ext += payload
+            body += struct.pack(self.bo + "HHI", tag, typ, count) + val
+        return head + body + struct.pack(self.bo + "I", next_ifd) + ext
+
+
+def _geokeys(epsg: int) -> list[int]:
+    """Minimal GeoKey directory: model type + CRS code (GeoTIFF 1.1)."""
+    geographic = epsg == 4326 or (4000 <= epsg < 5000)
+    keys = [(1024, 0, 1, 2 if geographic else 1),  # GTModelType
+            (1025, 0, 1, 1)]                       # GTRasterType PixelIsArea
+    keys.append((2048 if geographic else 3072, 0, 1, epsg))
+    out = [1, 1, 0, len(keys)]
+    for k in keys:
+        out.extend(k)
+    return out
+
+
+def _level_segments(band_arrs: np.ndarray, tile: int, strips: bool,
+                    compress: str, nodata: float, np_bo: str,
+                    planar: int):
+    """Segment byte payloads for one resolution level, TIFF segment order
+    (plane-major for planar=2, pixel-interleaved for planar=1). Edge
+    tiles pad with nodata per spec."""
+    nb, h, w = band_arrs.shape
+    wire = band_arrs.dtype.newbyteorder(np_bo)
+    segs = []
+    if strips:
+        rps = tile
+        n_w, n_h = 1, (h + rps - 1) // rps
+        for b in (range(nb) if planar == 2 else [None]):
+            for r0 in range(0, h, rps):
+                if planar == 2:
+                    seg = band_arrs[b, r0:r0 + rps, :]
+                else:  # chunky: (rows, w, bands)
+                    seg = band_arrs[:, r0:r0 + rps, :].transpose(1, 2, 0)
+                segs.append(np.ascontiguousarray(
+                    seg.astype(wire)).tobytes())
+    else:
+        n_w, n_h = (w + tile - 1) // tile, (h + tile - 1) // tile
+        for b in (range(nb) if planar == 2 else [None]):
+            for tr in range(n_h):
+                for tc in range(n_w):
+                    part = band_arrs[:, tr * tile:(tr + 1) * tile,
+                                     tc * tile:(tc + 1) * tile]
+                    if planar == 2:
+                        seg = np.full((tile, tile), nodata,
+                                      dtype=band_arrs.dtype)
+                        seg[:part.shape[1], :part.shape[2]] = part[b]
+                    else:
+                        seg = np.full((tile, tile, nb), nodata,
+                                      dtype=band_arrs.dtype)
+                        seg[:part.shape[1], :part.shape[2], :] \
+                            = part.transpose(1, 2, 0)
+                    segs.append(np.ascontiguousarray(
+                        seg.astype(wire)).tobytes())
+    if compress == "deflate":
+        segs = [zlib.compress(s) for s in segs]
+    return segs, n_w, n_h
+
+
+def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
+                  nodata: float = -9999.0, tile_size: int = 64,
+                  compress: str = "deflate", byteorder: str = "<",
+                  strips: bool = False, overviews: int = 0,
+                  planar: int = 2) -> None:
+    """Write a (multiband) GeoTiff: ``bands`` is (nbands, H, W) or (H, W);
+    ``extent`` = (xmin, ymin, xmax, ymax) in the CRS of ``epsg``.
+    ``overviews`` appends that many 2x-decimated overview IFDs
+    (NewSubfileType=1), the layout ``GeoTiffRasterSource.resolutions``
+    reads back. planar=2 (band-separate) for multiband, matching the
+    segment model the catalog reader prunes per band."""
+    if bands.ndim == 2:
+        bands = bands[None, :, :]
+    nb, h, w = bands.shape
+    dtype = str(bands.dtype)
+    if dtype not in _DT_TO_TIFF:
+        raise ValueError(f"unsupported dtype {dtype}")
+    if compress not in ("none", "deflate"):
+        raise ValueError(f"unsupported compression {compress!r}")
+    if byteorder not in ("<", ">"):
+        raise ValueError("byteorder must be '<' or '>'")
+    if planar not in (1, 2):
+        raise ValueError("planar must be 1 (chunky) or 2 (separate)")
+    bo = byteorder
+    bits, sfmt = _DT_TO_TIFF[dtype]
+    xmin, ymin, xmax, ymax = (float(v) for v in extent)
+
+    levels = [bands]
+    for _ in range(overviews):
+        levels.append(levels[-1][:, ::2, ::2])
+
+    cursor = 8
+    data_chunks: list[bytes] = []
+    level_meta = []
+    for lv, arrs in enumerate(levels):
+        segs, n_w, n_h = _level_segments(arrs, tile_size, strips, compress,
+                                         nodata, bo, planar)
+        offs, cnts = [], []
+        for s in segs:
+            offs.append(cursor)
+            cnts.append(len(s))
+            data_chunks.append(s)
+            cursor += len(s)
+        level_meta.append((arrs.shape, offs, cnts, n_w, n_h))
+
+    ifds = []
+    for lv, (shape, offs, cnts, n_w, n_h) in enumerate(level_meta):
+        _, lh, lw = shape
+        ifd = _IFD(bo)
+        if lv > 0:
+            ifd.add(_TAG["NewSubfileType"], 4, 1)  # reduced-resolution
+        ifd.add(_TAG["ImageWidth"], 4, lw)
+        ifd.add(_TAG["ImageLength"], 4, lh)
+        ifd.add(_TAG["BitsPerSample"], 3, [bits] * nb)
+        ifd.add(_TAG["Compression"], 3,
+                1 if compress == "none" else 8)
+        ifd.add(_TAG["Photometric"], 3, 1)
+        ifd.add(_TAG["SamplesPerPixel"], 3, nb)
+        ifd.add(_TAG["SampleFormat"], 3, [sfmt] * nb)
+        if nb > 1:
+            ifd.add(_TAG["PlanarConfig"], 3, planar)
+        if strips:
+            ifd.add(_TAG["RowsPerStrip"], 4, tile_size)
+            ifd.add(_TAG["StripOffsets"], 4, offs)
+            ifd.add(_TAG["StripByteCounts"], 4, cnts)
+        else:
+            ifd.add(_TAG["TileWidth"], 3, tile_size)
+            ifd.add(_TAG["TileLength"], 3, tile_size)
+            ifd.add(_TAG["TileOffsets"], 4, offs)
+            ifd.add(_TAG["TileByteCounts"], 4, cnts)
+        if lv == 0:
+            sx, sy = (xmax - xmin) / w, (ymax - ymin) / h
+            ifd.add(_TAG["ModelPixelScale"], 12, [sx, sy, 0.0])
+            ifd.add(_TAG["ModelTiepoint"], 12,
+                    [0.0, 0.0, 0.0, xmin, ymax, 0.0])
+            ifd.add(_TAG["GeoKeyDirectory"], 3, _geokeys(epsg))
+            ifd.add(_TAG["GdalNodata"], 2,
+                    repr(float(nodata)).encode() + b"\x00")
+        ifds.append(ifd)
+
+    # IFD chain sits after all segment data
+    ifd_offsets = []
+    for ifd in ifds:
+        ifd_offsets.append(cursor)
+        cursor += ifd.size() + ifd.external_size()
+    blobs = []
+    for i, ifd in enumerate(ifds):
+        nxt = ifd_offsets[i + 1] if i + 1 < len(ifds) else 0
+        blobs.append(ifd.serialize(ifd_offsets[i], nxt))
+
+    header = (b"II" if bo == "<" else b"MM") \
+        + struct.pack(bo + "H", 42) + struct.pack(bo + "I", ifd_offsets[0])
+    with open(path, "wb") as f:
+        f.write(header)
+        for c in data_chunks:
+            f.write(c)
+        for b in blobs:
+            f.write(b)
+
+
+# ---------------------------------------------------------------------------
+# reader (header/IFD parse — the RangeReader analog: seeks only)
+# ---------------------------------------------------------------------------
+
+def _read_entry_values(f, bo, typ, count, raw4):
+    letter, size = _FIELD[typ]
+    total = size * count
+    if total <= 4:
+        buf = raw4[:total]
+    else:
+        (off,) = struct.unpack(bo + "I", raw4)
+        pos = f.tell()
+        f.seek(off)
+        buf = f.read(total)
+        f.seek(pos)
+    if typ == 2:
+        return buf
+    if typ == 5:  # RATIONAL
+        vals = struct.unpack(bo + "II" * count, buf)
+        return [vals[2 * i] / vals[2 * i + 1] for i in range(count)]
+    return list(struct.unpack(bo + letter * count, buf))
+
+
+def read_geotiff_info(path: str) -> dict:
+    """Parse header + IFD chain via seeks (no pixel bytes touched).
+    Returns {byteorder, width, height, dtype, nbands, nodata, epsg,
+    extent, planar, ifds: [{width, height, tile_w, tile_h, strips,
+    compression, offsets, counts, n_w, n_h, overview}]}."""
+    with open(path, "rb") as f:
+        magic = f.read(4)
+        if magic[:2] == b"II":
+            bo = "<"
+        elif magic[:2] == b"MM":
+            bo = ">"
+        else:
+            raise ValueError(f"not a TIFF: magic {magic[:2]!r}")
+        (version,) = struct.unpack(bo + "H", magic[2:4])
+        if version == 43:
+            raise ValueError("BigTIFF (magic 43) is not supported")
+        if version != 42:
+            raise ValueError(f"bad TIFF version {version}")
+        (ifd_off,) = struct.unpack(bo + "I", f.read(4))
+
+        ifds = []
+        top: dict = {}
+        while ifd_off:
+            f.seek(ifd_off)
+            raw = f.read(2)
+            if len(raw) < 2:
+                raise ValueError("truncated IFD")
+            (n,) = struct.unpack(bo + "H", raw)
+            tags = {}
+            for _ in range(n):
+                ent = f.read(12)
+                if len(ent) < 12:
+                    raise ValueError("truncated IFD entry")
+                tag, typ, count = struct.unpack(bo + "HHI", ent[:8])
+                if typ not in _FIELD:
+                    continue
+                tags[tag] = _read_entry_values(f, bo, typ, count, ent[8:])
+            (ifd_off,) = struct.unpack(bo + "I", f.read(4))
+
+            comp = tags.get(_TAG["Compression"], [1])[0]
+            if comp not in (1, 8, 32946):
+                raise ValueError(f"unsupported compression {comp} "
+                                 "(none/deflate only)")
+            if tags.get(_TAG["Predictor"], [1])[0] != 1:
+                raise ValueError("predictor != 1 unsupported")
+            nb = tags.get(_TAG["SamplesPerPixel"], [1])[0]
+            planar = tags.get(_TAG["PlanarConfig"], [1])[0]
+            if planar not in (1, 2):
+                raise ValueError(f"bad PlanarConfig {planar}")
+            bits = tags.get(_TAG["BitsPerSample"], [1])
+            sfmt = tags.get(_TAG["SampleFormat"], [1] * nb)
+            if len(set(bits)) != 1 or len(set(sfmt)) != 1:
+                raise ValueError("mixed per-band sample types unsupported")
+            key = (bits[0], sfmt[0])
+            if key not in _TIFF_TO_DT:
+                raise ValueError(f"unsupported sample type {key}")
+            w = tags[_TAG["ImageWidth"]][0]
+            h = tags[_TAG["ImageLength"]][0]
+            if _TAG["TileOffsets"] in tags:
+                tw = tags[_TAG["TileWidth"]][0]
+                th = tags[_TAG["TileLength"]][0]
+                offs = tags[_TAG["TileOffsets"]]
+                cnts = tags[_TAG["TileByteCounts"]]
+                n_w, n_h = (w + tw - 1) // tw, (h + th - 1) // th
+                stripped = False
+            elif _TAG["StripOffsets"] in tags:
+                tw, th = w, tags.get(_TAG["RowsPerStrip"], [h])[0]
+                offs = tags[_TAG["StripOffsets"]]
+                cnts = tags.get(_TAG["StripByteCounts"])
+                if cnts is None:
+                    raise ValueError("StripByteCounts missing")
+                n_w, n_h = 1, (h + th - 1) // th
+                stripped = True
+            else:
+                raise ValueError("neither tiled nor stripped layout")
+            exp = n_w * n_h * (nb if planar == 2 else 1)
+            if len(offs) != exp or len(cnts) != exp:
+                raise ValueError(f"segment table length {len(offs)} != "
+                                 f"expected {exp}")
+            ifds.append({"width": w, "height": h, "tile_w": tw,
+                         "tile_h": th, "strips": stripped,
+                         "compression": comp, "offsets": offs,
+                         "counts": cnts, "n_w": n_w, "n_h": n_h,
+                         "overview": bool(
+                             tags.get(_TAG["NewSubfileType"], [0])[0] & 1)})
+            if not ifds[0]["overview"] and len(ifds) == 1:
+                top = {"nbands": nb, "planar": planar,
+                       "dtype": _TIFF_TO_DT[key]}
+                nod = tags.get(_TAG["GdalNodata"])
+                top["nodata"] = (float(nod.split(b"\x00")[0]) if nod
+                                 else None)
+                gk = tags.get(_TAG["GeoKeyDirectory"])
+                epsg = None
+                if gk:
+                    nk = gk[3]
+                    for i in range(nk):
+                        kid, loc, cnt, val = gk[4 + 4 * i:8 + 4 * i]
+                        if kid in (2048, 3072) and loc == 0:
+                            epsg = val
+                top["epsg"] = epsg
+                scale = tags.get(_TAG["ModelPixelScale"])
+                tie = tags.get(_TAG["ModelTiepoint"])
+                if scale and tie:
+                    sx, sy = scale[0], scale[1]
+                    i0, j0, _, gx, gy = tie[0], tie[1], tie[2], tie[3], tie[4]
+                    xmin = gx - i0 * sx
+                    ymax = gy + j0 * sy
+                    top["extent"] = (xmin, ymax - h * sy, xmin + w * sx, ymax)
+                else:
+                    top["extent"] = None
+
+    if not top:
+        raise ValueError("no full-resolution IFD found")
+    top.update({"byteorder": bo, "width": ifds[0]["width"],
+                "height": ifds[0]["height"], "ifds": ifds})
+    return top
+
+
+def _np_dtype(info_dtype: str, bo: str) -> np.dtype:
+    return np.dtype(info_dtype).newbyteorder(bo)
+
+
+def _decode_segment(raw: bytes, compression: int, dtype: np.dtype,
+                    th: int, tw: int, spp: int) -> np.ndarray:
+    if compression in (8, 32946):
+        raw = zlib.decompress(raw)
+    arr = np.frombuffer(raw, dtype=dtype)
+    if spp > 1:
+        return arr.reshape(-1, tw, spp)  # chunky: (rows, w, bands)
+    return arr.reshape(-1, tw)
+
+
+def read_geotiff(path: str, level: int = 0) -> tuple[np.ndarray, dict]:
+    """Decode a whole level to (nbands, H, W) native-endian; crops edge-tile
+    padding. ``level`` 0 is full resolution, >0 the overview IFDs."""
+    info = read_geotiff_info(path)
+    ifd = info["ifds"][level]
+    nb, planar = info["nbands"], info["planar"]
+    dtype = _np_dtype(info["dtype"], info["byteorder"])
+    h, w = ifd["height"], ifd["width"]
+    tw, th, n_w, n_h = ifd["tile_w"], ifd["tile_h"], ifd["n_w"], ifd["n_h"]
+    out = np.empty((nb, h, w), dtype=np.dtype(info["dtype"]))
+    with open(path, "rb") as f:
+        per_plane = n_w * n_h
+        for si, (off, cnt) in enumerate(zip(ifd["offsets"], ifd["counts"])):
+            f.seek(off)
+            raw = f.read(cnt)
+            if len(raw) != cnt:
+                raise ValueError("truncated segment")
+            if planar == 2:
+                b, ti = si // per_plane, si % per_plane
+            else:
+                b, ti = 0, si
+            tr, tc = ti // n_w, ti % n_w
+            seg = _decode_segment(raw, ifd["compression"], dtype, th, tw,
+                                  nb if planar == 1 else 1)
+            rows = min(th, h - tr * th)
+            cols = min(tw, w - tc * tw)
+            if planar == 1 and nb > 1:
+                for bb in range(nb):
+                    out[bb, tr * th:tr * th + rows, tc * tw:tc * tw + cols] \
+                        = seg[:rows, :cols, bb]
+            else:
+                out[b, tr * th:tr * th + rows, tc * tw:tc * tw + cols] \
+                    = seg[:rows, :cols]
+    return out, info
+
+
+# ---------------------------------------------------------------------------
+# distributed catalog read (the windowed-read scale path)
+# ---------------------------------------------------------------------------
+
+CATALOG_SCHEMA = ("path string, source_id string, source_idx int, zoom int, "
+                  "band int, col bigint, row bigint, offset bigint, "
+                  "nbytes bigint, tile_size int, compression int, "
+                  "byteorder string, dtype string, nodata double, "
+                  "planar int, nbands int")
+
+
+def geotiff_tile_catalog(spark, specs: list[dict]):
+    """Driver-side header parse -> tile catalog DataFrame. Each spec:
+    {path, source_id, source_idx, zoom, base_col, base_row}; the file's
+    tile (0,0) lands at layout key (base_col, base_row). Only the base
+    IFD of tiled files is cataloged (tile_w == tile_h required); window
+    pruning = a plain filter on (col, row) that Catalyst pushes below the
+    Python read."""
+    rows = []
+    for spec in specs:
+        info = read_geotiff_info(spec["path"])
+        ifd = info["ifds"][0]
+        if ifd["strips"]:
+            raise ValueError("catalog read requires a tiled GeoTiff")
+        if ifd["tile_w"] != ifd["tile_h"]:
+            raise ValueError("non-square tiles unsupported in catalog")
+        nb, planar = info["nbands"], info["planar"]
+        per_plane = ifd["n_w"] * ifd["n_h"]
+        nodata = info["nodata"]
+        if nodata is None:
+            nodata = float("nan")
+        for si, (off, cnt) in enumerate(zip(ifd["offsets"], ifd["counts"])):
+            if planar == 2:
+                bands = [si // per_plane]
+                ti = si % per_plane
+            else:
+                bands = list(range(nb))
+                ti = si
+            tr, tc = ti // ifd["n_w"], ti % ifd["n_w"]
+            for b in bands:
+                rows.append((spec["path"], spec["source_id"],
+                             int(spec.get("source_idx", 0)),
+                             int(spec.get("zoom", 0)), int(b),
+                             int(spec.get("base_col", 0)) + tc,
+                             int(spec.get("base_row", 0)) + tr,
+                             int(off), int(cnt), int(ifd["tile_w"]),
+                             int(ifd["compression"]), info["byteorder"],
+                             info["dtype"], float(nodata), int(planar),
+                             int(nb)))
+    n_part = max(1, min(8, len(rows) // 32))
+    return spark.createDataFrame(rows, CATALOG_SCHEMA).coalesce(n_part)
+
+
+def read_catalog_tiles(catalog):
+    """Fetch the catalog rows' byte ranges and decode to the engine's
+    pixel-tile schema (corpus.synth_px_tiles layout). Narrow map — zero
+    shuffle; per task files open once (rows grouped by path in-batch)."""
+    import pandas as pd
+
+    from geotrellis_contrib_spark.operators.pixels import pack
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for path, grp in pdf.groupby("path", sort=False):
+                with open(path, "rb") as f:
+                    for t in grp.itertuples(index=False):
+                        f.seek(int(t.offset))
+                        raw = f.read(int(t.nbytes))
+                        dtype = _np_dtype(t.dtype, t.byteorder)
+                        seg = _decode_segment(
+                            raw, int(t.compression), dtype,
+                            int(t.tile_size), int(t.tile_size),
+                            int(t.nbands) if t.planar == 1 else 1)
+                        if t.planar == 1 and t.nbands > 1:
+                            arr = seg[:, :, int(t.band)]
+                        else:
+                            arr = seg
+                        arr = np.ascontiguousarray(
+                            arr.astype(np.dtype(t.dtype)))
+                        out.append({"source_id": t.source_id,
+                                    "source_idx": int(t.source_idx),
+                                    "zoom": int(t.zoom),
+                                    "col": int(t.col), "row": int(t.row),
+                                    "band": int(t.band), "dtype": t.dtype,
+                                    "nodata": float(t.nodata),
+                                    "px": pack(arr)})
+            yield pd.DataFrame(
+                out, columns=["source_id", "source_idx", "zoom", "col",
+                              "row", "band", "dtype", "nodata", "px"])
+
+    return catalog.mapInPandas(
+        fetch, "source_id string, source_idx int, zoom int, col bigint, "
+               "row bigint, band int, dtype string, nodata double, "
+               "px binary")
+
+
+def per_tile_checksum(tiles):
+    """Per-tile NoData-aware quantized checksum (value*4 is exact int64 on
+    the quarter-multiple fixtures) — ZERO shuffle: one output row per
+    input tile, so tile placement (col,row) and every decoded byte sit
+    under the value gate."""
+    import pandas as pd
+
+    from geotrellis_contrib_spark.operators.pixels import DTYPES
+
+    def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for t in pdf.itertuples(index=False):
+                arr = np.frombuffer(t.px, dtype=DTYPES[t.dtype]) \
+                    .astype(np.float64)
+                valid = ~np.isnan(arr) & (arr != t.nodata)
+                out.append({"source_id": t.source_id, "band": int(t.band),
+                            "col": int(t.col), "row": int(t.row),
+                            "px_qsum": int(np.floor(arr[valid] * 4.0
+                                                    + 0.5).astype(
+                                np.int64).sum()),
+                            "px_count": int(valid.sum())})
+            yield pd.DataFrame(out, columns=["source_id", "band", "col",
+                                             "row", "px_qsum", "px_count"])
+
+    return tiles.mapInPandas(
+        stats, "source_id string, band int, col bigint, row bigint, "
+               "px_qsum bigint, px_count bigint")
