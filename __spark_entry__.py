@@ -1396,6 +1396,29 @@ def q_focal_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FO.convolve_stats(tiles)
 
 
+def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COST DISTANCE (GeoTrellis CostDistance / iterative cost-distance
+    analog) ACROSS tile boundaries: accumulated 8-connected cost from 9
+    seed cells over the uniform-friction fixture (step cost = dist *
+    (fa+fb)/2; dist 1.0 straight / 1.5 diagonal — dyadic, so float sums
+    are exact and order-independent). Engine: synchronous tile rounds —
+    in-tile vectorized min-relaxation to a local fixpoint, then 1-px
+    (cost, friction) halo strips through ONE co-partitioned shuffle per
+    round until the global fixpoint (fail-loud at max_iter). Oracle: on
+    uniform friction the shortest-path metric has the octile closed form
+    min over seeds of 1.5*min(dx,dy) + (max(dx,dy)-min(dx,dy)),
+    recomputed per pixel in SQL and rolled up per tile (quantize-first
+    int64 sums). Obstacles/varying-friction/sqrt(2) legs are pytest-gated
+    against an untiled Dijkstra (tests/test_costdistance.py)."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import costdistance as CD
+
+    tiles = corpus_mod.synth_friction_tiles(spark, tile_size=64)
+    return CD.cost_distance(
+        tiles, lambda vals, gr, gc: (gr % 97 == 5) & (gc % 89 == 7),
+        tile_size=64, straight=1.0, diag=1.5)
+
+
 def q_geotiff_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoTiff source end-to-end (GeoTiffRasterSource.scala:46 — streaming
     RangeReader open + windowed segment reads): the three-scene fixture
@@ -2230,6 +2253,36 @@ FROM cand WHERE BIT_COUNT(XOR(sim_a, sim_b)) <= {sim_max_ham}
                             f"s*1000.0 + band*100.0 + (18+tc+s)*7.0 + (24+tr)*3.0 "
                             f"+ ({rr})*0.5 + ({cc})*0.25 "
                             f"+ CAST((({rr})*31 + ({cc})*17) % 13 AS DOUBLE) END")
+
+    # Cost distance (cost_distance): octile closed form on the uniform
+    # fixture — min over the 9 seeds of 1.5*min(dx,dy) + (max-min);
+    # 2*cost = 3*min + 2*(max-min) is integer-exact, so the quantized
+    # per-tile rollup is order-independent on both sides.
+    o["cost_distance"] = """
+WITH px AS (
+  SELECT s, band, 18 + s + tcc AS col, 24 + trr AS row,
+         (24*64 + trr*64 + ri) AS gr, ((18+s)*64 + tcc*64 + ci) AS gc
+  FROM range(0,3) ss(s), range(0,2) bs(band), range(0,4) tcs(tcc),
+       range(0,4) trs(trr), range(0,64) rs(ri), range(0,64) cs(ci)
+), seeds AS (
+  SELECT DISTINCT s, gr AS sr, gc AS sc FROM px
+  WHERE band = 0 AND gr % 97 = 5 AND gc % 89 = 7
+), cost AS (
+  SELECT p.s, p.band, p.col, p.row, p.gr, p.gc,
+         MIN(1.5 * LEAST(ABS(p.gr - e.sr), ABS(p.gc - e.sc))
+             + (GREATEST(ABS(p.gr - e.sr), ABS(p.gc - e.sc))
+                - LEAST(ABS(p.gr - e.sr), ABS(p.gc - e.sc)))) AS c
+  FROM px p JOIN seeds e ON p.s = e.s
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS INT) AS band,
+       CAST(col AS BIGINT) AS col, CAST(row AS BIGINT) AS row,
+       CAST(SUM(CAST(FLOOR(c * 2 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cost_qsum,
+       CAST(COUNT(*) AS BIGINT) AS n_reached
+FROM cost GROUP BY 1, 2, 3, 4
+"""
 
     # GeoTiff source gate (geotiff_read): per-tile quantized checksum of
     # the closed-form fixture field — 4*val is an exact int64 (quarter
@@ -4164,6 +4217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kernel_density": q_kernel_density,
         "region_group": q_region_group,
         "geotiff_read": q_geotiff_read,
+        "cost_distance": q_cost_distance,
         "terrain_stats": q_terrain_stats,
         "hillshade": q_hillshade,
         "tri_stats": q_tri_stats,

@@ -292,3 +292,28 @@ def synth_geotiff_scenes(root: str, tile_size: int = 64) -> list[dict]:
                       "source_idx": s, "zoom": 6, "base_col": 18 + s,
                       "base_row": 24})
     return specs
+
+
+def synth_friction_tiles(spark: SparkSession, tile_size: int = 64,
+                         uniform: float = 1.0) -> DataFrame:
+    """Uniform-friction sibling of synth_px_tiles (same 3-scene x 2-band
+    x 4x4-tile layout, NO NoData holes): the cost_distance gate fixture,
+    where the shortest-path metric has the octile closed form the SQL
+    oracle recomputes."""
+    import numpy as np
+
+    from geotrellis_contrib_spark.operators.pixels import pack
+
+    rows = []
+    arr = np.full((tile_size, tile_size), float(uniform))
+    blob = pack(arr)
+    for s in range(3):
+        for tc in range(4):
+            for tr in range(4):
+                for band in range(2):
+                    rows.append((f"scene-{s}", s, 6, 18 + tc + s, 24 + tr,
+                                 band, "float64", -9999.0, blob))
+    return spark.createDataFrame(
+        rows, "source_id string, source_idx int, zoom int, col bigint, "
+              "row bigint, band int, dtype string, nodata double, "
+              "px binary").coalesce(8)

@@ -1,0 +1,265 @@
+"""Cost distance (accumulated-cost surface) over the distributed tile
+table — the GeoTrellis ``CostDistance`` / iterative cost-distance op
+family re-expressed for Spark: from a set of seed cells, the minimum
+accumulated cost to every reachable cell of a FRICTION raster, moving
+8-connected, where stepping between adjacent cells a->b costs
+``dist(a,b) * (friction(a) + friction(b)) / 2`` (``dist`` = ``straight``
+for orthogonal moves, ``diag`` for diagonal — GeoTrellis uses the
+physical cell distances; the gate fixture uses dyadic 1.0/1.5 so sums
+are exact). NoData friction cells are impassable.
+
+Spark-first plan — synchronous tile rounds with halo exchange (the
+iterative sibling of the focal stencil in ``operators/focal.py``):
+  round 0: per tile, seed cells get cost 0 and an in-tile vectorized
+    8-way min-relaxation runs to its LOCAL fixpoint (``mapInPandas``,
+    zero shuffle);
+  round k: every tile cuts the 1-px edge strips of (cost, friction) its
+    8 neighbors need, plus its own full state, into ONE
+    ``groupBy(source,band,col,row).applyInPandas`` shuffle; each tile
+    re-relaxes against the neighbor costs and reports whether anything
+    improved. Rounds repeat until a global fixpoint (no tile improved),
+    fail-loud at ``max_iter``.
+Per-round shuffle volume is ~2.1x tile bytes (cost+friction center +
+strips); the number of rounds is bounded by the tile-grid diameter of
+the longest optimal path (4x4 fixture: <= ~8). At cluster scale rounds
+are co-partitioned shuffles on the same key — AQE coalesces the tail.
+
+Monotone convergence: costs only decrease, every relaxation is a min
+over path sums of positive weights, so the fixpoint is the exact
+shortest-path metric regardless of relaxation order; with dyadic step
+costs the float arithmetic is exact and order-independent, which is what
+lets the ``cost_distance`` SQL oracle recompute the metric in closed
+form (octile distance on the uniform-friction fixture).
+
+Determinism contract (mirrored by the SQL oracle — change one only with
+the other): cost values are min-over-paths of left-to-right accumulated
+sums; the per-tile checksum quantizes FIRST (floor(cost*2 + 0.5) as
+int64 — exact on dyadic costs) then sums integers."""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geotrellis_contrib_spark.operators.pixels import DTYPES, pack
+
+_OFFS = [(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+         if not (dr == 0 and dc == 0)]
+
+_STATE_SCHEMA = ("source_id string, band int, col bigint, row bigint, "
+                 "friction binary, cost binary, improved int")
+_PIECE_SCHEMA = ("source_id string, band int, col bigint, row bigint, "
+                 "dr int, dc int, h int, w int, friction binary, "
+                 "cost binary")
+
+
+def _relax(cost: np.ndarray, fric: np.ndarray, straight: float,
+           diag: float, max_cost: float | None) -> np.ndarray:
+    """Vectorized 8-way min-relaxation to the in-frame fixpoint. ``fric``
+    is NaN on impassable/absent cells; ``cost`` is +inf where unreached.
+    Monotone (costs only decrease), so sweep count is bounded by the
+    longest in-frame optimal hop chain; guarded anyway."""
+    valid = ~np.isnan(fric)
+    cost = np.where(valid, cost, np.inf)
+    h, w = cost.shape
+    for _ in range(h * w + 1):
+        nxt = cost.copy()
+        for dr, dc in _OFFS:
+            dist = diag if (dr != 0 and dc != 0) else straight
+            src_r = slice(max(dr, 0), h + min(dr, 0))
+            src_c = slice(max(dc, 0), w + min(dc, 0))
+            dst_r = slice(max(-dr, 0), h + min(-dr, 0))
+            dst_c = slice(max(-dc, 0), w + min(-dc, 0))
+            step = dist * (fric[dst_r, dst_c] + fric[src_r, src_c]) / 2.0
+            cand = cost[src_r, src_c] + step
+            sub = nxt[dst_r, dst_c]
+            np.copyto(sub, np.minimum(sub, cand), where=~np.isnan(step))
+            nxt[dst_r, dst_c] = sub
+        if max_cost is not None:
+            nxt = np.where(nxt > max_cost, np.inf, nxt)
+        if np.array_equal(nxt, cost):
+            break
+        cost = nxt
+    else:  # pragma: no cover - monotonicity makes this unreachable
+        raise RuntimeError("in-tile relaxation did not converge")
+    return np.where(valid, cost, np.inf)
+
+
+def _solve(tiles: DataFrame,
+           seed_predicate: Callable[[np.ndarray, np.ndarray,
+                                     np.ndarray], np.ndarray],
+           tile_size: int, straight: float, diag: float,
+           max_cost: float | None, max_iter: int) -> DataFrame:
+    """Run the synchronous tile rounds to the global fixpoint; returns
+    the converged state DataFrame (cost tiles as float64 binary)."""
+    t = int(tile_size)
+    if straight <= 0 or diag <= 0:
+        raise ValueError("step distances must be positive")
+
+    def init(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row_t in pdf.itertuples(index=False):
+                arr = np.frombuffer(row_t.px, dtype=DTYPES[row_t.dtype]) \
+                        .reshape(t, t).astype(np.float64)
+                fric = np.where(
+                    np.isnan(arr) | (arr == row_t.nodata), np.nan, arr)
+                if not np.all(np.isnan(fric)) \
+                        and float(np.nanmin(fric)) <= 0.0:
+                    raise ValueError("friction must be positive")
+                gr = (int(row_t.row) * t
+                      + np.arange(t).reshape(-1, 1)) + np.zeros(
+                          (1, t), dtype=np.int64)
+                gc = np.zeros((t, 1), dtype=np.int64) \
+                    + (int(row_t.col) * t + np.arange(t).reshape(1, -1))
+                seed = seed_predicate(fric, gr, gc) & ~np.isnan(fric)
+                cost = np.where(seed, 0.0, np.inf)
+                cost = _relax(cost, fric, straight, diag, max_cost)
+                out.append({"source_id": row_t.source_id,
+                            "band": int(row_t.band),
+                            "col": int(row_t.col), "row": int(row_t.row),
+                            "friction": pack(fric), "cost": pack(cost),
+                            "improved": 1})
+            yield pd.DataFrame(out, columns=[
+                "source_id", "band", "col", "row", "friction", "cost",
+                "improved"])
+
+    state = tiles.mapInPandas(init, _STATE_SCHEMA) \
+                 .localCheckpoint(eager=True)
+
+    def cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row_t in pdf.itertuples(index=False):
+                fric = np.frombuffer(row_t.friction,
+                                     dtype=np.float64).reshape(t, t)
+                cost = np.frombuffer(row_t.cost,
+                                     dtype=np.float64).reshape(t, t)
+                out.append({"source_id": row_t.source_id,
+                            "band": int(row_t.band),
+                            "col": int(row_t.col), "row": int(row_t.row),
+                            "dr": 0, "dc": 0, "h": t, "w": t,
+                            "friction": row_t.friction,
+                            "cost": row_t.cost})
+                for dr, dc in _OFFS:
+                    rows = slice(None) if dr == 0 else (
+                        slice(-1, None) if dr == 1 else slice(0, 1))
+                    cols = slice(None) if dc == 0 else (
+                        slice(-1, None) if dc == 1 else slice(0, 1))
+                    fp = np.ascontiguousarray(fric[rows, cols])
+                    cp = np.ascontiguousarray(cost[rows, cols])
+                    if not np.isfinite(cp).any():
+                        continue  # nothing reachable to offer
+                    out.append({"source_id": row_t.source_id,
+                                "band": int(row_t.band),
+                                "col": int(row_t.col) + dc,
+                                "row": int(row_t.row) + dr,
+                                "dr": dr, "dc": dc,
+                                "h": fp.shape[0], "w": fp.shape[1],
+                                "friction": pack(fp), "cost": pack(cp)})
+            yield pd.DataFrame(out, columns=[
+                "source_id", "band", "col", "row", "dr", "dc", "h", "w",
+                "friction", "cost"])
+
+    def relax_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = t + 2
+        fric = np.full((p, p), np.nan)
+        cost = np.full((p, p), np.inf)
+        center = None
+        for row_t in pdf.itertuples(index=False):
+            fa = np.frombuffer(row_t.friction, dtype=np.float64) \
+                   .reshape(int(row_t.h), int(row_t.w))
+            ca = np.frombuffer(row_t.cost, dtype=np.float64) \
+                   .reshape(int(row_t.h), int(row_t.w))
+            dr, dc = int(row_t.dr), int(row_t.dc)
+            if dr == 0 and dc == 0:
+                center = row_t
+                fric[1:1 + t, 1:1 + t] = fa
+                cost[1:1 + t, 1:1 + t] = ca
+            else:
+                rows = slice(1, 1 + t) if dr == 0 else (
+                    slice(0, 1) if dr == 1 else slice(p - 1, p))
+                cols = slice(1, 1 + t) if dc == 0 else (
+                    slice(0, 1) if dc == 1 else slice(p - 1, p))
+                fric[rows, cols] = fa
+                cost[rows, cols] = ca
+        if center is None:
+            return pd.DataFrame(columns=[
+                "source_id", "band", "col", "row", "friction", "cost",
+                "improved"])
+        old = cost[1:1 + t, 1:1 + t].copy()
+        new = _relax(cost, fric, straight, diag, max_cost)[1:1 + t,
+                                                           1:1 + t]
+        improved = int(bool(np.any(new < old)))
+        return pd.DataFrame([{
+            "source_id": center.source_id, "band": int(center.band),
+            "col": int(center.col), "row": int(center.row),
+            "friction": center.friction, "cost": pack(new),
+            "improved": improved}])
+
+    for _ in range(max_iter):
+        pieces = state.mapInPandas(cut, _PIECE_SCHEMA)
+        nxt = pieces.groupBy("source_id", "band", "col", "row") \
+                    .applyInPandas(relax_group, _STATE_SCHEMA) \
+                    .localCheckpoint(eager=True)
+        changed = nxt.filter(F.col("improved") == 1).limit(1).count()
+        state = nxt
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"cost_distance did not reach a global fixpoint in "
+            f"{max_iter} rounds; raise max_iter")
+    return state
+
+
+def cost_distance(tiles: DataFrame,
+                  seed_predicate: Callable[[np.ndarray, np.ndarray,
+                                            np.ndarray], np.ndarray],
+                  tile_size: int = 64, straight: float = 1.0,
+                  diag: float = 1.5, max_cost: float | None = None,
+                  max_iter: int = 64) -> DataFrame:
+    """Accumulated cost from ``seed_predicate(friction, gr, gc)`` cells
+    over each (source_id, band)'s friction tiles. Returns the per-tile
+    quantized rollup ``(source_id, band, col, row, cost_qsum,
+    n_reached)`` — zero-shuffle from the converged state."""
+    t = int(tile_size)
+    state = _solve(tiles, seed_predicate, t, straight, diag, max_cost,
+                   max_iter)
+
+    def rollup(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row_t in pdf.itertuples(index=False):
+                cost = np.frombuffer(row_t.cost,
+                                     dtype=np.float64).reshape(t, t)
+                fin = np.isfinite(cost)
+                out.append({"source_id": row_t.source_id,
+                            "band": int(row_t.band),
+                            "col": int(row_t.col), "row": int(row_t.row),
+                            "cost_qsum": int(np.floor(
+                                cost[fin] * 2.0 + 0.5).astype(
+                                    np.int64).sum()),
+                            "n_reached": int(fin.sum())})
+            yield pd.DataFrame(out, columns=[
+                "source_id", "band", "col", "row", "cost_qsum",
+                "n_reached"])
+
+    return state.mapInPandas(
+        rollup, "source_id string, band int, col bigint, row bigint, "
+                "cost_qsum bigint, n_reached bigint")
+
+
+def cost_surface(tiles: DataFrame, seed_predicate,
+                 tile_size: int = 64, straight: float = 1.0,
+                 diag: float = 1.5, max_cost: float | None = None,
+                 max_iter: int = 64) -> DataFrame:
+    """Full per-cell cost surface (the pytest/brute-force surface): the
+    converged (source_id, band, col, row, cost binary float64) tiles."""
+    state = _solve(tiles, seed_predicate, int(tile_size), straight, diag,
+                   max_cost, max_iter)
+    return state.select("source_id", "band", "col", "row", "cost")
