@@ -1396,6 +1396,26 @@ def q_focal_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FO.convolve_stats(tiles)
 
 
+def q_idw_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW INTERPOLATION (GeoTrellis raster.interpolation
+    InverseDistanceWeighted analog — vector->raster): every anchor
+    carries z = floor((lon+180)*8) % 64 and contributes w = 1/max(d^2,
+    0.25) to the pixels within R=4 px of it (the 0.5-px clamp bounds w so
+    per-(pixel,point) contributions quantize to int64 and per-pixel sums
+    are ORDER-INDEPENDENT). Same bounded <=2x2 replication + ONE-shuffle
+    stamp plan as kernel_density. Exact-1/d^p semantics (unclamped,
+    coincident-point rule) are pytest-gated against a brute force.
+    Oracle: the identical contribution arithmetic in SQL over the bounded
+    offset range, per pixel then per tile."""
+    from geotrellis_contrib_spark.operators import pixels as px
+
+    _views(spark, sf_dir)
+    pts = spark.table("anchors").withColumn(
+        "z", (F.floor((F.col("lon") + F.lit(180.0)) * F.lit(8.0))
+              .cast("long") % 64).cast("double"))
+    return px.idw_interpolate(pts, zoom=6, radius_px=4.0, tile_size=64)
+
+
 def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COST DISTANCE (GeoTrellis CostDistance / iterative cost-distance
     analog) ACROSS tile boundaries: accumulated 8-connected cost from 9
@@ -2253,6 +2273,48 @@ FROM cand WHERE BIT_COUNT(XOR(sim_a, sim_b)) <= {sim_max_ham}
                             f"s*1000.0 + band*100.0 + (18+tc+s)*7.0 + (24+tr)*3.0 "
                             f"+ ({rr})*0.5 + ({cc})*0.25 "
                             f"+ CAST((({rr})*31 + ({cc})*17) % 13 AS DOUBLE) END")
+
+    # IDW interpolation (idw_interpolate): identical clamped-weight
+    # contribution arithmetic in SQL — w = 1/GREATEST(d2, 0.25) inside
+    # d2 <= 16, z = floor((lon+180)*8) % 64 — quantized per contribution
+    # then integer-summed per pixel and per tile.
+    _idw_d2 = (f"({_kd_dy}*{_kd_dy} + {_kd_dx}*{_kd_dx})")
+    o["idw_interpolate"] = f"""
+{derive.cte('anchors')}
+, pts AS (
+  SELECT {C.sql_gpix_x('lon', 6, 64)} AS gx,
+         {C.sql_gpix_y('lat', 6, 64)} AS gy,
+         CAST(CAST(FLOOR((lon + 180.0) * 8.0) AS BIGINT) % 64 AS DOUBLE)
+           AS z
+  FROM anchors WHERE lon IS NOT NULL AND lat IS NOT NULL
+), contrib AS (
+  SELECT CAST(CEIL(gx - 0.5 - 4.0) AS BIGINT) + ox AS pxx,
+         CAST(CEIL(gy - 0.5 - 4.0) AS BIGINT) + oy AS pyy,
+         gx, gy, z
+  FROM pts, range(0, 10) o1(ox), range(0, 10) o2(oy)
+), qw AS (
+  SELECT pxx, pyy,
+         CASE WHEN {_idw_d2} <= 16.0
+              THEN CAST(FLOOR(1.0 / GREATEST({_idw_d2}, 0.25) * z
+                              * 1048576.0 + 0.5) AS BIGINT)
+              ELSE 0 END AS nq,
+         CASE WHEN {_idw_d2} <= 16.0
+              THEN CAST(FLOOR(1.0 / GREATEST({_idw_d2}, 0.25)
+                              * 1048576.0 + 0.5) AS BIGINT)
+              ELSE 0 END AS dq
+  FROM contrib
+  WHERE pxx BETWEEN 0 AND {_kd_npx - 1} AND pyy BETWEEN 0 AND {_kd_npx - 1}
+), pxsum AS (
+  SELECT pxx // 64 AS col, pyy // 64 AS row, pxx, pyy,
+         SUM(nq) AS ns, SUM(dq) AS ds
+  FROM qw GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(6 AS INT) AS zoom, col, row,
+       CAST(SUM(ns) AS BIGINT) AS num_sum,
+       CAST(SUM(ds) AS BIGINT) AS den_sum,
+       CAST(COUNT(*) FILTER (WHERE ds > 0) AS BIGINT) AS n_px
+FROM pxsum GROUP BY 1, 2, 3 HAVING SUM(ds) > 0
+"""
 
     # Cost distance (cost_distance): octile closed form on the uniform
     # fixture — min over the 9 seeds of 1.5*min(dx,dy) + (max-min);
@@ -4218,6 +4280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_group": q_region_group,
         "geotiff_read": q_geotiff_read,
         "cost_distance": q_cost_distance,
+        "idw_interpolate": q_idw_interpolate,
         "terrain_stats": q_terrain_stats,
         "hillshade": q_hillshade,
         "tri_stats": q_tri_stats,

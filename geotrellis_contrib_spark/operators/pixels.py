@@ -1032,3 +1032,141 @@ def kernel_density(points: DataFrame, zoom: int, radius_px: float = 4.0,
     return cand.groupBy("tx", "ty").applyInPandas(
         stamp, "zoom int, col bigint, row bigint, density_sum bigint, "
                "n_nonzero bigint, px binary")
+
+
+def idw_interpolate(points: DataFrame, zoom: int, radius_px: float = 4.0,
+                    tile_size: int = TILE_SIZE, lon="lon", lat="lat",
+                    val="z", power: float = 2.0,
+                    quantize: bool = True) -> DataFrame:
+    """GeoTrellis InverseDistanceWeighted analog (vector->raster
+    interpolation): per pixel, value = sum(w_i * z_i) / sum(w_i) over the
+    sample points within ``radius_px`` of the pixel center (continuous
+    global pixel space at ``zoom``), w = 1/d^power.
+
+    Scale plan: identical to ``kernel_density`` — bounded <=2x2 tile
+    replication JVM-side, ONE co-partitioned shuffle, vectorized stamps.
+
+    Two contracts:
+      * ``quantize=True`` (the SQL-gated distributed contract, power
+        fixed at 2): w = 1 / max(d^2, 0.25) — the 0.5-px distance clamp
+        bounds w so per-(pixel,point) contributions quantize to int64
+        (floor(w*z*2^20+0.5), floor(w*2^20+0.5)) and per-pixel sums are
+        ORDER-INDEPENDENT integer sums. Output per tile:
+        (zoom, col, row, num_sum, den_sum, n_px) over den>0 pixels.
+      * ``quantize=False`` (exact GeoTrellis semantics, pytest-gated):
+        float w = 1/d^power, coincident samples (d^2 < 1e-12) assign
+        their z directly (min z among coincident for determinism);
+        points are accumulated in sorted (gx, gy, z) order so the result
+        is deterministic under any shuffle order. Output per PIXEL:
+        (zoom, col, row, pxx, pyy, idw_val)."""
+    from geotrellis_contrib_spark.functions import cells as C
+
+    if radius_px <= 0 or radius_px >= tile_size:
+        raise ValueError(f"radius_px must be in (0, {tile_size}): "
+                         f"{radius_px}")
+    if quantize and power != 2.0:
+        raise ValueError("the quantized contract fixes power=2")
+    r = float(radius_px)
+    t = int(tile_size)
+    n = 1 << zoom
+    pts = (points.filter(F.col(lon).isNotNull() & F.col(lat).isNotNull())
+           .select(C.gpix_x(F.col(lon), zoom, t).alias("gx"),
+                   C.gpix_y(F.col(lat), zoom, t).alias("gy"),
+                   F.col(val).cast("double").alias("z")))
+    txmin = F.greatest(F.floor((F.col("gx") - F.lit(r)) / F.lit(float(t)))
+                       .cast("long"), F.lit(0).cast("long"))
+    txmax = F.least(F.floor((F.col("gx") + F.lit(r)) / F.lit(float(t)))
+                    .cast("long"), F.lit(int(n - 1)).cast("long"))
+    tymin = F.greatest(F.floor((F.col("gy") - F.lit(r)) / F.lit(float(t)))
+                       .cast("long"), F.lit(0).cast("long"))
+    tymax = F.least(F.floor((F.col("gy") + F.lit(r)) / F.lit(float(t)))
+                    .cast("long"), F.lit(int(n - 1)).cast("long"))
+    cand = (pts.withColumn("tx", F.explode(F.sequence(txmin, txmax)))
+            .withColumn("ty", F.explode(F.sequence(tymin, tymax))))
+
+    def stamp_q(pdf: pd.DataFrame) -> pd.DataFrame:
+        col, row = int(pdf.tx.iloc[0]), int(pdf.ty.iloc[0])
+        bx, by = col * t, row * t
+        num = np.zeros((t, t), dtype=np.int64)
+        den = np.zeros((t, t), dtype=np.int64)
+        for gx, gy, z in zip(pdf.gx.to_numpy(), pdf.gy.to_numpy(),
+                             pdf.z.to_numpy()):
+            p0 = max(bx, int(np.ceil(gx - 0.5 - r)))
+            p1 = min(bx + t - 1, int(np.floor(gx - 0.5 + r)))
+            q0 = max(by, int(np.ceil(gy - 0.5 - r)))
+            q1 = min(by + t - 1, int(np.floor(gy - 0.5 + r)))
+            if p1 < p0 or q1 < q0:
+                continue
+            dx = np.arange(p0, p1 + 1, dtype=np.float64) + 0.5 - gx
+            dy = (np.arange(q0, q1 + 1, dtype=np.float64)
+                  + 0.5 - gy).reshape(-1, 1)
+            d2 = dy * dy + dx * dx
+            inside = d2 <= r * r
+            w = 1.0 / np.maximum(d2, 0.25)
+            wq = np.where(inside,
+                          np.floor(w * 1048576.0 + 0.5), 0.0) \
+                .astype(np.int64)
+            nq = np.where(inside,
+                          np.floor(w * z * 1048576.0 + 0.5), 0.0) \
+                .astype(np.int64)
+            sl = (slice(q0 - by, q1 + 1 - by), slice(p0 - bx, p1 + 1 - bx))
+            num[sl] += nq
+            den[sl] += wq
+        if not (den > 0).any():
+            return pd.DataFrame(columns=["zoom", "col", "row", "num_sum",
+                                         "den_sum", "n_px"])
+        return pd.DataFrame([{
+            "zoom": zoom, "col": col, "row": row,
+            "num_sum": int(num.sum()), "den_sum": int(den.sum()),
+            "n_px": int((den > 0).sum())}])
+
+    def stamp_f(pdf: pd.DataFrame) -> pd.DataFrame:
+        col, row = int(pdf.tx.iloc[0]), int(pdf.ty.iloc[0])
+        bx, by = col * t, row * t
+        num = np.zeros((t, t))
+        den = np.zeros((t, t))
+        exact = np.full((t, t), np.nan)
+        order = np.lexsort((pdf.z.to_numpy(), pdf.gy.to_numpy(),
+                            pdf.gx.to_numpy()))
+        for gx, gy, z in zip(pdf.gx.to_numpy()[order],
+                             pdf.gy.to_numpy()[order],
+                             pdf.z.to_numpy()[order]):
+            p0 = max(bx, int(np.ceil(gx - 0.5 - r)))
+            p1 = min(bx + t - 1, int(np.floor(gx - 0.5 + r)))
+            q0 = max(by, int(np.ceil(gy - 0.5 - r)))
+            q1 = min(by + t - 1, int(np.floor(gy - 0.5 + r)))
+            if p1 < p0 or q1 < q0:
+                continue
+            dx = np.arange(p0, p1 + 1, dtype=np.float64) + 0.5 - gx
+            dy = (np.arange(q0, q1 + 1, dtype=np.float64)
+                  + 0.5 - gy).reshape(-1, 1)
+            d2 = dy * dy + dx * dx
+            inside = d2 <= r * r
+            co = d2 < 1e-12
+            sl = (slice(q0 - by, q1 + 1 - by), slice(p0 - bx, p1 + 1 - bx))
+            sub = exact[sl]
+            np.copyto(sub, np.where(np.isnan(sub), z,
+                                    np.minimum(sub, z)), where=co)
+            exact[sl] = sub
+            w = np.where(inside & ~co, d2 ** (-power / 2.0), 0.0)
+            num[sl] += w * z
+            den[sl] += w
+        touched = (den > 0) | ~np.isnan(exact)
+        if not touched.any():
+            return pd.DataFrame(columns=["zoom", "col", "row", "pxx",
+                                         "pyy", "idw_val"])
+        yy, xx = np.nonzero(touched)
+        v = np.where(~np.isnan(exact[yy, xx]), exact[yy, xx],
+                     num[yy, xx] / den[yy, xx])
+        return pd.DataFrame({
+            "zoom": zoom, "col": col, "row": row,
+            "pxx": (xx + bx).astype(np.int64),
+            "pyy": (yy + by).astype(np.int64), "idw_val": v})
+
+    if quantize:
+        return cand.groupBy("tx", "ty").applyInPandas(
+            stamp_q, "zoom int, col bigint, row bigint, num_sum bigint, "
+                     "den_sum bigint, n_px bigint")
+    return cand.groupBy("tx", "ty").applyInPandas(
+        stamp_f, "zoom int, col bigint, row bigint, pxx bigint, "
+                 "pyy bigint, idw_val double")
