@@ -1396,6 +1396,24 @@ def q_focal_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FO.convolve_stats(tiles)
 
 
+def q_euclidean_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-radius EUCLIDEAN DISTANCE TRANSFORM across tile
+    boundaries (focal halo machinery, r=5 strips, ONE shuffle): per
+    valid pixel the distance to the nearest lattice-blob mask cell
+    ((gr%11<3)&(gc%9<3), NoData excluded) within 5 cells — MIN over
+    offsets is order-independent; the per-tile rollup quantizes each
+    pixel's single SQRT identically on both sides. Oracle: a bounded
+    range join px x mask (±5 window, d^2 <= 25 circle cutoff) with
+    MIN(SQRT(d2)) per pixel, rolled up per tile."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import focal as FO
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    return FO.euclidean_distance(
+        tiles, lambda vals, gr, gc: (gr % 11 < 3) & (gc % 9 < 3),
+        radius=5, tile_size=64)
+
+
 def q_idw_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IDW INTERPOLATION (GeoTrellis raster.interpolation
     InverseDistanceWeighted analog — vector->raster): every anchor
@@ -2273,6 +2291,41 @@ FROM cand WHERE BIT_COUNT(XOR(sim_a, sim_b)) <= {sim_max_ham}
                             f"s*1000.0 + band*100.0 + (18+tc+s)*7.0 + (24+tr)*3.0 "
                             f"+ ({rr})*0.5 + ({cc})*0.25 "
                             f"+ CAST((({rr})*31 + ({cc})*17) % 13 AS DOUBLE) END")
+
+    # Euclidean distance transform (euclidean_distance): bounded range
+    # join px x mask with the same circle cutoff; MIN(SQRT) per pixel is
+    # order-independent and quantizes bit-identically.
+    o["euclidean_distance"] = """
+WITH px AS (
+  SELECT s, band, 18 + s + tcc AS col, 24 + trr AS row,
+         (24*64 + trr*64 + ri) AS gr, ((18+s)*64 + tcc*64 + ci) AS gc
+  FROM range(0,3) ss(s), range(0,2) bs(band), range(0,4) tcs(tcc),
+       range(0,4) trs(trr), range(0,64) rs(ri), range(0,64) cs(ci)
+  WHERE NOT (ri >= (s*11)%48 AND ri < (s*11)%48+16
+             AND ci >= (s*11)%48 AND ci < (s*11)%48+16)
+), mask AS (
+  SELECT s, band, gr, gc FROM px WHERE gr % 11 < 3 AND gc % 9 < 3
+), nearest AS (
+  SELECT p.s, p.band, p.col, p.row, p.gr, p.gc,
+         MIN(CASE WHEN (m.gr-p.gr)*(m.gr-p.gr)
+                       + (m.gc-p.gc)*(m.gc-p.gc) <= 25
+                  THEN SQRT(CAST((m.gr-p.gr)*(m.gr-p.gr)
+                                 + (m.gc-p.gc)*(m.gc-p.gc) AS DOUBLE))
+             END) AS d
+  FROM px p JOIN mask m
+    ON m.s = p.s AND m.band = p.band
+   AND m.gr BETWEEN p.gr - 5 AND p.gr + 5
+   AND m.gc BETWEEN p.gc - 5 AND p.gc + 5
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS INT) AS band,
+       CAST(col AS BIGINT) AS col, CAST(row AS BIGINT) AS row,
+       CAST(SUM(CAST(FLOOR(d * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS dist_qsum,
+       CAST(COUNT(*) AS BIGINT) AS n_within
+FROM nearest WHERE d IS NOT NULL GROUP BY 1, 2, 3, 4
+"""
 
     # IDW interpolation (idw_interpolate): identical clamped-weight
     # contribution arithmetic in SQL — w = 1/GREATEST(d2, 0.25) inside
@@ -4281,6 +4334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geotiff_read": q_geotiff_read,
         "cost_distance": q_cost_distance,
         "idw_interpolate": q_idw_interpolate,
+        "euclidean_distance": q_euclidean_distance,
         "terrain_stats": q_terrain_stats,
         "hillshade": q_hillshade,
         "tri_stats": q_tri_stats,

@@ -444,3 +444,59 @@ def convolve_stats(tiles: DataFrame,
     return pieces.groupBy("source_id", "band", "col", "row").applyInPandas(
         conv, "source_id string, band bigint, col bigint, row bigint, "
               "conv_sum bigint, conv_count bigint")
+
+
+def euclidean_distance(tiles: DataFrame, mask_predicate,
+                       radius: int = 5, tile_size: int = 64) -> DataFrame:
+    """Bounded-radius Euclidean distance transform ACROSS tile
+    boundaries (the raster sibling of GeoTrellis's Euclidean-distance
+    ops, with an explicit cutoff): per valid pixel, the distance to the
+    NEAREST cell of ``mask_predicate(values, gr, gc)`` within ``radius``
+    cells (chebyshev window, euclidean metric, mask cells themselves get
+    0); pixels with no mask cell in range are absent from the stats.
+
+    Rides the focal halo machinery: r-wide strips, ONE co-partitioned
+    shuffle, then a vectorized min-over-offsets scan ((2r+1)^2 shifted
+    compares — MIN is order-independent, no quantization needed until
+    the rollup). Output: (source_id, band, col, row, dist_qsum,
+    n_within) with dist_qsum = sum of floor(d * 2^20 + 0.5) (each d is a
+    single SQRT both engine- and oracle-side, so quantization is
+    bit-identical)."""
+    r, t = int(radius), int(tile_size)
+    if r < 1 or r >= tile_size:
+        raise ValueError(f"radius must be in 1..{tile_size - 1}: {r}")
+    pieces = _halo_pieces(tiles, r, t)
+    offs = [(dr, dc, float(np.sqrt(float(dr * dr + dc * dc))))
+            for dr in range(-r, r + 1) for dc in range(-r, r + 1)
+            if dr * dr + dc * dc <= r * r]
+
+    def scan(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        source_id, band, col, row = key
+        frame = _assemble_frame(pdf, r, t)
+        if frame is None:
+            return pd.DataFrame(columns=["source_id", "band", "col",
+                                         "row", "dist_qsum", "n_within"])
+        p = t + 2 * r
+        gr = (int(row) * t - r + np.arange(p).reshape(-1, 1)) \
+            + np.zeros((1, p), dtype=np.int64)
+        gc = np.zeros((p, 1), dtype=np.int64) \
+            + (int(col) * t - r + np.arange(p).reshape(1, -1))
+        mask = mask_predicate(frame, gr, gc) & ~np.isnan(frame)
+        dist = np.full((t, t), np.inf)
+        for dr, dc, d in offs:
+            win = mask[r + dr:r + dr + t, r + dc:r + dc + t]
+            np.copyto(dist, np.minimum(dist, d), where=win)
+        valid = ~np.isnan(frame[r:r + t, r:r + t])
+        hit = valid & np.isfinite(dist)
+        if not hit.any():
+            return pd.DataFrame(columns=["source_id", "band", "col",
+                                         "row", "dist_qsum", "n_within"])
+        q = np.floor(dist[hit] * 1048576.0 + 0.5).astype(np.int64)
+        return pd.DataFrame([{
+            "source_id": source_id, "band": int(band),
+            "col": int(col), "row": int(row),
+            "dist_qsum": int(q.sum()), "n_within": int(hit.sum())}])
+
+    return pieces.groupBy("source_id", "band", "col", "row").applyInPandas(
+        scan, "source_id string, band int, col bigint, row bigint, "
+              "dist_qsum bigint, n_within bigint")

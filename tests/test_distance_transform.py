@@ -1,0 +1,90 @@
+"""Bounded-radius Euclidean distance transform: engine halo plan vs an
+UNTILED-mosaic brute force — cross-boundary nearest cells, NoData
+exclusion both as target and as measured pixel, circle-vs-box cutoff."""
+import numpy as np
+import pytest
+
+from geotrellis_contrib_spark import corpus
+from geotrellis_contrib_spark.operators import focal as FO
+
+T = 64
+R = 5
+
+
+def _mosaic(s, band):
+    big = np.full((4 * T, 4 * T), np.nan)
+    h0 = (s * 11) % (T - 16)
+    for tc in range(4):
+        for tr in range(4):
+            col, row = 18 + s + tc, 24 + tr
+            r = np.arange(T).reshape(-1, 1)
+            c = np.arange(T).reshape(1, -1)
+            val = (s * 1000.0 + band * 100.0 + col * 7.0 + row * 3.0
+                   + r * 0.5 + c * 0.25 + ((r * 31 + c * 17) % 13))
+            a = val.astype(np.float64)
+            a[h0:h0 + 16, h0:h0 + 16] = np.nan
+            big[tr * T:(tr + 1) * T, tc * T:(tc + 1) * T] = a
+    return big
+
+
+def _brute(s, band, pred):
+    big = _mosaic(s, band)
+    gr = 24 * T + np.arange(4 * T).reshape(-1, 1) + np.zeros(
+        (1, 4 * T), dtype=np.int64)
+    gc = np.zeros((4 * T, 1), dtype=np.int64) \
+        + (18 + s) * T + np.arange(4 * T).reshape(1, -1)
+    mask = pred(big, gr, gc) & ~np.isnan(big)
+    out = {}
+    H = 4 * T
+    for i in range(H):
+        for j in range(H):
+            if np.isnan(big[i, j]):
+                continue
+            best = np.inf
+            for di in range(-R, R + 1):
+                for dj in range(-R, R + 1):
+                    if di * di + dj * dj > R * R:
+                        continue
+                    x, y = i + di, j + dj
+                    if 0 <= x < H and 0 <= y < H and mask[x, y]:
+                        best = min(best,
+                                   float(np.sqrt(float(di * di
+                                                       + dj * dj))))
+            if np.isfinite(best):
+                k = (18 + s + j // T, 24 + i // T)
+                qs, n = out.get(k, (0, 0))
+                out[k] = (qs + int(np.floor(best * 1048576.0 + 0.5)),
+                          n + 1)
+    return out
+
+
+def test_matches_untiled_brute(spark):
+    pred = lambda v, gr, gc: (gr % 11 < 3) & (gc % 9 < 3)  # noqa: E731
+    tiles = corpus.synth_px_tiles(spark, tile_size=T)
+    rows = FO.euclidean_distance(tiles, pred, radius=R,
+                                 tile_size=T).collect()
+    for s, band in ((0, 0), (2, 1)):
+        got = {(r.col, r.row): (r.dist_qsum, r.n_within) for r in rows
+               if r.source_id == f"scene-{s}" and r.band == band}
+        assert got == _brute(s, band, pred), (s, band)
+
+
+def test_sparse_mask_absent_pixels(spark):
+    # a single mask cell: only the disc around it reports distances
+    pred = lambda v, gr, gc: (gr == 1600) & (gc == 1250)  # noqa: E731
+    tiles = corpus.synth_px_tiles(spark, tile_size=T)
+    rows = [r for r in FO.euclidean_distance(
+        tiles, pred, radius=R, tile_size=T).collect()
+        if r.source_id == "scene-0" and r.band == 0]
+    n = sum(r.n_within for r in rows)
+    disc = sum(1 for di in range(-R, R + 1) for dj in range(-R, R + 1)
+               if di * di + dj * dj <= R * R)
+    assert n == disc  # all disc cells valid here (far from the hole)
+    assert min(r.dist_qsum for r in rows) >= 0
+
+
+def test_fail_loud_radius(spark):
+    tiles = corpus.synth_px_tiles(spark, tile_size=T)
+    with pytest.raises(ValueError, match="radius"):
+        FO.euclidean_distance(tiles, lambda v, g, c: g > 0, radius=64,
+                              tile_size=T)
