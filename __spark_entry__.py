@@ -1396,6 +1396,24 @@ def q_focal_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FO.convolve_stats(tiles)
 
 
+def q_region_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGION VECTORIZE stats (raster->vector per-region summary, the
+    polygonize sibling of region_group): per 4-connected component its
+    pixel count, PERIMETER (exposed cell edges = 4n - 2*adjacent pairs
+    — in-tile pairs counted in the zero-shuffle scan, cross-tile pairs
+    from the same boundary joins that merge labels, restricted to pairs
+    actually crossing a tile edge) and global-pixel bbox. Oracle: the
+    region_group reachability closure extended with a one-directional
+    adjacency count per root and MIN/MAX bbox."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import region as RG
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    return RG.region_stats(
+        tiles, lambda vals, gr, gc: (gr % 11 < 3) & (gc % 9 < 3),
+        tile_size=64, npx=4096)
+
+
 def q_euclidean_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-radius EUCLIDEAN DISTANCE TRANSFORM across tile
     boundaries (focal halo machinery, r=5 strips, ONE shuffle): per
@@ -2291,6 +2309,58 @@ FROM cand WHERE BIT_COUNT(XOR(sim_a, sim_b)) <= {sim_max_ham}
                             f"s*1000.0 + band*100.0 + (18+tc+s)*7.0 + (24+tr)*3.0 "
                             f"+ ({rr})*0.5 + ({cc})*0.25 "
                             f"+ CAST((({rr})*31 + ({cc})*17) % 13 AS DOUBLE) END")
+
+    # Region vectorize stats (region_stats): the region_group closure
+    # plus a ONE-directional adjacency count per root (perimeter =
+    # 4n - 2*pairs) and bbox MIN/MAX.
+    o["region_stats"] = """
+WITH RECURSIVE px AS (
+  SELECT s, band, 18 + s + tcc AS col, 24 + trr AS row, ri, ci,
+         (s*11) % 48 AS h0
+  FROM range(0,3) ss(s), range(0,2) bs(band),
+       range(0,4) tcs(tcc), range(0,4) trs(trr),
+       range(0,64) ris(ri), range(0,64) cis(ci)
+), mask AS (
+  SELECT s, band, (row*64 + ri) AS gr2, (col*64 + ci) AS gc2,
+         (s*2 + band)*16777216 + (row*64 + ri)*4096 + (col*64 + ci) AS eid
+  FROM px
+  WHERE NOT (ri >= h0 AND ri < h0+16 AND ci >= h0 AND ci < h0+16)
+    AND ((row*64 + ri) % 11) < 3 AND ((col*64 + ci) % 9) < 3
+), adj AS (
+  SELECT a.eid AS src, b.eid AS dst FROM mask a JOIN mask b
+    ON a.s = b.s AND a.band = b.band AND a.gr2 = b.gr2 AND a.gc2 + 1 = b.gc2
+  UNION ALL
+  SELECT a.eid, b.eid FROM mask a JOIN mask b
+    ON a.s = b.s AND a.band = b.band AND a.gr2 + 1 = b.gr2 AND a.gc2 = b.gc2
+), cedges AS (
+  SELECT src, dst FROM adj UNION ALL SELECT dst, src FROM adj
+), reach(id, r) AS (
+  SELECT eid, eid FROM mask
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN cedges e ON e.src = reach.r
+), lab AS (
+  SELECT id, MIN(r) AS root FROM reach GROUP BY id
+), cell AS (
+  SELECT m.eid, m.gr2, m.gc2, l.root
+  FROM mask m JOIN lab l ON l.id = m.eid
+), adjroot AS (
+  SELECT c.root, COUNT(*) AS pairs
+  FROM adj a JOIN cell c ON c.eid = a.src GROUP BY 1
+)
+SELECT CONCAT('scene-', CAST(c.root // 16777216 // 2 AS VARCHAR))
+         AS source_id,
+       CAST((c.root // 16777216) % 2 AS BIGINT) AS band,
+       CAST(c.root % 16777216 AS BIGINT) AS region_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+       CAST(4 * COUNT(*) - 2 * COALESCE(MAX(ar.pairs), 0) AS BIGINT)
+         AS perimeter,
+       CAST(MIN(c.gr2) AS BIGINT) AS gr_min,
+       CAST(MAX(c.gr2) AS BIGINT) AS gr_max,
+       CAST(MIN(c.gc2) AS BIGINT) AS gc_min,
+       CAST(MAX(c.gc2) AS BIGINT) AS gc_max
+FROM cell c LEFT JOIN adjroot ar ON ar.root = c.root
+GROUP BY 1, 2, 3, c.root
+"""
 
     # Euclidean distance transform (euclidean_distance): bounded range
     # join px x mask with the same circle cutoff; MIN(SQRT) per pixel is
@@ -4335,6 +4405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cost_distance": q_cost_distance,
         "idw_interpolate": q_idw_interpolate,
         "euclidean_distance": q_euclidean_distance,
+        "region_stats": q_region_stats,
         "terrain_stats": q_terrain_stats,
         "hillshade": q_hillshade,
         "tri_stats": q_tri_stats,

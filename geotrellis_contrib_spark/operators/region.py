@@ -167,3 +167,153 @@ def region_group(tiles: DataFrame,
     return (merged.groupBy("source_id", "band",
                            F.col("label").alias("region_id"))
             .agg(F.sum("n_pixels").alias("n_pixels")))
+
+def region_stats(tiles: DataFrame,
+                 predicate: Callable[[np.ndarray, np.ndarray, np.ndarray],
+                                     np.ndarray],
+                 tile_size: int = 64, npx: int = 1 << 22) -> DataFrame:
+    """Vectorize-style per-region summary (the raster->vector sibling of
+    ``region_group`` — GeoTrellis's vectorize/polygonal-summary shape):
+    for every 4-connected component, its pixel count, PERIMETER (count
+    of exposed cell edges — 4*n minus 2 per adjacent same-mask pair,
+    computed without ever seeing the neighbor tile's interior) and
+    global pixel bbox.
+
+    Same two-phase scale plan as ``region_group``; the only additions
+    are per-label in-tile stats (adjacent-pair count, bbox) in the
+    zero-shuffle scan, and a count of CROSS-TILE adjacent pairs taken
+    from the same boundary joins that drive the label merge (restricted
+    to pairs that actually cross a tile edge: (gc+1) % t == 0 for
+    right-pairs, (gr+1) % t == 0 for down-pairs).
+
+    Returns (source_id, band, region_id, n_pixels, perimeter, gr_min,
+    gr_max, gc_min, gc_max)."""
+    t = int(tile_size)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row_t in pdf.itertuples(index=False):
+                arr = np.frombuffer(row_t.px, dtype=DTYPES[row_t.dtype]) \
+                        .reshape(t, t).astype(np.float64)
+                valid = ~np.isnan(arr) & (arr != row_t.nodata)
+                gr = (int(row_t.row) * t
+                      + np.arange(t).reshape(-1, 1)) * np.ones(
+                          (1, t), dtype=np.int64)
+                gc = np.ones((t, 1), dtype=np.int64) \
+                    * (int(row_t.col) * t + np.arange(t).reshape(1, -1))
+                gr = gr.astype(np.int64)
+                gc = gc.astype(np.int64)
+                mask = predicate(arr, gr, gc) & valid
+                if not mask.any():
+                    continue
+                gp = gr * npx + gc
+                lab = _local_labels(mask, gp)
+                # per-label stats: count, in-tile adjacent pairs, bbox
+                labs = np.unique(lab[mask])
+                for lv in labs:
+                    sel = lab == lv
+                    pairs = int((sel[:, :-1] & sel[:, 1:]).sum()
+                                + (sel[:-1, :] & sel[1:, :]).sum())
+                    out.append({"source_id": row_t.source_id,
+                                "band": int(row_t.band), "kind": 0,
+                                "gr": int(gr[sel].min()),
+                                "gc": int(gc[sel].min()),
+                                "gr2": int(gr[sel].max()),
+                                "gc2": int(gc[sel].max()),
+                                "n": int(sel.sum()), "pairs": pairs,
+                                "label": int(lv)})
+                border = np.zeros((t, t), dtype=bool)
+                border[0, :] = border[-1, :] = True
+                border[:, 0] = border[:, -1] = True
+                bm = mask & border
+                for rr, cc in zip(*np.nonzero(bm)):
+                    out.append({"source_id": row_t.source_id,
+                                "band": int(row_t.band), "kind": 1,
+                                "gr": int(gr[rr, cc]), "gc": int(gc[rr, cc]),
+                                "gr2": 0, "gc2": 0, "n": 0, "pairs": 0,
+                                "label": int(lab[rr, cc])})
+            yield pd.DataFrame(out, columns=[
+                "source_id", "band", "kind", "gr", "gc", "gr2", "gc2",
+                "n", "pairs", "label"])
+
+    rows = tiles.mapInPandas(
+        scan, "source_id string, band bigint, kind int, gr bigint, "
+              "gc bigint, gr2 bigint, gc2 bigint, n bigint, pairs bigint, "
+              "label bigint").cache()
+    stats = rows.filter(F.col("kind") == 0) \
+        .select("source_id", "band", "label", "n", "pairs",
+                F.col("gr").alias("grmin"), F.col("gc").alias("gcmin"),
+                F.col("gr2").alias("grmax"), F.col("gc2").alias("gcmax"))
+    border = rows.filter(F.col("kind") == 1) \
+        .select("source_id", "band", "gr", "gc", "label")
+
+    b2 = border.select(F.col("source_id").alias("source_id2"),
+                       F.col("band").alias("band2"),
+                       F.col("gr").alias("gr_b"), F.col("gc").alias("gc_b"),
+                       F.col("label").alias("label2"))
+    # ONLY pairs that cross a tile edge (in-tile pairs are already in
+    # the scan's `pairs`)
+    right = border.filter((F.col("gc") + 1) % t == 0).join(
+        b2, (F.col("source_id") == F.col("source_id2"))
+        & (F.col("band") == F.col("band2"))
+        & (F.col("gr") == F.col("gr_b")) & (F.col("gc") + 1 == F.col("gc_b")))
+    down = border.filter((F.col("gr") + 1) % t == 0).join(
+        b2, (F.col("source_id") == F.col("source_id2"))
+        & (F.col("band") == F.col("band2"))
+        & (F.col("gr") + 1 == F.col("gr_b")) & (F.col("gc") == F.col("gc_b")))
+    cross = right.union(down) \
+        .select("source_id", "band", "label", "label2")
+
+    from pyspark.sql import Window
+
+    src_dim = (tiles.select("source_id").distinct()
+               .withColumn("sidx", F.row_number().over(
+                   Window.orderBy("source_id")) - 1))
+    span = F.lit(npx) * F.lit(npx)
+    sbk = (F.col("sidx") * F.lit(2) + F.col("band"))
+    enc = (cross.join(F.broadcast(src_dim), "source_id")
+           .select((sbk * span + F.col("label")).alias("src"),
+                   (sbk * span + F.col("label2")).alias("dst")))
+    st = (stats.join(F.broadcast(src_dim), "source_id")
+          .withColumn("sbk", sbk))
+    if enc.limit(1).count() == 0:
+        merged = st.withColumn("root", F.col("label"))
+        cross_per_root = None
+    else:
+        comp = connected_components(enc)
+        dec = comp.select(
+            F.floor(F.col("id") / span).alias("sbk"),
+            (F.col("id") % span).alias("label"),
+            (F.col("component") % span).alias("rt"))
+        merged = (st.join(F.broadcast(dec), ["sbk", "label"], "left")
+                  .withColumn("root", F.coalesce("rt", "label")))
+        # each cross pair belongs to exactly one merged region
+        cp = (cross.join(F.broadcast(src_dim), "source_id")
+              .withColumn("sbk", sbk)
+              .join(F.broadcast(dec), ["sbk", "label"], "left")
+              .withColumn("root", F.coalesce("rt", "label")))
+        cross_per_root = cp.groupBy("source_id", "band", "root") \
+            .agg(F.count(F.lit(1)).alias("xpairs"))
+
+    agg = (merged.groupBy("source_id", "band",
+                          F.col("root").alias("region_id"))
+           .agg(F.sum("n").alias("n_pixels"),
+                F.sum("pairs").alias("in_pairs"),
+                F.min("grmin").alias("gr_min"),
+                F.max("grmax").alias("gr_max"),
+                F.min("gcmin").alias("gc_min"),
+                F.max("gcmax").alias("gc_max")))
+    if cross_per_root is not None:
+        agg = (agg.join(cross_per_root.withColumnRenamed("root",
+                                                         "region_id"),
+                        ["source_id", "band", "region_id"], "left")
+               .withColumn("xpairs", F.coalesce("xpairs", F.lit(0))))
+    else:
+        agg = agg.withColumn("xpairs", F.lit(0))
+    return agg.select(
+        "source_id", "band", "region_id", "n_pixels",
+        (F.lit(4) * F.col("n_pixels")
+         - F.lit(2) * (F.col("in_pairs") + F.col("xpairs")))
+        .alias("perimeter"),
+        "gr_min", "gr_max", "gc_min", "gc_max")

@@ -90,3 +90,59 @@ def test_region_group_empty_mask(spark):
     out = RG.region_group(tiles, lambda v, gr, gc: gr < 0,
                           tile_size=T, npx=NPX).collect()
     assert out == []
+
+
+def test_region_stats_matches_untiled_bfs(spark):
+    """Perimeter/bbox/count per region vs the BFS brute force — the
+    cross-tile pair restriction ((gc+1)%t==0 etc.) is exactly what a
+    double count would break."""
+    pred = lambda vals, gr, gc: (gr % 11 < 3) & (gc % 9 < 3)  # noqa: E731
+    tiles = corpus.synth_px_tiles(spark, tile_size=T)
+    out = RG.region_stats(tiles, pred, tile_size=T, npx=NPX).collect()
+    for s in range(3):
+        for band in range(2):
+            eng = {r["region_id"]: (r["n_pixels"], r["perimeter"],
+                                    r["gr_min"], r["gr_max"],
+                                    r["gc_min"], r["gc_max"])
+                   for r in out
+                   if r["source_id"] == f"scene-{s}" and r["band"] == band}
+            big = _mosaic(s, band)
+            gr = 24 * T + np.arange(4 * T).reshape(-1, 1) * np.ones(
+                (1, 4 * T), dtype=int)
+            gc = np.ones((4 * T, 1), dtype=int) * (
+                (18 + s) * T + np.arange(4 * T).reshape(1, -1))
+            mask = pred(big, gr, gc) & ~np.isnan(big)
+            want = {}
+            seen = np.zeros_like(mask)
+            for i in range(mask.shape[0]):
+                for j in range(mask.shape[1]):
+                    if mask[i, j] and not seen[i, j]:
+                        q = deque([(i, j)])
+                        seen[i, j] = True
+                        comp = []
+                        while q:
+                            a, b = q.popleft()
+                            comp.append((a, b))
+                            for da, db in ((1, 0), (-1, 0), (0, 1),
+                                           (0, -1)):
+                                x, y = a + da, b + db
+                                if (0 <= x < mask.shape[0]
+                                        and 0 <= y < mask.shape[1]
+                                        and mask[x, y]
+                                        and not seen[x, y]):
+                                    seen[x, y] = True
+                                    q.append((x, y))
+                        cs = set(comp)
+                        perim = sum(
+                            1 for (a, b) in comp
+                            for da, db in ((1, 0), (-1, 0), (0, 1),
+                                           (0, -1))
+                            if (a + da, b + db) not in cs)
+                        gps = [gr[a, b] * NPX + gc[a, b] for a, b in comp]
+                        want[min(gps)] = (
+                            len(comp), perim,
+                            min(gr[a, b] for a, b in comp),
+                            max(gr[a, b] for a, b in comp),
+                            min(gc[a, b] for a, b in comp),
+                            max(gc[a, b] for a, b in comp))
+            assert eng == want, (s, band)
