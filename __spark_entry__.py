@@ -1396,6 +1396,26 @@ def q_focal_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FO.convolve_stats(tiles)
 
 
+def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIEWSHED (GeoTrellis raster.viewshed R3 analog): per (scene,
+    band) one observer at (1640 + 3*band, (18+s)*64 + 104) with height
+    2.0 over the closed-form elevation fixture; target visible iff its
+    slope (z_t - zbase)/n >= max over DDA samples k of (z_k - zbase)/k
+    (samples at floor(o + k*d/n + 0.5) in GLOBAL coords, NoData
+    transparent, n<=1 always visible). Scene is the parallel unit (ONE
+    groupBy(source,band) applyInPandas, vectorized k-sweep — viewshed
+    has global ray dependency; at 100 TB the corpus is many scenes).
+    Oracle: the identical sampling/slope arithmetic unrolled in SQL
+    (targets x bounded step range, MAX per target, per-tile rollup)."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import viewshed as VS
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    obs = lambda sid, band: (1640 + 3 * band,  # noqa: E731
+                             (18 + int(sid.split("-")[1])) * 64 + 104)
+    return VS.viewshed(tiles, obs, height=2.0, tile_size=64)
+
+
 def q_region_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REGION VECTORIZE stats (raster->vector per-region summary, the
     polygonize sibling of region_group): per 4-connected component its
@@ -2309,6 +2329,59 @@ FROM cand WHERE BIT_COUNT(XOR(sim_a, sim_b)) <= {sim_max_ham}
                             f"s*1000.0 + band*100.0 + (18+tc+s)*7.0 + (24+tr)*3.0 "
                             f"+ ({rr})*0.5 + ({cc})*0.25 "
                             f"+ CAST((({rr})*31 + ({cc})*17) % 13 AS DOUBLE) END")
+
+    # Viewshed (viewshed): the R3 sampling/slope arithmetic unrolled —
+    # targets x bounded step range, nearest-cell sample via the same
+    # FLOOR(+0.5) in global coords, NoData-transparent MAX per target.
+    o["viewshed"] = f"""
+WITH px AS (
+  SELECT s, band, (24*64 + trr*64 + ri) AS gr,
+         ((18+s)*64 + tcc*64 + ci) AS gc,
+         18 + s + tcc AS col, 24 + trr AS row,
+         CASE WHEN ri >= (s*11)%48 AND ri < (s*11)%48+16
+                   AND ci >= (s*11)%48 AND ci < (s*11)%48+16 THEN NULL
+              ELSE s*1000.0 + band*100.0 + (18+tcc+s)*7.0 + (24+trr)*3.0
+                   + ri*0.5 + ci*0.25
+                   + CAST((ri*31 + ci*17) % 13 AS DOUBLE) END AS val
+  FROM range(0,3) ss(s), range(0,2) bs(band), range(0,4) tcs(tcc),
+       range(0,4) trs(trr), range(0,64) rs(ri), range(0,64) cs(ci)
+), obs AS (
+  SELECT s, band, gr AS ogr, gc AS ogc, val + 2.0 AS zbase
+  FROM px WHERE gr = 1640 + 3*band AND gc = (18+s)*64 + 104
+), tgt AS (
+  SELECT p.s, p.band, p.gr, p.gc, p.col, p.row, p.val,
+         GREATEST(ABS(p.gr - o.ogr), ABS(p.gc - o.ogc)) AS n,
+         o.ogr, o.ogc, o.zbase
+  FROM px p JOIN obs o ON o.s = p.s AND o.band = p.band
+  WHERE p.val IS NOT NULL
+), samp AS (
+  SELECT t.s, t.band, t.gr, t.gc, t.zbase, k,
+    CAST(FLOOR(CAST(t.ogr AS DOUBLE)
+               + (CAST(k AS DOUBLE) * CAST(t.gr - t.ogr AS DOUBLE))
+                 / CAST(t.n AS DOUBLE) + 0.5) AS BIGINT) AS rr,
+    CAST(FLOOR(CAST(t.ogc AS DOUBLE)
+               + (CAST(k AS DOUBLE) * CAST(t.gc - t.ogc AS DOUBLE))
+                 / CAST(t.n AS DOUBLE) + 0.5) AS BIGINT) AS cc
+  FROM tgt t JOIN range(1, 256) ks(k) ON k < t.n
+), sl AS (
+  SELECT sp.s, sp.band, sp.gr, sp.gc,
+         MAX((p.val - sp.zbase) / CAST(sp.k AS DOUBLE)) AS ms
+  FROM samp sp JOIN px p ON p.s = sp.s AND p.band = sp.band
+       AND p.gr = sp.rr AND p.gc = sp.cc
+  WHERE p.val IS NOT NULL
+  GROUP BY 1, 2, 3, 4
+)
+SELECT CONCAT('scene-', CAST(t.s AS VARCHAR)) AS source_id,
+       CAST(t.band AS INT) AS band,
+       CAST(t.col AS BIGINT) AS col, CAST(t.row AS BIGINT) AS row,
+       CAST(SUM(CASE WHEN t.n <= 1 OR sl.ms IS NULL
+                     OR (t.val - t.zbase) / CAST(t.n AS DOUBLE) >= sl.ms
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_visible,
+       CAST(COUNT(*) AS BIGINT) AS n_valid
+FROM tgt t LEFT JOIN sl ON sl.s = t.s AND sl.band = t.band
+     AND sl.gr = t.gr AND sl.gc = t.gc
+GROUP BY 1, 2, 3, 4
+"""
 
     # Region vectorize stats (region_stats): the region_group closure
     # plus a ONE-directional adjacency count per root (perimeter =
@@ -4406,6 +4479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw_interpolate": q_idw_interpolate,
         "euclidean_distance": q_euclidean_distance,
         "region_stats": q_region_stats,
+        "viewshed": q_viewshed,
         "terrain_stats": q_terrain_stats,
         "hillshade": q_hillshade,
         "tri_stats": q_tri_stats,
