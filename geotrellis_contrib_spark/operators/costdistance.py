@@ -201,6 +201,10 @@ def _solve(tiles: DataFrame,
             "friction": center.friction, "cost": pack(new),
             "improved": improved}])
 
+    # ONE round per materialization: batching 2 cut+relax rounds per
+    # localCheckpoint was measured SLOWER (21s vs 17s at the gate —
+    # the relax stages dominate, not the sync job; same dead end as
+    # cluster.py rounds_per_sync=3, NOTES_r5)
     for _ in range(max_iter):
         pieces = state.mapInPandas(cut, _PIECE_SCHEMA)
         nxt = pieces.groupBy("source_id", "band", "col", "row") \

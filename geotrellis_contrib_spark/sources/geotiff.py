@@ -579,3 +579,63 @@ def per_tile_checksum(tiles):
     return tiles.mapInPandas(
         stats, "source_id string, band int, col bigint, row bigint, "
                "px_qsum bigint, px_count bigint")
+
+
+def write_scene_geotiffs(tiles, out_dir: str, tile_size: int = 64,
+                         epsg: int = 3857, compress: str = "deflate",
+                         overviews: int = 0):
+    """Distributed GeoTiff SINK: one tiled GeoTiff per (source_id, band)
+    assembled from the engine tile table — the write-side mirror of the
+    catalog read path. ONE ``groupBy(source_id, band).applyInPandas``;
+    each task assembles its scene mosaic (missing tiles -> nodata pads),
+    derives the web-mercator extent from the (zoom, col, row) footprint,
+    and writes <source_id>_b<band>.tif atomically (tmp + rename).
+    Returns a DataFrame (source_id, band, path, width, height, n_tiles)
+    — an action on it performs the writes.
+
+    At cluster scale each scene is one output object (the parallel unit,
+    like the viewshed); for larger-than-memory scenes shard by windowed
+    sub-grids first."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from geotrellis_contrib_spark.operators.pixels import DTYPES
+
+    t = int(tile_size)
+
+    def write_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        source_id, band = key[0], int(key[1])
+        cols = pdf["col"].to_numpy()
+        rows = pdf["row"].to_numpy()
+        zoom = int(pdf["zoom"].iloc[0])
+        nodata = float(pdf["nodata"].iloc[0])
+        dtype = str(pdf["dtype"].iloc[0])
+        c0, r0 = int(cols.min()), int(rows.min())
+        nc, nr = int(cols.max()) - c0 + 1, int(rows.max()) - r0 + 1
+        arr = np.full((nr * t, nc * t), nodata, dtype=np.dtype(dtype))
+        for row_t in pdf.itertuples(index=False):
+            a = np.frombuffer(row_t.px, dtype=DTYPES[row_t.dtype]) \
+                  .reshape(t, t)
+            arr[(int(row_t.row) - r0) * t:(int(row_t.row) - r0 + 1) * t,
+                (int(row_t.col) - c0) * t:(int(row_t.col) - c0 + 1) * t] \
+                = a
+        web = 20037508.342789244
+        tsz = 2.0 * web / float(1 << zoom)
+        xmin = -web + c0 * tsz
+        ymax = web - r0 * tsz
+        extent = (xmin, ymax - nr * tsz, xmin + nc * tsz, ymax)
+        path = os.path.join(out_dir, f"{source_id}_b{band}.tif")
+        fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".part")
+        os.close(fd)
+        write_geotiff(tmp, arr, extent, epsg=epsg, nodata=nodata,
+                      tile_size=t, compress=compress, overviews=overviews)
+        os.replace(tmp, path)
+        return pd.DataFrame([{
+            "source_id": source_id, "band": band, "path": path,
+            "width": nc * t, "height": nr * t, "n_tiles": len(pdf)}])
+
+    return tiles.groupBy("source_id", "band").applyInPandas(
+        write_group, "source_id string, band int, path string, "
+                     "width bigint, height bigint, n_tiles bigint")

@@ -227,3 +227,30 @@ def test_fixture_write_once(tmp_path):
     mtimes = [os.path.getmtime(s["path"]) for s in specs1]
     specs2 = corpus.synth_geotiff_scenes(str(tmp_path))
     assert [os.path.getmtime(s["path"]) for s in specs2] == mtimes
+
+
+def test_write_scene_geotiffs_roundtrip(tmp_path, spark):
+    """Distributed sink: tile table -> one GeoTiff per (scene, band) ->
+    read back through the catalog path -> bit-identical checksums."""
+    tiles = corpus.synth_px_tiles(spark, tile_size=64)
+    res = GT.write_scene_geotiffs(tiles, str(tmp_path),
+                                  tile_size=64, overviews=1).collect()
+    assert len(res) == 6 and all(r.n_tiles == 16 for r in res)
+    specs = []
+    for r in res:
+        s = int(r.source_id.split("-")[1])
+        info = GT.read_geotiff_info(r.path)
+        assert info["epsg"] == 3857 and len(info["ifds"]) == 2
+        assert (r.width, r.height) == (256, 256)
+        specs.append({"path": r.path,
+                      "source_id": f"{r.source_id}|b{r.band}",
+                      "zoom": 6, "base_col": 18 + s, "base_row": 24})
+    cat = GT.geotiff_tile_catalog(spark, specs)
+    a = GT.per_tile_checksum(GT.read_catalog_tiles(cat)).collect()
+    b = GT.per_tile_checksum(tiles).collect()
+    # sink writes single-band files; band folds into source_id on read
+    ka = {(r.source_id, r.col, r.row): (r.px_qsum, r.px_count)
+          for r in a}
+    kb = {(f"{r.source_id}|b{r.band}", r.col, r.row):
+          (r.px_qsum, r.px_count) for r in b}
+    assert ka == kb and len(ka) == 96
