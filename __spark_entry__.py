@@ -1223,6 +1223,38 @@ MO_DEF = "+proj=moll +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84 +units=m +no_defs"
 MO_X0, MO_Y0, MO_X1, MO_Y1 = -7400000.0, 2750000.0, -3900000.0, 4820000.0
 MO_COLS, MO_ROWS = 107, 93
 
+# Azimuthal equidistant destination centered in the fixture footprint
+# (spherical closed form — ellipsoidal aeqd is fail-loud): odd col/row
+# counts + non-half-integer X0/cw keep every pixel center off rho=0.
+AE_LON0, AE_LAT0 = -60.0, 32.0
+AE_DEF = (f"+proj=aeqd +lat_0={AE_LAT0} +lon_0={AE_LON0} +x_0=0 +y_0=0 "
+          f"+R=6371000 +units=m +no_defs")
+AE_X0, AE_Y0, AE_X1, AE_Y1 = -1800000.0, -1000000.0, 1900000.0, 1100000.0
+AE_COLS, AE_ROWS = 103, 91
+
+
+def q_reproject_aeqd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reprojectToGrid onto an AZIMUTHAL EQUIDISTANT destination
+    (+proj=aeqd spherical — grid.lonlat_to_aeqd_sph/aeqd_sph_to_lonlat,
+    Snyder 25; distances from the center are TRUE, verified bit-equal to
+    the haversine in tests): the pixel fixture warped onto an explicit
+    target GridExtent, NaN-aware window checksums per (source, band).
+    Oracle: the inverse chain — c = rho/R, asin/atan2 with literal
+    sin/cos(lat_0) constants, the same clamps (LEAST/GREATEST) and
+    +180 %360 -180 wrap — recomputed in SQL."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark import grid as GR
+    from geotrellis_contrib_spark.operators import pixels as px
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    target = GR.GridExtent(AE_X0, AE_Y0, AE_X1, AE_Y1,
+                           (AE_X1 - AE_X0) / AE_COLS,
+                           (AE_Y1 - AE_Y0) / AE_ROWS)
+    out = px.reproject_to_grid(tiles, target, method="nearest",
+                               tile_size=64, dst_crs=AE_DEF)
+    return px.window_stats(out).select("source_id", "band", "px_sum",
+                                       "px_count")
+
 
 def q_reproject_moll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """reprojectToGrid onto a MOLLWEIDE destination (ESRI:54009 world
@@ -3299,6 +3331,56 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM vals GROUP BY 1, 2
 """
 
+    # Azimuthal equidistant reproject (reproject_aeqd): the Snyder-25
+    # spherical inverse — c = rho/R, the same asin/atan2 chain as the
+    # spherical stere oracle — with literal sin/cos(lat_0) constants.
+    import numpy as _np
+    _ae_cw = _dl((AE_X1 - AE_X0) / AE_COLS)
+    _ae_ch = _dl((AE_Y1 - AE_Y0) / AE_ROWS)
+    _ae_sp0 = _dl(float(_np.sin(_np.radians(_np.float64(AE_LAT0)))))
+    _ae_cp0 = _dl(float(_np.cos(_np.radians(_np.float64(AE_LAT0)))))
+    _ae_r = _dl(6371000.0)
+    o["reproject_aeqd"] = f"""
+WITH tgt AS (
+  SELECT CAST({AE_X0} AS DOUBLE) + (c+0.5)*{_ae_cw} AS xs,
+         CAST({AE_Y1} AS DOUBLE) - (r+0.5)*{_ae_ch} AS ys
+  FROM range(0,{AE_COLS}) cs(c), range(0,{AE_ROWS}) rs(r)
+), rc AS (
+  SELECT xs, ys, SQRT(xs*xs + ys*ys) AS rho,
+         SQRT(xs*xs + ys*ys) / {_ae_r} AS cc
+  FROM tgt
+), pts AS (
+  SELECT (({AE_LON0} + DEGREES(ATAN2(xs*SIN(cc),
+            rho*{_ae_cp0}*COS(cc) - ys*{_ae_sp0}*SIN(cc))))
+          + 180.0) % 360.0 - 180.0 AS lon,
+         DEGREES(ASIN(LEAST(GREATEST(
+            COS(cc)*{_ae_sp0} + ys*SIN(cc)*{_ae_cp0}/rho,
+            -1.0), 1.0))) AS lat
+  FROM rc
+), own AS (
+  SELECT lon, lat, {C.sql_tile_col('lon', 6)} AS col, {C.sql_tile_row('lat', 6)} AS row
+  FROM pts
+), samp AS (
+  SELECT s, band, col, row,
+    CAST(FLOOR((lon - (CAST(col AS DOUBLE)/64.0*360.0-180.0)) / 0.087890625) AS BIGINT) AS ci,
+    CAST(FLOOR(({_la_lat6('CAST(row AS DOUBLE)')} - lat)
+         / (({_la_lat6('CAST(row AS DOUBLE)')} - {_la_lat6('CAST(row AS DOUBLE)+1.0')})/64.0)) AS BIGINT) AS ri
+  FROM own, range(0,3) ss(s), range(0,2) bs(band)
+  WHERE col BETWEEN 18+s AND 21+s AND row BETWEEN 24 AND 27
+), vals AS (
+  SELECT s, band,
+    CASE WHEN ri >= (s*11)%48 AND ri < (s*11)%48+16
+          AND ci >= (s*11)%48 AND ci < (s*11)%48+16 THEN -9999.0
+         ELSE s*1000.0 + band*100.0 + col*7.0 + row*3.0 + ri*0.5 + ci*0.25
+              + CAST((ri*31 + ci*17) % 13 AS DOUBLE) END AS v
+  FROM samp
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS BIGINT) AS band,
+       SUM(v) AS px_sum, CAST(COUNT(*) AS BIGINT) AS px_count
+FROM vals GROUP BY 1, 2
+"""
+
     # Oblique double-stereographic reproject (reproject_sterea): SQL twin
     # of the EPSG GN7-2 inverse — g/h/i/j closed forms to (chi, Lambda),
     # then the SAME 8-step pinned isometric-latitude fixed point the
@@ -4480,6 +4562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "euclidean_distance": q_euclidean_distance,
         "region_stats": q_region_stats,
         "viewshed": q_viewshed,
+        "reproject_aeqd": q_reproject_aeqd,
         "terrain_stats": q_terrain_stats,
         "hillshade": q_hillshade,
         "tri_stats": q_tri_stats,

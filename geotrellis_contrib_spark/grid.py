@@ -1621,6 +1621,49 @@ _MOLL_CY = float(np.sqrt(2.0))
 _MOLL_ITERS = 8  # pinned like the other fixed-point inverses
 
 
+def lonlat_to_aeqd_sph(lon, lat, lon0: float, lat0: float,
+                       x0: float = 0.0, y0: float = 0.0,
+                       radius: float = 6371000.0):
+    """Oblique spherical azimuthal equidistant forward (Snyder 25-1..25-4
+    with k' = c/sin c): distances from the center are TRUE. Ellipsoidal
+    aeqd needs geodesics and is fail-loud in parse_proj4."""
+    lam = np.radians(_wrap_deg(np.asarray(lon, dtype=np.float64) - lon0))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    phi0 = np.radians(np.float64(lat0))
+    cosc = np.clip(np.sin(phi0) * np.sin(phi)
+                   + np.cos(phi0) * np.cos(phi) * np.cos(lam), -1.0, 1.0)
+    c = np.arccos(cosc)
+    sinc = np.sin(c)
+    k = np.where(sinc > 0.0, c / np.where(sinc > 0.0, sinc, 1.0), 1.0)
+    x = x0 + radius * k * np.cos(phi) * np.sin(lam)
+    y = y0 + radius * k * (np.cos(phi0) * np.sin(phi)
+                           - np.sin(phi0) * np.cos(phi) * np.cos(lam))
+    return x, y
+
+
+def aeqd_sph_to_lonlat(x, y, lon0: float, lat0: float,
+                       x0: float = 0.0, y0: float = 0.0,
+                       radius: float = 6371000.0):
+    """Spherical azimuthal equidistant inverse (Snyder 20-14..20-17 with
+    c = rho/R — the same asin/atan2 chain as the spherical stere inverse,
+    mirrored term-for-term by the reproject_aeqd SQL oracle)."""
+    xs = np.asarray(x, dtype=np.float64) - x0
+    ys = np.asarray(y, dtype=np.float64) - y0
+    phi0 = np.radians(np.float64(lat0))
+    rho = np.sqrt(xs * xs + ys * ys)
+    c = rho / radius
+    safe = np.where(rho > 0.0, rho, 1.0)
+    phi = np.arcsin(np.clip(
+        np.cos(c) * np.sin(phi0)
+        + np.where(rho > 0.0, ys * np.sin(c) * np.cos(phi0) / safe, 0.0),
+        -1.0, 1.0))
+    lam = np.arctan2(xs * np.sin(c),
+                     safe * np.cos(phi0) * np.cos(c)
+                     - ys * np.sin(phi0) * np.sin(c))
+    lam = np.where(rho > 0.0, lam, 0.0)
+    return _wrap_deg(lon0 + np.degrees(lam)), np.degrees(phi)
+
+
 def lonlat_to_moll(lon, lat, lon0: float,
                    x0: float = 0.0, y0: float = 0.0,
                    radius: float = _WGS84_A):
@@ -2263,6 +2306,24 @@ def parse_proj4(s: str):
                                             x0, y0, ell_a, e2_g),
             lambda x, y: geos_to_lonlat(x, y, lon0, h, sweep,
                                         x0, y0, ell_a, e2_g))
+    if proj == "aeqd":
+        # azimuthal equidistant: distances from the center are true.
+        # Ellipsoidal aeqd needs Karney geodesics — fail-loud; the
+        # spherical closed form (Snyder 25) is exact on +R / +a=+b.
+        if not spherical:
+            raise ValueError(
+                f"ellipsoidal aeqd needs geodesic distances "
+                f"(unsupported) — pass +R or a sphere: {s!r}")
+        if k0 != 1.0:
+            raise ValueError(f"+k_0 is not a +proj=aeqd parameter: {s!r}")
+        if shift is not None or ntv2 is not None:
+            raise ValueError(f"datum shift on spherical +proj=aeqd "
+                             f"unsupported: {s!r}")
+        return (
+            lambda lon, lat: lonlat_to_aeqd_sph(lon, lat, lon0, lat0,
+                                                x0, y0, ell_a),
+            lambda x, y: aeqd_sph_to_lonlat(x, y, lon0, lat0,
+                                            x0, y0, ell_a))
     if proj == "moll":
         # proj4 moll is SPHERICAL formulas on the semi-major axis
         # regardless of +ellps (like eqc) — ESRI:54009 "World Mollweide"

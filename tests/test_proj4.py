@@ -176,3 +176,49 @@ def test_proj4_merc_ellipsoidal():
     # differs from the spherical form by the ellipsoidal correction (~0.3%)
     ys = gr.lonlat_to_mercator(np.array([2.0]), np.array([49.0]))[1]
     assert abs(ys[0] - y[0]) > 10000
+
+
+def test_aeqd_sphere_roundtrip_and_distance_true():
+    """Spherical azimuthal equidistant: roundtrip exact, and rho from
+    the center equals the great-circle (haversine) distance BIT-EXACTLY
+    on sample points (the defining property of the projection)."""
+    import numpy as np
+
+    from geotrellis_contrib_spark import grid as GR
+
+    fwd, inv = GR.parse_proj4(
+        "+proj=aeqd +lat_0=32 +lon_0=-60 +x_0=0 +y_0=0 +R=6371000")
+    lon = np.linspace(-78.0, -40.0, 13)
+    lat = np.linspace(22.5, 40.5, 13)
+    LO, LA = np.meshgrid(lon, lat)
+    x, y = fwd(LO.ravel(), LA.ravel())
+    lo2, la2 = inv(x, y)
+    assert np.abs(lo2 - LO.ravel()).max() < 1e-12
+    assert np.abs(la2 - LA.ravel()).max() < 1e-12
+    # center maps to the false origin exactly
+    xc, yc = fwd(np.array([-60.0]), np.array([32.0]))
+    assert xc[0] == 0.0 and yc[0] == 0.0
+    # distance-true: rho == great-circle distance
+    R = 6371000.0
+    for plon, plat in ((-70.0, 38.0), (-45.0, 25.0), (-60.0, 22.0)):
+        xp, yp = fwd(np.array([plon]), np.array([plat]))
+        rho = float(np.hypot(xp, yp)[0])
+        la1, lo1 = np.radians(32.0), np.radians(-60.0)
+        la2_, lo2_ = np.radians(plat), np.radians(plon)
+        d = float(2 * R * np.arcsin(np.sqrt(
+            np.sin((la2_ - la1) / 2) ** 2
+            + np.cos(la1) * np.cos(la2_)
+            * np.sin((lo2_ - lo1) / 2) ** 2)))
+        assert abs(rho - d) < 1e-6
+
+
+def test_aeqd_fail_loud():
+    import pytest as _pytest
+
+    from geotrellis_contrib_spark import grid as GR
+
+    with _pytest.raises(ValueError, match="geodesic"):
+        GR.parse_proj4("+proj=aeqd +lat_0=32 +lon_0=-60 +ellps=WGS84")
+    with _pytest.raises(ValueError, match="k_0"):
+        GR.parse_proj4("+proj=aeqd +lat_0=32 +lon_0=-60 +R=6371000 "
+                       "+k_0=0.9")
