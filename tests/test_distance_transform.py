@@ -88,3 +88,11 @@ def test_fail_loud_radius(spark):
     with pytest.raises(ValueError, match="radius"):
         FO.euclidean_distance(tiles, lambda v, g, c: g > 0, radius=64,
                               tile_size=T)
+
+
+def test_single_shuffle_plan(spark):
+    tiles = corpus.synth_px_tiles(spark, tile_size=T)
+    plan = FO.euclidean_distance(
+        tiles, lambda v, gr, gc: gr % 2 == 0, radius=2,
+        tile_size=T)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") - plan.count("ReusedExchange") <= 1, plan

@@ -254,3 +254,11 @@ def test_write_scene_geotiffs_roundtrip(tmp_path, spark):
     kb = {(f"{r.source_id}|b{r.band}", r.col, r.row):
           (r.px_qsum, r.px_count) for r in b}
     assert ka == kb and len(ka) == 96
+
+
+def test_catalog_read_zero_shuffle_plan(tmp_path, spark):
+    specs = corpus.synth_geotiff_scenes(str(tmp_path))
+    cat = GT.geotiff_tile_catalog(spark, specs)
+    plan = GT.per_tile_checksum(GT.read_catalog_tiles(cat)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

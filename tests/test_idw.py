@@ -122,3 +122,10 @@ def test_fail_loud(spark):
     with pytest.raises(ValueError, match="power=2"):
         px.idw_interpolate(df, zoom=Z, radius_px=4.0, tile_size=T,
                            power=3.0, quantize=True)
+
+
+def test_idw_single_shuffle_plan(spark):
+    df = _pts_df(spark, [(100.0, 100.0, 1.0)])
+    plan = px.idw_interpolate(df, zoom=Z, radius_px=4.0, tile_size=T) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") - plan.count("ReusedExchange") <= 1, plan
