@@ -1223,6 +1223,40 @@ MO_DEF = "+proj=moll +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84 +units=m +no_defs"
 MO_X0, MO_Y0, MO_X1, MO_Y1 = -7400000.0, 2750000.0, -3900000.0, 4820000.0
 MO_COLS, MO_ROWS = 107, 93
 
+# Krovak destination: the S-JTSK METHOD (EPSG 9819 — oblique conformal
+# conic via the tilted conformal sphere; +proj=krovak, EPSG:5514 axes)
+# with the real alpha/k/phiP constants, RELOCATED to the fixture
+# footprint (lat_0=32, lon_0=-45 — east of the footprint so westing
+# stays positive, like the real grid east of Czechia). The genuine
+# EPSG:5514 parameter set (Bessel + 589/76/480 Helmert, GN7-2 worked
+# example, Prague) is pytest-gated in tests/test_proj4.py.
+KR_DEF = ("+proj=krovak +lat_0=32 +lon_0=-45 +alpha=30.28813972222222 "
+          "+k=0.9999 +x_0=0 +y_0=0 +ellps=bessel +units=m +no_defs")
+KR_X0, KR_Y0, KR_X1, KR_Y1 = -3500000.0, -4100000.0, 400000.0, -1600000.0
+KR_COLS, KR_ROWS = 101, 89
+
+
+def q_reproject_krovak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reprojectToGrid onto a KROVAK destination (EPSG method 9819 —
+    grid.lonlat_to_krovak/krovak_to_lonlat): conic unroll to (T, D),
+    rotation back to the conformal sphere (U, V), and the pinned 8-step
+    isometric-latitude fixed point, all mirrored term-for-term by the
+    SQL oracle with the GN7-2 constant set (B, t0, n, r0, sin/cos
+    alpha_C) as literals."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark import grid as GR
+    from geotrellis_contrib_spark.operators import pixels as px
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    target = GR.GridExtent(KR_X0, KR_Y0, KR_X1, KR_Y1,
+                           (KR_X1 - KR_X0) / KR_COLS,
+                           (KR_Y1 - KR_Y0) / KR_ROWS)
+    out = px.reproject_to_grid(tiles, target, method="nearest",
+                               tile_size=64, dst_crs=KR_DEF)
+    return px.window_stats(out).select("source_id", "band", "px_sum",
+                                       "px_count")
+
+
 # Azimuthal equidistant destination centered in the fixture footprint
 # (spherical closed form — ellipsoidal aeqd is fail-loud): odd col/row
 # counts + non-half-integer X0/cw keep every pixel center off rho=0.
@@ -3331,6 +3365,90 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM vals GROUP BY 1, 2
 """
 
+    # Krovak reproject (reproject_krovak): SQL twin of the 9819 inverse
+    # — conic (r, theta) -> (T, D), tilted-sphere rotation -> (U, V),
+    # lam = lon0 - V/B, then the DIRECT 8-step fixed point
+    # phi = 2(atan(tU ((1+e sin phi)/(1-e sin phi))^(e/2)) - pi/4).
+    import numpy as _np2
+    _kr_ell = _gr.ellipsoid_params("bessel")
+    _kr_a, _kr_e2 = _kr_ell[0], _kr_ell[2]
+    _kr_A, _kr_B, _kr_g0, _kr_t0, _kr_n, _kr_r0 = _gr._krovak_consts(
+        32.0, 78.5, 0.9999, _kr_a, _kr_e2)
+    _kr_e1 = float(_np2.sqrt(_kr_e2))
+    _kr_ac = _np2.radians(_np2.float64(30.28813972222222))
+    _kr_sinac = _dl(float(_np2.sin(_kr_ac)))
+    _kr_cosac = _dl(float(_np2.cos(_kr_ac)))
+    _kr_tanp = _dl(float(_np2.tan(_np2.pi / 4.0
+                                  + _np2.radians(_np2.float64(78.5)) / 2.0)))
+    _kr_cw = _dl((KR_X1 - KR_X0) / KR_COLS)
+    _kr_ch = _dl((KR_Y1 - KR_Y0) / KR_ROWS)
+    _kr_lit_B = _dl(_kr_B)
+    _kr_lit_t0 = _dl(_kr_t0)
+    _kr_lit_n = _dl(_kr_n)
+    _kr_lit_r0 = _dl(_kr_r0)
+    _kr_invn = _dl(1.0 / _kr_n)
+    _kr_invB = _dl(1.0 / _kr_B)
+    _kr_lit_e1 = _dl(_kr_e1)
+    _kr_e12 = _dl(_kr_e1 / 2.0)
+    _kr_iters = "".join(
+        f", kr{i} AS MATERIALIZED (SELECT * EXCLUDE (phi), "
+        f"2.0*(ATAN(tu*POWER((1.0 + {_kr_lit_e1}*SIN(phi))"
+        f"/(1.0 - {_kr_lit_e1}*SIN(phi)), {_kr_e12})) - PI()/4.0) AS phi "
+        f"FROM kr{i - 1})\n"
+        for i in range(1, 9))
+    o["reproject_krovak"] = f"""
+WITH tgt AS (
+  SELECT CAST({KR_X0} AS DOUBLE) + (c+0.5)*{_kr_cw} AS xs,
+         CAST({KR_Y1} AS DOUBLE) - (r+0.5)*{_kr_ch} AS ys
+  FROM range(0,{KR_COLS}) cs(c), range(0,{KR_ROWS}) rs(r)
+), con AS (
+  SELECT -xs AS yw, -ys AS xs_s FROM tgt
+), rc AS (
+  SELECT SQRT(xs_s*xs_s + yw*yw) AS r, ATAN2(yw, xs_s) AS theta FROM con
+), td AS (
+  SELECT 2.0*(ATAN(POWER({_kr_lit_r0}/r, {_kr_invn}) * {_kr_tanp})
+              - PI()/4.0) AS t,
+         theta/{_kr_lit_n} AS d FROM rc
+), uv AS (
+  SELECT t, d,
+    ASIN(LEAST(GREATEST({_kr_cosac}*SIN(t) - {_kr_sinac}*COS(t)*COS(d),
+                        -1.0), 1.0)) AS u
+  FROM td
+), uv2 AS (
+  SELECT u, ASIN(LEAST(GREATEST(COS(t)*SIN(d)/COS(u), -1.0), 1.0)) AS v
+  FROM uv
+), kr0 AS (
+  SELECT (((-45.0) - DEGREES(v/{_kr_lit_B})) + 180.0) % 360.0 - 180.0
+           AS lon,
+         POWER(TAN(u/2.0 + PI()/4.0)/{_kr_lit_t0}, {_kr_invB}) AS tu,
+         u AS phi
+  FROM uv2)
+{_kr_iters}, pts AS (
+  SELECT lon, DEGREES(phi) AS lat FROM kr8
+), own AS (
+  SELECT lon, lat, {C.sql_tile_col('lon', 6)} AS col, {C.sql_tile_row('lat', 6)} AS row
+  FROM pts
+), samp AS (
+  SELECT s, band, col, row,
+    CAST(FLOOR((lon - (CAST(col AS DOUBLE)/64.0*360.0-180.0)) / 0.087890625) AS BIGINT) AS ci,
+    CAST(FLOOR(({_la_lat6('CAST(row AS DOUBLE)')} - lat)
+         / (({_la_lat6('CAST(row AS DOUBLE)')} - {_la_lat6('CAST(row AS DOUBLE)+1.0')})/64.0)) AS BIGINT) AS ri
+  FROM own, range(0,3) ss(s), range(0,2) bs(band)
+  WHERE col BETWEEN 18+s AND 21+s AND row BETWEEN 24 AND 27
+), vals AS (
+  SELECT s, band,
+    CASE WHEN ri >= (s*11)%48 AND ri < (s*11)%48+16
+          AND ci >= (s*11)%48 AND ci < (s*11)%48+16 THEN -9999.0
+         ELSE s*1000.0 + band*100.0 + col*7.0 + row*3.0 + ri*0.5 + ci*0.25
+              + CAST((ri*31 + ci*17) % 13 AS DOUBLE) END AS v
+  FROM samp
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS BIGINT) AS band,
+       SUM(v) AS px_sum, CAST(COUNT(*) AS BIGINT) AS px_count
+FROM vals GROUP BY 1, 2
+"""
+
     # Azimuthal equidistant reproject (reproject_aeqd): the Snyder-25
     # spherical inverse — c = rho/R, the same asin/atan2 chain as the
     # spherical stere oracle — with literal sin/cos(lat_0) constants.
@@ -4563,6 +4681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_stats": q_region_stats,
         "viewshed": q_viewshed,
         "reproject_aeqd": q_reproject_aeqd,
+        "reproject_krovak": q_reproject_krovak,
         "terrain_stats": q_terrain_stats,
         "hillshade": q_hillshade,
         "tri_stats": q_tri_stats,

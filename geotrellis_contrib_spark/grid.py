@@ -1196,6 +1196,105 @@ def _somerc_params(lat0: float, ell_a: float, e2: float):
     return r, alpha, b0, k
 
 
+# ---------------------------------------------------------------------------
+# Krovak (EPSG method 9819 — the S-JTSK Czech/Slovak national grid,
+# EPSG:2065 southing/westing and EPSG:5514 east/north): oblique conformal
+# conic via a conformal sphere tilted to the cone axis. The EPSG longitude
+# of origin is 42°30' east of Ferro == 24°50' GREENWICH — the proj4
+# +lon_0=24.833333... convention (Greenwich in, Greenwich params) is used
+# here; no Ferro arithmetic appears in the kernels.
+# ---------------------------------------------------------------------------
+
+
+def _krovak_consts(lat0: float, lat_p: float, k_p: float,
+                   a: float, e2: float):
+    """GN7-2 constant set: A (Gaussian radius at phiC), B, gamma0, t0,
+    n = sin(phiP), r0."""
+    e1 = np.sqrt(e2)
+    phic = np.radians(np.float64(lat0))
+    A = a * np.sqrt(1.0 - e2) / (1.0 - e2 * np.sin(phic) ** 2)
+    B = np.sqrt(1.0 + e2 * np.cos(phic) ** 4 / (1.0 - e2))
+    g0 = np.arcsin(np.sin(phic) / B)
+    t0 = (np.tan(np.pi / 4.0 + g0 / 2.0)
+          * ((1.0 + e1 * np.sin(phic))
+             / (1.0 - e1 * np.sin(phic))) ** (e1 * B / 2.0)
+          / np.tan(np.pi / 4.0 + phic / 2.0) ** B)
+    n = np.sin(np.radians(np.float64(lat_p)))
+    r0 = k_p * A / np.tan(np.radians(np.float64(lat_p)))
+    return float(A), float(B), float(g0), float(t0), float(n), float(r0)
+
+
+def lonlat_to_krovak(lon, lat, lon0: float, lat0: float,
+                     alpha_c: float, lat_p: float, k_p: float,
+                     a: float, e2: float, x0: float = 0.0,
+                     y0: float = 0.0, czech: bool = False):
+    """Krovak forward (GN7-2 9819): Greenwich lon/lat -> EPSG:5514
+    east/north (negative in-country), or positive southing/westing
+    (EPSG:2065) with ``czech=True``."""
+    e1 = np.sqrt(e2)
+    A, B, g0, t0, n, r0 = _krovak_consts(lat0, lat_p, k_p, a, e2)
+    ac = np.radians(np.float64(alpha_c))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    U = 2.0 * (np.arctan(
+        t0 * np.tan(phi / 2.0 + np.pi / 4.0) ** B
+        / ((1.0 + e1 * np.sin(phi))
+           / (1.0 - e1 * np.sin(phi))) ** (e1 * B / 2.0)) - np.pi / 4.0)
+    V = B * np.radians(lon0 - np.asarray(lon, dtype=np.float64))
+    T = np.arcsin(np.clip(np.cos(ac) * np.sin(U)
+                          + np.sin(ac) * np.cos(U) * np.cos(V),
+                          -1.0, 1.0))
+    D = np.arcsin(np.clip(np.cos(U) * np.sin(V) / np.cos(T), -1.0, 1.0))
+    theta = n * D
+    phip = np.radians(np.float64(lat_p))
+    r = (r0 * np.tan(np.pi / 4.0 + phip / 2.0) ** n
+         / np.tan(T / 2.0 + np.pi / 4.0) ** n)
+    Xs = r * np.cos(theta)   # southing
+    Yw = r * np.sin(theta)   # westing
+    if czech:
+        return Xs + x0, Yw + y0
+    return -Yw + x0, -Xs + y0  # EPSG:5514 east/north
+
+
+_KROVAK_ITERS = 8  # pinned (the SQL twin unrolls exactly these)
+
+
+def krovak_to_lonlat(x, y, lon0: float, lat0: float,
+                     alpha_c: float, lat_p: float, k_p: float,
+                     a: float, e2: float, x0: float = 0.0,
+                     y0: float = 0.0, czech: bool = False):
+    """Krovak inverse: conic unroll to (T, D), rotate back to (U, V),
+    then the pinned isometric-latitude fixed point for phi."""
+    e1 = np.sqrt(e2)
+    A, B, g0, t0, n, r0 = _krovak_consts(lat0, lat_p, k_p, a, e2)
+    ac = np.radians(np.float64(alpha_c))
+    if czech:
+        Xs = np.asarray(x, dtype=np.float64) - x0
+        Yw = np.asarray(y, dtype=np.float64) - y0
+    else:
+        Yw = -(np.asarray(x, dtype=np.float64) - x0)
+        Xs = -(np.asarray(y, dtype=np.float64) - y0)
+    r = np.sqrt(Xs * Xs + Yw * Yw)
+    theta = np.arctan2(Yw, Xs)
+    D = theta / n
+    phip = np.radians(np.float64(lat_p))
+    T = 2.0 * (np.arctan(
+        (r0 / r) ** (1.0 / n) * np.tan(np.pi / 4.0 + phip / 2.0))
+        - np.pi / 4.0)
+    U = np.arcsin(np.clip(np.cos(ac) * np.sin(T)
+                          - np.sin(ac) * np.cos(T) * np.cos(D),
+                          -1.0, 1.0))
+    V = np.arcsin(np.clip(np.cos(T) * np.sin(D) / np.cos(U), -1.0, 1.0))
+    lam = lon0 - np.degrees(V / B)
+    tU = (np.tan(U / 2.0 + np.pi / 4.0) / t0) ** (1.0 / B)
+    phi = U
+    for _ in range(_KROVAK_ITERS):
+        s = np.sin(phi)
+        phi = 2.0 * (np.arctan(
+            tU * ((1.0 + e1 * s) / (1.0 - e1 * s)) ** (e1 / 2.0))
+            - np.pi / 4.0)
+    return _wrap_deg(lam), np.degrees(phi)
+
+
 def lonlat_to_somerc(lon, lat, lon0: float, lat0: float, k0: float = 1.0,
                      x0: float = 0.0, y0: float = 0.0,
                      ell_a: float = _WGS84_A, e2: float = _E2):
@@ -1854,7 +1953,7 @@ _PROJ4_PARAM_KEYS = {"proj", "lat_0", "lon_0", "lat_1", "lat_2", "lat_ts",
                      "x_0", "y_0", "k_0", "k", "units", "ellps", "datum",
                      "towgs84", "nadgrids", "a", "b", "R", "zone", "south",
                      "h", "sweep", "lonc", "alpha", "gamma", "no_off",
-                     "no_uoff", "no_rot"}
+                     "no_uoff", "no_rot", "czech"}
 
 
 def parse_proj4(s: str):
@@ -2016,11 +2115,15 @@ def parse_proj4(s: str):
         raise ValueError(f"+zone/+south are +proj=utm parameters: {s!r}")
     if ("h" in kv or "sweep" in kv) and proj != "geos":
         raise ValueError(f"+h/+sweep are +proj=geos parameters: {s!r}")
-    if (any(k in kv for k in ("lonc", "alpha", "gamma", "no_off",
+    if (any(k in kv for k in ("lonc", "gamma", "no_off",
                               "no_uoff", "no_rot"))
             and proj != "omerc"):
-        raise ValueError(f"+lonc/+alpha/+gamma/+no_off/+no_rot are "
+        raise ValueError(f"+lonc/+gamma/+no_off/+no_rot are "
                          f"+proj=omerc parameters: {s!r}")
+    if "alpha" in kv and proj not in ("omerc", "krovak"):
+        raise ValueError(f"+alpha is an omerc/krovak parameter: {s!r}")
+    if "czech" in kv and proj != "krovak":
+        raise ValueError(f"+czech is a +proj=krovak parameter: {s!r}")
 
     if proj == "omerc":
         # Hotine oblique Mercator, azimuth (+alpha) form — EPSG 9812
@@ -2095,6 +2198,26 @@ def parse_proj4(s: str):
             lambda x, y: sterea_to_lonlat(x, y, lon0, lat0, k0,
                                           x0, y0, ell_a, ell_e2))
 
+    if proj == "krovak":
+        # S-JTSK (EPSG:2065/5514). proj4 semantics: Greenwich params,
+        # defaults lat_0=49.5 lon_0=24.8333... alpha=30.288139...
+        # k=0.9999, pseudo standard parallel FIXED at 78.5 deg; +czech
+        # flips to positive southing/westing (EPSG:2065 axes).
+        if spherical:
+            raise ValueError(f"krovak is defined on an ellipsoid "
+                             f"(use +ellps=bessel): {s!r}")
+        kr_lat0 = fnum("lat_0") if "lat_0" in kv else 49.5
+        kr_lon0 = fnum("lon_0") if "lon_0" in kv else 24.833333333333332
+        kr_alpha = fnum("alpha") if "alpha" in kv else 30.28813972222222
+        kr_k = k0 if ("k_0" in kv or "k" in kv) else 0.9999
+        czech = "czech" in kv
+        return compose(
+            lambda lon, lat: lonlat_to_krovak(
+                lon, lat, kr_lon0, kr_lat0, kr_alpha, 78.5, kr_k,
+                ell_a, ell_e2, x0, y0, czech),
+            lambda x, y: krovak_to_lonlat(
+                x, y, kr_lon0, kr_lat0, kr_alpha, 78.5, kr_k,
+                ell_a, ell_e2, x0, y0, czech))
     if proj == "somerc":
         # Swiss oblique Mercator (CH1903 LV03 / CH1903+ LV95). On a
         # sphere the Gauss chain is the identity (alpha=1, K=0) and the

@@ -222,3 +222,83 @@ def test_aeqd_fail_loud():
     with _pytest.raises(ValueError, match="k_0"):
         GR.parse_proj4("+proj=aeqd +lat_0=32 +lon_0=-60 +R=6371000 "
                        "+k_0=0.9")
+
+
+def test_krovak_epsg_worked_example():
+    """EPSG GN7-2 method 9819 (Krovak, S-JTSK): the published worked
+    example (phi 50d12'32.442\"N, lam 16d50'59.179\"E Greenwich ->
+    southing 1050538.64, westing 568991.0) reproduced sub-meter on the
+    real parameter set; +czech flips to EPSG:2065 positive axes;
+    roundtrip exact; EPSG:5514 (with the 589/76/480 Helmert) puts
+    Prague at the known ~(-743km, -1043km)."""
+    import numpy as np
+
+    from geotrellis_contrib_spark import grid as GR
+
+    a, _, e2 = GR.ellipsoid_params("bessel")
+    args = dict(lon0=24.0 + 50.0 / 60.0, lat0=49.5,
+                alpha_c=30.28813972222222, lat_p=78.5, k_p=0.9999,
+                a=a, e2=e2)
+    phi = 50 + 12 / 60 + 32.442 / 3600
+    lam = 16 + 50 / 60 + 59.179 / 3600
+    Xs, Yw = GR.lonlat_to_krovak(np.array([lam]), np.array([phi]),
+                                 czech=True, **args)
+    assert abs(Xs[0] - 1050538.64) < 1.0
+    assert abs(Yw[0] - 568991.0) < 1.0
+    lo, la = GR.krovak_to_lonlat(Xs, Yw, czech=True, **args)
+    assert abs(lo[0] - lam) < 1e-12 and abs(la[0] - phi) < 1e-12
+
+    # EPSG:5514 axes = negated (westing, southing)
+    x5, y5 = GR.lonlat_to_krovak(np.array([lam]), np.array([phi]), **args)
+    assert x5[0] == -Yw[0] and y5[0] == -Xs[0]
+
+    # full 5514 chain through parse_proj4 incl. the Helmert
+    fwd, inv = GR.parse_proj4(
+        "+proj=krovak +lat_0=49.5 +lon_0=24.83333333333333 "
+        "+alpha=30.28813972222222 +k=0.9999 +x_0=0 +y_0=0 +ellps=bessel "
+        "+towgs84=589,76,480,0,0,0,0 +units=m +no_defs")
+    x, y = fwd(np.array([14.42076]), np.array([50.08804]))
+    assert abs(x[0] - (-742842.0)) < 200.0 and abs(y[0] - (-1042952.0)) < 200.0
+    lo2, la2 = inv(x, y)
+    assert abs(lo2[0] - 14.42076) < 1e-8 and abs(la2[0] - 50.08804) < 1e-8
+
+
+def test_krovak_conformal_and_design_scale():
+    """Conformality by finite difference (scale along the rotated
+    meridian direction), and the design scale 0.9999 at the projection
+    centre latitude."""
+    import math
+
+    import numpy as np
+
+    from geotrellis_contrib_spark import grid as GR
+
+    f2, _ = GR.parse_proj4("+proj=krovak +ellps=bessel")
+    lon = np.array([14.42076])
+    lat = np.array([50.08804])
+    d = 1e-7
+    xc, yc = f2(lon, lat)
+    xdy, ydy = f2(lon, lat + d)
+    xdx, ydx = f2(lon + d, lat)
+    a, _, e2 = GR.ellipsoid_params("bessel")
+    s = math.sin(math.radians(lat[0]))
+    M = a * (1 - e2) / (1 - e2 * s * s) ** 1.5
+    N = a / math.sqrt(1 - e2 * s * s)
+    # scale along the meridian == scale along the parallel (conformal)
+    km = math.hypot((xdy - xc)[0], (ydy - yc)[0]) / (math.radians(d) * M) * d / d
+    km = math.hypot((xdy - xc)[0], (ydy - yc)[0]) / (math.radians(1) * d * M / 1)
+    kp = math.hypot((xdx - xc)[0], (ydx - yc)[0]) / (
+        math.radians(1) * d * N * math.cos(math.radians(lat[0])))
+    assert abs(km - kp) < 1e-5
+    assert 0.99985 < km < 1.00005  # Krovak in-country distortion band
+
+
+def test_krovak_fail_loud():
+    import pytest as _pytest
+
+    from geotrellis_contrib_spark import grid as GR
+
+    with _pytest.raises(ValueError, match="ellipsoid"):
+        GR.parse_proj4("+proj=krovak +R=6371000")
+    with _pytest.raises(ValueError, match="czech"):
+        GR.parse_proj4("+proj=tmerc +lon_0=0 +ellps=WGS84 +czech")
