@@ -58,12 +58,61 @@ def _propagate_and_double(sym: DataFrame, cur: DataFrame) -> DataFrame:
                     F.col("_old")))
 
 
+def _cc_driver(sym: DataFrame) -> DataFrame:
+    """Small-graph fast path: collect the symmetrized edge list, run
+    union-find with path compression on the driver, label every set with
+    its MIN member — result-identical to the distributed loop (both
+    compute min-reachable-id), one collect + one createDataFrame instead
+    of 4-6 localCheckpoint sync batches."""
+    spark = sym.sparkSession
+    id_type = sym.schema["src"].dataType.simpleString()
+    rows = sym.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        a, b = r[0], r[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    best: dict = {}
+    for node in parent:
+        root = find(node)
+        cur = best.get(root)
+        if cur is None or node < cur:
+            best[root] = node
+    out = [(node, best[find(node)]) for node in parent]
+    return spark.createDataFrame(
+        out, f"id {id_type}, component {id_type}")
+
+
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                          max_iter: int = 25,
-                         rounds_per_sync: int = 2) -> DataFrame:
+                         rounds_per_sync: int = 2,
+                         small_graph_edges: int = 500_000) -> DataFrame:
     """Label every node of the undirected pair graph with the MIN node id
     reachable from it. Input: one row per edge (any direction, dupes ok).
     Output: (id, component). Deterministic.
+
+    Adaptive strategy (the AQE-broadcast-style runtime choice): the
+    symmetrized edge table is materialized once anyway, so its count is
+    free — at or below ``small_graph_edges`` the whole graph is solved
+    driver-side by union-find (identical labels; one job instead of 4-6
+    sync batches — typical post-LSH/border-reduction graphs are tiny
+    relative to the corpus). Above it, the distributed min-label +
+    pointer-doubling loop runs; at 10^12-doc scale that is the only
+    path, and ``small_graph_edges=0`` disables the fast path outright.
 
     ``max_iter`` counts materialization batches; each batch runs
     ``rounds_per_sync`` propagate+double rounds lazily, so the effective
@@ -81,6 +130,8 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))) \
            .distinct().repartition(n_parts, "dst")
     sym = sym.localCheckpoint(eager=True)
+    if small_graph_edges and sym.count() <= small_graph_edges:
+        return _cc_driver(sym)
     labels = sym.select(F.col("src").alias("id")).distinct() \
                 .withColumn("component", F.col("id")) \
                 .repartition(n_parts, "id")

@@ -63,7 +63,8 @@ def test_batched_rounds_halve_materializations(spark):
     edges = [(i, i + 1) for i in range(64)]
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.id: r.component
-           for r in cl.connected_components(df, max_iter=7).collect()}
+           for r in cl.connected_components(df, max_iter=7,
+                                            small_graph_edges=0).collect()}
     assert got == _uf_oracle(edges)
     assert set(got.values()) == {0}
 
@@ -75,7 +76,34 @@ def test_batched_rounds_match_single_round_labels(spark):
     edges = [(int(a), int(b)) for a, b in rng.integers(0, 80, size=(100, 2)) if a != b]
     df = spark.createDataFrame(edges, "src long, dst long")
     one = {r.id: r.component
-           for r in cl.connected_components(df, rounds_per_sync=1).collect()}
+           for r in cl.connected_components(df, rounds_per_sync=1,
+                                            small_graph_edges=0).collect()}
     two = {r.id: r.component
-           for r in cl.connected_components(df, rounds_per_sync=2).collect()}
+           for r in cl.connected_components(df, rounds_per_sync=2,
+                                            small_graph_edges=0).collect()}
     assert one == two == _uf_oracle(edges)
+
+
+def test_small_graph_driver_path_matches_distributed(spark):
+    """The adaptive small-graph union-find must be label-identical to the
+    distributed doubling loop (long AND string ids), and the threshold
+    must route as configured."""
+    rng = np.random.default_rng(23)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 200, size=(300, 2))
+             if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fast = {r.id: r.component
+            for r in cl.connected_components(df).collect()}
+    dist = {r.id: r.component
+            for r in cl.connected_components(
+                df, small_graph_edges=0).collect()}
+    assert fast == dist == _uf_oracle(edges)
+
+    sedges = [(f"d-{a:03d}", f"d-{b:03d}") for a, b in edges]
+    sdf = spark.createDataFrame(sedges, "src string, dst string")
+    sfast = {r.id: r.component
+             for r in cl.connected_components(sdf).collect()}
+    sdist = {r.id: r.component
+             for r in cl.connected_components(
+                 sdf, small_graph_edges=0).collect()}
+    assert sfast == sdist == _uf_oracle(sedges)
