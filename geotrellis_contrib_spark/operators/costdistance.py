@@ -221,19 +221,99 @@ def _solve(tiles: DataFrame,
     return state
 
 
+def _solve_scene(tiles: DataFrame, seed_predicate, tile_size: int,
+                 straight: float, diag: float,
+                 max_cost: float | None) -> DataFrame:
+    """Small-scene fast path (the viewshed pattern): each (source_id,
+    band) is ONE applyInPandas task that assembles the scene mosaic and
+    relaxes to the global fixpoint directly — the fixpoint is the same
+    min-over-paths value set as the synchronous rounds, so the result is
+    bit-identical, at ONE shuffle instead of 4+ sync rounds."""
+    t = int(tile_size)
+
+    def solve_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        source_id, band = key[0], int(key[1])
+        cols = pdf["col"].to_numpy()
+        rows = pdf["row"].to_numpy()
+        c0, r0 = int(cols.min()), int(rows.min())
+        nc, nr = int(cols.max()) - c0 + 1, int(rows.max()) - r0 + 1
+        fric = np.full((nr * t, nc * t), np.nan)
+        for row_t in pdf.itertuples(index=False):
+            arr = np.frombuffer(row_t.px, dtype=DTYPES[row_t.dtype]) \
+                    .reshape(t, t).astype(np.float64)
+            arr = np.where(np.isnan(arr) | (arr == row_t.nodata),
+                           np.nan, arr)
+            fric[(int(row_t.row) - r0) * t:(int(row_t.row) - r0 + 1) * t,
+                 (int(row_t.col) - c0) * t:(int(row_t.col) - c0 + 1) * t] \
+                = arr
+        if not np.all(np.isnan(fric)) and float(np.nanmin(fric)) <= 0.0:
+            raise ValueError("friction must be positive")
+        gr = (r0 * t + np.arange(nr * t).reshape(-1, 1)) \
+            + np.zeros((1, nc * t), dtype=np.int64)
+        gc = np.zeros((nr * t, 1), dtype=np.int64) \
+            + (c0 * t + np.arange(nc * t).reshape(1, -1))
+        seed = seed_predicate(fric, gr, gc) & ~np.isnan(fric)
+        cost = np.where(seed, 0.0, np.inf)
+        cost = _relax(cost, fric, straight, diag, max_cost)
+        out = []
+        for row_t in pdf.itertuples(index=False):
+            ty = (int(row_t.row) - r0) * t
+            tx = (int(row_t.col) - c0) * t
+            out.append({"source_id": source_id, "band": band,
+                        "col": int(row_t.col), "row": int(row_t.row),
+                        "friction": b"", "cost": pack(
+                            np.ascontiguousarray(
+                                cost[ty:ty + t, tx:tx + t])),
+                        "improved": 0})
+        return pd.DataFrame(out, columns=[
+            "source_id", "band", "col", "row", "friction", "cost",
+            "improved"])
+
+    return tiles.groupBy("source_id", "band").applyInPandas(
+        solve_group, _STATE_SCHEMA)
+
+
+def _adaptive_state(tiles: DataFrame, seed_predicate, t: int,
+                    straight: float, diag: float,
+                    max_cost: float | None, max_iter: int,
+                    scene_max_px: int) -> DataFrame:
+    """Pick scene-solve vs synchronous rounds: one cheap agg job reads
+    the largest scene footprint; ``scene_max_px=0`` forces rounds."""
+    small = False
+    if scene_max_px:
+        ext = tiles.groupBy("source_id", "band").agg(
+            ((F.max("col") - F.min("col") + 1) * t).alias("w"),
+            ((F.max("row") - F.min("row") + 1) * t).alias("h")) \
+            .agg(F.max(F.greatest("w", "h")).alias("m")).collect()
+        small = bool(ext) and ext[0]["m"] is not None \
+            and int(ext[0]["m"]) <= int(scene_max_px)
+    if small:
+        return _solve_scene(tiles, seed_predicate, t, straight, diag,
+                            max_cost)
+    return _solve(tiles, seed_predicate, t, straight, diag, max_cost,
+                  max_iter)
+
+
 def cost_distance(tiles: DataFrame,
                   seed_predicate: Callable[[np.ndarray, np.ndarray,
                                             np.ndarray], np.ndarray],
                   tile_size: int = 64, straight: float = 1.0,
                   diag: float = 1.5, max_cost: float | None = None,
-                  max_iter: int = 64) -> DataFrame:
+                  max_iter: int = 64,
+                  scene_max_px: int = 1 << 11) -> DataFrame:
     """Accumulated cost from ``seed_predicate(friction, gr, gc)`` cells
     over each (source_id, band)'s friction tiles. Returns the per-tile
     quantized rollup ``(source_id, band, col, row, cost_qsum,
-    n_reached)`` — zero-shuffle from the converged state."""
+    n_reached)`` — zero-shuffle from the converged state.
+
+    Adaptive strategy: when every scene's tile footprint fits
+    ``scene_max_px`` on a side (one cheap agg job to check), each scene
+    is solved in ONE task at the global fixpoint (bit-identical values);
+    otherwise the synchronous halo rounds run. ``scene_max_px=0``
+    forces the rounds path."""
     t = int(tile_size)
-    state = _solve(tiles, seed_predicate, t, straight, diag, max_cost,
-                   max_iter)
+    state = _adaptive_state(tiles, seed_predicate, t, straight, diag,
+                            max_cost, max_iter, scene_max_px)
 
     def rollup(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -261,9 +341,12 @@ def cost_distance(tiles: DataFrame,
 def cost_surface(tiles: DataFrame, seed_predicate,
                  tile_size: int = 64, straight: float = 1.0,
                  diag: float = 1.5, max_cost: float | None = None,
-                 max_iter: int = 64) -> DataFrame:
+                 max_iter: int = 64,
+                 scene_max_px: int = 1 << 11) -> DataFrame:
     """Full per-cell cost surface (the pytest/brute-force surface): the
-    converged (source_id, band, col, row, cost binary float64) tiles."""
-    state = _solve(tiles, seed_predicate, int(tile_size), straight, diag,
-                   max_cost, max_iter)
+    converged (source_id, band, col, row, cost binary float64) tiles.
+    Same adaptive strategy as ``cost_distance``."""
+    state = _adaptive_state(tiles, seed_predicate, int(tile_size),
+                            straight, diag, max_cost, max_iter,
+                            scene_max_px)
     return state.select("source_id", "band", "col", "row", "cost")

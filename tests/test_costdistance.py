@@ -94,6 +94,11 @@ def test_varying_friction_matches_dijkstra(spark):
     rows = CD.cost_surface(tiles, pred, tile_size=T, straight=1.0,
                            diag=math.sqrt(2.0)).collect()
     got = _surface_to_mosaic(rows, f"scene-{s}", band)
+    # both strategies must be BIT-identical (same min-over-paths fixpoint)
+    rows_r = CD.cost_surface(tiles, pred, tile_size=T, straight=1.0,
+                             diag=math.sqrt(2.0), scene_max_px=0).collect()
+    got_r = _surface_to_mosaic(rows_r, f"scene-{s}", band)
+    assert np.array_equal(got, got_r)
 
     # untiled friction mosaic
     big = np.full((4 * T, 4 * T), np.nan)
@@ -186,7 +191,8 @@ def test_fail_loud(spark):
                          tile_size=T).collect()
     tiles = corpus.synth_friction_tiles(spark)
     with pytest.raises(RuntimeError, match="fixpoint"):
-        CD.cost_distance(tiles, _seed_pred, tile_size=T, max_iter=1)
+        CD.cost_distance(tiles, _seed_pred, tile_size=T, max_iter=1,
+                         scene_max_px=0)
 
 
 _SPARK = {}
