@@ -1482,6 +1482,24 @@ def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return VS.viewshed(tiles, obs, height=2.0, tile_size=64)
 
 
+def q_pyramid_px_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIXEL-level overview build with AVERAGE resampling (GeoTrellis
+    overview generation, zoom 6 -> 5): each child tile downsamples
+    MAP-SIDE to 32x32 (1/4 of the bytes cross the shuffle), ONE
+    groupBy(parent).applyInPandas assembles quadrants (missing children
+    stay NoData). Average = NoData-aware mean of each 2x2 block with the
+    FIXED chained-add order v00+v01+v10+v11 and ONE division — the SQL
+    oracle mirrors the chain term-for-term and quantizes the identical
+    quotient (floor(mean*2^20+0.5)). Per-parent-tile rollup."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import pixels as px
+    from geotrellis_contrib_spark.sources.geotiff import per_tile_checksum
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    up = px.build_overview_px(tiles, method="average", tile_size=64)
+    return per_tile_checksum(up, quant=1048576.0)
+
+
 def q_region_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REGION VECTORIZE stats (raster->vector per-region summary, the
     polygonize sibling of region_group): per 4-connected component its
@@ -2395,6 +2413,43 @@ FROM cand WHERE BIT_COUNT(XOR(sim_a, sim_b)) <= {sim_max_ham}
                             f"s*1000.0 + band*100.0 + (18+tc+s)*7.0 + (24+tr)*3.0 "
                             f"+ ({rr})*0.5 + ({cc})*0.25 "
                             f"+ CAST((({rr})*31 + ({cc})*17) % 13 AS DOUBLE) END")
+
+    # Pixel overview average (pyramid_px_avg): the 2x2 block mean over
+    # the closed-form child values — CASE-guarded chained adds in the
+    # engine's fixed order, one division, identical quantization.
+    _pv = lambda rr, cc: (  # noqa: E731
+        f"CASE WHEN ({rr}) >= (s*11)%48 AND ({rr}) < (s*11)%48+16 "
+        f"AND ({cc}) >= (s*11)%48 AND ({cc}) < (s*11)%48+16 THEN NULL "
+        f"ELSE s*1000.0 + band*100.0 + (18+tc+s)*7.0 + (24+tr)*3.0 "
+        f"+ ({rr})*0.5 + ({cc})*0.25 "
+        f"+ CAST((({rr})*31 + ({cc})*17) % 13 AS DOUBLE) END")
+    o["pyramid_px_avg"] = f"""
+WITH blocks AS (
+  SELECT s, band, tc, tr, r2, c2,
+         {_pv('2*r2', '2*c2')} AS v00, {_pv('2*r2', '2*c2+1')} AS v01,
+         {_pv('2*r2+1', '2*c2')} AS v10, {_pv('2*r2+1', '2*c2+1')} AS v11
+  FROM range(0,3) ss(s), range(0,2) bs(band), range(0,4) tcs(tc),
+       range(0,4) trs(tr), range(0,32) r2s(r2), range(0,32) c2s(c2)
+), means AS (
+  SELECT s, band, (18 + tc + s) // 2 AS col, (24 + tr) // 2 AS row,
+         (CASE WHEN v00 IS NULL THEN 0 ELSE 1 END
+          + CASE WHEN v01 IS NULL THEN 0 ELSE 1 END
+          + CASE WHEN v10 IS NULL THEN 0 ELSE 1 END
+          + CASE WHEN v11 IS NULL THEN 0 ELSE 1 END) AS cnt,
+         (COALESCE(v00, 0.0) + COALESCE(v01, 0.0)
+          + COALESCE(v10, 0.0) + COALESCE(v11, 0.0)) AS num
+  FROM blocks
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS INT) AS band,
+       CAST(col AS BIGINT) AS col, CAST(row AS BIGINT) AS row,
+       CAST(SUM(CASE WHEN cnt > 0
+                     THEN CAST(FLOOR(num / cnt * 1048576.0 + 0.5)
+                               AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS px_qsum,
+       CAST(COUNT(*) FILTER (WHERE cnt > 0) AS BIGINT) AS px_count
+FROM means GROUP BY 1, 2, 3, 4
+"""
 
     # Viewshed (viewshed): the R3 sampling/slope arithmetic unrolled —
     # targets x bounded step range, nearest-cell sample via the same
@@ -4682,6 +4737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viewshed": q_viewshed,
         "reproject_aeqd": q_reproject_aeqd,
         "reproject_krovak": q_reproject_krovak,
+        "pyramid_px_avg": q_pyramid_px_avg,
         "terrain_stats": q_terrain_stats,
         "hillshade": q_hillshade,
         "tri_stats": q_tri_stats,

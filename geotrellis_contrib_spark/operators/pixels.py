@@ -1170,3 +1170,99 @@ def idw_interpolate(points: DataFrame, zoom: int, radius_px: float = 4.0,
     return cand.groupBy("tx", "ty").applyInPandas(
         stamp_f, "zoom int, col bigint, row bigint, pxx bigint, "
                  "pyy bigint, idw_val double")
+
+
+def k_downsample2(arr: np.ndarray, nodata: float,
+                  method: str = "average") -> np.ndarray:
+    """2x downsample of one tile (GeoTrellis overview resample rules):
+    ``average`` = NoData-aware mean of each 2x2 block with the FIXED
+    chained-add order (v00 + v01 + v10 + v11) and ONE division — the
+    order the SQL oracle mirrors; ``nearest`` = top-left pick;
+    ``max`` = NoData-aware fmax. All-NoData blocks stay NoData."""
+    a00 = arr[0::2, 0::2]
+    a01 = arr[0::2, 1::2]
+    a10 = arr[1::2, 0::2]
+    a11 = arr[1::2, 1::2]
+    if method == "nearest":
+        return a00.copy()
+    v00 = ~np.isnan(a00) & (a00 != nodata)
+    v01 = ~np.isnan(a01) & (a01 != nodata)
+    v10 = ~np.isnan(a10) & (a10 != nodata)
+    v11 = ~np.isnan(a11) & (a11 != nodata)
+    cnt = (v00.astype(np.int64) + v01.astype(np.int64)
+           + v10.astype(np.int64) + v11.astype(np.int64))
+    if method == "max":
+        stack = [np.where(v, a, np.nan) for v, a in
+                 ((v00, a00), (v01, a01), (v10, a10), (v11, a11))]
+        out = np.fmax(np.fmax(stack[0], stack[1]),
+                      np.fmax(stack[2], stack[3]))
+        return np.where(cnt > 0, out, nodata)
+    if method != "average":
+        raise ValueError(f"unsupported overview method {method!r}")
+    num = (np.where(v00, a00, 0.0) + np.where(v01, a01, 0.0)
+           + np.where(v10, a10, 0.0) + np.where(v11, a11, 0.0))
+    return np.where(cnt > 0, num / np.maximum(cnt, 1), nodata)
+
+
+def build_overview_px(tiles: DataFrame, method: str = "average",
+                      tile_size: int = TILE_SIZE) -> DataFrame:
+    """Pixel-level overview (pyramid) build, zoom z -> z-1: each child
+    tile DOWNSAMPLES MAP-SIDE to (t/2)^2 before the shuffle (1/4 of the
+    bytes move — the strip-before-shuffle discipline), then ONE
+    groupBy(parent key).applyInPandas assembles the four quadrants
+    (missing children stay NoData). Output: parent tiles in the engine
+    tile schema (zoom-1, col//2, row//2)."""
+    t = int(tile_size)
+    if method not in ("average", "nearest", "max"):
+        raise ValueError(f"unsupported overview method {method!r}")
+
+    def shrink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row_t in pdf.itertuples(index=False):
+                arr = np.frombuffer(row_t.px, dtype=DTYPES[row_t.dtype]) \
+                        .reshape(t, t).astype(np.float64)
+                small = k_downsample2(arr, row_t.nodata, method)
+                out.append({
+                    "source_id": row_t.source_id,
+                    "source_idx": int(getattr(row_t, "source_idx", 0)),
+                    "zoom": int(row_t.zoom) - 1,
+                    "col": int(row_t.col) // 2,
+                    "row": int(row_t.row) // 2,
+                    "band": int(row_t.band),
+                    "qr": int(row_t.row) % 2, "qc": int(row_t.col) % 2,
+                    "dtype": "float64", "nodata": float(row_t.nodata),
+                    "px": pack(small)})
+            yield pd.DataFrame(out, columns=[
+                "source_id", "source_idx", "zoom", "col", "row", "band",
+                "qr", "qc", "dtype", "nodata", "px"])
+
+    pieces = tiles.mapInPandas(
+        shrink, "source_id string, source_idx int, zoom int, col bigint, "
+                "row bigint, band int, qr int, qc int, dtype string, "
+                "nodata double, px binary")
+    h = t // 2
+
+    def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        source_id, zoom, col, row, band = (key[0], int(key[1]),
+                                           int(key[2]), int(key[3]),
+                                           int(key[4]))
+        nodata = float(pdf["nodata"].iloc[0])
+        parent = np.full((t, t), nodata)
+        for row_t in pdf.itertuples(index=False):
+            small = np.frombuffer(row_t.px, dtype=np.float64) \
+                      .reshape(h, h)
+            parent[int(row_t.qr) * h:(int(row_t.qr) + 1) * h,
+                   int(row_t.qc) * h:(int(row_t.qc) + 1) * h] = small
+        return pd.DataFrame([{
+            "source_id": source_id,
+            "source_idx": int(pdf["source_idx"].iloc[0]), "zoom": zoom,
+            "col": col, "row": row, "band": band, "dtype": "float64",
+            "nodata": nodata, "px": pack(parent)}])
+
+    return pieces.groupBy("source_id", "zoom", "col", "row", "band") \
+        .applyInPandas(
+            assemble,
+            "source_id string, source_idx int, zoom int, col bigint, "
+            "row bigint, band int, dtype string, nodata double, "
+            "px binary")

@@ -551,11 +551,12 @@ def read_catalog_tiles(catalog):
                "px binary")
 
 
-def per_tile_checksum(tiles):
-    """Per-tile NoData-aware quantized checksum (value*4 is exact int64 on
-    the quarter-multiple fixtures) — ZERO shuffle: one output row per
-    input tile, so tile placement (col,row) and every decoded byte sit
-    under the value gate."""
+def per_tile_checksum(tiles, quant: float = 4.0):
+    """Per-tile NoData-aware quantized checksum (default quant*value=4v
+    is exact int64 on the quarter-multiple fixtures; pass 2^20 for
+    quotient-valued tiles) — ZERO shuffle: one output row per input
+    tile, so tile placement (col,row) and every decoded byte sit under
+    the value gate."""
     import pandas as pd
 
     from geotrellis_contrib_spark.operators.pixels import DTYPES
@@ -569,7 +570,8 @@ def per_tile_checksum(tiles):
                 valid = ~np.isnan(arr) & (arr != t.nodata)
                 out.append({"source_id": t.source_id, "band": int(t.band),
                             "col": int(t.col), "row": int(t.row),
-                            "px_qsum": int(np.floor(arr[valid] * 4.0
+                            "px_qsum": int(np.floor(arr[valid]
+                                                    * float(quant)
                                                     + 0.5).astype(
                                 np.int64).sum()),
                             "px_count": int(valid.sum())})
