@@ -167,13 +167,17 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
                   nodata: float = -9999.0, tile_size: int = 64,
                   compress: str = "deflate", byteorder: str = "<",
                   strips: bool = False, overviews: int = 0,
-                  planar: int = 2) -> None:
+                  planar: int = 2, cog: bool = False) -> None:
     """Write a (multiband) GeoTiff: ``bands`` is (nbands, H, W) or (H, W);
     ``extent`` = (xmin, ymin, xmax, ymax) in the CRS of ``epsg``.
     ``overviews`` appends that many 2x-decimated overview IFDs
     (NewSubfileType=1), the layout ``GeoTiffRasterSource.resolutions``
     reads back. planar=2 (band-separate) for multiband, matching the
-    segment model the catalog reader prunes per band."""
+    segment model the catalog reader prunes per band. ``cog=True``
+    writes the cloud-optimized layout — the full IFD chain directly
+    after the header, pixel data last — so one small ranged GET fetches
+    every offset table (the access pattern GeoTiffRasterSource's
+    streaming RangeReader is built for)."""
     if bands.ndim == 2:
         bands = bands[None, :, :]
     nb, h, w = bands.shape
@@ -194,31 +198,94 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
     for _ in range(overviews):
         levels.append(levels[-1][:, ::2, ::2])
 
-    cursor = 8
+    level_segs = [
+        _level_segments(arrs, tile_size, strips, compress, nodata, bo,
+                        planar)
+        for arrs in levels]
+    if cog:
+        # two-pass layout: IFD sizes depend only on entry counts, so
+        # measure with zero offsets, place the IFD chain right after the
+        # header, then assign data offsets past it
+        probe = _assemble_ifds(
+            levels, level_segs, [[0] * len(s[0]) for s in level_segs],
+            bo, nb, bits, sfmt, compress, planar, strips, tile_size,
+            xmin, ymax, (xmax - xmin) / w, (ymax - ymin) / h, epsg,
+            nodata)
+        data_base = 8 + sum(i.size() + i.external_size() for i in probe)
+    else:
+        data_base = 8
+    cursor = data_base
     data_chunks: list[bytes] = []
-    level_meta = []
-    for lv, arrs in enumerate(levels):
-        segs, n_w, n_h = _level_segments(arrs, tile_size, strips, compress,
-                                         nodata, bo, planar)
-        offs, cnts = [], []
+    level_offs = []
+    for segs, n_w, n_h in level_segs:
+        offs = []
         for s in segs:
             offs.append(cursor)
-            cnts.append(len(s))
             data_chunks.append(s)
             cursor += len(s)
-        level_meta.append((arrs.shape, offs, cnts, n_w, n_h))
+        level_offs.append(offs)
 
+    ifds = _assemble_ifds(
+        levels, level_segs, level_offs, bo, nb, bits, sfmt, compress,
+        planar, strips, tile_size, xmin, ymax, (xmax - xmin) / w,
+        (ymax - ymin) / h, epsg, nodata)
+
+    if cog:
+        ifd_offsets = []
+        pos = 8
+        for ifd in ifds:
+            ifd_offsets.append(pos)
+            pos += ifd.size() + ifd.external_size()
+        blobs = [ifd.serialize(ifd_offsets[i],
+                               ifd_offsets[i + 1]
+                               if i + 1 < len(ifds) else 0)
+                 for i, ifd in enumerate(ifds)]
+        header = (b"II" if bo == "<" else b"MM") \
+            + struct.pack(bo + "H", 42) + struct.pack(bo + "I", 8)
+        with open(path, "wb") as f:
+            f.write(header)
+            for b in blobs:
+                f.write(b)
+            for c in data_chunks:
+                f.write(c)
+        return
+
+    # classic layout: segment data first, IFD chain at the end
+    ifd_offsets = []
+    for ifd in ifds:
+        ifd_offsets.append(cursor)
+        cursor += ifd.size() + ifd.external_size()
+    blobs = [ifd.serialize(ifd_offsets[i],
+                           ifd_offsets[i + 1] if i + 1 < len(ifds) else 0)
+             for i, ifd in enumerate(ifds)]
+    header = (b"II" if bo == "<" else b"MM") \
+        + struct.pack(bo + "H", 42) + struct.pack(bo + "I", ifd_offsets[0])
+    with open(path, "wb") as f:
+        f.write(header)
+        for c in data_chunks:
+            f.write(c)
+        for b in blobs:
+            f.write(b)
+
+
+def _assemble_ifds(levels, level_segs, level_offs, bo, nb, bits, sfmt,
+                   compress, planar, strips, tile_size, xmin, ymax,
+                   sx, sy, epsg, nodata):
+    """Build the IFD chain for every resolution level with the given
+    segment offsets (sizes are offset-independent, which is what lets
+    the COG layout measure with zeros first)."""
     ifds = []
-    for lv, (shape, offs, cnts, n_w, n_h) in enumerate(level_meta):
-        _, lh, lw = shape
+    for lv, (arrs, (segs, n_w, n_h), offs) in enumerate(
+            zip(levels, level_segs, level_offs)):
+        _, lh, lw = arrs.shape
+        cnts = [len(s) for s in segs]
         ifd = _IFD(bo)
         if lv > 0:
             ifd.add(_TAG["NewSubfileType"], 4, 1)  # reduced-resolution
         ifd.add(_TAG["ImageWidth"], 4, lw)
         ifd.add(_TAG["ImageLength"], 4, lh)
         ifd.add(_TAG["BitsPerSample"], 3, [bits] * nb)
-        ifd.add(_TAG["Compression"], 3,
-                1 if compress == "none" else 8)
+        ifd.add(_TAG["Compression"], 3, 1 if compress == "none" else 8)
         ifd.add(_TAG["Photometric"], 3, 1)
         ifd.add(_TAG["SamplesPerPixel"], 3, nb)
         ifd.add(_TAG["SampleFormat"], 3, [sfmt] * nb)
@@ -234,7 +301,6 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
             ifd.add(_TAG["TileOffsets"], 4, offs)
             ifd.add(_TAG["TileByteCounts"], 4, cnts)
         if lv == 0:
-            sx, sy = (xmax - xmin) / w, (ymax - ymin) / h
             ifd.add(_TAG["ModelPixelScale"], 12, [sx, sy, 0.0])
             ifd.add(_TAG["ModelTiepoint"], 12,
                     [0.0, 0.0, 0.0, xmin, ymax, 0.0])
@@ -242,25 +308,7 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
             ifd.add(_TAG["GdalNodata"], 2,
                     repr(float(nodata)).encode() + b"\x00")
         ifds.append(ifd)
-
-    # IFD chain sits after all segment data
-    ifd_offsets = []
-    for ifd in ifds:
-        ifd_offsets.append(cursor)
-        cursor += ifd.size() + ifd.external_size()
-    blobs = []
-    for i, ifd in enumerate(ifds):
-        nxt = ifd_offsets[i + 1] if i + 1 < len(ifds) else 0
-        blobs.append(ifd.serialize(ifd_offsets[i], nxt))
-
-    header = (b"II" if bo == "<" else b"MM") \
-        + struct.pack(bo + "H", 42) + struct.pack(bo + "I", ifd_offsets[0])
-    with open(path, "wb") as f:
-        f.write(header)
-        for c in data_chunks:
-            f.write(c)
-        for b in blobs:
-            f.write(b)
+    return ifds
 
 
 # ---------------------------------------------------------------------------

@@ -262,3 +262,29 @@ def test_catalog_read_zero_shuffle_plan(tmp_path, spark):
     plan = GT.per_tile_checksum(GT.read_catalog_tiles(cat)) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_cog_layout_ifds_first(tmp_path):
+    """COG layout: the whole IFD chain (incl. every offset table) sits
+    directly after the 8-byte header; pixel data follows — and the bytes
+    decode identically to the classic layout."""
+    arr = np.arange(2 * 128 * 128, dtype=np.float64).reshape(2, 128, 128)
+    pc = str(tmp_path / "cog.tif")
+    pl = str(tmp_path / "classic.tif")
+    GT.write_geotiff(pc, arr, (0, 0, 128, 128), overviews=2, cog=True)
+    GT.write_geotiff(pl, arr, (0, 0, 128, 128), overviews=2)
+    bc, ic = GT.read_geotiff(pc)
+    bl, il = GT.read_geotiff(pl)
+    assert np.array_equal(bc, bl) and np.array_equal(bc, arr)
+    # COG: first IFD at offset 8, ALL data offsets beyond the IFD chain
+    with open(pc, "rb") as f:
+        f.seek(4)
+        assert struct.unpack("<I", f.read(4))[0] == 8
+    min_data_c = min(min(i["offsets"]) for i in ic["ifds"])
+    with open(pl, "rb") as f:
+        f.seek(4)
+        first_ifd_l = struct.unpack("<I", f.read(4))[0]
+    assert min(min(i["offsets"]) for i in il["ifds"]) == 8  # classic: data first
+    assert min_data_c > 8 and first_ifd_l > 8
+    for i in ic["ifds"]:
+        assert all(o >= min_data_c for o in i["offsets"])
