@@ -63,110 +63,17 @@ def region_group(tiles: DataFrame,
                                      np.ndarray],
                  tile_size: int = 64, npx: int = 1 << 22) -> DataFrame:
     """Group the 4-connected components of ``predicate(values, gr, gc) &
-    valid`` across all tiles of each (source_id, band).
+    valid`` across all tiles of each (source_id, band); returns
+    ``(source_id, band, region_id, n_pixels)``.
 
-    ``predicate`` receives the tile's float64 value grid and the global
-    row/col index grids and returns a boolean mask; NoData pixels are
-    always excluded. ``npx`` is the global-pixel-id row stride (must
-    exceed the global pixel extent). Returns
-    ``(source_id, band, region_id, n_pixels)``."""
-    t = int(tile_size)
+    Implemented as the count projection of :func:`region_stats` — one
+    machinery, two surfaces (the perimeter/bbox accumulators ride the
+    same zero-shuffle scan for free, so there is nothing to save by
+    duplicating the pipeline)."""
+    return region_stats(tiles, predicate, tile_size=tile_size,
+                        npx=npx).select("source_id", "band", "region_id",
+                                        "n_pixels")
 
-    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for row_t in pdf.itertuples(index=False):
-                arr = np.frombuffer(row_t.px, dtype=DTYPES[row_t.dtype]) \
-                        .reshape(t, t).astype(np.float64)
-                valid = ~np.isnan(arr) & (arr != row_t.nodata)
-                gr = (int(row_t.row) * t
-                      + np.arange(t).reshape(-1, 1)) * np.ones((1, t),
-                                                               dtype=np.int64)
-                gc = np.ones((t, 1), dtype=np.int64) \
-                    * (int(row_t.col) * t + np.arange(t).reshape(1, -1))
-                gr = gr.astype(np.int64)
-                gc = gc.astype(np.int64)
-                mask = predicate(arr, gr, gc) & valid
-                if not mask.any():
-                    continue
-                gp = gr * npx + gc
-                lab = _local_labels(mask, gp)
-                labs, cnts = np.unique(lab[mask], return_counts=True)
-                for lv, cv in zip(labs, cnts):
-                    out.append({"source_id": row_t.source_id,
-                                "band": int(row_t.band), "kind": 0,
-                                "gr": 0, "gc": int(cv), "label": int(lv)})
-                border = np.zeros((t, t), dtype=bool)
-                border[0, :] = border[-1, :] = True
-                border[:, 0] = border[:, -1] = True
-                bm = mask & border
-                for rr, cc in zip(*np.nonzero(bm)):
-                    out.append({"source_id": row_t.source_id,
-                                "band": int(row_t.band), "kind": 1,
-                                "gr": int(gr[rr, cc]), "gc": int(gc[rr, cc]),
-                                "label": int(lab[rr, cc])})
-            yield pd.DataFrame(out, columns=["source_id", "band", "kind",
-                                             "gr", "gc", "label"])
-
-    rows = tiles.mapInPandas(
-        scan, "source_id string, band bigint, kind int, gr bigint, "
-              "gc bigint, label bigint").cache()
-    stats = rows.filter(F.col("kind") == 0) \
-        .select("source_id", "band", "label",
-                F.col("gc").alias("n_pixels"))
-    border = rows.filter(F.col("kind") == 1) \
-        .select("source_id", "band", "gr", "gc", "label")
-
-    # cross-tile adjacency: right and down neighbors (in-tile adjacency
-    # is already merged locally; same-label self-pairs are dropped)
-    b2 = border.select(F.col("source_id").alias("source_id2"),
-                       F.col("band").alias("band2"),
-                       F.col("gr").alias("gr2"), F.col("gc").alias("gc2"),
-                       F.col("label").alias("label2"))
-    right = border.join(
-        b2, (F.col("source_id") == F.col("source_id2"))
-        & (F.col("band") == F.col("band2"))
-        & (F.col("gr") == F.col("gr2")) & (F.col("gc") + 1 == F.col("gc2")))
-    down = border.join(
-        b2, (F.col("source_id") == F.col("source_id2"))
-        & (F.col("band") == F.col("band2"))
-        & (F.col("gr") + 1 == F.col("gr2")) & (F.col("gc") == F.col("gc2")))
-    pairs = (right.union(down)
-             .filter(F.col("label") != F.col("label2"))
-             .select("source_id", "band", "label", "label2"))
-
-    # encode (source_id, band, label) into ONE long id for the generic CC
-    # operator: an EXACT dense source index (tiny broadcast dim — no hash
-    # collisions), band, then the label in the low npx^2 bits. The
-    # encoding is monotone in label within a (source, band), so MIN over
-    # encoded ids decodes to MIN over labels.
-    from pyspark.sql import Window
-
-    src_dim = (tiles.select("source_id").distinct()
-               .withColumn("sidx", F.row_number().over(
-                   Window.orderBy("source_id")) - 1))
-    span = F.lit(npx) * F.lit(npx)
-    sbk = (F.col("sidx") * F.lit(2) + F.col("band"))
-    enc = (pairs.join(F.broadcast(src_dim), "source_id")
-           .select((sbk * span + F.col("label")).alias("src"),
-                   (sbk * span + F.col("label2")).alias("dst")))
-    if enc.limit(1).count() == 0:
-        merged = stats
-    else:
-        comp = connected_components(enc)
-        dec = comp.select(
-            F.floor(F.col("id") / span).alias("sbk"),
-            (F.col("id") % span).alias("label"),
-            (F.col("component") % span).alias("root"))
-        st = (stats.join(F.broadcast(src_dim), "source_id")
-              .withColumn("sbk", sbk))
-        merged = (st.join(F.broadcast(dec), ["sbk", "label"], "left")
-                  .withColumn("label", F.coalesce("root", "label"))
-                  .select("source_id", "band", "label", "n_pixels"))
-
-    return (merged.groupBy("source_id", "band",
-                           F.col("label").alias("region_id"))
-            .agg(F.sum("n_pixels").alias("n_pixels")))
 
 def region_stats(tiles: DataFrame,
                  predicate: Callable[[np.ndarray, np.ndarray, np.ndarray],
