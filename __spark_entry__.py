@@ -1482,6 +1482,22 @@ def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return VS.viewshed(tiles, obs, height=2.0, tile_size=64)
 
 
+def q_flow_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 FLOW DIRECTION (GeoTrellis raster.hydrology FlowDirection /
+    ArcGIS encoding) across tile boundaries: max positive drop rate
+    (z - z_n)/dist over the 8 neighbors (sqrt(2) diagonals), tied
+    directions SUM their power-of-two codes, pits/flats -> 0; focal halo
+    machinery, ONE shuffle. Oracle: the 8 neighbor values recomputed
+    arithmetically from the closed-form field (NULL outside the mosaic /
+    in holes), identical rate arithmetic, GREATEST max, integer code
+    sums per tile — no quantization needed."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import focal as FO
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    return FO.flow_direction(tiles, tile_size=64)
+
+
 def q_pyramid_px_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIXEL-level overview build with AVERAGE resampling (GeoTrellis
     overview generation, zoom 6 -> 5): each child tile downsamples
@@ -2413,6 +2429,60 @@ FROM cand WHERE BIT_COUNT(XOR(sim_a, sim_b)) <= {sim_max_ham}
                             f"s*1000.0 + band*100.0 + (18+tc+s)*7.0 + (24+tr)*3.0 "
                             f"+ ({rr})*0.5 + ({cc})*0.25 "
                             f"+ CAST((({rr})*31 + ({cc})*17) % 13 AS DOUBLE) END")
+
+    # D8 flow direction (flow_direction): neighbor values as arithmetic
+    # CASEs over global coords, identical rate chains, GREATEST max,
+    # exact integer code sums.
+    _fd_v = lambda gr, gc: (  # noqa: E731
+        f"CASE WHEN ({gr}) < 1536 OR ({gr}) >= 1792 "
+        f"OR ({gc}) < (18+s)*64 OR ({gc}) >= (22+s)*64 THEN NULL "
+        f"WHEN (({gr})%64) >= (s*11)%48 AND (({gr})%64) < (s*11)%48+16 "
+        f"AND (({gc})%64) >= (s*11)%48 AND (({gc})%64) < (s*11)%48+16 "
+        f"THEN NULL "
+        f"ELSE s*1000.0 + band*100.0 + (({gc})//64)*7.0 "
+        f"+ (({gr})//64)*3.0 + (({gr})%64)*0.5 + (({gc})%64)*0.25 "
+        f"+ CAST(((({gr})%64)*31 + (({gc})%64)*17) % 13 AS DOUBLE) END")
+    _fd_dirs = [("-1", "-1", "1.4142135623730951", 32),
+                ("-1", "+0", "1.0", 64),
+                ("-1", "+1", "1.4142135623730951", 128),
+                ("+0", "-1", "1.0", 16), ("+0", "+1", "1.0", 1),
+                ("+1", "-1", "1.4142135623730951", 8),
+                ("+1", "+0", "1.0", 4),
+                ("+1", "+1", "1.4142135623730951", 2)]
+    _fd_rates = ", ".join(
+        f"(v - {_fd_v(f'gr{dr}', f'gc{dc}')}) / {dist} AS r{i}"
+        for i, (dr, dc, dist, code) in enumerate(_fd_dirs))
+    _fd_max = ", ".join(
+        f"COALESCE(r{i}, CAST('-infinity' AS DOUBLE))"
+        for i in range(8))
+    _fd_codes = " + ".join(
+        f"CASE WHEN r{i} IS NOT NULL AND r{i} = m AND m > 0.0 "
+        f"THEN {code} ELSE 0 END"
+        for i, (dr, dc, dist, code) in enumerate(_fd_dirs))
+    o["flow_direction"] = f"""
+WITH px AS (
+  SELECT s, band, 18 + s + tcc AS col, 24 + trr AS row,
+         (24*64 + trr*64 + ri) AS gr, ((18+s)*64 + tcc*64 + ci) AS gc
+  FROM range(0,3) ss(s), range(0,2) bs(band), range(0,4) tcs(tcc),
+       range(0,4) trs(trr), range(0,64) rs(ri), range(0,64) cs(ci)
+  WHERE NOT (ri >= (s*11)%48 AND ri < (s*11)%48+16
+             AND ci >= (s*11)%48 AND ci < (s*11)%48+16)
+), rates AS (
+  SELECT s, band, col, row, {_fd_v('gr', 'gc')} AS v, {_fd_rates}
+  FROM px
+), mx AS (
+  SELECT s, band, col, row, GREATEST({_fd_max}) AS m,
+         r0, r1, r2, r3, r4, r5, r6, r7
+  FROM rates
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS INT) AS band,
+       CAST(col AS BIGINT) AS col, CAST(row AS BIGINT) AS row,
+       CAST(SUM({_fd_codes}) AS BIGINT) AS dir_sum,
+       CAST(COUNT(*) FILTER (WHERE m <= 0.0) AS BIGINT) AS n_pits,
+       CAST(COUNT(*) AS BIGINT) AS n_valid
+FROM mx GROUP BY 1, 2, 3, 4
+"""
 
     # Pixel overview average (pyramid_px_avg): the 2x2 block mean over
     # the closed-form child values — CASE-guarded chained adds in the
@@ -4738,6 +4808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_aeqd": q_reproject_aeqd,
         "reproject_krovak": q_reproject_krovak,
         "pyramid_px_avg": q_pyramid_px_avg,
+        "flow_direction": q_flow_direction,
         "terrain_stats": q_terrain_stats,
         "hillshade": q_hillshade,
         "tri_stats": q_tri_stats,

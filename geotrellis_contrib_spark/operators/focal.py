@@ -500,3 +500,59 @@ def euclidean_distance(tiles: DataFrame, mask_predicate,
     return pieces.groupBy("source_id", "band", "col", "row").applyInPandas(
         scan, "source_id string, band int, col bigint, row bigint, "
               "dist_qsum bigint, n_within bigint")
+
+
+_D8_SQRT2 = 1.4142135623730951
+
+# (dr, dc, distance, ESRI power-of-two code) in FIXED row-major order —
+# the SQL oracle enumerates the same tuples
+_D8 = [(-1, -1, _D8_SQRT2, 32), (-1, 0, 1.0, 64), (-1, 1, _D8_SQRT2, 128),
+       (0, -1, 1.0, 16), (0, 1, 1.0, 1),
+       (1, -1, _D8_SQRT2, 8), (1, 0, 1.0, 4), (1, 1, _D8_SQRT2, 2)]
+
+
+def flow_direction(tiles: DataFrame, tile_size: int = 64) -> DataFrame:
+    """D8 flow direction (the GeoTrellis raster.hydrology FlowDirection /
+    ArcGIS encoding) ACROSS tile boundaries on the focal halo machinery:
+    per valid cell the drop RATE to each valid neighbor is
+    (z - z_n) / dist (1 orthogonal, sqrt(2) diagonal); the cell flows
+    along the maximum positive rate, ties SUM their power-of-two codes
+    (E=1 SE=2 S=4 SW=8 W=16 NW=32 N=64 NE=128); no positive drop -> 0
+    (pit/flat). Mosaic-edge and NoData neighbors are not candidates.
+
+    Determinism: rates are identical arithmetic on both sides, the max
+    is order-free, and codes are exact integers — the per-tile rollup
+    (dir_sum, n_pits, n_valid) needs no quantization."""
+    t = int(tile_size)
+    pieces = _halo_pieces(tiles, 1, t)
+
+    def d8(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        source_id, band, col, row = key
+        frame = _assemble_frame(pdf, 1, t)
+        if frame is None:
+            return pd.DataFrame(columns=["source_id", "band", "col",
+                                         "row", "dir_sum", "n_pits",
+                                         "n_valid"])
+        z = frame[1:1 + t, 1:1 + t]
+        valid = ~np.isnan(z)
+        rates = []
+        best = np.full((t, t), -np.inf)
+        for dr, dc, dist, code in _D8:
+            zn = frame[1 + dr:1 + dr + t, 1 + dc:1 + dc + t]
+            rate = np.where(~np.isnan(zn), (z - zn) / dist, -np.inf)
+            rates.append(rate)
+            best = np.maximum(best, rate)
+        code_sum = np.zeros((t, t), dtype=np.int64)
+        for (dr, dc, dist, code), rate in zip(_D8, rates):
+            code_sum += np.where((rate == best) & (best > 0.0), code, 0)
+        code_sum = np.where(valid, code_sum, 0)
+        pits = valid & (best <= 0.0)
+        return pd.DataFrame([{
+            "source_id": source_id, "band": int(band),
+            "col": int(col), "row": int(row),
+            "dir_sum": int(code_sum.sum()),
+            "n_pits": int(pits.sum()), "n_valid": int(valid.sum())}])
+
+    return pieces.groupBy("source_id", "band", "col", "row").applyInPandas(
+        d8, "source_id string, band int, col bigint, row bigint, "
+            "dir_sum bigint, n_pits bigint, n_valid bigint")
