@@ -1482,6 +1482,24 @@ def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return VS.viewshed(tiles, obs, height=2.0, tile_size=64)
 
 
+def q_flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 FLOW ACCUMULATION (GeoTrellis raster.hydrology analog): per
+    valid cell the exclusive count of upstream cells whose
+    single-direction D8 path passes through it (ties pick the FIRST
+    direction in the fixed row-major order). Whole-scene dependency ->
+    scene is the parallel unit (one applyInPandas per (source, band),
+    synchronous vectorized inflow sweeps to the fixpoint — acyclic
+    because drops are strictly positive). Oracle: the direction cascade
+    mirrored in SQL, then a recursive path closure (reach rows = every
+    (origin, cell-on-path) pair) counted per cell, rolled up per tile
+    with exact integer sums."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import focal as FO
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    return FO.flow_accumulation(tiles, tile_size=64)
+
+
 def q_flow_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D8 FLOW DIRECTION (GeoTrellis raster.hydrology FlowDirection /
     ArcGIS encoding) across tile boundaries: max positive drop rate
@@ -2482,6 +2500,61 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
        CAST(COUNT(*) FILTER (WHERE m <= 0.0) AS BIGINT) AS n_pits,
        CAST(COUNT(*) AS BIGINT) AS n_valid
 FROM mx GROUP BY 1, 2, 3, 4
+"""
+
+    # D8 flow accumulation (flow_accumulation): the SAME rate chains,
+    # a FIRST-max direction cascade, downstream edges on encoded ids,
+    # recursive path closure counted per cell (reach includes the
+    # origin itself, so exclusive acc = COUNT - 1).
+    _fa_pick = " ".join(
+        f"WHEN r{i} IS NOT NULL AND r{i} = m AND m > 0.0 THEN {i}"
+        for i in range(8))
+    _fa_dgr = {0: -1, 1: -1, 2: -1, 3: 0, 4: 0, 5: 1, 6: 1, 7: 1}
+    _fa_dgc = {0: -1, 1: 0, 2: 1, 3: -1, 4: 1, 5: -1, 6: 0, 7: 1}
+    _fa_dgr_sql = " ".join(f"WHEN pick = {i} THEN {d}"
+                           for i, d in _fa_dgr.items())
+    _fa_dgc_sql = " ".join(f"WHEN pick = {i} THEN {d}"
+                           for i, d in _fa_dgc.items())
+    o["flow_accumulation"] = f"""
+WITH RECURSIVE px AS (
+  SELECT s, band, 18 + s + tcc AS col, 24 + trr AS row,
+         (24*64 + trr*64 + ri) AS gr, ((18+s)*64 + tcc*64 + ci) AS gc
+  FROM range(0,3) ss(s), range(0,2) bs(band), range(0,4) tcs(tcc),
+       range(0,4) trs(trr), range(0,64) rs(ri), range(0,64) cs(ci)
+  WHERE NOT (ri >= (s*11)%48 AND ri < (s*11)%48+16
+             AND ci >= (s*11)%48 AND ci < (s*11)%48+16)
+), rates AS MATERIALIZED (
+  SELECT s, band, col, row, gr, gc,
+         (s*2 + band)*16777216 + gr*4096 + gc AS eid,
+         {_fd_v('gr', 'gc')} AS v, {_fd_rates}
+  FROM px
+), mx AS MATERIALIZED (
+  SELECT *, GREATEST({_fd_max}) AS m FROM rates
+), pk AS MATERIALIZED (
+  SELECT s, band, col, row, gr, gc, eid,
+         CASE {_fa_pick} ELSE -1 END AS pick
+  FROM mx
+), ed AS MATERIALIZED (
+  SELECT eid,
+         (s*2 + band)*16777216
+         + (gr + CASE {_fa_dgr_sql} END)*4096
+         + (gc + CASE {_fa_dgc_sql} END) AS did
+  FROM pk WHERE pick >= 0
+), reach(u, x) AS (
+  SELECT eid, eid FROM pk
+  UNION
+  SELECT reach.u, ed.did FROM reach JOIN ed ON ed.eid = reach.x
+), acc AS (
+  SELECT x AS eid, COUNT(*) - 1 AS a FROM reach GROUP BY x
+)
+SELECT CONCAT('scene-', CAST(p.s AS VARCHAR)) AS source_id,
+       CAST(p.band AS INT) AS band,
+       CAST(p.col AS BIGINT) AS col, CAST(p.row AS BIGINT) AS row,
+       CAST(SUM(a.a) AS BIGINT) AS acc_sum,
+       CAST(MAX(a.a) AS BIGINT) AS acc_max,
+       CAST(COUNT(*) AS BIGINT) AS n_valid
+FROM pk p JOIN acc a ON a.eid = p.eid
+GROUP BY 1, 2, 3, 4
 """
 
     # Pixel overview average (pyramid_px_avg): the 2x2 block mean over
@@ -4809,6 +4882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_krovak": q_reproject_krovak,
         "pyramid_px_avg": q_pyramid_px_avg,
         "flow_direction": q_flow_direction,
+        "flow_accumulation": q_flow_accumulation,
         "terrain_stats": q_terrain_stats,
         "hillshade": q_hillshade,
         "tri_stats": q_tri_stats,

@@ -556,3 +556,94 @@ def flow_direction(tiles: DataFrame, tile_size: int = 64) -> DataFrame:
     return pieces.groupBy("source_id", "band", "col", "row").applyInPandas(
         d8, "source_id string, band int, col bigint, row bigint, "
             "dir_sum bigint, n_pits bigint, n_valid bigint")
+
+
+def flow_accumulation(tiles: DataFrame, tile_size: int = 64,
+                      max_px: int = 1 << 11) -> DataFrame:
+    """D8 flow accumulation (GeoTrellis raster.hydrology
+    FlowAccumulation analog): per valid cell the COUNT of upstream cells
+    whose single-direction D8 path passes through it (exclusive, the
+    ArcGIS convention). Direction per cell = the max positive drop rate;
+    ties resolve to the FIRST direction in the fixed row-major _D8 order
+    (deterministic, mirrored by the SQL oracle's CASE cascade); pits and
+    flats have no outflow.
+
+    Like viewshed, accumulation has whole-scene data dependency (a path
+    can cross every tile), so the scene is the parallel unit: ONE
+    groupBy(source_id, band).applyInPandas assembles the mosaic and
+    accumulates by synchronous vectorized sweeps (acc = 1 + sum of
+    inflows, repeated to the fixpoint — the flow graph is acyclic
+    because drops are strictly positive, so this terminates in
+    max-path-length sweeps). ``max_px`` bounds the assembled scene edge
+    (fail-loud). Output per tile: (source_id, band, col, row, acc_sum,
+    acc_max, n_valid)."""
+    t = int(tile_size)
+
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        source_id, band = key[0], int(key[1])
+        cols = pdf["col"].to_numpy()
+        rows = pdf["row"].to_numpy()
+        c0, r0 = int(cols.min()), int(rows.min())
+        nc, nr = int(cols.max()) - c0 + 1, int(rows.max()) - r0 + 1
+        if nc * t > max_px or nr * t > max_px:
+            raise ValueError(f"scene {source_id} exceeds max_px={max_px}")
+        z = np.full((nr * t, nc * t), np.nan)
+        for row_t in pdf.itertuples(index=False):
+            arr = np.frombuffer(row_t.px, dtype=DTYPES[row_t.dtype]) \
+                    .reshape(t, t).astype(np.float64)
+            z[(int(row_t.row) - r0) * t:(int(row_t.row) - r0 + 1) * t,
+              (int(row_t.col) - c0) * t:(int(row_t.col) - c0 + 1) * t] \
+                = np.where(arr == row_t.nodata, np.nan, arr)
+        H, W = z.shape
+        valid = ~np.isnan(z)
+        # single direction per cell: first max-rate dir in _D8 order
+        best = np.full((H, W), -np.inf)
+        rates = []
+        zp = np.pad(z, 1, constant_values=np.nan)
+        for dr, dc, dist, code in _D8:
+            zn = zp[1 + dr:1 + dr + H, 1 + dc:1 + dc + W]
+            rate = np.where(~np.isnan(zn), (z - zn) / dist, -np.inf)
+            rates.append(rate)
+            best = np.maximum(best, rate)
+        chosen = np.full((H, W), -1, dtype=np.int64)
+        for idx in range(len(_D8) - 1, -1, -1):
+            sel = (rates[idx] == best) & (best > 0.0)
+            chosen[sel] = idx
+        chosen = np.where(valid, chosen, -1)
+        # synchronous sweeps: acc = 1 + sum of inflows (acyclic -> fixpoint)
+        ch_pad = np.pad(chosen, 1, constant_values=-1)
+        inflow_masks = [
+            ch_pad[1 - dr:1 - dr + H, 1 - dc:1 - dc + W] == idx
+            for idx, (dr, dc, _, _) in enumerate(_D8)]
+        base = np.where(valid, 1.0, 0.0)
+        acc = base.copy()
+        for _ in range(H * W + 1):
+            accp = np.pad(acc, 1, constant_values=0.0)
+            nxt = base.copy()
+            for idx, (dr, dc, _, _) in enumerate(_D8):
+                src_acc = accp[1 - dr:1 - dr + H, 1 - dc:1 - dc + W]
+                nxt += np.where(inflow_masks[idx], src_acc, 0.0)
+            if np.array_equal(nxt, acc):
+                break
+            acc = nxt
+        else:  # pragma: no cover - acyclicity makes this unreachable
+            raise RuntimeError("flow accumulation did not converge")
+        up = np.where(valid, acc - 1.0, 0.0).astype(np.int64)  # exclusive
+        out = []
+        for row_t in pdf.itertuples(index=False):
+            ty = (int(row_t.row) - r0) * t
+            tx = (int(row_t.col) - c0) * t
+            u = up[ty:ty + t, tx:tx + t]
+            va = valid[ty:ty + t, tx:tx + t]
+            out.append({"source_id": source_id, "band": band,
+                        "col": int(row_t.col), "row": int(row_t.row),
+                        "acc_sum": int(u[va].sum()),
+                        "acc_max": int(u[va].max()) if va.any() else 0,
+                        "n_valid": int(va.sum())})
+        return pd.DataFrame(out, columns=["source_id", "band", "col",
+                                          "row", "acc_sum", "acc_max",
+                                          "n_valid"])
+
+    return tiles.groupBy("source_id", "band").applyInPandas(
+        run, "source_id string, band int, col bigint, row bigint, "
+             "acc_sum bigint, acc_max bigint, n_valid bigint")

@@ -163,3 +163,79 @@ def test_flow_direction_pit_and_ties(spark):
     # neighbors of the pit point AT it: cell (10,11) flows W (code 16)
     # contributing to dir_sum; just assert the global sum is positive
     assert r.dir_sum > 0
+
+
+def test_flow_accumulation_matches_path_following(spark):
+    """Engine inflow sweeps vs a scalar path-following brute force:
+    every cell walks its D8 path and increments each cell it passes."""
+    import math
+
+    s, band = 2, 0
+    tiles = corpus.synth_px_tiles(spark, tile_size=T)
+    rows = [r for r in FO.flow_accumulation(tiles, tile_size=T).collect()
+            if r.source_id == f"scene-{s}" and r.band == band]
+    big = np.full((4 * T, 4 * T), np.nan)
+    h0 = (s * 11) % (T - 16)
+    for tc in range(4):
+        for tr in range(4):
+            col, row = 18 + s + tc, 24 + tr
+            r = np.arange(T).reshape(-1, 1)
+            c = np.arange(T).reshape(1, -1)
+            val = (s * 1000.0 + band * 100.0 + col * 7.0 + row * 3.0
+                   + r * 0.5 + c * 0.25 + ((r * 31 + c * 17) % 13))
+            a = val.astype(np.float64)
+            a[h0:h0 + 16, h0:h0 + 16] = np.nan
+            big[tr * T:(tr + 1) * T, tc * T:(tc + 1) * T] = a
+    D8 = [(-1, -1, math.sqrt(2.0)), (-1, 0, 1.0), (-1, 1, math.sqrt(2.0)),
+          (0, -1, 1.0), (0, 1, 1.0),
+          (1, -1, math.sqrt(2.0)), (1, 0, 1.0), (1, 1, math.sqrt(2.0))]
+    H = 4 * T
+    down = {}
+    for i in range(H):
+        for j in range(H):
+            if np.isnan(big[i, j]):
+                continue
+            best, pick = -np.inf, None
+            for dr, dc, dist in D8:  # FIRST max in fixed order wins
+                x, y = i + dr, j + dc
+                if 0 <= x < H and 0 <= y < H and not np.isnan(big[x, y]):
+                    rate = (big[i, j] - big[x, y]) / dist
+                    if rate > best:
+                        best, pick = rate, (x, y)
+            if best > 0:
+                down[(i, j)] = pick
+    acc = np.zeros((H, H), dtype=np.int64)
+    for start in down:
+        cur = start
+        while cur in down:
+            cur = down[cur]
+            acc[cur] += 1
+    want = {}
+    for i in range(H):
+        for j in range(H):
+            if np.isnan(big[i, j]):
+                continue
+            key = (18 + s + j // T, 24 + i // T)
+            sm, mx, nv = want.get(key, (0, 0, 0))
+            want[key] = (sm + acc[i, j], max(mx, acc[i, j]), nv + 1)
+    got = {(r.col, r.row): (r.acc_sum, r.acc_max, r.n_valid)
+           for r in rows}
+    assert got == want
+
+
+def test_flow_accumulation_channel(spark):
+    """A single descending channel: accumulation grows 0,1,2,... along
+    it (everything drains through the downstream end)."""
+    from geotrellis_contrib_spark.operators.pixels import pack
+
+    arr = np.full((T, T), 1000.0)
+    for k in range(T):
+        arr[5, k] = 500.0 - k       # strictly descending channel row
+    df = spark.createDataFrame(
+        [("c", 0, 0, 0, 0, 0, "float64", -1.0, pack(arr))],
+        "source_id string, source_idx int, zoom int, col bigint, "
+        "row bigint, band int, dtype string, nodata double, px binary")
+    r = FO.flow_accumulation(df, tile_size=T).collect()[0]
+    # channel cell k has at least the k upstream channel cells; the
+    # terminal cell collects everything routed into the channel
+    assert r.acc_max >= T - 1
