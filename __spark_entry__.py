@@ -1500,6 +1500,20 @@ def q_flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FO.flow_accumulation(tiles, tile_size=64)
 
 
+def q_watershed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERSHED / drainage-basin labeling: every valid cell labeled
+    with the terminal pit its single-direction D8 path drains to
+    (pointer DOUBLING on the flow forest inside the scene task).
+    Oracle: the flow_accumulation closure joined to the terminal set —
+    each origin's unique terminal is its label; per-tile exact integer
+    label sums + distinct-basin counts."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import focal as FO
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    return FO.watershed_labels(tiles, tile_size=64)
+
+
 def q_flow_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D8 FLOW DIRECTION (GeoTrellis raster.hydrology FlowDirection /
     ArcGIS encoding) across tile boundaries: max positive drop rate
@@ -2556,6 +2570,36 @@ SELECT CONCAT('scene-', CAST(p.s AS VARCHAR)) AS source_id,
 FROM pk p JOIN acc a ON a.eid = p.eid
 GROUP BY 1, 2, 3, 4
 """
+
+    # Watershed (watershed): reuse the flow closure — terminals are
+    # cells with pick = -1; each origin's unique terminal is its label
+    # (low 24 bits = gr*4096+gc, the engine's basin id).
+    o["watershed"] = o["flow_accumulation"].replace(
+        """), acc AS (
+  SELECT x AS eid, COUNT(*) - 1 AS a FROM reach GROUP BY x
+)
+SELECT CONCAT('scene-', CAST(p.s AS VARCHAR)) AS source_id,
+       CAST(p.band AS INT) AS band,
+       CAST(p.col AS BIGINT) AS col, CAST(p.row AS BIGINT) AS row,
+       CAST(SUM(a.a) AS BIGINT) AS acc_sum,
+       CAST(MAX(a.a) AS BIGINT) AS acc_max,
+       CAST(COUNT(*) AS BIGINT) AS n_valid
+FROM pk p JOIN acc a ON a.eid = p.eid
+GROUP BY 1, 2, 3, 4
+""",
+        """), lab AS (
+  SELECT r.u, r.x AS label FROM reach r
+  JOIN pk t ON t.eid = r.x AND t.pick = -1
+)
+SELECT CONCAT('scene-', CAST(p.s AS VARCHAR)) AS source_id,
+       CAST(p.band AS INT) AS band,
+       CAST(p.col AS BIGINT) AS col, CAST(p.row AS BIGINT) AS row,
+       CAST(SUM(l.label % 16777216) AS BIGINT) AS basin_qsum,
+       CAST(COUNT(DISTINCT l.label) AS BIGINT) AS n_basins,
+       CAST(COUNT(*) AS BIGINT) AS n_valid
+FROM pk p JOIN lab l ON l.u = p.eid
+GROUP BY 1, 2, 3, 4
+""")
 
     # Pixel overview average (pyramid_px_avg): the 2x2 block mean over
     # the closed-form child values — CASE-guarded chained adds in the
@@ -4883,6 +4927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid_px_avg": q_pyramid_px_avg,
         "flow_direction": q_flow_direction,
         "flow_accumulation": q_flow_accumulation,
+        "watershed": q_watershed,
         "terrain_stats": q_terrain_stats,
         "hillshade": q_hillshade,
         "tri_stats": q_tri_stats,

@@ -647,3 +647,84 @@ def flow_accumulation(tiles: DataFrame, tile_size: int = 64,
     return tiles.groupBy("source_id", "band").applyInPandas(
         run, "source_id string, band int, col bigint, row bigint, "
              "acc_sum bigint, acc_max bigint, n_valid bigint")
+
+
+def watershed_labels(tiles: DataFrame, tile_size: int = 64,
+                     max_px: int = 1 << 11) -> DataFrame:
+    """Watershed / drainage-basin labeling: every valid cell is labeled
+    with the global pixel id (gr*4096 + gc) of the TERMINAL cell (pit or
+    flat) its single-direction D8 path drains to — same direction rule
+    as flow_accumulation (first max positive drop, fixed order). Scene
+    is the parallel unit; inside the task labels resolve by POINTER
+    DOUBLING on the flow forest (log(depth) rounds of ptr = ptr[ptr]).
+    Output per tile: (source_id, band, col, row, basin_qsum = exact
+    int64 sum of labels, n_basins = distinct basins touching the tile,
+    n_valid)."""
+    t = int(tile_size)
+
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        source_id, band = key[0], int(key[1])
+        cols = pdf["col"].to_numpy()
+        rows = pdf["row"].to_numpy()
+        c0, r0 = int(cols.min()), int(rows.min())
+        nc, nr = int(cols.max()) - c0 + 1, int(rows.max()) - r0 + 1
+        if nc * t > max_px or nr * t > max_px:
+            raise ValueError(f"scene {source_id} exceeds max_px={max_px}")
+        z = np.full((nr * t, nc * t), np.nan)
+        for row_t in pdf.itertuples(index=False):
+            arr = np.frombuffer(row_t.px, dtype=DTYPES[row_t.dtype]) \
+                    .reshape(t, t).astype(np.float64)
+            z[(int(row_t.row) - r0) * t:(int(row_t.row) - r0 + 1) * t,
+              (int(row_t.col) - c0) * t:(int(row_t.col) - c0 + 1) * t] \
+                = np.where(arr == row_t.nodata, np.nan, arr)
+        H, W = z.shape
+        valid = ~np.isnan(z)
+        best = np.full((H, W), -np.inf)
+        rates = []
+        zp = np.pad(z, 1, constant_values=np.nan)
+        for dr, dc, dist, code in _D8:
+            zn = zp[1 + dr:1 + dr + H, 1 + dc:1 + dc + W]
+            rates.append(np.where(~np.isnan(zn), (z - zn) / dist,
+                                  -np.inf))
+            best = np.maximum(best, rates[-1])
+        chosen = np.full((H, W), -1, dtype=np.int64)
+        for idx in range(len(_D8) - 1, -1, -1):
+            sel = (rates[idx] == best) & (best > 0.0)
+            chosen[sel] = idx
+        chosen = np.where(valid, chosen, -1)
+        # flat pointer array: terminal cells point to themselves
+        n = H * W
+        idxs = np.arange(n, dtype=np.int64)
+        ptr = idxs.copy()
+        flat_ch = chosen.ravel()
+        for k, (dr, dc, _, _) in enumerate(_D8):
+            sel = flat_ch == k
+            ptr[sel] = idxs[sel] + dr * W + dc
+        # pointer doubling to the terminals (log(depth) rounds)
+        for _ in range(64):
+            nxt = ptr[ptr]
+            if np.array_equal(nxt, ptr):
+                break
+            ptr = nxt
+        else:  # pragma: no cover
+            raise RuntimeError("watershed pointer doubling did not settle")
+        gi = (r0 * t + (ptr // W)) * 4096 + (c0 * t + (ptr % W))
+        labels = np.where(valid.ravel(), gi, -1).reshape(H, W)
+        out = []
+        for row_t in pdf.itertuples(index=False):
+            ty = (int(row_t.row) - r0) * t
+            tx = (int(row_t.col) - c0) * t
+            lab = labels[ty:ty + t, tx:tx + t]
+            va = valid[ty:ty + t, tx:tx + t]
+            out.append({"source_id": source_id, "band": band,
+                        "col": int(row_t.col), "row": int(row_t.row),
+                        "basin_qsum": int(lab[va].sum()),
+                        "n_basins": int(np.unique(lab[va]).size),
+                        "n_valid": int(va.sum())})
+        return pd.DataFrame(out, columns=["source_id", "band", "col",
+                                          "row", "basin_qsum",
+                                          "n_basins", "n_valid"])
+
+    return tiles.groupBy("source_id", "band").applyInPandas(
+        run, "source_id string, band int, col bigint, row bigint, "
+             "basin_qsum bigint, n_basins bigint, n_valid bigint")

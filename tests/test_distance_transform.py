@@ -239,3 +239,77 @@ def test_flow_accumulation_channel(spark):
     # channel cell k has at least the k upstream channel cells; the
     # terminal cell collects everything routed into the channel
     assert r.acc_max >= T - 1
+
+
+def test_watershed_matches_path_following(spark):
+    """Pointer-doubling basin labels vs scalar path following."""
+    import math
+
+    s, band = 1, 1
+    tiles = corpus.synth_px_tiles(spark, tile_size=T)
+    rows = [r for r in FO.watershed_labels(tiles, tile_size=T).collect()
+            if r.source_id == f"scene-{s}" and r.band == band]
+    big = np.full((4 * T, 4 * T), np.nan)
+    h0 = (s * 11) % (T - 16)
+    for tc in range(4):
+        for tr in range(4):
+            col, row = 18 + s + tc, 24 + tr
+            r = np.arange(T).reshape(-1, 1)
+            c = np.arange(T).reshape(1, -1)
+            val = (s * 1000.0 + band * 100.0 + col * 7.0 + row * 3.0
+                   + r * 0.5 + c * 0.25 + ((r * 31 + c * 17) % 13))
+            a = val.astype(np.float64)
+            a[h0:h0 + 16, h0:h0 + 16] = np.nan
+            big[tr * T:(tr + 1) * T, tc * T:(tc + 1) * T] = a
+    D8 = [(-1, -1, math.sqrt(2.0)), (-1, 0, 1.0), (-1, 1, math.sqrt(2.0)),
+          (0, -1, 1.0), (0, 1, 1.0),
+          (1, -1, math.sqrt(2.0)), (1, 0, 1.0), (1, 1, math.sqrt(2.0))]
+    H = 4 * T
+    down = {}
+    for i in range(H):
+        for j in range(H):
+            if np.isnan(big[i, j]):
+                continue
+            best, pick = -np.inf, None
+            for dr, dc, dist in D8:
+                x, y = i + dr, j + dc
+                if 0 <= x < H and 0 <= y < H and not np.isnan(big[x, y]):
+                    rate = (big[i, j] - big[x, y]) / dist
+                    if rate > best:
+                        best, pick = rate, (x, y)
+            if best > 0:
+                down[(i, j)] = pick
+    want = {}
+    for i in range(H):
+        for j in range(H):
+            if np.isnan(big[i, j]):
+                continue
+            cur = (i, j)
+            while cur in down:
+                cur = down[cur]
+            label = (24 * T + cur[0]) * 4096 + ((18 + s) * T + cur[1])
+            key = (18 + s + j // T, 24 + i // T)
+            sm, basins, nv = want.get(key, (0, set(), 0))
+            basins = set(basins)
+            basins.add(label)
+            want[key] = (sm + label, basins, nv + 1)
+    got = {(r.col, r.row): (r.basin_qsum, r.n_basins, r.n_valid)
+           for r in rows}
+    assert got == {k: (sm, len(b), nv) for k, (sm, b, nv) in want.items()}
+
+
+def test_watershed_two_basins(spark):
+    """Two pits split the tile into exactly two basins."""
+    from geotrellis_contrib_spark.operators.pixels import pack
+
+    c = np.arange(T).reshape(1, -1)
+    r = np.arange(T).reshape(-1, 1)
+    # V-shaped valley along columns: minima at c=10 and c=50, ridge at 30
+    arr = np.minimum(np.abs(c - 10), np.abs(c - 50)) * 10.0 \
+        + r * 0.001 + 0.0 * r
+    df = spark.createDataFrame(
+        [("w2", 0, 0, 0, 0, 0, "float64", -1.0, pack(arr))],
+        "source_id string, source_idx int, zoom int, col bigint, "
+        "row bigint, band int, dtype string, nodata double, px binary")
+    res = FO.watershed_labels(df, tile_size=T).collect()[0]
+    assert res.n_basins == 2 and res.n_valid == T * T
