@@ -1604,6 +1604,29 @@ def q_idw_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return px.idw_interpolate(pts, zoom=6, radius_px=4.0, tile_size=64)
 
 
+def q_least_cost_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAST-COST PATH backtracking (GeoTrellis LeastCostPath analog):
+    from two far-corner targets per (scene, band), walk predecessors on
+    the accumulated-cost surface using the EXACT optimality equation
+    cost(cur) == cost(n) + step (first match in fixed row-major order,
+    in-grid neighbors only) until a seed. Dyadic costs make the equality
+    exact, and on the uniform fixture the surface equals the octile
+    closed form — so the SQL oracle walks the IDENTICAL rule as a
+    recursive CTE over pure arithmetic (the 9-seed LEAST expression),
+    no joins. Output: one row per target with path length and quantized
+    target cost."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import costdistance as CD
+
+    tiles = corpus_mod.synth_friction_tiles(spark, tile_size=64)
+    tgt = lambda sid, band: [  # noqa: E731
+        (1789, (18 + int(sid.split("-")[1])) * 64 + 253),
+        (1538, (18 + int(sid.split("-")[1])) * 64 + 2)]
+    return CD.least_cost_path(
+        tiles, lambda vals, gr, gc: (gr % 97 == 5) & (gc % 89 == 7),
+        tgt, tile_size=64, straight=1.0, diag=1.5)
+
+
 def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COST DISTANCE (GeoTrellis CostDistance / iterative cost-distance
     analog) ACROSS tile boundaries: accumulated 8-connected cost from 9
@@ -2776,6 +2799,35 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
          AS dist_qsum,
        CAST(COUNT(*) AS BIGINT) AS n_within
 FROM nearest WHERE d IS NOT NULL GROUP BY 1, 2, 3, 4
+"""
+
+    # Least-cost path (least_cost_path): the identical backtrack rule
+    # as a recursive CTE over PURE ARITHMETIC — cost() is the 9-seed
+    # octile LEAST expression, the predecessor pick is a first-match
+    # CASE cascade with the engine's bounds checks, dyadic equality.
+    o["least_cost_path"] = """
+WITH RECURSIVE tgts AS (
+  SELECT s, band, tgr, tgc FROM range(0,3) ss(s), range(0,2) bs(band),
+       (VALUES (0), (1)) tv(ti),
+       LATERAL (SELECT CASE ti WHEN 0 THEN 1789 ELSE 1538 END AS tgr,
+                       CASE ti WHEN 0 THEN (18+s)*64 + 253
+                               ELSE (18+s)*64 + 2 END AS tgc)
+), walk(s, band, tgr, tgc, gr, gc, depth) AS (
+  SELECT s, band, tgr, tgc, tgr, tgc, 0 FROM tgts
+  UNION ALL
+  SELECT s, band, tgr, tgc,
+         gr + CASE pick WHEN 0 THEN -1 WHEN 1 THEN -1 WHEN 2 THEN -1 WHEN 3 THEN 0 WHEN 4 THEN 0 WHEN 5 THEN 1 WHEN 6 THEN 1 WHEN 7 THEN 1 END, gc + CASE pick WHEN 0 THEN -1 WHEN 1 THEN 0 WHEN 2 THEN 1 WHEN 3 THEN -1 WHEN 4 THEN 1 WHEN 5 THEN -1 WHEN 6 THEN 0 WHEN 7 THEN 1 END, depth + 1
+  FROM (
+    SELECT *, CASE WHEN (gr + -1) BETWEEN 1536 AND 1791 AND (gc + -1) BETWEEN (18+s)*64 AND (22+s)*64 - 1 AND LEAST(1.5*LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 2))))), 1.5*LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 2))))), 1.5*LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 2)))))) = LEAST(1.5*LEAST(ABS((gr + -1) - 1557), ABS((gc + -1) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr + -1) - 1557), ABS((gc + -1) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr + -1) - 1557), ABS((gc + -1) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr + -1) - 1557), ABS((gc + -1) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr + -1) - 1557), ABS((gc + -1) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr + -1) - 1557), ABS((gc + -1) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr + -1) - 1557), ABS((gc + -1) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr + -1) - 1557), ABS((gc + -1) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr + -1) - 1557), ABS((gc + -1) - (1164 + 89*(s + 2))))), 1.5*LEAST(ABS((gr + -1) - 1654), ABS((gc + -1) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr + -1) - 1654), ABS((gc + -1) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr + -1) - 1654), ABS((gc + -1) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr + -1) - 1654), ABS((gc + -1) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr + -1) - 1654), ABS((gc + -1) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr + -1) - 1654), ABS((gc + -1) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr + -1) - 1654), ABS((gc + -1) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr + -1) - 1654), ABS((gc + -1) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr + -1) - 1654), ABS((gc + -1) - (1164 + 89*(s + 2))))), 1.5*LEAST(ABS((gr + -1) - 1751), ABS((gc + -1) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr + -1) - 1751), ABS((gc + -1) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr + -1) - 1751), ABS((gc + -1) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr + -1) - 1751), ABS((gc + -1) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr + -1) - 1751), ABS((gc + -1) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr + -1) - 1751), ABS((gc + -1) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr + -1) - 1751), ABS((gc + -1) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr + -1) - 1751), ABS((gc + -1) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr + -1) - 1751), ABS((gc + -1) - (1164 + 89*(s + 2)))))) + 1.5 THEN 0 WHEN (gr + -1) BETWEEN 1536 AND 1791 AND (gc + 0) BETWEEN (18+s)*64 AND (22+s)*64 - 1 AND LEAST(1.5*LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 2))))), 1.5*LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 2))))), 1.5*LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 2)))))) = LEAST(1.5*LEAST(ABS((gr + -1) - 1557), ABS((gc + 0) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr + -1) - 1557), ABS((gc + 0) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr + -1) - 1557), ABS((gc + 0) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr + -1) - 1557), ABS((gc + 0) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr + -1) - 1557), ABS((gc + 0) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr + -1) - 1557), ABS((gc + 0) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr + -1) - 1557), ABS((gc + 0) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr + -1) - 1557), ABS((gc + 0) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr + -1) - 1557), ABS((gc + 0) - (1164 + 89*(s + 2))))), 1.5*LEAST(ABS((gr + -1) - 1654), ABS((gc + 0) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr + -1) - 1654), ABS((gc + 0) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr + -1) - 1654), ABS((gc + 0) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr + -1) - 1654), ABS((gc + 0) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr + -1) - 1654), ABS((gc + 0) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr + -1) - 1654), ABS((gc + 0) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr + -1) - 1654), ABS((gc + 0) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr + -1) - 1654), ABS((gc + 0) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr + -1) - 1654), ABS((gc + 0) - (1164 + 89*(s + 2))))), 1.5*LEAST(ABS((gr + -1) - 1751), ABS((gc + 0) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr + -1) - 1751), ABS((gc + 0) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr + -1) - 1751), ABS((gc + 0) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr + -1) - 1751), ABS((gc + 0) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr + -1) - 1751), ABS((gc + 0) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr + -1) - 1751), ABS((gc + 0) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr + -1) - 1751), ABS((gc + 0) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr + -1) - 1751), ABS((gc + 0) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr + -1) - 1751), ABS((gc + 0) - (1164 + 89*(s + 2)))))) + 1.0 THEN 1 WHEN (gr + -1) BETWEEN 1536 AND 1791 AND (gc + 1) BETWEEN (18+s)*64 AND (22+s)*64 - 1 AND LEAST(1.5*LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 2))))), 1.5*LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 2))))), 1.5*LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 2)))))) = LEAST(1.5*LEAST(ABS((gr + -1) - 1557), ABS((gc + 1) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr + -1) - 1557), ABS((gc + 1) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr + -1) - 1557), ABS((gc + 1) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr + -1) - 1557), ABS((gc + 1) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr + -1) - 1557), ABS((gc + 1) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr + -1) - 1557), ABS((gc + 1) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr + -1) - 1557), ABS((gc + 1) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr + -1) - 1557), ABS((gc + 1) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr + -1) - 1557), ABS((gc + 1) - (1164 + 89*(s + 2))))), 1.5*LEAST(ABS((gr + -1) - 1654), ABS((gc + 1) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr + -1) - 1654), ABS((gc + 1) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr + -1) - 1654), ABS((gc + 1) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr + -1) - 1654), ABS((gc + 1) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr + -1) - 1654), ABS((gc + 1) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr + -1) - 1654), ABS((gc + 1) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr + -1) - 1654), ABS((gc + 1) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr + -1) - 1654), ABS((gc + 1) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr + -1) - 1654), ABS((gc + 1) - (1164 + 89*(s + 2))))), 1.5*LEAST(ABS((gr + -1) - 1751), ABS((gc + 1) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr + -1) - 1751), ABS((gc + 1) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr + -1) - 1751), ABS((gc + 1) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr + -1) - 1751), ABS((gc + 1) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr + -1) - 1751), ABS((gc + 1) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr + -1) - 1751), ABS((gc + 1) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr + -1) - 1751), ABS((gc + 1) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr + -1) - 1751), ABS((gc + 1) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr + -1) - 1751), ABS((gc + 1) - (1164 + 89*(s + 2)))))) + 1.5 THEN 2 WHEN (gr + 0) BETWEEN 1536 AND 1791 AND (gc + -1) BETWEEN (18+s)*64 AND (22+s)*64 - 1 AND LEAST(1.5*LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 2))))), 1.5*LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 2))))), 1.5*LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 2)))))) = LEAST(1.5*LEAST(ABS((gr + 0) - 1557), ABS((gc + -1) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr + 0) - 1557), ABS((gc + -1) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr + 0) - 1557), ABS((gc + -1) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr + 0) - 1557), ABS((gc + -1) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr + 0) - 1557), ABS((gc + -1) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr + 0) - 1557), ABS((gc + -1) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr + 0) - 1557), ABS((gc + -1) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr + 0) - 1557), ABS((gc + -1) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr + 0) - 1557), ABS((gc + -1) - (1164 + 89*(s + 2))))), 1.5*LEAST(ABS((gr + 0) - 1654), ABS((gc + -1) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr + 0) - 1654), ABS((gc + -1) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr + 0) - 1654), ABS((gc + -1) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr + 0) - 1654), ABS((gc + -1) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr + 0) - 1654), ABS((gc + -1) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr + 0) - 1654), ABS((gc + -1) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr + 0) - 1654), ABS((gc + -1) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr + 0) - 1654), ABS((gc + -1) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr + 0) - 1654), ABS((gc + -1) - (1164 + 89*(s + 2))))), 1.5*LEAST(ABS((gr + 0) - 1751), ABS((gc + -1) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr + 0) - 1751), ABS((gc + -1) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr + 0) - 1751), ABS((gc + -1) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr + 0) - 1751), ABS((gc + -1) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr + 0) - 1751), ABS((gc + -1) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr + 0) - 1751), ABS((gc + -1) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr + 0) - 1751), ABS((gc + -1) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr + 0) - 1751), ABS((gc + -1) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr + 0) - 1751), ABS((gc + -1) - (1164 + 89*(s + 2)))))) + 1.0 THEN 3 WHEN (gr + 0) BETWEEN 1536 AND 1791 AND (gc + 1) BETWEEN (18+s)*64 AND (22+s)*64 - 1 AND LEAST(1.5*LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 2))))), 1.5*LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 2))))), 1.5*LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 2)))))) = LEAST(1.5*LEAST(ABS((gr + 0) - 1557), ABS((gc + 1) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr + 0) - 1557), ABS((gc + 1) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr + 0) - 1557), ABS((gc + 1) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr + 0) - 1557), ABS((gc + 1) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr + 0) - 1557), ABS((gc + 1) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr + 0) - 1557), ABS((gc + 1) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr + 0) - 1557), ABS((gc + 1) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr + 0) - 1557), ABS((gc + 1) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr + 0) - 1557), ABS((gc + 1) - (1164 + 89*(s + 2))))), 1.5*LEAST(ABS((gr + 0) - 1654), ABS((gc + 1) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr + 0) - 1654), ABS((gc + 1) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr + 0) - 1654), ABS((gc + 1) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr + 0) - 1654), ABS((gc + 1) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr + 0) - 1654), ABS((gc + 1) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr + 0) - 1654), ABS((gc + 1) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr + 0) - 1654), ABS((gc + 1) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr + 0) - 1654), ABS((gc + 1) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr + 0) - 1654), ABS((gc + 1) - (1164 + 89*(s + 2))))), 1.5*LEAST(ABS((gr + 0) - 1751), ABS((gc + 1) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr + 0) - 1751), ABS((gc + 1) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr + 0) - 1751), ABS((gc + 1) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr + 0) - 1751), ABS((gc + 1) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr + 0) - 1751), ABS((gc + 1) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr + 0) - 1751), ABS((gc + 1) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr + 0) - 1751), ABS((gc + 1) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr + 0) - 1751), ABS((gc + 1) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr + 0) - 1751), ABS((gc + 1) - (1164 + 89*(s + 2)))))) + 1.0 THEN 4 WHEN (gr + 1) BETWEEN 1536 AND 1791 AND (gc + -1) BETWEEN (18+s)*64 AND (22+s)*64 - 1 AND LEAST(1.5*LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 2))))), 1.5*LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 2))))), 1.5*LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 2)))))) = LEAST(1.5*LEAST(ABS((gr + 1) - 1557), ABS((gc + -1) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr + 1) - 1557), ABS((gc + -1) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr + 1) - 1557), ABS((gc + -1) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr + 1) - 1557), ABS((gc + -1) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr + 1) - 1557), ABS((gc + -1) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr + 1) - 1557), ABS((gc + -1) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr + 1) - 1557), ABS((gc + -1) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr + 1) - 1557), ABS((gc + -1) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr + 1) - 1557), ABS((gc + -1) - (1164 + 89*(s + 2))))), 1.5*LEAST(ABS((gr + 1) - 1654), ABS((gc + -1) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr + 1) - 1654), ABS((gc + -1) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr + 1) - 1654), ABS((gc + -1) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr + 1) - 1654), ABS((gc + -1) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr + 1) - 1654), ABS((gc + -1) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr + 1) - 1654), ABS((gc + -1) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr + 1) - 1654), ABS((gc + -1) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr + 1) - 1654), ABS((gc + -1) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr + 1) - 1654), ABS((gc + -1) - (1164 + 89*(s + 2))))), 1.5*LEAST(ABS((gr + 1) - 1751), ABS((gc + -1) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr + 1) - 1751), ABS((gc + -1) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr + 1) - 1751), ABS((gc + -1) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr + 1) - 1751), ABS((gc + -1) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr + 1) - 1751), ABS((gc + -1) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr + 1) - 1751), ABS((gc + -1) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr + 1) - 1751), ABS((gc + -1) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr + 1) - 1751), ABS((gc + -1) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr + 1) - 1751), ABS((gc + -1) - (1164 + 89*(s + 2)))))) + 1.5 THEN 5 WHEN (gr + 1) BETWEEN 1536 AND 1791 AND (gc + 0) BETWEEN (18+s)*64 AND (22+s)*64 - 1 AND LEAST(1.5*LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 2))))), 1.5*LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 2))))), 1.5*LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 2)))))) = LEAST(1.5*LEAST(ABS((gr + 1) - 1557), ABS((gc + 0) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr + 1) - 1557), ABS((gc + 0) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr + 1) - 1557), ABS((gc + 0) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr + 1) - 1557), ABS((gc + 0) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr + 1) - 1557), ABS((gc + 0) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr + 1) - 1557), ABS((gc + 0) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr + 1) - 1557), ABS((gc + 0) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr + 1) - 1557), ABS((gc + 0) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr + 1) - 1557), ABS((gc + 0) - (1164 + 89*(s + 2))))), 1.5*LEAST(ABS((gr + 1) - 1654), ABS((gc + 0) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr + 1) - 1654), ABS((gc + 0) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr + 1) - 1654), ABS((gc + 0) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr + 1) - 1654), ABS((gc + 0) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr + 1) - 1654), ABS((gc + 0) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr + 1) - 1654), ABS((gc + 0) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr + 1) - 1654), ABS((gc + 0) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr + 1) - 1654), ABS((gc + 0) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr + 1) - 1654), ABS((gc + 0) - (1164 + 89*(s + 2))))), 1.5*LEAST(ABS((gr + 1) - 1751), ABS((gc + 0) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr + 1) - 1751), ABS((gc + 0) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr + 1) - 1751), ABS((gc + 0) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr + 1) - 1751), ABS((gc + 0) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr + 1) - 1751), ABS((gc + 0) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr + 1) - 1751), ABS((gc + 0) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr + 1) - 1751), ABS((gc + 0) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr + 1) - 1751), ABS((gc + 0) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr + 1) - 1751), ABS((gc + 0) - (1164 + 89*(s + 2)))))) + 1.0 THEN 6 WHEN (gr + 1) BETWEEN 1536 AND 1791 AND (gc + 1) BETWEEN (18+s)*64 AND (22+s)*64 - 1 AND LEAST(1.5*LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 2))))), 1.5*LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 2))))), 1.5*LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 2)))))) = LEAST(1.5*LEAST(ABS((gr + 1) - 1557), ABS((gc + 1) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr + 1) - 1557), ABS((gc + 1) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr + 1) - 1557), ABS((gc + 1) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr + 1) - 1557), ABS((gc + 1) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr + 1) - 1557), ABS((gc + 1) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr + 1) - 1557), ABS((gc + 1) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr + 1) - 1557), ABS((gc + 1) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr + 1) - 1557), ABS((gc + 1) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr + 1) - 1557), ABS((gc + 1) - (1164 + 89*(s + 2))))), 1.5*LEAST(ABS((gr + 1) - 1654), ABS((gc + 1) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr + 1) - 1654), ABS((gc + 1) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr + 1) - 1654), ABS((gc + 1) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr + 1) - 1654), ABS((gc + 1) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr + 1) - 1654), ABS((gc + 1) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr + 1) - 1654), ABS((gc + 1) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr + 1) - 1654), ABS((gc + 1) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr + 1) - 1654), ABS((gc + 1) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr + 1) - 1654), ABS((gc + 1) - (1164 + 89*(s + 2))))), 1.5*LEAST(ABS((gr + 1) - 1751), ABS((gc + 1) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr + 1) - 1751), ABS((gc + 1) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr + 1) - 1751), ABS((gc + 1) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr + 1) - 1751), ABS((gc + 1) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr + 1) - 1751), ABS((gc + 1) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr + 1) - 1751), ABS((gc + 1) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr + 1) - 1751), ABS((gc + 1) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr + 1) - 1751), ABS((gc + 1) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr + 1) - 1751), ABS((gc + 1) - (1164 + 89*(s + 2)))))) + 1.5 THEN 7 ELSE -1 END AS pick
+    FROM walk WHERE LEAST(1.5*LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr) - 1557), ABS((gc) - (1164 + 89*(s + 2))))), 1.5*LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr) - 1654), ABS((gc) - (1164 + 89*(s + 2))))), 1.5*LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 0)))) + (GREATEST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 0)))) - LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 0))))), 1.5*LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 1)))) + (GREATEST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 1)))) - LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 1))))), 1.5*LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 2)))) + (GREATEST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 2)))) - LEAST(ABS((gr) - 1751), ABS((gc) - (1164 + 89*(s + 2)))))) > 0.0
+  ) w
+)
+SELECT CONCAT('scene-', CAST(w.s AS VARCHAR)) AS source_id,
+       CAST(w.band AS INT) AS band,
+       CAST(w.tgr AS BIGINT) AS tgr, CAST(w.tgc AS BIGINT) AS tgc,
+       CAST(MAX(w.depth) AS BIGINT) AS path_len,
+       CAST(FLOOR(LEAST(1.5*LEAST(ABS((w.tgr) - 1557), ABS((w.tgc) - (1164 + 89*(w.s + 0)))) + (GREATEST(ABS((w.tgr) - 1557), ABS((w.tgc) - (1164 + 89*(w.s + 0)))) - LEAST(ABS((w.tgr) - 1557), ABS((w.tgc) - (1164 + 89*(w.s + 0))))), 1.5*LEAST(ABS((w.tgr) - 1557), ABS((w.tgc) - (1164 + 89*(w.s + 1)))) + (GREATEST(ABS((w.tgr) - 1557), ABS((w.tgc) - (1164 + 89*(w.s + 1)))) - LEAST(ABS((w.tgr) - 1557), ABS((w.tgc) - (1164 + 89*(w.s + 1))))), 1.5*LEAST(ABS((w.tgr) - 1557), ABS((w.tgc) - (1164 + 89*(w.s + 2)))) + (GREATEST(ABS((w.tgr) - 1557), ABS((w.tgc) - (1164 + 89*(w.s + 2)))) - LEAST(ABS((w.tgr) - 1557), ABS((w.tgc) - (1164 + 89*(w.s + 2))))), 1.5*LEAST(ABS((w.tgr) - 1654), ABS((w.tgc) - (1164 + 89*(w.s + 0)))) + (GREATEST(ABS((w.tgr) - 1654), ABS((w.tgc) - (1164 + 89*(w.s + 0)))) - LEAST(ABS((w.tgr) - 1654), ABS((w.tgc) - (1164 + 89*(w.s + 0))))), 1.5*LEAST(ABS((w.tgr) - 1654), ABS((w.tgc) - (1164 + 89*(w.s + 1)))) + (GREATEST(ABS((w.tgr) - 1654), ABS((w.tgc) - (1164 + 89*(w.s + 1)))) - LEAST(ABS((w.tgr) - 1654), ABS((w.tgc) - (1164 + 89*(w.s + 1))))), 1.5*LEAST(ABS((w.tgr) - 1654), ABS((w.tgc) - (1164 + 89*(w.s + 2)))) + (GREATEST(ABS((w.tgr) - 1654), ABS((w.tgc) - (1164 + 89*(w.s + 2)))) - LEAST(ABS((w.tgr) - 1654), ABS((w.tgc) - (1164 + 89*(w.s + 2))))), 1.5*LEAST(ABS((w.tgr) - 1751), ABS((w.tgc) - (1164 + 89*(w.s + 0)))) + (GREATEST(ABS((w.tgr) - 1751), ABS((w.tgc) - (1164 + 89*(w.s + 0)))) - LEAST(ABS((w.tgr) - 1751), ABS((w.tgc) - (1164 + 89*(w.s + 0))))), 1.5*LEAST(ABS((w.tgr) - 1751), ABS((w.tgc) - (1164 + 89*(w.s + 1)))) + (GREATEST(ABS((w.tgr) - 1751), ABS((w.tgc) - (1164 + 89*(w.s + 1)))) - LEAST(ABS((w.tgr) - 1751), ABS((w.tgc) - (1164 + 89*(w.s + 1))))), 1.5*LEAST(ABS((w.tgr) - 1751), ABS((w.tgc) - (1164 + 89*(w.s + 2)))) + (GREATEST(ABS((w.tgr) - 1751), ABS((w.tgc) - (1164 + 89*(w.s + 2)))) - LEAST(ABS((w.tgr) - 1751), ABS((w.tgc) - (1164 + 89*(w.s + 2)))))) * 2.0 + 0.5) AS BIGINT) AS cost_q2
+FROM walk w GROUP BY w.s, w.band, w.tgr, w.tgc
 """
 
     # IDW interpolation (idw_interpolate): identical clamped-weight
@@ -4918,6 +4970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_group": q_region_group,
         "geotiff_read": q_geotiff_read,
         "cost_distance": q_cost_distance,
+        "least_cost_path": q_least_cost_path,
         "idw_interpolate": q_idw_interpolate,
         "euclidean_distance": q_euclidean_distance,
         "region_stats": q_region_stats,

@@ -350,3 +350,86 @@ def cost_surface(tiles: DataFrame, seed_predicate,
                             straight, diag, max_cost, max_iter,
                             scene_max_px)
     return state.select("source_id", "band", "col", "row", "cost")
+
+
+# fixed backtrack order (row-major, the SQL twin's CASE cascade order)
+_LCP_DIRS = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
+             (1, -1), (1, 0), (1, 1)]
+
+
+def least_cost_path(tiles: DataFrame, seed_predicate, targets,
+                    tile_size: int = 64, straight: float = 1.0,
+                    diag: float = 1.5,
+                    max_px: int = 1 << 11) -> DataFrame:
+    """Least-cost path backtracking (GeoTrellis LeastCostPath analog):
+    from each target cell, walk predecessors on the accumulated-cost
+    surface until a seed (cost 0). The predecessor of ``cur`` is the
+    FIRST neighbor (fixed row-major order) satisfying the EXACT
+    optimality equation cost(cur) == cost(n) + dist * (f(cur)+f(n))/2 —
+    exact float equality, which is what the dyadic-cost gate fixture
+    guarantees and the SQL oracle mirrors. ``targets`` is a callable
+    (source_id, band) -> list[(gr, gc)]. Scene is the parallel unit
+    (the walk follows the surface anywhere in the scene). Output one row
+    per target: (source_id, band, tgr, tgc, path_len, cost_q2) with
+    cost_q2 = floor(cost(target)*2 + 0.5)."""
+    t = int(tile_size)
+
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        source_id, band = key[0], int(key[1])
+        cols = pdf["col"].to_numpy()
+        rows = pdf["row"].to_numpy()
+        c0, r0 = int(cols.min()), int(rows.min())
+        nc, nr = int(cols.max()) - c0 + 1, int(rows.max()) - r0 + 1
+        if nc * t > max_px or nr * t > max_px:
+            raise ValueError(f"scene {source_id} exceeds max_px={max_px}")
+        fric = np.full((nr * t, nc * t), np.nan)
+        for row_t in pdf.itertuples(index=False):
+            arr = np.frombuffer(row_t.px, dtype=DTYPES[row_t.dtype]) \
+                    .reshape(t, t).astype(np.float64)
+            fric[(int(row_t.row) - r0) * t:(int(row_t.row) - r0 + 1) * t,
+                 (int(row_t.col) - c0) * t:(int(row_t.col) - c0 + 1) * t] \
+                = np.where(np.isnan(arr) | (arr == row_t.nodata),
+                           np.nan, arr)
+        H, W = fric.shape
+        gr = (r0 * t + np.arange(H).reshape(-1, 1)) \
+            + np.zeros((1, W), dtype=np.int64)
+        gc = np.zeros((H, 1), dtype=np.int64) \
+            + (c0 * t + np.arange(W).reshape(1, -1))
+        seed = seed_predicate(fric, gr, gc) & ~np.isnan(fric)
+        cost = _relax(np.where(seed, 0.0, np.inf), fric, straight, diag,
+                      None)
+        out = []
+        for tgr, tgc in targets(source_id, band):
+            i, j = int(tgr) - r0 * t, int(tgc) - c0 * t
+            if not (0 <= i < H and 0 <= j < W) \
+                    or not np.isfinite(cost[i, j]):
+                raise ValueError(
+                    f"target ({tgr},{tgc}) unreachable in "
+                    f"{source_id}/{band}")
+            cq2 = int(np.floor(cost[i, j] * 2.0 + 0.5))
+            steps = 0
+            while cost[i, j] != 0.0:
+                for dr, dc in _LCP_DIRS:
+                    x, y = i + dr, j + dc
+                    if 0 <= x < H and 0 <= y < W \
+                            and np.isfinite(cost[x, y]):
+                        dist = (diag if (dr != 0 and dc != 0)
+                                else straight)
+                        step = dist * (fric[i, j] + fric[x, y]) / 2.0
+                        if cost[i, j] == cost[x, y] + step:
+                            i, j = x, y
+                            break
+                else:  # pragma: no cover - optimality guarantees a pred
+                    raise RuntimeError("no optimal predecessor found")
+                steps += 1
+                if steps > H * W:  # pragma: no cover
+                    raise RuntimeError("path did not terminate")
+            out.append({"source_id": source_id, "band": band,
+                        "tgr": int(tgr), "tgc": int(tgc),
+                        "path_len": steps, "cost_q2": cq2})
+        return pd.DataFrame(out, columns=["source_id", "band", "tgr",
+                                          "tgc", "path_len", "cost_q2"])
+
+    return tiles.groupBy("source_id", "band").applyInPandas(
+        run, "source_id string, band int, tgr bigint, tgc bigint, "
+             "path_len bigint, cost_q2 bigint")

@@ -209,3 +209,44 @@ def _mk_tiles(rows):
 def _cap(spark):
     _SPARK["s"] = spark
     yield
+
+
+def test_least_cost_path_properties(spark):
+    """Backtrack invariants on the uniform fixture: the target's
+    quantized cost equals the octile closed form; every step of the
+    walk satisfies exact optimality, so path cost a*1 + b*1.5 ==
+    cost(target) and path_len = a + b lies in [chebyshev, cost]."""
+    tiles = corpus.synth_friction_tiles(spark)
+    tgt = lambda sid, band: [  # noqa: E731
+        (1789, (18 + int(sid.split("-")[1])) * 64 + 253),
+        (1538, (18 + int(sid.split("-")[1])) * 64 + 2)]
+    rows = CD.least_cost_path(tiles, _seed_pred, tgt, tile_size=T,
+                              straight=1.0, diag=1.5).collect()
+    assert len(rows) == 12
+    for r in rows:
+        s = int(r.source_id.split("-")[1])
+        seeds = [(1557 + 97 * i, 1164 + 89 * (s + j))
+                 for i in range(3) for j in range(3)]
+        best = min(1.5 * min(abs(r.tgr - a), abs(r.tgc - b))
+                   + (max(abs(r.tgr - a), abs(r.tgc - b))
+                      - min(abs(r.tgr - a), abs(r.tgc - b)))
+                   for a, b in seeds)
+        cheb = min(max(abs(r.tgr - a), abs(r.tgc - b)) for a, b in seeds)
+        assert r.cost_q2 == int(np.floor(best * 2.0 + 0.5))
+        assert cheb <= r.path_len <= best
+    # determinism: identical on a second run
+    rows2 = CD.least_cost_path(tiles, _seed_pred, tgt, tile_size=T,
+                               straight=1.0, diag=1.5).collect()
+    key = lambda r: (r.source_id, r.band, r.tgr, r.tgc)  # noqa: E731
+    assert {key(r): (r.path_len, r.cost_q2) for r in rows} \
+        == {key(r): (r.path_len, r.cost_q2) for r in rows2}
+
+
+def test_least_cost_path_unreachable_fail_loud(spark):
+    tiles = corpus.synth_px_tiles(spark, tile_size=T)  # has NoData holes
+    # scene-0 hole: rows/cols < 16 of each tile -> (1536+2, 18*64+2) is
+    # NoData, hence unreachable
+    with pytest.raises(Exception, match="unreachable"):
+        CD.least_cost_path(
+            tiles, lambda v, gr, gc: (gr == 1600) & (gc == 1250),
+            lambda sid, band: [(1538, 1154)], tile_size=T).collect()
