@@ -183,7 +183,26 @@ def read_ntv2(path: str):
     for _ in range(11):
         k, v = take()
         hdr[k] = v
-    n_file = struct.unpack("<i", hdr["NUM_FILE"][:4])[0]
+    # detect byte order from NUM_OREC (always 11; PROJ uses the same
+    # trick) — real-world .gsb files (NRCan NTv2_0.gsb, OSTN15) are
+    # big-endian while this module writes little-endian (r5 ADVICE)
+    if struct.unpack("<i", hdr["NUM_OREC"][:4])[0] == 11:
+        bo = "<"
+    elif struct.unpack(">i", hdr["NUM_OREC"][:4])[0] == 11 \
+            or struct.unpack(">i", hdr["NUM_OREC"][4:])[0] == 11:
+        # big-endian writers may pad int32 records as 4 zero bytes THEN
+        # the value; accept either slot
+        bo = ">"
+    else:
+        raise ValueError(f"cannot detect NTv2 byte order: {path!r}")
+
+    def _int(v: bytes) -> int:
+        if bo == "<":
+            return struct.unpack("<i", v[:4])[0]
+        a = struct.unpack(">i", v[:4])[0]
+        return a if a != 0 else struct.unpack(">i", v[4:])[0]
+
+    n_file = _int(hdr["NUM_FILE"])
     if n_file < 1:
         raise ValueError(f"NUM_FILE must be >= 1: {path!r}")
     if hdr["GS_TYPE"].decode("ascii").strip() != "SECONDS":
@@ -195,18 +214,19 @@ def read_ntv2(path: str):
         for _ in range(11):
             k, v = take()
             sub[k] = v
-        dbl = lambda k: struct.unpack("<d", sub[k])[0]  # noqa: E731
+        dbl = lambda k: struct.unpack(bo + "d", sub[k])[0]  # noqa: E731
         s_lat, n_lat = dbl("S_LAT"), dbl("N_LAT")
         e_long, w_long = dbl("E_LONG"), dbl("W_LONG")
         lat_inc, lon_inc = dbl("LAT_INC"), dbl("LONG_INC")
-        count = struct.unpack("<i", sub["GS_COUNT"][:4])[0]
+        count = _int(sub["GS_COUNT"])
         nrows = round((n_lat - s_lat) / lat_inc) + 1
         ncols = round((w_long - e_long) / lon_inc) + 1
         if count != nrows * ncols:
             raise ValueError(f"GS_COUNT {count} != {nrows}x{ncols}: {path!r}")
         if pos + count * _NODE.size > len(data):
             raise ValueError(f"truncated NTv2 file: {path!r}")
-        nodes = np.frombuffer(data, dtype="<f4", count=count * 4, offset=pos)
+        nodes = np.frombuffer(data, dtype=bo + "f4", count=count * 4,
+                              offset=pos)
         pos += count * _NODE.size
         nodes = nodes.reshape(count, 4)
         lat_shift = nodes[:, 0].reshape(nrows, ncols).copy()

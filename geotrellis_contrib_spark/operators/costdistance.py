@@ -390,6 +390,11 @@ def least_cost_path(tiles: DataFrame, seed_predicate, targets,
                  (int(row_t.col) - c0) * t:(int(row_t.col) - c0 + 1) * t] \
                 = np.where(np.isnan(arr) | (arr == row_t.nodata),
                            np.nan, arr)
+        # same guard as _solve/_solve_scene: with zero friction the exact
+        # optimality equation holds in both directions and the backtrack
+        # can ping-pong between equal-cost cells (r5 ADVICE)
+        if not np.all(np.isnan(fric)) and float(np.nanmin(fric)) <= 0.0:
+            raise ValueError("friction must be positive")
         H, W = fric.shape
         gr = (r0 * t + np.arange(H).reshape(-1, 1)) \
             + np.zeros((1, W), dtype=np.int64)

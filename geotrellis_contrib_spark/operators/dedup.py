@@ -90,7 +90,8 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
-                  threshold: float = 0.6, max_df: int | None = None) -> DataFrame:
+                  threshold: float = 0.6,
+                  max_df: int | None = 1000) -> DataFrame:
     """All doc pairs with shingle-set Jaccard >= threshold.
 
     inter/union via the hashed-shingle equi-join (single-long shuffle key,
@@ -103,7 +104,10 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
     hot shingle at 10^6 docs is 10^12 rows — the standard stop-shingle
     filter bounds every shingle's fan-out to max_df^2. Dropped shingles
     leave the set universe entirely (sizes shrink consistently), the
-    MinHash-era convention; LSH remains the preferred path at scale."""
+    MinHash-era convention; LSH remains the preferred path at scale.
+    The cap is ON BY DEFAULT (1000): a naive caller on a boilerplate-heavy
+    corpus must opt OUT (``max_df=None``) of the D^2 blow-up guard, not
+    opt in (r5 verdict task 6)."""
     sh = shingle_hashes(df, text_col, n)
     if max_df is not None:
         keep = sh.groupBy("sh").agg(F.count("*").alias("_df")) \

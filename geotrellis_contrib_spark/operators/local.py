@@ -79,13 +79,16 @@ def band_combine(tiles: DataFrame,
     def combine(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         source_id, col, row = key
         bands = {}
-        nodata = None
+        nodatas = {}
         for row_t in pdf.itertuples(index=False):
             arr = np.frombuffer(row_t.px, dtype=DTYPES[row_t.dtype]) \
                     .reshape(t, t).astype(np.float64)
             bands[int(row_t.band)] = np.where(arr == row_t.nodata,
                                               np.nan, arr)
-            nodata = float(row_t.nodata)
+            nodatas[int(row_t.band)] = float(row_t.nodata)
+        # deterministic output nodata: the MINIMUM band's declaration —
+        # last-row-wins depended on pandas group order (r5 ADVICE)
+        nodata = nodatas[min(nodatas)]
         res = combiner(bands)
         res = np.where(np.isnan(res), nodata, res)
         return pd.DataFrame([{

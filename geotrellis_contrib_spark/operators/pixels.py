@@ -999,8 +999,17 @@ def kernel_density(points: DataFrame, zoom: int, radius_px: float = 4.0,
                        .cast("long"), F.lit(0).cast("long"))
     tymax = F.least(F.floor((F.col("gy") + F.lit(r)) / F.lit(float(t)))
                     .cast("long"), F.lit(int(n - 1)).cast("long"))
-    cand = (pts.withColumn("tx", F.explode(F.sequence(txmin, txmax)))
-            .withColumn("ty", F.explode(F.sequence(tymin, tymax))))
+    # a point outside the zoom grid (e.g. lon beyond +/-180) can invert
+    # the clamped bounds, and F.sequence(start, stop) silently generates
+    # a DESCENDING range — filter the inverted case out instead of
+    # exploding bogus out-of-grid candidate tiles (r5 ADVICE)
+    cand = (pts.withColumn("_tx0", txmin).withColumn("_tx1", txmax)
+            .withColumn("_ty0", tymin).withColumn("_ty1", tymax)
+            .filter((F.col("_tx0") <= F.col("_tx1"))
+                    & (F.col("_ty0") <= F.col("_ty1")))
+            .withColumn("tx", F.explode(F.sequence("_tx0", "_tx1")))
+            .withColumn("ty", F.explode(F.sequence("_ty0", "_ty1")))
+            .drop("_tx0", "_tx1", "_ty0", "_ty1"))
 
     def stamp(pdf: pd.DataFrame) -> pd.DataFrame:
         col, row = int(pdf.tx.iloc[0]), int(pdf.ty.iloc[0])
@@ -1081,8 +1090,17 @@ def idw_interpolate(points: DataFrame, zoom: int, radius_px: float = 4.0,
                        .cast("long"), F.lit(0).cast("long"))
     tymax = F.least(F.floor((F.col("gy") + F.lit(r)) / F.lit(float(t)))
                     .cast("long"), F.lit(int(n - 1)).cast("long"))
-    cand = (pts.withColumn("tx", F.explode(F.sequence(txmin, txmax)))
-            .withColumn("ty", F.explode(F.sequence(tymin, tymax))))
+    # a point outside the zoom grid (e.g. lon beyond +/-180) can invert
+    # the clamped bounds, and F.sequence(start, stop) silently generates
+    # a DESCENDING range — filter the inverted case out instead of
+    # exploding bogus out-of-grid candidate tiles (r5 ADVICE)
+    cand = (pts.withColumn("_tx0", txmin).withColumn("_tx1", txmax)
+            .withColumn("_ty0", tymin).withColumn("_ty1", tymax)
+            .filter((F.col("_tx0") <= F.col("_tx1"))
+                    & (F.col("_ty0") <= F.col("_ty1")))
+            .withColumn("tx", F.explode(F.sequence("_tx0", "_tx1")))
+            .withColumn("ty", F.explode(F.sequence("_ty0", "_ty1")))
+            .drop("_tx0", "_tx1", "_ty0", "_ty1"))
 
     def stamp_q(pdf: pd.DataFrame) -> pd.DataFrame:
         col, row = int(pdf.tx.iloc[0]), int(pdf.ty.iloc[0])

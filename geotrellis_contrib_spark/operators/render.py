@@ -80,8 +80,13 @@ def render_stats(tiles: DataFrame, vmin: float, vmax: float,
             for row_t in pdf.itertuples(index=False):
                 arr = np.frombuffer(row_t.px, dtype=DTYPES[row_t.dtype]) \
                         .reshape(t, t).astype(np.float64)
-                valid = arr != row_t.nodata
-                r, g, b = _ramp_channels(arr, vmin, vmax, ramp)
+                # shared validity rule: NaN pixels (including nodata=NaN
+                # catalogs, where NaN != NaN is always True) are invalid —
+                # letting NaN through the ramp would cast to an undefined
+                # int64 index (r5 ADVICE)
+                valid = ~np.isnan(arr) & (arr != row_t.nodata)
+                r, g, b = _ramp_channels(np.where(valid, arr, vmin),
+                                         vmin, vmax, ramp)
                 packed = (r * 16777216 + g * 65536 + b * 256 + 255)
                 out.append({
                     "source_id": row_t.source_id, "band": int(row_t.band),
@@ -164,8 +169,9 @@ def render_png_tiles(tiles: DataFrame, vmin: float, vmax: float,
             for row_t in pdf.itertuples(index=False):
                 arr = np.frombuffer(row_t.px, dtype=DTYPES[row_t.dtype]) \
                         .reshape(t, t).astype(np.float64)
-                valid = arr != row_t.nodata
-                r, g, b = _ramp_channels(arr, vmin, vmax, ramp)
+                valid = ~np.isnan(arr) & (arr != row_t.nodata)
+                r, g, b = _ramp_channels(np.where(valid, arr, vmin),
+                                         vmin, vmax, ramp)
                 rgba = np.zeros((t, t, 4), dtype=np.uint8)
                 rgba[..., 0] = np.where(valid, r, 0)
                 rgba[..., 1] = np.where(valid, g, 0)
@@ -199,7 +205,7 @@ def histogram_stats(tiles: DataFrame, vmin: float, vmax: float,
             for row_t in pdf.itertuples(index=False):
                 arr = np.frombuffer(row_t.px, dtype=DTYPES[row_t.dtype]) \
                         .reshape(t, t).astype(np.float64)
-                v = arr[arr != row_t.nodata]
+                v = arr[~np.isnan(arr) & (arr != row_t.nodata)]
                 bucket = np.clip(
                     np.floor((v - vmin) / (vmax - vmin) * nb),
                     0.0, float(nb - 1)).astype(np.int64)

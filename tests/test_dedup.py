@@ -47,6 +47,28 @@ def test_jaccard_max_df_caps_hot_shingle(spark):
     assert all("dup" in a or "dup" in b for a, b in capped_pairs)
 
 
+def test_jaccard_default_cap_is_on_and_lossless_below_cap(spark):
+    """r5 verdict task 6: max_df defaults to a FINITE cap (1000). On a
+    corpus whose every shingle has df << 1000 the default is lossless
+    (identical pairs to the uncapped run); on a crafted corpus with a
+    shingle hotter than the cap the default prunes it."""
+    rows = [(f"doc-{i:02d}", f"m{i} n{i} o{i} p{i} q{i}") for i in range(20)]
+    rows += [("dup-1", "p q r s t u v"), ("dup-2", "p q r s t u v")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    default = dd.jaccard_pairs(docs, n=3, threshold=0.3).collect()
+    uncapped = dd.jaccard_pairs(docs, n=3, threshold=0.3,
+                                max_df=None).collect()
+    key = lambda r: (r.doc_a, r.doc_b, r.inter, r.size_a, r.size_b)  # noqa: E731
+    assert sorted(map(key, default)) == sorted(map(key, uncapped))
+    # crafted hot shingle: 1500 docs sharing one 3-gram would exceed the
+    # default cap — prove the cap engages by using an explicit tiny corpus
+    hot = [(f"h-{i:04d}", "a b c") for i in range(5)]
+    hot_docs = spark.createDataFrame(hot, "doc_id string, text string")
+    assert dd.jaccard_pairs(hot_docs, n=3, threshold=0.3,
+                            max_df=4).count() == 0
+    assert dd.jaccard_pairs(hot_docs, n=3, threshold=0.3).count() > 0
+
+
 def test_simhash_scale_mode_recall_and_bounded_candidates(spark):
     """Scale mode (4 x 12-bit bands, h <= 3): planted hamming-3 pairs are
     guaranteed found, and the candidate count stays near the true-pair

@@ -201,3 +201,47 @@ def test_truncated_file_rejected(tmp_path):
     open(p2, "wb").write(bytes(data))
     with pytest.raises(ValueError):
         GS.read_ntv2(p2)
+
+
+def test_read_big_endian_ntv2(tmp_path):
+    """r5 ADVICE: real-world .gsb files (NRCan NTv2_0.gsb, OSTN15) are
+    big-endian; read_ntv2 must detect byte order from NUM_OREC instead of
+    assuming the writer's little-endian layout. Craft a BE file with the
+    same records and assert node/bound parity with the LE read."""
+    import struct
+
+    path_le, lat_shift, lon_shift = make_grid(str(tmp_path))
+    g_le = GS.read_ntv2(path_le)
+
+    name = lambda s: s.ljust(8)[:8].encode("ascii")  # noqa: E731
+    srec = lambda k, v: struct.pack(">8s8s", name(k), name(v))  # noqa: E731
+    irec = lambda k, v: struct.pack(">8si4x", name(k), v)  # noqa: E731
+    drec = lambda k, v: struct.pack(">8sd", name(k), v)  # noqa: E731
+    nrows, ncols = lat_shift.shape
+    out = [
+        irec("NUM_OREC", 11), irec("NUM_SREC", 11), irec("NUM_FILE", 1),
+        srec("GS_TYPE", "SECONDS"), srec("VERSION", "NTv2.0"),
+        srec("SYSTEM_F", "NAD27"), srec("SYSTEM_T", "NAD83"),
+        drec("MAJOR_F", 6378206.4), drec("MINOR_F", 6356583.8),
+        drec("MAJOR_T", 6378137.0), drec("MINOR_T", 6356752.314),
+        srec("SUB_NAME", "SYNTH"), srec("PARENT", "NONE"),
+        srec("CREATED", "20260817"), srec("UPDATED", "20260817"),
+        drec("S_LAT", g_le.s_lat), drec("N_LAT", g_le.n_lat),
+        drec("E_LONG", g_le.e_long), drec("W_LONG", g_le.w_long),
+        drec("LAT_INC", g_le.lat_inc), drec("LONG_INC", g_le.lon_inc),
+        irec("GS_COUNT", nrows * ncols),
+    ]
+    for i in range(nrows):
+        for j in range(ncols):
+            out.append(struct.pack(">4f", float(lat_shift[i, j]),
+                                   float(lon_shift[i, j]), 0.0, 0.0))
+    out.append(struct.pack(">8s8s", b"END     ", b"\x00" * 8))
+    path_be = str(tmp_path / "synth_be.gsb")
+    with open(path_be, "wb") as f:
+        f.write(b"".join(out))
+
+    g_be = GS.read_ntv2(path_be)
+    assert g_be.s_lat == g_le.s_lat and g_be.w_long == g_le.w_long
+    assert g_be.lat_inc == g_le.lat_inc and g_be.lon_inc == g_le.lon_inc
+    np.testing.assert_array_equal(g_be.lat_shift, g_le.lat_shift)
+    np.testing.assert_array_equal(g_be.lon_shift, g_le.lon_shift)
