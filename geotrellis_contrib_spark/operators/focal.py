@@ -36,6 +36,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from geotrellis_contrib_spark.operators.pixels import DTYPES, pack
 
@@ -558,8 +559,273 @@ def flow_direction(tiles: DataFrame, tile_size: int = 64) -> DataFrame:
             "dir_sum bigint, n_pits bigint, n_valid bigint")
 
 
+def _d8_chosen(zp: np.ndarray) -> np.ndarray:
+    """Single D8 direction per cell from a 1-px-NaN-padded elevation
+    frame ``zp``: returns int64 (H, W) with -2 on invalid (NaN) cells,
+    -1 on valid cells with no positive drop (pit/flat), else the FIRST
+    max-positive-drop-rate direction index in the fixed row-major _D8
+    order (ties resolve first — the SQL oracle's CASE cascade order).
+    Shared by the scene solvers AND the distributed halo paths, so both
+    compute bit-identical directions from the same local arithmetic."""
+    H, W = zp.shape[0] - 2, zp.shape[1] - 2
+    z = zp[1:1 + H, 1:1 + W]
+    valid = ~np.isnan(z)
+    best = np.full((H, W), -np.inf)
+    rates = []
+    for dr, dc, dist, code in _D8:
+        zn = zp[1 + dr:1 + dr + H, 1 + dc:1 + dc + W]
+        rate = np.where(~np.isnan(zn), (z - zn) / dist, -np.inf)
+        rates.append(rate)
+        best = np.maximum(best, rate)
+    chosen = np.full((H, W), -1, dtype=np.int64)
+    for idx in range(len(_D8) - 1, -1, -1):
+        sel = (rates[idx] == best) & (best > 0.0)
+        chosen[sel] = idx
+    chosen[~valid] = -2
+    return chosen
+
+
+def _acc_fixpoint(accf: np.ndarray, chf: np.ndarray,
+                  base: np.ndarray) -> np.ndarray:
+    """In-frame accumulation fixpoint (Jacobi sweeps): interior
+    acc = base + sum of inflows; the frame's 1-px ring is FROZEN
+    boundary input (0 for the scene solve, the neighbor tiles' current
+    acc for the halo rounds). ``accf``/``chf`` are (H+2, W+2); ``base``
+    is (H, W). The in-frame flow graph is acyclic (drops are strictly
+    positive), so sweeps terminate in max in-frame path length; all
+    values are integer-valued float64 — exact arithmetic, unique
+    fixpoint regardless of the starting interior."""
+    H, W = base.shape
+    masks = [chf[1 - dr:1 - dr + H, 1 - dc:1 - dc + W] == idx
+             for idx, (dr, dc, _, _) in enumerate(_D8)]
+    srcs = [accf[1 - dr:1 - dr + H, 1 - dc:1 - dc + W]
+            for dr, dc, _, _ in _D8]
+    for _ in range(H * W + 1):
+        nxt = base.copy()
+        for idx in range(len(_D8)):
+            nxt += np.where(masks[idx], srcs[idx], 0.0)
+        if np.array_equal(nxt, accf[1:1 + H, 1:1 + W]):
+            break
+        accf[1:1 + H, 1:1 + W] = nxt
+    else:  # pragma: no cover - acyclicity makes this unreachable
+        raise RuntimeError("flow accumulation did not converge")
+    return accf
+
+
+def _scene_small(tiles: DataFrame, t: int, scene_max_px: int) -> bool:
+    """Adaptive chooser (the cost_distance template): one cheap agg job
+    reads the largest scene footprint; ``scene_max_px=0`` forces the
+    distributed path."""
+    if not scene_max_px:
+        return False
+    ext = tiles.groupBy("source_id", "band").agg(
+        ((F.max("col") - F.min("col") + 1) * t).alias("w"),
+        ((F.max("row") - F.min("row") + 1) * t).alias("h")) \
+        .agg(F.max(F.greatest("w", "h")).alias("m")).collect()
+    return bool(ext) and ext[0]["m"] is not None \
+        and int(ext[0]["m"]) <= int(scene_max_px)
+
+
+_ACC_SCHEMA = ("source_id string, band int, col bigint, row bigint, "
+               "acc_sum bigint, acc_max bigint, n_valid bigint")
+_FLOW_STATE = ("source_id string, band int, col bigint, row bigint, "
+               "chosen binary, acc binary, improved int")
+_FLOW_PIECE = ("source_id string, band int, col bigint, row bigint, "
+               "dr int, dc int, h int, w int, chosen binary, acc binary")
+
+
+def _acc_rollup_rows(source_id, band, row_t, up, va):
+    return {"source_id": source_id, "band": band,
+            "col": int(row_t.col), "row": int(row_t.row),
+            "acc_sum": int(up[va].sum()),
+            "acc_max": int(up[va].max()) if va.any() else 0,
+            "n_valid": int(va.sum())}
+
+
+def _flow_acc_scene(tiles: DataFrame, t: int) -> DataFrame:
+    """Small-scene fast path: one applyInPandas task per (source, band)
+    assembles the mosaic and sweeps to the fixpoint directly."""
+
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        source_id, band = key[0], int(key[1])
+        cols = pdf["col"].to_numpy()
+        rows = pdf["row"].to_numpy()
+        c0, r0 = int(cols.min()), int(rows.min())
+        nc, nr = int(cols.max()) - c0 + 1, int(rows.max()) - r0 + 1
+        z = np.full((nr * t, nc * t), np.nan)
+        for row_t in pdf.itertuples(index=False):
+            arr = np.frombuffer(row_t.px, dtype=DTYPES[row_t.dtype]) \
+                    .reshape(t, t).astype(np.float64)
+            z[(int(row_t.row) - r0) * t:(int(row_t.row) - r0 + 1) * t,
+              (int(row_t.col) - c0) * t:(int(row_t.col) - c0 + 1) * t] \
+                = np.where(arr == row_t.nodata, np.nan, arr)
+        H, W = z.shape
+        valid = ~np.isnan(z)
+        chosen = _d8_chosen(np.pad(z, 1, constant_values=np.nan))
+        base = np.where(valid, 1.0, 0.0)
+        accf = _acc_fixpoint(np.pad(base, 1, constant_values=0.0),
+                             np.pad(chosen, 1, constant_values=-1), base)
+        acc = accf[1:1 + H, 1:1 + W]
+        up = np.where(valid, acc - 1.0, 0.0).astype(np.int64)  # exclusive
+        out = []
+        for row_t in pdf.itertuples(index=False):
+            ty = (int(row_t.row) - r0) * t
+            tx = (int(row_t.col) - c0) * t
+            out.append(_acc_rollup_rows(source_id, band, row_t,
+                                        up[ty:ty + t, tx:tx + t],
+                                        valid[ty:ty + t, tx:tx + t]))
+        return pd.DataFrame(out, columns=["source_id", "band", "col",
+                                          "row", "acc_sum", "acc_max",
+                                          "n_valid"])
+
+    return tiles.groupBy("source_id", "band").applyInPandas(
+        run, _ACC_SCHEMA)
+
+
+def _flow_acc_rounds(tiles: DataFrame, t: int, max_iter: int) -> DataFrame:
+    """Distributed path (the cost_distance synchronous-rounds template,
+    r5 verdict task 1): NO scene-size bound. Round 0 computes each
+    tile's D8 directions from a 1-px elevation halo (one shuffle) and
+    its in-tile accumulation fixpoint with zero boundary inflow; each
+    subsequent round exchanges 1-px (acc, chosen) edge strips and
+    re-sweeps the in-tile fixpoint against the neighbors' frozen acc.
+    Values only INCREASE toward the true accumulation (monotone inflow
+    fixpoint over an acyclic graph), so the global no-tile-improved
+    fixpoint is exact and bit-identical to the scene solve; round count
+    is bounded by the max number of tile-boundary crossings of any flow
+    path, fail-loud at ``max_iter``. Per-round shuffle volume is ~1.06x
+    the acc bytes — strips only, never full-tile replication."""
+
+    def init(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        source_id, band, col, row = key
+        frame = _assemble_frame(pdf, 1, t)
+        if frame is None:
+            return pd.DataFrame(columns=["source_id", "band", "col",
+                                         "row", "chosen", "acc",
+                                         "improved"])
+        chosen = _d8_chosen(frame)
+        base = (chosen >= -1).astype(np.float64)
+        accf = _acc_fixpoint(np.zeros((t + 2, t + 2)),
+                             np.pad(chosen, 1, constant_values=-1), base)
+        return pd.DataFrame([{
+            "source_id": source_id, "band": int(band),
+            "col": int(col), "row": int(row),
+            "chosen": chosen.astype(np.int8).tobytes(),
+            "acc": pack(np.ascontiguousarray(accf[1:1 + t, 1:1 + t])),
+            "improved": 1}])
+
+    state = _halo_pieces(tiles, 1, t) \
+        .groupBy("source_id", "band", "col", "row") \
+        .applyInPandas(init, _FLOW_STATE).localCheckpoint(eager=True)
+
+    def cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row_t in pdf.itertuples(index=False):
+                ch = np.frombuffer(row_t.chosen,
+                                   dtype=np.int8).reshape(t, t)
+                acc = np.frombuffer(row_t.acc,
+                                    dtype=np.float64).reshape(t, t)
+                out.append({"source_id": row_t.source_id,
+                            "band": int(row_t.band),
+                            "col": int(row_t.col), "row": int(row_t.row),
+                            "dr": 0, "dc": 0, "h": t, "w": t,
+                            "chosen": row_t.chosen, "acc": row_t.acc})
+                for dr, dc in [(a, b) for a in (-1, 0, 1)
+                               for b in (-1, 0, 1) if (a, b) != (0, 0)]:
+                    rows = slice(None) if dr == 0 else (
+                        slice(-1, None) if dr == 1 else slice(0, 1))
+                    cols = slice(None) if dc == 0 else (
+                        slice(-1, None) if dc == 1 else slice(0, 1))
+                    chp = np.ascontiguousarray(ch[rows, cols])
+                    if not (chp >= 0).any():
+                        continue  # no cell on this edge flows anywhere
+                    acp = np.ascontiguousarray(acc[rows, cols])
+                    out.append({"source_id": row_t.source_id,
+                                "band": int(row_t.band),
+                                "col": int(row_t.col) + dc,
+                                "row": int(row_t.row) + dr,
+                                "dr": dr, "dc": dc,
+                                "h": chp.shape[0], "w": chp.shape[1],
+                                "chosen": chp.tobytes(),
+                                "acc": pack(acp)})
+            yield pd.DataFrame(out, columns=[
+                "source_id", "band", "col", "row", "dr", "dc", "h", "w",
+                "chosen", "acc"])
+
+    def relax(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = t + 2
+        chf = np.full((p, p), -1, dtype=np.int8)
+        accf = np.zeros((p, p))
+        center = None
+        for row_t in pdf.itertuples(index=False):
+            ch = np.frombuffer(row_t.chosen, dtype=np.int8) \
+                   .reshape(int(row_t.h), int(row_t.w))
+            ac = np.frombuffer(row_t.acc, dtype=np.float64) \
+                   .reshape(int(row_t.h), int(row_t.w))
+            dr, dc = int(row_t.dr), int(row_t.dc)
+            if dr == 0 and dc == 0:
+                center = row_t
+                chf[1:1 + t, 1:1 + t] = ch
+                accf[1:1 + t, 1:1 + t] = ac
+            else:
+                rows = slice(1, 1 + t) if dr == 0 else (
+                    slice(0, 1) if dr == 1 else slice(p - 1, p))
+                cols = slice(1, 1 + t) if dc == 0 else (
+                    slice(0, 1) if dc == 1 else slice(p - 1, p))
+                chf[rows, cols] = ch
+                accf[rows, cols] = ac
+        if center is None:
+            return pd.DataFrame(columns=["source_id", "band", "col",
+                                         "row", "chosen", "acc",
+                                         "improved"])
+        old = accf[1:1 + t, 1:1 + t].copy()
+        base = (chf[1:1 + t, 1:1 + t] >= -1).astype(np.float64)
+        new = _acc_fixpoint(accf, chf, base)[1:1 + t, 1:1 + t]
+        improved = int(bool(np.any(new != old)))
+        return pd.DataFrame([{
+            "source_id": center.source_id, "band": int(center.band),
+            "col": int(center.col), "row": int(center.row),
+            "chosen": center.chosen, "acc": pack(new),
+            "improved": improved}])
+
+    for _ in range(max_iter):
+        pieces = state.mapInPandas(cut, _FLOW_PIECE)
+        nxt = pieces.groupBy("source_id", "band", "col", "row") \
+                    .applyInPandas(relax, _FLOW_STATE) \
+                    .localCheckpoint(eager=True)
+        changed = nxt.filter(F.col("improved") == 1).limit(1).count()
+        state = nxt
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"flow_accumulation did not reach a global fixpoint in "
+            f"{max_iter} rounds; raise max_iter")
+
+    def rollup(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row_t in pdf.itertuples(index=False):
+                ch = np.frombuffer(row_t.chosen,
+                                   dtype=np.int8).reshape(t, t)
+                acc = np.frombuffer(row_t.acc,
+                                    dtype=np.float64).reshape(t, t)
+                va = ch >= -1
+                up = np.where(va, acc - 1.0, 0.0).astype(np.int64)
+                out.append(_acc_rollup_rows(row_t.source_id,
+                                            int(row_t.band), row_t,
+                                            up, va))
+            yield pd.DataFrame(out, columns=["source_id", "band", "col",
+                                             "row", "acc_sum", "acc_max",
+                                             "n_valid"])
+
+    return state.mapInPandas(rollup, _ACC_SCHEMA)
+
+
 def flow_accumulation(tiles: DataFrame, tile_size: int = 64,
-                      max_px: int = 1 << 11) -> DataFrame:
+                      scene_max_px: int = 1 << 11,
+                      max_iter: int = 64) -> DataFrame:
     """D8 flow accumulation (GeoTrellis raster.hydrology
     FlowAccumulation analog): per valid cell the COUNT of upstream cells
     whose single-direction D8 path passes through it (exclusive, the
@@ -568,16 +834,37 @@ def flow_accumulation(tiles: DataFrame, tile_size: int = 64,
     (deterministic, mirrored by the SQL oracle's CASE cascade); pits and
     flats have no outflow.
 
-    Like viewshed, accumulation has whole-scene data dependency (a path
-    can cross every tile), so the scene is the parallel unit: ONE
-    groupBy(source_id, band).applyInPandas assembles the mosaic and
-    accumulates by synchronous vectorized sweeps (acc = 1 + sum of
-    inflows, repeated to the fixpoint — the flow graph is acyclic
-    because drops are strictly positive, so this terminates in
-    max-path-length sweeps). ``max_px`` bounds the assembled scene edge
-    (fail-loud). Output per tile: (source_id, band, col, row, acc_sum,
-    acc_max, n_valid)."""
+    Adaptive strategy (the cost_distance template): when every scene's
+    tile footprint fits ``scene_max_px`` on a side, each scene solves in
+    ONE task; otherwise — or with ``scene_max_px=0`` forcing it — the
+    synchronous halo-rounds path runs with NO scene-size bound
+    (bit-identical values; r5 verdict task 1). Output per tile:
+    (source_id, band, col, row, acc_sum, acc_max, n_valid)."""
     t = int(tile_size)
+    if _scene_small(tiles, t, scene_max_px):
+        return _flow_acc_scene(tiles, t)
+    return _flow_acc_rounds(tiles, t, max_iter)
+
+
+def _ptr_double(ptr: np.ndarray) -> np.ndarray:
+    """Pointer doubling to the fixpoint (log(depth) rounds of
+    ptr = ptr[ptr]); fail-loud at 64 rounds."""
+    for _ in range(64):
+        nxt = ptr[ptr]
+        if np.array_equal(nxt, ptr):
+            return nxt
+        ptr = nxt
+    raise RuntimeError(  # pragma: no cover
+        "watershed pointer doubling did not settle")
+
+
+_WSHED_SCHEMA = ("source_id string, band int, col bigint, row bigint, "
+                 "basin_qsum bigint, n_basins bigint, n_valid bigint")
+
+
+def _watershed_scene(tiles: DataFrame, t: int) -> DataFrame:
+    """Small-scene fast path: one task per (source, band) assembles the
+    mosaic and resolves labels by in-memory pointer doubling."""
 
     def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         source_id, band = key[0], int(key[1])
@@ -585,8 +872,6 @@ def flow_accumulation(tiles: DataFrame, tile_size: int = 64,
         rows = pdf["row"].to_numpy()
         c0, r0 = int(cols.min()), int(rows.min())
         nc, nr = int(cols.max()) - c0 + 1, int(rows.max()) - r0 + 1
-        if nc * t > max_px or nr * t > max_px:
-            raise ValueError(f"scene {source_id} exceeds max_px={max_px}")
         z = np.full((nr * t, nc * t), np.nan)
         for row_t in pdf.itertuples(index=False):
             arr = np.frombuffer(row_t.px, dtype=DTYPES[row_t.dtype]) \
@@ -596,102 +881,7 @@ def flow_accumulation(tiles: DataFrame, tile_size: int = 64,
                 = np.where(arr == row_t.nodata, np.nan, arr)
         H, W = z.shape
         valid = ~np.isnan(z)
-        # single direction per cell: first max-rate dir in _D8 order
-        best = np.full((H, W), -np.inf)
-        rates = []
-        zp = np.pad(z, 1, constant_values=np.nan)
-        for dr, dc, dist, code in _D8:
-            zn = zp[1 + dr:1 + dr + H, 1 + dc:1 + dc + W]
-            rate = np.where(~np.isnan(zn), (z - zn) / dist, -np.inf)
-            rates.append(rate)
-            best = np.maximum(best, rate)
-        chosen = np.full((H, W), -1, dtype=np.int64)
-        for idx in range(len(_D8) - 1, -1, -1):
-            sel = (rates[idx] == best) & (best > 0.0)
-            chosen[sel] = idx
-        chosen = np.where(valid, chosen, -1)
-        # synchronous sweeps: acc = 1 + sum of inflows (acyclic -> fixpoint)
-        ch_pad = np.pad(chosen, 1, constant_values=-1)
-        inflow_masks = [
-            ch_pad[1 - dr:1 - dr + H, 1 - dc:1 - dc + W] == idx
-            for idx, (dr, dc, _, _) in enumerate(_D8)]
-        base = np.where(valid, 1.0, 0.0)
-        acc = base.copy()
-        for _ in range(H * W + 1):
-            accp = np.pad(acc, 1, constant_values=0.0)
-            nxt = base.copy()
-            for idx, (dr, dc, _, _) in enumerate(_D8):
-                src_acc = accp[1 - dr:1 - dr + H, 1 - dc:1 - dc + W]
-                nxt += np.where(inflow_masks[idx], src_acc, 0.0)
-            if np.array_equal(nxt, acc):
-                break
-            acc = nxt
-        else:  # pragma: no cover - acyclicity makes this unreachable
-            raise RuntimeError("flow accumulation did not converge")
-        up = np.where(valid, acc - 1.0, 0.0).astype(np.int64)  # exclusive
-        out = []
-        for row_t in pdf.itertuples(index=False):
-            ty = (int(row_t.row) - r0) * t
-            tx = (int(row_t.col) - c0) * t
-            u = up[ty:ty + t, tx:tx + t]
-            va = valid[ty:ty + t, tx:tx + t]
-            out.append({"source_id": source_id, "band": band,
-                        "col": int(row_t.col), "row": int(row_t.row),
-                        "acc_sum": int(u[va].sum()),
-                        "acc_max": int(u[va].max()) if va.any() else 0,
-                        "n_valid": int(va.sum())})
-        return pd.DataFrame(out, columns=["source_id", "band", "col",
-                                          "row", "acc_sum", "acc_max",
-                                          "n_valid"])
-
-    return tiles.groupBy("source_id", "band").applyInPandas(
-        run, "source_id string, band int, col bigint, row bigint, "
-             "acc_sum bigint, acc_max bigint, n_valid bigint")
-
-
-def watershed_labels(tiles: DataFrame, tile_size: int = 64,
-                     max_px: int = 1 << 11) -> DataFrame:
-    """Watershed / drainage-basin labeling: every valid cell is labeled
-    with the global pixel id (gr*4096 + gc) of the TERMINAL cell (pit or
-    flat) its single-direction D8 path drains to — same direction rule
-    as flow_accumulation (first max positive drop, fixed order). Scene
-    is the parallel unit; inside the task labels resolve by POINTER
-    DOUBLING on the flow forest (log(depth) rounds of ptr = ptr[ptr]).
-    Output per tile: (source_id, band, col, row, basin_qsum = exact
-    int64 sum of labels, n_basins = distinct basins touching the tile,
-    n_valid)."""
-    t = int(tile_size)
-
-    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        source_id, band = key[0], int(key[1])
-        cols = pdf["col"].to_numpy()
-        rows = pdf["row"].to_numpy()
-        c0, r0 = int(cols.min()), int(rows.min())
-        nc, nr = int(cols.max()) - c0 + 1, int(rows.max()) - r0 + 1
-        if nc * t > max_px or nr * t > max_px:
-            raise ValueError(f"scene {source_id} exceeds max_px={max_px}")
-        z = np.full((nr * t, nc * t), np.nan)
-        for row_t in pdf.itertuples(index=False):
-            arr = np.frombuffer(row_t.px, dtype=DTYPES[row_t.dtype]) \
-                    .reshape(t, t).astype(np.float64)
-            z[(int(row_t.row) - r0) * t:(int(row_t.row) - r0 + 1) * t,
-              (int(row_t.col) - c0) * t:(int(row_t.col) - c0 + 1) * t] \
-                = np.where(arr == row_t.nodata, np.nan, arr)
-        H, W = z.shape
-        valid = ~np.isnan(z)
-        best = np.full((H, W), -np.inf)
-        rates = []
-        zp = np.pad(z, 1, constant_values=np.nan)
-        for dr, dc, dist, code in _D8:
-            zn = zp[1 + dr:1 + dr + H, 1 + dc:1 + dc + W]
-            rates.append(np.where(~np.isnan(zn), (z - zn) / dist,
-                                  -np.inf))
-            best = np.maximum(best, rates[-1])
-        chosen = np.full((H, W), -1, dtype=np.int64)
-        for idx in range(len(_D8) - 1, -1, -1):
-            sel = (rates[idx] == best) & (best > 0.0)
-            chosen[sel] = idx
-        chosen = np.where(valid, chosen, -1)
+        chosen = _d8_chosen(np.pad(z, 1, constant_values=np.nan))
         # flat pointer array: terminal cells point to themselves
         n = H * W
         idxs = np.arange(n, dtype=np.int64)
@@ -700,14 +890,7 @@ def watershed_labels(tiles: DataFrame, tile_size: int = 64,
         for k, (dr, dc, _, _) in enumerate(_D8):
             sel = flat_ch == k
             ptr[sel] = idxs[sel] + dr * W + dc
-        # pointer doubling to the terminals (log(depth) rounds)
-        for _ in range(64):
-            nxt = ptr[ptr]
-            if np.array_equal(nxt, ptr):
-                break
-            ptr = nxt
-        else:  # pragma: no cover
-            raise RuntimeError("watershed pointer doubling did not settle")
+        ptr = _ptr_double(ptr)
         gi = (r0 * t + (ptr // W)) * 4096 + (c0 * t + (ptr % W))
         labels = np.where(valid.ravel(), gi, -1).reshape(H, W)
         out = []
@@ -726,5 +909,169 @@ def watershed_labels(tiles: DataFrame, tile_size: int = 64,
                                           "n_basins", "n_valid"])
 
     return tiles.groupBy("source_id", "band").applyInPandas(
-        run, "source_id string, band int, col bigint, row bigint, "
-             "basin_qsum bigint, n_basins bigint, n_valid bigint")
+        run, _WSHED_SCHEMA)
+
+
+_WSHED_PART = ("source_id string, band int, col bigint, row bigint, "
+               "kind int, gid bigint, rep bigint, cnt bigint, final int")
+
+
+def _watershed_dist(tiles: DataFrame, t: int, max_rounds: int) -> DataFrame:
+    """Distributed path (r5 verdict task 1 — the pointer doubling lifted
+    OUT of the scene task onto a label table): NO scene-size bound.
+
+    1. ONE halo shuffle per tile computes D8 directions from the 1-px
+       elevation halo and resolves every in-tile cell by LOCAL pointer
+       doubling to either an in-tile terminal (final label) or its first
+       out-of-tile cell (a border cell of the neighbor tile). Emitted:
+       per-tile (rep, count) GROUP rows — cells contracted by shared
+       destination — plus a border-resolution row for each of the
+       tile's own ring cells (O(perimeter) per tile, a 16x contraction
+       at t=64; the label table a 100-TB run pointer-doubles is the
+       PERIMETER table, not the pixel table).
+    2. Distributed pointer doubling on the border table: non-final rows
+       self-join rep -> gid each round, so resolved-hop count doubles —
+       log2(max tile-boundary crossings) rounds of a tiny-table join,
+       fail-loud at ``max_rounds`` (a dropped invariant leaves rows
+       non-final forever, which the cap surfaces).
+    3. Group rows join the resolved border labels; per-tile rollups are
+       pure JVM aggregation (sum(rep*cnt), countDistinct, sum(cnt)).
+
+    Bit-identical to the scene solve: directions come from the same
+    _d8_chosen arithmetic, labels use the same gr*4096+gc encoding, and
+    basin paths are followed exactly (no approximation anywhere)."""
+    p = t + 2
+
+    def resolve(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        source_id, band, col, row = key
+        cols = ["source_id", "band", "col", "row", "kind", "gid", "rep",
+                "cnt", "final"]
+        frame = _assemble_frame(pdf, 1, t)
+        if frame is None:
+            return pd.DataFrame(columns=cols)
+        chosen = _d8_chosen(frame)
+        valid = chosen >= -1
+        # frame-local pointer array: halo ring + terminals self-point
+        idxs = np.arange(p * p, dtype=np.int64)
+        ptr = idxs.copy()
+        interior = np.zeros((p, p), dtype=bool)
+        interior[1:1 + t, 1:1 + t] = True
+        chf = np.full((p, p), -2, dtype=np.int64)
+        chf[1:1 + t, 1:1 + t] = chosen
+        flat_ch = chf.ravel()
+        for k, (dr, dc, _, _) in enumerate(_D8):
+            sel = flat_ch == k
+            ptr[sel] = idxs[sel] + dr * p + dc
+        ptr = _ptr_double(ptr)
+        # global pixel id of a frame coordinate (same encoding as the
+        # scene solve): (row*t + fr-1)*4096 + (col*t + fc-1)
+        g_row = int(row) * t + (idxs // p) - 1
+        g_col = int(col) * t + (idxs % p) - 1
+        gid_of = g_row * 4096 + g_col
+        dest = ptr[interior.ravel()]                 # per interior cell
+        va = valid.ravel()
+        dest_final = interior.ravel()[dest]          # settled in-tile?
+        out = []
+        # GROUP rows: interior valid cells contracted by destination
+        dv, cv = np.unique(
+            np.stack([dest[va], dest_final[va].astype(np.int64)], axis=1),
+            axis=0, return_counts=True)
+        for (d, fin), cnt in zip(dv, cv):
+            out.append({"source_id": source_id, "band": int(band),
+                        "col": int(col), "row": int(row), "kind": 0,
+                        "gid": 0, "rep": int(gid_of[d]),
+                        "cnt": int(cnt), "final": int(fin)})
+        # BORDER rows: the tile's own 1-px ring (what neighbors can
+        # point into), valid cells only
+        fi = idxs.reshape(p, p)
+        ring = np.concatenate([fi[1, 1:1 + t], fi[t, 1:1 + t],
+                               fi[2:t, 1], fi[2:t, t]]) if t > 1 \
+            else fi[1:2, 1]
+        for cell in np.asarray(ring).ravel():
+            li = cell // p - 1, cell % p - 1
+            if not valid[li[0], li[1]]:
+                continue
+            d = ptr[cell]
+            out.append({"source_id": source_id, "band": int(band),
+                        "col": int(col), "row": int(row), "kind": 1,
+                        "gid": int(gid_of[cell]), "rep": int(gid_of[d]),
+                        "cnt": 0,
+                        "final": int(bool(interior.ravel()[d]))})
+        return pd.DataFrame(out, columns=cols)
+
+    parts = _halo_pieces(tiles, 1, t) \
+        .groupBy("source_id", "band", "col", "row") \
+        .applyInPandas(resolve, _WSHED_PART).localCheckpoint(eager=True)
+
+    border = parts.filter(F.col("kind") == 1) \
+        .select("source_id", "band", "gid", "rep", "final")
+    for _ in range(max_rounds):
+        todo = border.filter(F.col("final") == 0)
+        if todo.limit(1).count() == 0:
+            break
+        done = border.filter(F.col("final") == 1)
+        step = todo.alias("a").join(
+            border.select(
+                "source_id", "band", F.col("gid").alias("g2"),
+                F.col("rep").alias("r2"), F.col("final").alias("f2"))
+            .alias("b"),
+            on=[F.col("a.source_id") == F.col("b.source_id"),
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.rep") == F.col("b.g2")], how="left") \
+            .select(F.col("a.source_id").alias("source_id"),
+                    F.col("a.band").alias("band"),
+                    F.col("a.gid").alias("gid"),
+                    F.coalesce(F.col("b.r2"),
+                               F.col("a.rep")).alias("rep"),
+                    F.coalesce(F.col("b.f2"), F.lit(0)).alias("final"))
+        border = done.unionByName(step).localCheckpoint(eager=True)
+    else:
+        raise RuntimeError(
+            f"watershed border resolution did not settle in "
+            f"{max_rounds} rounds; a flow path crosses more than "
+            f"2^{max_rounds} tile boundaries or the border table "
+            f"dropped a link")
+
+    groups = parts.filter(F.col("kind") == 0) \
+        .select("source_id", "band", "col", "row", "rep", "cnt", "final")
+    gdone = groups.filter(F.col("final") == 1) \
+        .select("source_id", "band", "col", "row",
+                F.col("rep").alias("label"), "cnt")
+    gtodo = groups.filter(F.col("final") == 0).alias("g").join(
+        border.select("source_id", "band", F.col("gid").alias("bgid"),
+                      F.col("rep").alias("label")).alias("m"),
+        on=[F.col("g.source_id") == F.col("m.source_id"),
+            F.col("g.band") == F.col("m.band"),
+            F.col("g.rep") == F.col("m.bgid")]) \
+        .select(F.col("g.source_id").alias("source_id"),
+                F.col("g.band").alias("band"),
+                F.col("g.col").alias("col"), F.col("g.row").alias("row"),
+                "label", F.col("g.cnt").alias("cnt"))
+    return gdone.unionByName(gtodo) \
+        .groupBy("source_id", "band", "col", "row") \
+        .agg(F.sum(F.col("label") * F.col("cnt")).alias("basin_qsum"),
+             F.countDistinct(F.when(F.col("cnt") > 0,
+                                    F.col("label"))).alias("n_basins"),
+             F.sum("cnt").alias("n_valid"))
+
+
+def watershed_labels(tiles: DataFrame, tile_size: int = 64,
+                     scene_max_px: int = 1 << 11,
+                     max_rounds: int = 64) -> DataFrame:
+    """Watershed / drainage-basin labeling: every valid cell is labeled
+    with the global pixel id (gr*4096 + gc) of the TERMINAL cell (pit or
+    flat) its single-direction D8 path drains to — same direction rule
+    as flow_accumulation (first max positive drop, fixed order).
+
+    Adaptive strategy (the cost_distance template): scenes fitting
+    ``scene_max_px`` on a side solve in ONE pointer-doubling task;
+    otherwise — or with ``scene_max_px=0`` forcing it — the distributed
+    contraction path runs: in-tile pointer doubling to the tile border,
+    then distributed pointer doubling over the O(perimeter) border
+    table (bit-identical labels, r5 verdict task 1). Output per tile:
+    (source_id, band, col, row, basin_qsum = exact int64 sum of labels,
+    n_basins = distinct basins touching the tile, n_valid)."""
+    t = int(tile_size)
+    if _scene_small(tiles, t, scene_max_px):
+        return _watershed_scene(tiles, t)
+    return _watershed_dist(tiles, t, max_rounds)
