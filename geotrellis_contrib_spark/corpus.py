@@ -294,6 +294,52 @@ def synth_geotiff_scenes(root: str, tile_size: int = 64) -> list[dict]:
     return specs
 
 
+def synth_geotiff_scenes_lzw(root: str, tile_size: int = 64) -> list[dict]:
+    """LZW sibling of synth_geotiff_scenes (r5 verdict task 2): the same
+    three-scene fixture QUANTIZED to int32 (4*val is exact — quarter
+    multiples; NoData -9999.0 -> -39996), written with the LZW decode
+    paths a real archive hits: scene-0 LE+lzw+predictor2(horizontal
+    diff, the GDAL write default)+planar2+1 overview, scene-1
+    BE+lzw+predictor2+planar1 (chunky), scene-2 LE+lzw+predictor1.
+    Values under the gate equal geotiff_read's px_qsum exactly (the
+    int32 sample IS 4*val), so the oracle is shared."""
+    import os
+    import tempfile
+
+    from geotrellis_contrib_spark.sources import geotiff as GT
+
+    os.makedirs(root, exist_ok=True)
+    variants = [{"byteorder": "<", "compress": "lzw", "planar": 2,
+                 "predictor": 2, "overviews": 1},
+                {"byteorder": ">", "compress": "lzw", "planar": 1,
+                 "predictor": 2, "overviews": 0},
+                {"byteorder": "<", "compress": "lzw", "planar": 2,
+                 "predictor": 1, "overviews": 0}]
+    specs = []
+    for s, var in enumerate(variants):
+        path = os.path.join(root, f"scene-{s}-lzw.tif")
+        if not os.path.exists(path):
+            import numpy as np
+
+            arr = synth_scene_mosaic(s, tile_size=tile_size)
+            q = np.round(arr * 4.0).astype(np.int32)  # exact quarters
+            web = 20037508.342789244
+            tsz = 2.0 * web / 64.0
+            xmin = -web + (18 + s) * tsz
+            ymax = web - 24 * tsz
+            xmax, ymin = xmin + 4 * tsz, ymax - 4 * tsz
+            fd, tmp = tempfile.mkstemp(dir=root, suffix=".part")
+            os.close(fd)
+            GT.write_geotiff(tmp, q, (xmin, ymin, xmax, ymax),
+                             epsg=3857, nodata=-39996.0,
+                             tile_size=tile_size, **var)
+            os.replace(tmp, path)
+        specs.append({"path": path, "source_id": f"scene-{s}",
+                      "source_idx": s, "zoom": 6, "base_col": 18 + s,
+                      "base_row": 24})
+    return specs
+
+
 def synth_friction_tiles(spark: SparkSession, tile_size: int = 64,
                          uniform: float = 1.0) -> DataFrame:
     """Uniform-friction sibling of synth_px_tiles (same 3-scene x 2-band

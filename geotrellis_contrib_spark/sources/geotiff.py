@@ -26,9 +26,12 @@ seek+read becomes a ranged GET; shuffle volume is zero (the read is a
 narrow map over the pruned catalog).
 
 Scope (fail-loud beyond it): classic TIFF (no BigTIFF), both byte orders,
-tiled and stripped layouts, compression none/deflate (8 and legacy 32946),
-predictor 1, planar 1 (chunky) and 2 (separate), sample formats
-uint8/16/32, int16/32, float32/64, overview IFDs (NewSubfileType=1),
+tiled and stripped layouts, compression none/deflate (8 and legacy
+32946)/LZW (5 — TIFF 6.0 §13 with the standard early-change code widths,
+both codec directions so roundtrips stay self-contained), predictor 1 and
+2 (horizontal differencing, integer samples — the GDAL write default for
+LZW), planar 1 (chunky) and 2 (separate), sample formats uint8/16/32,
+int16/32, float32/64, overview IFDs (NewSubfileType=1),
 ModelPixelScale+ModelTiepoint georeferencing (no ModelTransformation),
 GTModelType geographic/projected with an EPSG code, GDAL_NODATA."""
 
@@ -60,6 +63,155 @@ _DT_TO_TIFF = {"uint8": (8, 1), "uint16": (16, 1), "uint32": (32, 1),
                "int16": (16, 2), "int32": (32, 2),
                "float32": (32, 3), "float64": (64, 3)}
 _TIFF_TO_DT = {v: k for k, v in _DT_TO_TIFF.items()}
+
+
+# ---------------------------------------------------------------------------
+# TIFF LZW codec (TIFF 6.0 §13): MSB-first bit packing, ClearCode=256,
+# EOI=257, first table code 258, EARLY-CHANGE code widths (the encoder
+# widens when the next free code reaches 2^width - 1, one code earlier
+# than classic LZW — the libtiff/GDAL convention), Clear emitted when the
+# table reaches 4094 entries. Pure-Python per-byte loops: correct and
+# spec-first; tiles are 32 KB so the fixture cost is small, and a real
+# deployment swaps a compiled codec behind the same two functions.
+# ---------------------------------------------------------------------------
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def lzw_encode(data: bytes) -> bytes:
+    out = bytearray()
+    bitbuf, nbits = 0, 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((bitbuf >> nbits) & 0xFF)
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    put(_LZW_CLEAR, width)
+    w = b""
+    for ch in data:
+        wk = w + bytes([ch])
+        if wk in table:
+            w = wk
+            continue
+        put(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        if next_code == 511:
+            width = 10
+        elif next_code == 1023:
+            width = 11
+        elif next_code == 2047:
+            width = 12
+        w = wk[-1:]
+        if next_code == 4094:  # leave room, reset (the libtiff rule)
+            put(table[w], width)
+            put(_LZW_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+            w = b""
+    if w:
+        put(table[w], width)
+    put(_LZW_EOI, width)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def lzw_decode(data: bytes) -> bytes:
+    out = bytearray()
+    bitpos, total = 0, len(data) * 8
+    width = 9
+
+    def get() -> int:
+        nonlocal bitpos
+        if bitpos + width > total:
+            return _LZW_EOI  # truncated streams end cleanly (spec pads)
+        b0 = bitpos // 8
+        nbytes = (bitpos % 8 + width + 7) // 8
+        v = int.from_bytes(data[b0:b0 + nbytes], "big")
+        rshift = nbytes * 8 - (bitpos % 8) - width
+        bitpos += width
+        return (v >> rshift) & ((1 << width) - 1)
+
+    table: list[bytes] = []
+    old = -1
+    while True:
+        code = get()
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            code = get()
+            if code == _LZW_EOI:
+                break
+            if code > 255:
+                raise ValueError("LZW: non-literal code after Clear")
+            out += table[code]
+            old = code
+            continue
+        if not table:
+            raise ValueError("LZW: code before initial Clear")
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = table[old] + table[old][:1]
+        else:
+            raise ValueError(f"LZW: code {code} beyond table "
+                             f"{len(table)}")
+        out += entry
+        table.append(table[old] + entry[:1])
+        # early change: the decoder lags the encoder by exactly one add
+        # (its first code after Clear adds nothing), so it widens one
+        # entry earlier — after adding code 509/1021/2045, matching the
+        # encoder's bump after adding code 510/1022/2046
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+        old = code
+    return bytes(out)
+
+
+# predictor 2 (horizontal differencing): per-row per-sample-channel
+# deltas with unsigned wraparound — integer samples only (floats use
+# predictor 3, out of scope)
+_PRED_UNSIGNED = {"uint8": np.uint8, "uint16": np.uint16,
+                  "uint32": np.uint32, "int16": np.uint16,
+                  "int32": np.uint32}
+
+
+def _hdiff(seg: np.ndarray) -> np.ndarray:
+    """Writer side: difference along the row axis (axis 1 of
+    (rows, w) or (rows, w, spp)), wraparound via same-size unsigned
+    bit-reinterpretation (views, never value casts)."""
+    dt = seg.dtype
+    ut = _PRED_UNSIGNED.get(str(dt))
+    if ut is None:
+        raise ValueError(f"predictor 2 requires integer samples, "
+                         f"got {dt}")
+    u = np.ascontiguousarray(seg).view(ut)
+    d = u.copy()
+    d[:, 1:] = u[:, 1:] - u[:, :-1]
+    return d.view(dt)
+
+
+def _hcum(seg: np.ndarray, out_dtype) -> np.ndarray:
+    """Reader side: cumulative sum along the row axis with wraparound,
+    bit-reinterpreted back to the sample dtype."""
+    dt = np.dtype(out_dtype)
+    ut = _PRED_UNSIGNED.get(str(dt))
+    if ut is None:
+        raise ValueError(f"predictor 2 requires integer samples, "
+                         f"got {dt}")
+    bits = np.dtype(ut).itemsize * 8
+    u = np.ascontiguousarray(seg).view(ut)
+    c = np.cumsum(u.astype(np.uint64), axis=1) & ((1 << bits) - 1)
+    return c.astype(ut).view(dt)
 
 
 # ---------------------------------------------------------------------------
@@ -122,12 +274,18 @@ def _geokeys(epsg: int) -> list[int]:
 
 def _level_segments(band_arrs: np.ndarray, tile: int, strips: bool,
                     compress: str, nodata: float, np_bo: str,
-                    planar: int):
+                    planar: int, predictor: int = 1):
     """Segment byte payloads for one resolution level, TIFF segment order
     (plane-major for planar=2, pixel-interleaved for planar=1). Edge
     tiles pad with nodata per spec."""
     nb, h, w = band_arrs.shape
     wire = band_arrs.dtype.newbyteorder(np_bo)
+
+    def wire_bytes(seg: np.ndarray) -> bytes:
+        if predictor == 2:
+            seg = _hdiff(seg)
+        return np.ascontiguousarray(seg.astype(wire)).tobytes()
+
     segs = []
     if strips:
         rps = tile
@@ -138,8 +296,7 @@ def _level_segments(band_arrs: np.ndarray, tile: int, strips: bool,
                     seg = band_arrs[b, r0:r0 + rps, :]
                 else:  # chunky: (rows, w, bands)
                     seg = band_arrs[:, r0:r0 + rps, :].transpose(1, 2, 0)
-                segs.append(np.ascontiguousarray(
-                    seg.astype(wire)).tobytes())
+                segs.append(wire_bytes(seg))
     else:
         n_w, n_h = (w + tile - 1) // tile, (h + tile - 1) // tile
         for b in (range(nb) if planar == 2 else [None]):
@@ -156,10 +313,11 @@ def _level_segments(band_arrs: np.ndarray, tile: int, strips: bool,
                                       dtype=band_arrs.dtype)
                         seg[:part.shape[1], :part.shape[2], :] \
                             = part.transpose(1, 2, 0)
-                    segs.append(np.ascontiguousarray(
-                        seg.astype(wire)).tobytes())
+                    segs.append(wire_bytes(seg))
     if compress == "deflate":
         segs = [zlib.compress(s) for s in segs]
+    elif compress == "lzw":
+        segs = [lzw_encode(s) for s in segs]
     return segs, n_w, n_h
 
 
@@ -167,7 +325,8 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
                   nodata: float = -9999.0, tile_size: int = 64,
                   compress: str = "deflate", byteorder: str = "<",
                   strips: bool = False, overviews: int = 0,
-                  planar: int = 2, cog: bool = False) -> None:
+                  planar: int = 2, cog: bool = False,
+                  predictor: int = 1) -> None:
     """Write a (multiband) GeoTiff: ``bands`` is (nbands, H, W) or (H, W);
     ``extent`` = (xmin, ymin, xmax, ymax) in the CRS of ``epsg``.
     ``overviews`` appends that many 2x-decimated overview IFDs
@@ -184,12 +343,18 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
     dtype = str(bands.dtype)
     if dtype not in _DT_TO_TIFF:
         raise ValueError(f"unsupported dtype {dtype}")
-    if compress not in ("none", "deflate"):
+    if compress not in ("none", "deflate", "lzw"):
         raise ValueError(f"unsupported compression {compress!r}")
     if byteorder not in ("<", ">"):
         raise ValueError("byteorder must be '<' or '>'")
     if planar not in (1, 2):
         raise ValueError("planar must be 1 (chunky) or 2 (separate)")
+    if predictor not in (1, 2):
+        raise ValueError("predictor must be 1 or 2 (horizontal diff)")
+    if predictor == 2 and str(bands.dtype) not in _PRED_UNSIGNED:
+        raise ValueError(f"predictor 2 requires integer samples, "
+                         f"got {bands.dtype} (floats use predictor 3, "
+                         f"out of scope)")
     bo = byteorder
     bits, sfmt = _DT_TO_TIFF[dtype]
     xmin, ymin, xmax, ymax = (float(v) for v in extent)
@@ -200,7 +365,7 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
 
     level_segs = [
         _level_segments(arrs, tile_size, strips, compress, nodata, bo,
-                        planar)
+                        planar, predictor)
         for arrs in levels]
     if cog:
         # two-pass layout: IFD sizes depend only on entry counts, so
@@ -210,7 +375,7 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
             levels, level_segs, [[0] * len(s[0]) for s in level_segs],
             bo, nb, bits, sfmt, compress, planar, strips, tile_size,
             xmin, ymax, (xmax - xmin) / w, (ymax - ymin) / h, epsg,
-            nodata)
+            nodata, predictor)
         data_base = 8 + sum(i.size() + i.external_size() for i in probe)
     else:
         data_base = 8
@@ -228,7 +393,7 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
     ifds = _assemble_ifds(
         levels, level_segs, level_offs, bo, nb, bits, sfmt, compress,
         planar, strips, tile_size, xmin, ymax, (xmax - xmin) / w,
-        (ymax - ymin) / h, epsg, nodata)
+        (ymax - ymin) / h, epsg, nodata, predictor)
 
     if cog:
         ifd_offsets = []
@@ -270,7 +435,7 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
 
 def _assemble_ifds(levels, level_segs, level_offs, bo, nb, bits, sfmt,
                    compress, planar, strips, tile_size, xmin, ymax,
-                   sx, sy, epsg, nodata):
+                   sx, sy, epsg, nodata, predictor=1):
     """Build the IFD chain for every resolution level with the given
     segment offsets (sizes are offset-independent, which is what lets
     the COG layout measure with zeros first)."""
@@ -285,7 +450,10 @@ def _assemble_ifds(levels, level_segs, level_offs, bo, nb, bits, sfmt,
         ifd.add(_TAG["ImageWidth"], 4, lw)
         ifd.add(_TAG["ImageLength"], 4, lh)
         ifd.add(_TAG["BitsPerSample"], 3, [bits] * nb)
-        ifd.add(_TAG["Compression"], 3, 1 if compress == "none" else 8)
+        ifd.add(_TAG["Compression"], 3,
+                {"none": 1, "deflate": 8, "lzw": 5}[compress])
+        if predictor == 2:
+            ifd.add(_TAG["Predictor"], 3, 2)
         ifd.add(_TAG["Photometric"], 3, 1)
         ifd.add(_TAG["SamplesPerPixel"], 3, nb)
         ifd.add(_TAG["SampleFormat"], 3, [sfmt] * nb)
@@ -374,11 +542,14 @@ def read_geotiff_info(path: str) -> dict:
             (ifd_off,) = struct.unpack(bo + "I", f.read(4))
 
             comp = tags.get(_TAG["Compression"], [1])[0]
-            if comp not in (1, 8, 32946):
+            if comp not in (1, 5, 8, 32946):
                 raise ValueError(f"unsupported compression {comp} "
-                                 "(none/deflate only)")
-            if tags.get(_TAG["Predictor"], [1])[0] != 1:
-                raise ValueError("predictor != 1 unsupported")
+                                 "(none/lzw/deflate only)")
+            predictor = tags.get(_TAG["Predictor"], [1])[0]
+            if predictor not in (1, 2):
+                raise ValueError(f"unsupported predictor {predictor} "
+                                 "(1/horizontal-diff only; floating-"
+                                 "point predictor 3 out of scope)")
             nb = tags.get(_TAG["SamplesPerPixel"], [1])[0]
             planar = tags.get(_TAG["PlanarConfig"], [1])[0]
             if planar not in (1, 2):
@@ -390,6 +561,10 @@ def read_geotiff_info(path: str) -> dict:
             key = (bits[0], sfmt[0])
             if key not in _TIFF_TO_DT:
                 raise ValueError(f"unsupported sample type {key}")
+            if predictor == 2 and _TIFF_TO_DT[key] not in _PRED_UNSIGNED:
+                raise ValueError(
+                    f"predictor 2 with non-integer samples "
+                    f"{_TIFF_TO_DT[key]} unsupported")
             w = tags[_TAG["ImageWidth"]][0]
             h = tags[_TAG["ImageLength"]][0]
             if _TAG["TileOffsets"] in tags:
@@ -415,7 +590,8 @@ def read_geotiff_info(path: str) -> dict:
                                  f"expected {exp}")
             ifds.append({"width": w, "height": h, "tile_w": tw,
                          "tile_h": th, "strips": stripped,
-                         "compression": comp, "offsets": offs,
+                         "compression": comp, "predictor": predictor,
+                         "offsets": offs,
                          "counts": cnts, "n_w": n_w, "n_h": n_h,
                          "overview": bool(
                              tags.get(_TAG["NewSubfileType"], [0])[0] & 1)})
@@ -457,13 +633,20 @@ def _np_dtype(info_dtype: str, bo: str) -> np.dtype:
 
 
 def _decode_segment(raw: bytes, compression: int, dtype: np.dtype,
-                    th: int, tw: int, spp: int) -> np.ndarray:
+                    th: int, tw: int, spp: int,
+                    predictor: int = 1) -> np.ndarray:
     if compression in (8, 32946):
         raw = zlib.decompress(raw)
+    elif compression == 5:
+        raw = lzw_decode(raw)
     arr = np.frombuffer(raw, dtype=dtype)
-    if spp > 1:
-        return arr.reshape(-1, tw, spp)  # chunky: (rows, w, bands)
-    return arr.reshape(-1, tw)
+    arr = arr.reshape(-1, tw, spp) if spp > 1 else arr.reshape(-1, tw)
+    if predictor == 2:
+        # undo horizontal differencing on NATIVE-order sample values
+        # (bit-identical byte swap first, then wraparound cumsum)
+        base = np.dtype(dtype).newbyteorder("=")
+        arr = _hcum(arr.astype(base), base)
+    return arr
 
 
 def read_geotiff(path: str, level: int = 0) -> tuple[np.ndarray, dict]:
@@ -489,7 +672,8 @@ def read_geotiff(path: str, level: int = 0) -> tuple[np.ndarray, dict]:
                 b, ti = 0, si
             tr, tc = ti // n_w, ti % n_w
             seg = _decode_segment(raw, ifd["compression"], dtype, th, tw,
-                                  nb if planar == 1 else 1)
+                                  nb if planar == 1 else 1,
+                                  ifd["predictor"])
             rows = min(th, h - tr * th)
             cols = min(tw, w - tc * tw)
             if planar == 1 and nb > 1:
@@ -510,7 +694,7 @@ CATALOG_SCHEMA = ("path string, source_id string, source_idx int, zoom int, "
                   "band int, col bigint, row bigint, offset bigint, "
                   "nbytes bigint, tile_size int, compression int, "
                   "byteorder string, dtype string, nodata double, "
-                  "planar int, nbands int")
+                  "planar int, nbands int, predictor int")
 
 
 def geotiff_tile_catalog(spark, specs: list[dict]):
@@ -550,7 +734,7 @@ def geotiff_tile_catalog(spark, specs: list[dict]):
                              int(off), int(cnt), int(ifd["tile_w"]),
                              int(ifd["compression"]), info["byteorder"],
                              info["dtype"], float(nodata), int(planar),
-                             int(nb)))
+                             int(nb), int(ifd["predictor"])))
     n_part = max(1, min(8, len(rows) // 32))
     return spark.createDataFrame(rows, CATALOG_SCHEMA).coalesce(n_part)
 
@@ -575,7 +759,8 @@ def read_catalog_tiles(catalog):
                         seg = _decode_segment(
                             raw, int(t.compression), dtype,
                             int(t.tile_size), int(t.tile_size),
-                            int(t.nbands) if t.planar == 1 else 1)
+                            int(t.nbands) if t.planar == 1 else 1,
+                            int(t.predictor))
                         if t.planar == 1 and t.nbands > 1:
                             arr = seg[:, :, int(t.band)]
                         else:

@@ -71,7 +71,7 @@ def test_roundtrip_dtypes(tmp_path, dtype):
 
 
 @pytest.mark.parametrize("bo", ["<", ">"])
-@pytest.mark.parametrize("compress", ["none", "deflate"])
+@pytest.mark.parametrize("compress", ["none", "deflate", "lzw"])
 @pytest.mark.parametrize("strips", [False, True])
 @pytest.mark.parametrize("planar", [1, 2])
 def test_roundtrip_layouts(tmp_path, bo, compress, strips, planar):
@@ -130,18 +130,90 @@ def test_reject_bigtiff(tmp_path):
         GT.read_geotiff_info(p)
 
 
-def test_reject_lzw(tmp_path):
+def test_reject_jpeg_compression(tmp_path):
     p = str(tmp_path / "l.tif")
     arr = np.zeros((8, 8), dtype=np.uint8)
     GT.write_geotiff(p, arr, (0, 0, 8, 8), compress="none", tile_size=8)
     raw = bytearray(open(p, "rb").read())
-    # patch the Compression SHORT value 1 -> 5 (LZW) in place
+    # patch the Compression SHORT value 1 -> 7 (JPEG) in place
     idx = raw.find(struct.pack("<HHI", 259, 3, 1) + struct.pack("<H", 1))
     assert idx > 0
-    raw[idx + 8:idx + 10] = struct.pack("<H", 5)
+    raw[idx + 8:idx + 10] = struct.pack("<H", 7)
     open(p, "wb").write(bytes(raw))
-    with pytest.raises(ValueError, match="compression 5"):
+    with pytest.raises(ValueError, match="compression 7"):
         GT.read_geotiff_info(p)
+
+
+def test_reject_float_predictor(tmp_path):
+    # writer: predictor 2 on floats refuses (floats use predictor 3)
+    arr = np.zeros((8, 8), dtype=np.float32)
+    with pytest.raises(ValueError, match="integer samples"):
+        GT.write_geotiff(str(tmp_path / "f.tif"), arr, (0, 0, 8, 8),
+                         compress="lzw", predictor=2, tile_size=8)
+    # reader: a patched predictor=3 tag refuses
+    p = str(tmp_path / "p3.tif")
+    GT.write_geotiff(p, np.zeros((8, 8), dtype=np.int32), (0, 0, 8, 8),
+                     compress="lzw", predictor=2, tile_size=8)
+    raw = bytearray(open(p, "rb").read())
+    idx = raw.find(struct.pack("<HHI", 317, 3, 1) + struct.pack("<H", 2))
+    assert idx > 0
+    raw[idx + 8:idx + 10] = struct.pack("<H", 3)
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="predictor 3"):
+        GT.read_geotiff_info(p)
+
+
+def test_lzw_codec_known_vector():
+    """TIFF 6.0 §13's own worked example: encoding the 9-byte sequence
+    7 7 7 8 8 7 7 6 6 emits codes 256(Clear) 7 258 8 8 258 6 6 257(EOI)
+    — locks the early-change bit layout, not just the roundtrip."""
+    data = bytes([7, 7, 7, 8, 8, 7, 7, 6, 6])
+    codes = [256, 7, 258, 8, 8, 258, 6, 6, 257]
+    bits = "".join(format(c, "09b") for c in codes)
+    bits += "0" * (-len(bits) % 8)
+    want = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    assert GT.lzw_encode(data) == want
+    assert GT.lzw_decode(want) == data
+
+
+def test_lzw_width_bumps_and_reset():
+    """Payloads long enough to cross every code-width boundary (9->10->
+    11->12) and the 4094-entry table reset roundtrip exactly."""
+    rng = np.random.RandomState(11)
+    for n in (2000, 20000, 120000):
+        data = bytes(rng.randint(0, 7, n).astype(np.uint8))
+        assert GT.lzw_decode(GT.lzw_encode(data)) == data
+    # incompressible data grows the table fastest per output byte
+    data = bytes(rng.randint(0, 256, 60000).astype(np.uint8))
+    assert GT.lzw_decode(GT.lzw_encode(data)) == data
+
+
+@pytest.mark.parametrize("dtype", ["uint8", "uint16", "int16", "int32",
+                                   "uint32"])
+def test_predictor2_roundtrip_dtypes(tmp_path, dtype):
+    rng = np.random.RandomState(13)
+    info = np.iinfo(dtype)
+    arr = rng.randint(info.min, info.max, (2, 90, 70)).astype(dtype)
+    p = str(tmp_path / "p.tif")
+    GT.write_geotiff(p, arr, (0, 0, 70, 90), compress="lzw", predictor=2)
+    back, inf = GT.read_geotiff(p)
+    assert back.dtype == arr.dtype and np.array_equal(back, arr)
+    assert inf["ifds"][0]["compression"] == 5
+    assert inf["ifds"][0]["predictor"] == 2
+
+
+def test_lzw_catalog_read_parity(tmp_path, spark):
+    """The distributed catalog read decodes the LZW fixture to the SAME
+    checksums as the synth_px_tiles parquet path (x4 int32 quantized)."""
+    specs = corpus.synth_geotiff_scenes_lzw(str(tmp_path))
+    cat = GT.geotiff_tile_catalog(spark, specs)
+    got = {(r.source_id, r.band, r.col, r.row): (r.px_qsum, r.px_count)
+           for r in GT.per_tile_checksum(
+               GT.read_catalog_tiles(cat), quant=1.0).collect()}
+    tiles = corpus.synth_px_tiles(spark, tile_size=64)
+    want = {(r.source_id, r.band, r.col, r.row): (r.px_qsum, r.px_count)
+            for r in GT.per_tile_checksum(tiles, quant=4.0).collect()}
+    assert got == want and len(got) == 96
 
 
 def test_reject_truncated(tmp_path):
@@ -158,7 +230,10 @@ def test_writer_rejects_bad_args(tmp_path):
     arr = np.zeros((4, 4), dtype=np.float64)
     with pytest.raises(ValueError, match="compression"):
         GT.write_geotiff(str(tmp_path / "a.tif"), arr, (0, 0, 1, 1),
-                         compress="lzw")
+                         compress="jpeg")
+    with pytest.raises(ValueError, match="predictor"):
+        GT.write_geotiff(str(tmp_path / "a.tif"), arr, (0, 0, 1, 1),
+                         predictor=3)
     with pytest.raises(ValueError, match="planar"):
         GT.write_geotiff(str(tmp_path / "a.tif"), arr, (0, 0, 1, 1),
                          planar=3)
