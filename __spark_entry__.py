@@ -1732,6 +1732,47 @@ def q_geotiff_read_lzw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GT.per_tile_checksum(GT.read_catalog_tiles(cat), quant=1.0)
 
 
+_HTTP_FIXTURE_SERVERS: dict = {}
+
+
+def _gate_http_base(root: str) -> str:
+    """Singleton Range-honouring localhost server per fixture dir
+    (daemon threads; lives for the process so the returned DataFrame
+    stays collectable after the query function returns)."""
+    if root not in _HTTP_FIXTURE_SERVERS:
+        from geotrellis_contrib_spark.sources.rangereader import \
+            serve_directory
+        _HTTP_FIXTURE_SERVERS[root] = serve_directory(root)
+    return _HTTP_FIXTURE_SERVERS[root][1]
+
+
+def q_geotiff_read_http(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoTiff catalog read over HTTP RANGED GETS (r5 verdict task 3 —
+    the reference's signature IT reads a NASA COG over HTTP/S3,
+    SubsceneReadingIT.scala:36-38; RangeReader URI dispatch is
+    GeoTiffRasterSource.scala:45-46): the SAME three-scene fixture as
+    geotiff_read, but served by a hermetic localhost Range-honouring
+    HTTP server — header/IFD parse through the 32 KiB block-cached
+    RangeReader, mapInPandas tile fetches as sorted+coalesced ranged
+    GETs (one GET per contiguous segment run; the reader FAILS LOUD if
+    the server ignores Range). Every decoded byte must therefore
+    survive the HTTP transport bit-for-bit: the oracle is
+    geotiff_read's closed-form fixture SQL verbatim."""
+    import os
+    import tempfile
+
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.sources import geotiff as GT
+
+    root = os.path.join(tempfile.gettempdir(), "gt_gate_v1")
+    specs = corpus_mod.synth_geotiff_scenes(root)
+    base = _gate_http_base(root)
+    specs = [dict(s, path=f"{base}/{os.path.basename(s['path'])}")
+             for s in specs]
+    cat = GT.geotiff_tile_catalog(spark, specs)
+    return GT.per_tile_checksum(GT.read_catalog_tiles(cat))
+
+
 def q_region_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REGION GROUP (GeoTrellis RegionGroup — raster connected
     components) ACROSS tile boundaries: 4-connected components of a
@@ -2989,6 +3030,10 @@ FROM px GROUP BY 1, 2, 3, 4
     # LZW variant (geotiff_read_lzw): the int32 sample IS 4*val, read
     # through the LZW+predictor decode paths — same closed form.
     o["geotiff_read_lzw"] = o["geotiff_read"]
+
+    # HTTP-transport variant (geotiff_read_http): same fixture, same
+    # closed form — the ranged-GET path must be byte-transparent.
+    o["geotiff_read_http"] = o["geotiff_read"]
 
     o["pixel_mosaic_checksum"] = f"""
 WITH px AS (
@@ -5016,6 +5061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "geotiff_read_http": q_geotiff_read_http,
         "flow_accumulation_dist": q_flow_accumulation_dist,
         "watershed_dist": q_watershed_dist,
         "geotiff_read_lzw": q_geotiff_read_lzw,

@@ -504,10 +504,17 @@ def _read_entry_values(f, bo, typ, count, raw4):
 
 def read_geotiff_info(path: str) -> dict:
     """Parse header + IFD chain via seeks (no pixel bytes touched).
+    ``path`` may be a local path or an http(s):// URI — remote parses
+    go through the block-cached RangeReader (rangereader.py), so a COG
+    header costs ONE ranged GET (GeoTiffRasterSource.scala:45-46 /
+    SubsceneReadingIT.scala:36-38 parity).
     Returns {byteorder, width, height, dtype, nbands, nodata, epsg,
     extent, planar, ifds: [{width, height, tile_w, tile_h, strips,
     compression, offsets, counts, n_w, n_h, overview}]}."""
-    with open(path, "rb") as f:
+    from geotrellis_contrib_spark.sources.rangereader import \
+        open_header_stream
+
+    with open_header_stream(path) as f:
         magic = f.read(4)
         if magic[:2] == b"II":
             bo = "<"
@@ -742,38 +749,48 @@ def geotiff_tile_catalog(spark, specs: list[dict]):
 def read_catalog_tiles(catalog):
     """Fetch the catalog rows' byte ranges and decode to the engine's
     pixel-tile schema (corpus.synth_px_tiles layout). Narrow map — zero
-    shuffle; per task files open once (rows grouped by path in-batch)."""
+    shuffle. ``path`` may be local or http(s):// (the reference's
+    RangeReader URI dispatch); per task each path opens ONE reader,
+    the surviving byte ranges are sorted + coalesced (fetch_ranges)
+    so adjacent tiles cost one ranged read and chunky multi-band
+    duplicates fetch once."""
     import pandas as pd
 
     from geotrellis_contrib_spark.operators.pixels import pack
+    from geotrellis_contrib_spark.sources.rangereader import (
+        fetch_ranges, open_range_reader)
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for path, grp in pdf.groupby("path", sort=False):
-                with open(path, "rb") as f:
-                    for t in grp.itertuples(index=False):
-                        f.seek(int(t.offset))
-                        raw = f.read(int(t.nbytes))
-                        dtype = _np_dtype(t.dtype, t.byteorder)
-                        seg = _decode_segment(
-                            raw, int(t.compression), dtype,
-                            int(t.tile_size), int(t.tile_size),
-                            int(t.nbands) if t.planar == 1 else 1,
-                            int(t.predictor))
-                        if t.planar == 1 and t.nbands > 1:
-                            arr = seg[:, :, int(t.band)]
-                        else:
-                            arr = seg
-                        arr = np.ascontiguousarray(
-                            arr.astype(np.dtype(t.dtype)))
-                        out.append({"source_id": t.source_id,
-                                    "source_idx": int(t.source_idx),
-                                    "zoom": int(t.zoom),
-                                    "col": int(t.col), "row": int(t.row),
-                                    "band": int(t.band), "dtype": t.dtype,
-                                    "nodata": float(t.nodata),
-                                    "px": pack(arr)})
+                rr = open_range_reader(path)
+                try:
+                    blobs = fetch_ranges(
+                        rr, zip(grp["offset"], grp["nbytes"]))
+                finally:
+                    rr.close()
+                for t in grp.itertuples(index=False):
+                    raw = blobs[(int(t.offset), int(t.nbytes))]
+                    dtype = _np_dtype(t.dtype, t.byteorder)
+                    seg = _decode_segment(
+                        raw, int(t.compression), dtype,
+                        int(t.tile_size), int(t.tile_size),
+                        int(t.nbands) if t.planar == 1 else 1,
+                        int(t.predictor))
+                    if t.planar == 1 and t.nbands > 1:
+                        arr = seg[:, :, int(t.band)]
+                    else:
+                        arr = seg
+                    arr = np.ascontiguousarray(
+                        arr.astype(np.dtype(t.dtype)))
+                    out.append({"source_id": t.source_id,
+                                "source_idx": int(t.source_idx),
+                                "zoom": int(t.zoom),
+                                "col": int(t.col), "row": int(t.row),
+                                "band": int(t.band), "dtype": t.dtype,
+                                "nodata": float(t.nodata),
+                                "px": pack(arr)})
             yield pd.DataFrame(
                 out, columns=["source_id", "source_idx", "zoom", "col",
                               "row", "band", "dtype", "nodata", "px"])
