@@ -1290,6 +1290,37 @@ def q_reproject_aeqd(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        "px_count")
 
 
+# Ellipsoidal aeqd destination (r5 verdict task 7): the SAME footprint,
+# but on the WGS84 ellipsoid — each inverse is a Vincenty DIRECT solve.
+AEE_DEF = (f"+proj=aeqd +lat_0={AE_LAT0} +lon_0={AE_LON0} +x_0=0 +y_0=0 "
+           f"+ellps=WGS84 +units=m +no_defs")
+
+
+def q_reproject_aeqd_ell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reprojectToGrid onto an ELLIPSOIDAL azimuthal equidistant
+    destination (+proj=aeqd +ellps=WGS84 — grid.aeqd_ell_to_lonlat,
+    Vincenty 1975 geodesics; geodesic distances from the center are
+    TRUE, goldened against the published Flinders Peak->Buninyong
+    worked example in tests): the pixel fixture warped onto the same
+    target GridExtent as reproject_aeqd, NaN-aware window checksums per
+    (source, band). Oracle: the Vincenty DIRECT chain — alpha1 =
+    atan2(x,y), s = hypot, the pinned 4-step sigma iteration (unrolled
+    CTEs, grid._VINC_DIRECT_ITERS), then the closed-form phi/lambda
+    with literal U1/ellipsoid constants — recomputed in SQL."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark import grid as GR
+    from geotrellis_contrib_spark.operators import pixels as px
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    target = GR.GridExtent(AE_X0, AE_Y0, AE_X1, AE_Y1,
+                           (AE_X1 - AE_X0) / AE_COLS,
+                           (AE_Y1 - AE_Y0) / AE_ROWS)
+    out = px.reproject_to_grid(tiles, target, method="nearest",
+                               tile_size=64, dst_crs=AEE_DEF)
+    return px.window_stats(out).select("source_id", "band", "px_sum",
+                                       "px_count")
+
+
 def q_reproject_moll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """reprojectToGrid onto a MOLLWEIDE destination (ESRI:54009 world
     equal-area — grid.lonlat_to_moll/moll_to_lonlat, pinned-Newton forward
@@ -3904,6 +3935,98 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM vals GROUP BY 1, 2
 """
 
+    # Ellipsoidal aeqd reproject (reproject_aeqd_ell): SQL twin of the
+    # Vincenty DIRECT solve (grid.aeqd_ell_to_lonlat) — alpha1/s from
+    # (xs, ys), the pinned 4-step sigma iteration unrolled as CTEs
+    # (grid._VINC_DIRECT_ITERS), then the closed-form phi/lambda.
+    # Constants are the engine's WGS84 doubles rendered as literals.
+    _ve_a, _ve_fv, _ve_e2 = _gr.ellipsoid_params("WGS84")
+    _ve_bv = _ve_a * (1.0 - _ve_fv)
+    _ve_tanu1 = float((1.0 - _ve_fv)
+                      * _np.tan(_np.radians(_np.float64(AE_LAT0))))
+    _ve_u1 = float(_np.arctan(_ve_tanu1))
+    _ve_f = _dl(_ve_fv)
+    _ve_omf = _dl(1.0 - _ve_fv)
+    _ve_b = _dl(_ve_bv)
+    _ve_ep2 = _dl((_ve_a * _ve_a - _ve_bv * _ve_bv) / (_ve_bv * _ve_bv))
+    _ve_tu1 = _dl(_ve_tanu1)
+    _ve_su1 = _dl(float(_np.sin(_ve_u1)))
+    _ve_cu1 = _dl(float(_np.cos(_ve_u1)))
+    _ve_dsig = (
+        f"bigb*SIN(sig)*(COS(2.0*sig1 + sig) "
+        f"+ 0.25*bigb*(COS(sig)*(-1.0 + 2.0*COS(2.0*sig1 + sig)"
+        f"*COS(2.0*sig1 + sig)) "
+        f"- (bigb/6.0)*COS(2.0*sig1 + sig)*(-3.0 + 4.0*SIN(sig)*SIN(sig))"
+        f"*(-3.0 + 4.0*COS(2.0*sig1 + sig)*COS(2.0*sig1 + sig))))")
+    _ve_iters = "".join(
+        f", vd{i} AS MATERIALIZED (SELECT * EXCLUDE (sig), "
+        f"sig0 + {_ve_dsig} AS sig FROM vd{i - 1})\n"
+        for i in range(1, 5))
+    o["reproject_aeqd_ell"] = f"""
+WITH tgt AS (
+  SELECT CAST({AE_X0} AS DOUBLE) + (c+0.5)*{_ae_cw} AS xs,
+         CAST({AE_Y1} AS DOUBLE) - (r+0.5)*{_ae_ch} AS ys
+  FROM range(0,{AE_COLS}) cs(c), range(0,{AE_ROWS}) rs(r)
+), pre AS (
+  SELECT SQRT(xs*xs + ys*ys) AS s, ATAN2(xs, ys) AS a1 FROM tgt
+), pre2 AS (
+  SELECT s, a1, ATAN2({_ve_tu1}, COS(a1)) AS sig1,
+         {_ve_cu1}*SIN(a1) AS sina
+  FROM pre
+), pre3 AS (
+  SELECT s, a1, sig1, sina, 1.0 - sina*sina AS cos2a FROM pre2
+), pre4 AS (
+  SELECT s, a1, sig1, sina, cos2a, cos2a*{_ve_ep2} AS u2 FROM pre3
+), pre5 AS (
+  SELECT s, a1, sig1, sina, cos2a,
+    1.0 + u2/16384.0*(4096.0 + u2*(-768.0 + u2*(320.0 - 175.0*u2))) AS biga,
+    u2/1024.0*(256.0 + u2*(-128.0 + u2*(74.0 - 47.0*u2))) AS bigb
+  FROM pre4
+), vd0 AS MATERIALIZED (
+  SELECT a1, sig1, sina, cos2a, bigb,
+         s/({_ve_b}*biga) AS sig0, s/({_ve_b}*biga) AS sig
+  FROM pre5
+)
+{_ve_iters}, vcc AS (
+  SELECT a1, sig1, sina, sig,
+         {_ve_f}/16.0*cos2a*(4.0 + {_ve_f}*(4.0 - 3.0*cos2a)) AS cc
+  FROM vd4
+), pts AS (
+  SELECT
+    (({AE_LON0} + DEGREES(
+        ATAN2(SIN(sig)*SIN(a1), {_ve_cu1}*COS(sig) - {_ve_su1}*SIN(sig)*COS(a1))
+        - (1.0 - cc)*{_ve_f}*sina*(sig + cc*SIN(sig)*(COS(2.0*sig1 + sig)
+            + cc*COS(sig)*(-1.0 + 2.0*COS(2.0*sig1 + sig)*COS(2.0*sig1 + sig))))
+     )) + 180.0) % 360.0 - 180.0 AS lon,
+    DEGREES(ATAN2({_ve_su1}*COS(sig) + {_ve_cu1}*SIN(sig)*COS(a1),
+      {_ve_omf}*SQRT(sina*sina
+        + ({_ve_su1}*SIN(sig) - {_ve_cu1}*COS(sig)*COS(a1))
+         *({_ve_su1}*SIN(sig) - {_ve_cu1}*COS(sig)*COS(a1))))) AS lat
+  FROM vcc
+), own AS (
+  SELECT lon, lat, {C.sql_tile_col('lon', 6)} AS col, {C.sql_tile_row('lat', 6)} AS row
+  FROM pts
+), samp AS (
+  SELECT s, band, col, row,
+    CAST(FLOOR((lon - (CAST(col AS DOUBLE)/64.0*360.0-180.0)) / 0.087890625) AS BIGINT) AS ci,
+    CAST(FLOOR(({_la_lat6('CAST(row AS DOUBLE)')} - lat)
+         / (({_la_lat6('CAST(row AS DOUBLE)')} - {_la_lat6('CAST(row AS DOUBLE)+1.0')})/64.0)) AS BIGINT) AS ri
+  FROM own, range(0,3) ss(s), range(0,2) bs(band)
+  WHERE col BETWEEN 18+s AND 21+s AND row BETWEEN 24 AND 27
+), vals AS (
+  SELECT s, band,
+    CASE WHEN ri >= (s*11)%48 AND ri < (s*11)%48+16
+          AND ci >= (s*11)%48 AND ci < (s*11)%48+16 THEN -9999.0
+         ELSE s*1000.0 + band*100.0 + col*7.0 + row*3.0 + ri*0.5 + ci*0.25
+              + CAST((ri*31 + ci*17) % 13 AS DOUBLE) END AS v
+  FROM samp
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS BIGINT) AS band,
+       SUM(v) AS px_sum, CAST(COUNT(*) AS BIGINT) AS px_count
+FROM vals GROUP BY 1, 2
+"""
+
     # Oblique double-stereographic reproject (reproject_sterea): SQL twin
     # of the EPSG GN7-2 inverse — g/h/i/j closed forms to (chi, Lambda),
     # then the SAME 8-step pinned isometric-latitude fixed point the
@@ -5062,6 +5185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new/changed this round first -------------------------------
         "geotiff_read_http": q_geotiff_read_http,
+        "reproject_aeqd_ell": q_reproject_aeqd_ell,
         "flow_accumulation_dist": q_flow_accumulation_dist,
         "watershed_dist": q_watershed_dist,
         "geotiff_read_lzw": q_geotiff_read_lzw,

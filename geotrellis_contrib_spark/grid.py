@@ -1763,6 +1763,133 @@ def aeqd_sph_to_lonlat(x, y, lon0: float, lat0: float,
     return _wrap_deg(lon0 + np.degrees(lam)), np.degrees(phi)
 
 
+# ---------------------------------------------------------------------------
+# Ellipsoidal azimuthal equidistant via Vincenty geodesics (Vincenty 1975,
+# Survey Review 23(176) — public worked examples in the Geoscience
+# Australia GDA manual). PROJ's ellipsoidal +proj=aeqd is "distance and
+# azimuth from the center are the geodesic distance and azimuth": forward
+# solves the geodesic INVERSE problem (center -> point), inverse solves the
+# geodesic DIRECT problem (center + azimuth + distance -> point). The
+# reference accepts arbitrary CRS objects here
+# (GeoTiffReprojectRasterSource.scala:39). Iteration counts are PINNED (no
+# convergence break) so the reproject_aeqd_ell SQL oracle can unroll the
+# IDENTICAL chain; all squares are explicit multiplies for bit parity.
+# Vincenty's inverse diverges near the antipode — fail-loud there (a
+# regional aeqd grid never asks for it; full-sphere support needs Karney).
+# ---------------------------------------------------------------------------
+
+_VINC_DIRECT_ITERS = 4    # contraction factor ~B (<1e-3): 4 is double-exact
+_VINC_INVERSE_ITERS = 16
+_VINC_ANTIPODAL_DEG = 179.0
+
+
+def aeqd_ell_to_lonlat(x, y, lon0: float, lat0: float,
+                       x0: float = 0.0, y0: float = 0.0,
+                       a: float = _WGS84_A, f: float = 1.0 / 298.257223563):
+    """Ellipsoidal azimuthal equidistant inverse = Vincenty DIRECT:
+    alpha1 = atan2(x, y), s = hypot(x, y), then the pinned
+    ``_VINC_DIRECT_ITERS``-step sigma iteration and the closed-form
+    latitude/longitude (mirrored term-for-term by the
+    reproject_aeqd_ell SQL oracle)."""
+    b = a * (1.0 - f)
+    ep2 = (a * a - b * b) / (b * b)
+    xs = np.asarray(x, dtype=np.float64) - x0
+    ys = np.asarray(y, dtype=np.float64) - y0
+    s = np.sqrt(xs * xs + ys * ys)
+    a1 = np.arctan2(xs, ys)
+    phi0 = np.radians(np.float64(lat0))
+    tanu1 = (1.0 - f) * np.tan(phi0)
+    u1 = np.arctan(tanu1)
+    sinu1, cosu1 = np.sin(u1), np.cos(u1)
+    sig1 = np.arctan2(tanu1, np.cos(a1))
+    sina = cosu1 * np.sin(a1)
+    cos2a = 1.0 - sina * sina
+    u2 = cos2a * ep2
+    biga = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0
+                                                               - 175.0 * u2)))
+    bigb = u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)))
+    sig0 = s / (b * biga)
+    sig = sig0
+    for _ in range(_VINC_DIRECT_ITERS):
+        ctm = np.cos(2.0 * sig1 + sig)
+        dsig = bigb * np.sin(sig) * (
+            ctm + 0.25 * bigb * (
+                np.cos(sig) * (-1.0 + 2.0 * ctm * ctm)
+                - (bigb / 6.0) * ctm * (-3.0 + 4.0 * np.sin(sig)
+                                        * np.sin(sig))
+                * (-3.0 + 4.0 * ctm * ctm)))
+        sig = sig0 + dsig
+    ctm = np.cos(2.0 * sig1 + sig)
+    sins, coss = np.sin(sig), np.cos(sig)
+    cosa1 = np.cos(a1)
+    tmp = sinu1 * sins - cosu1 * coss * cosa1
+    phi = np.arctan2(sinu1 * coss + cosu1 * sins * cosa1,
+                     (1.0 - f) * np.sqrt(sina * sina + tmp * tmp))
+    lam = np.arctan2(sins * np.sin(a1), cosu1 * coss - sinu1 * sins * cosa1)
+    cc = f / 16.0 * cos2a * (4.0 + f * (4.0 - 3.0 * cos2a))
+    bigl = lam - (1.0 - cc) * f * sina * (
+        sig + cc * sins * (ctm + cc * coss * (-1.0 + 2.0 * ctm * ctm)))
+    lon = _wrap_deg(lon0 + np.degrees(bigl))
+    lat = np.degrees(phi)
+    return (np.where(s > 0.0, lon, np.float64(lon0)),
+            np.where(s > 0.0, lat, np.float64(lat0)))
+
+
+def lonlat_to_aeqd_ell(lon, lat, lon0: float, lat0: float,
+                       x0: float = 0.0, y0: float = 0.0,
+                       a: float = _WGS84_A, f: float = 1.0 / 298.257223563):
+    """Ellipsoidal azimuthal equidistant forward = Vincenty INVERSE
+    (pinned ``_VINC_INVERSE_ITERS`` lambda iterations): geodesic
+    distance s and forward azimuth alpha1 from the center, then
+    x = s*sin(alpha1), y = s*cos(alpha1). Fail-loud past
+    ``_VINC_ANTIPODAL_DEG`` of angular distance, where the lambda
+    iteration stops contracting."""
+    b = a * (1.0 - f)
+    ep2 = (a * a - b * b) / (b * b)
+    bigl = np.radians(_wrap_deg(np.asarray(lon, dtype=np.float64) - lon0))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    phi0 = np.radians(np.float64(lat0))
+    u1 = np.arctan((1.0 - f) * np.tan(phi0))
+    u2r = np.arctan((1.0 - f) * np.tan(phi))
+    sinu1, cosu1 = np.sin(u1), np.cos(u1)
+    sinu2, cosu2 = np.sin(u2r), np.cos(u2r)
+    lam = bigl.copy()
+    for _ in range(_VINC_INVERSE_ITERS):
+        sinl, cosl = np.sin(lam), np.cos(lam)
+        t1 = cosu2 * sinl
+        t2 = cosu1 * sinu2 - sinu1 * cosu2 * cosl
+        sins = np.sqrt(t1 * t1 + t2 * t2)
+        coss = sinu1 * sinu2 + cosu1 * cosu2 * cosl
+        sig = np.arctan2(sins, coss)
+        safe = np.where(sins > 0.0, sins, 1.0)
+        sina = np.where(sins > 0.0, cosu1 * cosu2 * sinl / safe, 0.0)
+        cos2a = 1.0 - sina * sina
+        safe2a = np.where(cos2a > 0.0, cos2a, 1.0)
+        c2sm = np.where(cos2a > 0.0,
+                        coss - 2.0 * sinu1 * sinu2 / safe2a, 0.0)
+        cc = f / 16.0 * cos2a * (4.0 + f * (4.0 - 3.0 * cos2a))
+        lam = bigl + (1.0 - cc) * f * sina * (
+            sig + cc * sins * (c2sm + cc * coss * (-1.0 + 2.0 * c2sm
+                                                   * c2sm)))
+    if np.any(np.degrees(sig) > _VINC_ANTIPODAL_DEG):
+        raise ValueError(
+            f"near-antipodal geodesic (> {_VINC_ANTIPODAL_DEG} deg): "
+            "Vincenty's inverse does not converge there — ellipsoidal "
+            "aeqd is regional (use a spherical +R aeqd for global grids)")
+    u2 = cos2a * ep2
+    biga = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0
+                                                               - 175.0 * u2)))
+    bigb = u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)))
+    dsig = bigb * sins * (c2sm + 0.25 * bigb * (
+        coss * (-1.0 + 2.0 * c2sm * c2sm)
+        - (bigb / 6.0) * c2sm * (-3.0 + 4.0 * sins * sins)
+        * (-3.0 + 4.0 * c2sm * c2sm)))
+    s = b * biga * (sig - dsig)
+    a1 = np.arctan2(cosu2 * np.sin(lam),
+                    cosu1 * sinu2 - sinu1 * cosu2 * np.cos(lam))
+    return x0 + s * np.sin(a1), y0 + s * np.cos(a1)
+
+
 def lonlat_to_moll(lon, lat, lon0: float,
                    x0: float = 0.0, y0: float = 0.0,
                    radius: float = _WGS84_A):
@@ -2431,22 +2558,26 @@ def parse_proj4(s: str):
                                         x0, y0, ell_a, e2_g))
     if proj == "aeqd":
         # azimuthal equidistant: distances from the center are true.
-        # Ellipsoidal aeqd needs Karney geodesics — fail-loud; the
-        # spherical closed form (Snyder 25) is exact on +R / +a=+b.
-        if not spherical:
-            raise ValueError(
-                f"ellipsoidal aeqd needs geodesic distances "
-                f"(unsupported) — pass +R or a sphere: {s!r}")
+        # Spherical closed form (Snyder 25) on +R / +a=+b; ellipsoidal
+        # via Vincenty geodesics (forward = geodesic inverse problem,
+        # inverse = geodesic direct problem) — regional, fail-loud near
+        # the antipode where Vincenty's lambda iteration diverges.
         if k0 != 1.0:
             raise ValueError(f"+k_0 is not a +proj=aeqd parameter: {s!r}")
-        if shift is not None or ntv2 is not None:
-            raise ValueError(f"datum shift on spherical +proj=aeqd "
-                             f"unsupported: {s!r}")
-        return (
-            lambda lon, lat: lonlat_to_aeqd_sph(lon, lat, lon0, lat0,
-                                                x0, y0, ell_a),
-            lambda x, y: aeqd_sph_to_lonlat(x, y, lon0, lat0,
-                                            x0, y0, ell_a))
+        if spherical:
+            if shift is not None or ntv2 is not None:
+                raise ValueError(f"datum shift on spherical +proj=aeqd "
+                                 f"unsupported: {s!r}")
+            return (
+                lambda lon, lat: lonlat_to_aeqd_sph(lon, lat, lon0, lat0,
+                                                    x0, y0, ell_a),
+                lambda x, y: aeqd_sph_to_lonlat(x, y, lon0, lat0,
+                                                x0, y0, ell_a))
+        return compose(
+            lambda lon, lat: lonlat_to_aeqd_ell(lon, lat, lon0, lat0,
+                                                x0, y0, ell_a, ell_f),
+            lambda x, y: aeqd_ell_to_lonlat(x, y, lon0, lat0,
+                                            x0, y0, ell_a, ell_f))
     if proj == "moll":
         # proj4 moll is SPHERICAL formulas on the semi-major axis
         # regardless of +ellps (like eqc) — ESRI:54009 "World Mollweide"

@@ -213,12 +213,16 @@ def test_aeqd_sphere_roundtrip_and_distance_true():
 
 
 def test_aeqd_fail_loud():
+    """Ellipsoidal aeqd is supported since r6 (Vincenty geodesics,
+    tests/test_aeqd_ell.py); the remaining guards are parameter ones."""
     import pytest as _pytest
 
     from geotrellis_contrib_spark import grid as GR
 
-    with _pytest.raises(ValueError, match="geodesic"):
-        GR.parse_proj4("+proj=aeqd +lat_0=32 +lon_0=-60 +ellps=WGS84")
+    fwd, inv = GR.parse_proj4("+proj=aeqd +lat_0=32 +lon_0=-60 "
+                              "+ellps=WGS84")
+    lo, la = inv(*fwd(-59.0, 33.0))
+    assert abs(float(lo) + 59.0) < 1e-11 and abs(float(la) - 33.0) < 1e-11
     with _pytest.raises(ValueError, match="k_0"):
         GR.parse_proj4("+proj=aeqd +lat_0=32 +lon_0=-60 +R=6371000 "
                        "+k_0=0.9")
