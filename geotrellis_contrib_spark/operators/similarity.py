@@ -29,6 +29,7 @@ ordered left fold).
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -275,37 +276,88 @@ def select_centroids(corpus: DataFrame, k: int,
             .orderBy("_h", "centroid_id").limit(k).drop("_h"))
 
 
+def _centroid_literals(centroids: DataFrame, cid_col="centroid_id",
+                       cvec_col="cvec") -> list[tuple[int, list[float], float]]:
+    """Driver-side collect of the FIXED-budget centroid table (K rows by
+    construction — select_centroids — so the collect is constant-size at
+    any corpus scale, like the skew salt-map). Norms are computed with
+    the same left-associated ordered fold as sql_norm2 (0.0 + v1*v1 + ...
+    is bit-identical — IEEE 0.0 + x == x), so literal-inlined cosines
+    equal the column-side ones bit-for-bit."""
+    import math
+
+    rows = centroids.select(F.col(cid_col).alias("_id"),
+                            F.col(cvec_col).alias("_v")).collect()
+    out = []
+    for r in rows:
+        vec = [float(x) for x in r["_v"]]
+        out.append((int(r["_id"]), vec,
+                    math.sqrt(sum(x * x for x in vec))))
+    return out
+
+
+def _centroid_matrix(cents):
+    """(cids_sorted_asc, C (K,dims) float64, cn (K,)) with CENTROID IDS
+    ASCENDING, so np.argmax / a stable descending argsort break cosine
+    ties toward the smallest centroid_id — the engine's ordering."""
+    cents = sorted(cents, key=lambda t: t[0])
+    cids = np.array([c[0] for c in cents], dtype=np.int64)
+    C = np.array([c[1] for c in cents], dtype=np.float64)
+    cn = np.array([c[2] for c in cents], dtype=np.float64)
+    return cids, C, cn
+
+
+def _cos_matrix(vec_series, C, cn):
+    """Cosines of a batch of vectors against every centroid, as the SAME
+    ordered left fold the JVM sql_dot/sql_norm2 text runs: accumulate
+    dim-by-dim in index order (each += is one IEEE double multiply-add
+    column), so every cosine is BIT-IDENTICAL to the Column form — the
+    oracle-exactness contract survives the Arrow path."""
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in vec_series])
+    dots = np.zeros((V.shape[0], C.shape[0]))
+    nrm2 = np.zeros(V.shape[0])
+    for i in range(V.shape[1]):
+        dots += V[:, i:i + 1] * C[:, i][None, :]
+        nrm2 += V[:, i] * V[:, i]
+    vn = np.sqrt(nrm2)
+    return dots / (vn[:, None] * cn[None, :]), vn
+
+
 def ivf_assign(corpus: DataFrame, centroids: DataFrame,
                dims: int | None = None,
                id_col="vec_id", vec_col="embedding",
                cid_col="centroid_id", cvec_col="cvec") -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest centroid
-    by cosine (broadcast centroid cross join + max-struct pick; deterministic
-    tie-break on centroid_id). Output: (vec_id, centroid_id, cos).
+    by cosine (deterministic tie-break on centroid_id). Output:
+    (vec_id, centroid_id, cos).
 
-    At 10^12 scale this is the index-build pass: one scan of the corpus,
-    fixed-size centroid list broadcast (see :func:`select_centroids`),
-    output range-partitioned by centroid_id becomes the posting-list
-    table."""
-    c = F.broadcast(centroids.select(F.col(cid_col).alias("centroid_id"),
-                                     F.col(cvec_col).alias("cvec"))
-                    .withColumn("cn", norm_col("cvec", dims)))
-    v = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")) \
-              .withColumn("vn", norm_col("vec", dims))
-    v = ensure_min_parallelism(v)  # K-way fan-out per corpus row
-    pairs = v.crossJoin(c).withColumn(
-        "cos", dot_col("vec", "cvec", dims) / (F.col("vn") * F.col("cn")))
-    # nearest centroid via max(struct(...)): a declarative aggregate that
-    # partial-aggregates map-side over scalars only (no window sort, no
-    # array shuffle) — ordering (cos desc, centroid_id asc) encoded as
-    # max of (cos, -centroid_id)
-    win = F.max(F.struct(F.col("cos").alias("_c"),
-                         (-F.col("centroid_id")).alias("_nc"),
-                         F.col("centroid_id").alias("_id")))
-    return (pairs.select("vec_id", "centroid_id", "cos")
-            .groupBy("vec_id").agg(win.alias("_w"))
-            .select("vec_id", F.col("_w._id").alias("centroid_id"),
-                    F.col("_w._c").alias("cos")))
+    At 10^12 scale this is the index-build pass, and it is a PURE MAP:
+    the fixed-K centroid table (see :func:`select_centroids`) is
+    collected once and closed over an Arrow-batched mapInPandas, so every
+    corpus vector computes its K cosines and argmax in-batch — no K-way
+    pair fan-out, no groupBy shuffle, no broadcast build side, and no
+    K*dims-term codegen class (janino chokes compiling those). One scan
+    in, one row out per vector; the output range-partitioned by
+    centroid_id becomes the posting-list table."""
+    import pandas as pd
+
+    cids, C, cn = _centroid_matrix(_centroid_literals(centroids, cid_col,
+                                                      cvec_col))
+    v = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    v = ensure_min_parallelism(v)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cos, _ = _cos_matrix(pdf["vec"].to_numpy(), C, cn)
+            best = np.argmax(cos, axis=1)  # first max = smallest cid
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "centroid_id": cids[best],
+                "cos": cos[np.arange(len(pdf)), best]})
+
+    return v.mapInPandas(run, "vec_id long, centroid_id long, cos double")
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
@@ -317,22 +369,54 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
     that replaces the brute-force corpus scan with posting-list reads.
     Output: (query_id, vec_id, rank, cos); deterministic, oracle-checkable.
     """
-    assign = ivf_assign(corpus, centroids, dims, id_col, vec_col)
-    c = F.broadcast(centroids.select(F.col("centroid_id"), F.col("cvec"))
-                    .withColumn("cn", norm_col("cvec", dims)))
-    q = queries.select(F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qvec")) \
-               .withColumn("qn", norm_col("qvec", dims))
-    qc = q.crossJoin(c).withColumn(
-        "ccos", dot_col("qvec", "cvec", dims) / (F.col("qn") * F.col("cn")))
-    wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("centroid_id").asc())
-    probes = (qc.withColumn("rn", F.row_number().over(wq))
-              .filter(F.col("rn") <= nprobe)
-              .select("query_id", "centroid_id", "qvec", "qn"))
+    import pandas as pd
 
-    v = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")) \
-              .withColumn("vn", norm_col("vec", dims))
-    cand = assign.join(v, "vec_id").join(F.broadcast(probes), "centroid_id") \
-                 .filter(F.col("vec_id") != F.col("query_id"))
+    cids, C, cn = _centroid_matrix(_centroid_literals(centroids))
+    # corpus side: nearest centroid per row with the vector KEPT on the
+    # row — the in-batch argmax makes assignment a pure map, so the old
+    # K-way fan-out + groupBy + assign-join-corpus shuffles disappear
+    v = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    v = ensure_min_parallelism(v)
+
+    def assign_run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cos, vn = _cos_matrix(pdf["vec"].to_numpy(), C, cn)
+            best = np.argmax(cos, axis=1)  # first max = smallest cid
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "vec": pdf["vec"].to_numpy(), "vn": vn,
+                "centroid_id": cids[best]})
+
+    assigned = v.mapInPandas(
+        assign_run, "vec_id long, vec array<float>, vn double, "
+                    "centroid_id long")
+    # query side: top-nprobe centroids per query, also map-side — a
+    # stable descending argsort of the cosine row is the old
+    # (ccos desc, centroid_id asc) row_number window without its shuffle
+    # (columns sit in ascending-cid order, so stability = the tie-break)
+    q = queries.select(F.col(qid_col).alias("query_id"),
+                       F.col(qvec_col).alias("qvec"))
+
+    def probe_run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cos, qn = _cos_matrix(pdf["qvec"].to_numpy(), C, cn)
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :int(nprobe)]
+            n = order.shape[1]
+            yield pd.DataFrame({
+                "query_id": np.repeat(pdf["query_id"].to_numpy(), n),
+                "centroid_id": cids[order].ravel(),
+                "qvec": np.repeat(pdf["qvec"].to_numpy(), n),
+                "qn": np.repeat(qn, n)})
+
+    probes = q.mapInPandas(
+        probe_run, "query_id long, centroid_id long, qvec array<float>, "
+                   "qn double")
+    cand = assigned.join(F.broadcast(probes), "centroid_id") \
+                   .filter(F.col("vec_id") != F.col("query_id"))
     cand = cand.withColumn(
         "rcos", dot_col("qvec", "vec", dims) / (F.col("qn") * F.col("vn")))
     # drop the embedding arrays before the re-rank shuffle (scalars only)
