@@ -42,27 +42,38 @@ DEDUP_STATE = "seen int, batch int"
 def _dedup_update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     if state.exists:
         # already emitted in an earlier micro-batch: swallow duplicates
-        n = sum(len(p) for p in pdfs)  # drain the iterator
-        _ = n
-        yield pd.DataFrame({"doc_id": pd.Series(dtype=object),
-                            "first_seen_batch": pd.Series(dtype="int64")})
+        # (no yield — an empty generator is a legal no-output group, and
+        # skipping the per-key empty-DataFrame build halves the Python
+        # cost of replay-heavy batches)
         return
     batch = 0
     for p in pdfs:
         batch = max(batch, int(p["batch"].max()) if "batch" in p and len(p) else 0)
     state.update((1, batch))
-    yield pd.DataFrame([{"doc_id": key[0], "first_seen_batch": batch}])
+    yield pd.DataFrame({"doc_id": (key[0],), "first_seen_batch": (batch,)})
 
 
 def dedup_stream(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Exactly-once streaming ingestion dedup: a doc_id is emitted the FIRST
     time it is ever seen across all micro-batches; replays and duplicate
-    deliveries are swallowed (seen-set state lives in the stream checkpoint).
-    The training-pipeline guard in front of any append-only corpus sink."""
-    d = docs
-    if "batch" not in d.columns:
-        d = d.withColumn("batch", F.lit(0))
-    return (d.groupBy(F.col(id_col).alias("doc_id"))
+    deliveries are swallowed (seen state lives in the stream checkpoint).
+    The training-pipeline guard in front of any append-only corpus sink.
+
+    Two physical paths, same emitted-id semantics:
+
+    * id-only input (no ``batch`` column): the built-in streaming
+      ``dropDuplicates`` — JVM state store, zero Python per key. This is
+      the 100 TB path: per-key cost is a state-store hash probe, not an
+      Arrow round-trip, and it needs no custom state schema.
+    * input with a ``batch`` column: the ``applyInPandasWithState``
+      operator, which additionally tags each id with the micro-batch it
+      was FIRST seen in (custom per-key state the built-in can't carry).
+    """
+    if "batch" not in docs.columns:
+        return (docs.select(F.col(id_col).alias("doc_id"))
+                .dropDuplicates(["doc_id"])
+                .withColumn("first_seen_batch", F.lit(0)))
+    return (docs.groupBy(F.col(id_col).alias("doc_id"))
             .applyInPandasWithState(_dedup_update, DEDUP_OUTPUT, DEDUP_STATE,
                                     "append", GroupStateTimeout.NoTimeout))
 
