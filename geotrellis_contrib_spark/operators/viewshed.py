@@ -37,11 +37,17 @@ from geotrellis_contrib_spark.operators.pixels import DTYPES
 
 
 def viewshed(tiles: DataFrame, observer_fn, height: float = 2.0,
-             tile_size: int = 64, max_px: int = 1 << 11) -> DataFrame:
+             tile_size: int = 64, max_px: int = 1 << 12,
+             block_rows: int = 256) -> DataFrame:
     """``observer_fn(source_id, band) -> (gr, gc)`` global observer cell
     per scene/band (must be a valid cell). ``max_px`` bounds the
     assembled scene edge (fail-loud — the guard that a scene fits the
-    task)."""
+    task); with the target-row-blocked sweep the per-task footprint is
+    the z mosaic (8 bytes/px — 128 MB at the 4096 default) plus ~12
+    ``block_rows``*W float64 temporaries, so the guard sizes the ARRAY,
+    not the sweep. The remaining scale axis is compute: R3 is
+    O(N*sqrt(N)) per scene — beyond max_px crop by max_radius (the
+    GeoTrellis deployment shape) rather than raising the guard."""
     t = int(tile_size)
 
     def sweep(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -70,34 +76,47 @@ def viewshed(tiles: DataFrame, observer_fn, height: float = 2.0,
                              f"{source_id}/{band}")
         zbase = z[oy, ox] + float(height)
 
-        yy, xx = np.mgrid[0:z.shape[0], 0:z.shape[1]]
-        dgr = (yy - oy).astype(np.float64)
-        dgc = (xx - ox).astype(np.float64)
-        n = np.maximum(np.abs(dgr), np.abs(dgc))
-        n_safe = np.maximum(n, 1.0)
-        ms = np.full(z.shape, -np.inf)
-        for k in range(1, int(n.max())):
-            act = n > k  # targets with an intermediate sample at step k
-            if not act.any():
-                break
-            kk = float(k)
-            # floor in GLOBAL coordinates (exactly the oracle's
-            # expression — a local-offset base could round a .5 tie
-            # differently), then shift back by the integer origin
-            rr = (np.floor(float(ogr) + (kk * dgr) / n_safe + 0.5)
-                  .astype(np.int64) - r0 * t)
-            cc = (np.floor(float(ogc) + (kk * dgc) / n_safe + 0.5)
-                  .astype(np.int64) - c0 * t)
-            # indices are only meaningful where act (k < n); clamp the
-            # rest so the gather stays in bounds (masked out below)
-            zk = z[np.clip(rr, 0, z.shape[0] - 1),
-                   np.clip(cc, 0, z.shape[1] - 1)]
-            slope = (zk - zbase) / kk
-            upd = act & ~np.isnan(zk)
-            np.copyto(ms, np.maximum(ms, slope), where=upd)
-        slope_t = (z - zbase) / n_safe
+        # Target-row BLOCKS bound peak memory to z + O(block*W): the
+        # whole-grid sweep holds ~12 H*W float64 temporaries (3.2 GB at
+        # max_px=4096), the blocked one z (one H*W array) + the same
+        # dozen at block*W — so the scene guard is the z array, not the
+        # sweep. Arithmetic per target is ELEMENTWISE identical to the
+        # whole-grid form (broadcasting changes layout, not values), so
+        # the SQL oracle and the block-size parity pytest both hold
+        # bit-for-bit.
         valid = ~np.isnan(z)
-        visible = valid & ((n <= 1.0) | (slope_t >= ms))
+        visible = np.empty(z.shape, dtype=bool)
+        yy_all = np.arange(z.shape[0], dtype=np.float64)
+        dgc_row = (np.arange(z.shape[1], dtype=np.float64) - ox)[None, :]
+        blk = max(1, int(block_rows))
+        for y0 in range(0, z.shape[0], blk):
+            y1 = min(y0 + blk, z.shape[0])
+            dgr = (yy_all[y0:y1, None] - oy) + np.zeros_like(dgc_row)
+            dgc = dgc_row + np.zeros((y1 - y0, 1))
+            n = np.maximum(np.abs(dgr), np.abs(dgc))
+            n_safe = np.maximum(n, 1.0)
+            ms = np.full(n.shape, -np.inf)
+            for k in range(1, int(n.max()) if n.size else 1):
+                act = n > k  # targets with an intermediate sample at k
+                if not act.any():
+                    break
+                kk = float(k)
+                # floor in GLOBAL coordinates (exactly the oracle's
+                # expression — a local-offset base could round a .5 tie
+                # differently), then shift back by the integer origin
+                rr = (np.floor(float(ogr) + (kk * dgr) / n_safe + 0.5)
+                      .astype(np.int64) - r0 * t)
+                cc = (np.floor(float(ogc) + (kk * dgc) / n_safe + 0.5)
+                      .astype(np.int64) - c0 * t)
+                # indices are only meaningful where act (k < n); clamp
+                # the rest so the gather stays in bounds (masked below)
+                zk = z[np.clip(rr, 0, z.shape[0] - 1),
+                       np.clip(cc, 0, z.shape[1] - 1)]
+                slope = (zk - zbase) / kk
+                upd = act & ~np.isnan(zk)
+                np.copyto(ms, np.maximum(ms, slope), where=upd)
+            slope_t = (z[y0:y1] - zbase) / n_safe
+            visible[y0:y1] = valid[y0:y1] & ((n <= 1.0) | (slope_t >= ms))
 
         out = []
         for row_t in pdf.itertuples(index=False):

@@ -122,3 +122,44 @@ def test_fail_loud_observer(spark):
     with pytest.raises(Exception, match="max_px"):
         VS.viewshed(tiles, lambda sid, b: (1640, 1256),
                     tile_size=T, max_px=128).collect()
+
+
+def test_block_size_parity_large_scene(spark):
+    """The target-row-blocked sweep is bit-identical across block sizes
+    on a 512x512 multi-tile scene (4x the gate scene edge) with NoData
+    holes and a diagonal ridge — the r5-verdict scale-posture check:
+    the per-task footprint is z + O(block_rows * W), so max_px sizes
+    the mosaic array, not the sweep temporaries."""
+    from geotrellis_contrib_spark.operators.pixels import pack
+
+    rng_r = np.arange(T).reshape(-1, 1)
+    rng_c = np.arange(T).reshape(1, -1)
+    rows = []
+    for tc in range(8):
+        for tr in range(8):
+            gr = tr * T + rng_r
+            gc = tc * T + rng_c
+            arr = (np.sin(gr / 37.0) * 9.0 + np.cos(gc / 29.0) * 7.0
+                   + ((gr * 13 + gc * 7) % 23) * 0.25).astype(np.float64)
+            arr[np.abs(gr - gc) < 2] += 40.0        # diagonal ridge
+            arr[(gr % 97 < 3) & (gc % 83 < 3)] = -9999.0   # NoData
+            rows.append(("big", 0, 0, tc, tr, 0, "float64", -9999.0,
+                         pack(arr)))
+    tiles = spark.createDataFrame(
+        rows, "source_id string, source_idx int, zoom int, col bigint, "
+              "row bigint, band int, dtype string, nodata double, "
+              "px binary").coalesce(2)
+    obs = lambda sid, b: (130, 140)  # noqa: E731
+    key = lambda r: (r.col, r.row)  # noqa: E731
+    small = {key(r): (r.n_visible, r.n_valid)
+             for r in VS.viewshed(tiles, obs, height=2.0, tile_size=T,
+                                  block_rows=64).collect()}
+    whole = {key(r): (r.n_visible, r.n_valid)
+             for r in VS.viewshed(tiles, obs, height=2.0, tile_size=T,
+                                  block_rows=1 << 20).collect()}
+    assert small == whole and len(small) == 64
+    assert sum(v for v, _ in small.values()) > 0
+    assert sum(nv for _, nv in small.values()) == 512 * 512 - sum(
+        1 for tcc in range(8) for trr in range(8)
+        for i in range(T) for j in range(T)
+        if ((trr * T + i) % 97 < 3) and ((tcc * T + j) % 83 < 3))
