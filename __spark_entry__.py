@@ -645,7 +645,16 @@ def q_stream_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double") / 100000.0 * 120.0)
         agg = st.rasterize_stream(ev, zoom=STREAM_ZOOM, window="1 hour",
                                   watermark="30 minutes")
-        st.run_available_now(agg, f"{tmp}/out", f"{tmp}/ckpt")
+        # state-store instance count = shuffle partitions at stream start
+        # (the q_stream_dedup floor): 64 HDFS-backed stores for one
+        # micro-batch is pure per-store commit overhead at this key
+        # cardinality — a real deployment sizes this to its key volume
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            st.run_available_now(agg, f"{tmp}/out", f"{tmp}/ckpt")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         out = spark.read.schema(
             "window_start timestamp, window_end timestamp, cell bigint, "
             "n_events bigint, sum_value double").parquet(f"{tmp}/out")

@@ -179,10 +179,15 @@ def k_merge(stack: list[np.ndarray], nodatas: list[float],
             out[good] = a[good]
             filled |= good
         return out
+    import warnings
+
     layers = np.stack([np.where(np.isclose(a.astype(np.float64), nd), np.nan,
                                 a.astype(np.float64))
                        for a, nd in zip(stack, nodatas)])
-    with np.errstate(invalid="ignore"):
+    with np.errstate(invalid="ignore"), warnings.catch_warnings():
+        # nanmean/max/min over an all-NoData pixel is a legal NoData
+        # result, not a condition to report (r5 verdict minor #4)
+        warnings.simplefilter("ignore", RuntimeWarning)
         if strategy == "mean":
             out = np.nanmean(layers, axis=0)
         elif strategy == "max":

@@ -104,10 +104,21 @@ def test_knn_exact_no_python_no_cartesian(spark):
 
 
 def test_ivf_centroid_broadcast_is_bounded(spark):
-    # fixed centroid budget: the centroid selection is a TakeOrdered (limit),
-    # so the broadcast side is constant-size regardless of corpus size
+    # fixed centroid budget: centroid selection is a TakeOrdered (limit) —
+    # since r6 it is collected once at build time (constant K rows) and
+    # closed over the Arrow assignment maps, so the boundedness lives in
+    # select_centroids' own plan; the topk plan must show the two pure
+    # Arrow maps (assignment + probes — no K-way fan-out, no groupBy) and
+    # the probes broadcast join
+    from geotrellis_contrib_spark.operators import similarity as sim
+    cent_plan = sim.select_centroids(
+        spark.read.parquet(f"{SF_SMALL}/embeddings.parquet"), 64) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in cent_plan, \
+        "centroid selection not a bounded TakeOrdered"
     plan = _plan(spark, "embed_ivf_topk")
-    assert "TakeOrderedAndProject" in plan, "centroid selection not a bounded TakeOrdered"
+    assert plan.count("MapInPandas") == 2, \
+        "IVF assignment/probes are not the two pure Arrow maps"
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
