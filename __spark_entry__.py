@@ -1772,6 +1772,27 @@ def q_geotiff_read_lzw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GT.per_tile_checksum(GT.read_catalog_tiles(cat), quant=1.0)
 
 
+def q_geotiff_read_packbits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoTiff PackBits decode end-to-end (TIFF 6.0 §9 byte RLE —
+    with LZW and deflate this closes the classic lossless-compression
+    trio real archives use): the int32 4*val fixture written with the
+    from-scratch PackBits codec (spec-golden pytested against the §9
+    worked example) under LE+planar2+predictor2+overview, BE+chunky,
+    and LE+predictor1. Catalog parse -> pruned ranged fetch -> per-tile
+    checksum at quant=1; oracle: geotiff_read's closed-form SQL
+    verbatim — the RLE path must reproduce the values bit-for-bit."""
+    import os
+    import tempfile
+
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.sources import geotiff as GT
+
+    root = os.path.join(tempfile.gettempdir(), "gt_gate_pb_v1")
+    specs = corpus_mod.synth_geotiff_scenes_packbits(root)
+    cat = GT.geotiff_tile_catalog(spark, specs)
+    return GT.per_tile_checksum(GT.read_catalog_tiles(cat), quant=1.0)
+
+
 _HTTP_FIXTURE_SERVERS: dict = {}
 
 
@@ -3074,6 +3095,10 @@ FROM px GROUP BY 1, 2, 3, 4
     # HTTP-transport variant (geotiff_read_http): same fixture, same
     # closed form — the ranged-GET path must be byte-transparent.
     o["geotiff_read_http"] = o["geotiff_read"]
+
+    # PackBits variant (geotiff_read_packbits): int32 sample IS 4*val,
+    # read at quant=1 like the LZW gate — same closed form.
+    o["geotiff_read_packbits"] = o["geotiff_read"]
 
     o["pixel_mosaic_checksum"] = f"""
 WITH px AS (
@@ -5195,6 +5220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new/changed this round first -------------------------------
         "geotiff_read_http": q_geotiff_read_http,
         "reproject_aeqd_ell": q_reproject_aeqd_ell,
+        "geotiff_read_packbits": q_geotiff_read_packbits,
         "flow_accumulation_dist": q_flow_accumulation_dist,
         "watershed_dist": q_watershed_dist,
         "geotiff_read_lzw": q_geotiff_read_lzw,

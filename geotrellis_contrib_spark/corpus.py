@@ -303,21 +303,44 @@ def synth_geotiff_scenes_lzw(root: str, tile_size: int = 64) -> list[dict]:
     BE+lzw+predictor2+planar1 (chunky), scene-2 LE+lzw+predictor1.
     Values under the gate equal geotiff_read's px_qsum exactly (the
     int32 sample IS 4*val), so the oracle is shared."""
-    import os
-    import tempfile
-
-    from geotrellis_contrib_spark.sources import geotiff as GT
-
-    os.makedirs(root, exist_ok=True)
     variants = [{"byteorder": "<", "compress": "lzw", "planar": 2,
                  "predictor": 2, "overviews": 1},
                 {"byteorder": ">", "compress": "lzw", "planar": 1,
                  "predictor": 2, "overviews": 0},
                 {"byteorder": "<", "compress": "lzw", "planar": 2,
                  "predictor": 1, "overviews": 0}]
+    return _synth_quant_scenes(root, variants, "lzw", tile_size)
+
+
+def synth_geotiff_scenes_packbits(root: str,
+                                  tile_size: int = 64) -> list[dict]:
+    """PackBits sibling (TIFF 6.0 §9 byte RLE — the other classic
+    real-archive compression): same int32 4*val quantized fixture,
+    scene-0 LE+planar2+predictor2+overview, scene-1 BE+chunky,
+    scene-2 LE+predictor1 (the catalog reader requires tiled layout, so
+    the stripped PackBits path is covered by the codec roundtrip
+    pytests instead). Shares geotiff_read's closed-form oracle at
+    quant=1 like the LZW gate."""
+    variants = [{"byteorder": "<", "compress": "packbits", "planar": 2,
+                 "predictor": 2, "overviews": 1},
+                {"byteorder": ">", "compress": "packbits", "planar": 1,
+                 "predictor": 1, "overviews": 0},
+                {"byteorder": "<", "compress": "packbits", "planar": 2,
+                 "predictor": 1, "overviews": 0}]
+    return _synth_quant_scenes(root, variants, "pb", tile_size)
+
+
+def _synth_quant_scenes(root: str, variants: list[dict], suffix: str,
+                        tile_size: int) -> list[dict]:
+    import os
+    import tempfile
+
+    from geotrellis_contrib_spark.sources import geotiff as GT
+
+    os.makedirs(root, exist_ok=True)
     specs = []
     for s, var in enumerate(variants):
-        path = os.path.join(root, f"scene-{s}-lzw.tif")
+        path = os.path.join(root, f"scene-{s}-{suffix}.tif")
         if not os.path.exists(path):
             import numpy as np
 

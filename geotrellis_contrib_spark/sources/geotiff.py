@@ -28,7 +28,8 @@ narrow map over the pruned catalog).
 Scope (fail-loud beyond it): classic TIFF (no BigTIFF), both byte orders,
 tiled and stripped layouts, compression none/deflate (8 and legacy
 32946)/LZW (5 — TIFF 6.0 §13 with the standard early-change code widths,
-both codec directions so roundtrips stay self-contained), predictor 1 and
+both codec directions so roundtrips stay self-contained)/PackBits (32773,
+TIFF 6.0 §9 byte RLE, both directions), predictor 1 and
 2 (horizontal differencing, integer samples — the GDAL write default for
 LZW), planar 1 (chunky) and 2 (separate), sample formats uint8/16/32,
 int16/32, float32/64, overview IFDs (NewSubfileType=1),
@@ -177,6 +178,66 @@ def lzw_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# PackBits (TIFF 6.0 §9, compression 32773): the byte-oriented Apple RLE.
+# n in 0..127 -> copy n+1 literal bytes; n in -127..-1 -> repeat the next
+# byte 1-n times; -128 is a no-op. The spec's worked example is the codec
+# golden in tests. The encoder restarts at row boundaries per the spec's
+# "each row must be packed separately" rule (decoding is boundary-blind:
+# the concatenated runs reproduce the segment bytes either way).
+# ---------------------------------------------------------------------------
+
+
+def packbits_encode(data: bytes, row_bytes: int) -> bytes:
+    out = bytearray()
+    for r0 in range(0, len(data), row_bytes):
+        row = data[r0:r0 + row_bytes]
+        i, n = 0, len(row)
+        while i < n:
+            # measure the run at i
+            j = i + 1
+            while j < n and row[j] == row[i] and j - i < 128:
+                j += 1
+            if j - i >= 2:          # replicate run
+                out.append(257 - (j - i))  # two's complement of 1-(j-i)
+                out.append(row[i])
+                i = j
+                continue
+            # literal run: until the next >=3 replicate or 128 bytes
+            lit0 = i
+            while i < n and i - lit0 < 128:
+                j = i + 1
+                while j < n and row[j] == row[i]:
+                    j += 1
+                if j - i >= 3:
+                    break
+                i = min(j, lit0 + 128)  # a 2-run may not overflow 128
+            out.append(i - lit0 - 1)
+            out += row[lit0:i]
+    return bytes(out)
+
+
+def packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        b = data[i]
+        i += 1
+        if b == 128:        # -128: no-op
+            continue
+        if b < 128:         # literal: b+1 bytes
+            if i + b + 1 > n:
+                raise ValueError("PackBits: truncated literal run")
+            out += data[i:i + b + 1]
+            i += b + 1
+        else:               # replicate: 257-b copies of next byte
+            if i >= n:
+                raise ValueError("PackBits: truncated replicate run")
+            out += bytes([data[i]]) * (257 - b)
+            i += 1
+    return bytes(out)
+
+
 # predictor 2 (horizontal differencing): per-row per-sample-channel
 # deltas with unsigned wraparound — integer samples only (floats use
 # predictor 3, out of scope)
@@ -318,6 +379,10 @@ def _level_segments(band_arrs: np.ndarray, tile: int, strips: bool,
         segs = [zlib.compress(s) for s in segs]
     elif compress == "lzw":
         segs = [lzw_encode(s) for s in segs]
+    elif compress == "packbits":
+        spp = nb if planar == 1 else 1
+        rb = (w if strips else tile) * spp * band_arrs.dtype.itemsize
+        segs = [packbits_encode(s, rb) for s in segs]
     return segs, n_w, n_h
 
 
@@ -343,7 +408,7 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
     dtype = str(bands.dtype)
     if dtype not in _DT_TO_TIFF:
         raise ValueError(f"unsupported dtype {dtype}")
-    if compress not in ("none", "deflate", "lzw"):
+    if compress not in ("none", "deflate", "lzw", "packbits"):
         raise ValueError(f"unsupported compression {compress!r}")
     if byteorder not in ("<", ">"):
         raise ValueError("byteorder must be '<' or '>'")
@@ -451,7 +516,8 @@ def _assemble_ifds(levels, level_segs, level_offs, bo, nb, bits, sfmt,
         ifd.add(_TAG["ImageLength"], 4, lh)
         ifd.add(_TAG["BitsPerSample"], 3, [bits] * nb)
         ifd.add(_TAG["Compression"], 3,
-                {"none": 1, "deflate": 8, "lzw": 5}[compress])
+                {"none": 1, "deflate": 8, "lzw": 5,
+                 "packbits": 32773}[compress])
         if predictor == 2:
             ifd.add(_TAG["Predictor"], 3, 2)
         ifd.add(_TAG["Photometric"], 3, 1)
@@ -549,9 +615,9 @@ def read_geotiff_info(path: str) -> dict:
             (ifd_off,) = struct.unpack(bo + "I", f.read(4))
 
             comp = tags.get(_TAG["Compression"], [1])[0]
-            if comp not in (1, 5, 8, 32946):
+            if comp not in (1, 5, 8, 32946, 32773):
                 raise ValueError(f"unsupported compression {comp} "
-                                 "(none/lzw/deflate only)")
+                                 "(none/lzw/deflate/packbits only)")
             predictor = tags.get(_TAG["Predictor"], [1])[0]
             if predictor not in (1, 2):
                 raise ValueError(f"unsupported predictor {predictor} "
@@ -646,6 +712,8 @@ def _decode_segment(raw: bytes, compression: int, dtype: np.dtype,
         raw = zlib.decompress(raw)
     elif compression == 5:
         raw = lzw_decode(raw)
+    elif compression == 32773:
+        raw = packbits_decode(raw)
     arr = np.frombuffer(raw, dtype=dtype)
     arr = arr.reshape(-1, tw, spp) if spp > 1 else arr.reshape(-1, tw)
     if predictor == 2:

@@ -363,3 +363,84 @@ def test_cog_layout_ifds_first(tmp_path):
     assert min_data_c > 8 and first_ifd_l > 8
     for i in ic["ifds"]:
         assert all(o >= min_data_c for o in i["offsets"])
+
+
+# ---------------------------------------------------------------------------
+# PackBits (TIFF 6.0 §9)
+# ---------------------------------------------------------------------------
+
+def test_packbits_spec_golden():
+    """The worked example printed in TIFF 6.0 §9 itself."""
+    unpacked = bytes.fromhex("AAAAAA80002AAAAAAAAA80002A22"
+                             + "AA" * 10)
+    packed = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+    assert GT.packbits_decode(packed) == unpacked
+    # our encoder may pack differently (2-runs as replicates) but must
+    # roundtrip, and the spec's packing must decode regardless
+    assert GT.packbits_decode(
+        GT.packbits_encode(unpacked, len(unpacked))) == unpacked
+
+
+def test_packbits_edges():
+    rng = np.random.default_rng(3)
+    cases = [
+        b"",
+        b"\x00" * 1000,                        # long replicate (>128)
+        bytes(rng.integers(0, 256, 300, dtype=np.uint8)),  # long literal
+        b"ab" * 200,                           # alternating 2-patterns
+        bytes(rng.integers(0, 3, 500, dtype=np.uint8)),    # mixed runs
+        b"x" * 2 + b"yz" + b"q" * 129,         # 2-run + >128 run
+    ]
+    for data in cases:
+        for rb in (len(data) or 1, 7, 64):
+            enc = GT.packbits_encode(data, rb)
+            assert GT.packbits_decode(enc) == data, (len(data), rb)
+    with pytest.raises(ValueError, match="truncated"):
+        GT.packbits_decode(b"\x05ab")          # literal cut short
+    with pytest.raises(ValueError, match="truncated"):
+        GT.packbits_decode(b"\xfe")            # replicate missing byte
+
+
+def test_packbits_geotiff_roundtrips(tmp_path):
+    """write->read across byte order / interleave / layout / predictor;
+    values bit-identical to the uncompressed write."""
+    rng = np.random.default_rng(11)
+    arr_f = rng.normal(size=(2, 96, 80)).astype(np.float64)
+    arr_i = rng.integers(-1000, 1000, (2, 96, 80)).astype(np.int32)
+    combos = [
+        dict(byteorder="<", planar=2, strips=False, overviews=1),
+        dict(byteorder=">", planar=1, strips=False, overviews=0),
+        dict(byteorder="<", planar=2, strips=True, overviews=0),
+    ]
+    for i, kw in enumerate(combos):
+        for arr, pred in ((arr_f, 1), (arr_i, 2)):
+            p = str(tmp_path / f"pb{i}_{pred}.tif")
+            GT.write_geotiff(p, arr, (0, 0, 1, 1), compress="packbits",
+                             predictor=pred, nodata=-9999.0, **kw)
+            info = GT.read_geotiff_info(p)
+            assert info["ifds"][0]["compression"] == 32773
+            got, _ = GT.read_geotiff(p)
+            np.testing.assert_array_equal(got, arr)
+            if kw["overviews"]:
+                ov, _ = GT.read_geotiff(p, level=1)
+                assert ov.shape == (2, 48, 40)
+
+
+def test_packbits_catalog_read(tmp_path, spark):
+    """The distributed catalog read decodes PackBits tiles bit-identical
+    to the uncompressed write of the same array."""
+    arr = np.stack([np.full((64, 64), 3.25), np.full((64, 64), -2.5)])
+    arr[0, 10:20, :] = 7.75   # runs + breaks
+    pu = str(tmp_path / "u.tif")
+    pp = str(tmp_path / "p.tif")
+    GT.write_geotiff(pu, arr, (0, 0, 1, 1), compress="none", nodata=-1.0)
+    GT.write_geotiff(pp, arr, (0, 0, 1, 1), compress="packbits",
+                     nodata=-1.0)
+    key = lambda r: (r.band, r.col, r.row)  # noqa: E731
+    out = {}
+    for tag, path in (("u", pu), ("p", pp)):
+        cat = GT.geotiff_tile_catalog(
+            spark, [{"path": path, "source_id": tag, "zoom": 0}])
+        out[tag] = {key(r): r.px_qsum for r in
+                    GT.per_tile_checksum(GT.read_catalog_tiles(cat)).collect()}
+    assert out["u"] == out["p"] and len(out["p"]) == 2
