@@ -1793,6 +1793,28 @@ def q_geotiff_read_packbits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GT.per_tile_checksum(GT.read_catalog_tiles(cat), quant=1.0)
 
 
+def q_geotiff_read_bigtiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoTiff BigTIFF decode end-to-end (TIFF version 43 — 8-byte
+    offsets, 20-byte IFD entries, LONG8 segment tables; the wire format
+    any >4 GiB mosaic in a real archive uses, and what GDAL writes under
+    BIGTIFF=YES): the int32 4*val fixture written as BigTIFF across the
+    codec matrix — LE+deflate+planar2+overview, BE+lzw+predictor2+chunky,
+    LE+uncompressed+COG layout. Catalog parse (the LONG8 IFD walk) ->
+    pruned ranged fetch -> per-tile checksum at quant=1; oracle:
+    geotiff_read's closed-form SQL verbatim — the BigTIFF path must
+    reproduce the classic-TIFF values bit-for-bit."""
+    import os
+    import tempfile
+
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.sources import geotiff as GT
+
+    root = os.path.join(tempfile.gettempdir(), "gt_gate_bt_v1")
+    specs = corpus_mod.synth_geotiff_scenes_bigtiff(root)
+    cat = GT.geotiff_tile_catalog(spark, specs)
+    return GT.per_tile_checksum(GT.read_catalog_tiles(cat), quant=1.0)
+
+
 _HTTP_FIXTURE_SERVERS: dict = {}
 
 
@@ -3099,6 +3121,10 @@ FROM px GROUP BY 1, 2, 3, 4
     # PackBits variant (geotiff_read_packbits): int32 sample IS 4*val,
     # read at quant=1 like the LZW gate — same closed form.
     o["geotiff_read_packbits"] = o["geotiff_read"]
+
+    # BigTIFF variant (geotiff_read_bigtiff): same quantized fixture
+    # through the version-43 LONG8 IFD/segment parse — same closed form.
+    o["geotiff_read_bigtiff"] = o["geotiff_read"]
 
     o["pixel_mosaic_checksum"] = f"""
 WITH px AS (
@@ -5218,6 +5244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "geotiff_read_bigtiff": q_geotiff_read_bigtiff,
         "geotiff_read_http": q_geotiff_read_http,
         "reproject_aeqd_ell": q_reproject_aeqd_ell,
         "geotiff_read_packbits": q_geotiff_read_packbits,

@@ -330,6 +330,24 @@ def synth_geotiff_scenes_packbits(root: str,
     return _synth_quant_scenes(root, variants, "pb", tile_size)
 
 
+def synth_geotiff_scenes_bigtiff(root: str,
+                                 tile_size: int = 64) -> list[dict]:
+    """BigTIFF sibling (TIFF version 43, 8-byte offsets — the >4 GiB
+    archive format real mosaics ship as): same int32 4*val quantized
+    fixture, every file written with the BigTIFF wire format so the
+    LONG8 IFD/segment-table parse sits under the value gate across the
+    codec matrix: scene-0 LE+deflate+planar2+overview, scene-1
+    BE+lzw+predictor2+chunky, scene-2 LE+uncompressed+COG layout.
+    Shares geotiff_read's closed-form oracle at quant=1."""
+    variants = [{"byteorder": "<", "compress": "deflate", "planar": 2,
+                 "overviews": 1, "bigtiff": True},
+                {"byteorder": ">", "compress": "lzw", "planar": 1,
+                 "predictor": 2, "overviews": 0, "bigtiff": True},
+                {"byteorder": "<", "compress": "none", "planar": 2,
+                 "overviews": 0, "cog": True, "bigtiff": True}]
+    return _synth_quant_scenes(root, variants, "bt", tile_size)
+
+
 def _synth_quant_scenes(root: str, variants: list[dict], suffix: str,
                         tile_size: int) -> list[dict]:
     import os

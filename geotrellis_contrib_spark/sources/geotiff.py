@@ -25,7 +25,9 @@ At cluster scale the catalog rows carry object-store keys and the
 seek+read becomes a ranged GET; shuffle volume is zero (the read is a
 narrow map over the pruned catalog).
 
-Scope (fail-loud beyond it): classic TIFF (no BigTIFF), both byte orders,
+Scope (fail-loud beyond it): classic TIFF and BigTIFF (version 43,
+8-byte offsets, LONG8 segment tables — read AND write, the >4 GiB
+archive format), both byte orders,
 tiled and stripped layouts, compression none/deflate (8 and legacy
 32946)/LZW (5 — TIFF 6.0 §13 with the standard early-change code widths,
 both codec directions so roundtrips stay self-contained)/PackBits (32773,
@@ -45,9 +47,11 @@ from typing import Iterator
 
 import numpy as np
 
-# TIFF field types -> (struct letter, byte size)
+# TIFF field types -> (struct letter, byte size); 16/17/18 are the
+# BigTIFF 8-byte types (LONG8 / SLONG8 / IFD8)
 _FIELD = {1: ("B", 1), 2: ("c", 1), 3: ("H", 2), 4: ("I", 4),
-          5: ("II", 8), 12: ("d", 8)}
+          5: ("II", 8), 12: ("d", 8),
+          16: ("Q", 8), 17: ("q", 8), 18: ("Q", 8)}
 
 _TAG = {"NewSubfileType": 254, "ImageWidth": 256, "ImageLength": 257,
         "BitsPerSample": 258, "Compression": 259, "Photometric": 262,
@@ -280,10 +284,14 @@ def _hcum(seg: np.ndarray, out_dtype) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 class _IFD:
-    """One IFD under construction: entries with deferred external data."""
+    """One IFD under construction: entries with deferred external data.
+    ``big`` switches to the BigTIFF wire format: 8-byte entry count,
+    20-byte entries (8-byte count + 8-byte inline value/offset), 8-byte
+    next-IFD pointer."""
 
-    def __init__(self, bo: str):
+    def __init__(self, bo: str, big: bool = False):
         self.bo = bo
+        self.big = big
         self.entries: list[tuple[int, int, int, bytes]] = []
 
     def add(self, tag: int, typ: int, values) -> None:
@@ -299,26 +307,33 @@ class _IFD:
         self.entries.append((tag, typ, count, payload))
 
     def size(self) -> int:
+        if self.big:
+            return 8 + 20 * len(self.entries) + 8
         return 2 + 12 * len(self.entries) + 4
 
     def external_size(self) -> int:
-        return sum(len(p) for _, _, _, p in self.entries if len(p) > 4)
+        cap = 8 if self.big else 4
+        return sum(len(p) for _, _, _, p in self.entries if len(p) > cap)
 
     def serialize(self, my_offset: int, next_ifd: int) -> bytes:
         """Serialize entries (sorted by tag, as TIFF requires) with
         external payloads placed immediately after the IFD block."""
+        cap = 8 if self.big else 4
+        cnt_fmt = "Q" if self.big else "H"
+        off_fmt = "Q" if self.big else "I"
         ext_cursor = my_offset + self.size()
-        head = struct.pack(self.bo + "H", len(self.entries))
+        head = struct.pack(self.bo + cnt_fmt, len(self.entries))
         body, ext = b"", b""
         for tag, typ, count, payload in sorted(self.entries):
-            if len(payload) <= 4:
-                val = payload + b"\x00" * (4 - len(payload))
+            if len(payload) <= cap:
+                val = payload + b"\x00" * (cap - len(payload))
             else:
-                val = struct.pack(self.bo + "I", ext_cursor)
+                val = struct.pack(self.bo + off_fmt, ext_cursor)
                 ext_cursor += len(payload)
                 ext += payload
-            body += struct.pack(self.bo + "HHI", tag, typ, count) + val
-        return head + body + struct.pack(self.bo + "I", next_ifd) + ext
+            body += struct.pack(self.bo + "HH" + off_fmt,
+                                tag, typ, count) + val
+        return head + body + struct.pack(self.bo + off_fmt, next_ifd) + ext
 
 
 def _geokeys(epsg: int) -> list[int]:
@@ -386,12 +401,21 @@ def _level_segments(band_arrs: np.ndarray, tile: int, strips: bool,
     return segs, n_w, n_h
 
 
+def _tiff_header(bo: str, big: bool, first_ifd: int) -> bytes:
+    order = b"II" if bo == "<" else b"MM"
+    if big:  # BigTIFF: magic 43, offset size 8, pad 0, 8-byte IFD ptr
+        return order + struct.pack(bo + "HHH", 43, 8, 0) \
+            + struct.pack(bo + "Q", first_ifd)
+    return order + struct.pack(bo + "H", 42) + struct.pack(bo + "I",
+                                                           first_ifd)
+
+
 def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
                   nodata: float = -9999.0, tile_size: int = 64,
                   compress: str = "deflate", byteorder: str = "<",
                   strips: bool = False, overviews: int = 0,
                   planar: int = 2, cog: bool = False,
-                  predictor: int = 1) -> None:
+                  predictor: int = 1, bigtiff: bool = False) -> None:
     """Write a (multiband) GeoTiff: ``bands`` is (nbands, H, W) or (H, W);
     ``extent`` = (xmin, ymin, xmax, ymax) in the CRS of ``epsg``.
     ``overviews`` appends that many 2x-decimated overview IFDs
@@ -432,6 +456,7 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
         _level_segments(arrs, tile_size, strips, compress, nodata, bo,
                         planar, predictor)
         for arrs in levels]
+    hdr_len = 16 if bigtiff else 8
     if cog:
         # two-pass layout: IFD sizes depend only on entry counts, so
         # measure with zero offsets, place the IFD chain right after the
@@ -440,10 +465,11 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
             levels, level_segs, [[0] * len(s[0]) for s in level_segs],
             bo, nb, bits, sfmt, compress, planar, strips, tile_size,
             xmin, ymax, (xmax - xmin) / w, (ymax - ymin) / h, epsg,
-            nodata, predictor)
-        data_base = 8 + sum(i.size() + i.external_size() for i in probe)
+            nodata, predictor, bigtiff)
+        data_base = hdr_len + sum(i.size() + i.external_size()
+                                  for i in probe)
     else:
-        data_base = 8
+        data_base = hdr_len
     cursor = data_base
     data_chunks: list[bytes] = []
     level_offs = []
@@ -458,11 +484,11 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
     ifds = _assemble_ifds(
         levels, level_segs, level_offs, bo, nb, bits, sfmt, compress,
         planar, strips, tile_size, xmin, ymax, (xmax - xmin) / w,
-        (ymax - ymin) / h, epsg, nodata, predictor)
+        (ymax - ymin) / h, epsg, nodata, predictor, bigtiff)
 
     if cog:
         ifd_offsets = []
-        pos = 8
+        pos = hdr_len
         for ifd in ifds:
             ifd_offsets.append(pos)
             pos += ifd.size() + ifd.external_size()
@@ -470,8 +496,7 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
                                ifd_offsets[i + 1]
                                if i + 1 < len(ifds) else 0)
                  for i, ifd in enumerate(ifds)]
-        header = (b"II" if bo == "<" else b"MM") \
-            + struct.pack(bo + "H", 42) + struct.pack(bo + "I", 8)
+        header = _tiff_header(bo, bigtiff, hdr_len)
         with open(path, "wb") as f:
             f.write(header)
             for b in blobs:
@@ -488,8 +513,7 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
     blobs = [ifd.serialize(ifd_offsets[i],
                            ifd_offsets[i + 1] if i + 1 < len(ifds) else 0)
              for i, ifd in enumerate(ifds)]
-    header = (b"II" if bo == "<" else b"MM") \
-        + struct.pack(bo + "H", 42) + struct.pack(bo + "I", ifd_offsets[0])
+    header = _tiff_header(bo, bigtiff, ifd_offsets[0])
     with open(path, "wb") as f:
         f.write(header)
         for c in data_chunks:
@@ -500,16 +524,18 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
 
 def _assemble_ifds(levels, level_segs, level_offs, bo, nb, bits, sfmt,
                    compress, planar, strips, tile_size, xmin, ymax,
-                   sx, sy, epsg, nodata, predictor=1):
+                   sx, sy, epsg, nodata, predictor=1, big=False):
     """Build the IFD chain for every resolution level with the given
     segment offsets (sizes are offset-independent, which is what lets
-    the COG layout measure with zeros first)."""
+    the COG layout measure with zeros first). ``big`` writes BigTIFF
+    IFDs with LONG8 segment offset/count tables (offsets past 4 GiB)."""
+    otyp = 16 if big else 4
     ifds = []
     for lv, (arrs, (segs, n_w, n_h), offs) in enumerate(
             zip(levels, level_segs, level_offs)):
         _, lh, lw = arrs.shape
         cnts = [len(s) for s in segs]
-        ifd = _IFD(bo)
+        ifd = _IFD(bo, big)
         if lv > 0:
             ifd.add(_TAG["NewSubfileType"], 4, 1)  # reduced-resolution
         ifd.add(_TAG["ImageWidth"], 4, lw)
@@ -527,13 +553,13 @@ def _assemble_ifds(levels, level_segs, level_offs, bo, nb, bits, sfmt,
             ifd.add(_TAG["PlanarConfig"], 3, planar)
         if strips:
             ifd.add(_TAG["RowsPerStrip"], 4, tile_size)
-            ifd.add(_TAG["StripOffsets"], 4, offs)
-            ifd.add(_TAG["StripByteCounts"], 4, cnts)
+            ifd.add(_TAG["StripOffsets"], otyp, offs)
+            ifd.add(_TAG["StripByteCounts"], otyp, cnts)
         else:
             ifd.add(_TAG["TileWidth"], 3, tile_size)
             ifd.add(_TAG["TileLength"], 3, tile_size)
-            ifd.add(_TAG["TileOffsets"], 4, offs)
-            ifd.add(_TAG["TileByteCounts"], 4, cnts)
+            ifd.add(_TAG["TileOffsets"], otyp, offs)
+            ifd.add(_TAG["TileByteCounts"], otyp, cnts)
         if lv == 0:
             ifd.add(_TAG["ModelPixelScale"], 12, [sx, sy, 0.0])
             ifd.add(_TAG["ModelTiepoint"], 12,
@@ -549,13 +575,14 @@ def _assemble_ifds(levels, level_segs, level_offs, bo, nb, bits, sfmt,
 # reader (header/IFD parse — the RangeReader analog: seeks only)
 # ---------------------------------------------------------------------------
 
-def _read_entry_values(f, bo, typ, count, raw4):
+def _read_entry_values(f, bo, typ, count, raw_inline, big=False):
     letter, size = _FIELD[typ]
     total = size * count
-    if total <= 4:
-        buf = raw4[:total]
+    cap = 8 if big else 4
+    if total <= cap:
+        buf = raw_inline[:total]
     else:
-        (off,) = struct.unpack(bo + "I", raw4)
+        (off,) = struct.unpack(bo + ("Q" if big else "I"), raw_inline)
         pos = f.tell()
         f.seek(off)
         buf = f.read(total)
@@ -589,30 +616,42 @@ def read_geotiff_info(path: str) -> dict:
         else:
             raise ValueError(f"not a TIFF: magic {magic[:2]!r}")
         (version,) = struct.unpack(bo + "H", magic[2:4])
-        if version == 43:
-            raise ValueError("BigTIFF (magic 43) is not supported")
-        if version != 42:
+        if version == 43:  # BigTIFF: 8-byte offsets throughout
+            big = True
+            osz, pad = struct.unpack(bo + "HH", f.read(4))
+            if osz != 8 or pad != 0:
+                raise ValueError(f"BigTIFF offset size {osz}/pad {pad} "
+                                 "(must be 8/0)")
+            (ifd_off,) = struct.unpack(bo + "Q", f.read(8))
+        elif version == 42:
+            big = False
+            (ifd_off,) = struct.unpack(bo + "I", f.read(4))
+        else:
             raise ValueError(f"bad TIFF version {version}")
-        (ifd_off,) = struct.unpack(bo + "I", f.read(4))
+        ent_sz, cnt_sz = (20, 8) if big else (12, 2)
 
         ifds = []
         top: dict = {}
         while ifd_off:
             f.seek(ifd_off)
-            raw = f.read(2)
-            if len(raw) < 2:
+            raw = f.read(cnt_sz)
+            if len(raw) < cnt_sz:
                 raise ValueError("truncated IFD")
-            (n,) = struct.unpack(bo + "H", raw)
+            (n,) = struct.unpack(bo + ("Q" if big else "H"), raw)
             tags = {}
             for _ in range(n):
-                ent = f.read(12)
-                if len(ent) < 12:
+                ent = f.read(ent_sz)
+                if len(ent) < ent_sz:
                     raise ValueError("truncated IFD entry")
-                tag, typ, count = struct.unpack(bo + "HHI", ent[:8])
+                tag, typ, count = struct.unpack(
+                    bo + ("HHQ" if big else "HHI"), ent[:ent_sz - 8 if big
+                                                        else 8])
                 if typ not in _FIELD:
                     continue
-                tags[tag] = _read_entry_values(f, bo, typ, count, ent[8:])
-            (ifd_off,) = struct.unpack(bo + "I", f.read(4))
+                tags[tag] = _read_entry_values(
+                    f, bo, typ, count, ent[ent_sz - 8 if big else 8:], big)
+            (ifd_off,) = struct.unpack(bo + ("Q" if big else "I"),
+                                       f.read(8 if big else 4))
 
             comp = tags.get(_TAG["Compression"], [1])[0]
             if comp not in (1, 5, 8, 32946, 32773):

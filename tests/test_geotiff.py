@@ -444,3 +444,89 @@ def test_packbits_catalog_read(tmp_path, spark):
         out[tag] = {key(r): r.px_qsum for r in
                     GT.per_tile_checksum(GT.read_catalog_tiles(cat)).collect()}
     assert out["u"] == out["p"] and len(out["p"]) == 2
+
+
+# ---------------------------------------------------------------------------
+# BigTIFF (version 43, 8-byte offsets)
+# ---------------------------------------------------------------------------
+
+def test_bigtiff_header_bytes(tmp_path):
+    """Wire-level: magic 43, offset-size 8, pad 0, 8-byte first-IFD
+    pointer, LONG8 (type 16) segment tables."""
+    arr = np.arange(64 * 64, dtype=np.float64).reshape(1, 64, 64)
+    p = str(tmp_path / "b.tif")
+    GT.write_geotiff(p, arr, (0, 0, 1, 1), bigtiff=True, compress="none")
+    raw = open(p, "rb").read()
+    assert raw[:2] == b"II"
+    assert struct.unpack("<H", raw[2:4])[0] == 43
+    assert struct.unpack("<HH", raw[4:8]) == (8, 0)
+    (ifd0,) = struct.unpack("<Q", raw[8:16])
+    (n,) = struct.unpack("<Q", raw[ifd0:ifd0 + 8])
+    types = {}
+    for i in range(n):
+        e = raw[ifd0 + 8 + 20 * i: ifd0 + 8 + 20 * (i + 1)]
+        tag, typ = struct.unpack("<HH", e[:4])
+        types[tag] = typ
+    assert types[324] == 16 and types[325] == 16  # TileOffsets/Counts LONG8
+
+
+def test_bigtiff_roundtrips(tmp_path):
+    """write->read across byte order / codec / layout / cog / overview;
+    parse identical to the classic write of the same array apart from
+    the wire format."""
+    rng = np.random.default_rng(5)
+    arr = rng.integers(-500, 500, (2, 96, 80)).astype(np.int32)
+    combos = [
+        dict(byteorder="<", compress="deflate", planar=2, overviews=1),
+        dict(byteorder=">", compress="lzw", planar=1, predictor=2),
+        dict(byteorder="<", compress="packbits", planar=2, strips=True),
+        dict(byteorder="<", compress="none", planar=2, cog=True,
+             overviews=1),
+    ]
+    for i, kw in enumerate(combos):
+        p = str(tmp_path / f"bt{i}.tif")
+        GT.write_geotiff(p, arr, (0, 0, 1, 1), bigtiff=True,
+                         nodata=-9999.0, **kw)
+        got, info = GT.read_geotiff(p)
+        np.testing.assert_array_equal(got, arr)
+        assert info["nodata"] == -9999.0 and info["epsg"] == 3857
+        if kw.get("overviews"):
+            ov, _ = GT.read_geotiff(p, level=1)
+            np.testing.assert_array_equal(ov, arr[:, ::2, ::2])
+        # classic twin parses to the same logical metadata
+        pc = str(tmp_path / f"ct{i}.tif")
+        GT.write_geotiff(pc, arr, (0, 0, 1, 1), bigtiff=False,
+                         nodata=-9999.0, **kw)
+        ic = GT.read_geotiff_info(pc)
+        ib = GT.read_geotiff_info(p)
+        for k in ("width", "height", "dtype", "nbands", "nodata",
+                  "epsg", "extent", "planar"):
+            assert ib[k] == ic[k], k
+        assert [d["counts"] for d in ib["ifds"]] \
+            == [d["counts"] for d in ic["ifds"]]
+
+
+def test_bigtiff_catalog_and_http(tmp_path, spark):
+    """The distributed catalog read + HTTP range transport work on
+    BigTIFF unchanged (header parse through the block cache, LONG8
+    offsets in the byte-range plan)."""
+    from geotrellis_contrib_spark.sources import rangereader as RR
+
+    arr = np.stack([np.full((64, 64), 1.25), np.full((64, 64), -4.5)])
+    p = str(tmp_path / "big.tif")
+    GT.write_geotiff(p, arr, (0, 0, 1, 1), bigtiff=True, cog=True,
+                     nodata=-1.0)
+    cat = GT.geotiff_tile_catalog(
+        spark, [{"path": p, "source_id": "big", "zoom": 0}])
+    rows = GT.per_tile_checksum(GT.read_catalog_tiles(cat)).collect()
+    assert {r.band: r.px_qsum for r in rows} \
+        == {0: int(1.25 * 4 * 4096), 1: int(-4.5 * 4 * 4096)}
+    srv, base = RR.serve_directory(str(tmp_path))
+    try:
+        srv.request_log.clear()
+        remote = GT.read_geotiff_info(f"{base}/big.tif")
+        gets = [e for e in srv.request_log if e["method"] == "GET"]
+        assert len(gets) == 1 and gets[0]["ranged"]  # BigTIFF COG: 1 GET
+        assert remote == GT.read_geotiff_info(p)
+    finally:
+        srv.shutdown()
