@@ -1793,6 +1793,28 @@ def q_geotiff_read_packbits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GT.per_tile_checksum(GT.read_catalog_tiles(cat), quant=1.0)
 
 
+def q_geotiff_read_pred3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoTiff floating-point predictor decode end-to-end (TIFF TechNote
+    3, Predictor=3 — what libtiff/GDAL write by default for compressed
+    float rasters, so any real float DEM archive hits this path): the
+    ORIGINAL float64 three-scene fixture written with the byte-plane
+    MSB-split + stride-diff predictor under LE+lzw+planar2+overview,
+    BE+deflate+chunky, LE+packbits+planar2. Catalog parse -> pruned
+    ranged fetch -> per-tile checksum at the default quant; oracle:
+    geotiff_read's closed-form SQL verbatim — predictor 3 must be
+    byte-transparent (same floats in, same floats out)."""
+    import os
+    import tempfile
+
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.sources import geotiff as GT
+
+    root = os.path.join(tempfile.gettempdir(), "gt_gate_p3_v1")
+    specs = corpus_mod.synth_geotiff_scenes_pred3(root)
+    cat = GT.geotiff_tile_catalog(spark, specs)
+    return GT.per_tile_checksum(GT.read_catalog_tiles(cat))
+
+
 def q_geotiff_read_bigtiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoTiff BigTIFF decode end-to-end (TIFF version 43 — 8-byte
     offsets, 20-byte IFD entries, LONG8 segment tables; the wire format
@@ -3125,6 +3147,11 @@ FROM px GROUP BY 1, 2, 3, 4
     # BigTIFF variant (geotiff_read_bigtiff): same quantized fixture
     # through the version-43 LONG8 IFD/segment parse — same closed form.
     o["geotiff_read_bigtiff"] = o["geotiff_read"]
+
+    # Floating-point-predictor variant (geotiff_read_pred3): the
+    # original float64 fixture through the TechNote-3 byte-plane
+    # predictor — same closed form at the default quant.
+    o["geotiff_read_pred3"] = o["geotiff_read"]
 
     o["pixel_mosaic_checksum"] = f"""
 WITH px AS (
@@ -5244,6 +5271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "geotiff_read_pred3": q_geotiff_read_pred3,
         "geotiff_read_bigtiff": q_geotiff_read_bigtiff,
         "geotiff_read_http": q_geotiff_read_http,
         "reproject_aeqd_ell": q_reproject_aeqd_ell,

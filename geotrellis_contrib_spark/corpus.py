@@ -252,28 +252,32 @@ def synth_scene_mosaic(s: int, tile_size: int = 64, n_tiles: int = 4,
     return out
 
 
-def synth_geotiff_scenes(root: str, tile_size: int = 64) -> list[dict]:
+def synth_geotiff_scenes(root: str, tile_size: int = 64,
+                         variants: list[dict] | None = None,
+                         suffix: str = "") -> list[dict]:
     """Write the three-scene fixture as REAL GeoTiffs (write-once,
     atomic): scene-0 LE+deflate+planar2+1 overview, scene-1 BE+deflate+
     planar2, scene-2 LE+uncompressed+planar1 (chunky) — one byte
     order / compression / interleave combination per file so the gate
     exercises every decode path. Returns catalog specs for
-    geotiff_tile_catalog."""
+    geotiff_tile_catalog. ``variants``/``suffix`` let siblings reuse the
+    same float64 mosaic under other write options (same oracle)."""
     import os
     import tempfile
 
     from geotrellis_contrib_spark.sources import geotiff as GT
 
     os.makedirs(root, exist_ok=True)
-    variants = [{"byteorder": "<", "compress": "deflate", "planar": 2,
-                 "overviews": 1},
-                {"byteorder": ">", "compress": "deflate", "planar": 2,
-                 "overviews": 0},
-                {"byteorder": "<", "compress": "none", "planar": 1,
-                 "overviews": 0}]
+    if variants is None:
+        variants = [{"byteorder": "<", "compress": "deflate", "planar": 2,
+                     "overviews": 1},
+                    {"byteorder": ">", "compress": "deflate", "planar": 2,
+                     "overviews": 0},
+                    {"byteorder": "<", "compress": "none", "planar": 1,
+                     "overviews": 0}]
     specs = []
     for s, var in enumerate(variants):
-        path = os.path.join(root, f"scene-{s}.tif")
+        path = os.path.join(root, f"scene-{s}{suffix}.tif")
         if not os.path.exists(path):
             arr = synth_scene_mosaic(s, tile_size=tile_size)
             # zoom-6 web-mercator tile extent of the 4x4 block (meters)
@@ -328,6 +332,25 @@ def synth_geotiff_scenes_packbits(root: str,
                 {"byteorder": "<", "compress": "packbits", "planar": 2,
                  "predictor": 1, "overviews": 0}]
     return _synth_quant_scenes(root, variants, "pb", tile_size)
+
+
+def synth_geotiff_scenes_pred3(root: str,
+                               tile_size: int = 64) -> list[dict]:
+    """Floating-point-predictor sibling (TIFF TechNote 3, Predictor=3 —
+    the libtiff/GDAL default for compressed float rasters): the SAME
+    float64 three-scene mosaic as synth_geotiff_scenes, written with the
+    byte-plane-split + stride-diff predictor under every codec it
+    composes with: scene-0 LE+lzw+planar2+overview, scene-1
+    BE+deflate+chunky, scene-2 LE+packbits+planar2. Values (and thus
+    geotiff_read's closed-form oracle) are unchanged — the predictor
+    must be byte-transparent."""
+    variants = [{"byteorder": "<", "compress": "lzw", "planar": 2,
+                 "predictor": 3, "overviews": 1},
+                {"byteorder": ">", "compress": "deflate", "planar": 1,
+                 "predictor": 3, "overviews": 0},
+                {"byteorder": "<", "compress": "packbits", "planar": 2,
+                 "predictor": 3, "overviews": 0}]
+    return synth_geotiff_scenes(root, tile_size, variants, "-p3")
 
 
 def synth_geotiff_scenes_bigtiff(root: str,

@@ -31,9 +31,11 @@ archive format), both byte orders,
 tiled and stripped layouts, compression none/deflate (8 and legacy
 32946)/LZW (5 — TIFF 6.0 §13 with the standard early-change code widths,
 both codec directions so roundtrips stay self-contained)/PackBits (32773,
-TIFF 6.0 §9 byte RLE, both directions), predictor 1 and
+TIFF 6.0 §9 byte RLE, both directions), predictor 1,
 2 (horizontal differencing, integer samples — the GDAL write default for
-LZW), planar 1 (chunky) and 2 (separate), sample formats uint8/16/32,
+LZW) and 3 (TIFF TechNote 3 floating-point byte-plane differencing —
+the libtiff/GDAL default for compressed floats),
+planar 1 (chunky) and 2 (separate), sample formats uint8/16/32,
 int16/32, float32/64, overview IFDs (NewSubfileType=1),
 ModelPixelScale+ModelTiepoint georeferencing (no ModelTransformation),
 GTModelType geographic/projected with an EPSG code, GDAL_NODATA."""
@@ -244,10 +246,64 @@ def packbits_decode(data: bytes) -> bytes:
 
 # predictor 2 (horizontal differencing): per-row per-sample-channel
 # deltas with unsigned wraparound — integer samples only (floats use
-# predictor 3, out of scope)
+# predictor 3 below)
 _PRED_UNSIGNED = {"uint8": np.uint8, "uint16": np.uint16,
                   "uint32": np.uint32, "int16": np.uint16,
                   "int32": np.uint32}
+
+# predictor 3 (TIFF TechNote 3 floating-point horizontal differencing,
+# the libtiff/GDAL default for compressed float rasters): per ROW the
+# samples' bytes are split into byte planes MSB-FIRST (plane 0 = most
+# significant byte of every sample, in pixel-interleaved sample order),
+# then the whole row buffer is byte-differenced at samples-per-pixel
+# stride with uint8 wraparound. The split is defined on the value's
+# big-endian representation REGARDLESS of the file's II/MM byte order
+# (the predictor output fully determines the wire bytes), which is why
+# _fpdiff/_fpacc never consult the file byteorder.
+_PRED3_FLOATS = ("float32", "float64")
+
+
+def _fpdiff(seg: np.ndarray) -> bytes:
+    """Writer side of predictor 3: ``seg`` is (rows, w) or
+    (rows, w, spp) float32/float64; returns the wire bytes."""
+    if str(seg.dtype) not in _PRED3_FLOATS:
+        raise ValueError(f"predictor 3 requires float samples, "
+                         f"got {seg.dtype}")
+    spp = seg.shape[2] if seg.ndim == 3 else 1
+    rows = seg.shape[0]
+    flat = seg.reshape(rows, -1)
+    n = flat.shape[1]  # samples per row (w * spp, interleaved)
+    bps = seg.dtype.itemsize
+    be = np.ascontiguousarray(flat.astype(flat.dtype.newbyteorder(">")))
+    planes = np.ascontiguousarray(
+        be.view(np.uint8).reshape(rows, n, bps).transpose(0, 2, 1)
+    ).reshape(rows, bps * n)
+    d = planes.copy()
+    d[:, spp:] = planes[:, spp:] - planes[:, :-spp]
+    return d.tobytes()
+
+
+def _fpacc(raw: bytes, out_dtype: np.dtype, tw: int,
+           spp: int) -> np.ndarray:
+    """Reader side of predictor 3: byte cumsum at ``spp`` stride, then
+    un-split the MSB-first byte planes back into native-endian floats.
+    Returns (rows, tw) or (rows, tw, spp)."""
+    bps = np.dtype(out_dtype).itemsize
+    rowbytes = tw * spp * bps
+    if rowbytes == 0 or len(raw) % rowbytes:
+        raise ValueError(f"predictor-3 segment size {len(raw)} is not a "
+                         f"multiple of the row size {rowbytes}")
+    rows = len(raw) // rowbytes
+    buf = np.frombuffer(raw, dtype=np.uint8).reshape(
+        rows, rowbytes // spp, spp)
+    buf = (np.cumsum(buf.astype(np.uint64), axis=1) & 0xFF) \
+        .astype(np.uint8).reshape(rows, rowbytes)
+    n = tw * spp
+    be = np.ascontiguousarray(
+        buf.reshape(rows, bps, n).transpose(0, 2, 1))
+    arr = be.reshape(rows, n * bps).view(
+        np.dtype(out_dtype).newbyteorder(">")).astype(out_dtype)
+    return arr.reshape(rows, tw, spp) if spp > 1 else arr.reshape(rows, tw)
 
 
 def _hdiff(seg: np.ndarray) -> np.ndarray:
@@ -358,6 +414,8 @@ def _level_segments(band_arrs: np.ndarray, tile: int, strips: bool,
     wire = band_arrs.dtype.newbyteorder(np_bo)
 
     def wire_bytes(seg: np.ndarray) -> bytes:
+        if predictor == 3:  # byte order fixed by the fp predictor itself
+            return _fpdiff(seg)
         if predictor == 2:
             seg = _hdiff(seg)
         return np.ascontiguousarray(seg.astype(wire)).tobytes()
@@ -438,12 +496,15 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
         raise ValueError("byteorder must be '<' or '>'")
     if planar not in (1, 2):
         raise ValueError("planar must be 1 (chunky) or 2 (separate)")
-    if predictor not in (1, 2):
-        raise ValueError("predictor must be 1 or 2 (horizontal diff)")
+    if predictor not in (1, 2, 3):
+        raise ValueError("predictor must be 1, 2 (int horizontal diff) "
+                         "or 3 (float horizontal diff)")
     if predictor == 2 and str(bands.dtype) not in _PRED_UNSIGNED:
         raise ValueError(f"predictor 2 requires integer samples, "
-                         f"got {bands.dtype} (floats use predictor 3, "
-                         f"out of scope)")
+                         f"got {bands.dtype} (floats use predictor 3)")
+    if predictor == 3 and str(bands.dtype) not in _PRED3_FLOATS:
+        raise ValueError(f"predictor 3 requires float samples, "
+                         f"got {bands.dtype} (integers use predictor 2)")
     bo = byteorder
     bits, sfmt = _DT_TO_TIFF[dtype]
     xmin, ymin, xmax, ymax = (float(v) for v in extent)
@@ -544,8 +605,8 @@ def _assemble_ifds(levels, level_segs, level_offs, bo, nb, bits, sfmt,
         ifd.add(_TAG["Compression"], 3,
                 {"none": 1, "deflate": 8, "lzw": 5,
                  "packbits": 32773}[compress])
-        if predictor == 2:
-            ifd.add(_TAG["Predictor"], 3, 2)
+        if predictor in (2, 3):
+            ifd.add(_TAG["Predictor"], 3, predictor)
         ifd.add(_TAG["Photometric"], 3, 1)
         ifd.add(_TAG["SamplesPerPixel"], 3, nb)
         ifd.add(_TAG["SampleFormat"], 3, [sfmt] * nb)
@@ -658,10 +719,10 @@ def read_geotiff_info(path: str) -> dict:
                 raise ValueError(f"unsupported compression {comp} "
                                  "(none/lzw/deflate/packbits only)")
             predictor = tags.get(_TAG["Predictor"], [1])[0]
-            if predictor not in (1, 2):
+            if predictor not in (1, 2, 3):
                 raise ValueError(f"unsupported predictor {predictor} "
-                                 "(1/horizontal-diff only; floating-"
-                                 "point predictor 3 out of scope)")
+                                 "(none/int-horizontal/float-"
+                                 "horizontal only)")
             nb = tags.get(_TAG["SamplesPerPixel"], [1])[0]
             planar = tags.get(_TAG["PlanarConfig"], [1])[0]
             if planar not in (1, 2):
@@ -676,6 +737,10 @@ def read_geotiff_info(path: str) -> dict:
             if predictor == 2 and _TIFF_TO_DT[key] not in _PRED_UNSIGNED:
                 raise ValueError(
                     f"predictor 2 with non-integer samples "
+                    f"{_TIFF_TO_DT[key]} unsupported")
+            if predictor == 3 and _TIFF_TO_DT[key] not in _PRED3_FLOATS:
+                raise ValueError(
+                    f"predictor 3 with non-float samples "
                     f"{_TIFF_TO_DT[key]} unsupported")
             w = tags[_TAG["ImageWidth"]][0]
             h = tags[_TAG["ImageLength"]][0]
@@ -753,6 +818,10 @@ def _decode_segment(raw: bytes, compression: int, dtype: np.dtype,
         raw = lzw_decode(raw)
     elif compression == 32773:
         raw = packbits_decode(raw)
+    if predictor == 3:
+        # fp predictor bytes are byte-order-independent (MSB-first
+        # plane split) — decode straight to native-endian floats
+        return _fpacc(raw, np.dtype(dtype).newbyteorder("="), tw, spp)
     arr = np.frombuffer(raw, dtype=dtype)
     arr = arr.reshape(-1, tw, spp) if spp > 1 else arr.reshape(-1, tw)
     if predictor == 2:

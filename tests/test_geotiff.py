@@ -233,7 +233,7 @@ def test_writer_rejects_bad_args(tmp_path):
                          compress="jpeg")
     with pytest.raises(ValueError, match="predictor"):
         GT.write_geotiff(str(tmp_path / "a.tif"), arr, (0, 0, 1, 1),
-                         predictor=3)
+                         predictor=4)
     with pytest.raises(ValueError, match="planar"):
         GT.write_geotiff(str(tmp_path / "a.tif"), arr, (0, 0, 1, 1),
                          planar=3)
@@ -530,3 +530,105 @@ def test_bigtiff_catalog_and_http(tmp_path, spark):
         assert remote == GT.read_geotiff_info(p)
     finally:
         srv.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# predictor 3 (TIFF TechNote 3 floating-point byte-plane differencing)
+# ---------------------------------------------------------------------------
+
+def test_pred3_wire_golden():
+    """Hand-computed wire bytes: row [1.0f, 2.0f] -> big-endian
+    0x3F800000 / 0x40000000, MSB-first plane split
+    3F 40 | 80 00 | 00 00 | 00 00, then stride-1 byte diff."""
+    seg = np.array([[1.0, 2.0]], dtype=np.float32)
+    assert GT._fpdiff(seg) == bytes(
+        [0x3F, 0x01, 0x40, 0x80, 0, 0, 0, 0])
+    back = GT._fpacc(GT._fpdiff(seg), np.dtype(np.float32), 2, 1)
+    np.testing.assert_array_equal(back, seg)
+
+
+def test_pred3_chunky_stride():
+    """spp=2 (chunky): the byte diff runs at stride 2 so channels stay
+    separate — two constant channels diff to zero tails per plane."""
+    seg = np.array([[[1.0, 2.0], [1.0, 2.0], [1.0, 2.0]]],
+                   dtype=np.float32)  # (1, 3 px, 2 ch)
+    wire = GT._fpdiff(seg)
+    # plane 0 = MSBs [3F 40 3F 40 3F 40] -> diff@2 [3F 40 00 00 00 00]
+    assert wire[:6] == bytes([0x3F, 0x40, 0, 0, 0, 0])
+    back = GT._fpacc(wire, np.dtype(np.float32), 3, 2)
+    np.testing.assert_array_equal(back, seg)
+
+
+def test_pred3_bytes_independent_of_file_order(tmp_path):
+    """The fp predictor defines the wire bytes (MSB-first split), so the
+    compressed payloads of an LE and a BE write are identical."""
+    rng = np.random.default_rng(7)
+    arr = (rng.normal(size=(2, 96, 80)) * 100).astype(np.float64)
+    pl = str(tmp_path / "le.tif")
+    pb = str(tmp_path / "be.tif")
+    for p, bo in ((pl, "<"), (pb, ">")):
+        GT.write_geotiff(p, arr, (0, 0, 1, 1), byteorder=bo,
+                         compress="deflate", predictor=3)
+    il, ib = GT.read_geotiff_info(pl), GT.read_geotiff_info(pb)
+    with open(pl, "rb") as f:
+        f.seek(il["ifds"][0]["offsets"][0])
+        seg_l = f.read(il["ifds"][0]["counts"][0])
+    with open(pb, "rb") as f:
+        f.seek(ib["ifds"][0]["offsets"][0])
+        seg_b = f.read(ib["ifds"][0]["counts"][0])
+    assert seg_l == seg_b
+
+
+def test_pred3_roundtrips(tmp_path):
+    """write->read across codec / byte order / layout / dtype / bigtiff;
+    bit-identical floats back (the predictor is byte-transparent)."""
+    rng = np.random.default_rng(11)
+    arr64 = (rng.normal(size=(2, 96, 80)) * 1e6).astype(np.float64)
+    arr32 = arr64.astype(np.float32)
+    combos = [
+        (arr64, dict(byteorder="<", compress="lzw", planar=2,
+                     overviews=1)),
+        (arr32, dict(byteorder=">", compress="deflate", planar=1)),
+        (arr64, dict(byteorder="<", compress="packbits", planar=2,
+                     strips=True)),
+        (arr32, dict(byteorder="<", compress="none", planar=2,
+                     cog=True, bigtiff=True)),
+    ]
+    for i, (arr, kw) in enumerate(combos):
+        p = str(tmp_path / f"p3_{i}.tif")
+        GT.write_geotiff(p, arr, (0, 0, 1, 1), predictor=3,
+                         nodata=-9999.0, **kw)
+        got, info = GT.read_geotiff(p)
+        np.testing.assert_array_equal(got, arr)
+        assert info["ifds"][0]["predictor"] == 3
+        if kw.get("overviews"):
+            ov, _ = GT.read_geotiff(p, level=1)
+            np.testing.assert_array_equal(ov, arr[:, ::2, ::2])
+
+
+def test_pred3_fail_loud():
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="predictor 3 requires float"):
+        GT.write_geotiff("/tmp/x.tif", np.ones((4, 4), dtype=np.int32),
+                         (0, 0, 1, 1), predictor=3)
+    with _pt.raises(ValueError, match="not a multiple"):
+        GT._fpacc(b"\x00" * 7, np.dtype(np.float32), 2, 1)
+
+
+def test_pred3_catalog_read(tmp_path, spark):
+    """Distributed catalog read of the pred3 fixture matches the
+    uncompressed write of the same mosaic, tile for tile."""
+    a = corpus.synth_scene_mosaic(0, tile_size=64)
+    out = {}
+    for tag, kw in (("u", dict(compress="none")),
+                    ("p", dict(compress="lzw", predictor=3))):
+        p = str(tmp_path / f"{tag}.tif")
+        GT.write_geotiff(p, a, (0, 0, 1, 1), nodata=-9999.0,
+                         tile_size=64, **kw)
+        cat = GT.geotiff_tile_catalog(
+            spark, [{"path": p, "source_id": "s", "zoom": 0}])
+        key = lambda r: (r.band, r.col, r.row)
+        out[tag] = {key(r): r.px_qsum for r in
+                    GT.per_tile_checksum(GT.read_catalog_tiles(cat)).collect()}
+    assert out["u"] == out["p"] and len(out["p"]) == 32
