@@ -101,8 +101,62 @@ def _warm_python_workers(spark) -> None:
         .write.format("noop").mode("overwrite").save()
 
 
+def _warm_streaming(spark) -> None:
+    """Run one tiny availableNow stateful stream before timing: the FIRST
+    streaming query in a session otherwise gets billed the one-time
+    Structured Streaming machinery init — state-store provider + exec
+    classloading + checkpoint fs + the stateful Python worker channel
+    (measured: stream_totals 11.2 s as the session's first stream vs
+    4.4 s steady). Same JMH-warmup rationale as _warm_python_workers:
+    bench measures steady-state per-query cost, not fleet bring-up."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geotrellis_contrib_spark.streaming import stateful as stf
+
+    tmp = tempfile.mkdtemp(prefix="bench_warm_stream_")
+    try:
+        os.makedirs(f"{tmp}/in")
+        pq.write_table(
+            pa.table({"doc_id": pa.array(["a", "b"]),
+                      "batch": pa.array([0, 0], type=pa.int32()),
+                      "ts": pa.array([0, 3600], type=pa.timestamp("us"))}),
+            f"{tmp}/in/b0.parquet")
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        try:
+            schema = "doc_id string, batch int, ts timestamp"
+            # 1) the Python stateful channel (applyInPandasWithState)
+            stream = spark.readStream.schema(schema).parquet(f"{tmp}/in")
+            (stf.dedup_stream(stream.select("doc_id", "batch"))
+                .writeStream.format("parquet")
+                .option("path", f"{tmp}/out")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .outputMode("append")
+                .trigger(availableNow=True).start().awaitTermination())
+            # 2) the JVM stateful-aggregation path (watermark +
+            # StateStoreSave + streaming window codegen)
+            stream2 = spark.readStream.schema(schema).parquet(f"{tmp}/in")
+            agg = (stream2.withWatermark("ts", "10 minutes")
+                   .groupBy(F.window("ts", "1 hour"))
+                   .agg(F.count("*").alias("n")))
+            (agg.writeStream.format("parquet")
+                .option("path", f"{tmp}/out2")
+                .option("checkpointLocation", f"{tmp}/ckpt2")
+                .outputMode("append")
+                .trigger(availableNow=True).start().awaitTermination())
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def run_headline(spark) -> dict[str, float]:
     _warm_python_workers(spark)
+    _warm_streaming(spark)
     times: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.time()
