@@ -58,15 +58,12 @@ def _propagate_and_double(sym: DataFrame, cur: DataFrame) -> DataFrame:
                     F.col("_old")))
 
 
-def _cc_driver(sym: DataFrame) -> DataFrame:
-    """Small-graph fast path: collect the symmetrized edge list, run
-    union-find with path compression on the driver, label every set with
-    its MIN member — result-identical to the distributed loop (both
-    compute min-reachable-id), one collect + one createDataFrame instead
-    of 4-6 localCheckpoint sync batches."""
-    spark = sym.sparkSession
-    id_type = sym.schema["src"].dataType.simpleString()
-    rows = sym.collect()
+def _cc_driver(spark, rows, id_type: str) -> DataFrame:
+    """Small-graph fast path: union-find with path compression on the
+    already-collected symmetrized edge list, labeling every set with its
+    MIN member — result-identical to the distributed loop (both compute
+    min-reachable-id), ZERO further jobs (the probe collect that decided
+    the path is the only materialization)."""
     parent: dict = {}
 
     def find(x):
@@ -105,14 +102,18 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     reachable from it. Input: one row per edge (any direction, dupes ok).
     Output: (id, component). Deterministic.
 
-    Adaptive strategy (the AQE-broadcast-style runtime choice): the
-    symmetrized edge table is materialized once anyway, so its count is
-    free — at or below ``small_graph_edges`` the whole graph is solved
-    driver-side by union-find (identical labels; one job instead of 4-6
-    sync batches — typical post-LSH/border-reduction graphs are tiny
-    relative to the corpus). Above it, the distributed min-label +
-    pointer-doubling loop runs; at 10^12-doc scale that is the only
-    path, and ``small_graph_edges=0`` disables the fast path outright.
+    Adaptive strategy (the AQE-broadcast-style runtime choice): ONE
+    bounded probe job collects at most ``small_graph_edges``+1 raw edge
+    rows (union-find needs neither symmetrization nor dedup, so the
+    probe plan is the caller's edge plan + a limit — ~16 B/row, ≤8 MB
+    at the default cap); at or below the cap the collected rows are the
+    whole graph and it is solved driver-side by union-find (identical
+    labels; zero further jobs — typical post-LSH/border-reduction
+    graphs are tiny relative to the corpus). Above it, the distributed
+    min-label + pointer-doubling loop runs on the symmetrized distinct
+    edge table; at 10^12-doc scale that is the only path, and
+    ``small_graph_edges=0`` disables the fast path (and its probe)
+    outright.
 
     ``max_iter`` counts materialization batches; each batch runs
     ``rounds_per_sync`` propagate+double rounds lazily, so the effective
@@ -127,11 +128,20 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     # the edge table per round); n_parts tracks the session default but is
     # floored so toy graphs don't schedule hundreds of empty tasks
     n_parts = max(int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")) // 4, 4)
+    if small_graph_edges:
+        # ONE probe job decides the path: collect at most cap+1 RAW edge
+        # rows — union-find is direction- and duplicate-insensitive, so
+        # the probe skips the symmetrize/distinct exchanges entirely;
+        # under the cap the rows ARE the whole graph (driver union-find,
+        # no further jobs), over it the probe cost is one bounded-limit
+        # scan and the distributed loop materializes sym properly below
+        probe = e.limit(small_graph_edges + 1).collect()
+        if len(probe) <= small_graph_edges:
+            return _cc_driver(edges.sparkSession, probe,
+                              e.schema["src"].dataType.simpleString())
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))) \
            .distinct().repartition(n_parts, "dst")
     sym = sym.localCheckpoint(eager=True)
-    if small_graph_edges and sym.count() <= small_graph_edges:
-        return _cc_driver(sym)
     labels = sym.select(F.col("src").alias("id")).distinct() \
                 .withColumn("component", F.col("id")) \
                 .repartition(n_parts, "id")

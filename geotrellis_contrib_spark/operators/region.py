@@ -184,24 +184,22 @@ def region_stats(tiles: DataFrame,
                    (sbk * span + F.col("label2")).alias("dst")))
     st = (stats.join(F.broadcast(src_dim), "source_id")
           .withColumn("sbk", sbk))
-    if enc.limit(1).count() == 0:
-        merged = st.withColumn("root", F.col("label"))
-        cross_per_root = None
-    else:
-        comp = connected_components(enc)
-        dec = comp.select(
-            F.floor(F.col("id") / span).alias("sbk"),
-            (F.col("id") % span).alias("label"),
-            (F.col("component") % span).alias("rt"))
-        merged = (st.join(F.broadcast(dec), ["sbk", "label"], "left")
-                  .withColumn("root", F.coalesce("rt", "label")))
-        # each cross pair belongs to exactly one merged region
-        cp = (cross.join(F.broadcast(src_dim), "source_id")
-              .withColumn("sbk", sbk)
-              .join(F.broadcast(dec), ["sbk", "label"], "left")
+    # no emptiness probe: connected_components' small-graph path is one
+    # bounded-limit collect that handles the zero-edge case for free
+    comp = connected_components(enc)
+    dec = comp.select(
+        F.floor(F.col("id") / span).alias("sbk"),
+        (F.col("id") % span).alias("label"),
+        (F.col("component") % span).alias("rt"))
+    merged = (st.join(F.broadcast(dec), ["sbk", "label"], "left")
               .withColumn("root", F.coalesce("rt", "label")))
-        cross_per_root = cp.groupBy("source_id", "band", "root") \
-            .agg(F.count(F.lit(1)).alias("xpairs"))
+    # each cross pair belongs to exactly one merged region
+    cp = (cross.join(F.broadcast(src_dim), "source_id")
+          .withColumn("sbk", sbk)
+          .join(F.broadcast(dec), ["sbk", "label"], "left")
+          .withColumn("root", F.coalesce("rt", "label")))
+    cross_per_root = cp.groupBy("source_id", "band", "root") \
+        .agg(F.count(F.lit(1)).alias("xpairs"))
 
     agg = (merged.groupBy("source_id", "band",
                           F.col("root").alias("region_id"))
@@ -211,13 +209,9 @@ def region_stats(tiles: DataFrame,
                 F.max("grmax").alias("gr_max"),
                 F.min("gcmin").alias("gc_min"),
                 F.max("gcmax").alias("gc_max")))
-    if cross_per_root is not None:
-        agg = (agg.join(cross_per_root.withColumnRenamed("root",
-                                                         "region_id"),
-                        ["source_id", "band", "region_id"], "left")
-               .withColumn("xpairs", F.coalesce("xpairs", F.lit(0))))
-    else:
-        agg = agg.withColumn("xpairs", F.lit(0))
+    agg = (agg.join(cross_per_root.withColumnRenamed("root", "region_id"),
+                    ["source_id", "band", "region_id"], "left")
+           .withColumn("xpairs", F.coalesce("xpairs", F.lit(0))))
     return agg.select(
         "source_id", "band", "region_id", "n_pixels",
         (F.lit(4) * F.col("n_pixels")
