@@ -1017,22 +1017,35 @@ def kernel_density(points: DataFrame, zoom: int, radius_px: float = 4.0,
             .drop("_tx0", "_tx1", "_ty0", "_ty1"))
 
     def stamp(pdf: pd.DataFrame) -> pd.DataFrame:
+        # ALL points of the tile at once (no per-point Python loop):
+        # fixed K-wide windows per point, one bincount accumulate.
+        # Contributions are quantized per (pixel, point) BEFORE the sum
+        # exactly as the scalar loop did — bincount's float64 partial
+        # sums of 2^20-scale integers are exact far past any realistic
+        # per-pixel point count (2^53 headroom).
         col, row = int(pdf.tx.iloc[0]), int(pdf.ty.iloc[0])
         bx, by = col * t, row * t
-        grid = np.zeros((t, t), dtype=np.int64)
-        for gx, gy in zip(pdf.gx.to_numpy(), pdf.gy.to_numpy()):
-            p0 = max(bx, int(np.ceil(gx - 0.5 - r)))
-            p1 = min(bx + t - 1, int(np.floor(gx - 0.5 + r)))
-            q0 = max(by, int(np.ceil(gy - 0.5 - r)))
-            q1 = min(by + t - 1, int(np.floor(gy - 0.5 + r)))
-            if p1 < p0 or q1 < q0:
-                continue
-            dx = np.arange(p0, p1 + 1, dtype=np.float64) + 0.5 - gx
-            dy = (np.arange(q0, q1 + 1, dtype=np.float64)
-                  + 0.5 - gy).reshape(-1, 1)
-            w = np.maximum(0.0, 1.0 - np.sqrt(dy * dy + dx * dx) / r)
-            grid[q0 - by:q1 + 1 - by, p0 - bx:p1 + 1 - bx] += \
-                np.floor(w * 1048576.0 + 0.5).astype(np.int64)
+        gx = pdf.gx.to_numpy()
+        gy = pdf.gy.to_numpy()
+        K = int(np.floor(2.0 * r)) + 1  # max window span (clamps shrink)
+        p0 = np.maximum(bx, np.ceil(gx - 0.5 - r)).astype(np.int64)
+        p1 = np.minimum(bx + t - 1, np.floor(gx - 0.5 + r)).astype(np.int64)
+        q0 = np.maximum(by, np.ceil(gy - 0.5 - r)).astype(np.int64)
+        q1 = np.minimum(by + t - 1, np.floor(gy - 0.5 + r)).astype(np.int64)
+        off = np.arange(K, dtype=np.int64)
+        px_i = p0[:, None] + off                      # (N, K)
+        py_i = q0[:, None] + off
+        okx = px_i <= p1[:, None]
+        oky = py_i <= q1[:, None]
+        dx = px_i.astype(np.float64) + 0.5 - gx[:, None]
+        dy = py_i.astype(np.float64) + 0.5 - gy[:, None]
+        w = np.maximum(0.0, 1.0 - np.sqrt(
+            dy[:, :, None] ** 2 + dx[:, None, :] ** 2) / r)  # (N, Ky, Kx)
+        qv = np.floor(w * 1048576.0 + 0.5)
+        valid = oky[:, :, None] & okx[:, None, :]
+        flat = (py_i - by)[:, :, None] * t + (px_i - bx)[:, None, :]
+        grid = np.bincount(flat[valid], weights=qv[valid],
+                           minlength=t * t).astype(np.int64).reshape(t, t)
         total = int(grid.sum())
         if total == 0:
             return pd.DataFrame(columns=["zoom", "col", "row",
@@ -1108,33 +1121,40 @@ def idw_interpolate(points: DataFrame, zoom: int, radius_px: float = 4.0,
             .drop("_tx0", "_tx1", "_ty0", "_ty1"))
 
     def stamp_q(pdf: pd.DataFrame) -> pd.DataFrame:
+        # vectorized over ALL points of the tile (kernel_density's stamp
+        # shape): per-(pixel,point) contributions quantized FIRST, two
+        # bincount accumulates (num, den) — integer-sum exact.
         col, row = int(pdf.tx.iloc[0]), int(pdf.ty.iloc[0])
         bx, by = col * t, row * t
-        num = np.zeros((t, t), dtype=np.int64)
-        den = np.zeros((t, t), dtype=np.int64)
-        for gx, gy, z in zip(pdf.gx.to_numpy(), pdf.gy.to_numpy(),
-                             pdf.z.to_numpy()):
-            p0 = max(bx, int(np.ceil(gx - 0.5 - r)))
-            p1 = min(bx + t - 1, int(np.floor(gx - 0.5 + r)))
-            q0 = max(by, int(np.ceil(gy - 0.5 - r)))
-            q1 = min(by + t - 1, int(np.floor(gy - 0.5 + r)))
-            if p1 < p0 or q1 < q0:
-                continue
-            dx = np.arange(p0, p1 + 1, dtype=np.float64) + 0.5 - gx
-            dy = (np.arange(q0, q1 + 1, dtype=np.float64)
-                  + 0.5 - gy).reshape(-1, 1)
-            d2 = dy * dy + dx * dx
-            inside = d2 <= r * r
-            w = 1.0 / np.maximum(d2, 0.25)
-            wq = np.where(inside,
-                          np.floor(w * 1048576.0 + 0.5), 0.0) \
-                .astype(np.int64)
-            nq = np.where(inside,
-                          np.floor(w * z * 1048576.0 + 0.5), 0.0) \
-                .astype(np.int64)
-            sl = (slice(q0 - by, q1 + 1 - by), slice(p0 - bx, p1 + 1 - bx))
-            num[sl] += nq
-            den[sl] += wq
+        gx = pdf.gx.to_numpy()
+        gy = pdf.gy.to_numpy()
+        z = pdf.z.to_numpy()
+        K = int(np.floor(2.0 * r)) + 1
+        p0 = np.maximum(bx, np.ceil(gx - 0.5 - r)).astype(np.int64)
+        p1 = np.minimum(bx + t - 1, np.floor(gx - 0.5 + r)).astype(np.int64)
+        q0 = np.maximum(by, np.ceil(gy - 0.5 - r)).astype(np.int64)
+        q1 = np.minimum(by + t - 1, np.floor(gy - 0.5 + r)).astype(np.int64)
+        off = np.arange(K, dtype=np.int64)
+        px_i = p0[:, None] + off
+        py_i = q0[:, None] + off
+        okx = px_i <= p1[:, None]
+        oky = py_i <= q1[:, None]
+        dx = px_i.astype(np.float64) + 0.5 - gx[:, None]
+        dy = py_i.astype(np.float64) + 0.5 - gy[:, None]
+        d2 = dy[:, :, None] ** 2 + dx[:, None, :] ** 2  # (N, Ky, Kx)
+        inside = d2 <= r * r
+        w = 1.0 / np.maximum(d2, 0.25)
+        wq = np.where(inside, np.floor(w * 1048576.0 + 0.5), 0.0)
+        nq = np.where(inside,
+                      np.floor(w * z[:, None, None] * 1048576.0 + 0.5),
+                      0.0)
+        valid = oky[:, :, None] & okx[:, None, :]
+        flat = (py_i - by)[:, :, None] * t + (px_i - bx)[:, None, :]
+        idx, wv, nv = flat[valid], wq[valid], nq[valid]
+        den = np.bincount(idx, weights=wv,
+                          minlength=t * t).astype(np.int64).reshape(t, t)
+        num = np.bincount(idx, weights=nv,
+                          minlength=t * t).astype(np.int64).reshape(t, t)
         if not (den > 0).any():
             return pd.DataFrame(columns=["zoom", "col", "row", "num_sum",
                                          "den_sum", "n_px"])
