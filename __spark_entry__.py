@@ -1793,6 +1793,53 @@ def q_geotiff_read_packbits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GT.per_tile_checksum(GT.read_catalog_tiles(cat), quant=1.0)
 
 
+def q_resample_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESAMPLE METHOD family beyond nearest/bilinear (the reference
+    accepts the full GeoTrellis ResampleMethod enum wherever a resample
+    is parameterized — RasterSourceF.scala:45): the pixel fixture
+    resampled 64->32 per tile under 'average' / 'max' / 'sum'
+    (NoData-EXCLUDING aggregate downsamplers; empty blocks -> NoData)
+    and 'cubic' (Keys 1981 a=-0.5 convolution; at the exact 2x ratio
+    every target center sits at frac 0.5 so the taps are EXACTLY
+    [-1,9,9,-1]/16 — all arithmetic dyadic, order-independent, and the
+    NoData holes participate numerically like bilinear). Output: per
+    (tile, method) quantized checksums. Oracle: the closed-form fixture
+    field reduced per 2x2 block (AVG/MAX/SUM over non-NoData) and the
+    16-tap clamped weighted sum for cubic, identical quantization."""
+    import numpy as np
+    import pandas as pd
+
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import pixels as px
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    parts = [px.resample(tiles, 32, tile_size=64, method=m)
+             .withColumn("method", F.lit(m))
+             for m in ("average", "max", "sum", "cubic")]
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+
+    def cks(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = np.frombuffer(r.px, np.float64).reshape(32, 32)
+                v = a[~np.isnan(a)]
+                out.append({"source_id": r.source_id, "band": int(r.band),
+                            "col": int(r.col), "row": int(r.row),
+                            "method": r.method,
+                            "qsum": int(np.floor(v * 4096.0 + 0.5).sum()),
+                            "n_valid": int(v.size)})
+            yield pd.DataFrame(out, columns=["source_id", "band", "col",
+                                             "row", "method", "qsum",
+                                             "n_valid"])
+
+    return allr.mapInPandas(
+        cks, "source_id string, band bigint, col bigint, row bigint, "
+             "method string, qsum bigint, n_valid bigint")
+
+
 def q_geotiff_read_pred3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoTiff floating-point predictor decode end-to-end (TIFF TechNote
     3, Predictor=3 — what libtiff/GDAL write by default for compressed
@@ -3152,6 +3199,56 @@ FROM px GROUP BY 1, 2, 3, 4
     # original float64 fixture through the TechNote-3 byte-plane
     # predictor — same closed form at the default quant.
     o["geotiff_read_pred3"] = o["geotiff_read"]
+
+    # Resample-method family (resample_methods): closed-form field per
+    # 2x2 block — NoData-excluding AVG/MAX/SUM (one IEEE division for
+    # AVG on an exact quarter-sum: identical in numpy and DuckDB) and
+    # the 16-tap clamped cubic (weights wi*wj/256 with wi in {-1,9}:
+    # every product/sum dyadic and < 2^53, so association is free).
+    o["resample_methods"] = f"""
+WITH px AS MATERIALIZED (
+  SELECT s, band, tc, tr, r, c, {_fval('r', 'c')} AS val
+  FROM range(0,3) ss(s), range(0,4) tcs(tc), range(0,4) trs(tr),
+       range(0,2) bs(band), range(0,64) rs(r), range(0,64) cs(c)
+), blocks AS (
+  SELECT s, band, tc, tr, r // 2 AS r2, c // 2 AS c2,
+         AVG(CASE WHEN val <> -9999.0 THEN val END) AS avg_v,
+         MAX(CASE WHEN val <> -9999.0 THEN val END) AS max_v,
+         SUM(CASE WHEN val <> -9999.0 THEN val END) AS sum_v
+  FROM px GROUP BY 1, 2, 3, 4, 5, 6
+), wtab(d, w) AS (VALUES (-1, -1.0), (0, 9.0), (1, 9.0), (2, -1.0)),
+cub AS (
+  SELECT o.s, o.band, o.tc, o.tr, o.r2, o.c2,
+         SUM(wr.w * wc.w * p.val) / 256.0 AS cub_v
+  FROM (SELECT DISTINCT s, band, tc, tr, r2, c2 FROM blocks) o
+  CROSS JOIN wtab wr CROSS JOIN wtab wc
+  JOIN px p ON p.s = o.s AND p.band = o.band AND p.tc = o.tc
+           AND p.tr = o.tr
+           AND p.r = LEAST(GREATEST(2 * o.r2 + wr.d, 0), 63)
+           AND p.c = LEAST(GREATEST(2 * o.c2 + wc.d, 0), 63)
+  GROUP BY 1, 2, 3, 4, 5, 6
+), per AS (
+  SELECT s, band, tc, tr, 'average' AS method,
+         SUM(CAST(FLOOR(avg_v * 4096.0 + 0.5) AS BIGINT)) AS qsum,
+         COUNT(avg_v) AS n_valid
+  FROM blocks GROUP BY 1, 2, 3, 4
+  UNION ALL
+  SELECT s, band, tc, tr, 'max',
+         SUM(CAST(FLOOR(max_v * 4096.0 + 0.5) AS BIGINT)), COUNT(max_v)
+  FROM blocks GROUP BY 1, 2, 3, 4
+  UNION ALL
+  SELECT s, band, tc, tr, 'sum',
+         SUM(CAST(FLOOR(sum_v * 4096.0 + 0.5) AS BIGINT)), COUNT(sum_v)
+  FROM blocks GROUP BY 1, 2, 3, 4
+  UNION ALL
+  SELECT s, band, tc, tr, 'cubic',
+         SUM(CAST(FLOOR(cub_v * 4096.0 + 0.5) AS BIGINT)), COUNT(*)
+  FROM cub GROUP BY 1, 2, 3, 4
+)
+SELECT 'scene-' || s AS source_id, band, 18 + tc + s AS col,
+       24 + tr AS row, method, qsum, n_valid
+FROM per
+"""
 
     o["pixel_mosaic_checksum"] = f"""
 WITH px AS (
@@ -5271,6 +5368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "resample_methods": q_resample_methods,
         "geotiff_read_pred3": q_geotiff_read_pred3,
         "geotiff_read_bigtiff": q_geotiff_read_bigtiff,
         "geotiff_read_http": q_geotiff_read_http,

@@ -94,7 +94,139 @@ def k_resample_bilinear(arr: np.ndarray, out_rows: int, out_cols: int) -> np.nda
     return top * (1 - wr) + bot * wr
 
 
-RESAMPLE_KERNELS = {"nearest": k_resample_nearest, "bilinear": k_resample_bilinear}
+def _sep_weights(frac: np.ndarray, kind: str) -> tuple[np.ndarray, np.ndarray]:
+    """Separable convolution taps for one axis: given the fractional
+    position ``frac`` in [0,1) relative to the left-of-center source
+    pixel r0, return (offsets, weights) with shapes (n, taps). Kernels
+    (all public formulas):
+
+    * ``cubic`` — Keys (1981) cubic convolution, a = -0.5 (GDAL's
+      'cubic'): w(x) = (a+2)|x|^3-(a+3)|x|^2+1 for |x|<=1,
+      a(|x|^3-5|x|^2+8|x|-4) for 1<|x|<2. Interpolating (reproduces
+      affine ramps exactly).
+    * ``cubicspline`` — cubic B-spline basis (GDAL's 'cubicspline'):
+      w(x) = (3|x|^3-6|x|^2+4)/6 for |x|<=1, (2-|x|)^3/6 for 1<|x|<2.
+      Approximating (smooths), weights always sum to 1.
+    * ``lanczos`` — Lanczos a=3 windowed sinc, 6 taps, weights
+      normalized to sum 1 (the GDAL convention, which keeps constants
+      constant).
+    """
+    if kind == "lanczos":
+        offs = np.arange(-2, 4)  # r0-2 .. r0+3
+        x = np.abs(frac[:, None] - offs[None, :])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            w = np.where(x < 1e-12, 1.0,
+                         3.0 * np.sin(np.pi * x) * np.sin(np.pi * x / 3.0)
+                         / (np.pi * np.pi * x * x))
+        w = np.where(x < 3.0, w, 0.0)
+        w = w / w.sum(axis=1, keepdims=True)
+        return offs, w
+    offs = np.arange(-1, 3)  # r0-1 .. r0+2
+    x = np.abs(frac[:, None] - offs[None, :])
+    if kind == "cubic":
+        a = -0.5
+        w = np.where(
+            x <= 1.0, (a + 2.0) * x ** 3 - (a + 3.0) * x ** 2 + 1.0,
+            a * (x ** 3 - 5.0 * x ** 2 + 8.0 * x - 4.0))
+        return offs, np.where(x < 2.0, w, 0.0)
+    if kind == "cubicspline":
+        w = np.where(x <= 1.0, (3.0 * x ** 3 - 6.0 * x ** 2 + 4.0) / 6.0,
+                     (2.0 - x) ** 3 / 6.0)
+        return offs, np.where(x < 2.0, w, 0.0)
+    raise ValueError(f"unknown separable kernel {kind!r}")
+
+
+def _k_resample_conv(kind: str):
+    def kern(arr: np.ndarray, out_rows: int, out_cols: int) -> np.ndarray:
+        """Separable 2-D convolution resample at target pixel centers,
+        edge-clamped like bilinear (the reference's CubicConvolution /
+        CubicSpline / Lanczos ResampleMethod options). float64 out;
+        NoData cells participate numerically, matching the bilinear
+        kernel's convention."""
+        rows, cols = arr.shape
+        a = arr.astype(np.float64)
+        fr = (np.arange(out_rows) + 0.5) * rows / out_rows - 0.5
+        fc = (np.arange(out_cols) + 0.5) * cols / out_cols - 0.5
+        r0 = np.floor(fr).astype(np.int64)
+        c0 = np.floor(fc).astype(np.int64)
+        offs, wr = _sep_weights(fr - r0, kind)
+        _, wc = _sep_weights(fc - c0, kind)
+        ridx = np.clip(r0[:, None] + offs[None, :], 0, rows - 1)
+        cidx = np.clip(c0[:, None] + offs[None, :], 0, cols - 1)
+        # rows pass: (out_rows, taps) x (taps source rows) -> then cols
+        tmp = np.einsum("rt,rtc->rc", wr, a[ridx, :])  # (out_rows, cols)
+        return np.einsum("ct,rct->rc", wc, tmp[:, cidx])
+    return kern
+
+
+_AGG_REDUCERS = {
+    "average": lambda v: np.nanmean(v, axis=(1, 3)),
+    "median": lambda v: np.nanmedian(v, axis=(1, 3)),
+    "max": lambda v: np.nanmax(v, axis=(1, 3)),
+    "min": lambda v: np.nanmin(v, axis=(1, 3)),
+    "sum": lambda v: np.nansum(v, axis=(1, 3)),
+}
+
+
+def _k_resample_agg(kind: str):
+    def kern(arr: np.ndarray, out_rows: int, out_cols: int,
+             nodata: float = np.nan) -> np.ndarray:
+        """Aggregate downsample (the reference's Average / Mode / Median /
+        Max / Min / Sum ResampleMethod options): every target cell
+        reduces ALL its contributing source cells; NoData cells are
+        EXCLUDED from the reduction and a target cell with no valid
+        contributor is NoData. Requires an integer downscale factor
+        (the overview/pyramid case these methods exist for) — fail-loud
+        otherwise rather than silently approximating fractional-block
+        membership."""
+        rows, cols = arr.shape
+        if (rows % out_rows) or (cols % out_cols) or out_rows > rows \
+                or out_cols > cols:
+            raise ValueError(
+                f"aggregate resample needs an integer downscale factor: "
+                f"{rows}x{cols} -> {out_rows}x{out_cols}")
+        fr, fc = rows // out_rows, cols // out_cols
+        a = arr.astype(np.float64)
+        invalid = np.isnan(a) if np.isnan(nodata) else \
+            (np.isnan(a) | (a == nodata))
+        a = np.where(invalid, np.nan, a)
+        blocks = a.reshape(out_rows, fr, out_cols, fc)
+        if kind == "mode":
+            # most frequent valid value, smallest value on ties
+            # (deterministic); all-NoData block -> NaN
+            out = np.full((out_rows, out_cols), np.nan)
+            flat = blocks.transpose(0, 2, 1, 3).reshape(out_rows,
+                                                        out_cols, -1)
+            for i in range(out_rows):
+                for j in range(out_cols):
+                    v = flat[i, j]
+                    v = v[~np.isnan(v)]
+                    if not v.size:
+                        continue
+                    vals, cnt = np.unique(v, return_counts=True)
+                    out[i, j] = vals[np.argmax(cnt)]  # unique() sorts:
+                    # argmax takes the FIRST max -> smallest value wins
+            return out
+        valid_any = (~np.isnan(blocks)).any(axis=(1, 3))
+        import warnings
+        with np.errstate(invalid="ignore"), warnings.catch_warnings():
+            # all-NoData blocks are a LEGAL NoData result, not a warning
+            warnings.filterwarnings(
+                "ignore", message="All-NaN slice encountered")
+            warnings.filterwarnings(
+                "ignore", message="Mean of empty slice")
+            out = _AGG_REDUCERS[kind](blocks)
+        return np.where(valid_any, out, np.nan)
+    return kern
+
+
+RESAMPLE_KERNELS = {"nearest": k_resample_nearest,
+                    "bilinear": k_resample_bilinear,
+                    "cubic": _k_resample_conv("cubic"),
+                    "cubicspline": _k_resample_conv("cubicspline"),
+                    "lanczos": _k_resample_conv("lanczos")}
+RESAMPLE_AGG_KERNELS = {k: _k_resample_agg(k) for k in
+                        ("average", "mode", "median", "max", "min", "sum")}
 
 
 def k_reproject_nearest(arr: np.ndarray, src_extent, dst_extent, dst_shape,
@@ -234,9 +366,21 @@ def convert(tiles: DataFrame, target: str, tile_size: int = TILE_SIZE) -> DataFr
 def resample(tiles: DataFrame, out_size: int, tile_size: int = TILE_SIZE,
              method: str = "nearest") -> DataFrame:
     """Per-tile resample to out_size x out_size pixels; ``method`` is the
-    reference's ResampleMethod string ('nearest' | 'bilinear')."""
+    reference's ResampleMethod string — point-interpolating ('nearest' |
+    'bilinear' | 'cubic' | 'cubicspline' | 'lanczos') or aggregate
+    ('average' | 'mode' | 'median' | 'max' | 'min' | 'sum', integer
+    downscale factors, NoData-excluding — aggregate results carry
+    nodata=NaN since empty blocks come back NaN)."""
+    if method in RESAMPLE_AGG_KERNELS:
+        kern = RESAMPLE_AGG_KERNELS[method]
+        return map_tiles(tiles,
+                         lambda a, r: kern(a, out_size, out_size,
+                                           r.nodata),
+                         out_dtype="float64",
+                         tile_size=tile_size).withColumn(
+            "nodata", F.lit(float("nan")))
     kern = RESAMPLE_KERNELS[method]
-    out_dtype = "float64" if method == "bilinear" else None
+    out_dtype = None if method == "nearest" else "float64"
     return map_tiles(tiles, lambda a, r: kern(a, out_size, out_size),
                      out_dtype=out_dtype, tile_size=tile_size)
 
