@@ -37,7 +37,8 @@ LZW) and 3 (TIFF TechNote 3 floating-point byte-plane differencing —
 the libtiff/GDAL default for compressed floats),
 planar 1 (chunky) and 2 (separate), sample formats uint8/16/32,
 int16/32, float32/64, overview IFDs (NewSubfileType=1),
-ModelPixelScale+ModelTiepoint georeferencing (no ModelTransformation),
+ModelPixelScale+ModelTiepoint AND axis-aligned north-up
+ModelTransformation georeferencing (rotation/shear fails loud),
 GTModelType geographic/projected with an EPSG code, GDAL_NODATA."""
 
 from __future__ import annotations
@@ -62,6 +63,7 @@ _TAG = {"NewSubfileType": 254, "ImageWidth": 256, "ImageLength": 257,
         "TileWidth": 322, "TileLength": 323, "TileOffsets": 324,
         "TileByteCounts": 325, "SampleFormat": 339,
         "ModelPixelScale": 33550, "ModelTiepoint": 33922,
+        "ModelTransformation": 34264,
         "GeoKeyDirectory": 34735, "GeoDoubleParams": 34736,
         "GeoAsciiParams": 34737, "GdalNodata": 42113}
 
@@ -473,7 +475,8 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
                   compress: str = "deflate", byteorder: str = "<",
                   strips: bool = False, overviews: int = 0,
                   planar: int = 2, cog: bool = False,
-                  predictor: int = 1, bigtiff: bool = False) -> None:
+                  predictor: int = 1, bigtiff: bool = False,
+                  geo_encoding: str = "pixelscale") -> None:
     """Write a (multiband) GeoTiff: ``bands`` is (nbands, H, W) or (H, W);
     ``extent`` = (xmin, ymin, xmax, ymax) in the CRS of ``epsg``.
     ``overviews`` appends that many 2x-decimated overview IFDs
@@ -526,7 +529,7 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
             levels, level_segs, [[0] * len(s[0]) for s in level_segs],
             bo, nb, bits, sfmt, compress, planar, strips, tile_size,
             xmin, ymax, (xmax - xmin) / w, (ymax - ymin) / h, epsg,
-            nodata, predictor, bigtiff)
+            nodata, predictor, bigtiff, geo_encoding)
         data_base = hdr_len + sum(i.size() + i.external_size()
                                   for i in probe)
     else:
@@ -545,7 +548,7 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
     ifds = _assemble_ifds(
         levels, level_segs, level_offs, bo, nb, bits, sfmt, compress,
         planar, strips, tile_size, xmin, ymax, (xmax - xmin) / w,
-        (ymax - ymin) / h, epsg, nodata, predictor, bigtiff)
+        (ymax - ymin) / h, epsg, nodata, predictor, bigtiff, geo_encoding)
 
     if cog:
         ifd_offsets = []
@@ -585,7 +588,8 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
 
 def _assemble_ifds(levels, level_segs, level_offs, bo, nb, bits, sfmt,
                    compress, planar, strips, tile_size, xmin, ymax,
-                   sx, sy, epsg, nodata, predictor=1, big=False):
+                   sx, sy, epsg, nodata, predictor=1, big=False,
+                   geo_encoding="pixelscale"):
     """Build the IFD chain for every resolution level with the given
     segment offsets (sizes are offset-independent, which is what lets
     the COG layout measure with zeros first). ``big`` writes BigTIFF
@@ -622,9 +626,18 @@ def _assemble_ifds(levels, level_segs, level_offs, bo, nb, bits, sfmt,
             ifd.add(_TAG["TileOffsets"], otyp, offs)
             ifd.add(_TAG["TileByteCounts"], otyp, cnts)
         if lv == 0:
-            ifd.add(_TAG["ModelPixelScale"], 12, [sx, sy, 0.0])
-            ifd.add(_TAG["ModelTiepoint"], 12,
-                    [0.0, 0.0, 0.0, xmin, ymax, 0.0])
+            if geo_encoding == "transform":
+                # same north-up affine, as the 4x4 ModelTransformation
+                # (GeoTIFF 1.1 §B.5) instead of PixelScale+Tiepoint
+                ifd.add(_TAG["ModelTransformation"], 12,
+                        [sx, 0.0, 0.0, xmin,
+                         0.0, -sy, 0.0, ymax,
+                         0.0, 0.0, 0.0, 0.0,
+                         0.0, 0.0, 0.0, 1.0])
+            else:
+                ifd.add(_TAG["ModelPixelScale"], 12, [sx, sy, 0.0])
+                ifd.add(_TAG["ModelTiepoint"], 12,
+                        [0.0, 0.0, 0.0, xmin, ymax, 0.0])
             ifd.add(_TAG["GeoKeyDirectory"], 3, _geokeys(epsg))
             ifd.add(_TAG["GdalNodata"], 2,
                     repr(float(nodata)).encode() + b"\x00")
@@ -789,12 +802,36 @@ def read_geotiff_info(path: str) -> dict:
                 top["epsg"] = epsg
                 scale = tags.get(_TAG["ModelPixelScale"])
                 tie = tags.get(_TAG["ModelTiepoint"])
+                xform = tags.get(_TAG["ModelTransformation"])
                 if scale and tie:
                     sx, sy = scale[0], scale[1]
                     i0, j0, _, gx, gy = tie[0], tie[1], tie[2], tie[3], tie[4]
                     xmin = gx - i0 * sx
                     ymax = gy + j0 * sy
                     top["extent"] = (xmin, ymax - h * sy, xmin + w * sx, ymax)
+                elif xform:
+                    # ModelTransformation (GeoTIFF 1.1 §B.5, tag 34264):
+                    # 4x4 row-major affine, x = t0*i + t1*j + t3,
+                    # y = t4*i + t5*j + t7 at pixel-corner anchors. The
+                    # tile-grid catalog model needs an axis-aligned
+                    # north-up grid — rotation/shear terms fail loud
+                    # rather than silently de-rotating.
+                    if len(xform) != 16:
+                        raise ValueError(
+                            f"ModelTransformation needs 16 doubles, "
+                            f"got {len(xform)}")
+                    t0, t1, _, t3 = xform[0:4]
+                    t4, t5, _, t7 = xform[4:8]
+                    if t1 != 0.0 or t4 != 0.0:
+                        raise ValueError(
+                            "rotated/sheared ModelTransformation is "
+                            "unsupported (axis-aligned north-up grids "
+                            f"only; got shear terms {t1}, {t4})")
+                    if t0 <= 0.0 or t5 >= 0.0:
+                        raise ValueError(
+                            "ModelTransformation must be north-up "
+                            f"(sx > 0 > sy; got {t0}, {t5})")
+                    top["extent"] = (t3, t7 + h * t5, t3 + w * t0, t7)
                 else:
                     top["extent"] = None
 

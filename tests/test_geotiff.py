@@ -632,3 +632,51 @@ def test_pred3_catalog_read(tmp_path, spark):
         out[tag] = {key(r): r.px_qsum for r in
                     GT.per_tile_checksum(GT.read_catalog_tiles(cat)).collect()}
     assert out["u"] == out["p"] and len(out["p"]) == 32
+
+
+# ---------------------------------------------------------------------------
+# ModelTransformation georeferencing (GeoTIFF 1.1 §B.5, tag 34264)
+# ---------------------------------------------------------------------------
+
+def test_model_transformation_roundtrip(tmp_path):
+    """The 4x4 affine encoding parses to the SAME logical metadata as
+    the PixelScale+Tiepoint encoding of the same grid."""
+    arr = np.arange(2 * 96 * 80, dtype=np.float64).reshape(2, 96, 80)
+    ext = (10.0, -20.0, 30.0, 4.0)
+    pa = str(tmp_path / "scale.tif")
+    pb = str(tmp_path / "xform.tif")
+    GT.write_geotiff(pa, arr, ext, nodata=-1.0)
+    GT.write_geotiff(pb, arr, ext, nodata=-1.0, geo_encoding="transform")
+    ia, ib = GT.read_geotiff_info(pa), GT.read_geotiff_info(pb)
+    assert ib["extent"] == pytest.approx(ia["extent"])
+    for k in ("width", "height", "dtype", "nbands", "nodata", "epsg"):
+        assert ib[k] == ia[k], k
+    got, _ = GT.read_geotiff(pb)
+    np.testing.assert_array_equal(got, arr)
+    # wire check: tag 34264 present, 33550/33922 absent
+    raw = open(pb, "rb").read()
+    n = struct.unpack("<H", raw[struct.unpack("<I", raw[4:8])[0]:][:2])[0]
+    base = struct.unpack("<I", raw[4:8])[0] + 2
+    tags = {struct.unpack("<H", raw[base + 12 * i: base + 12 * i + 2])[0]
+            for i in range(n)}
+    assert 34264 in tags and 33550 not in tags and 33922 not in tags
+
+
+def test_model_transformation_rotation_fails_loud(tmp_path):
+    """A rotated affine must raise, not silently de-rotate."""
+    arr = np.zeros((64, 64))
+    p = str(tmp_path / "rot.tif")
+    GT.write_geotiff(p, arr, (0, 0, 1, 1), geo_encoding="transform")
+    raw = bytearray(open(p, "rb").read())
+    # locate the ModelTransformation external payload and poke a shear
+    info_off = struct.unpack("<I", raw[4:8])[0]
+    n = struct.unpack("<H", raw[info_off:info_off + 2])[0]
+    for i in range(n):
+        e = raw[info_off + 2 + 12 * i: info_off + 2 + 12 * (i + 1)]
+        tag, typ, cnt = struct.unpack("<HHI", e[:8])
+        if tag == 34264:
+            (off,) = struct.unpack("<I", e[8:12])
+            struct.pack_into("<d", raw, off + 8, 0.5)  # t1 (shear) != 0
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="rotated/sheared"):
+        GT.read_geotiff_info(p)
