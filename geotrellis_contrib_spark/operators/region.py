@@ -155,21 +155,27 @@ def region_stats(tiles: DataFrame,
     border = rows.filter(F.col("kind") == 1) \
         .select("source_id", "band", "gr", "gc", "label")
 
+    # ONLY pairs that cross a tile edge (in-tile pairs are already in
+    # the scan's `pairs`). ONE join on the packed neighbor pixel id: a
+    # right-edge cell offers pk+1, a bottom-edge cell offers pk+npx —
+    # a 0-2 element explode replaces the old right/down self-join pair
+    # (half the join codegen, same edges).
+    pk = F.col("gr") * F.lit(npx) + F.col("gc")
+    nbr = F.array_compact(F.array(
+        F.when(((F.col("gc") + 1) % t == 0)
+               & (F.col("gc") + 1 < npx), pk + 1),  # no row-wrap alias
+        F.when((F.col("gr") + 1) % t == 0, pk + F.lit(npx))))
+    b1 = border.select("source_id", "band", "label",
+                       F.explode(nbr).alias("pk_nbr"))
     b2 = border.select(F.col("source_id").alias("source_id2"),
                        F.col("band").alias("band2"),
-                       F.col("gr").alias("gr_b"), F.col("gc").alias("gc_b"),
+                       (F.col("gr") * F.lit(npx) + F.col("gc"))
+                       .alias("pk_b"),
                        F.col("label").alias("label2"))
-    # ONLY pairs that cross a tile edge (in-tile pairs are already in
-    # the scan's `pairs`)
-    right = border.filter((F.col("gc") + 1) % t == 0).join(
+    cross = b1.join(
         b2, (F.col("source_id") == F.col("source_id2"))
         & (F.col("band") == F.col("band2"))
-        & (F.col("gr") == F.col("gr_b")) & (F.col("gc") + 1 == F.col("gc_b")))
-    down = border.filter((F.col("gr") + 1) % t == 0).join(
-        b2, (F.col("source_id") == F.col("source_id2"))
-        & (F.col("band") == F.col("band2"))
-        & (F.col("gr") + 1 == F.col("gr_b")) & (F.col("gc") == F.col("gc_b")))
-    cross = right.union(down) \
+        & (F.col("pk_nbr") == F.col("pk_b"))) \
         .select("source_id", "band", "label", "label2")
 
     from pyspark.sql import Window
