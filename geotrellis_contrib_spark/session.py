@@ -33,6 +33,16 @@ def get_session(app_name: str = "geotrellis_contrib_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.sql.session.timeZone", "UTC")
+        # The engine's streaming surface is availableNow catch-up drains
+        # with per-call fresh checkpoints (streaming/*.py): the state
+        # stores are write-once and the checkpoint dir is deleted right
+        # after the drain, so the default 60 s maintenance cycle only
+        # re-snapshots stores that are about to be discarded — and its
+        # I/O bleeds into whatever runs next in the session (measured:
+        # +2-11 s on queries following a stream). Long-running
+        # update-mode deployments should override this back down.
+        .config("spark.sql.streaming.stateStore.maintenanceInterval",
+                "3600s")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
