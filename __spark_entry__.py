@@ -1793,6 +1793,53 @@ def q_geotiff_read_packbits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GT.per_tile_checksum(GT.read_catalog_tiles(cat), quant=1.0)
 
 
+def q_geotiff_read_lzma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoTiff LZMA decode end-to-end (compression 34925, the libtiff
+    tif_lzma.c extension real archives use for high-ratio lossless
+    storage; per-segment .xz streams, stdlib ``lzma`` both directions):
+    the int32 4*val fixture written under LE+planar2+predictor2+
+    overview, BE+chunky, and LE+COG layout (the IFD-first chain parses
+    in one ranged read with LZMA segments untouched). Catalog parse ->
+    pruned ranged fetch -> per-tile checksum at quant=1; oracle:
+    geotiff_read's closed-form SQL verbatim — the LZMA path must
+    reproduce the values bit-for-bit."""
+    import os
+    import tempfile
+
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.sources import geotiff as GT
+
+    root = os.path.join(tempfile.gettempdir(), "gt_gate_xz_v1")
+    specs = corpus_mod.synth_geotiff_scenes_lzma(root)
+    cat = GT.geotiff_tile_catalog(spark, specs)
+    return GT.per_tile_checksum(GT.read_catalog_tiles(cat), quant=1.0)
+
+
+def q_geotiff_read_subbyte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoTiff SUB-BYTE sample decode end-to-end (TIFF 6.0 §4-5: 1-bit
+    bilevel masks and 2-/4-bit grayscale — MSB-first packed samples,
+    byte-aligned rows; the wire format of real-world raster validity
+    masks): the closed-form field reduced per scene to
+    ``pmod(4*val, 2^bits - 1) + 1`` (NoData -> 0) and written 4-bit
+    LE+deflate+planar2+overview, 2-bit BE+lzw+chunky, 1-bit
+    LE+packbits+planar2 (every data pixel exactly 1 — the footprint
+    mask itself sits under the gate). Catalog parse -> pruned ranged
+    fetch -> bit-unpack to uint8 engine tiles -> per-tile checksum at
+    quant=1. Oracle: the same mod-reduction recomputed in SQL over the
+    fixture arithmetic — every decoded BIT and tile placement is
+    value-gated."""
+    import os
+    import tempfile
+
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.sources import geotiff as GT
+
+    root = os.path.join(tempfile.gettempdir(), "gt_gate_sb_v1")
+    specs = corpus_mod.synth_geotiff_scenes_subbyte(root)
+    cat = GT.geotiff_tile_catalog(spark, specs)
+    return GT.per_tile_checksum(GT.read_catalog_tiles(cat), quant=1.0)
+
+
 def q_resample_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESAMPLE METHOD family beyond nearest/bilinear (the reference
     accepts the full GeoTrellis ResampleMethod enum wherever a resample
@@ -3194,6 +3241,39 @@ FROM px GROUP BY 1, 2, 3, 4
     # BigTIFF variant (geotiff_read_bigtiff): same quantized fixture
     # through the version-43 LONG8 IFD/segment parse — same closed form.
     o["geotiff_read_bigtiff"] = o["geotiff_read"]
+
+    # LZMA variant (geotiff_read_lzma): int32 sample IS 4*val, read
+    # through the 34925 .xz-segment decode — same closed form.
+    o["geotiff_read_lzma"] = o["geotiff_read"]
+
+    # Sub-byte variant (geotiff_read_subbyte): the field reduced to
+    # pmod(4*val, 2^bits - 1) + 1 per scene (bits 4/2/1, NoData -> 0 =
+    # the declared nodata), recomputed in SQL with the pmod spelled
+    # ((x % m) + m) % m so negative quarters agree with numpy's
+    # non-negative % — quant=1 integer sums, order-independent.
+    o["geotiff_read_subbyte"] = f"""
+WITH px AS (
+  SELECT s, band, tc, tr, r, c, {_fval('r', 'c')} AS val,
+         CASE WHEN s = 0 THEN 15 WHEN s = 1 THEN 3 ELSE 1 END AS m
+  FROM range(0,3) ss(s), range(0,2) bs(band), range(0,4) tcs(tc),
+       range(0,4) trs(tr), range(0,64) rs(r), range(0,64) cs(c)
+), w AS (
+  SELECT s, band, tc, tr,
+         CASE WHEN val <> -9999.0
+              THEN ((CAST(val * 4 AS BIGINT) % m) + m) % m + 1
+              ELSE 0 END AS wv
+  FROM px
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS INT) AS band,
+       CAST(18 + tc + s AS BIGINT) AS col,
+       CAST(24 + tr AS BIGINT) AS row,
+       CAST(SUM(CASE WHEN wv <> 0 THEN wv ELSE 0 END) AS BIGINT)
+         AS px_qsum,
+       CAST(COUNT(CASE WHEN wv <> 0 THEN 1 END) AS BIGINT)
+         AS px_count
+FROM w GROUP BY 1, 2, 3, 4
+"""
 
     # Floating-point-predictor variant (geotiff_read_pred3): the
     # original float64 fixture through the TechNote-3 byte-plane
@@ -5368,6 +5448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "geotiff_read_subbyte": q_geotiff_read_subbyte,
+        "geotiff_read_lzma": q_geotiff_read_lzma,
         "resample_methods": q_resample_methods,
         "geotiff_read_pred3": q_geotiff_read_pred3,
         "geotiff_read_bigtiff": q_geotiff_read_bigtiff,

@@ -371,6 +371,72 @@ def synth_geotiff_scenes_bigtiff(root: str,
     return _synth_quant_scenes(root, variants, "bt", tile_size)
 
 
+def synth_geotiff_scenes_lzma(root: str,
+                              tile_size: int = 64) -> list[dict]:
+    """LZMA sibling (compression 34925, the libtiff tif_lzma.c extension
+    — per-segment .xz streams): same int32 4*val quantized fixture,
+    scene-0 LE+planar2+predictor2+overview, scene-1 BE+chunky,
+    scene-2 LE+COG layout. Shares geotiff_read's closed-form oracle at
+    quant=1 like the LZW/PackBits gates."""
+    variants = [{"byteorder": "<", "compress": "lzma", "planar": 2,
+                 "predictor": 2, "overviews": 1},
+                {"byteorder": ">", "compress": "lzma", "planar": 1,
+                 "predictor": 1, "overviews": 0},
+                {"byteorder": "<", "compress": "lzma", "planar": 2,
+                 "predictor": 1, "overviews": 0, "cog": True}]
+    return _synth_quant_scenes(root, variants, "xz", tile_size)
+
+
+def synth_geotiff_scenes_subbyte(root: str,
+                                 tile_size: int = 64) -> list[dict]:
+    """Sub-byte sibling (TIFF 6.0 §4-5 bilevel / 2- and 4-bit grayscale
+    — the real-world MASK band formats): the closed-form field reduced
+    per scene to ``pmod(4*val, 2^bits - 1) + 1`` with NoData -> 0, so
+    every data pixel is a nonzero ``bits``-wide sample and the shared
+    checksum shape still pins every decoded bit and tile placement.
+    Scene-0 4-bit LE+deflate+planar2+overview, scene-1 2-bit
+    BE+lzw+chunky, scene-2 1-bit LE+packbits+planar2 (the bilevel mask
+    case: every data pixel is exactly 1 — the footprint mask itself is
+    under the gate)."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from geotrellis_contrib_spark.sources import geotiff as GT
+
+    variants = [{"byteorder": "<", "compress": "deflate", "planar": 2,
+                 "overviews": 1, "bits": 4},
+                {"byteorder": ">", "compress": "lzw", "planar": 1,
+                 "overviews": 0, "bits": 2},
+                {"byteorder": "<", "compress": "packbits", "planar": 2,
+                 "overviews": 0, "bits": 1}]
+    os.makedirs(root, exist_ok=True)
+    specs = []
+    for s, var in enumerate(variants):
+        path = os.path.join(root, f"scene-{s}-sb.tif")
+        if not os.path.exists(path):
+            arr = synth_scene_mosaic(s, tile_size=tile_size)
+            q4 = np.round(arr * 4.0).astype(np.int64)
+            m = (1 << var["bits"]) - 1
+            w = np.where(arr == -9999.0, 0, (q4 % m) + 1).astype(np.uint8)
+            web = 20037508.342789244
+            tsz = 2.0 * web / 64.0
+            xmin = -web + (18 + s) * tsz
+            ymax = web - 24 * tsz
+            xmax, ymin = xmin + 4 * tsz, ymax - 4 * tsz
+            fd, tmp = tempfile.mkstemp(dir=root, suffix=".part")
+            os.close(fd)
+            GT.write_geotiff(tmp, w, (xmin, ymin, xmax, ymax),
+                             epsg=3857, nodata=0.0,
+                             tile_size=tile_size, **var)
+            os.replace(tmp, path)
+        specs.append({"path": path, "source_id": f"scene-{s}",
+                      "source_idx": s, "zoom": 6, "base_col": 18 + s,
+                      "base_row": 24})
+    return specs
+
+
 def _synth_quant_scenes(root: str, variants: list[dict], suffix: str,
                         tile_size: int) -> list[dict]:
     import os

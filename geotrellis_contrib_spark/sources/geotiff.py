@@ -31,18 +31,23 @@ archive format), both byte orders,
 tiled and stripped layouts, compression none/deflate (8 and legacy
 32946)/LZW (5 — TIFF 6.0 §13 with the standard early-change code widths,
 both codec directions so roundtrips stay self-contained)/PackBits (32773,
-TIFF 6.0 §9 byte RLE, both directions), predictor 1,
+TIFF 6.0 §9 byte RLE, both directions)/LZMA (34925, the libtiff
+tif_lzma.c extension — per-segment .xz streams via stdlib ``lzma``,
+both directions), predictor 1,
 2 (horizontal differencing, integer samples — the GDAL write default for
 LZW) and 3 (TIFF TechNote 3 floating-point byte-plane differencing —
 the libtiff/GDAL default for compressed floats),
 planar 1 (chunky) and 2 (separate), sample formats uint8/16/32,
-int16/32, float32/64, overview IFDs (NewSubfileType=1),
+int16/32, float32/64 plus sub-byte unsigned 1/2/4-bit (bilevel masks
+and 2-/4-bit grayscale, TIFF 6.0 §4-5: MSB-first, byte-aligned rows;
+decoded to uint8 engine tiles), overview IFDs (NewSubfileType=1),
 ModelPixelScale+ModelTiepoint AND axis-aligned north-up
 ModelTransformation georeferencing (rotation/shear fails loud),
 GTModelType geographic/projected with an EPSG code, GDAL_NODATA."""
 
 from __future__ import annotations
 
+import lzma as _lzma
 import os
 import struct
 import zlib
@@ -72,6 +77,48 @@ _DT_TO_TIFF = {"uint8": (8, 1), "uint16": (16, 1), "uint32": (32, 1),
                "int16": (16, 2), "int32": (32, 2),
                "float32": (32, 3), "float64": (64, 3)}
 _TIFF_TO_DT = {v: k for k, v in _DT_TO_TIFF.items()}
+
+# sub-byte UNSIGNED samples (TIFF 6.0 §4 bilevel / §5 grayscale 2- and
+# 4-bit): wire dtype strings used in header info + tile catalogs; the
+# engine-side pixel dtype is always uint8 (decode widens, encode packs).
+# MSB-first within each byte, rows padded to a byte boundary per spec.
+_SUBBYTE_BITS = {"uint1": 1, "uint2": 2, "uint4": 4}
+_TIFF_TO_DT.update({(1, 1): "uint1", (2, 1): "uint2", (4, 1): "uint4"})
+
+
+def _engine_dtype(wire_dtype: str) -> str:
+    """Engine pixel dtype for a wire dtype (sub-byte widens to uint8)."""
+    return "uint8" if wire_dtype in _SUBBYTE_BITS else wire_dtype
+
+
+def _pack_subbyte(seg: np.ndarray, bits: int) -> bytes:
+    """Pack a (rows, w) or (rows, w, spp) uint8 block of values < 2^bits
+    into the TIFF sub-byte wire layout: samples MSB-first at ``bits``
+    per sample, each ROW padded to a whole byte (TIFF 6.0 §4/§5 row
+    alignment). Byte-order independent by construction."""
+    if seg.ndim == 3:
+        seg = seg.reshape(seg.shape[0], -1)      # chunky: interleave spp
+    rows, n = seg.shape
+    b8 = np.unpackbits(seg.astype(np.uint8)[:, :, None], axis=2)
+    flat = b8[:, :, 8 - bits:].reshape(rows, n * bits)
+    return np.packbits(flat, axis=1).tobytes()   # packbits pads each row
+
+
+def _unpack_subbyte(raw: bytes, bits: int, tw: int,
+                    spp: int) -> np.ndarray:
+    """Inverse of :func:`_pack_subbyte`: sub-byte wire rows -> uint8
+    samples, (rows, tw) or (rows, tw, spp)."""
+    row_bytes = (tw * spp * bits + 7) // 8
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    if row_bytes == 0 or len(buf) % row_bytes:
+        raise ValueError(f"sub-byte segment of {len(buf)} bytes is not "
+                         f"a multiple of the {row_bytes}-byte row")
+    rows = len(buf) // row_bytes
+    bit_rows = np.unpackbits(buf.reshape(rows, row_bytes), axis=1)
+    vals = bit_rows[:, :tw * spp * bits].reshape(rows, tw * spp, bits)
+    weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.uint16)
+    out = (vals.astype(np.uint16) * weights).sum(axis=2).astype(np.uint8)
+    return out.reshape(rows, tw, spp) if spp > 1 else out.reshape(rows, tw)
 
 
 # ---------------------------------------------------------------------------
@@ -408,14 +455,18 @@ def _geokeys(epsg: int) -> list[int]:
 
 def _level_segments(band_arrs: np.ndarray, tile: int, strips: bool,
                     compress: str, nodata: float, np_bo: str,
-                    planar: int, predictor: int = 1):
+                    planar: int, predictor: int = 1,
+                    sub_bits: int = 0):
     """Segment byte payloads for one resolution level, TIFF segment order
     (plane-major for planar=2, pixel-interleaved for planar=1). Edge
-    tiles pad with nodata per spec."""
+    tiles pad with nodata per spec. ``sub_bits`` in (1, 2, 4) packs
+    uint8 samples into the sub-byte wire layout."""
     nb, h, w = band_arrs.shape
     wire = band_arrs.dtype.newbyteorder(np_bo)
 
     def wire_bytes(seg: np.ndarray) -> bytes:
+        if sub_bits:  # byte-order independent, predictor-1 only
+            return _pack_subbyte(seg, sub_bits)
         if predictor == 3:  # byte order fixed by the fp predictor itself
             return _fpdiff(seg)
         if predictor == 2:
@@ -456,8 +507,18 @@ def _level_segments(band_arrs: np.ndarray, tile: int, strips: bool,
         segs = [lzw_encode(s) for s in segs]
     elif compress == "packbits":
         spp = nb if planar == 1 else 1
-        rb = (w if strips else tile) * spp * band_arrs.dtype.itemsize
+        row_w = (w if strips else tile) * spp
+        rb = ((row_w * sub_bits + 7) // 8 if sub_bits
+              else row_w * band_arrs.dtype.itemsize)
         segs = [packbits_encode(s, rb) for s in segs]
+    elif compress == "lzma":
+        # libtiff's tif_lzma.c compresses each segment with liblzma's
+        # stream encoder (the .xz container, LZMA2 filter); stdlib
+        # lzma.FORMAT_XZ emits the same container. CHECK_CRC32 keeps
+        # the stream self-verifying; decoders ignore the check choice.
+        segs = [_lzma.compress(s, format=_lzma.FORMAT_XZ,
+                               check=_lzma.CHECK_CRC32, preset=6)
+                for s in segs]
     return segs, n_w, n_h
 
 
@@ -476,7 +537,8 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
                   strips: bool = False, overviews: int = 0,
                   planar: int = 2, cog: bool = False,
                   predictor: int = 1, bigtiff: bool = False,
-                  geo_encoding: str = "pixelscale") -> None:
+                  geo_encoding: str = "pixelscale",
+                  bits: int | None = None) -> None:
     """Write a (multiband) GeoTiff: ``bands`` is (nbands, H, W) or (H, W);
     ``extent`` = (xmin, ymin, xmax, ymax) in the CRS of ``epsg``.
     ``overviews`` appends that many 2x-decimated overview IFDs
@@ -493,8 +555,27 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
     dtype = str(bands.dtype)
     if dtype not in _DT_TO_TIFF:
         raise ValueError(f"unsupported dtype {dtype}")
-    if compress not in ("none", "deflate", "lzw", "packbits"):
+    if compress not in ("none", "deflate", "lzw", "packbits", "lzma"):
         raise ValueError(f"unsupported compression {compress!r}")
+    sub_bits = 0
+    if bits is not None and bits != 8 * bands.dtype.itemsize:
+        if bits not in (1, 2, 4):
+            raise ValueError(f"bits={bits} unsupported (1/2/4 sub-byte "
+                             "or the dtype's native width)")
+        if dtype != "uint8":
+            raise ValueError(f"sub-byte bits={bits} requires uint8 "
+                             f"samples, got {dtype}")
+        if predictor != 1:
+            raise ValueError("predictors are byte-oriented (TIFF 6.0 "
+                             "§14); sub-byte samples require predictor 1")
+        vmax = int(bands.max()) if bands.size else 0
+        if vmax >= (1 << bits) or (bands.size and int(bands.min()) < 0):
+            raise ValueError(f"sample values exceed {bits}-bit range "
+                             f"(max {vmax})")
+        if not (0 <= float(nodata) < (1 << bits)):
+            raise ValueError(f"nodata {nodata} not representable in "
+                             f"{bits} bits")
+        sub_bits = bits
     if byteorder not in ("<", ">"):
         raise ValueError("byteorder must be '<' or '>'")
     if planar not in (1, 2):
@@ -510,6 +591,8 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
                          f"got {bands.dtype} (integers use predictor 2)")
     bo = byteorder
     bits, sfmt = _DT_TO_TIFF[dtype]
+    if sub_bits:
+        bits = sub_bits
     xmin, ymin, xmax, ymax = (float(v) for v in extent)
 
     levels = [bands]
@@ -518,7 +601,7 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
 
     level_segs = [
         _level_segments(arrs, tile_size, strips, compress, nodata, bo,
-                        planar, predictor)
+                        planar, predictor, sub_bits)
         for arrs in levels]
     hdr_len = 16 if bigtiff else 8
     if cog:
@@ -608,7 +691,7 @@ def _assemble_ifds(levels, level_segs, level_offs, bo, nb, bits, sfmt,
         ifd.add(_TAG["BitsPerSample"], 3, [bits] * nb)
         ifd.add(_TAG["Compression"], 3,
                 {"none": 1, "deflate": 8, "lzw": 5,
-                 "packbits": 32773}[compress])
+                 "packbits": 32773, "lzma": 34925}[compress])
         if predictor in (2, 3):
             ifd.add(_TAG["Predictor"], 3, predictor)
         ifd.add(_TAG["Photometric"], 3, 1)
@@ -728,9 +811,9 @@ def read_geotiff_info(path: str) -> dict:
                                        f.read(8 if big else 4))
 
             comp = tags.get(_TAG["Compression"], [1])[0]
-            if comp not in (1, 5, 8, 32946, 32773):
+            if comp not in (1, 5, 8, 32946, 32773, 34925):
                 raise ValueError(f"unsupported compression {comp} "
-                                 "(none/lzw/deflate/packbits only)")
+                                 "(none/lzw/deflate/packbits/lzma only)")
             predictor = tags.get(_TAG["Predictor"], [1])[0]
             if predictor not in (1, 2, 3):
                 raise ValueError(f"unsupported predictor {predictor} "
@@ -747,6 +830,10 @@ def read_geotiff_info(path: str) -> dict:
             key = (bits[0], sfmt[0])
             if key not in _TIFF_TO_DT:
                 raise ValueError(f"unsupported sample type {key}")
+            if _TIFF_TO_DT[key] in _SUBBYTE_BITS and predictor != 1:
+                raise ValueError(f"predictor {predictor} with sub-byte "
+                                 "samples unsupported (TIFF predictors "
+                                 "are byte-oriented)")
             if predictor == 2 and _TIFF_TO_DT[key] not in _PRED_UNSIGNED:
                 raise ValueError(
                     f"predictor 2 with non-integer samples "
@@ -843,18 +930,24 @@ def read_geotiff_info(path: str) -> dict:
 
 
 def _np_dtype(info_dtype: str, bo: str) -> np.dtype:
-    return np.dtype(info_dtype).newbyteorder(bo)
+    return np.dtype(_engine_dtype(info_dtype)).newbyteorder(bo)
 
 
 def _decode_segment(raw: bytes, compression: int, dtype: np.dtype,
                     th: int, tw: int, spp: int,
-                    predictor: int = 1) -> np.ndarray:
+                    predictor: int = 1, sub_bits: int = 0) -> np.ndarray:
     if compression in (8, 32946):
         raw = zlib.decompress(raw)
     elif compression == 5:
         raw = lzw_decode(raw)
     elif compression == 32773:
         raw = packbits_decode(raw)
+    elif compression == 34925:
+        # FORMAT_AUTO accepts both the .xz container (libtiff's stream
+        # encoder) and the legacy .lzma "alone" container
+        raw = _lzma.decompress(raw, format=_lzma.FORMAT_AUTO)
+    if sub_bits:
+        return _unpack_subbyte(raw, sub_bits, tw, spp)
     if predictor == 3:
         # fp predictor bytes are byte-order-independent (MSB-first
         # plane split) — decode straight to native-endian floats
@@ -876,9 +969,10 @@ def read_geotiff(path: str, level: int = 0) -> tuple[np.ndarray, dict]:
     ifd = info["ifds"][level]
     nb, planar = info["nbands"], info["planar"]
     dtype = _np_dtype(info["dtype"], info["byteorder"])
+    sub_bits = _SUBBYTE_BITS.get(info["dtype"], 0)
     h, w = ifd["height"], ifd["width"]
     tw, th, n_w, n_h = ifd["tile_w"], ifd["tile_h"], ifd["n_w"], ifd["n_h"]
-    out = np.empty((nb, h, w), dtype=np.dtype(info["dtype"]))
+    out = np.empty((nb, h, w), dtype=np.dtype(_engine_dtype(info["dtype"])))
     with open(path, "rb") as f:
         per_plane = n_w * n_h
         for si, (off, cnt) in enumerate(zip(ifd["offsets"], ifd["counts"])):
@@ -893,7 +987,7 @@ def read_geotiff(path: str, level: int = 0) -> tuple[np.ndarray, dict]:
             tr, tc = ti // n_w, ti % n_w
             seg = _decode_segment(raw, ifd["compression"], dtype, th, tw,
                                   nb if planar == 1 else 1,
-                                  ifd["predictor"])
+                                  ifd["predictor"], sub_bits)
             rows = min(th, h - tr * th)
             cols = min(tw, w - tc * tw)
             if planar == 1 and nb > 1:
@@ -990,18 +1084,20 @@ def read_catalog_tiles(catalog):
                         raw, int(t.compression), dtype,
                         int(t.tile_size), int(t.tile_size),
                         int(t.nbands) if t.planar == 1 else 1,
-                        int(t.predictor))
+                        int(t.predictor),
+                        _SUBBYTE_BITS.get(t.dtype, 0))
                     if t.planar == 1 and t.nbands > 1:
                         arr = seg[:, :, int(t.band)]
                     else:
                         arr = seg
+                    eng_dt = _engine_dtype(t.dtype)
                     arr = np.ascontiguousarray(
-                        arr.astype(np.dtype(t.dtype)))
+                        arr.astype(np.dtype(eng_dt)))
                     out.append({"source_id": t.source_id,
                                 "source_idx": int(t.source_idx),
                                 "zoom": int(t.zoom),
                                 "col": int(t.col), "row": int(t.row),
-                                "band": int(t.band), "dtype": t.dtype,
+                                "band": int(t.band), "dtype": eng_dt,
                                 "nodata": float(t.nodata),
                                 "px": pack(arr)})
             yield pd.DataFrame(

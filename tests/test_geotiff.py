@@ -680,3 +680,179 @@ def test_model_transformation_rotation_fails_loud(tmp_path):
     open(p, "wb").write(bytes(raw))
     with pytest.raises(ValueError, match="rotated/sheared"):
         GT.read_geotiff_info(p)
+
+
+# ---------------------------------------------------------------------------
+# LZMA (compression 34925, libtiff tif_lzma.c extension)
+# ---------------------------------------------------------------------------
+
+def test_lzma_segment_is_xz(tmp_path):
+    """Wire-level: each segment is a standalone .xz stream (the container
+    libtiff's stream encoder emits) — magic FD 37 7A 58 5A 00."""
+    arr = np.arange(64 * 64, dtype=np.int32).reshape(1, 64, 64)
+    p = str(tmp_path / "x.tif")
+    GT.write_geotiff(p, arr, (0, 0, 1, 1), compress="lzma", nodata=-1.0)
+    info = GT.read_geotiff_info(p)
+    ifd = info["ifds"][0]
+    assert ifd["compression"] == 34925
+    with open(p, "rb") as f:
+        f.seek(ifd["offsets"][0])
+        assert f.read(6) == b"\xfd7zXZ\x00"
+
+
+def test_lzma_geotiff_roundtrips(tmp_path):
+    """write->read across byte order / interleave / layout / predictor /
+    overviews; values bit-identical."""
+    rng = np.random.default_rng(23)
+    arr_f = rng.normal(size=(2, 96, 80)).astype(np.float64)
+    arr_i = rng.integers(-1000, 1000, (2, 96, 80)).astype(np.int32)
+    combos = [
+        dict(byteorder="<", planar=2, strips=False, overviews=1),
+        dict(byteorder=">", planar=1, strips=False, overviews=0),
+        dict(byteorder="<", planar=2, strips=True, overviews=0),
+    ]
+    for i, kw in enumerate(combos):
+        for arr, pred in ((arr_f, 3), (arr_i, 2)):
+            p = str(tmp_path / f"xz{i}_{pred}.tif")
+            GT.write_geotiff(p, arr, (0, 0, 1, 1), compress="lzma",
+                             predictor=pred, nodata=-9999.0, **kw)
+            got, info = GT.read_geotiff(p)
+            assert info["ifds"][0]["compression"] == 34925
+            np.testing.assert_array_equal(got, arr)
+            if kw["overviews"]:
+                ov, _ = GT.read_geotiff(p, level=1)
+                np.testing.assert_array_equal(ov, arr[:, ::2, ::2])
+
+
+def test_lzma_catalog_read(tmp_path, spark):
+    """Distributed catalog read decodes LZMA tiles bit-identical to the
+    uncompressed write of the same array."""
+    arr = np.stack([np.full((64, 64), 3.25), np.full((64, 64), -2.5)])
+    arr[0, 10:20, :] = 7.75
+    pu, px = str(tmp_path / "u.tif"), str(tmp_path / "x.tif")
+    GT.write_geotiff(pu, arr, (0, 0, 1, 1), compress="none", nodata=-1.0)
+    GT.write_geotiff(px, arr, (0, 0, 1, 1), compress="lzma", nodata=-1.0)
+    key = lambda r: (r.band, r.col, r.row)  # noqa: E731
+    out = {}
+    for tag, path in (("u", pu), ("x", px)):
+        cat = GT.geotiff_tile_catalog(
+            spark, [{"path": path, "source_id": tag, "zoom": 0}])
+        out[tag] = {key(r): r.px_qsum for r in
+                    GT.per_tile_checksum(GT.read_catalog_tiles(cat)).collect()}
+    assert out["u"] == out["x"] and len(out["x"]) == 2
+
+
+# ---------------------------------------------------------------------------
+# sub-byte samples (TIFF 6.0 §4-5: 1/2/4-bit unsigned, MSB-first,
+# byte-aligned rows)
+# ---------------------------------------------------------------------------
+
+def test_subbyte_pack_golden():
+    """Hand-computed wire bytes: 4-bit row [1,2,3] -> 0x12 0x30 (second
+    byte padded); 1-bit row [1,0,1,1,0,0,1,0,1] -> 0xB2 0x80; unpack
+    inverts both."""
+    seg4 = np.array([[1, 2, 3]], dtype=np.uint8)
+    assert GT._pack_subbyte(seg4, 4) == bytes([0x12, 0x30])
+    np.testing.assert_array_equal(
+        GT._unpack_subbyte(bytes([0x12, 0x30]), 4, 3, 1), seg4)
+    seg1 = np.array([[1, 0, 1, 1, 0, 0, 1, 0, 1]], dtype=np.uint8)
+    assert GT._pack_subbyte(seg1, 1) == bytes([0xB2, 0x80])
+    np.testing.assert_array_equal(
+        GT._unpack_subbyte(bytes([0xB2, 0x80]), 1, 9, 1), seg1)
+    # 2-bit, two rows: each row independently byte-aligned
+    seg2 = np.array([[3, 0, 2], [1, 1, 1]], dtype=np.uint8)
+    assert GT._pack_subbyte(seg2, 2) == bytes([0b11001000, 0b01010100])
+
+
+def test_subbyte_hand_tiff(tmp_path):
+    """Spec golden independent of our writer: a hand-assembled 2x3
+    1-bit stripped TIFF decodes to the expected mask."""
+    data = bytes([0b10100000, 0b01100000])  # rows (1,0,1), (0,1,1)
+    entries = [
+        (256, 3, 1, struct.pack("<H", 3) + b"\x00\x00"),
+        (257, 3, 1, struct.pack("<H", 2) + b"\x00\x00"),
+        (258, 3, 1, struct.pack("<H", 1) + b"\x00\x00"),   # bits 1
+        (259, 3, 1, struct.pack("<H", 1) + b"\x00\x00"),
+        (262, 3, 1, struct.pack("<H", 1) + b"\x00\x00"),
+        (273, 4, 1, struct.pack("<I", 8)),
+        (277, 3, 1, struct.pack("<H", 1) + b"\x00\x00"),
+        (278, 4, 1, struct.pack("<I", 2)),
+        (279, 4, 1, struct.pack("<I", 2)),
+    ]
+    ifd = struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        ifd += struct.pack("<HHI", tag, typ, cnt) + val
+    ifd += struct.pack("<I", 0)
+    p = str(tmp_path / "hand1bit.tif")
+    with open(p, "wb") as f:  # header(8) + data(2) -> IFD at 10
+        f.write(b"II" + struct.pack("<H", 42) + struct.pack("<I", 10))
+        f.write(data)
+        f.write(ifd)
+    got, info = GT.read_geotiff(p)
+    assert info["dtype"] == "uint1" and got.dtype == np.uint8
+    np.testing.assert_array_equal(
+        got[0], np.array([[1, 0, 1], [0, 1, 1]], dtype=np.uint8))
+
+
+@pytest.mark.parametrize("bits", [1, 2, 4])
+def test_subbyte_roundtrips(tmp_path, bits):
+    """write->read across compression / byte order / interleave / layout
+    / overviews; decoded uint8 bit-identical."""
+    rng = np.random.default_rng(31)
+    arr = rng.integers(0, 1 << bits, (2, 96, 80)).astype(np.uint8)
+    combos = [
+        dict(byteorder="<", compress="deflate", planar=2, overviews=1),
+        dict(byteorder=">", compress="lzw", planar=1, overviews=0),
+        dict(byteorder="<", compress="packbits", planar=2, strips=True,
+             overviews=0),
+        dict(byteorder="<", compress="lzma", planar=2, overviews=0,
+             cog=True),
+    ]
+    for i, kw in enumerate(combos):
+        p = str(tmp_path / f"sb{bits}_{i}.tif")
+        GT.write_geotiff(p, arr, (0, 0, 1, 1), bits=bits, nodata=0.0, **kw)
+        got, info = GT.read_geotiff(p)
+        assert info["dtype"] == f"uint{bits}" and got.dtype == np.uint8
+        np.testing.assert_array_equal(got, arr)
+        if kw.get("overviews"):
+            ov, _ = GT.read_geotiff(p, level=1)
+            np.testing.assert_array_equal(ov, arr[:, ::2, ::2])
+
+
+def test_subbyte_fail_louds(tmp_path):
+    arr = np.zeros((1, 16, 16), dtype=np.uint8)
+    p = str(tmp_path / "f.tif")
+    with pytest.raises(ValueError, match="uint8"):
+        GT.write_geotiff(p, arr.astype(np.uint16), (0, 0, 1, 1), bits=1,
+                         nodata=0.0)
+    with pytest.raises(ValueError, match="range"):
+        GT.write_geotiff(p, arr + 4, (0, 0, 1, 1), bits=2, nodata=0.0)
+    with pytest.raises(ValueError, match="predictor 1"):
+        GT.write_geotiff(p, arr, (0, 0, 1, 1), bits=1, predictor=2,
+                         nodata=0.0)
+    with pytest.raises(ValueError, match="nodata"):
+        GT.write_geotiff(p, arr, (0, 0, 1, 1), bits=1, nodata=5.0)
+    with pytest.raises(ValueError, match="bits=3"):
+        GT.write_geotiff(p, arr, (0, 0, 1, 1), bits=3, nodata=0.0)
+
+
+def test_subbyte_catalog_read(tmp_path, spark):
+    """Catalog read of a 4-bit file: engine tiles decode to uint8 with
+    the same checksum as the 8-bit write of the same values."""
+    rng = np.random.default_rng(37)
+    arr = rng.integers(0, 16, (2, 64, 64)).astype(np.uint8)
+    p8, p4 = str(tmp_path / "w8.tif"), str(tmp_path / "w4.tif")
+    GT.write_geotiff(p8, arr, (0, 0, 1, 1), compress="none", nodata=0.0)
+    GT.write_geotiff(p4, arr, (0, 0, 1, 1), compress="deflate", bits=4,
+                     nodata=0.0)
+    key = lambda r: (r.band, r.col, r.row)  # noqa: E731
+    out = {}
+    for tag, path in (("w8", p8), ("w4", p4)):
+        cat = GT.geotiff_tile_catalog(
+            spark, [{"path": path, "source_id": tag, "zoom": 0}])
+        rows = GT.read_catalog_tiles(cat).collect()
+        assert all(r.dtype == "uint8" for r in rows)
+        df = GT.per_tile_checksum(
+            GT.read_catalog_tiles(cat), quant=1.0)
+        out[tag] = {key(r): r.px_qsum for r in df.collect()}
+    assert out["w8"] == out["w4"] and len(out["w4"]) == 2
