@@ -842,6 +842,59 @@ def q_polygon_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("zoom", "col", "row", "n_burned")
 
 
+def q_raster_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASK + INVERSE MASK by AOI geometry (geotrellis.raster.mask
+    TileMaskMethods — the core masking family every reference
+    RasterSource read feeds; half-open pixel-center rule, the
+    zonal_stats tier): three overlapping/disjoint lon-lat AOI boxes
+    whose edges are placed STRICTLY BETWEEN engine pixel-center
+    ordinates (lon edges on exact global pixel boundaries; lat edges at
+    midpoints of adjacent center latitudes under the engine's
+    linear-in-degrees-within-tile convention), so membership reduces to
+    exact integer global-pixel ranges the SQL twin recomputes with zero
+    transcendentals. Engine: zero-shuffle closed-over-dimension Arrow
+    map (no-hit tiles never deserialize pixels), both modes unioned
+    under a mode column, per-tile NoData-aware sums (quarter-multiple
+    values -> order-free float64). Oracle: the closed-form fixture field
+    with CASE range membership per mode."""
+    import math
+
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import pixels as px
+
+    tiles = corpus_mod.synth_px_tiles(spark)
+    Z, T = 6, 64
+    n = float(1 << Z)
+    npx = (1 << Z) * T
+
+    def lat_c(g: int) -> float:
+        trow, ri = divmod(g, T)
+        tymax = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * trow / n))))
+        tymin = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * (trow + 1) / n))))
+        return tymax - (ri + 0.5) * (tymax - tymin) / T
+
+    def latb(g: int) -> float:  # boundary strictly between rows g-1, g
+        return (lat_c(g - 1) + lat_c(g)) / 2.0
+
+    def lon(cpx: int) -> float:
+        return cpx / npx * 360.0 - 180.0
+
+    rects = [(1180, 1320, 1550, 1650),   # (ca, cb, ra, rb) global px
+             (1400, 1480, 1600, 1700),
+             (1200, 1250, 1560, 1580)]   # overlaps the first (union)
+    boxes = spark.createDataFrame(
+        [(lon(ca), latb(rb), lon(cb), latb(ra)) for ca, cb, ra, rb in rects],
+        "xmin double, ymin double, xmax double, ymax double")
+    keys = ("source_idx", "col", "row", "band")
+    m = px.mask_tiles(tiles, boxes, tile_size=T) \
+          .withColumn("tile_size", F.lit(T))
+    i = px.mask_tiles(tiles, boxes, tile_size=T, inverse=True) \
+          .withColumn("tile_size", F.lit(T))
+    return (px.tile_stats(m, keys=keys).withColumn("mode", F.lit("mask"))
+            .unionByName(px.tile_stats(i, keys=keys)
+                         .withColumn("mode", F.lit("inverse"))))
+
+
 def q_mosaic_merge_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-resolution mosaic merge: two 64-px sources + one 32-px source
     over shared keys; coarser tiles resample (nearest) to the group's
@@ -3246,6 +3299,38 @@ FROM px GROUP BY 1, 2, 3, 4
     # through the 34925 .xz-segment decode — same closed form.
     o["geotiff_read_lzma"] = o["geotiff_read"]
 
+    # Mask / inverseMask (raster_mask): AOI edges sit strictly between
+    # engine pixel-center ordinates, so membership is an exact integer
+    # global-pixel range — zero transcendentals in the twin; NoData-aware
+    # per-tile sums of the closed-form field (quarter multiples ->
+    # order-free float64), both modes via a cross-joined mode axis.
+    _msk = ("((gc >= 1180 AND gc < 1320 AND gr >= 1550 AND gr < 1650) "
+            "OR (gc >= 1400 AND gc < 1480 AND gr >= 1600 AND gr < 1700) "
+            "OR (gc >= 1200 AND gc < 1250 AND gr >= 1560 AND gr < 1580))")
+    _keep = ("val <> -9999.0 AND ((mode = 'mask' AND inm = 1) "
+             "OR (mode = 'inverse' AND inm = 0))")
+    o["raster_mask"] = f"""
+WITH px AS (
+  SELECT s, band, tc, tr, {_fval('r', 'c')} AS val,
+         (24 + tr) * 64 + r AS gr, (18 + tc + s) * 64 + c AS gc
+  FROM range(0,3) ss(s), range(0,2) bs(band), range(0,4) tcs(tc),
+       range(0,4) trs(tr), range(0,64) rs(r), range(0,64) cs(c)
+), km AS (
+  SELECT s, band, tc, tr, val,
+         CASE WHEN {_msk} THEN 1 ELSE 0 END AS inm
+  FROM px
+)
+SELECT CAST(s AS BIGINT) AS source_idx,
+       CAST(18 + tc + s AS BIGINT) AS col,
+       CAST(24 + tr AS BIGINT) AS row,
+       CAST(band AS BIGINT) AS band,
+       SUM(CASE WHEN {_keep} THEN val ELSE 0.0 END) AS px_sum,
+       CAST(COUNT(CASE WHEN {_keep} THEN 1 END) AS BIGINT) AS px_count,
+       mode
+FROM km, (SELECT 'mask' AS mode UNION ALL SELECT 'inverse') modes
+GROUP BY 1, 2, 3, 4, 7
+"""
+
     # Sub-byte variant (geotiff_read_subbyte): the field reduced to
     # pmod(4*val, 2^bits - 1) + 1 per scene (bits 4/2/1, NoData -> 0 =
     # the declared nodata), recomputed in SQL with the pmod spelled
@@ -5448,6 +5533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "raster_mask": q_raster_mask,
         "geotiff_read_subbyte": q_geotiff_read_subbyte,
         "geotiff_read_lzma": q_geotiff_read_lzma,
         "resample_methods": q_resample_methods,

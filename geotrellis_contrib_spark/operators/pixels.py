@@ -1027,6 +1027,84 @@ def zonal_stats_pixels_wkb(tiles: DataFrame, polygons: DataFrame,
         (F.sum("sum_val") / F.sum("cnt")).alias("mean_val"))
 
 
+def mask_tiles(tiles: DataFrame, boxes: DataFrame, tile_size: int = TILE_SIZE,
+               inverse: bool = False, max_boxes: int = 10000) -> DataFrame:
+    """GeoTrellis mask / inverseMask over the engine tile table
+    (geotrellis.raster.mask.TileMaskMethods — the core op family every
+    RasterSource the reference exposes feeds into; cropping reads by AOI
+    is the reference's own usage shape, SubsceneReadingIT.scala:91-97):
+    pixels whose CENTERS fall inside any masking box are kept (mask) or
+    blanked (inverse); everything else becomes NoData. ``boxes``:
+    (xmin, ymin, xmax, ymax) lon/lat, the engine's half-open
+    [xmin,xmax) x [ymin,ymax) center rule (same tier zonal_stats_pixels
+    uses).
+
+    Plan shape: the AOI table is a constant-small dimension — collected
+    ONCE (fail-loud past ``max_boxes``; the IVF-centroid pattern) and
+    closed over a narrow Arrow map. ZERO shuffle at any corpus size, and
+    a tile whose bbox misses every box never deserializes its pixels:
+    inverse passes the blob through untouched, mask emits a cached
+    constant all-NoData tile. Output schema = input schema."""
+    rows = boxes.select("xmin", "ymin", "xmax", "ymax") \
+                .limit(max_boxes + 1).collect()
+    if len(rows) > max_boxes:
+        raise ValueError(
+            f"mask_tiles collected more than max_boxes={max_boxes} AOI "
+            "boxes; a mask table this large needs the zonal-style "
+            "broadcast-join path, not the closed-over-dimension path")
+    bx = [(float(r.xmin), float(r.ymin), float(r.xmax), float(r.ymax))
+          for r in rows]
+    inv = bool(inverse)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base = np.arange(tile_size) + 0.5
+        nod_cache: dict[tuple, bytes] = {}
+        for pdf in batches:
+            out_px = []
+            for r in pdf.itertuples(index=False):
+                n = float(1 << int(r.zoom))
+                col, row = int(r.col), int(r.row)
+                txmin = col / n * 360.0 - 180.0
+                txmax = (col + 1) / n * 360.0 - 180.0
+                tymax = float(np.degrees(np.arctan(
+                    np.sinh(np.pi * (1 - 2 * row / n)))))
+                tymin = float(np.degrees(np.arctan(
+                    np.sinh(np.pi * (1 - 2 * (row + 1) / n)))))
+                hit = [b for b in bx
+                       if b[0] < txmax and b[2] > txmin
+                       and b[1] < tymax and b[3] > tymin]
+                if not hit:
+                    if inv:
+                        out_px.append(r.px)
+                    else:
+                        key = (r.dtype, float(r.nodata))
+                        blob = nod_cache.get(key)
+                        if blob is None:
+                            blob = pack(np.full(
+                                (tile_size, tile_size), r.nodata,
+                                dtype=np.dtype(r.dtype)))
+                            nod_cache[key] = blob
+                        out_px.append(blob)
+                    continue
+                xs = txmin + base * (txmax - txmin) / tile_size
+                ys = tymax - base * (tymax - tymin) / tile_size
+                gx, gy = np.meshgrid(xs, ys)
+                m = np.zeros(gx.shape, dtype=bool)
+                for bxmin, bymin, bxmax, bymax in hit:
+                    m |= ((gx >= bxmin) & (gx < bxmax)
+                          & (gy >= bymin) & (gy < bymax))
+                if inv:
+                    m = ~m
+                arr = unpack(r.px, r.dtype, tile_size).copy()
+                arr[~m] = r.nodata
+                out_px.append(pack(arr))
+            pdf = pdf.copy()
+            pdf["px"] = out_px
+            yield pdf
+
+    return tiles.mapInPandas(run, tiles.schema)
+
+
 def rasterize_polygons(polygons: DataFrame, zoom: int, tile_size: int = TILE_SIZE,
                        value_col: str = "burn_val", nodata: float = 0.0) -> DataFrame:
     """Burn joined polygon attributes into tiles (the north_star

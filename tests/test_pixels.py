@@ -349,3 +349,92 @@ def test_retile_up_missing_children_nodata(spark):
     mask = np.ones((256, 256), dtype=bool)
     mask[0:64, 128:192] = False
     assert np.isclose(panel[mask], -9999.0).all()
+
+
+# ---------------------------------------------------------------------------
+# mask / inverseMask (geotrellis.raster.mask TileMaskMethods analog)
+# ---------------------------------------------------------------------------
+
+def _mask_numpy_oracle(tiles_rows, boxes, tile_size, inverse):
+    """Untiled reference: per tile, pixel-center half-open box membership
+    (union over boxes), linear-in-degrees-within-tile centers."""
+    out = {}
+    for r in tiles_rows:
+        n = float(1 << r.zoom)
+        txmin = r.col / n * 360.0 - 180.0
+        txmax = (r.col + 1) / n * 360.0 - 180.0
+        tymax = float(np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * r.row / n)))))
+        tymin = float(np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * (r.row + 1) / n)))))
+        base = np.arange(tile_size) + 0.5
+        xs = txmin + base * (txmax - txmin) / tile_size
+        ys = tymax - base * (tymax - tymin) / tile_size
+        gx, gy = np.meshgrid(xs, ys)
+        m = np.zeros(gx.shape, dtype=bool)
+        for bxmin, bymin, bxmax, bymax in boxes:
+            m |= (gx >= bxmin) & (gx < bxmax) & (gy >= bymin) & (gy < bymax)
+        if inverse:
+            m = ~m
+        arr = px.unpack(r.px, r.dtype, tile_size).copy()
+        arr[~m] = r.nodata
+        out[(r.source_idx, r.band, r.col, r.row)] = arr
+    return out
+
+
+def test_mask_tiles_vs_numpy(spark):
+    """Engine mask/inverseMask bit-identical to the untiled numpy rule,
+    including the union of OVERLAPPING boxes; mask+inverse partition the
+    valid set exactly."""
+    tiles = corpus.synth_px_tiles(spark, tile_size=64)
+    rows = tiles.collect()
+    boxes = [(-76.5, 48.2, -74.8, 52.9), (-76.0, 50.0, -75.2, 55.1)]
+    bdf = spark.createDataFrame(
+        boxes, "xmin double, ymin double, xmax double, ymax double") \
+        .select("xmin", "ymin", "xmax", "ymax")
+    for inverse in (False, True):
+        got = {(r.source_idx, r.band, r.col, r.row):
+               px.unpack(r.px, r.dtype, 64)
+               for r in px.mask_tiles(tiles, bdf, tile_size=64,
+                                      inverse=inverse).collect()}
+        want = _mask_numpy_oracle(rows, boxes, 64, inverse)
+        assert got.keys() == want.keys()
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k])
+    # partition property: valid(mask) and valid(inverse) are disjoint and
+    # union to valid(original)
+    m = _mask_numpy_oracle(rows, boxes, 64, False)
+    i = _mask_numpy_oracle(rows, boxes, 64, True)
+    for r in rows:
+        k = (r.source_idx, r.band, r.col, r.row)
+        orig = px.unpack(r.px, r.dtype, 64)
+        vm = m[k] != r.nodata
+        vi = i[k] != r.nodata
+        assert not (vm & vi).any()
+        np.testing.assert_array_equal(vm | vi, orig != r.nodata)
+
+
+def test_mask_tiles_no_hit_fast_paths(spark):
+    """A tile overlapping no box: inverse passes the BLOB through
+    byte-identical; mask yields the all-NoData tile."""
+    tiles = corpus.synth_px_tiles(spark, tile_size=64)
+    far = spark.createDataFrame([(100.0, 10.0, 101.0, 11.0)],
+                                "xmin double, ymin double, xmax double, "
+                                "ymax double")
+    orig = {(r.source_idx, r.band, r.col, r.row): bytes(r.px)
+            for r in tiles.collect()}
+    inv = {(r.source_idx, r.band, r.col, r.row): bytes(r.px)
+           for r in px.mask_tiles(tiles, far, tile_size=64,
+                                  inverse=True).collect()}
+    assert inv == orig
+    for r in px.mask_tiles(tiles, far, tile_size=64).collect():
+        arr = px.unpack(r.px, r.dtype, 64)
+        assert (arr == r.nodata).all()
+
+
+def test_mask_tiles_max_boxes_fail_loud(spark):
+    tiles = corpus.synth_px_tiles(spark, tile_size=64)
+    many = spark.range(40).selectExpr("CAST(id AS DOUBLE) AS xmin",
+                                      "0.0 AS ymin",
+                                      "CAST(id+1 AS DOUBLE) AS xmax",
+                                      "1.0 AS ymax")
+    with pytest.raises(ValueError, match="max_boxes"):
+        px.mask_tiles(tiles, many, tile_size=64, max_boxes=10)
