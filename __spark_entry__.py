@@ -273,6 +273,40 @@ def q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("col", "row", "n_points", "sum_weight")
 
 
+def q_line_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINESTRING rasterization (Rasterizer.foreachCellByLineString —
+    vector->raster for LINE geometries, closing the rasterize family
+    alongside points and polygons): anchors grouped into 64 linestrings
+    (line_id = doc_id % 64, vertices ordered by doc_id — a partitioned
+    window, never a global sort), consecutive vertices become segments,
+    and every zoom-5 global-pixel cell a segment passes through is
+    burned by the pure-JVM supercover traversal (two bounded explodes,
+    zero Python). Per tile: burned (line, cell) pairs + distinct burned
+    cells. Oracle: the SAME column-walk recomputed in SQL — identical
+    gpix twins and identical float expression order, so every floor()
+    agrees bit-for-bit; generate_series replays both explodes."""
+    from pyspark.sql import Window
+
+    from geotrellis_contrib_spark.operators import pixels as px
+
+    _views(spark, sf_dir)
+    a = spark.table("anchors").filter(F.col("lon").isNotNull()
+                                      & F.col("lat").isNotNull())
+    w = Window.partitionBy(F.col("doc_id") % 64).orderBy("doc_id")
+    segs = (a.select((F.col("doc_id") % 64).alias("line_id"),
+                     F.col("lon").alias("x0"), F.col("lat").alias("y0"),
+                     F.lead("lon").over(w).alias("x1"),
+                     F.lead("lat").over(w).alias("y1"))
+             .filter(F.col("x1").isNotNull()))
+    cells = px.rasterize_lines(segs, zoom=5, tile_size=64).distinct()
+    npx = (1 << 5) * 64
+    return (cells.groupBy(F.shiftright("cx", 6).alias("col"),
+                          F.shiftright("cy", 6).alias("row"))
+            .agg(F.count(F.lit(1)).alias("n_hits"),
+                 F.countDistinct(F.col("cx") * F.lit(npx) + F.col("cy"))
+                  .alias("n_cells")))
+
+
 def q_kernel_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KERNEL DENSITY (GeoTrellis raster.density.KernelDensity — the
     kernel-stamped vector->raster path): every anchor stamps a triangle
@@ -2554,6 +2588,59 @@ SELECT {rc} AS col, {rr} AS row,
        CAST(SUM(doc_id % 256) AS BIGINT) AS sum_weight
 FROM anchors WHERE lon IS NOT NULL
 GROUP BY 1, 2
+"""
+
+    # Linestring rasterization (line_burn): the SAME supercover column
+    # walk replayed in SQL — identical gpix twins and identical float
+    # expression ORDER (orient CASE, slope division, GREATEST/LEAST
+    # clamps), so every floor() lands on the same double; DuckDB
+    # generate_series (inclusive) replays Spark's F.sequence explodes.
+    _lb_npx = (1 << 5) * 64
+    o["line_burn"] = f"""
+{derive.cte('anchors')},
+pts AS (
+  SELECT doc_id, doc_id % 64 AS line_id,
+         {C.sql_gpix_x('lon', 5, 64)} AS px,
+         {C.sql_gpix_y('lat', 5, 64)} AS py
+  FROM anchors WHERE lon IS NOT NULL AND lat IS NOT NULL
+), segs AS (
+  SELECT line_id, px AS px0, py AS py0,
+         LEAD(px) OVER (PARTITION BY line_id ORDER BY doc_id) AS px1,
+         LEAD(py) OVER (PARTITION BY line_id ORDER BY doc_id) AS py1
+  FROM pts
+), o AS (
+  SELECT line_id,
+         CASE WHEN px0 <= px1 THEN px0 ELSE px1 END AS xa,
+         CASE WHEN px0 <= px1 THEN py0 ELSE py1 END AS ya,
+         CASE WHEN px0 <= px1 THEN px1 ELSE px0 END AS xb,
+         CASE WHEN px0 <= px1 THEN py1 ELSE py0 END AS yb
+  FROM segs WHERE px1 IS NOT NULL
+), colwalk AS (
+  -- bounded cross join + filter (this DuckDB lacks lateral
+  -- generate_series with column params); off-grid columns are clipped
+  -- here exactly as the engine's [0,npx) cell filter clips them
+  SELECT line_id, xa, ya, xb, yb, k
+  FROM o, range(0, {_lb_npx}) t(k)
+  WHERE k >= CAST(FLOOR(xa) AS BIGINT) AND k <= CAST(FLOOR(xb) AS BIGINT)
+), yr AS (
+  SELECT line_id, k,
+         CASE WHEN xb = xa THEN ya
+              ELSE ya + (GREATEST(xa, CAST(k AS DOUBLE)) - xa)
+                        * ((yb - ya) / (xb - xa)) END AS y_lo,
+         CASE WHEN xb = xa THEN yb
+              ELSE ya + (LEAST(xb, CAST(k + 1 AS DOUBLE)) - xa)
+                        * ((yb - ya) / (xb - xa)) END AS y_hi
+  FROM colwalk
+), cells AS (
+  SELECT DISTINCT line_id, k AS cx, cy
+  FROM yr, range(0, {_lb_npx}) g(cy)
+  WHERE cy >= CAST(FLOOR(LEAST(y_lo, y_hi)) AS BIGINT)
+    AND cy <= CAST(FLOOR(GREATEST(y_lo, y_hi)) AS BIGINT)
+)
+SELECT cx // 64 AS col, cy // 64 AS row,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(COUNT(DISTINCT cx * {_lb_npx} + cy) AS BIGINT) AS n_cells
+FROM cells GROUP BY 1, 2
 """
 
     # Kernel density (kernel_density): per-(pixel, point) triangle-kernel
@@ -5533,6 +5620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "line_burn": q_line_burn,
         "raster_mask": q_raster_mask,
         "geotiff_read_subbyte": q_geotiff_read_subbyte,
         "geotiff_read_lzma": q_geotiff_read_lzma,

@@ -1151,6 +1151,79 @@ def rasterize_polygons(polygons: DataFrame, zoom: int, tile_size: int = TILE_SIZ
         burn, "zoom int, col bigint, row bigint, px binary, n_burned bigint")
 
 
+def rasterize_lines(segs: DataFrame, zoom: int, tile_size: int = TILE_SIZE,
+                    line_id: str = "line_id",
+                    x0: str = "x0", y0: str = "y0",
+                    x1: str = "x1", y1: str = "y1",
+                    max_cols_per_seg: int = 1 << 20) -> DataFrame:
+    """LINESTRING rasterization (geotrellis.raster.rasterize.Rasterizer
+    foreachCellByLineString analog — the vector->raster path for line
+    geometries): every global-pixel cell a segment PASSES THROUGH is
+    burned (supercover traversal, not 8-connected Bresenham — the cell
+    set GeoTrellis's exact traversal visits). ``segs`` carries one row
+    per segment in lon/lat. Cells are treated as CLOSED pixel squares:
+    a segment that only touches a cell boundary burns that cell too
+    (at an exact corner crossing both diagonal neighbors burn) — the
+    conservative supercover, a superset of any half-open convention on
+    the measure-zero boundary set and identical everywhere else.
+
+    Spark-first: the traversal is declared ENTIRELY in JVM Column
+    algebra — per segment, explode the x-monotone column range
+    (F.sequence over floored pixel columns), compute the segment's
+    y-interval inside each column in closed form, then explode its
+    floored row range; no Python touches the hot path, Catalyst prunes
+    and AQE re-plans the two bounded explodes. Column fan-out per
+    segment is <= its pixel-column span (fail-loud past
+    ``max_cols_per_seg`` inside the plan — never silently truncates).
+    Output: one row per (line_id, cx, cy) burned cell at ``zoom``
+    (global pixel coords), deduplicated within a segment by
+    construction; callers aggregate (see q_line_burn)."""
+    from geotrellis_contrib_spark.functions import cells as C
+
+    npx = (1 << zoom) * tile_size
+    s = (segs.select(
+            F.col(line_id).alias("line_id"),
+            C.gpix_x(F.col(x0), zoom, tile_size).alias("px0"),
+            C.gpix_y(F.col(y0), zoom, tile_size).alias("py0"),
+            C.gpix_x(F.col(x1), zoom, tile_size).alias("px1"),
+            C.gpix_y(F.col(y1), zoom, tile_size).alias("py1")))
+    # orient left-to-right in x (ties keep endpoint 0 as the anchor)
+    s = (s.withColumn("xa", F.when(F.col("px0") <= F.col("px1"),
+                                   F.col("px0")).otherwise(F.col("px1")))
+          .withColumn("ya", F.when(F.col("px0") <= F.col("px1"),
+                                   F.col("py0")).otherwise(F.col("py1")))
+          .withColumn("xb", F.when(F.col("px0") <= F.col("px1"),
+                                   F.col("px1")).otherwise(F.col("px0")))
+          .withColumn("yb", F.when(F.col("px0") <= F.col("px1"),
+                                   F.col("py1")).otherwise(F.col("py0"))))
+    ka = F.floor(F.col("xa")).cast("long")
+    kb = F.floor(F.col("xb")).cast("long")
+    kb_checked = F.when(
+        kb - ka > F.lit(max_cols_per_seg),
+        F.raise_error(F.concat(
+            F.lit("rasterize_lines: segment spans more than "
+                  f"{max_cols_per_seg} pixel columns ("),
+            (kb - ka).cast("string"),
+            F.lit("); clip the geometry or raise max_cols_per_seg"))
+        ).cast("long")).otherwise(kb)
+    cols = s.withColumn("k", F.explode(F.sequence(ka, kb_checked)))
+    vertical = F.col("xb") == F.col("xa")
+    m = (F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa"))
+    x_lo = F.greatest(F.col("xa"), F.col("k").cast("double"))
+    x_hi = F.least(F.col("xb"), (F.col("k") + F.lit(1)).cast("double"))
+    y_lo = F.when(vertical, F.col("ya")) \
+            .otherwise(F.col("ya") + (x_lo - F.col("xa")) * m)
+    y_hi = F.when(vertical, F.col("yb")) \
+            .otherwise(F.col("ya") + (x_hi - F.col("xa")) * m)
+    ra = F.floor(F.least(y_lo, y_hi)).cast("long")
+    rb = F.floor(F.greatest(y_lo, y_hi)).cast("long")
+    cells = (cols.withColumn("cy", F.explode(F.sequence(ra, rb)))
+                 .select("line_id", F.col("k").alias("cx"), "cy")
+                 .filter((F.col("cx") >= 0) & (F.col("cx") < npx)
+                         & (F.col("cy") >= 0) & (F.col("cy") < npx)))
+    return cells
+
+
 def rasterize_points_pixels(points: DataFrame, zoom: int, tile_size: int = TILE_SIZE,
                             lon="lon", lat="lat") -> DataFrame:
     """Pixel-level rasterize (vector->raster): bin points into per-tile

@@ -438,3 +438,105 @@ def test_mask_tiles_max_boxes_fail_loud(spark):
                                       "1.0 AS ymax")
     with pytest.raises(ValueError, match="max_boxes"):
         px.mask_tiles(tiles, many, tile_size=64, max_boxes=10)
+
+
+# ---------------------------------------------------------------------------
+# rasterize_lines (Rasterizer.foreachCellByLineString supercover analog)
+# ---------------------------------------------------------------------------
+
+def _burn_cells(spark, segs_lonlat, zoom=5, **kw):
+    df = spark.createDataFrame(
+        [(i, *s) for i, s in enumerate(segs_lonlat)],
+        "line_id long, x0 double, y0 double, x1 double, y1 double")
+    return {(r.line_id, r.cx, r.cy)
+            for r in px.rasterize_lines(df, zoom, tile_size=64, **kw)
+                       .collect()}
+
+
+def test_rasterize_lines_goldens(spark):
+    """Horizontal, vertical and 45-degree segments burn exactly the
+    expected cell runs (computed by hand in pixel space)."""
+    import math
+    npx = 2048.0
+
+    def lon_of(pxx):
+        return pxx / npx * 360.0 - 180.0
+
+    def lat_of(pyy):  # inverse of gpix_y
+        return math.degrees(math.atan(math.sinh(
+            math.pi * (1.0 - 2.0 * pyy / npx))))
+
+    # horizontal: px 100.5 -> 104.5 at py 200.5: cells cx 100..104, cy 200
+    got = _burn_cells(spark, [(lon_of(100.5), lat_of(200.5),
+                               lon_of(104.5), lat_of(200.5))])
+    assert got == {(0, cx, 200) for cx in range(100, 105)}
+    # vertical: py 300.5 -> 303.5 at px 50.5
+    got = _burn_cells(spark, [(lon_of(50.5), lat_of(300.5),
+                               lon_of(50.5), lat_of(303.5))])
+    assert got == {(0, 50, cy) for cy in range(300, 304)}
+    # 45 degrees crossing cell corners EXACTLY: (10.25,10.25)->
+    # (13.75,13.75) in pixel space runs along y=x, so every column exit
+    # is a corner hit; the closed-cell convention burns the diagonal
+    # run plus the below-neighbor touched at each corner
+    got = _burn_cells(spark, [(lon_of(10.25), lat_of(10.25),
+                               lon_of(13.75), lat_of(13.75))])
+    want = {(0, 10, 10), (0, 11, 11), (0, 12, 12), (0, 13, 13),
+            (0, 10, 11), (0, 11, 12), (0, 12, 13)}
+    assert got == want
+
+
+def test_rasterize_lines_supercover_property(spark):
+    """Dense parametric samples of each segment land ONLY in burned
+    cells, and every burned cell contains at least one sample —
+    the supercover definition, checked on irregular segments."""
+    import math
+    rng = np.random.default_rng(53)
+    npx = 2048.0
+    segs_px = [(rng.uniform(100, 600), rng.uniform(100, 600),
+                rng.uniform(100, 600), rng.uniform(100, 600))
+               for _ in range(8)]
+
+    def lon_of(pxx):
+        return pxx / npx * 360.0 - 180.0
+
+    def lat_of(pyy):
+        return math.degrees(math.atan(math.sinh(
+            math.pi * (1.0 - 2.0 * pyy / npx))))
+
+    segs = [(lon_of(a), lat_of(b), lon_of(c), lat_of(d))
+            for a, b, c, d in segs_px]
+    got = _burn_cells(spark, segs)
+    for i, (ax, ay, bx, by) in enumerate(segs_px):
+        t = np.linspace(0.0, 1.0, 20001)
+        sx, sy = ax + t * (bx - ax), ay + t * (by - ay)
+        sampled = {(i, int(np.floor(x)), int(np.floor(y)))
+                   for x, y in zip(sx, sy)}
+        burned_i = {c for c in got if c[0] == i}
+        missing = sampled - burned_i       # sample in an unburned cell?
+        assert not missing, missing
+        # every burned cell must intersect the segment: exact interval
+        # check in numpy (sampling can miss corner slivers thinner than
+        # the step) — the column's closed x-range maps to a y-range that
+        # must reach the cell's row
+        xa, xb = min(ax, bx), max(ax, bx)
+        ya2, yb2 = (ay, by) if ax <= bx else (by, ay)
+        for (_, k, r) in burned_i:
+            x_lo, x_hi = max(xa, k), min(xb, k + 1)
+            assert x_lo <= x_hi + 1e-9
+            if xb == xa:
+                y_lo, y_hi = min(ya2, yb2), max(ya2, yb2)
+            else:
+                m = (yb2 - ya2) / (xb - xa)
+                y1, y2 = ya2 + (x_lo - xa) * m, ya2 + (x_hi - xa) * m
+                y_lo, y_hi = min(y1, y2), max(y1, y2)
+            assert np.floor(y_lo) <= r <= np.floor(y_hi), (k, r, y_lo, y_hi)
+
+
+def test_rasterize_lines_span_fail_loud(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    df = spark.createDataFrame([(0, -179.0, 10.0, 179.0, 11.0)],
+                               "line_id long, x0 double, y0 double, "
+                               "x1 double, y1 double")
+    with pytest.raises(SparkRuntimeException, match="pixel columns"):
+        px.rasterize_lines(df, 5, tile_size=64,
+                           max_cols_per_seg=100).collect()
