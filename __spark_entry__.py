@@ -407,6 +407,42 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.row_number().over(w).alias("zrank"))
 
 
+def q_spacetime_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPACE-TIME key layout (GeoTrellis SpaceTimeKey + the Z3 curve,
+    store.index.zcurve.Z3: z = spread(x) | spread(y)<<1 | spread(t)<<2 —
+    the temporal-layer layout the reference's catalog tier indexes by):
+    events located at their user's anchor (a broadcast dimension join —
+    the locate-enrichment every spatio-temporal fact table needs), keyed
+    (col12, row12, epoch-day) and Z3-interleaved, then ranked WITHIN
+    their (zoom-6 cell, week) bucket — a per-partition sort at scale,
+    never global (zorder_layout's discipline extended by the time axis).
+    Day bins come from DATE arithmetic (datediff), not epoch seconds, so
+    sub-second timestamp semantics can't skew the bin edge. Oracle:
+    identical bit-spreading arithmetic in DuckDB + the same window."""
+    from pyspark.sql import Window as W
+
+    _views(spark, sf_dir)
+    e = spark.table("events")
+    a = spark.table("anchors").filter(F.col("lon").isNotNull())
+    j = e.join(F.broadcast(a), e.user_id == a.doc_id)
+    k = (j.select(
+            "event_id",
+            C.tile_col(F.col("lon"), 12).alias("col12"),
+            C.tile_row(F.col("lat"), 12).alias("row12"),
+            C.tile_col(F.col("lon"), 6).alias("c6"),
+            C.tile_row(F.col("lat"), 6).alias("r6"),
+            F.datediff(F.to_date("ts"),
+                       F.to_date(F.lit("1970-01-01"))).alias("tbin"))
+         .withColumn("z3", C.morton3_code("col12", "row12", "tbin"))
+         .withColumn("bucket", C.cell_id(F.lit(6), F.col("c6"),
+                                         F.col("r6")))
+         .withColumn("tweek", F.floor(F.col("tbin") / F.lit(7))
+                               .cast("long")))
+    w = W.partitionBy("bucket", "tweek").orderBy("z3", "event_id")
+    return k.select("event_id", "bucket", "tweek", "z3",
+                    F.row_number().over(w).alias("strank"))
+
+
 def q_pyramid_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the zoom-5 overview level from zoom-6 tiles (2x2 fold —
     pyramid-as-materialized-aggregate, SURVEY.md §2.4 overview selection)."""
@@ -2395,6 +2431,33 @@ SELECT doc_id, bucket,
          PARTITION BY bucket
          ORDER BY {C.sql_morton_duckdb('col12', 'row12')}, doc_id)
         AS INT) AS zrank
+FROM keyed
+"""
+
+    # Space-time Z3 layout (spacetime_layout): identical 3D bit-spread
+    # arithmetic (<< / & / |), DATE-level day bins, same per-(bucket,
+    # week) window — exact int64 end to end.
+    o["spacetime_layout"] = f"""
+{derive.cte('anchors')},
+j AS (
+  SELECT e.event_id, a.lon, a.lat,
+         DATEDIFF('day', DATE '1970-01-01', CAST(e.ts AS DATE)) AS tbin
+  FROM events e JOIN anchors a ON e.user_id = a.doc_id
+  WHERE a.lon IS NOT NULL),
+keyed AS (
+  SELECT event_id,
+         {C.sql_tile_col('lon', 12)} AS col12,
+         {C.sql_tile_row('lat', 12)} AS row12,
+         {C.sql_cell_id('6', zc6, zr6)} AS bucket,
+         tbin
+  FROM j)
+SELECT event_id, bucket, tbin // 7 AS tweek,
+       {C.sql_morton3_duckdb('col12', 'row12', 'tbin')} AS z3,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY bucket, tbin // 7
+         ORDER BY {C.sql_morton3_duckdb('col12', 'row12', 'tbin')},
+                  event_id)
+        AS INT) AS strank
 FROM keyed
 """
 
@@ -5620,6 +5683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "spacetime_layout": q_spacetime_layout,
         "line_burn": q_line_burn,
         "raster_mask": q_raster_mask,
         "geotiff_read_subbyte": q_geotiff_read_subbyte,

@@ -281,3 +281,43 @@ def morton_code(col_name: str, row_name: str) -> Column:
     expression (same single-F.expr discipline as the LSH builders — no
     py4j Column-by-Column assembly)."""
     return F.expr(sql_morton_spark(col_name, row_name))
+
+
+# --- Z3 (3D Morton) key -----------------------------------------------------
+# SpaceTimeKey index: interleave (col, row, timeBin) every third bit — the
+# GeoTrellis Z3 curve (store.index.zcurve.Z3: z = spread(x) | spread(y)<<1
+# | spread(t)<<2). 21-bit inputs spread to bit 62 max; all intermediates
+# stay below 2^62, so signed int64 arithmetic is exact in Spark, DuckDB
+# and numpy alike (same discipline as the 2D stages above).
+
+_MORTON3_STAGES = ((32, 0x1F00000000FFFF), (16, 0x1F0000FF0000FF),
+                   (8, 0x100F00F00F00F00F), (4, 0x10C30C30C30C30C3),
+                   (2, 0x1249249249249249))
+
+
+def _sql_spread3(x: str, shift_fmt) -> str:
+    e = f"(CAST({x} AS BIGINT) & 2097151)"
+    for sh, m in _MORTON3_STAGES:
+        e = f"(({e} | {shift_fmt(e, sh)}) & {m})"
+    return e
+
+
+def sql_morton3_spark(col: str, row: str, t: str) -> str:
+    """Spark SQL text (shiftleft function)."""
+    s = lambda e, n: f"shiftleft({e}, {n})"  # noqa: E731
+    return (f"({_sql_spread3(col, s)} | "
+            f"shiftleft({_sql_spread3(row, s)}, 1) | "
+            f"shiftleft({_sql_spread3(t, s)}, 2))")
+
+
+def sql_morton3_duckdb(col: str, row: str, t: str) -> str:
+    """DuckDB SQL text (<< operator)."""
+    s = lambda e, n: f"({e} << {n})"  # noqa: E731
+    return (f"({_sql_spread3(col, s)} | ({_sql_spread3(row, s)} << 1) | "
+            f"({_sql_spread3(t, s)} << 2))")
+
+
+def morton3_code(col_name: str, row_name: str, t_name: str) -> Column:
+    """Z3 interleave of three named int columns as ONE parsed JVM
+    expression."""
+    return F.expr(sql_morton3_spark(col_name, row_name, t_name))

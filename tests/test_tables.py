@@ -149,3 +149,34 @@ def test_doc_table_roundtrip(spark, tmp_path_factory):
 def test_ddl(tile_path):
     ddl = tables.table_ddl("tiles_t", tile_path)
     assert ddl.startswith("CREATE TABLE IF NOT EXISTS tiles_t USING parquet")
+
+
+def test_morton3_spark_matches_bit_reference(spark):
+    """Z3 (SpaceTimeKey index): the Spark SQL bit-spread equals a
+    bit-by-bit Python interleave for random 21-bit triples, and is
+    monotone along each axis holding the others fixed."""
+    import random
+
+    from geotrellis_contrib_spark.functions import cells as C
+
+    random.seed(7)
+    triples = [(random.randrange(1 << 21), random.randrange(1 << 21),
+                random.randrange(1 << 21)) for _ in range(200)]
+    df = spark.createDataFrame(triples, "x long, y long, t long") \
+        .withColumn("z3", C.morton3_code("x", "y", "t"))
+    got = {(r.x, r.y, r.t): r.z3 for r in df.collect()}
+
+    def ref(x, y, t):
+        out = 0
+        for i in range(21):
+            out |= (((x >> i) & 1) << (3 * i)
+                    | ((y >> i) & 1) << (3 * i + 1)
+                    | ((t >> i) & 1) << (3 * i + 2))
+        return out
+
+    for (x, y, t), z in got.items():
+        assert z == ref(x, y, t)
+    # per-axis monotonicity (the property range pruning relies on)
+    assert ref(5, 9, 1000) < ref(6, 9, 1000)
+    assert ref(5, 9, 1000) < ref(5, 10, 1000)
+    assert ref(5, 9, 1000) < ref(5, 9, 1001)
