@@ -1823,6 +1823,26 @@ def q_least_cost_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         tgt, tile_size=64, straight=1.0, diag=1.5)
 
 
+def q_least_cost_path_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAST-COST PATH, forced-distributed (max_px=0 — no scene-size
+    bound anywhere in the hydrology/cost family now): halo-rounds cost
+    state (bit-identical fixpoint), per-tile vectorized predecessor +
+    pointer collapse with exact hop counts, O(perimeter) border table
+    pointer-doubled in log2(tile crossings) tiny joins, one join
+    resolves targets. Same fixture/targets/oracle as least_cost_path;
+    pytest bit-parity on uniform AND varying-friction fixtures."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import costdistance as CD
+
+    tiles = corpus_mod.synth_friction_tiles(spark, tile_size=64)
+    tgt = lambda sid, band: [  # noqa: E731
+        (1789, (18 + int(sid.split("-")[1])) * 64 + 253),
+        (1538, (18 + int(sid.split("-")[1])) * 64 + 2)]
+    return CD.least_cost_path(
+        tiles, lambda vals, gr, gc: (gr % 97 == 5) & (gc % 89 == 7),
+        tgt, tile_size=64, straight=1.0, diag=1.5, max_px=0)
+
+
 def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COST DISTANCE (GeoTrellis CostDistance / iterative cost-distance
     analog) ACROSS tile boundaries: accumulated 8-connected cost from 9
@@ -3334,6 +3354,10 @@ SELECT CONCAT('scene-', CAST(w.s AS VARCHAR)) AS source_id,
        CAST(FLOOR(LEAST(1.5*LEAST(ABS((w.tgr) - 1557), ABS((w.tgc) - (1164 + 89*(w.s + 0)))) + (GREATEST(ABS((w.tgr) - 1557), ABS((w.tgc) - (1164 + 89*(w.s + 0)))) - LEAST(ABS((w.tgr) - 1557), ABS((w.tgc) - (1164 + 89*(w.s + 0))))), 1.5*LEAST(ABS((w.tgr) - 1557), ABS((w.tgc) - (1164 + 89*(w.s + 1)))) + (GREATEST(ABS((w.tgr) - 1557), ABS((w.tgc) - (1164 + 89*(w.s + 1)))) - LEAST(ABS((w.tgr) - 1557), ABS((w.tgc) - (1164 + 89*(w.s + 1))))), 1.5*LEAST(ABS((w.tgr) - 1557), ABS((w.tgc) - (1164 + 89*(w.s + 2)))) + (GREATEST(ABS((w.tgr) - 1557), ABS((w.tgc) - (1164 + 89*(w.s + 2)))) - LEAST(ABS((w.tgr) - 1557), ABS((w.tgc) - (1164 + 89*(w.s + 2))))), 1.5*LEAST(ABS((w.tgr) - 1654), ABS((w.tgc) - (1164 + 89*(w.s + 0)))) + (GREATEST(ABS((w.tgr) - 1654), ABS((w.tgc) - (1164 + 89*(w.s + 0)))) - LEAST(ABS((w.tgr) - 1654), ABS((w.tgc) - (1164 + 89*(w.s + 0))))), 1.5*LEAST(ABS((w.tgr) - 1654), ABS((w.tgc) - (1164 + 89*(w.s + 1)))) + (GREATEST(ABS((w.tgr) - 1654), ABS((w.tgc) - (1164 + 89*(w.s + 1)))) - LEAST(ABS((w.tgr) - 1654), ABS((w.tgc) - (1164 + 89*(w.s + 1))))), 1.5*LEAST(ABS((w.tgr) - 1654), ABS((w.tgc) - (1164 + 89*(w.s + 2)))) + (GREATEST(ABS((w.tgr) - 1654), ABS((w.tgc) - (1164 + 89*(w.s + 2)))) - LEAST(ABS((w.tgr) - 1654), ABS((w.tgc) - (1164 + 89*(w.s + 2))))), 1.5*LEAST(ABS((w.tgr) - 1751), ABS((w.tgc) - (1164 + 89*(w.s + 0)))) + (GREATEST(ABS((w.tgr) - 1751), ABS((w.tgc) - (1164 + 89*(w.s + 0)))) - LEAST(ABS((w.tgr) - 1751), ABS((w.tgc) - (1164 + 89*(w.s + 0))))), 1.5*LEAST(ABS((w.tgr) - 1751), ABS((w.tgc) - (1164 + 89*(w.s + 1)))) + (GREATEST(ABS((w.tgr) - 1751), ABS((w.tgc) - (1164 + 89*(w.s + 1)))) - LEAST(ABS((w.tgr) - 1751), ABS((w.tgc) - (1164 + 89*(w.s + 1))))), 1.5*LEAST(ABS((w.tgr) - 1751), ABS((w.tgc) - (1164 + 89*(w.s + 2)))) + (GREATEST(ABS((w.tgr) - 1751), ABS((w.tgc) - (1164 + 89*(w.s + 2)))) - LEAST(ABS((w.tgr) - 1751), ABS((w.tgc) - (1164 + 89*(w.s + 2)))))) * 2.0 + 0.5) AS BIGINT) AS cost_q2
 FROM walk w GROUP BY w.s, w.band, w.tgr, w.tgc
 """
+
+    # Forced-distributed variant (least_cost_path_dist): identical
+    # fixture, identical walk semantics — same oracle.
+    o["least_cost_path_dist"] = o["least_cost_path"]
 
     # IDW interpolation (idw_interpolate): identical clamped-weight
     # contribution arithmetic in SQL — w = 1/GREATEST(d2, 0.25) inside
@@ -5683,6 +5707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "least_cost_path_dist": q_least_cost_path_dist,
         "spacetime_layout": q_spacetime_layout,
         "line_burn": q_line_burn,
         "raster_mask": q_raster_mask,

@@ -357,21 +357,11 @@ _LCP_DIRS = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
              (1, -1), (1, 0), (1, 1)]
 
 
-def least_cost_path(tiles: DataFrame, seed_predicate, targets,
-                    tile_size: int = 64, straight: float = 1.0,
-                    diag: float = 1.5,
-                    max_px: int = 1 << 11) -> DataFrame:
-    """Least-cost path backtracking (GeoTrellis LeastCostPath analog):
-    from each target cell, walk predecessors on the accumulated-cost
-    surface until a seed (cost 0). The predecessor of ``cur`` is the
-    FIRST neighbor (fixed row-major order) satisfying the EXACT
-    optimality equation cost(cur) == cost(n) + dist * (f(cur)+f(n))/2 —
-    exact float equality, which is what the dyadic-cost gate fixture
-    guarantees and the SQL oracle mirrors. ``targets`` is a callable
-    (source_id, band) -> list[(gr, gc)]. Scene is the parallel unit
-    (the walk follows the surface anywhere in the scene). Output one row
-    per target: (source_id, band, tgr, tgc, path_len, cost_q2) with
-    cost_q2 = floor(cost(target)*2 + 0.5)."""
+def _lcp_scene(tiles: DataFrame, seed_predicate, targets,
+               tile_size: int, straight: float, diag: float,
+               max_px: int) -> DataFrame:
+    """Scene path of :func:`least_cost_path`: one task per (source_id,
+    band) solves the surface and walks the backtrack cell-by-cell."""
     t = int(tile_size)
 
     def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -438,3 +428,246 @@ def least_cost_path(tiles: DataFrame, seed_predicate, targets,
     return tiles.groupBy("source_id", "band").applyInPandas(
         run, "source_id string, band int, tgr bigint, tgc bigint, "
              "path_len bigint, cost_q2 bigint")
+
+
+def _ptr_double_steps(ptr: np.ndarray, steps: np.ndarray):
+    """Pointer doubling with hop accumulation: invariant steps[i] = hops
+    from i to ptr[i]; terminals self-point with 0 hops, so the extra
+    composition after convergence adds zero. Fail-loud at 64 rounds."""
+    for _ in range(64):
+        nxt = ptr[ptr]
+        steps = steps + steps[ptr]
+        if np.array_equal(nxt, ptr):
+            return nxt, steps
+        ptr = nxt
+    raise RuntimeError(  # pragma: no cover
+        "least-cost-path pointer doubling did not settle")
+
+
+_LCP_PART = ("source_id string, band int, col bigint, row bigint, "
+             "kind int, gid bigint, rep bigint, steps bigint, "
+             "final int, q2 bigint")
+
+
+def _lcp_dist(tiles: DataFrame, seed_predicate, targets,
+              tile_size: int, straight: float, diag: float,
+              max_iter: int, max_rounds: int) -> DataFrame:
+    """Distributed least-cost-path (NO scene-size bound — the watershed
+    contraction pattern applied to the backtrack):
+
+    1. The converged cost surface comes from the synchronous halo-rounds
+       solver (`_solve` — bit-identical to the scene fixpoint), so the
+       exact optimality equality holds across tile boundaries.
+    2. ONE halo shuffle ships each tile its 1-px (cost, friction)
+       neighbor strips; per tile, every cell's predecessor (FIRST
+       `_LCP_DIRS` neighbor satisfying the exact equality — the same
+       rule the scene walk applies one cell at a time) is computed
+       vectorized, and LOCAL pointer doubling with hop accumulation
+       collapses every in-tile chain to either a seed (terminal) or the
+       first out-of-tile cell, carrying the EXACT in-tile step count.
+       Emitted per tile: O(perimeter) border rows + one row per target
+       inside the tile (with its quantized cost).
+    3. Distributed pointer doubling on the border table — log2(tile
+       crossings) tiny self-joins, steps summed exactly, fail-loud at
+       ``max_rounds`` — then one join resolves targets through it.
+
+    Identical output contract to the scene path: (source_id, band, tgr,
+    tgc, path_len, cost_q2); path_len parity is bit-exact because cost,
+    friction and the predecessor rule are all bit-identical."""
+    from geotrellis_contrib_spark.operators.focal import (
+        _assemble_frame, _halo_pieces)
+
+    t = int(tile_size)
+    p = t + 2
+    state = _solve(tiles, seed_predicate, t, straight, diag, None,
+                   max_iter)
+    nan = float("nan")
+    planes = None
+    for plane, src in ((0, "cost"), (1, "friction")):
+        plane_tiles = state.select(
+            "source_id", "band", "col", "row", F.col(src).alias("px"),
+            F.lit("float64").alias("dtype"), F.lit(nan).alias("nodata"))
+        cut = _halo_pieces(plane_tiles, 1, t) \
+            .withColumn("plane", F.lit(plane))
+        planes = cut if planes is None else planes.unionByName(cut)
+
+    def resolve(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        source_id, band = key[0], int(key[1])
+        col, row = int(key[2]), int(key[3])
+        cols = ["source_id", "band", "col", "row", "kind", "gid", "rep",
+                "steps", "final", "q2"]
+        cframe = _assemble_frame(pdf[pdf["plane"] == 0], 1, t)
+        fframe = _assemble_frame(pdf[pdf["plane"] == 1], 1, t)
+        if cframe is None or fframe is None:
+            return pd.DataFrame(columns=cols)
+        cost = np.where(np.isnan(cframe), np.inf, cframe)
+        fric = fframe
+        if not np.all(np.isnan(fric)) \
+                and float(np.nanmin(fric)) <= 0.0:
+            raise ValueError("friction must be positive")
+        interior = np.zeros((p, p), dtype=bool)
+        interior[1:1 + t, 1:1 + t] = True
+        finite = np.isfinite(cost)
+        nonseed = finite & (cost != 0.0) & interior
+        # FIRST-match predecessor in the scene walk's fixed order
+        chosen = np.full((p, p), -1, dtype=np.int64)
+        remaining = nonseed.copy()
+        for k, (dr, dc) in enumerate(_LCP_DIRS):
+            nco = np.full((p, p), np.inf)
+            nfr = np.full((p, p), np.nan)
+            rs = slice(max(0, dr), p + min(0, dr))
+            rd = slice(max(0, -dr), p + min(0, -dr))
+            cs = slice(max(0, dc), p + min(0, dc))
+            cd = slice(max(0, -dc), p + min(0, -dc))
+            nco[rd, cd] = cost[rs, cs]
+            nfr[rd, cd] = fric[rs, cs]
+            dist = diag if (dr != 0 and dc != 0) else straight
+            with np.errstate(invalid="ignore"):
+                eq = (remaining & np.isfinite(nco)
+                      & (cost == nco + dist * (fric + nfr) / 2.0))
+            chosen[eq] = k
+            remaining &= ~eq
+        if remaining.any():  # pragma: no cover - optimality guarantees
+            raise RuntimeError("no optimal predecessor found")
+        idxs = np.arange(p * p, dtype=np.int64)
+        ptr = idxs.copy()
+        steps0 = np.zeros(p * p, dtype=np.int64)
+        flat_ch = chosen.ravel()
+        for k, (dr, dc) in enumerate(_LCP_DIRS):
+            sel = flat_ch == k
+            ptr[sel] = idxs[sel] + dr * p + dc
+            steps0[sel] = 1
+        ptr, steps0 = _ptr_double_steps(ptr, steps0)
+        # same global-pixel encoding as the watershed border table
+        g_row = int(row) * t + (idxs // p) - 1
+        g_col = int(col) * t + (idxs % p) - 1
+        gid_of = g_row * 4096 + g_col
+        int_flat = interior.ravel()
+        fin_flat = finite.ravel()
+        out = []
+        fi = idxs.reshape(p, p)
+        ring = np.concatenate([fi[1, 1:1 + t], fi[t, 1:1 + t],
+                               fi[2:t, 1], fi[2:t, t]]) if t > 1 \
+            else fi[1:2, 1]
+        for cell in np.asarray(ring).ravel():
+            if not fin_flat[cell]:
+                continue
+            d = ptr[cell]
+            out.append({"source_id": source_id, "band": band,
+                        "col": col, "row": row, "kind": 1,
+                        "gid": int(gid_of[cell]), "rep": int(gid_of[d]),
+                        "steps": int(steps0[cell]),
+                        "final": int(bool(int_flat[d])), "q2": 0})
+        for tgr, tgc in targets(source_id, band):
+            i = int(tgr) - row * t + 1
+            j = int(tgc) - col * t + 1
+            if not (1 <= i <= t and 1 <= j <= t):
+                continue  # another tile owns this target
+            cell = i * p + j
+            if not fin_flat[cell]:
+                raise ValueError(
+                    f"target ({tgr},{tgc}) unreachable in "
+                    f"{source_id}/{band}")
+            d = ptr[cell]
+            out.append({"source_id": source_id, "band": band,
+                        "col": col, "row": row, "kind": 2,
+                        "gid": int(gid_of[cell]), "rep": int(gid_of[d]),
+                        "steps": int(steps0[cell]),
+                        "final": int(bool(int_flat[d])),
+                        "q2": int(np.floor(cost.ravel()[cell] * 2.0
+                                           + 0.5))})
+        return pd.DataFrame(out, columns=cols)
+
+    parts = planes.groupBy("source_id", "band", "col", "row") \
+        .applyInPandas(resolve, _LCP_PART).localCheckpoint(eager=True)
+
+    border = parts.filter(F.col("kind") == 1) \
+        .select("source_id", "band", "gid", "rep", "steps", "final")
+    for _ in range(max_rounds):
+        todo = border.filter(F.col("final") == 0)
+        if todo.limit(1).count() == 0:
+            break
+        done = border.filter(F.col("final") == 1)
+        step = todo.alias("a").join(
+            border.select(
+                "source_id", "band", F.col("gid").alias("g2"),
+                F.col("rep").alias("r2"), F.col("steps").alias("s2"),
+                F.col("final").alias("f2")).alias("b"),
+            on=[F.col("a.source_id") == F.col("b.source_id"),
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.rep") == F.col("b.g2")], how="left") \
+            .select(F.col("a.source_id").alias("source_id"),
+                    F.col("a.band").alias("band"),
+                    F.col("a.gid").alias("gid"),
+                    F.coalesce(F.col("b.r2"),
+                               F.col("a.rep")).alias("rep"),
+                    (F.col("a.steps") + F.coalesce(F.col("b.s2"),
+                                                   F.lit(0)))
+                    .alias("steps"),
+                    F.coalesce(F.col("b.f2"), F.lit(0)).alias("final"))
+        border = done.unionByName(step).localCheckpoint(eager=True)
+    else:
+        raise RuntimeError(
+            f"least-cost-path border resolution did not settle in "
+            f"{max_rounds} rounds; a path crosses more than "
+            f"2^{max_rounds} tile boundaries or the border table "
+            f"dropped a link")
+
+    tg = parts.filter(F.col("kind") == 2)
+    tdone = tg.filter(F.col("final") == 1) \
+        .select("source_id", "band", "gid", "steps", "q2")
+    ttodo = tg.filter(F.col("final") == 0).alias("g").join(
+        border.select("source_id", "band", F.col("gid").alias("bgid"),
+                      F.col("steps").alias("bsteps")).alias("m"),
+        on=[F.col("g.source_id") == F.col("m.source_id"),
+            F.col("g.band") == F.col("m.band"),
+            F.col("g.rep") == F.col("m.bgid")]) \
+        .select(F.col("g.source_id").alias("source_id"),
+                F.col("g.band").alias("band"),
+                F.col("g.gid").alias("gid"),
+                (F.col("g.steps") + F.col("m.bsteps")).alias("steps"),
+                F.col("g.q2").alias("q2"))
+    return tdone.unionByName(ttodo).select(
+        "source_id", "band",
+        (F.col("gid") / F.lit(4096)).cast("long").alias("tgr"),
+        F.pmod(F.col("gid"), F.lit(4096)).alias("tgc"),
+        F.col("steps").alias("path_len"),
+        F.col("q2").alias("cost_q2"))
+
+
+def least_cost_path(tiles: DataFrame, seed_predicate, targets,
+                    tile_size: int = 64, straight: float = 1.0,
+                    diag: float = 1.5, max_px: int = 1 << 11,
+                    max_iter: int = 64,
+                    max_rounds: int = 24) -> DataFrame:
+    """Least-cost path backtracking (GeoTrellis LeastCostPath analog):
+    from each target cell, walk predecessors on the accumulated-cost
+    surface until a seed (cost 0). The predecessor of ``cur`` is the
+    FIRST neighbor (fixed row-major order) satisfying the EXACT
+    optimality equation cost(cur) == cost(n) + dist * (f(cur)+f(n))/2 —
+    exact float equality, which is what the dyadic-cost gate fixture
+    guarantees and the SQL oracle mirrors. ``targets`` is a callable
+    (source_id, band) -> list[(gr, gc)]. Output one row per target:
+    (source_id, band, tgr, tgc, path_len, cost_q2) with cost_q2 =
+    floor(cost(target)*2 + 0.5).
+
+    Adaptive strategy (NO scene-size refusal anywhere): scenes fitting
+    ``max_px`` on a side solve + walk in ONE task; larger scenes take
+    the distributed contraction path (`_lcp_dist` — halo-rounds cost
+    state, per-tile pointer collapse, O(perimeter) border doubling).
+    ``max_px=0`` forces distributed. Both paths are bit-identical
+    (pytest parity on multi-tile fixtures)."""
+    t = int(tile_size)
+    small = False
+    if max_px:
+        ext = tiles.groupBy("source_id", "band").agg(
+            ((F.max("col") - F.min("col") + 1) * t).alias("w"),
+            ((F.max("row") - F.min("row") + 1) * t).alias("h")) \
+            .agg(F.max(F.greatest("w", "h")).alias("m")).collect()
+        small = bool(ext) and ext[0]["m"] is not None \
+            and int(ext[0]["m"]) <= int(max_px)
+    if small:
+        return _lcp_scene(tiles, seed_predicate, targets, t, straight,
+                          diag, max_px)
+    return _lcp_dist(tiles, seed_predicate, targets, t, straight, diag,
+                     max_iter, max_rounds)

@@ -250,3 +250,48 @@ def test_least_cost_path_unreachable_fail_loud(spark):
         CD.least_cost_path(
             tiles, lambda v, gr, gc: (gr == 1600) & (gc == 1250),
             lambda sid, band: [(1538, 1154)], tile_size=T).collect()
+
+
+def test_least_cost_path_dist_parity(spark):
+    """Forced-distributed LCP (max_px=0: halo-rounds surface + per-tile
+    pointer collapse + border doubling) returns BIT-identical
+    (path_len, cost_q2) to the scene walk — uniform fixture (paths
+    cross many tiles) AND varying friction with sqrt(2) diagonals and
+    NoData holes."""
+    key = lambda r: (r.source_id, r.band, r.tgr, r.tgc)  # noqa: E731
+
+    tiles = corpus.synth_friction_tiles(spark)
+    tgt = lambda sid, band: [  # noqa: E731
+        (1789, (18 + int(sid.split("-")[1])) * 64 + 253),
+        (1538, (18 + int(sid.split("-")[1])) * 64 + 2)]
+    scene = {key(r): (r.path_len, r.cost_q2)
+             for r in CD.least_cost_path(tiles, _seed_pred, tgt,
+                                         tile_size=T).collect()}
+    dist = {key(r): (r.path_len, r.cost_q2)
+            for r in CD.least_cost_path(tiles, _seed_pred, tgt,
+                                        tile_size=T,
+                                        max_px=0).collect()}
+    assert scene == dist and len(dist) == 12
+
+    vtiles = corpus.synth_px_tiles(spark, tile_size=T)
+    pred = lambda v, gr, gc: (gr % 120 == 70) & (gc % 110 == 50)  # noqa: E731
+    vtgt = lambda sid, band: [  # noqa: E731
+        (1789, (18 + int(sid.split("-")[1])) * 64 + 253)]
+    scene_v = {key(r): (r.path_len, r.cost_q2)
+               for r in CD.least_cost_path(
+                   vtiles, pred, vtgt, tile_size=T, straight=1.0,
+                   diag=math.sqrt(2.0)).collect()}
+    dist_v = {key(r): (r.path_len, r.cost_q2)
+              for r in CD.least_cost_path(
+                  vtiles, pred, vtgt, tile_size=T, straight=1.0,
+                  diag=math.sqrt(2.0), max_px=0).collect()}
+    assert scene_v == dist_v and len(dist_v) == 6
+
+
+def test_least_cost_path_dist_unreachable_fail_loud(spark):
+    tiles = corpus.synth_px_tiles(spark, tile_size=T)
+    with pytest.raises(Exception, match="unreachable"):
+        CD.least_cost_path(
+            tiles, lambda v, gr, gc: (gr == 1600) & (gc == 1250),
+            lambda sid, band: [(1538, 1154)], tile_size=T,
+            max_px=0).collect()
