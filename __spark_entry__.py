@@ -3585,7 +3585,8 @@ cub AS (
   FROM cub GROUP BY 1, 2, 3, 4
 )
 SELECT 'scene-' || s AS source_id, band, 18 + tc + s AS col,
-       24 + tr AS row, method, qsum, n_valid
+       24 + tr AS row, method, CAST(qsum AS BIGINT) AS qsum,
+       CAST(n_valid AS BIGINT) AS n_valid
 FROM per
 """
 
