@@ -1645,6 +1645,26 @@ def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return VS.viewshed(tiles, obs, height=2.0, tile_size=64)
 
 
+def q_viewshed_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIEWSHED, forced-distributed (max_px=0 — the LAST scene-bound op
+    now has a no-scene-size-bound path): R3's sample-index
+    decomposition — every DDA sample k lands in exactly one tile, so
+    per-target max slopes split into per-(sample-tile, target-tile)
+    partial maxima (bounded t+1-wide k-windows solved per pair, the
+    scene sweep's own global-floor expression bit-for-bit) reduced by
+    an order-free elementwise max; pairs pruned JVM-side by the
+    observer->target-tile cone bbox, only the sample tile's 32 KB blob
+    rides each pair row. Same fixture/observers/oracle as viewshed;
+    pytest bit-parity on the NoData-holed fixture."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import viewshed as VS
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    obs = lambda sid, band: (1640 + 3 * band,  # noqa: E731
+                             (18 + int(sid.split("-")[1])) * 64 + 104)
+    return VS.viewshed(tiles, obs, height=2.0, tile_size=64, max_px=0)
+
+
 def q_flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D8 FLOW ACCUMULATION (GeoTrellis raster.hydrology analog): per
     valid cell the exclusive count of upstream cells whose
@@ -3238,6 +3258,10 @@ FROM tgt t LEFT JOIN sl ON sl.s = t.s AND sl.band = t.band
      AND sl.gr = t.gr AND sl.gc = t.gc
 GROUP BY 1, 2, 3, 4
 """
+
+    # Forced-distributed variant (viewshed_dist): identical fixture,
+    # identical sampling contract — same oracle.
+    o["viewshed_dist"] = o["viewshed"]
 
     # Region vectorize stats (region_stats): the region_group closure
     # plus a ONE-directional adjacency count per root (perimeter =
@@ -5708,6 +5732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "viewshed_dist": q_viewshed_dist,
         "least_cost_path_dist": q_least_cost_path_dist,
         "spacetime_layout": q_spacetime_layout,
         "line_burn": q_line_burn,

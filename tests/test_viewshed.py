@@ -163,3 +163,27 @@ def test_block_size_parity_large_scene(spark):
         1 for tcc in range(8) for trr in range(8)
         for i in range(T) for j in range(T)
         if ((trr * T + i) % 97 < 3) and ((tcc * T + j) % 83 < 3))
+
+
+def test_dist_parity(spark):
+    """Forced-distributed viewshed (max_px=0: sample-index decomposition
+    into per-(sample-tile, target-tile) partial maxima) is BIT-identical
+    to the scene sweep on the varied fixture with NoData holes, for an
+    observer whose rays cross many tiles."""
+    tiles = corpus.synth_px_tiles(spark, tile_size=64)
+    obs = lambda sid, band: (  # noqa: E731
+        1640 + 3 * band, (18 + int(sid.split("-")[1])) * 64 + 104)
+    key = lambda r: (r.source_id, r.band, r.col, r.row)  # noqa: E731
+    scene = {key(r): (r.n_visible, r.n_valid)
+             for r in VS.viewshed(tiles, obs, tile_size=64).collect()}
+    dist = {key(r): (r.n_visible, r.n_valid)
+            for r in VS.viewshed(tiles, obs, tile_size=64,
+                                 max_px=0).collect()}
+    assert scene == dist and len(dist) == 96
+
+
+def test_dist_fail_loud_observer(spark):
+    tiles = corpus.synth_px_tiles(spark, tile_size=64)
+    with pytest.raises(Exception, match="observer"):
+        VS.viewshed(tiles, lambda s, b: (1540, 1158), tile_size=64,
+                    max_px=0).collect()  # scene-0 NoData hole
