@@ -158,3 +158,41 @@ def test_stream_totals_state_partitions_restored(spark):
     before = spark.conf.get("spark.sql.shuffle.partitions")
     entrymod.queries()["stream_totals"](spark, SF_SMALL).count()
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_line_burn_pure_jvm_traversal(spark):
+    """rasterize_lines' supercover is declared in Column algebra: no
+    Python of any kind in the plan, and the window partitioned (never a
+    global sort)."""
+    plan = _plan(spark, "line_burn")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "MapInPandas" not in plan
+    assert "Generate explode" in plan  # the two bounded explodes
+    # the lead() window is partitioned by line_id, not global
+    assert "windowspecdefinition(" in plan.lower()
+
+
+def test_raster_mask_zero_shuffle(spark):
+    """mask_tiles is a closed-over-dimension narrow map: the engine side
+    (before the checksum union) has NO exchange and NO join."""
+    from geotrellis_contrib_spark import corpus
+    from geotrellis_contrib_spark.operators import pixels as px
+
+    tiles = corpus.synth_px_tiles(spark, tile_size=64)
+    boxes = spark.createDataFrame([(-76.5, 48.2, -74.8, 52.9)],
+                                  "xmin double, ymin double, "
+                                  "xmax double, ymax double")
+    out = px.mask_tiles(tiles, boxes, tile_size=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "mask_tiles must not shuffle"
+    assert "Join" not in plan, "mask_tiles must not join"
+
+
+def test_spacetime_layout_broadcast_locate_join(spark):
+    """The events->anchors locate join is broadcast (dimension side) and
+    the z3 rank window is bucket-partitioned (no global sort)."""
+    plan = _plan(spark, "spacetime_layout")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
