@@ -506,6 +506,7 @@ JACCARD_T = 0.6
 # there is ~corpus/97) but bounds any hot shingle's pair fan-out to cap^2
 # at 100TB — the standard MinHash-era boilerplate filter
 JACCARD_MAX_DF = 500
+WINNOW_W = 4
 EMB_DIMS = 64
 EMB_K = 5
 EMB_MIN_COS = 0.25
@@ -530,6 +531,25 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
     return dd.jaccard_pairs(spark.table("dup_docs"), n=JACCARD_N,
                             threshold=JACCARD_T, max_df=JACCARD_MAX_DF)
+
+
+def q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm — the local-fingerprint tier of the dedup family):
+    positional word-5-gram hashes, every 4-hash window selects its
+    minimum (rightmost on ties), selections dedupe; guarantees any
+    shared substring of >= window+n-1 tokens shares a fingerprint at
+    density 2/(window+1). ONE doc_id-partitioned window pass (struct-min
+    argmin, pure JVM), per-doc rollup. Oracle: the identical positional
+    hash chain + windowed MIN + rightmost-tie MAX(pos) join in SQL."""
+    _views(spark, sf_dir)
+    fps = dd.winnow_fingerprints(spark.table("dup_docs"), n=JACCARD_N,
+                                 window=WINNOW_W)
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.sum("fp").alias("fp_sum"),
+        F.min("fp_pos").alias("first_pos"),
+        F.max("fp_pos").alias("last_pos"))
 
 
 def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2905,6 +2925,43 @@ SELECT i.doc_a, i.doc_b, i.inter, sa.sz AS size_a, sb.sz AS size_b,
        i.inter / (sa.sz + sb.sz - i.inter) AS jaccard
 FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE i.inter * {den} >= {num} * (sa.sz + sb.sz - i.inter)
+"""
+
+    # Winnowing fingerprints (winnow_fps): positional 5-gram hashes via
+    # the SAME char-fold list machinery, windowed MIN over 4 consecutive
+    # shingles (ROWS BETWEEN), rightmost tie via MAX(pos) among
+    # window members equal to the min, DISTINCT selections, per-doc
+    # integer rollups (fp < 2^31 so SUM fits int64; cast for pandas).
+    o["winnow_fps"] = f"""
+{derive.cte('dup_docs')},
+shp AS (
+  SELECT doc_id,
+         UNNEST(RANGE(1, GREATEST(LEN(hs) - {JACCARD_N - 2}, 2))) AS pos,
+         UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(hs) - {JACCARD_N - 2}, 2)),
+           i -> {comb})) AS s
+  FROM (SELECT doc_id, [{char_hash_sql('t')}
+        for t in STRING_SPLIT(text, ' ')] AS hs FROM dup_docs) x),
+shf AS (SELECT doc_id, pos - 1 AS pos, s  -- 1-based list index ->
+        FROM shp WHERE s IS NOT NULL),    -- 0-based engine token pos
+winm AS (
+  SELECT doc_id, pos AS ws,
+         MIN(s) OVER win AS m,
+         COUNT(*) OVER win AS cnt
+  FROM shf
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)),
+sel AS (
+  SELECT wm.doc_id, wm.ws, wm.m AS fp, MAX(p.pos) AS fp_pos
+  FROM winm wm JOIN shf p ON p.doc_id = wm.doc_id
+       AND p.pos BETWEEN wm.ws AND wm.ws + {WINNOW_W - 1} AND p.s = wm.m
+  WHERE wm.cnt = {WINNOW_W}
+  GROUP BY 1, 2, 3),
+fps AS (SELECT DISTINCT doc_id, fp, fp_pos FROM sel)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp,
+       CAST(SUM(fp) AS BIGINT) AS fp_sum,
+       CAST(MIN(fp_pos) AS BIGINT) AS first_pos,
+       CAST(MAX(fp_pos) AS BIGINT) AS last_pos
+FROM fps GROUP BY doc_id
 """
 
     mh_aggs = ", ".join(
@@ -5732,6 +5789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "winnow_fps": q_winnow_fps,
         "viewshed_dist": q_viewshed_dist,
         "least_cost_path_dist": q_least_cost_path_dist,
         "spacetime_layout": q_spacetime_layout,

@@ -80,6 +80,52 @@ def shingle_hashes(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFra
             .select("doc_id", "sh").distinct())
 
 
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        n: int = 3, window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003 —
+    the MOSS local fingerprinting algorithm; the document-fingerprint
+    tier of the dedup family alongside minhash/simhash): POSITIONAL
+    word n-gram hashes (same char-fold + lead() composition as
+    :func:`shingle_hashes`, positions kept), then every window of
+    ``window`` consecutive hashes selects its MINIMUM — rightmost
+    position on ties, the MOSS rule — and selections dedupe.
+
+    Guarantee (the reason winnowing beats "every k-th hash" sampling):
+    any substring match of at least ``window + n - 1`` tokens shares at
+    least one fingerprint, at expected density 2/(window+1).
+
+    Plan shape: everything runs in ONE doc_id-partitioned window pass
+    (positional hash, n-gram lead composition, struct-min winnow) — a
+    single shuffle on doc_id, then the distinct. The rightmost-tie
+    argmin is a lexicographic struct-min over (hash, -pos): pure JVM,
+    no Python. Output: (doc_id, fp, fp_pos) distinct fingerprints."""
+    from pyspark.sql import Window
+
+    toks = df.select("doc_id", F.posexplode(
+        F.split(F.col(text_col), " ")).alias("pos", "tok"))
+    toks = toks.withColumn("h", F.aggregate(
+        F.split(F.col("tok"), ""), F.lit(0).cast("long"),
+        lambda acc, ch: (acc * FP_BASE + F.ascii(ch)) % FP_MOD))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    acc = F.col("h")
+    for j in range(1, n):
+        acc = (acc * SHINGLE_COMBINE + F.lead("h", j).over(w)) % FP_MOD
+    sh = (toks.withColumn("sh", acc)
+              .filter(F.col("sh").isNotNull())
+              .select("doc_id", "pos", "sh"))
+    # shingle ordinal (pos is the TOKEN index; shingles are dense in it,
+    # so pos order == shingle order and rowsBetween counts shingles)
+    wf = w.rowsBetween(0, window - 1)
+    sel = F.min(F.struct(F.col("sh").alias("s"),
+                         (-F.col("pos")).alias("np"))).over(wf)
+    full = F.lead("pos", window - 1).over(w).isNotNull()
+    return (sh.withColumn("_sel", sel).withColumn("_full", full)
+              .filter(F.col("_full"))
+              .select("doc_id", F.col("_sel.s").alias("fp"),
+                      (-F.col("_sel.np")).alias("fp_pos"))
+              .distinct())
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup: group by md5(text); survivor = min doc_id per group.
     Output: (text_hash, survivor_doc_id, n_dups)."""

@@ -112,3 +112,56 @@ def test_simhash_scale_mode_recall_and_bounded_candidates(spark):
     # 2005 random 48-bit hashes over 4096 buckets/band: ~n^2/4096 per band
     # ~ 4 * 500 expected; the old 64-bucket keys would give ~250k
     assert n_cand < 10000, n_cand
+
+
+def test_winnow_fingerprints_vs_reference(spark):
+    """Engine winnowing equals a pure-Python MOSS reference (hash chain,
+    window min, RIGHTMOST tie) on crafted docs, and the guarantee holds:
+    two docs sharing a >= window+n-1 token substring share >= 1
+    fingerprint hash."""
+    from geotrellis_contrib_spark.functions.text import FP_BASE, FP_MOD
+    from geotrellis_contrib_spark.operators.dedup import (
+        SHINGLE_COMBINE, winnow_fingerprints)
+
+    n, w = 3, 4
+    shared = "alpha bravo charlie delta echo foxtrot golf"  # w+n-1=6 < 7
+    docs = [(0, "zulu yankee " + shared + " xray whiskey"),
+            (1, shared + " victor uniform tango sierra"),
+            (2, "november november november november november november"),
+            (3, "one two")]  # < n tokens -> no shingles
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, n=n, window=w).collect():
+        got.setdefault(r.doc_id, set()).add((r.fp, r.fp_pos))
+
+    def ref(text):
+        toks = text.split(" ")
+        hs = []
+        for t in toks:
+            a = 0
+            for ch in t:
+                a = (a * FP_BASE + ord(ch)) % FP_MOD
+            hs.append(a)
+        sh = []
+        for i in range(len(hs) - n + 1):
+            a = hs[i]
+            for j in range(1, n):
+                a = (a * SHINGLE_COMBINE + hs[i + j]) % FP_MOD
+            sh.append((i, a))
+        out = set()
+        for i in range(len(sh) - w + 1):
+            win = sh[i:i + w]
+            m = min(s for _, s in win)
+            pos = max(p for p, s in win if s == m)  # rightmost tie
+            out.add((m, pos))
+        return out
+
+    for did, text in docs:
+        assert got.get(did, set()) == ref(text), did
+    # the winnowing guarantee across docs 0 and 1
+    h0 = {fp for fp, _ in got[0]}
+    h1 = {fp for fp, _ in got[1]}
+    assert h0 & h1, "shared >= w+n-1 substring must share a fingerprint"
+    # all-identical-token doc: every shingle equal -> exactly one hash,
+    # rightmost selection slides -> positions dedupe per window
+    assert len({fp for fp, _ in got[2]}) == 1
