@@ -932,6 +932,27 @@ def q_polygon_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("zoom", "col", "row", "n_burned")
 
 
+def q_hist_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HISTOGRAM EQUALIZATION (geotrellis.raster.equalization analog):
+    each pixel maps through its scene's CDF — all-integer counts until
+    ONE IEEE division, so engine and SQL twin agree bit-for-bit.
+    Two scale-shaped passes: per-tile bincount histogram (ONE shuffle of
+    (scene,band,bucket,count) rows, map-side combined), then the
+    constant-small CDF table window-cumsummed JVM-side, collected once
+    and closed over a narrow Arrow map. Oracle: the closed-form field
+    bucketed/cumsummed/mapped with the identical expression chain,
+    per-tile float sums of the 0..255 outputs (exact: <= 4096 ints)."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import pixels as px
+    from geotrellis_contrib_spark.operators import render as render_ops
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    eq = render_ops.histogram_equalize(tiles, vmin=0.0, vmax=3400.0,
+                                       nbins=64, tile_size=64)
+    return px.tile_stats(eq.withColumn("tile_size", F.lit(64)),
+                         keys=("source_idx", "col", "row", "band"))
+
+
 def q_raster_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MASK + INVERSE MASK by AOI geometry (geotrellis.raster.mask
     TileMaskMethods — the core masking family every reference
@@ -3586,6 +3607,49 @@ FROM km, (SELECT 'mask' AS mode UNION ALL SELECT 'inverse') modes
 GROUP BY 1, 2, 3, 4, 7
 """
 
+    # Histogram equalization (hist_equalize): bucket/cumsum/map chain
+    # replayed with identical expression order; counts stay integer
+    # until the single division; per-tile float sums of 0..255 ints.
+    _he = "LEAST(GREATEST(FLOOR((val - 0.0) / (3400.0 - 0.0) * 64), 0), 63)"
+    o["hist_equalize"] = f"""
+WITH px AS (
+  SELECT s, band, tc, tr, {_fval('r', 'c')} AS val
+  FROM range(0,3) ss(s), range(0,2) bs(band), range(0,4) tcs(tc),
+       range(0,4) trs(tr), range(0,64) rs(r), range(0,64) cs(c)
+), b AS (
+  SELECT s, band, tc, tr, val,
+         CASE WHEN val <> -9999.0
+              THEN CAST({_he} AS BIGINT) END AS bucket
+  FROM px
+), hist AS (
+  SELECT s, band, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM b WHERE bucket IS NOT NULL GROUP BY 1, 2, 3
+), cdf AS (
+  SELECT s, band, bucket,
+         SUM(cnt) OVER (PARTITION BY s, band ORDER BY bucket) AS cum,
+         SUM(cnt) OVER (PARTITION BY s, band) AS total,
+         FIRST_VALUE(cnt) OVER (PARTITION BY s, band
+                                ORDER BY bucket) AS cdf_min
+  FROM hist
+), eqmap AS (
+  SELECT s, band, bucket,
+         FLOOR((CAST(cum - cdf_min AS DOUBLE)
+                / CAST(GREATEST(total - cdf_min, 1) AS DOUBLE))
+               * 255 + 0.5) AS eq
+  FROM cdf
+)
+SELECT CAST(b.s AS BIGINT) AS source_idx,
+       CAST(18 + b.tc + b.s AS BIGINT) AS col,
+       CAST(24 + b.tr AS BIGINT) AS row,
+       CAST(b.band AS BIGINT) AS band,
+       SUM(CASE WHEN b.bucket IS NOT NULL THEN m.eq ELSE 0.0 END)
+         AS px_sum,
+       CAST(COUNT(b.bucket) AS BIGINT) AS px_count
+FROM b LEFT JOIN eqmap m ON m.s = b.s AND m.band = b.band
+     AND m.bucket = b.bucket
+GROUP BY 1, 2, 3, 4
+"""
+
     # Sub-byte variant (geotiff_read_subbyte): the field reduced to
     # pmod(4*val, 2^bits - 1) + 1 per scene (bits 4/2/1, NoData -> 0 =
     # the declared nodata), recomputed in SQL with the pmod spelled
@@ -5789,6 +5853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "hist_equalize": q_hist_equalize,
         "winnow_fps": q_winnow_fps,
         "viewshed_dist": q_viewshed_dist,
         "least_cost_path_dist": q_least_cost_path_dist,

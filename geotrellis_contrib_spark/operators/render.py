@@ -251,3 +251,80 @@ def quantile_breaks(hist: DataFrame, vmin: float, vmax: float,
         F.lit(float(vmin)) + (F.col("bucket").cast("double") + 1.0)
         * F.lit(width)).select("source_id", "band", "q", "bucket",
                                "break_value")
+
+
+def histogram_equalize(tiles: DataFrame, vmin: float, vmax: float,
+                       nbins: int = 64, tile_size: int = 64,
+                       out_levels: int = 256,
+                       max_cdf_rows: int = 1 << 20) -> DataFrame:
+    """Histogram equalization (geotrellis.raster.equalization.
+    HistogramEqualization analog): per (source_id, band), each pixel maps
+    through its scene's CDF —
+
+        bucket = clip(floor((v - vmin) / (vmax - vmin) * nbins))
+        eq     = floor((cdf(bucket) - cdf_min)
+                       / max(total - cdf_min, 1) * (out_levels - 1) + 0.5)
+
+    with cdf_min = the first nonempty bucket's count (the classic
+    formula, all-integer until ONE IEEE division so engine and SQL twin
+    agree bit-for-bit); NoData stays NoData.
+
+    Two passes, both scale-shaped: (1) :func:`histogram_stats` — per-tile
+    numpy bincount, ONE shuffle of (scene, band, bucket, count) rows,
+    map-side combined; (2) the CDF table (scenes x nbins rows, a
+    constant-small dimension — fail-loud past ``max_cdf_rows``) window-
+    cumsummed JVM-side, collected once and closed over a narrow Arrow
+    map. Output schema = input schema with equalized float64 pixels."""
+    t = int(tile_size)
+    nb = int(nbins)
+    lv = int(out_levels)
+    hist = histogram_stats(tiles, vmin, vmax, nbins=nb, tile_size=t)
+    w = Window.partitionBy("source_id", "band").orderBy("bucket") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("source_id", "band")
+    cdf = (hist.withColumn("cum", F.sum("cnt").over(w))
+               .withColumn("total", F.sum("cnt").over(wall))
+               .withColumn("cdf_min", F.first("cnt").over(
+                   Window.partitionBy("source_id", "band")
+                         .orderBy("bucket")
+                         .rowsBetween(Window.unboundedPreceding,
+                                      Window.unboundedFollowing))))
+    rows = cdf.limit(max_cdf_rows + 1).collect()
+    if len(rows) > max_cdf_rows:
+        raise ValueError(
+            f"histogram_equalize CDF table exceeds max_cdf_rows="
+            f"{max_cdf_rows}; coarsen nbins or shard by scene")
+    table: dict[tuple, np.ndarray] = {}
+    for r in rows:
+        key = (r.source_id, int(r.band))
+        eq = table.get(key)
+        if eq is None:
+            eq = np.zeros(nb, dtype=np.float64)
+            table[key] = eq
+        den = max(int(r.total) - int(r.cdf_min), 1)
+        eq[int(r.bucket)] = np.floor(
+            (float(int(r.cum) - int(r.cdf_min)) / float(den))
+            * (lv - 1) + 0.5)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_px = []
+            for row_t in pdf.itertuples(index=False):
+                arr = np.frombuffer(row_t.px, dtype=DTYPES[row_t.dtype]) \
+                        .reshape(t, t).astype(np.float64)
+                valid = ~np.isnan(arr) & (arr != row_t.nodata)
+                eq = table.get((row_t.source_id, int(row_t.band)))
+                res = np.full((t, t), row_t.nodata, dtype=np.float64)
+                if eq is not None and valid.any():
+                    v = arr[valid]
+                    bucket = np.clip(
+                        np.floor((v - vmin) / (vmax - vmin) * nb),
+                        0.0, float(nb - 1)).astype(np.int64)
+                    res[valid] = eq[bucket]
+                out_px.append(res.tobytes())
+            pdf = pdf.copy()
+            pdf["px"] = out_px
+            pdf["dtype"] = "float64"
+            yield pdf
+
+    return tiles.mapInPandas(run, tiles.schema)

@@ -109,3 +109,47 @@ def test_quantile_breaks_invariants(spark):
             target = (q * total + 3) // 4
             assert cum >= target > cum_prev
             assert qs[q]["break_value"] == (bk + 1.0) * 9.375
+
+
+def test_histogram_equalize_properties(spark):
+    """Equalization invariants on the fixture: NoData preserved, outputs
+    in [0, out_levels-1], mapping is monotone in the input (order of any
+    two valid pixels never inverts), and a perfectly uniform scene maps
+    onto the full output range."""
+    from geotrellis_contrib_spark.operators.pixels import unpack
+    from geotrellis_contrib_spark.operators.render import \
+        histogram_equalize
+
+    tiles = corpus.synth_px_tiles(spark, tile_size=64)
+    eq = histogram_equalize(tiles, vmin=0.0, vmax=3400.0, nbins=64,
+                            tile_size=64)
+    orig = {(r.source_idx, r.band, r.col, r.row):
+            unpack(r.px, r.dtype, 64) for r in tiles.collect()}
+    got = {(r.source_idx, r.band, r.col, r.row):
+           unpack(r.px, "float64", 64) for r in eq.collect()}
+    assert got.keys() == orig.keys()
+    import numpy as np
+    for k in orig:
+        o, g = orig[k], got[k]
+        nod = o == -9999.0
+        assert (g[nod] == -9999.0).all()
+        assert ((g[~nod] >= 0) & (g[~nod] <= 255)).all()
+    # monotonicity within one scene/band across all pixels
+    s0 = [(o, g) for k in orig if k[0] == 0 and k[1] == 0
+          for o, g in zip(orig[k].ravel(), got[k].ravel())
+          if o != -9999.0]
+    s0.sort()
+    gs = [g for _, g in s0]
+    assert all(a <= b for a, b in zip(gs, gs[1:]))
+    # uniform scene -> full range
+    import pandas as pd  # noqa: F401
+    from geotrellis_contrib_spark.operators.pixels import pack
+    vals = np.repeat(np.arange(64, dtype=np.float64), 64).reshape(64, 64)
+    uni = spark.createDataFrame(
+        [("u", 0, 6, 0, 0, 0, "float64", -1.0, pack(vals * 50.0))],
+        "source_id string, source_idx int, zoom int, col bigint, "
+        "row bigint, band int, dtype string, nodata double, px binary")
+    geq = histogram_equalize(uni, vmin=0.0, vmax=3200.0, nbins=64,
+                             tile_size=64)
+    arr = unpack(geq.collect()[0].px, "float64", 64)
+    assert arr.min() == 0.0 and arr.max() == 255.0
