@@ -953,6 +953,30 @@ def q_hist_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                          keys=("source_idx", "col", "row", "band"))
 
 
+def q_sigmoidal_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIGMOIDAL CONTRAST (geotrellis.raster.sigmoidal.SigmoidalContrast
+    analog): each pixel normalized to [0,1] and passed through the
+    normalized logistic g(u) = (1/(1+exp(beta*(alpha-u))) - A) / (B - A)
+    with A = 1/(1+exp(beta*alpha)), B = 1/(1+exp(beta*(alpha-1))), then
+    eq = floor(g*255 + 0.5). Purely per-pixel: ONE narrow Arrow map,
+    ZERO shuffle at any corpus size. Oracle: the closed-form field
+    through the IDENTICAL expression chain in DuckDB SQL — exp is fed
+    the same double on both sides (same expression order) and the final
+    half-up floor has a verified >=1e-4 margin on every fixture value
+    (pytest brute-forces the whole value set), so sub-ulp libm
+    differences cannot flip a bucket. Per-tile float sums of the 0..255
+    outputs (<= 4096 ints — exact, order-free)."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import pixels as px
+    from geotrellis_contrib_spark.operators import render as render_ops
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    eq = render_ops.sigmoidal_contrast(tiles, vmin=0.0, vmax=3400.0,
+                                       alpha=0.5, beta=10.0, tile_size=64)
+    return px.tile_stats(eq.withColumn("tile_size", F.lit(64)),
+                         keys=("source_idx", "col", "row", "band"))
+
+
 def q_raster_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MASK + INVERSE MASK by AOI geometry (geotrellis.raster.mask
     TileMaskMethods — the core masking family every reference
@@ -3650,6 +3674,32 @@ FROM b LEFT JOIN eqmap m ON m.s = b.s AND m.band = b.band
 GROUP BY 1, 2, 3, 4
 """
 
+    # Sigmoidal contrast (sigmoidal_contrast): the normalized logistic
+    # replayed with identical expression ORDER (alpha-u, then *beta,
+    # then EXP) so both sides feed exp the same double; the half-up
+    # floor has a pytest-verified >=1e-4 margin on every fixture value.
+    _sg_u = ("LEAST(GREATEST((val - 0.0) / (3400.0 - 0.0), 0.0), 1.0)")
+    _sg = (f"FLOOR(((1.0/(1.0 + EXP(10.0*(0.5 - {_sg_u}))) "
+           f"- 1.0/(1.0 + EXP(10.0*0.5))) "
+           f"/ (1.0/(1.0 + EXP(10.0*(0.5 - 1.0))) "
+           f"- 1.0/(1.0 + EXP(10.0*0.5)))) * 255.0 + 0.5)")
+    o["sigmoidal_contrast"] = f"""
+WITH px AS (
+  SELECT s, band, tc, tr, {_fval('r', 'c')} AS val
+  FROM range(0,3) ss(s), range(0,2) bs(band), range(0,4) tcs(tc),
+       range(0,4) trs(tr), range(0,64) rs(r), range(0,64) cs(c)
+)
+SELECT CAST(s AS BIGINT) AS source_idx,
+       CAST(18 + tc + s AS BIGINT) AS col,
+       CAST(24 + tr AS BIGINT) AS row,
+       CAST(band AS BIGINT) AS band,
+       SUM(CASE WHEN val <> -9999.0 THEN {_sg} ELSE 0.0 END) AS px_sum,
+       CAST(SUM(CASE WHEN val <> -9999.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS px_count
+FROM px
+GROUP BY 1, 2, 3, 4
+"""
+
     # Sub-byte variant (geotiff_read_subbyte): the field reduced to
     # pmod(4*val, 2^bits - 1) + 1 per scene (bits 4/2/1, NoData -> 0 =
     # the declared nodata), recomputed in SQL with the pmod spelled
@@ -5853,6 +5903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "sigmoidal_contrast": q_sigmoidal_contrast,
         "hist_equalize": q_hist_equalize,
         "winnow_fps": q_winnow_fps,
         "viewshed_dist": q_viewshed_dist,

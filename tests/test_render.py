@@ -153,3 +153,71 @@ def test_histogram_equalize_properties(spark):
                              tile_size=64)
     arr = unpack(geq.collect()[0].px, "float64", 64)
     assert arr.min() == 0.0 and arr.max() == 255.0
+
+
+def test_sigmoidal_contrast_brute_force(spark):
+    """Engine vs untiled numpy brute force on the fixture: identical
+    values everywhere, NoData preserved, range [0,255], endpoints exact
+    (g(0)=0, g(1)=1 by construction), and every fixture pixel keeps a
+    >=1e-4 margin to a rounding boundary (so sub-ulp libm differences
+    between numpy/JVM/DuckDB can never flip a bucket — the oracle gate's
+    exactness argument)."""
+    from geotrellis_contrib_spark.operators.pixels import unpack
+    from geotrellis_contrib_spark.operators.render import \
+        sigmoidal_contrast
+
+    a, b, vmin, vmax = 0.5, 10.0, 0.0, 3400.0
+    tiles = corpus.synth_px_tiles(spark, tile_size=64)
+    out = sigmoidal_contrast(tiles, vmin=vmin, vmax=vmax,
+                             alpha=a, beta=b, tile_size=64)
+    orig = {(r.source_idx, r.band, r.col, r.row):
+            unpack(r.px, r.dtype, 64) for r in tiles.collect()}
+    got = {(r.source_idx, r.band, r.col, r.row):
+           unpack(r.px, "float64", 64) for r in out.collect()}
+    assert got.keys() == orig.keys()
+    anchor = 1.0 / (1.0 + np.exp(b * a))
+    denom = 1.0 / (1.0 + np.exp(b * (a - 1.0))) - anchor
+    for k in orig:
+        o, g = orig[k], got[k]
+        nod = o == -9999.0
+        assert (g[nod] == -9999.0).all()
+        u = np.clip((o[~nod] - vmin) / (vmax - vmin), 0.0, 1.0)
+        gg = (1.0 / (1.0 + np.exp(b * (a - u))) - anchor) / denom
+        x = gg * 255.0 + 0.5
+        assert np.abs(x - np.round(x)).min() >= 1e-4  # boundary margin
+        assert (g[~nod] == np.floor(x)).all()
+        assert ((g[~nod] >= 0) & (g[~nod] <= 255)).all()
+    # monotone in the input within one scene/band
+    s0 = sorted((o, g) for k in orig if k[0] == 0 and k[1] == 0
+                for o, g in zip(orig[k].ravel(), got[k].ravel())
+                if o != -9999.0)
+    gs = [g for _, g in s0]
+    assert all(x <= y for x, y in zip(gs, gs[1:]))
+
+
+def test_sigmoidal_contrast_endpoints_and_guard(spark):
+    """vmin maps to 0 and vmax to 255 exactly; out-of-range inputs clamp;
+    a degenerate (alpha, beta) pair fails loud."""
+    import pytest
+
+    from geotrellis_contrib_spark.operators.pixels import pack, unpack
+    from geotrellis_contrib_spark.operators.render import \
+        sigmoidal_contrast
+
+    arr = np.full((64, 64), 500.0)
+    arr[0, 0] = 0.0       # == vmin -> u=0 -> g=0 -> 0
+    arr[0, 1] = 1000.0    # == vmax -> u=1 -> g=1 -> 255
+    arr[0, 2] = -50.0     # clamps to vmin
+    arr[0, 3] = 2000.0    # clamps to vmax
+    df = spark.createDataFrame(
+        [("u", 0, 6, 0, 0, 0, "float64", -1.0, pack(arr))],
+        "source_id string, source_idx int, zoom int, col bigint, "
+        "row bigint, band int, dtype string, nodata double, px binary")
+    out = sigmoidal_contrast(df, vmin=0.0, vmax=1000.0,
+                             alpha=0.5, beta=10.0, tile_size=64)
+    g = unpack(out.collect()[0].px, "float64", 64)
+    assert g[0, 0] == 0.0 and g[0, 1] == 255.0
+    assert g[0, 2] == 0.0 and g[0, 3] == 255.0
+    with pytest.raises(ValueError, match="degenerate"):
+        sigmoidal_contrast(df, vmin=0.0, vmax=1000.0, alpha=0.5,
+                           beta=0.0, tile_size=64)
