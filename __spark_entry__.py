@@ -2043,6 +2043,31 @@ def q_geotiff_read_lzma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GT.per_tile_checksum(GT.read_catalog_tiles(cat), quant=1.0)
 
 
+def q_geotiff_read_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoTiff BASELINE JPEG decode end-to-end (compression 7, the
+    "new-style JPEG" of real aerial/satellite archives; from-scratch
+    T.81 codec — canonical Huffman, zigzag, DCT — in jpegcodec.py):
+    the closed-form field at aligned 8x8-block corners broadcast
+    block-constant and byte-reduced to (round(4*val) % 255) + 1 with
+    NoData -> 0, written LE+planar2+overview+JPEGTables tag /
+    BE+self-contained streams / LE+COG+restart markers. Block-constant
+    under a unit quant table decodes BIT-EXACTLY (only the DC
+    coefficient survives the DCT), so the catalog parse -> pruned
+    ranged fetch -> Huffman decode -> IDCT -> per-tile checksum chain
+    sits under a full value gate despite JPEG being lossy in general.
+    Oracle: the same block-corner reduction recomputed in SQL."""
+    import os
+    import tempfile
+
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.sources import geotiff as GT
+
+    root = os.path.join(tempfile.gettempdir(), "gt_gate_jpg_v1")
+    specs = corpus_mod.synth_geotiff_scenes_jpeg(root)
+    cat = GT.geotiff_tile_catalog(spark, specs)
+    return GT.per_tile_checksum(GT.read_catalog_tiles(cat), quant=1.0)
+
+
 def q_geotiff_read_subbyte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoTiff SUB-BYTE sample decode end-to-end (TIFF 6.0 §4-5: 1-bit
     bilevel masks and 2-/4-bit grayscale — MSB-first packed samples,
@@ -3698,6 +3723,34 @@ SELECT CAST(s AS BIGINT) AS source_idx,
          AS px_count
 FROM px
 GROUP BY 1, 2, 3, 4
+"""
+
+    # Baseline-JPEG variant (geotiff_read_jpeg): the field sampled at
+    # aligned 8x8-block corners (r//8*8, c//8*8 — blocks never cross
+    # tile edges since 8 | 64), broadcast block-constant, reduced to
+    # (round(4*val) % 255) + 1 with NoData -> 0; block-constant + unit
+    # quant decodes bit-exactly, so plain integer sums gate the codec.
+    o["geotiff_read_jpeg"] = f"""
+WITH px AS (
+  SELECT s, band, tc, tr, {_fval('(r//8)*8', '(c//8)*8')} AS val
+  FROM range(0,3) ss(s), range(0,2) bs(band), range(0,4) tcs(tc),
+       range(0,4) trs(tr), range(0,64) rs(r), range(0,64) cs(c)
+), w AS (
+  SELECT s, band, tc, tr,
+         CASE WHEN val <> -9999.0
+              THEN (CAST(val * 4 AS BIGINT) % 255) + 1
+              ELSE 0 END AS wv
+  FROM px
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS INT) AS band,
+       CAST(18 + tc + s AS BIGINT) AS col,
+       CAST(24 + tr AS BIGINT) AS row,
+       CAST(SUM(CASE WHEN wv <> 0 THEN wv ELSE 0 END) AS BIGINT)
+         AS px_qsum,
+       CAST(COUNT(CASE WHEN wv <> 0 THEN 1 END) AS BIGINT)
+         AS px_count
+FROM w GROUP BY 1, 2, 3, 4
 """
 
     # Sub-byte variant (geotiff_read_subbyte): the field reduced to
@@ -5903,6 +5956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "geotiff_read_jpeg": q_geotiff_read_jpeg,
         "sigmoidal_contrast": q_sigmoidal_contrast,
         "hist_equalize": q_hist_equalize,
         "winnow_fps": q_winnow_fps,

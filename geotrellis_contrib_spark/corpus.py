@@ -437,6 +437,58 @@ def synth_geotiff_scenes_subbyte(root: str,
     return specs
 
 
+def synth_geotiff_scenes_jpeg(root: str,
+                              tile_size: int = 64) -> list[dict]:
+    """Baseline-JPEG sibling (TIFF compression 7 — the lossy wire format
+    real aerial/satellite archives ship): the closed-form field sampled
+    at aligned 8x8-BLOCK CORNERS and broadcast across each block, then
+    byte-reduced to ``(round(4*val) % 255) + 1`` with NoData -> 0. A
+    block-constant image under a unit quant table decodes BIT-EXACTLY
+    (only the DC coefficient survives — see jpegcodec.py), so the shared
+    per-tile checksum still pins every decoded byte and tile placement
+    through the full Huffman/DCT pipeline. Scene-0 LE+planar2+overview
+    with the JPEGTables tag, scene-1 BE with self-contained segment
+    streams (no tag), scene-2 LE+COG with restart markers every 4 MCUs."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from geotrellis_contrib_spark.sources import geotiff as GT
+
+    variants = [{"byteorder": "<", "overviews": 1},
+                {"byteorder": ">", "jpeg_tables_tag": False},
+                {"byteorder": "<", "cog": True, "jpeg_restart": 4}]
+    os.makedirs(root, exist_ok=True)
+    specs = []
+    q1 = np.ones((8, 8), dtype=np.int64)
+    for s, var in enumerate(variants):
+        path = os.path.join(root, f"scene-{s}-jpg.tif")
+        if not os.path.exists(path):
+            arr = synth_scene_mosaic(s, tile_size=tile_size)
+            corner = arr[:, ::8, ::8]
+            q4 = np.round(corner * 4.0).astype(np.int64)
+            wc = np.where(corner == -9999.0, 0,
+                          (q4 % 255) + 1).astype(np.uint8)
+            img = np.repeat(np.repeat(wc, 8, axis=1), 8, axis=2)
+            web = 20037508.342789244
+            tsz = 2.0 * web / 64.0
+            xmin = -web + (18 + s) * tsz
+            ymax = web - 24 * tsz
+            xmax, ymin = xmin + 4 * tsz, ymax - 4 * tsz
+            fd, tmp = tempfile.mkstemp(dir=root, suffix=".part")
+            os.close(fd)
+            GT.write_geotiff(tmp, img, (xmin, ymin, xmax, ymax),
+                             epsg=3857, nodata=0.0, tile_size=tile_size,
+                             compress="jpeg", planar=2, jpeg_quant=q1,
+                             **var)
+            os.replace(tmp, path)
+        specs.append({"path": path, "source_id": f"scene-{s}",
+                      "source_idx": s, "zoom": 6, "base_col": 18 + s,
+                      "base_row": 24})
+    return specs
+
+
 def _synth_quant_scenes(root: str, variants: list[dict], suffix: str,
                         tile_size: int) -> list[dict]:
     import os

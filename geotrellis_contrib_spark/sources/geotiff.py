@@ -33,7 +33,11 @@ tiled and stripped layouts, compression none/deflate (8 and legacy
 both codec directions so roundtrips stay self-contained)/PackBits (32773,
 TIFF 6.0 §9 byte RLE, both directions)/LZMA (34925, the libtiff
 tif_lzma.c extension — per-segment .xz streams via stdlib ``lzma``,
-both directions), predictor 1,
+both directions)/baseline JPEG (7, "new-style": from-scratch T.81
+grayscale codec in jpegcodec.py, abbreviated streams with the
+JPEGTables tag (347) or self-contained segments, restart markers;
+8-bit band-separate planes only — progressive/YCbCr fail loud),
+predictor 1,
 2 (horizontal differencing, integer samples — the GDAL write default for
 LZW) and 3 (TIFF TechNote 3 floating-point byte-plane differencing —
 the libtiff/GDAL default for compressed floats),
@@ -55,10 +59,14 @@ from typing import Iterator
 
 import numpy as np
 
+from geotrellis_contrib_spark.sources.jpegcodec import (
+    STD_QUANT_LUMA, jpeg_decode_gray, jpeg_encode_gray,
+    jpeg_tables_stream)
+
 # TIFF field types -> (struct letter, byte size); 16/17/18 are the
 # BigTIFF 8-byte types (LONG8 / SLONG8 / IFD8)
 _FIELD = {1: ("B", 1), 2: ("c", 1), 3: ("H", 2), 4: ("I", 4),
-          5: ("II", 8), 12: ("d", 8),
+          5: ("II", 8), 7: ("B", 1), 12: ("d", 8),
           16: ("Q", 8), 17: ("q", 8), 18: ("Q", 8)}
 
 _TAG = {"NewSubfileType": 254, "ImageWidth": 256, "ImageLength": 257,
@@ -67,6 +75,7 @@ _TAG = {"NewSubfileType": 254, "ImageWidth": 256, "ImageLength": 257,
         "StripByteCounts": 279, "PlanarConfig": 284, "Predictor": 317,
         "TileWidth": 322, "TileLength": 323, "TileOffsets": 324,
         "TileByteCounts": 325, "SampleFormat": 339,
+        "JPEGTables": 347,
         "ModelPixelScale": 33550, "ModelTiepoint": 33922,
         "ModelTransformation": 34264,
         "GeoKeyDirectory": 34735, "GeoDoubleParams": 34736,
@@ -401,7 +410,7 @@ class _IFD:
 
     def add(self, tag: int, typ: int, values) -> None:
         letter, size = _FIELD[typ]
-        if typ == 2:  # ASCII: values is bytes incl. NUL
+        if typ in (2, 7):  # ASCII / UNDEFINED: values is raw bytes
             payload = values
             count = len(values)
         else:
@@ -456,15 +465,22 @@ def _geokeys(epsg: int) -> list[int]:
 def _level_segments(band_arrs: np.ndarray, tile: int, strips: bool,
                     compress: str, nodata: float, np_bo: str,
                     planar: int, predictor: int = 1,
-                    sub_bits: int = 0):
+                    sub_bits: int = 0, jpeg_quant=None,
+                    jpeg_inline: bool = False, jpeg_restart: int = 0):
     """Segment byte payloads for one resolution level, TIFF segment order
     (plane-major for planar=2, pixel-interleaved for planar=1). Edge
     tiles pad with nodata per spec. ``sub_bits`` in (1, 2, 4) packs
-    uint8 samples into the sub-byte wire layout."""
+    uint8 samples into the sub-byte wire layout. JPEG encodes each
+    segment as one grayscale baseline stream (abbreviated unless
+    ``jpeg_inline``) — byte-order independent by construction."""
     nb, h, w = band_arrs.shape
     wire = band_arrs.dtype.newbyteorder(np_bo)
 
     def wire_bytes(seg: np.ndarray) -> bytes:
+        if compress == "jpeg":  # one gray plane per segment
+            return jpeg_encode_gray(np.ascontiguousarray(seg), jpeg_quant,
+                                    inline_tables=jpeg_inline,
+                                    restart_interval=jpeg_restart)
         if sub_bits:  # byte-order independent, predictor-1 only
             return _pack_subbyte(seg, sub_bits)
         if predictor == 3:  # byte order fixed by the fp predictor itself
@@ -538,7 +554,9 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
                   planar: int = 2, cog: bool = False,
                   predictor: int = 1, bigtiff: bool = False,
                   geo_encoding: str = "pixelscale",
-                  bits: int | None = None) -> None:
+                  bits: int | None = None,
+                  jpeg_quant=None, jpeg_tables_tag: bool = True,
+                  jpeg_restart: int = 0) -> None:
     """Write a (multiband) GeoTiff: ``bands`` is (nbands, H, W) or (H, W);
     ``extent`` = (xmin, ymin, xmax, ymax) in the CRS of ``epsg``.
     ``overviews`` appends that many 2x-decimated overview IFDs
@@ -555,8 +573,27 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
     dtype = str(bands.dtype)
     if dtype not in _DT_TO_TIFF:
         raise ValueError(f"unsupported dtype {dtype}")
-    if compress not in ("none", "deflate", "lzw", "packbits", "lzma"):
+    if compress not in ("none", "deflate", "lzw", "packbits", "lzma",
+                        "jpeg"):
         raise ValueError(f"unsupported compression {compress!r}")
+    if compress == "jpeg":
+        # baseline JPEG (TIFF compression 7): 8-bit grayscale planes —
+        # one component per segment, the band-separate tile model
+        if dtype != "uint8":
+            raise ValueError(f"JPEG baseline requires uint8 samples, "
+                             f"got {dtype}")
+        if predictor != 1:
+            raise ValueError("JPEG segments take no TIFF predictor "
+                             "(the DCT is the decorrelator)")
+        if bits is not None and bits != 8:
+            raise ValueError("JPEG requires full 8-bit samples")
+        if planar != 2:
+            raise ValueError("JPEG requires planar=2 (band-separate "
+                             "grayscale segments; interleaved YCbCr "
+                             "is unsupported)")
+        if jpeg_quant is None:
+            jpeg_quant = STD_QUANT_LUMA
+        jpeg_quant = np.asarray(jpeg_quant, dtype=np.int64).reshape(8, 8)
     sub_bits = 0
     if bits is not None and bits != 8 * bands.dtype.itemsize:
         if bits not in (1, 2, 4):
@@ -599,9 +636,13 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
     for _ in range(overviews):
         levels.append(levels[-1][:, ::2, ::2])
 
+    jpeg_blob = (jpeg_tables_stream(jpeg_quant)
+                 if compress == "jpeg" and jpeg_tables_tag else None)
     level_segs = [
         _level_segments(arrs, tile_size, strips, compress, nodata, bo,
-                        planar, predictor, sub_bits)
+                        planar, predictor, sub_bits, jpeg_quant,
+                        jpeg_inline=jpeg_blob is None,
+                        jpeg_restart=jpeg_restart)
         for arrs in levels]
     hdr_len = 16 if bigtiff else 8
     if cog:
@@ -612,7 +653,7 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
             levels, level_segs, [[0] * len(s[0]) for s in level_segs],
             bo, nb, bits, sfmt, compress, planar, strips, tile_size,
             xmin, ymax, (xmax - xmin) / w, (ymax - ymin) / h, epsg,
-            nodata, predictor, bigtiff, geo_encoding)
+            nodata, predictor, bigtiff, geo_encoding, jpeg_blob)
         data_base = hdr_len + sum(i.size() + i.external_size()
                                   for i in probe)
     else:
@@ -631,7 +672,8 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
     ifds = _assemble_ifds(
         levels, level_segs, level_offs, bo, nb, bits, sfmt, compress,
         planar, strips, tile_size, xmin, ymax, (xmax - xmin) / w,
-        (ymax - ymin) / h, epsg, nodata, predictor, bigtiff, geo_encoding)
+        (ymax - ymin) / h, epsg, nodata, predictor, bigtiff, geo_encoding,
+        jpeg_blob)
 
     if cog:
         ifd_offsets = []
@@ -672,7 +714,7 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
 def _assemble_ifds(levels, level_segs, level_offs, bo, nb, bits, sfmt,
                    compress, planar, strips, tile_size, xmin, ymax,
                    sx, sy, epsg, nodata, predictor=1, big=False,
-                   geo_encoding="pixelscale"):
+                   geo_encoding="pixelscale", jpeg_blob=None):
     """Build the IFD chain for every resolution level with the given
     segment offsets (sizes are offset-independent, which is what lets
     the COG layout measure with zeros first). ``big`` writes BigTIFF
@@ -690,10 +732,14 @@ def _assemble_ifds(levels, level_segs, level_offs, bo, nb, bits, sfmt,
         ifd.add(_TAG["ImageLength"], 4, lh)
         ifd.add(_TAG["BitsPerSample"], 3, [bits] * nb)
         ifd.add(_TAG["Compression"], 3,
-                {"none": 1, "deflate": 8, "lzw": 5,
+                {"none": 1, "deflate": 8, "lzw": 5, "jpeg": 7,
                  "packbits": 32773, "lzma": 34925}[compress])
         if predictor in (2, 3):
             ifd.add(_TAG["Predictor"], 3, predictor)
+        if jpeg_blob is not None:
+            # TIFF TechNote 2: shared abbreviated table stream; every
+            # JPEG-compressed IFD carries the tag (libtiff convention)
+            ifd.add(_TAG["JPEGTables"], 7, jpeg_blob)
         ifd.add(_TAG["Photometric"], 3, 1)
         ifd.add(_TAG["SamplesPerPixel"], 3, nb)
         ifd.add(_TAG["SampleFormat"], 3, [sfmt] * nb)
@@ -744,7 +790,7 @@ def _read_entry_values(f, bo, typ, count, raw_inline, big=False):
         f.seek(off)
         buf = f.read(total)
         f.seek(pos)
-    if typ == 2:
+    if typ in (2, 7):  # ASCII / UNDEFINED: raw bytes
         return buf
     if typ == 5:  # RATIONAL
         vals = struct.unpack(bo + "II" * count, buf)
@@ -811,10 +857,18 @@ def read_geotiff_info(path: str) -> dict:
                                        f.read(8 if big else 4))
 
             comp = tags.get(_TAG["Compression"], [1])[0]
-            if comp not in (1, 5, 8, 32946, 32773, 34925):
-                raise ValueError(f"unsupported compression {comp} "
-                                 "(none/lzw/deflate/packbits/lzma only)")
+            if comp not in (1, 5, 7, 8, 32946, 32773, 34925):
+                raise ValueError(
+                    f"unsupported compression {comp} "
+                    "(none/lzw/jpeg/deflate/packbits/lzma only)")
             predictor = tags.get(_TAG["Predictor"], [1])[0]
+            jpeg_tables = None
+            if comp == 7:
+                if predictor != 1:
+                    raise ValueError("JPEG segments take no TIFF "
+                                     f"predictor (got {predictor})")
+                jt = tags.get(_TAG["JPEGTables"])
+                jpeg_tables = bytes(jt) if jt else None
             if predictor not in (1, 2, 3):
                 raise ValueError(f"unsupported predictor {predictor} "
                                  "(none/int-horizontal/float-"
@@ -830,6 +884,10 @@ def read_geotiff_info(path: str) -> dict:
             key = (bits[0], sfmt[0])
             if key not in _TIFF_TO_DT:
                 raise ValueError(f"unsupported sample type {key}")
+            if comp == 7 and _TIFF_TO_DT[key] != "uint8":
+                raise ValueError(f"JPEG compression with "
+                                 f"{_TIFF_TO_DT[key]} samples "
+                                 "unsupported (8-bit baseline only)")
             if _TIFF_TO_DT[key] in _SUBBYTE_BITS and predictor != 1:
                 raise ValueError(f"predictor {predictor} with sub-byte "
                                  "samples unsupported (TIFF predictors "
@@ -868,6 +926,7 @@ def read_geotiff_info(path: str) -> dict:
             ifds.append({"width": w, "height": h, "tile_w": tw,
                          "tile_h": th, "strips": stripped,
                          "compression": comp, "predictor": predictor,
+                         "jpeg_tables": jpeg_tables,
                          "offsets": offs,
                          "counts": cnts, "n_w": n_w, "n_h": n_h,
                          "overview": bool(
@@ -935,7 +994,13 @@ def _np_dtype(info_dtype: str, bo: str) -> np.dtype:
 
 def _decode_segment(raw: bytes, compression: int, dtype: np.dtype,
                     th: int, tw: int, spp: int,
-                    predictor: int = 1, sub_bits: int = 0) -> np.ndarray:
+                    predictor: int = 1, sub_bits: int = 0,
+                    jpeg_tables: bytes | None = None) -> np.ndarray:
+    if compression == 7:
+        if spp > 1:
+            raise ValueError("interleaved multi-band JPEG segments "
+                             "unsupported (planar=2 grayscale only)")
+        return jpeg_decode_gray(raw, jpeg_tables)
     if compression in (8, 32946):
         raw = zlib.decompress(raw)
     elif compression == 5:
@@ -987,7 +1052,8 @@ def read_geotiff(path: str, level: int = 0) -> tuple[np.ndarray, dict]:
             tr, tc = ti // n_w, ti % n_w
             seg = _decode_segment(raw, ifd["compression"], dtype, th, tw,
                                   nb if planar == 1 else 1,
-                                  ifd["predictor"], sub_bits)
+                                  ifd["predictor"], sub_bits,
+                                  ifd.get("jpeg_tables"))
             rows = min(th, h - tr * th)
             cols = min(tw, w - tc * tw)
             if planar == 1 and nb > 1:
@@ -1008,7 +1074,8 @@ CATALOG_SCHEMA = ("path string, source_id string, source_idx int, zoom int, "
                   "band int, col bigint, row bigint, offset bigint, "
                   "nbytes bigint, tile_size int, compression int, "
                   "byteorder string, dtype string, nodata double, "
-                  "planar int, nbands int, predictor int")
+                  "planar int, nbands int, predictor int, "
+                  "jpeg_tables binary")
 
 
 def geotiff_tile_catalog(spark, specs: list[dict]):
@@ -1048,7 +1115,8 @@ def geotiff_tile_catalog(spark, specs: list[dict]):
                              int(off), int(cnt), int(ifd["tile_w"]),
                              int(ifd["compression"]), info["byteorder"],
                              info["dtype"], float(nodata), int(planar),
-                             int(nb), int(ifd["predictor"])))
+                             int(nb), int(ifd["predictor"]),
+                             ifd.get("jpeg_tables")))
     n_part = max(1, min(8, len(rows) // 32))
     return spark.createDataFrame(rows, CATALOG_SCHEMA).coalesce(n_part)
 
@@ -1085,7 +1153,9 @@ def read_catalog_tiles(catalog):
                         int(t.tile_size), int(t.tile_size),
                         int(t.nbands) if t.planar == 1 else 1,
                         int(t.predictor),
-                        _SUBBYTE_BITS.get(t.dtype, 0))
+                        _SUBBYTE_BITS.get(t.dtype, 0),
+                        bytes(t.jpeg_tables)
+                        if t.jpeg_tables is not None else None)
                     if t.planar == 1 and t.nbands > 1:
                         arr = seg[:, :, int(t.band)]
                     else:

@@ -130,7 +130,10 @@ def test_reject_bigtiff(tmp_path):
         GT.read_geotiff_info(p)
 
 
-def test_reject_jpeg_compression(tmp_path):
+def test_jpeg_tag_without_jpeg_data_fails_loud(tmp_path):
+    # compression 7 now parses (the codec exists), but segment bytes
+    # that are not a JPEG stream must fail loud at decode, not return
+    # garbage pixels
     p = str(tmp_path / "l.tif")
     arr = np.zeros((8, 8), dtype=np.uint8)
     GT.write_geotiff(p, arr, (0, 0, 8, 8), compress="none", tile_size=8)
@@ -140,8 +143,10 @@ def test_reject_jpeg_compression(tmp_path):
     assert idx > 0
     raw[idx + 8:idx + 10] = struct.pack("<H", 7)
     open(p, "wb").write(bytes(raw))
-    with pytest.raises(ValueError, match="compression 7"):
-        GT.read_geotiff_info(p)
+    info = GT.read_geotiff_info(p)
+    assert info["ifds"][0]["compression"] == 7
+    with pytest.raises(ValueError, match="JPEG marker expected"):
+        GT.read_geotiff(p)
 
 
 def test_reject_float_predictor(tmp_path):
@@ -230,7 +235,18 @@ def test_writer_rejects_bad_args(tmp_path):
     arr = np.zeros((4, 4), dtype=np.float64)
     with pytest.raises(ValueError, match="compression"):
         GT.write_geotiff(str(tmp_path / "a.tif"), arr, (0, 0, 1, 1),
+                         compress="webp")
+    with pytest.raises(ValueError, match="uint8"):
+        GT.write_geotiff(str(tmp_path / "a.tif"), arr, (0, 0, 1, 1),
                          compress="jpeg")
+    u8 = np.zeros((4, 4), dtype=np.uint8)
+    with pytest.raises(ValueError, match="predictor"):
+        GT.write_geotiff(str(tmp_path / "a.tif"), u8, (0, 0, 1, 1),
+                         compress="jpeg", predictor=2)
+    with pytest.raises(ValueError, match="YCbCr"):
+        GT.write_geotiff(str(tmp_path / "a.tif"),
+                         np.zeros((2, 4, 4), dtype=np.uint8),
+                         (0, 0, 1, 1), compress="jpeg", planar=1)
     with pytest.raises(ValueError, match="predictor"):
         GT.write_geotiff(str(tmp_path / "a.tif"), arr, (0, 0, 1, 1),
                          predictor=4)
