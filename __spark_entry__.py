@@ -953,6 +953,28 @@ def q_hist_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                          keys=("source_idx", "col", "row", "band"))
 
 
+def q_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RASTER -> VECTOR POLYGONIZATION (geotrellis.raster.vectorize /
+    Tile#toVector analog — the vector-side closer of the raster<->vector
+    pair whose other half is rasterize/polygon_burn): every 4-connected
+    region of the nested-rectangle fixture becomes an OGC polygon WITH
+    HOLE RINGS, traced across tile boundaries. Scale shape: zero-shuffle
+    per-tile boundary-edge extraction (O(boundary), never O(pixels)),
+    ONE segment-key groupBy cancels cross-tile interior edges, the
+    region_stats CC label merge, then perimeter-bounded per-region ring
+    assembly. The fixture's frames + hole-nested solids all straddle
+    64-px tile edges, so stitching is genuinely exercised. Oracle: every
+    output column INCLUDING THE FULL WKT STRING rebuilt closed-form in
+    SQL (integer lattice corners, the engine's canonical ring/vertex
+    order) — 36 value-exact rows."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import vectorize as vec
+
+    tiles = corpus_mod.synth_vector_tiles(spark)
+    return vec.vectorize_regions(
+        tiles, predicate=lambda a, gr, gc: a > 0.5, tile_size=64)
+
+
 def q_sigmoidal_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SIGMOIDAL CONTRAST (geotrellis.raster.sigmoidal.SigmoidalContrast
     analog): each pixel normalized to [0,1] and passed through the
@@ -3699,6 +3721,56 @@ FROM b LEFT JOIN eqmap m ON m.s = b.s AND m.band = b.band
 GROUP BY 1, 2, 3, 4
 """
 
+    # Vectorize (vectorize): the nested-rectangle fixture's polygons
+    # rebuilt closed-form — integer lattice corners, the engine's
+    # canonical order (exterior clockwise-on-screen from the min vertex:
+    # east first; holes counterclockwise: south first), full WKT string
+    # equality. kind 0 = frame (exterior + hole ring), 1 = nested solid.
+    def _wkt_pt(x: str, y: str) -> str:
+        return (f"CAST({x} AS VARCHAR), ' ', CAST({y} AS VARCHAR)")
+
+    def _wkt_ring(x0: str, y0: str, x1: str, y1: str,
+                  hole: bool) -> str:
+        if hole:   # min vertex, then SOUTH first (ccw on screen)
+            seq = [(x0, y0), (x0, y1), (x1, y1), (x1, y0), (x0, y0)]
+        else:      # min vertex, then EAST first (cw on screen)
+            seq = [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
+        inner = ", ', ', ".join(_wkt_pt(x, y) for x, y in seq)
+        return f"CONCAT('(', {inner}, ')')"
+
+    _v_ext = _wkt_ring("x0", "y0", "x0 + 70", "y0 + 70", hole=False)
+    _v_hole = _wkt_ring("x0 + w", "y0 + w", "x0 + 70 - w", "y0 + 70 - w",
+                        hole=True)
+    _v_solid = _wkt_ring("x0 + w + 10", "y0 + w + 10",
+                         "x0 + 60 - w", "y0 + 60 - w", hole=False)
+    o["vectorize"] = f"""
+WITH base AS (
+  SELECT s, band, k, kind,
+         (18 + s) * 64 + 12 + 82 * k + 2 * s + band AS x0,
+         1536 + 12 + 82 * k + 2 * s + band AS y0,
+         8 + 2 * k AS w
+  FROM range(0,3) ss(s), range(0,2) bs(band), range(0,3) ks(k),
+       range(0,2) kk(kind)
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS BIGINT) AS band,
+       CAST(CASE WHEN kind = 0 THEN y0 ELSE y0 + w + 10 END AS BIGINT)
+         * 4194304
+         + CAST(CASE WHEN kind = 0 THEN x0 ELSE x0 + w + 10 END
+                AS BIGINT) AS region_id,
+       CAST(CASE WHEN kind = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_rings,
+       CAST(CASE WHEN kind = 0
+                 THEN 70 * 70 - (70 - 2 * w) * (70 - 2 * w)
+                 ELSE (50 - 2 * w) * (50 - 2 * w) END AS BIGINT)
+         AS n_pixels,
+       CAST(CASE WHEN kind = 0 THEN 4 * 70 + 4 * (70 - 2 * w)
+                 ELSE 4 * (50 - 2 * w) END AS BIGINT) AS perimeter,
+       CASE WHEN kind = 0
+            THEN CONCAT('POLYGON (', {_v_ext}, ', ', {_v_hole}, ')')
+            ELSE CONCAT('POLYGON (', {_v_solid}, ')') END AS wkt
+FROM base
+"""
+
     # Sigmoidal contrast (sigmoidal_contrast): the normalized logistic
     # replayed with identical expression ORDER (alpha-u, then *beta,
     # then EXP) so both sides feed exp the same double; the half-up
@@ -5956,6 +6028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "vectorize": q_vectorize,
         "geotiff_read_jpeg": q_geotiff_read_jpeg,
         "sigmoidal_contrast": q_sigmoidal_contrast,
         "hist_equalize": q_hist_equalize,

@@ -437,6 +437,57 @@ def synth_geotiff_scenes_subbyte(root: str,
     return specs
 
 
+def synth_vector_tiles(spark: SparkSession, tile_size: int = 64
+                       ) -> DataFrame:
+    """Vectorize-gate fixture (synth_px_tiles layout: 3 scenes x 2 bands
+    x 4x4 tiles of 64): per (scene s, band b), three nested-rectangle
+    figures in scene-local pixels — for k in 0..2, with
+    A = 12 + 82*k + 2*s + b, B = A + 70, W = 8 + 2*k:
+
+      * a square FRAME [A,B) x [A,B) minus its hole [A+W,B-W)^2
+        (polygon with one hole ring), and
+      * a SOLID square [A+W+10, B-W-10)^2 inside that hole
+        (hole-nested polygon, 10-px gap).
+
+    Every figure spans a 64-px tile boundary (82k + 12 straddles 64k +
+    ~small), so ring assembly must stitch across tiles. Pixels are 1.0
+    inside a figure, 0.0 outside; nodata -9999 (absent). All corners
+    are closed-form in (s, b, k) — the SQL oracle rebuilds the exact
+    WKT strings."""
+    import numpy as np
+
+    from geotrellis_contrib_spark.operators.pixels import pack
+
+    T = tile_size
+    rows = []
+    lr = np.arange(4 * T).reshape(-1, 1)
+    lc = np.arange(4 * T).reshape(1, -1)
+    for s in range(3):
+        for band in range(2):
+            m = np.zeros((4 * T, 4 * T), dtype=bool)
+            for k in range(3):
+                a = 12 + 82 * k + 2 * s + band
+                b = a + 70
+                w = 8 + 2 * k
+                outer = (lr >= a) & (lr < b) & (lc >= a) & (lc < b)
+                hole = (lr >= a + w) & (lr < b - w) \
+                    & (lc >= a + w) & (lc < b - w)
+                solid = (lr >= a + w + 10) & (lr < b - w - 10) \
+                    & (lc >= a + w + 10) & (lc < b - w - 10)
+                m |= (outer & ~hole) | solid
+            field = m.astype(np.float64)
+            for tc in range(4):
+                for tr in range(4):
+                    arr = field[tr * T:(tr + 1) * T, tc * T:(tc + 1) * T]
+                    rows.append((f"scene-{s}", s, 6, 18 + tc + s,
+                                 24 + tr, band, "float64", -9999.0,
+                                 pack(np.ascontiguousarray(arr))))
+    return spark.createDataFrame(
+        rows, "source_id string, source_idx int, zoom int, col bigint, "
+              "row bigint, band int, dtype string, nodata double, "
+              "px binary").coalesce(8)
+
+
 def synth_geotiff_scenes_jpeg(root: str,
                               tile_size: int = 64) -> list[dict]:
     """Baseline-JPEG sibling (TIFF compression 7 — the lossy wire format
