@@ -953,6 +953,28 @@ def q_hist_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                          keys=("source_idx", "col", "row", "band"))
 
 
+BM25_QUERIES = [(0, "spark join fast"), (1, "table scan"),
+                (2, "window agg stream"), (3, "hash merge"),
+                (4, "sort order key"), (5, "vector column batch")]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 RANKED RETRIEVAL (text-retrieval tier of the training-data
+    pipeline family): top-10 documents per query under the quantized
+    rational-idf BM25 of operators/retrieval.py — no transcendentals,
+    so engine and oracle compute the identical IEEE double per term and
+    the per-doc reduction is an order-free INTEGER sum. Plan shape:
+    broadcast vocabulary semi-join BEFORE the tf shuffle (only matching
+    tokens move), constant-small df/avgdl broadcast back, per-query
+    top-k window over candidates only. Oracle: the full chain replayed
+    in SQL with every literal forced DOUBLE."""
+    _views(spark, sf_dir)
+    from geotrellis_contrib_spark.operators import retrieval as RTV
+
+    return RTV.bm25_topk(spark.table("documents"), BM25_QUERIES,
+                         k1=1.2, b=0.75, top_k=10)
+
+
 def q_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RASTER -> VECTOR POLYGONIZATION (geotrellis.raster.vectorize /
     Tile#toVector analog — the vector-side closer of the raster<->vector
@@ -3721,6 +3743,62 @@ FROM b LEFT JOIN eqmap m ON m.s = b.s AND m.band = b.band
 GROUP BY 1, 2, 3, 4
 """
 
+    # BM25 ranked retrieval (bm25_topk): the rational-idf quantized
+    # chain replayed term-by-term — same split/tf/df/avgdl, the same
+    # +,*,/ expression ORDER (every decimal literal forced DOUBLE:
+    # DuckDB bare decimals are DECIMALs and would compute exact-decimal
+    # instead of IEEE), floor to the 2^32 grid, integer sum, rank.
+    _bm_vals = ", ".join(f"({qid}, '{qt}')" for qid, qt in [
+        (0, "spark join fast"), (1, "table scan"),
+        (2, "window agg stream"), (3, "hash merge"),
+        (4, "sort order key"), (5, "vector column batch")])
+    _d = "CAST({} AS DOUBLE)".format
+    _bm_idf = (f"((c.n_docs - dft.df) + {_d('0.5')}) "
+               f"/ (dft.df + {_d('0.5')})")
+    _bm_tfn = (f"(tf.tf * {_d('2.2')}) / (tf.tf + {_d('1.2')} "
+               f"* ({_d('0.25')} + {_d('0.75')} "
+               f"* (CAST(tf.dl AS DOUBLE) "
+               f"/ (CAST(c.sum_dl AS DOUBLE) / c.n_docs))))")
+    o["bm25_topk"] = f"""
+WITH q(query_id, qtext) AS (VALUES {_bm_vals}),
+qt AS (
+  SELECT DISTINCT query_id, tok FROM (
+    SELECT query_id, unnest(string_split(qtext, ' ')) AS tok FROM q)
+), toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), hits AS (
+  SELECT t.doc_id, t.dl, t.tok
+  FROM toks t JOIN (SELECT DISTINCT tok FROM qt) v USING (tok)
+), tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf,
+         MIN(dl) AS dl
+  FROM hits GROUP BY 1, 2
+), dft AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_dl
+  FROM documents
+), sc AS (
+  SELECT qt.query_id, tf.doc_id,
+         CAST(FLOOR((({_bm_idf}) * ({_bm_tfn}))
+                    * {_d('4294967296.0')} + {_d('0.5')}) AS BIGINT)
+           AS cq
+  FROM tf JOIN dft USING (tok) JOIN qt USING (tok), c
+), pd AS (
+  SELECT query_id, doc_id, CAST(SUM(cq) AS BIGINT) AS score_q
+  FROM sc GROUP BY 1, 2
+)
+SELECT CAST(query_id AS INT) AS query_id, doc_id, score_q,
+       CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score_q DESC, doc_id ASC)
+               AS rank FROM pd)
+WHERE rank <= 10
+"""
+
     # Vectorize (vectorize): the nested-rectangle fixture's polygons
     # rebuilt closed-form — integer lattice corners, the engine's
     # canonical order (exterior clockwise-on-screen from the min vertex:
@@ -6028,6 +6106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "bm25_topk": q_bm25_topk,
         "vectorize": q_vectorize,
         "geotiff_read_jpeg": q_geotiff_read_jpeg,
         "sigmoidal_contrast": q_sigmoidal_contrast,

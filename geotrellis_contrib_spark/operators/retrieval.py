@@ -1,0 +1,82 @@
+"""BM25 ranked retrieval over the documents table — the text-retrieval
+tier of the training-data pipeline family (query -> top-k documents),
+sibling to the dedup/fingerprint operators that share the space-token
+convention (operators/dedup.py).
+
+Scoring uses the BM25 shape with the RATIONAL idf variant
+
+    idf(t)  = ((N - df_t) + 0.5) / (df_t + 0.5)          -- no log
+    tfn(t,d)= (tf * (k1+1)) / (tf + k1*((1-b) + b*(dl/avgdl)))
+    score   = sum_t floor(idf*tfn * 2^32 + 0.5)          -- int64
+
+Dropping the log keeps every operation +,*,/ on IEEE doubles — both
+the engine and the DuckDB oracle evaluate the IDENTICAL expression
+chain, so each per-term contribution is the same double bit-for-bit;
+quantizing each contribution to the 2^-32 grid BEFORE the per-document
+sum makes the reduction an INTEGER sum — order-free, so Spark's
+partial-aggregation order cannot flip a rank. (log is monotone, so
+log-idf and rational-idf rank identically for single-term queries and
+nearly so in practice; the variant is documented, not hidden.)
+
+Plan shape at corpus scale: document tokens are FILTERED to the query
+vocabulary with a broadcast semi-join BEFORE any shuffle, so the one
+real shuffle — tf = groupBy(doc, term), map-side combined — moves only
+matching tokens; df/avgdl/N are constant-small aggregates crossJoin-
+broadcast back (the IVF constant-table shape); the final top-k is a
+per-query window over candidate docs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+Q_SCALE = 4294967296.0  # 2^32 contribution grid
+
+
+def bm25_topk(docs: DataFrame, queries: list[tuple[int, str]],
+              k1: float = 1.2, b: float = 0.75, top_k: int = 10,
+              text_col: str = "text") -> DataFrame:
+    """Top-``top_k`` documents per query by quantized BM25 (module
+    docstring): returns (query_id, doc_id, score_q, rank). ``queries``
+    is a constant-small [(query_id, text)] list — terms are de-duped
+    per query (BM25 sums over DISTINCT query terms)."""
+    spark = docs.sparkSession
+    qrows = [(int(qid), tok) for qid, text in queries
+             for tok in dict.fromkeys(text.split(" ")) if tok]
+    qterms = spark.createDataFrame(qrows, "query_id int, tok string")
+
+    toks = docs.select("doc_id",
+                       F.size(F.split(F.col(text_col), " ")).alias("dl"),
+                       F.explode(F.split(F.col(text_col), " "))
+                       .alias("tok"))
+    # broadcast vocabulary filter BEFORE the shuffle
+    vocab = qterms.select("tok").distinct()
+    hits = toks.join(F.broadcast(vocab), "tok")
+    tf = hits.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    dft = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    consts = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col(text_col), " "))).alias("sum_dl"))
+
+    scored = (tf.join(F.broadcast(dft), "tok")
+              .join(F.broadcast(qterms), "tok")
+              .crossJoin(F.broadcast(consts)))
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    idf = ((F.col("n_docs") - F.col("df")) + F.lit(0.5)) \
+        / (F.col("df") + F.lit(0.5))
+    tfn = (F.col("tf") * F.lit(k1 + 1.0)) \
+        / (F.col("tf") + F.lit(k1)
+           * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl)))
+    contrib = F.floor(idf * tfn * F.lit(Q_SCALE) + F.lit(0.5)) \
+        .cast("long")
+    per_doc = (scored.withColumn("cq", contrib)
+               .groupBy("query_id", "doc_id")
+               .agg(F.sum("cq").alias("score_q")))
+    w = Window.partitionBy("query_id") \
+        .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+    return (per_doc.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= int(top_k))
+            .select("query_id", "doc_id", "score_q",
+                    F.col("rank").cast("long").alias("rank")))

@@ -1,0 +1,84 @@
+"""BM25 ranked retrieval: engine vs a pure-Python reference on a
+crafted corpus (exact integer score equality — the quantized
+rational-idf contract), ranking invariants, query-term dedup, and plan
+quality (pure JVM, broadcast dimension joins, vocabulary filter below
+the shuffle)."""
+import math
+
+import numpy as np  # noqa: F401
+
+from geotrellis_contrib_spark.operators.retrieval import (
+    Q_SCALE, bm25_topk)
+
+
+def _ref_scores(docs, queries, k1=1.2, b=0.75):
+    """Independent BM25 reference (plain Python floats, same variant)."""
+    n = len(docs)
+    dls = {d: len(t.split(" ")) for d, t in docs}
+    avgdl = sum(dls.values()) / n
+    tf = {}
+    for d, t in docs:
+        for tok in t.split(" "):
+            tf[(d, tok)] = tf.get((d, tok), 0) + 1
+    df = {}
+    for (d, tok), c in tf.items():
+        df[tok] = df.get(tok, 0) + 1
+    out = {}
+    for qid, qt in queries:
+        for tok in dict.fromkeys(qt.split(" ")):
+            for d, _ in docs:
+                f = tf.get((d, tok))
+                if not f:
+                    continue
+                idf = ((n - df[tok]) + 0.5) / (df[tok] + 0.5)
+                tfn = (f * (k1 + 1.0)) / (
+                    f + k1 * ((1.0 - b) + b * (dls[d] / avgdl)))
+                out[(qid, d)] = out.get((qid, d), 0) \
+                    + math.floor(idf * tfn * Q_SCALE + 0.5)
+    return out
+
+
+def test_bm25_matches_reference_and_ranks(spark):
+    docs = [(0, "spark join fast fast"), (1, "join slow table"),
+            (2, "spark spark spark join"), (3, "table scan scan big"),
+            (4, "fast join"), (5, "scan")]
+    queries = [(0, "spark join"), (1, "scan table"), (2, "fast")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    rows = bm25_topk(df, queries, top_k=10).collect()
+    ref = _ref_scores(docs, queries)
+    got = {(r.query_id, r.doc_id): r.score_q for r in rows}
+    assert got == ref  # exact integer equality, every candidate ranked
+    # ranks: strictly by (score desc, doc_id asc) within each query
+    for qid in (0, 1, 2):
+        qr = sorted([r for r in rows if r.query_id == qid],
+                    key=lambda r: r.rank)
+        keys = [(-r.score_q, r.doc_id) for r in qr]
+        assert keys == sorted(keys)
+        assert [r.rank for r in qr] == list(range(1, len(qr) + 1))
+    # doc 2 (tf=3 for 'spark', short) must beat doc 0 on query 0
+    r2 = next(r.rank for r in rows if r.query_id == 0 and r.doc_id == 2)
+    assert r2 == 1
+
+
+def test_bm25_query_term_dedup_and_topk(spark):
+    docs = [(i, "alpha beta " + "gamma " * (i % 3)) for i in range(20)]
+    docs = [(d, t.strip()) for d, t in docs]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    # duplicate query terms count once
+    a = bm25_topk(df, [(0, "alpha alpha beta")], top_k=5).collect()
+    b = bm25_topk(df, [(0, "alpha beta")], top_k=5).collect()
+    assert [(r.doc_id, r.score_q, r.rank) for r in a] \
+        == [(r.doc_id, r.score_q, r.rank) for r in b]
+    assert len(a) == 5  # top_k enforced
+
+
+def test_bm25_plan_quality(spark):
+    docs = spark.createDataFrame([(0, "x y"), (1, "y z")],
+                                 "doc_id bigint, text string")
+    out = bm25_topk(docs, [(0, "y z")], top_k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas",
+                 "MapInPandas"):
+        assert node not in plan
+    out.collect()
