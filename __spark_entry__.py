@@ -953,6 +953,34 @@ def q_hist_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                          keys=("source_idx", "col", "row", "band"))
 
 
+KRIG_SAMPLES = [(1200.5, 1580.5, 10.0), (1250.5, 1650.5, 24.0),
+                (1310.5, 1610.5, 17.0)]
+KRIG_VGRAM = (0.0, 1.0, 250.0)  # c0, c1, range a (px)
+
+
+def q_kriging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDINARY KRIGING (geotrellis.raster.interpolation Kriging analog
+    — the geostatistical sibling of idw_interpolate): a 3-sample
+    spherical-variogram surface over the standard 4x4-tile window,
+    per-tile order-free integer sums of floor(val*2^20 + 0.5). The
+    spherical model keeps the whole chain +,-,*,/,sqrt (all IEEE
+    correctly rounded), and the oracle's system inverse is EMITTED BY
+    THE SAME pinned adjugate recursion the engine runs — over SQL
+    string operands instead of floats — so both sides are the literal
+    same operation chain (see operators/kriging.py). Zero shuffle:
+    constant-small samples collected once, inverse closed over one
+    narrow Arrow map. a=250 px < window diagonal, so both variogram
+    branches (in-range polynomial, sill) are exercised."""
+    from geotrellis_contrib_spark.operators import kriging as KG
+
+    pts = spark.createDataFrame(KRIG_SAMPLES,
+                                "gx double, gy double, z double")
+    c0, c1, a = KRIG_VGRAM
+    return KG.kriging_interpolate(pts, zoom=6, cols=(18, 21),
+                                  rows=(24, 27), c0=c0, c1=c1, a=a,
+                                  tile_size=64)
+
+
 BM25_QUERIES = [(0, "spark join fast"), (1, "table scan"),
                 (2, "window agg stream"), (3, "hash merge"),
                 (4, "sort order key"), (5, "vector column batch")]
@@ -3743,6 +3771,83 @@ FROM b LEFT JOIN eqmap m ON m.s = b.s AND m.band = b.band
 GROUP BY 1, 2, 3, 4
 """
 
+    # Ordinary kriging (kriging): the oracle is EMITTED by the engine's
+    # own pinned adjugate recursion running over SQL-string operands
+    # (kriging.Sym) — DuckDB re-executes the identical +,-,*,/,sqrt
+    # chain from the sample literals, so every double matches
+    # bit-for-bit; per-pixel quantized contributions integer-sum per
+    # tile. Sample gammas and inverse entries are named MATERIALIZED
+    # CTE columns so the per-pixel fold references 3-char operands.
+    from geotrellis_contrib_spark.operators.kriging import (
+        Sym, _inv, sql_gamma_spherical, sql_sqrt)
+
+    _kp = sorted(KRIG_SAMPLES)
+    _kc0, _kc1, _ka = KRIG_VGRAM
+    _kk = len(_kp)
+
+    def _k_h(x1, y1, x2, y2) -> Sym:
+        dx = Sym.lit(x1) - Sym.lit(x2)
+        dy = Sym.lit(y1) - Sym.lit(y2)
+        return sql_sqrt(dx * dx + dy * dy)
+
+    _kg_cols = []
+    for _i in range(_kk):
+        for _j in range(_kk):
+            if _i < _j:
+                g = sql_gamma_spherical(
+                    _k_h(_kp[_i][0], _kp[_i][1], _kp[_j][0], _kp[_j][1]),
+                    _kc0, _kc1, _ka)
+                _kg_cols.append(f"{g.s} AS g{_i}{_j}")
+    _kA = [[None] * (_kk + 1) for _ in range(_kk + 1)]
+    for _i in range(_kk):
+        for _j in range(_kk):
+            _kA[_i][_j] = (Sym.lit(0.0) if _i == _j
+                           else Sym(f"g{min(_i, _j)}{max(_i, _j)}"))
+        _kA[_i][_kk] = Sym.lit(1.0)
+        _kA[_kk][_i] = Sym.lit(1.0)
+    _kA[_kk][_kk] = Sym.lit(0.0)
+    _kinv, _ = _inv(_kA)
+    _ki_cols = [f"{_kinv[_i][_j].s} AS i{_i}{_j}"
+                for _i in range(_kk + 1) for _j in range(_kk + 1)]
+    _kb_cols = []
+    for _j in range(_kk):
+        dxs = Sym("(CAST(gx AS DOUBLE) + CAST(0.5 AS DOUBLE))") \
+            - Sym.lit(_kp[_j][0])
+        dys = Sym("(CAST(gy AS DOUBLE) + CAST(0.5 AS DOUBLE))") \
+            - Sym.lit(_kp[_j][1])
+        g = sql_gamma_spherical(sql_sqrt(dxs * dxs + dys * dys),
+                                _kc0, _kc1, _ka)
+        _kb_cols.append(f"{g.s} AS b{_j}")
+    _kval = None
+    for _i in range(_kk):
+        _w = None
+        for _j in range(_kk + 1):
+            _bj = Sym(f"b{_j}") if _j < _kk else Sym.lit(1.0)
+            _term = Sym(f"i{_i}{_j}") * _bj
+            _w = _term if _w is None else _w + _term
+        _term = _w * Sym.lit(_kp[_i][2])
+        _kval = _term if _kval is None else _kval + _term
+    o["kriging"] = f"""
+WITH g AS MATERIALIZED (SELECT {', '.join(_kg_cols)}),
+inv AS MATERIALIZED (SELECT {', '.join(_ki_cols)} FROM g),
+px AS (
+  SELECT c, r, c * 64 + cx AS gx, r * 64 + cy AS gy
+  FROM range(18,22) cs(c), range(24,28) rs(r),
+       range(0,64) xs(cx), range(0,64) ys(cy)
+), b AS (
+  SELECT c, r, {', '.join(_kb_cols)} FROM px
+), v AS (
+  SELECT c, r,
+         CAST(FLOOR(({_kval.s} * CAST(1048576.0 AS DOUBLE))
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q
+  FROM b, inv
+)
+SELECT CAST(6 AS INT) AS zoom, CAST(c AS BIGINT) AS col,
+       CAST(r AS BIGINT) AS row, CAST(SUM(q) AS BIGINT) AS ksum,
+       CAST(COUNT(*) AS BIGINT) AS n_px
+FROM v GROUP BY 1, 2, 3
+"""
+
     # BM25 ranked retrieval (bm25_topk): the rational-idf quantized
     # chain replayed term-by-term — same split/tf/df/avgdl, the same
     # +,*,/ expression ORDER (every decimal literal forced DOUBLE:
@@ -6106,6 +6211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "kriging": q_kriging,
         "bm25_topk": q_bm25_topk,
         "vectorize": q_vectorize,
         "geotiff_read_jpeg": q_geotiff_read_jpeg,
