@@ -953,6 +953,38 @@ def q_hist_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                          keys=("source_idx", "col", "row", "band"))
 
 
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ENCODER (product quantization, Jegou/Douze/Schmid 2011 — the
+    COMPRESSION scale path of the ANN family next to brute/LSH/IVF: a
+    100TB embedding store persists M/2 bytes per vector instead of
+    dims*4): each vector's 8 subspaces quantize to the nearest of 16
+    codewords (Knuth-hash-selected corpus vectors, the IVF budget
+    trick — constant broadcast at any corpus size), ties to the
+    smallest codeword index, packed into ONE BIGINT. Zero shuffle: one
+    narrow Arrow map with dim-by-dim accumulation bit-matching the SQL
+    left fold. Oracle: hash selection, the identical per-subspace
+    distance chains, argmin and packing replayed in SQL."""
+    _views(spark, sf_dir)
+    return sim.pq_encode(spark.table("embeddings"), dims=EMB_DIMS)
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC SEARCH: asymmetric-distance top-10 per query — approximate
+    squared L2 = sum over subspaces of the query->codeword distance at
+    the candidate's code; each per-subspace distance quantizes to the
+    2^24 grid BEFORE the sum so the ADC reduction is an order-free
+    INTEGER sum (the bm25 discipline). Encoded corpus broadcast-joined
+    with the constant-small query set; the rank shuffle moves scalars
+    only. Oracle: codes + per-query distance tables + integer ADC
+    replayed in SQL."""
+    _views(spark, sf_dir)
+    e = spark.table("embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0) \
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec"))
+    return sim.pq_topk(e, queries, dims=EMB_DIMS, k=10)
+
+
 KRIG_SAMPLES = [(1200.5, 1580.5, 10.0), (1250.5, 1650.5, 24.0),
                 (1310.5, 1610.5, 17.0)]
 KRIG_VGRAM = (0.0, 1.0, 250.0)  # c0, c1, range a (px)
@@ -3771,6 +3803,58 @@ FROM b LEFT JOIN eqmap m ON m.s = b.s AND m.band = b.band
 GROUP BY 1, 2, 3, 4
 """
 
+    # Product quantization (pq_codes / pq_topk): Knuth-hash codeword
+    # selection (the IVF oracle's snippet), per-subspace squared-L2
+    # left folds identical to the engine's dim-by-dim accumulation,
+    # argmin with smallest-j ties, 4-bit packing as an integer sum, and
+    # the 2^24-quantized order-free ADC integer sum.
+    def _pq_d2(a: str, b: str, m: int) -> str:
+        lo = m * (EMB_DIMS // sim.PQ_M) + 1
+        return " + ".join(
+            f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])"
+            for i in range(lo, lo + EMB_DIMS // sim.PQ_M))
+
+    _pq_cb = f"""cb AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY centroid_id) - 1 AS j, cvec FROM (
+    SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+    FROM embeddings
+    ORDER BY ((vec_id % 2147483648) * 2654435761) % 2147483648, vec_id
+    LIMIT {sim.PQ_K})),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+d AS ({' UNION ALL '.join(
+    f"SELECT v.vec_id, {m} AS m, CAST({1 << (4 * m)} AS BIGINT) AS mult, "
+    f"cb.j, {_pq_d2('v.vec', 'cb.cvec', m)} AS d2 "
+    f"FROM v CROSS JOIN cb" for m in range(sim.PQ_M))}),
+codes AS (
+  SELECT vec_id, m, mult, j AS code FROM (
+    SELECT vec_id, m, mult, j, ROW_NUMBER() OVER (
+      PARTITION BY vec_id, m ORDER BY d2 ASC, j ASC) AS rn FROM d)
+  WHERE rn = 1)"""
+    o["pq_codes"] = f"""
+WITH {_pq_cb}
+SELECT vec_id, CAST(SUM(code * mult) AS BIGINT) AS pq_code
+FROM codes GROUP BY vec_id
+"""
+    o["pq_topk"] = f"""
+WITH {_pq_cb},
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id % 50 = 0),
+dtab AS ({' UNION ALL '.join(
+    f"SELECT q.query_id, {m} AS m, cb.j, "
+    f"CAST(FLOOR(({_pq_d2('q.qv', 'cb.cvec', m)}) "
+    f"* CAST(16777216.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) "
+    f"AS dq FROM q CROSS JOIN cb" for m in range(sim.PQ_M))}),
+adc AS (
+  SELECT t.query_id, c.vec_id, CAST(SUM(t.dq) AS BIGINT) AS adc_q
+  FROM codes c JOIN dtab t ON t.m = c.m AND t.j = c.code
+  WHERE c.vec_id <> t.query_id
+  GROUP BY 1, 2)
+SELECT query_id, vec_id, adc_q, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY adc_q ASC, vec_id ASC) AS rank FROM adc)
+WHERE rank <= 10
+"""
+
     # Ordinary kriging (kriging): the oracle is EMITTED by the engine's
     # own pinned adjugate recursion running over SQL-string operands
     # (kriging.Sym) — DuckDB re-executes the identical +,-,*,/,sqrt
@@ -6211,6 +6295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "pq_codes": q_pq_codes,
+        "pq_topk": q_pq_topk,
         "kriging": q_kriging,
         "bm25_topk": q_bm25_topk,
         "vectorize": q_vectorize,

@@ -434,3 +434,130 @@ def sql_plane_weights_list(plane: int, dims: int) -> str:
     rendered exactly)."""
     terms = ", ".join(repr(w) for w in plane_weights(plane, dims))
     return f"[{terms}]"
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the COMPRESSION scale path of the ANN
+# family (brute-force = exact baseline, LSH = bucketed pairs, IVF =
+# posting-list probe, PQ = 100TB-store compression: M small codes per
+# vector instead of dims floats; Jegou/Douze/Schmid 2011)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8          # subspaces (dims must divide evenly)
+PQ_K = 16         # codewords per subspace -> 4-bit codes
+PQ_Q = 16777216.0  # 2^24 per-subspace ADC quantization grid
+
+
+def _pq_codebook(corpus: DataFrame, dims: int, k: int = PQ_K,
+                 id_col="vec_id", vec_col="embedding"):
+    """Shared PQ codebook: the K corpus vectors with the smallest Knuth
+    id-hash (select_centroids — constant-size at any corpus scale),
+    ordered by id ASC so codeword index j is deterministic; subspace m's
+    codebook is the dims/M-wide slice of those K vectors. Returns
+    (ids_asc, C (K, dims) float64)."""
+    cents = _centroid_literals(select_centroids(corpus, k, id_col,
+                                                vec_col))
+    cids, C, _ = _centroid_matrix(cents)
+    return cids, C
+
+
+def _pq_subdists(V: np.ndarray, C: np.ndarray, m: int, sub: int):
+    """Squared L2 between every row of V and every codeword on subspace
+    m, accumulated DIM-BY-DIM in index order from 0.0 — bit-identical
+    to the SQL left fold (0.0 + t == t in IEEE)."""
+    acc = np.zeros((V.shape[0], C.shape[0]))
+    for i in range(m * sub, (m + 1) * sub):
+        d = V[:, i:i + 1] - C[:, i][None, :]
+        acc += d * d
+    return acc
+
+
+def pq_encode(corpus: DataFrame, dims: int, m: int = PQ_M,
+              k: int = PQ_K, id_col="vec_id",
+              vec_col="embedding") -> DataFrame:
+    """PQ encoder: each vector becomes M 4-bit codes (nearest codeword
+    per subspace, ties to the smallest codeword index) packed into ONE
+    BIGINT — sum(code_m << 4m). ONE narrow Arrow map closed over the
+    constant-K codebook: zero shuffle at any corpus size; the packed
+    code column is what a 100TB store persists (dims*4 bytes -> M/2).
+    Output: (vec_id, pq_code)."""
+    if dims % m:
+        raise ValueError(f"dims={dims} not divisible by M={m}")
+    if k > 16:
+        raise ValueError("PQ codes are packed 4 bits each; k <= 16")
+    sub = dims // m
+    _, C = _pq_codebook(corpus, dims, k, id_col, vec_col)
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            V = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            packed = np.zeros(len(pdf), dtype=np.int64)
+            for mm in range(m):
+                acc = _pq_subdists(V, C, mm, sub)
+                codes = np.argmin(acc, axis=1)  # first min = smallest j
+                packed |= codes.astype(np.int64) << (4 * mm)
+            yield pd.DataFrame({"vec_id": pdf[id_col].to_numpy(),
+                                "pq_code": packed})
+
+    return corpus.mapInPandas(run, "vec_id long, pq_code long")
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, dims: int,
+            k: int = 10, m: int = PQ_M, kcode: int = PQ_K,
+            id_col="vec_id", vec_col="embedding") -> DataFrame:
+    """Asymmetric-distance (ADC) PQ search: approximate squared L2 from
+    query q to vector x = sum_m dtab_m[code_m(x)] with dtab the exact
+    per-subspace distances from q to each codeword. Each per-subspace
+    distance quantizes to the 2^24 grid BEFORE the sum, so the ADC
+    reduction is an order-free INTEGER sum (the bm25 discipline). Plan:
+    encoded corpus (zero-shuffle Arrow map) broadcast-joined with the
+    constant-small query set, ONE Arrow map scores rows (per-query
+    dtabs cached per batch), one rank shuffle moves scalars only.
+    Output: (query_id, vec_id, adc_q, rank)."""
+    sub = dims // m
+    _, C = _pq_codebook(corpus, dims, kcode, id_col, vec_col)
+    enc = pq_encode(corpus, dims, m, kcode, id_col, vec_col)
+    q = queries.select("query_id", "qvec")
+    rows = enc.crossJoin(F.broadcast(q)) \
+              .filter(F.col("vec_id") != F.col("query_id"))
+
+    def score_run(batches):
+        import pandas as pd
+
+        dtabs: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            qids = pdf["query_id"].to_numpy()
+            codes = pdf["pq_code"].to_numpy()
+            adc = np.zeros(len(pdf), dtype=np.int64)
+            for qid in np.unique(qids):
+                dt = dtabs.get(int(qid))
+                if dt is None:
+                    qv = np.asarray(
+                        pdf["qvec"][pdf["query_id"] == qid].iloc[0],
+                        dtype=np.float64)[None, :]
+                    dt = np.zeros((m, C.shape[0]), dtype=np.int64)
+                    for mm in range(m):
+                        d2 = _pq_subdists(qv, C, mm, sub)[0]
+                        dt[mm] = np.floor(d2 * PQ_Q + 0.5).astype(
+                            np.int64)
+                    dtabs[int(qid)] = dt
+                sel = qids == qid
+                cc = codes[sel]
+                tot = np.zeros(int(sel.sum()), dtype=np.int64)
+                for mm in range(m):
+                    tot += dt[mm][(cc >> (4 * mm)) & 15]
+                adc[sel] = tot
+            yield pd.DataFrame({"query_id": qids, "vec_id":
+                                pdf["vec_id"].to_numpy(),
+                                "adc_q": adc})
+
+    scored = rows.mapInPandas(
+        score_run, "query_id long, vec_id long, adc_q long")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_q").asc(), F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "adc_q",
+                    F.col("rank").cast("long").alias("rank")))

@@ -87,3 +87,55 @@ def test_dot_matches_numpy(spark):
     for _, row in got.iterrows():
         v = np.array(pdf[pdf.vec_id == row.vec_id].embedding.iloc[0], dtype=np.float64)
         assert row.d == pytest.approx(float(v @ v), rel=1e-12)
+
+
+def test_pq_encode_matches_brute_force(spark):
+    """PQ codes equal a per-vector python argmin over the same
+    Knuth-selected codebook; packed codes fit 4 bits per subspace."""
+    import numpy as np
+
+    from geotrellis_contrib_spark.operators import similarity as sim
+
+    e = spark.createDataFrame(
+        [(i, [float(((i * 37 + j * 11) % 19) - 9) / 9.0
+              for j in range(64)]) for i in range(80)],
+        "vec_id long, embedding array<float>")
+    _, C = sim._pq_codebook(e, 64)
+    out = {r.vec_id: r.pq_code
+           for r in sim.pq_encode(e, dims=64).collect()}
+    rows = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in e.collect()}
+    assert set(out) == set(rows)
+    for vid, v in rows.items():
+        packed = 0
+        for m in range(sim.PQ_M):
+            acc = np.zeros(C.shape[0])
+            for i in range(m * 8, (m + 1) * 8):
+                d = v[i] - C[:, i]
+                acc += d * d
+            packed |= int(np.argmin(acc)) << (4 * m)
+        assert out[vid] == packed
+        assert 0 <= out[vid] < (1 << 32)
+
+
+def test_pq_adc_exact_duplicate_ranks_first(spark):
+    """A corpus vector identical to the query encodes to the query's own
+    nearest codewords, so its ADC distance equals the query's own
+    quantization residual — the minimum possible — and it ranks 1."""
+    from geotrellis_contrib_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+
+    # modulus 61 > corpus size so no accidental duplicates (61 prime)
+    vecs = [(i, [float(((i * 53 + j * 7) % 61) - 30) / 30.0
+                 for j in range(64)]) for i in range(60)]
+    # vec 59 duplicates vec 3 (the query)
+    vecs[59] = (59, vecs[3][1])
+    e = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = e.filter(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"))
+    rows = sim.pq_topk(e, q, dims=64, k=5).collect()
+    top = min(rows, key=lambda r: r.rank)
+    assert top.vec_id == 59 and top.rank == 1
+    # and every other candidate scores >= the duplicate
+    assert all(r.adc_q >= top.adc_q for r in rows)

@@ -119,7 +119,10 @@ def test_fail_loud_observer(spark):
     with pytest.raises(Exception, match="observer"):
         VS.viewshed(tiles, lambda sid, b: (0, 0),
                     tile_size=T).collect()
-    with pytest.raises(Exception, match="max_px"):
+    # max_px below the scene size no longer refuses — it dispatches to
+    # the DISTRIBUTED path (the r6 adaptive family), which still fails
+    # loud on an observer outside every tile of a scene
+    with pytest.raises(Exception, match="observer"):
         VS.viewshed(tiles, lambda sid, b: (1640, 1256),
                     tile_size=T, max_px=128).collect()
 
