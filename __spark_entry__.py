@@ -953,6 +953,45 @@ def q_hist_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                          keys=("source_idx", "col", "row", "band"))
 
 
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT TIME TRAVEL (the Iceberg-metadata analog,
+    sources/snapshots.py — atomic manifest commits, copy-on-write
+    range deletes with parquet-footer stats pruning, versioned reads):
+    a table built as v1 = append(anchors with doc_id%3=0), v2 =
+    append(%3=1), v3 = delete_range(doc_id in [1000, 3000]), then ONE
+    query reads all three snapshots — time travel is a manifest lookup,
+    so each version plans exactly its committed file list. Output:
+    per-(version, doc_id%8) row counts + quantized lon sums. Oracle:
+    the three logical states recomputed from the anchors derivation in
+    SQL — proving every snapshot is exactly the right row set. COW
+    file-sharing and commit-conflict semantics are pytest-gated."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from geotrellis_contrib_spark.sources import snapshots as SN
+
+    _views(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"gt_gate_snap_v1_{tag}")
+    if not os.path.exists(os.path.join(path, "meta", "CURRENT")):
+        build = path + "." + _uuid.uuid4().hex[:8]
+        SN.create_table(build, key_col="doc_id")
+        a = spark.table("anchors").select("doc_id", "lon", "lat")
+        SN.append(a.filter(F.col("doc_id") % 3 == 0), build)
+        SN.append(a.filter(F.col("doc_id") % 3 == 1), build)
+        SN.delete_range(spark, build, 1000, 3000)
+        os.rename(build, path)
+    parts = [SN.read_snapshot(spark, path, v)
+             .withColumn("version", F.lit(v)) for v in (1, 2, 3)]
+    df = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return (df.groupBy("version", (F.col("doc_id") % 8).alias("g"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.floor(F.col("lon") * F.lit(256.0))
+                       .cast("long")).alias("qlon")))
+
+
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ENCODER (product quantization, Jegou/Douze/Schmid 2011 — the
     COMPRESSION scale path of the ANN family next to brute/LSH/IVF: a
@@ -3803,6 +3842,28 @@ FROM b LEFT JOIN eqmap m ON m.s = b.s AND m.band = b.band
 GROUP BY 1, 2, 3, 4
 """
 
+    # Snapshot time travel (time_travel): the three committed states
+    # recomputed from the anchors derivation — v1 = doc_id%3=0, v2 =
+    # %3 in (0,1), v3 = v2 minus the COW-deleted [1000, 3000] range;
+    # quantized lon sums are integer (order-free), NULL lons skipped
+    # by SUM on both sides.
+    o["time_travel"] = f"""
+{derive.cte('anchors')},
+base AS (SELECT doc_id, lon FROM anchors),
+states AS (
+  SELECT 1 AS version, doc_id, lon FROM base WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 2, doc_id, lon FROM base WHERE doc_id % 3 IN (0, 1)
+  UNION ALL
+  SELECT 3, doc_id, lon FROM base WHERE doc_id % 3 IN (0, 1)
+    AND doc_id NOT BETWEEN 1000 AND 3000
+)
+SELECT CAST(version AS INT) AS version, doc_id % 8 AS g,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(lon * 256.0) AS BIGINT)) AS BIGINT) AS qlon
+FROM states GROUP BY 1, 2
+"""
+
     # Product quantization (pq_codes / pq_topk): Knuth-hash codeword
     # selection (the IVF oracle's snippet), per-subspace squared-L2
     # left folds identical to the engine's dim-by-dim accumulation,
@@ -6295,6 +6356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "time_travel": q_time_travel,
         "pq_codes": q_pq_codes,
         "pq_topk": q_pq_topk,
         "kriging": q_kriging,
