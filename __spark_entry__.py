@@ -953,6 +953,23 @@ def q_hist_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                          keys=("source_idx", "col", "row", "band"))
 
 
+def q_focal_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOCAL MEAN over a CIRCLE neighborhood (geotrellis.raster.
+    mapalgebra.focal.Circle — the non-square neighborhood family;
+    Annulus is the same mask with an inner bound, pytest-gated):
+    radius-2 disk = the 13 offsets with dr^2 + dc^2 <= 4, same halo
+    machinery and accumulation chain as focal_stats (the circle chain
+    is the square's with terms removed — offset order stays row-major).
+    Oracle: the 13-term neighborhood recomputed per pixel from the
+    closed-form fixture in SQL, identical chained-add order, identical
+    single division and quantization."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import focal as FO
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    return FO.focal_stats(tiles, op="mean", radius=2, shape="circle")
+
+
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SNAPSHOT TIME TRAVEL (the Iceberg-metadata analog,
     sources/snapshots.py — atomic manifest commits, copy-on-write
@@ -5468,6 +5485,37 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM q GROUP BY 1, 2, 3, 4
 """
 
+    # Focal mean over the radius-2 CIRCLE neighborhood (focal_circle):
+    # the same neighbor-term machinery restricted to the 13 offsets
+    # with dr^2 + dc^2 <= 4 — identical chained-add order (row-major
+    # with terms removed), identical division/quantization.
+    _fc_terms = [_fo_term(odr, odc)
+                 for odr in (-2, -1, 0, 1, 2) for odc in (-2, -1, 0, 1, 2)
+                 if odr * odr + odc * odc <= 4]
+    o["focal_circle"] = f"""
+WITH px AS (
+  SELECT s, band, 18 + s + tcc AS col, 24 + trr AS row, ri, ci,
+         (s*11) % 48 AS h0
+  FROM range(0,3) ss(s), range(0,2) bs(band),
+       range(0,4) tcs(tcc), range(0,4) trs(trr),
+       range(0,64) ris(ri), range(0,64) cis(ci)
+), acc AS (
+  SELECT s, band, col, row,
+         {" + ".join(tv for tv, _ in _fc_terms)} AS a,
+         {" + ".join(tc for _, tc in _fc_terms)} AS n
+  FROM px
+), q AS (
+  SELECT s, band, col, row,
+         CAST(FLOOR(a / CAST(n AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS qv
+  FROM acc WHERE n > 0
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS BIGINT) AS band, col, row,
+       CAST(SUM(qv) AS BIGINT) AS focal_sum,
+       CAST(COUNT(*) AS BIGINT) AS focal_count
+FROM q GROUP BY 1, 2, 3, 4
+"""
+
     # Focal standard deviation (focal_stddev): same 9-term neighborhood
     # machinery with value AND value^2 accumulators (both exact on the
     # quarter-multiple fixture), then the engine's exact op chain —
@@ -6356,6 +6404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "focal_circle": q_focal_circle,
         "time_travel": q_time_travel,
         "pq_codes": q_pq_codes,
         "pq_topk": q_pq_topk,

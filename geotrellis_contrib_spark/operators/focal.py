@@ -114,20 +114,48 @@ def _assemble_frame(pdf: pd.DataFrame, r: int, t: int):
 
 def focal_stats(tiles: DataFrame, op: str = "mean", radius: int = 1,
                 tile_size: int = 64,
-                classify_div: float | None = None) -> DataFrame:
-    """Focal ``op`` over every pixel's (2r+1)^2 neighborhood ACROSS tile
+                classify_div: float | None = None,
+                shape: str = "square",
+                inner_radius: int | None = None) -> DataFrame:
+    """Focal ``op`` over every pixel's neighborhood ACROSS tile
     boundaries (halo exchange), NoData/edge cells excluded from the
     neighborhood; returns the per-tile quantized checksum
     ``(source_id, band, col, row, focal_sum, focal_count)`` where
     focal_sum = sum of floor(focal * 2^20 + 0.5) over cells with at least
-    one valid neighbor and focal_count = that cell count."""
+    one valid neighbor and focal_count = that cell count.
+
+    ``shape`` selects the GeoTrellis neighborhood family
+    (geotrellis.raster.mapalgebra.focal.{Square, Circle, Annulus}):
+    'square' = the full (2r+1)^2 window; 'circle' keeps offsets with
+    dr^2 + dc^2 <= radius^2 (integer arithmetic — the mask is exact and
+    trivially replayed by the SQL oracle); 'annulus' additionally
+    requires dr^2 + dc^2 >= inner_radius^2. The offset iteration order
+    stays row-major in every shape, so accumulation chains are
+    identical across shapes (a circle is the square's chain with terms
+    removed)."""
     if op not in ("mean", "sum", "max", "min", "median", "stddev", "mode"):
         raise ValueError(f"unsupported focal op: {op!r}")
     if radius < 1 or radius >= tile_size:
         raise ValueError(f"radius must be in 1..{tile_size - 1}: {radius}")
     if classify_div is not None and op != "mode":
         raise ValueError("classify_div is a mode-only parameter")
+    if shape not in ("square", "circle", "annulus"):
+        raise ValueError(f"unsupported neighborhood shape: {shape!r} "
+                         "(square | circle | annulus)")
+    if shape == "annulus":
+        if inner_radius is None or not 0 < int(inner_radius) <= radius:
+            raise ValueError("annulus needs 0 < inner_radius <= radius")
+    elif inner_radius is not None:
+        raise ValueError("inner_radius is annulus-only")
     r, t = int(radius), int(tile_size)
+    offsets = [(dr0, dc0) for dr0 in range(-r, r + 1)
+               for dc0 in range(-r, r + 1)]
+    if shape == "circle":
+        offsets = [(a, b) for a, b in offsets if a * a + b * b <= r * r]
+    elif shape == "annulus":
+        ir = int(inner_radius)
+        offsets = [(a, b) for a, b in offsets
+                   if ir * ir <= a * a + b * b <= r * r]
     pieces = _halo_pieces(tiles, r, t)
 
     def stencil(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -146,8 +174,7 @@ def focal_stats(tiles: DataFrame, op: str = "mean", radius: int = 1,
         cnt = np.zeros((t, t), dtype=np.int64)
         ext = None
         wins = []
-        for dr, dc in ((dr0, dc0) for dr0 in range(-r, r + 1)
-                       for dc0 in range(-r, r + 1)):
+        for dr, dc in offsets:
             win = frame[r + dr:r + dr + t, r + dc:r + dc + t]
             vw = valid[r + dr:r + dr + t, r + dc:r + dc + t]
             if op in ("mean", "sum"):

@@ -368,3 +368,62 @@ def test_focal_conv_rejects_bad_kernel(spark):
         FO.convolve_stats(tiles, kernel=((1.0, 2.0), (2.0, 4.0)))
     with pytest.raises(ValueError):
         FO.focal_stats(tiles, op="mean", classify_div=10.0)
+
+
+def _brute_shaped(big: np.ndarray, r: int, ir: int | None):
+    """Brute-force circle/annulus focal mean over the padded mosaic."""
+    p = np.pad(big, r, constant_values=np.nan)
+    n = big.shape[0]
+    acc = np.zeros((n, n))
+    cnt = np.zeros((n, n), dtype=np.int64)
+    for dr in range(-r, r + 1):
+        for dc in range(-r, r + 1):
+            d2 = dr * dr + dc * dc
+            if d2 > r * r or (ir is not None and d2 < ir * ir):
+                continue
+            w = p[r + dr:r + dr + n, r + dc:r + dc + n]
+            v = ~np.isnan(w)
+            acc = acc + np.where(v, w, 0.0)
+            cnt = cnt + v
+    return np.where(cnt > 0, acc / np.maximum(cnt, 1), np.nan), cnt
+
+
+@pytest.mark.parametrize("shape,ir", [("circle", None), ("annulus", 2)])
+def test_focal_circle_annulus_bruteforce(spark, shape, ir):
+    """Circle (13 offsets at r=2) and Annulus (r=3, inner 2: the ring of
+    25 offsets with 4 <= d^2 <= 9) vs the untiled brute force — the
+    GeoTrellis non-square neighborhood family over the same halo
+    machinery."""
+    r = 2 if shape == "circle" else 3
+    tiles = corpus.synth_px_tiles(spark, tile_size=T)
+    got = {(row["source_id"], row["band"], row["col"], row["row"]):
+           (row["focal_sum"], row["focal_count"])
+           for row in FO.focal_stats(tiles, op="mean", radius=r,
+                                     shape=shape,
+                                     inner_radius=ir).collect()}
+    assert len(got) == 3 * 2 * 16
+    for s in range(3):
+        for band in range(2):
+            focal, _ = _brute_shaped(_mosaic(s, band), r, ir)
+            for tc in range(4):
+                for tr in range(4):
+                    blk = focal[tr * T:(tr + 1) * T, tc * T:(tc + 1) * T]
+                    m = ~np.isnan(blk)
+                    want = int(np.floor(blk[m] * FO._Q + 0.5)
+                               .astype(np.int64).sum())
+                    key = (f"scene-{s}", band, 18 + s + tc, 24 + tr)
+                    assert got[key] == (want, int(m.sum())), (shape, key)
+
+
+def test_focal_shape_fail_louds(spark):
+    tiles = corpus.synth_px_tiles(spark, tile_size=T)
+    with pytest.raises(ValueError, match="shape"):
+        FO.focal_stats(tiles, op="mean", radius=2, shape="wedge")
+    with pytest.raises(ValueError, match="inner_radius"):
+        FO.focal_stats(tiles, op="mean", radius=2, shape="annulus")
+    with pytest.raises(ValueError, match="inner_radius"):
+        FO.focal_stats(tiles, op="mean", radius=2, shape="annulus",
+                       inner_radius=3)
+    with pytest.raises(ValueError, match="annulus-only"):
+        FO.focal_stats(tiles, op="mean", radius=2, shape="circle",
+                       inner_radius=1)
