@@ -704,6 +704,55 @@ STREAM_ZOOM = 8
 STREAM_TOTALS_ZOOM = 4  # bounded key space for the per-key state gate
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM INTERVAL JOIN under the oracle gate (the one
+    Structured Streaming join shape the tier lacked — stream-static is
+    pip_join_stream, stateful agg is stream_totals): the events table
+    read as TWO file streams (clicks / views), watermarked symmetric
+    join state, every view within 12 hours after a click by the same
+    user. availableNow drain of the raw pairs -> parquet -> batch
+    rollup per user-id bucket with quantized order-free sums. Inner
+    stream-stream joins emit every satisfying pair (the watermark only
+    bounds state), so the oracle is the plain batch interval join in
+    SQL — the equivalence IS what's being checked."""
+    import shutil
+    import tempfile
+
+    from geotrellis_contrib_spark.streaming import stream as st
+
+    tmp = tempfile.mkdtemp(prefix="stream_join_")
+    try:
+        os.makedirs(f"{tmp}/in")
+        os.symlink(os.path.join(sf_dir, "events.parquet"),
+                   f"{tmp}/in/events.parquet")
+        schema = ("event_id bigint, ts timestamp, user_id bigint, "
+                  "event_type string, value double, props string")
+        clicks = st.read_event_stream(spark, f"{tmp}/in", schema=schema) \
+            .filter(F.col("event_type") == "click")
+        views = st.read_event_stream(spark, f"{tmp}/in", schema=schema) \
+            .filter(F.col("event_type") == "view")
+        pairs = st.interval_join_stream(clicks, views,
+                                        interval="12 hours",
+                                        watermark="13 hours")
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            st.run_available_now(pairs, f"{tmp}/out", f"{tmp}/ckpt")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        out = spark.read.parquet(f"{tmp}/out")
+        # localCheckpoint pins the result so the scratch dir can go
+        # (the stream_rasterize convention)
+        return (out.groupBy((F.col("user_id") % 16).alias("bucket"))
+                .agg(F.count(F.lit(1)).alias("n_pairs"),
+                     F.sum(F.floor((F.col("a_value") + F.col("b_value"))
+                                   * F.lit(256.0) + F.lit(0.5))
+                           .cast("long")).alias("qsum"))
+                .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_stream_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming under the oracle gate: the events table read as
     a FILE STREAM -> watermarked tumbling-window tile aggregation ->
@@ -6178,6 +6227,25 @@ FROM px GROUP BY s
     sz = str(STREAM_ZOOM)
     ev_cell = C.sql_cell_id(sz, C.sql_tile_col("lon", STREAM_ZOOM),
                             C.sql_tile_row("lat", STREAM_ZOOM))
+    # Stream-stream interval join (stream_join): the plain batch
+    # interval join — inner stream-stream joins emit every satisfying
+    # pair (watermarks bound STATE, not output), so batch equivalence
+    # is the semantics under test. Quantized pair sums are integer
+    # (order-free); a_value + b_value is one IEEE add on both sides.
+    o["stream_join"] = """
+WITH a AS (SELECT user_id, ts, value FROM events
+           WHERE event_type = 'click'),
+b AS (SELECT user_id, ts, value FROM events
+      WHERE event_type = 'view')
+SELECT a.user_id % 16 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CAST(FLOOR((a.value + b.value) * 256.0 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS qsum
+FROM a JOIN b ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '12 hours'
+GROUP BY 1
+"""
+
     o["stream_rasterize"] = f"""
 WITH ev AS (
   SELECT ts, value, {ev_lon} AS lon, {ev_lat} AS lat FROM events),
@@ -6404,6 +6472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "stream_join": q_stream_join,
         "focal_circle": q_focal_circle,
         "time_travel": q_time_travel,
         "pq_codes": q_pq_codes,

@@ -71,6 +71,37 @@ def pip_join_stream(events: DataFrame, boxes: DataFrame, zoom: int = 6) -> DataF
     ).drop("cell", "xmin", "ymin", "xmax", "ymax")
 
 
+def interval_join_stream(left: DataFrame, right: DataFrame,
+                         interval: str = "12 hours",
+                         watermark: str = "13 hours") -> DataFrame:
+    """STREAM-STREAM interval inner join: pair every left event with the
+    same user's right events inside ``[a_ts, a_ts + interval]``. Both
+    sides carry event-time watermarks >= the interval so Spark's
+    symmetric join state evicts rows once they can no longer match —
+    the state-bounding contract that lets the join run forever at
+    corpus scale (an unwatermarked stream-stream join accumulates state
+    without bound). Watermark semantics (pytest-pinned): inner joins
+    never wait on the watermark to OUTPUT, and non-late rows match
+    across micro-batches AND across restarts (join state lives in the
+    checkpoint); but input rows arriving BEHIND the watermark are
+    dropped — the late-data contract shared with the windowed-agg tier.
+    When everything arrives in one catch-up batch (the oracle gate's
+    shape) nothing is late, so the result equals the batch join
+    exactly. Output one row per pair: (user_id, a_ts, b_ts, a_value,
+    b_value)."""
+    a = left.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("a_user"), F.col("ts").alias("a_ts"),
+        F.col("value").alias("a_value"))
+    b = right.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"),
+        F.col("value").alias("b_value"))
+    cond = F.expr(f"a_user = b_user AND b_ts >= a_ts "
+                  f"AND b_ts <= a_ts + interval {interval}")
+    return (a.join(b, cond, "inner")
+            .select(F.col("a_user").alias("user_id"),
+                    "a_ts", "b_ts", "a_value", "b_value"))
+
+
 def run_available_now(agg: DataFrame, out_dir: str, checkpoint_dir: str,
                       timeout_s: int = 300) -> None:
     """Drain everything currently available, then stop — the incremental

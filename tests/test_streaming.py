@@ -161,3 +161,78 @@ def test_incremental_equals_batch(spark, window, tmp_path_factory):
     # incrementality: each aggregate row was emitted exactly once
     assert spark.read.parquet(out).filter(F.hour("window_start") < 22) \
         .groupBy("window_start", "cell").count().filter("count > 1").count() == 0
+
+
+def test_stream_stream_interval_join_state_and_lateness(spark,
+                                                        tmp_path_factory):
+    """Stream-stream interval inner join across TWO availableNow runs:
+    (1) pairs within run 1 emit; (2) run-2 views match run-1 clicks
+    through the CHECKPOINTED symmetric join state; (3) run-2 views
+    arriving behind the persisted watermark are DROPPED (the late-data
+    contract) — expected = batch interval join minus the late rows'
+    pairs."""
+    src = str(tmp_path_factory.mktemp("ij_src"))
+    out = str(tmp_path_factory.mktemp("ij_out"))
+    chk = str(tmp_path_factory.mktemp("ij_chk"))
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, ts, u, typ, float(i % 10)) for i, ts, u, typ in rows],
+            "event_id bigint, ts_s string, user_id bigint, "
+            "event_type string, value double"
+        ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+                 "user_id", "event_type", "value")
+
+    b1 = mk([(i, f"2026-01-01 {8 + (i % 3)}:{(i * 7) % 60:02d}:00",
+              i % 5, "click") for i in range(0, 30)]
+            + [(990, "2026-01-01 07:00:00", 0, "click")]
+            + [(i, f"2026-01-01 {9 + (i % 3)}:{(i * 7) % 60:02d}:00",
+                i % 5, "view") for i in range(100, 130)])
+    # the GLOBAL watermark is the MIN across inputs: clicks max ~10:59
+    # -> wm 7:59 after run 1; a view at 7:30 is behind it -> dropped,
+    # though it would batch-match the 7:00 click
+    late_view = (900, "2026-01-01 07:30:00", 0, "view")
+    b2 = mk([(i, f"2026-01-01 {10 + (i % 3)}:{(i * 7) % 60:02d}:00",
+              i % 5, "view") for i in range(200, 230)] + [late_view])
+
+    def run():
+        schema = ("event_id bigint, ts timestamp, user_id bigint, "
+                  "event_type string, value double")
+        clicks = st.read_event_stream(spark, src, schema=schema) \
+            .filter(F.col("event_type") == "click")
+        views = st.read_event_stream(spark, src, schema=schema) \
+            .filter(F.col("event_type") == "view")
+        pairs = st.interval_join_stream(clicks, views,
+                                        interval="2 hours",
+                                        watermark="3 hours")
+        q = (pairs.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", chk).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    b1.write.mode("append").parquet(src)
+    run()
+    n_run1 = spark.read.parquet(out).count()
+    b2.write.mode("append").parquet(src)
+    run()
+    got = sorted((r.user_id, str(r.a_ts), str(r.b_ts))
+                 for r in spark.read.parquet(out).collect())
+    full = b1.unionByName(b2)
+    a = full.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("a_user"), F.col("ts").alias("a_ts"))
+    b = full.filter((F.col("event_type") == "view")
+                    & (F.col("event_id") != 900)).select(  # late: dropped
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"))
+    batch = a.join(b, F.expr(
+        "a_user = b_user AND b_ts >= a_ts AND "
+        "b_ts <= a_ts + interval 2 hours"))
+    expect = sorted((r.a_user, str(r.a_ts), str(r.b_ts))
+                    for r in batch.collect())
+    assert got == expect and len(got) > n_run1 > 0
+    # the late view WOULD have matched in batch (the drop is real)
+    b_all = full.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"))
+    n_with_late = a.join(b_all, F.expr(
+        "a_user = b_user AND b_ts >= a_ts AND "
+        "b_ts <= a_ts + interval 2 hours")).count()
+    assert n_with_late > len(expect)
