@@ -2277,6 +2277,30 @@ def q_geotiff_read_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GT.per_tile_checksum(GT.read_catalog_tiles(cat), quant=1.0)
 
 
+def q_geotiff_read_jpeg_ycbcr(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """GeoTiff INTERLEAVED YCbCr JPEG decode end-to-end (compression 7 +
+    PhotometricInterpretation 6, chunky 3-band — THE wire format of
+    real RGB aerial archives; 4:4:4 AND the libtiff/GDAL-default 4:2:0
+    with restart markers + COG): grayscale-in-RGB block-constant
+    fixture, so RGB->YCbCr is exact (Y=v, Cb=Cr=128), chroma stays
+    constant under subsampling, and the LOSSY color pipeline decodes
+    BIT-EXACTLY through Huffman -> dequant -> IDCT -> chroma upsample
+    -> YCbCr->RGB. Catalog parse -> pruned ranged fetch -> per-band
+    tile rows (chunky slicing) -> checksums. Oracle: band-0's
+    block-corner reduction replicated across the 3 output bands."""
+    import os
+    import tempfile
+
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.sources import geotiff as GT
+
+    root = os.path.join(tempfile.gettempdir(), "gt_gate_jcc_v1")
+    specs = corpus_mod.synth_geotiff_scenes_jpeg_ycbcr(root)
+    cat = GT.geotiff_tile_catalog(spark, specs)
+    return GT.per_tile_checksum(GT.read_catalog_tiles(cat), quant=1.0)
+
+
 def q_geotiff_read_subbyte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoTiff SUB-BYTE sample decode end-to-end (TIFF 6.0 §4-5: 1-bit
     bilevel masks and 2-/4-bit grayscale — MSB-first packed samples,
@@ -4217,6 +4241,35 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
        CAST(COUNT(CASE WHEN wv <> 0 THEN 1 END) AS BIGINT)
          AS px_count
 FROM w GROUP BY 1, 2, 3, 4
+"""
+
+    # Interleaved-YCbCr JPEG variant (geotiff_read_jpeg_ycbcr): band-0's
+    # block-corner reduction (the geotiff_read_jpeg rule) over the TWO
+    # color scenes, replicated across the 3 RGB output bands
+    # (grayscale-in-RGB: the whole YCbCr chain is exact).
+    _fv0 = _fval("(r//8)*8", "(c//8)*8").replace("band*100.0",
+                                                 "0*100.0")
+    o["geotiff_read_jpeg_ycbcr"] = f"""
+WITH px AS (
+  SELECT s, tc, tr, {_fv0} AS val
+  FROM range(0,2) ss(s), range(0,4) tcs(tc),
+       range(0,4) trs(tr), range(0,64) rs(r), range(0,64) cs(c)
+), w AS (
+  SELECT s, tc, tr,
+         CASE WHEN val <> -9999.0
+              THEN (CAST(val * 4 AS BIGINT) % 255) + 1
+              ELSE 0 END AS wv
+  FROM px
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(b AS INT) AS band,
+       CAST(18 + tc + s AS BIGINT) AS col,
+       CAST(24 + tr AS BIGINT) AS row,
+       CAST(SUM(CASE WHEN wv <> 0 THEN wv ELSE 0 END) AS BIGINT)
+         AS px_qsum,
+       CAST(COUNT(CASE WHEN wv <> 0 THEN 1 END) AS BIGINT)
+         AS px_count
+FROM w, range(0,3) bs(b) GROUP BY 1, 2, 3, 4
 """
 
     # Sub-byte variant (geotiff_read_subbyte): the field reduced to
@@ -6472,6 +6525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "geotiff_read_jpeg_ycbcr": q_geotiff_read_jpeg_ycbcr,
         "stream_join": q_stream_join,
         "focal_circle": q_focal_circle,
         "time_travel": q_time_travel,

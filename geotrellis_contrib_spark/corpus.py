@@ -540,6 +540,58 @@ def synth_geotiff_scenes_jpeg(root: str,
     return specs
 
 
+def synth_geotiff_scenes_jpeg_ycbcr(root: str,
+                                    tile_size: int = 64) -> list[dict]:
+    """Interleaved-YCbCr JPEG sibling (PhotometricInterpretation=6,
+    chunky 3-band — the libtiff/GDAL wire format for real RGB aerial
+    archives): band-0's closed-form field at aligned 8x8-block corners,
+    byte-reduced like the grayscale JPEG fixture and replicated across
+    R=G=B. Grayscale-in-RGB makes the color pipeline EXACT end to end:
+    Y == v and Cb == Cr == 128 precisely, chroma stays constant under
+    any subsampling, and constant blocks survive the DCT bit-for-bit.
+    Scene-0 4:4:4 + JPEGTables, scene-1 4:2:0 + COG + restart markers."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from geotrellis_contrib_spark.sources import geotiff as GT
+
+    variants = [{"jpeg_subsampling": (1, 1)},
+                {"jpeg_subsampling": (2, 2), "cog": True,
+                 "jpeg_restart": 3}]
+    os.makedirs(root, exist_ok=True)
+    specs = []
+    q1 = np.ones((8, 8), dtype=np.int64)
+    for s, var in enumerate(variants):
+        path = os.path.join(root, f"scene-{s}-jcc.tif")
+        if not os.path.exists(path):
+            arr = synth_scene_mosaic(s, tile_size=tile_size)[0]  # band 0
+            corner = arr[::8, ::8]
+            q4 = np.round(corner * 4.0).astype(np.int64)
+            wc = np.where(corner == -9999.0, 0,
+                          (q4 % 255) + 1).astype(np.uint8)
+            img = np.repeat(np.repeat(wc, 8, axis=0), 8, axis=1)
+            rgb = np.stack([img, img, img], axis=0)
+            web = 20037508.342789244
+            tsz = 2.0 * web / 64.0
+            xmin = -web + (18 + s) * tsz
+            ymax = web - 24 * tsz
+            xmax, ymin = xmin + 4 * tsz, ymax - 4 * tsz
+            fd, tmp = tempfile.mkstemp(dir=root, suffix=".part")
+            os.close(fd)
+            GT.write_geotiff(tmp, rgb, (xmin, ymin, xmax, ymax),
+                             epsg=3857, nodata=0.0, tile_size=tile_size,
+                             compress="jpeg", photometric="ycbcr",
+                             planar=1, jpeg_quant=q1,
+                             jpeg_quant_chroma=q1, **var)
+            os.replace(tmp, path)
+        specs.append({"path": path, "source_id": f"scene-{s}",
+                      "source_idx": s, "zoom": 6, "base_col": 18 + s,
+                      "base_row": 24})
+    return specs
+
+
 def _synth_quant_scenes(root: str, variants: list[dict], suffix: str,
                         tile_size: int) -> list[dict]:
     import os

@@ -60,7 +60,8 @@ from typing import Iterator
 import numpy as np
 
 from geotrellis_contrib_spark.sources.jpegcodec import (
-    STD_QUANT_LUMA, jpeg_decode_gray, jpeg_encode_gray,
+    STD_QUANT_CHROMA, STD_QUANT_LUMA, jpeg_decode_color,
+    jpeg_decode_gray, jpeg_encode_color, jpeg_encode_gray,
     jpeg_tables_stream)
 
 # TIFF field types -> (struct letter, byte size); 16/17/18 are the
@@ -75,7 +76,7 @@ _TAG = {"NewSubfileType": 254, "ImageWidth": 256, "ImageLength": 257,
         "StripByteCounts": 279, "PlanarConfig": 284, "Predictor": 317,
         "TileWidth": 322, "TileLength": 323, "TileOffsets": 324,
         "TileByteCounts": 325, "SampleFormat": 339,
-        "JPEGTables": 347,
+        "JPEGTables": 347, "YCbCrSubSampling": 530,
         "ModelPixelScale": 33550, "ModelTiepoint": 33922,
         "ModelTransformation": 34264,
         "GeoKeyDirectory": 34735, "GeoDoubleParams": 34736,
@@ -466,7 +467,9 @@ def _level_segments(band_arrs: np.ndarray, tile: int, strips: bool,
                     compress: str, nodata: float, np_bo: str,
                     planar: int, predictor: int = 1,
                     sub_bits: int = 0, jpeg_quant=None,
-                    jpeg_inline: bool = False, jpeg_restart: int = 0):
+                    jpeg_inline: bool = False, jpeg_restart: int = 0,
+                    jpeg_color: bool = False, jpeg_quant_chroma=None,
+                    jpeg_sub: tuple = (2, 2)):
     """Segment byte payloads for one resolution level, TIFF segment order
     (plane-major for planar=2, pixel-interleaved for planar=1). Edge
     tiles pad with nodata per spec. ``sub_bits`` in (1, 2, 4) packs
@@ -477,7 +480,13 @@ def _level_segments(band_arrs: np.ndarray, tile: int, strips: bool,
     wire = band_arrs.dtype.newbyteorder(np_bo)
 
     def wire_bytes(seg: np.ndarray) -> bytes:
-        if compress == "jpeg":  # one gray plane per segment
+        if compress == "jpeg":
+            if jpeg_color:  # chunky YCbCr: seg is (rows, w, 3) RGB
+                return jpeg_encode_color(
+                    np.ascontiguousarray(seg), jpeg_quant,
+                    jpeg_quant_chroma, subsampling=jpeg_sub,
+                    inline_tables=jpeg_inline,
+                    restart_interval=jpeg_restart)
             return jpeg_encode_gray(np.ascontiguousarray(seg), jpeg_quant,
                                     inline_tables=jpeg_inline,
                                     restart_interval=jpeg_restart)
@@ -556,7 +565,10 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
                   geo_encoding: str = "pixelscale",
                   bits: int | None = None,
                   jpeg_quant=None, jpeg_tables_tag: bool = True,
-                  jpeg_restart: int = 0) -> None:
+                  jpeg_restart: int = 0,
+                  photometric: str = "minisblack",
+                  jpeg_quant_chroma=None,
+                  jpeg_subsampling: tuple = (2, 2)) -> None:
     """Write a (multiband) GeoTiff: ``bands`` is (nbands, H, W) or (H, W);
     ``extent`` = (xmin, ymin, xmax, ymax) in the CRS of ``epsg``.
     ``overviews`` appends that many 2x-decimated overview IFDs
@@ -576,9 +588,17 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
     if compress not in ("none", "deflate", "lzw", "packbits", "lzma",
                         "jpeg"):
         raise ValueError(f"unsupported compression {compress!r}")
+    if photometric not in ("minisblack", "ycbcr"):
+        raise ValueError(f"unsupported photometric {photometric!r}")
+    if photometric == "ycbcr" and compress != "jpeg":
+        raise ValueError("photometric='ycbcr' is the JPEG color "
+                         "surface (compress='jpeg')")
+    jpeg_color = False
     if compress == "jpeg":
-        # baseline JPEG (TIFF compression 7): 8-bit grayscale planes —
-        # one component per segment, the band-separate tile model
+        # baseline JPEG (TIFF compression 7): 8-bit grayscale planes
+        # (band-separate, one component per segment) or interleaved
+        # YCbCr color (photometric='ycbcr', chunky 3-band — the
+        # libtiff/GDAL wire format for real RGB aerial archives)
         if dtype != "uint8":
             raise ValueError(f"JPEG baseline requires uint8 samples, "
                              f"got {dtype}")
@@ -587,10 +607,22 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
                              "(the DCT is the decorrelator)")
         if bits is not None and bits != 8:
             raise ValueError("JPEG requires full 8-bit samples")
-        if planar != 2:
-            raise ValueError("JPEG requires planar=2 (band-separate "
-                             "grayscale segments; interleaved YCbCr "
-                             "is unsupported)")
+        if photometric == "ycbcr":
+            if nb != 3 or planar != 1:
+                raise ValueError("YCbCr JPEG requires 3 bands, "
+                                 "planar=1 (interleaved)")
+            if tuple(jpeg_subsampling) not in ((1, 1), (2, 2)):
+                raise ValueError("YCbCr subsampling must be (1,1) "
+                                 "or (2,2)")
+            if jpeg_quant_chroma is None:
+                jpeg_quant_chroma = STD_QUANT_CHROMA
+            jpeg_quant_chroma = np.asarray(jpeg_quant_chroma,
+                                           dtype=np.int64).reshape(8, 8)
+            jpeg_color = True
+        elif planar != 2:
+            raise ValueError("grayscale JPEG requires planar=2 "
+                             "(band-separate segments; for interleaved "
+                             "color use photometric='ycbcr')")
         if jpeg_quant is None:
             jpeg_quant = STD_QUANT_LUMA
         jpeg_quant = np.asarray(jpeg_quant, dtype=np.int64).reshape(8, 8)
@@ -636,13 +668,18 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
     for _ in range(overviews):
         levels.append(levels[-1][:, ::2, ::2])
 
-    jpeg_blob = (jpeg_tables_stream(jpeg_quant)
-                 if compress == "jpeg" and jpeg_tables_tag else None)
+    jpeg_blob = None
+    if compress == "jpeg" and jpeg_tables_tag:
+        jpeg_blob = jpeg_tables_stream(
+            jpeg_quant, jpeg_quant_chroma if jpeg_color else None)
     level_segs = [
         _level_segments(arrs, tile_size, strips, compress, nodata, bo,
                         planar, predictor, sub_bits, jpeg_quant,
                         jpeg_inline=jpeg_blob is None,
-                        jpeg_restart=jpeg_restart)
+                        jpeg_restart=jpeg_restart,
+                        jpeg_color=jpeg_color,
+                        jpeg_quant_chroma=jpeg_quant_chroma,
+                        jpeg_sub=tuple(jpeg_subsampling))
         for arrs in levels]
     hdr_len = 16 if bigtiff else 8
     if cog:
@@ -653,7 +690,8 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
             levels, level_segs, [[0] * len(s[0]) for s in level_segs],
             bo, nb, bits, sfmt, compress, planar, strips, tile_size,
             xmin, ymax, (xmax - xmin) / w, (ymax - ymin) / h, epsg,
-            nodata, predictor, bigtiff, geo_encoding, jpeg_blob)
+            nodata, predictor, bigtiff, geo_encoding, jpeg_blob,
+            jpeg_color, tuple(jpeg_subsampling))
         data_base = hdr_len + sum(i.size() + i.external_size()
                                   for i in probe)
     else:
@@ -673,7 +711,7 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
         levels, level_segs, level_offs, bo, nb, bits, sfmt, compress,
         planar, strips, tile_size, xmin, ymax, (xmax - xmin) / w,
         (ymax - ymin) / h, epsg, nodata, predictor, bigtiff, geo_encoding,
-        jpeg_blob)
+        jpeg_blob, jpeg_color, tuple(jpeg_subsampling))
 
     if cog:
         ifd_offsets = []
@@ -714,7 +752,8 @@ def write_geotiff(path: str, bands: np.ndarray, extent, epsg: int = 3857,
 def _assemble_ifds(levels, level_segs, level_offs, bo, nb, bits, sfmt,
                    compress, planar, strips, tile_size, xmin, ymax,
                    sx, sy, epsg, nodata, predictor=1, big=False,
-                   geo_encoding="pixelscale", jpeg_blob=None):
+                   geo_encoding="pixelscale", jpeg_blob=None,
+                   jpeg_color=False, ycbcr_sub=(2, 2)):
     """Build the IFD chain for every resolution level with the given
     segment offsets (sizes are offset-independent, which is what lets
     the COG layout measure with zeros first). ``big`` writes BigTIFF
@@ -740,7 +779,9 @@ def _assemble_ifds(levels, level_segs, level_offs, bo, nb, bits, sfmt,
             # TIFF TechNote 2: shared abbreviated table stream; every
             # JPEG-compressed IFD carries the tag (libtiff convention)
             ifd.add(_TAG["JPEGTables"], 7, jpeg_blob)
-        ifd.add(_TAG["Photometric"], 3, 1)
+        ifd.add(_TAG["Photometric"], 3, 6 if jpeg_color else 1)
+        if jpeg_color:
+            ifd.add(_TAG["YCbCrSubSampling"], 3, list(ycbcr_sub))
         ifd.add(_TAG["SamplesPerPixel"], 3, nb)
         ifd.add(_TAG["SampleFormat"], 3, [sfmt] * nb)
         if nb > 1:
@@ -869,6 +910,18 @@ def read_geotiff_info(path: str) -> dict:
                                      f"predictor (got {predictor})")
                 jt = tags.get(_TAG["JPEGTables"])
                 jpeg_tables = bytes(jt) if jt else None
+                photo = tags.get(_TAG["Photometric"], [1])[0]
+                spp_j = tags.get(_TAG["SamplesPerPixel"], [1])[0]
+                pl_j = tags.get(_TAG["PlanarConfig"], [1])[0]
+                if photo == 6:
+                    if spp_j != 3 or pl_j != 1:
+                        raise ValueError(
+                            "YCbCr JPEG requires 3 interleaved "
+                            f"samples (got spp={spp_j}, "
+                            f"planar={pl_j})")
+                elif photo not in (0, 1):
+                    raise ValueError(f"unsupported photometric {photo} "
+                                     "with JPEG (grayscale or YCbCr)")
             if predictor not in (1, 2, 3):
                 raise ValueError(f"unsupported predictor {predictor} "
                                  "(none/int-horizontal/float-"
@@ -997,9 +1050,11 @@ def _decode_segment(raw: bytes, compression: int, dtype: np.dtype,
                     predictor: int = 1, sub_bits: int = 0,
                     jpeg_tables: bytes | None = None) -> np.ndarray:
     if compression == 7:
+        if spp == 3:  # YCbCr color segment -> (th, tw, 3) RGB
+            return jpeg_decode_color(raw, jpeg_tables)
         if spp > 1:
-            raise ValueError("interleaved multi-band JPEG segments "
-                             "unsupported (planar=2 grayscale only)")
+            raise ValueError(f"JPEG segments carry 1 (grayscale) or 3 "
+                             f"(YCbCr) samples, got {spp}")
         return jpeg_decode_gray(raw, jpeg_tables)
     if compression in (8, 32946):
         raw = zlib.decompress(raw)

@@ -76,9 +76,9 @@ def test_fail_louds():
     bad[i + 4] = 12
     with pytest.raises(ValueError, match="precision"):
         J.jpeg_decode_gray(bytes(bad))
-    # multi-component frame
+    # unsupported component count (3 is now the YCbCr color surface)
     bad = bytearray(s)
-    bad[i + 9] = 3
+    bad[i + 9] = 2
     with pytest.raises(ValueError, match="component count"):
         J.jpeg_decode_gray(bytes(bad))
     # subsampled component
@@ -164,3 +164,121 @@ def test_catalog_and_http_parity(tmp_path, spark):
         assert rows_h == {(r.band, r.col, r.row): r.px for r in rows}
     finally:
         srv.shutdown()
+
+
+def test_color_conversion_grayscale_exact_and_general_bound():
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    # grayscale-in-RGB: Y == v, Cb == Cr == 128 exactly, and back
+    v = rng.integers(0, 256, (20, 20), dtype=np.uint8)
+    rgb = np.stack([v, v, v], axis=-1)
+    ycc = J.rgb_to_ycbcr(rgb)
+    assert (ycc[..., 0] == v).all()
+    assert (ycc[..., 1] == 128).all() and (ycc[..., 2] == 128).all()
+    assert (J.ycbcr_to_rgb(ycc) == rgb).all()
+    # general RGB roundtrip: +-2 (rounding both ways)
+    c = rng.integers(0, 256, (30, 30, 3), dtype=np.uint8)
+    back = J.ycbcr_to_rgb(J.rgb_to_ycbcr(c))
+    assert np.abs(back.astype(int) - c.astype(int)).max() <= 2
+
+
+@pytest.mark.parametrize("sub", [(1, 1), (2, 2)])
+def test_color_jpeg_block_constant_exact(sub):
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    g = np.repeat(np.repeat(
+        rng.integers(0, 256, (6, 9), dtype=np.uint8), 16, 0), 16, 1)
+    rgb = np.stack([g, g, g], axis=-1)
+    s = J.jpeg_encode_color(rgb, Q1, Q1, subsampling=sub)
+    assert (J.jpeg_decode_color(s) == rgb).all()
+    # abbreviated + chroma tables in the JPEGTables stream
+    tb = J.jpeg_tables_stream(Q1, Q1)
+    s2 = J.jpeg_encode_color(rgb, Q1, Q1, subsampling=sub,
+                             inline_tables=False)
+    assert (J.jpeg_decode_color(s2, tb) == rgb).all()
+    # restart markers
+    s3 = J.jpeg_encode_color(rgb, Q1, Q1, subsampling=sub,
+                             restart_interval=2)
+    assert (J.jpeg_decode_color(s3) == rgb).all()
+
+
+def test_color_jpeg_general_bound_and_fail_louds():
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    c = rng.integers(0, 256, (40, 48, 3), dtype=np.uint8)
+    d = J.jpeg_decode_color(J.jpeg_encode_color(c, Q1, Q1,
+                                                subsampling=(1, 1)))
+    assert np.abs(d.astype(int) - c.astype(int)).max() <= 5
+    # gray decoder rejects color streams and vice versa
+    s = J.jpeg_encode_color(c, Q1, Q1, subsampling=(1, 1))
+    with pytest.raises(ValueError, match="grayscale"):
+        J.jpeg_decode_gray(s)
+    g = J.jpeg_encode_gray(c[..., 0].copy(), Q1)
+    with pytest.raises(ValueError, match="3-component"):
+        J.jpeg_decode_color(g)
+    with pytest.raises(ValueError, match="subsampling"):
+        J.jpeg_encode_color(c, Q1, Q1, subsampling=(2, 1))
+    with pytest.raises(ValueError, match="uint8"):
+        J.jpeg_encode_color(c.astype(np.int16), Q1, Q1)
+
+
+def test_tiff_ycbcr_layouts_and_fail_louds(tmp_path):
+    import numpy as np
+
+    rng = np.random.default_rng(29)
+    g = np.repeat(np.repeat(
+        rng.integers(1, 256, (8, 16), dtype=np.uint8), 16, 0), 16, 1)
+    rgb = np.stack([g, g, g], axis=0)
+    for name, kw in [("a.tif", dict(jpeg_subsampling=(1, 1))),
+                     ("b.tif", dict(jpeg_subsampling=(2, 2), cog=True,
+                                    jpeg_restart=3)),
+                     ("c.tif", dict(jpeg_subsampling=(1, 1),
+                                    jpeg_tables_tag=False))]:
+        p = str(tmp_path / name)
+        GT.write_geotiff(p, rgb, (0, 0, 256, 128), epsg=3857,
+                         nodata=0.0, tile_size=64, compress="jpeg",
+                         photometric="ycbcr", planar=1, jpeg_quant=Q1,
+                         jpeg_quant_chroma=Q1, **kw)
+        arr, info = GT.read_geotiff(p)
+        assert (arr == rgb).all()
+        assert info["nbands"] == 3 and info["planar"] == 1
+    with pytest.raises(ValueError, match="3 bands"):
+        GT.write_geotiff(str(tmp_path / "x.tif"), rgb[:2], (0, 0, 1, 1),
+                         compress="jpeg", photometric="ycbcr", planar=1,
+                         nodata=0.0)
+    with pytest.raises(ValueError, match="ycbcr"):
+        GT.write_geotiff(str(tmp_path / "x.tif"), rgb, (0, 0, 1, 1),
+                         compress="deflate", photometric="ycbcr",
+                         nodata=0.0)
+    with pytest.raises(ValueError, match="planar=2"):
+        GT.write_geotiff(str(tmp_path / "x.tif"), rgb, (0, 0, 1, 1),
+                         compress="jpeg", planar=1, nodata=0.0)
+
+
+def test_tiff_ycbcr_catalog_band_slicing(tmp_path, spark):
+    import numpy as np
+
+    from geotrellis_contrib_spark.operators.pixels import unpack
+
+    rng = np.random.default_rng(31)
+    g = np.repeat(np.repeat(
+        rng.integers(1, 256, (16, 16), dtype=np.uint8), 8, 0), 8, 1)
+    rgb = np.stack([g, g, g], axis=0)
+    p = str(tmp_path / "cat.tif")
+    GT.write_geotiff(p, rgb, (0, 0, 128, 128), epsg=3857, nodata=0.0,
+                     tile_size=64, compress="jpeg", photometric="ycbcr",
+                     planar=1, jpeg_quant=Q1, jpeg_quant_chroma=Q1,
+                     jpeg_subsampling=(2, 2))
+    cat = GT.geotiff_tile_catalog(spark, [{
+        "path": p, "source_id": "s", "source_idx": 0, "zoom": 6,
+        "base_col": 0, "base_row": 0}])
+    rows = GT.read_catalog_tiles(cat).collect()
+    assert len(rows) == 3 * 4  # 3 bands x 2x2 tiles (chunky slicing)
+    for r in rows:
+        tile = unpack(r.px, r.dtype, 64)
+        ref = rgb[r.band, r.row * 64:(r.row + 1) * 64,
+                  r.col * 64:(r.col + 1) * 64]
+        assert (tile == ref).all()
