@@ -2277,6 +2277,28 @@ def q_geotiff_read_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GT.per_tile_checksum(GT.read_catalog_tiles(cat), quant=1.0)
 
 
+def q_geotiff_read_overview(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """GeoTiff OVERVIEW-LEVEL catalog read (the AutoHigherResolution
+    read path — GeoTiffRasterSource.resolutions — against overview
+    DATA, not a re-read of the base): scene-0 of the LZW fixture
+    (int32 4*val, predictor 2, 1 overview) cataloged at level=1, ranged
+    fetch + LZW/predictor decode of the 2x-decimated IFD, per-tile
+    checksums. Oracle: the decimation IS the closed form — overview
+    pixel (R, C) = the quantized field at scene-local (2R, 2C),
+    recomputed with pure integer arithmetic in SQL."""
+    import os
+    import tempfile
+
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.sources import geotiff as GT
+
+    root = os.path.join(tempfile.gettempdir(), "gt_gate_lzw_v1")
+    specs = corpus_mod.synth_geotiff_scenes_lzw(root)
+    cat = GT.geotiff_tile_catalog(spark, [specs[0]], level=1)
+    return GT.per_tile_checksum(GT.read_catalog_tiles(cat), quant=1.0)
+
+
 def q_geotiff_read_jpeg_ycbcr(spark: SparkSession, sf_dir: str
                               ) -> DataFrame:
     """GeoTiff INTERLEAVED YCbCr JPEG decode end-to-end (compression 7 +
@@ -4241,6 +4263,33 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
        CAST(COUNT(CASE WHEN wv <> 0 THEN 1 END) AS BIGINT)
          AS px_count
 FROM w GROUP BY 1, 2, 3, 4
+"""
+
+    # Overview-level catalog read (geotiff_read_overview): overview
+    # pixel (R, C) = the int32-quantized field at scene-local (2R, 2C)
+    # — 4*val unrolled to pure integer arithmetic (band*400 +
+    # col*28 + row*12 + ri*2 + ci + 4*mod13), hole h0 = 0 for scene-0.
+    o["geotiff_read_overview"] = """
+WITH px AS (
+  SELECT band, tc, tr,
+         ((tr * 64 + r) * 2) AS gr, ((tc * 64 + c) * 2) AS gc
+  FROM range(0,2) bs(band), range(0,2) tcs(tc), range(0,2) trs(tr),
+       range(0,64) rs(r), range(0,64) cs(c)
+), v AS (
+  SELECT band, tc, tr,
+         CASE WHEN (gr % 64) < 16 AND (gc % 64) < 16 THEN NULL
+              ELSE band * 400 + (18 + (gc // 64)) * 28
+                   + (24 + (gr // 64)) * 12 + (gr % 64) * 2
+                   + (gc % 64)
+                   + 4 * (((gr % 64) * 31 + (gc % 64) * 17) % 13)
+         END AS wv
+  FROM px
+)
+SELECT 'scene-0' AS source_id, CAST(band AS INT) AS band,
+       CAST(18 + tc AS BIGINT) AS col, CAST(24 + tr AS BIGINT) AS row,
+       CAST(SUM(wv) AS BIGINT) AS px_qsum,
+       CAST(COUNT(wv) AS BIGINT) AS px_count
+FROM v GROUP BY 1, 2, 3, 4
 """
 
     # Interleaved-YCbCr JPEG variant (geotiff_read_jpeg_ycbcr): band-0's
@@ -6525,6 +6574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "geotiff_read_overview": q_geotiff_read_overview,
         "geotiff_read_jpeg_ycbcr": q_geotiff_read_jpeg_ycbcr,
         "stream_join": q_stream_join,
         "focal_circle": q_focal_circle,

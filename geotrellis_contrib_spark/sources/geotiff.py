@@ -1133,17 +1133,23 @@ CATALOG_SCHEMA = ("path string, source_id string, source_idx int, zoom int, "
                   "jpeg_tables binary")
 
 
-def geotiff_tile_catalog(spark, specs: list[dict]):
+def geotiff_tile_catalog(spark, specs: list[dict], level: int = 0):
     """Driver-side header parse -> tile catalog DataFrame. Each spec:
     {path, source_id, source_idx, zoom, base_col, base_row}; the file's
-    tile (0,0) lands at layout key (base_col, base_row). Only the base
-    IFD of tiled files is cataloged (tile_w == tile_h required); window
-    pruning = a plain filter on (col, row) that Catalyst pushes below the
-    Python read."""
+    tile (0,0) lands at layout key (base_col, base_row). ``level``
+    selects the IFD: 0 = full resolution, >0 the overview chain — the
+    AutoHigherResolution read path (GeoTiffRasterSource.resolutions)
+    cataloged directly against overview DATA instead of re-reading the
+    base. Tiled square-tile IFDs only; window pruning = a plain filter
+    on (col, row) that Catalyst pushes below the Python read."""
     rows = []
     for spec in specs:
         info = read_geotiff_info(spec["path"])
-        ifd = info["ifds"][0]
+        if not 0 <= int(level) < len(info["ifds"]):
+            raise ValueError(
+                f"{spec['path']} has {len(info['ifds'])} IFDs; "
+                f"level={level} out of range")
+        ifd = info["ifds"][int(level)]
         if ifd["strips"]:
             raise ValueError("catalog read requires a tiled GeoTiff")
         if ifd["tile_w"] != ifd["tile_h"]:

@@ -282,3 +282,30 @@ def test_tiff_ycbcr_catalog_band_slicing(tmp_path, spark):
         ref = rgb[r.band, r.row * 64:(r.row + 1) * 64,
                   r.col * 64:(r.col + 1) * 64]
         assert (tile == ref).all()
+
+
+def test_catalog_overview_level(tmp_path, spark):
+    """level>0 catalogs the overview IFD's own tile grid; tiles decode
+    to the 2x-decimated image; out-of-range levels fail loud."""
+    from geotrellis_contrib_spark.operators.pixels import unpack
+
+    img = _block_constant_scene(seed=21)
+    p = str(tmp_path / "ov.tif")
+    GT.write_geotiff(p, img, (0, 0, 256, 256), epsg=3857, nodata=0.0,
+                     tile_size=64, compress="jpeg", jpeg_quant=Q1,
+                     overviews=1)
+    spec = {"path": p, "source_id": "s", "source_idx": 0, "zoom": 5,
+            "base_col": 0, "base_row": 0}
+    rows = GT.read_catalog_tiles(
+        GT.geotiff_tile_catalog(spark, [spec], level=1)).collect()
+    assert len(rows) == 2 * 4  # 2 bands x 2x2 overview tiles
+    ov = img[:, ::2, ::2]
+    for r in rows:
+        tile = unpack(r.px, r.dtype, 64)
+        ref = ov[r.band, r.row * 64:(r.row + 1) * 64,
+                 r.col * 64:(r.col + 1) * 64]
+        # decimated block-constant is 4x4-constant: JPEG q=1 is +-1
+        assert np.abs(tile.astype(int) - ref.astype(int)).max() <= 1
+    import pytest as _pt
+    with _pt.raises(ValueError, match="out of range"):
+        GT.geotiff_tile_catalog(spark, [spec], level=2)
