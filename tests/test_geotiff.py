@@ -243,7 +243,7 @@ def test_writer_rejects_bad_args(tmp_path):
     with pytest.raises(ValueError, match="predictor"):
         GT.write_geotiff(str(tmp_path / "a.tif"), u8, (0, 0, 1, 1),
                          compress="jpeg", predictor=2)
-    with pytest.raises(ValueError, match="YCbCr"):
+    with pytest.raises(ValueError, match="planar=2"):
         GT.write_geotiff(str(tmp_path / "a.tif"),
                          np.zeros((2, 4, 4), dtype=np.uint8),
                          (0, 0, 1, 1), compress="jpeg", planar=1)
