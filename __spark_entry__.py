@@ -1002,6 +1002,24 @@ def q_hist_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                          keys=("source_idx", "col", "row", "band"))
 
 
+def q_focal_wedge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOCAL MEAN over a WEDGE neighborhood (geotrellis.raster.
+    mapalgebra.focal.Wedge — completes the neighborhood family with
+    Square/Circle/Annulus): radius-3 arc [0.3, 2.2] rad = the 9 offsets
+    whose ray angle atan2(-dr, dc) falls in the arc (plus the center),
+    same halo machinery and row-major accumulation chain. The fixture
+    angles keep every offset >= 0.14 rad away from an arc boundary, so
+    libm atan2 differences can never flip membership; the oracle
+    re-derives the offset set with its own atan2 mask at SQL-generation
+    time and replays the 9-term neighborhood closed-form."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import focal as FO
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    return FO.focal_stats(tiles, op="mean", radius=3, shape="wedge",
+                          start_angle=0.3, end_angle=2.2)
+
+
 def q_focal_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FOCAL MEAN over a CIRCLE neighborhood (geotrellis.raster.
     mapalgebra.focal.Circle — the non-square neighborhood family;
@@ -5667,6 +5685,44 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM q GROUP BY 1, 2, 3, 4
 """
 
+    # Focal mean over the radius-3 WEDGE [0.3, 2.2] rad (focal_wedge):
+    # the offset set re-derived INDEPENDENTLY here with the same public
+    # mask definition (atan2(-dr, dc) in the arc, center included;
+    # every member >= 0.14 rad from a boundary — membership is
+    # libm-robust), then the standard neighbor-term machinery.
+    import math as _math
+    _fw_offs = [
+        (odr, odc)
+        for odr in (-3, -2, -1, 0, 1, 2, 3)
+        for odc in (-3, -2, -1, 0, 1, 2, 3)
+        if (odr == 0 and odc == 0)
+        or (odr * odr + odc * odc <= 9
+            and 0.3 <= _math.atan2(-odr, odc) <= 2.2)]
+    _fw_terms = [_fo_term(odr, odc) for odr, odc in _fw_offs]
+    o["focal_wedge"] = f"""
+WITH px AS (
+  SELECT s, band, 18 + s + tcc AS col, 24 + trr AS row, ri, ci,
+         (s*11) % 48 AS h0
+  FROM range(0,3) ss(s), range(0,2) bs(band),
+       range(0,4) tcs(tcc), range(0,4) trs(trr),
+       range(0,64) ris(ri), range(0,64) cis(ci)
+), acc AS (
+  SELECT s, band, col, row,
+         {" + ".join(tv for tv, _ in _fw_terms)} AS a,
+         {" + ".join(tc for _, tc in _fw_terms)} AS n
+  FROM px
+), q AS (
+  SELECT s, band, col, row,
+         CAST(FLOOR(a / CAST(n AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS qv
+  FROM acc WHERE n > 0
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS BIGINT) AS band, col, row,
+       CAST(SUM(qv) AS BIGINT) AS focal_sum,
+       CAST(COUNT(*) AS BIGINT) AS focal_count
+FROM q GROUP BY 1, 2, 3, 4
+"""
+
     # Focal standard deviation (focal_stddev): same 9-term neighborhood
     # machinery with value AND value^2 accumulators (both exact on the
     # quarter-multiple fixture), then the engine's exact op chain —
@@ -6574,6 +6630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "focal_wedge": q_focal_wedge,
         "geotiff_read_overview": q_geotiff_read_overview,
         "geotiff_read_jpeg_ycbcr": q_geotiff_read_jpeg_ycbcr,
         "stream_join": q_stream_join,

@@ -116,7 +116,9 @@ def focal_stats(tiles: DataFrame, op: str = "mean", radius: int = 1,
                 tile_size: int = 64,
                 classify_div: float | None = None,
                 shape: str = "square",
-                inner_radius: int | None = None) -> DataFrame:
+                inner_radius: int | None = None,
+                start_angle: float | None = None,
+                end_angle: float | None = None) -> DataFrame:
     """Focal ``op`` over every pixel's neighborhood ACROSS tile
     boundaries (halo exchange), NoData/edge cells excluded from the
     neighborhood; returns the per-tile quantized checksum
@@ -125,28 +127,39 @@ def focal_stats(tiles: DataFrame, op: str = "mean", radius: int = 1,
     one valid neighbor and focal_count = that cell count.
 
     ``shape`` selects the GeoTrellis neighborhood family
-    (geotrellis.raster.mapalgebra.focal.{Square, Circle, Annulus}):
-    'square' = the full (2r+1)^2 window; 'circle' keeps offsets with
-    dr^2 + dc^2 <= radius^2 (integer arithmetic — the mask is exact and
-    trivially replayed by the SQL oracle); 'annulus' additionally
-    requires dr^2 + dc^2 >= inner_radius^2. The offset iteration order
-    stays row-major in every shape, so accumulation chains are
-    identical across shapes (a circle is the square's chain with terms
-    removed)."""
+    (geotrellis.raster.mapalgebra.focal.{Square, Circle, Annulus,
+    Wedge}): 'square' = the full (2r+1)^2 window; 'circle' keeps
+    offsets with dr^2 + dc^2 <= radius^2 (integer arithmetic — the
+    mask is exact and trivially replayed by the SQL oracle); 'annulus'
+    additionally requires dr^2 + dc^2 >= inner_radius^2; 'wedge' keeps
+    circle offsets whose ray angle atan2(-dr, dc) (math convention,
+    north = +pi/2) lies in [start_angle, end_angle] (radians,
+    wrap-around arcs supported; the center cell always belongs). Pick
+    wedge bounds away from exact offset angles — the oracle recomputes
+    membership with SQL ATAN2, identical up to sub-ulp libm noise that
+    only matters ON a boundary. The offset iteration order stays
+    row-major in every shape, so accumulation chains are identical
+    across shapes (each is the square's chain with terms removed)."""
     if op not in ("mean", "sum", "max", "min", "median", "stddev", "mode"):
         raise ValueError(f"unsupported focal op: {op!r}")
     if radius < 1 or radius >= tile_size:
         raise ValueError(f"radius must be in 1..{tile_size - 1}: {radius}")
     if classify_div is not None and op != "mode":
         raise ValueError("classify_div is a mode-only parameter")
-    if shape not in ("square", "circle", "annulus"):
+    if shape not in ("square", "circle", "annulus", "wedge"):
         raise ValueError(f"unsupported neighborhood shape: {shape!r} "
-                         "(square | circle | annulus)")
+                         "(square | circle | annulus | wedge)")
     if shape == "annulus":
         if inner_radius is None or not 0 < int(inner_radius) <= radius:
             raise ValueError("annulus needs 0 < inner_radius <= radius")
     elif inner_radius is not None:
         raise ValueError("inner_radius is annulus-only")
+    if shape == "wedge":
+        if start_angle is None or end_angle is None:
+            raise ValueError("wedge needs start_angle and end_angle "
+                             "(radians)")
+    elif start_angle is not None or end_angle is not None:
+        raise ValueError("start/end_angle are wedge-only")
     r, t = int(radius), int(tile_size)
     offsets = [(dr0, dc0) for dr0 in range(-r, r + 1)
                for dc0 in range(-r, r + 1)]
@@ -156,6 +169,22 @@ def focal_stats(tiles: DataFrame, op: str = "mean", radius: int = 1,
         ir = int(inner_radius)
         offsets = [(a, b) for a, b in offsets
                    if ir * ir <= a * a + b * b <= r * r]
+    elif shape == "wedge":
+        import math
+
+        a0 = float(start_angle)
+        a1 = float(end_angle)
+
+        def in_arc(a, b):
+            if a == 0 and b == 0:
+                return True  # the center cell always belongs
+            ang = math.atan2(-a, b)
+            if a0 <= a1:
+                return a0 <= ang <= a1
+            return ang >= a0 or ang <= a1  # wrap-around arc
+
+        offsets = [(a, b) for a, b in offsets
+                   if a * a + b * b <= r * r and in_arc(a, b)]
     pieces = _halo_pieces(tiles, r, t)
 
     def stencil(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:

@@ -427,3 +427,70 @@ def test_focal_shape_fail_louds(spark):
     with pytest.raises(ValueError, match="annulus-only"):
         FO.focal_stats(tiles, op="mean", radius=2, shape="circle",
                        inner_radius=1)
+
+
+def test_focal_wedge_bruteforce(spark):
+    """Wedge r=3 arc [0.3, 2.2] (9 offsets incl. center) and a
+    WRAP-AROUND arc [2.5, -2.5] vs untiled brute forces."""
+    import math
+
+    def offs(r, a0, a1):
+        out = []
+        for dr in range(-r, r + 1):
+            for dc in range(-r, r + 1):
+                if dr == 0 and dc == 0:
+                    out.append((dr, dc))
+                    continue
+                if dr * dr + dc * dc > r * r:
+                    continue
+                ang = math.atan2(-dr, dc)
+                ok = (a0 <= ang <= a1) if a0 <= a1 \
+                    else (ang >= a0 or ang <= a1)
+                if ok:
+                    out.append((dr, dc))
+        return out
+
+    def brute(big, offset_list):
+        r = max(max(abs(a), abs(b)) for a, b in offset_list)
+        p = np.pad(big, r, constant_values=np.nan)
+        n = big.shape[0]
+        acc = np.zeros((n, n))
+        cnt = np.zeros((n, n), dtype=np.int64)
+        for dr in range(-r, r + 1):
+            for dc in range(-r, r + 1):
+                if (dr, dc) not in offset_list:
+                    continue
+                w = p[r + dr:r + dr + n, r + dc:r + dc + n]
+                v = ~np.isnan(w)
+                acc = acc + np.where(v, w, 0.0)
+                cnt = cnt + v
+        return np.where(cnt > 0, acc / np.maximum(cnt, 1), np.nan)
+
+    tiles = corpus.synth_px_tiles(spark, tile_size=T)
+    for a0, a1 in ((0.3, 2.2), (2.5, -2.5)):
+        got = {(row["source_id"], row["band"], row["col"], row["row"]):
+               (row["focal_sum"], row["focal_count"])
+               for row in FO.focal_stats(tiles, op="mean", radius=3,
+                                         shape="wedge", start_angle=a0,
+                                         end_angle=a1).collect()}
+        ol = offs(3, a0, a1)
+        if (a0, a1) == (0.3, 2.2):
+            assert len(ol) == 9
+        for s in range(3):
+            for band in range(2):
+                focal = brute(_mosaic(s, band), ol)
+                for tc in range(4):
+                    for tr in range(4):
+                        blk = focal[tr * T:(tr + 1) * T,
+                                    tc * T:(tc + 1) * T]
+                        m = ~np.isnan(blk)
+                        want = int(np.floor(blk[m] * FO._Q + 0.5)
+                                   .astype(np.int64).sum())
+                        key = (f"scene-{s}", band, 18 + s + tc, 24 + tr)
+                        assert got[key] == (want, int(m.sum())), \
+                            ((a0, a1), key)
+    with pytest.raises(ValueError, match="wedge needs"):
+        FO.focal_stats(tiles, op="mean", radius=3, shape="wedge")
+    with pytest.raises(ValueError, match="wedge-only"):
+        FO.focal_stats(tiles, op="mean", radius=3, shape="circle",
+                       start_angle=0.1, end_angle=1.0)
