@@ -1076,6 +1076,50 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .cast("long")).alias("qlon")))
 
 
+def q_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT COMPACTION + EXPIRY (the Iceberg rewrite-data-files /
+    expire-snapshots pair, sources/snapshots.py:206,227 — the
+    maintenance half of the table format: appends fragment a 100TB
+    table into small files; compaction rewrites CURRENT into
+    key-range-partitioned files as a normal optimistic commit, and
+    expiry garbage-collects data files no LIVE snapshot references):
+    the time-travel table is rebuilt, compacted (v4), then history
+    below v3 is expired — v3 keeps reading because every file it
+    references is still live, v1/v2 fail loud (pytest-gated). ONE
+    query reads v3 (pre-compact) and v4 (post-compact); both must be
+    the SAME logical row set — compaction changes layout, never
+    content. Oracle: the v3 logical state from the anchors derivation
+    emitted twice. File-count collapse, byte-exact content equality
+    and dead-file deletion are pytest-gated (test_snapshots.py)."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from geotrellis_contrib_spark.sources import snapshots as SN
+
+    _views(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"gt_gate_snapc_v1_{tag}")
+    if not os.path.exists(os.path.join(path, "meta", "CURRENT")):
+        build = path + "." + _uuid.uuid4().hex[:8]
+        SN.create_table(build, key_col="doc_id")
+        a = spark.table("anchors").select("doc_id", "lon", "lat")
+        SN.append(a.filter(F.col("doc_id") % 3 == 0), build)
+        SN.append(a.filter(F.col("doc_id") % 3 == 1), build)
+        SN.delete_range(spark, build, 1000, 3000)
+        SN.compact(spark, build, target_files=4)
+        SN.expire_snapshots(build, keep_from=3)
+        os.rename(build, path)
+    parts = [SN.read_snapshot(spark, path, v)
+             .withColumn("version", F.lit(v)) for v in (3, 4)]
+    df = parts[0].unionByName(parts[1])
+    return (df.groupBy("version", (F.col("doc_id") % 8).alias("g"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.floor(F.col("lon") * F.lit(256.0))
+                       .cast("long")).alias("qlon")))
+
+
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ENCODER (product quantization, Jegou/Douze/Schmid 2011 — the
     COMPRESSION scale path of the ANN family next to brute/LSH/IVF: a
@@ -3994,6 +4038,26 @@ SELECT CAST(version AS INT) AS version, doc_id % 8 AS g,
 FROM states GROUP BY 1, 2
 """
 
+    # Snapshot compaction (snapshot_compact): v3 = the COW-deleted
+    # state, v4 = its compaction — logically IDENTICAL row sets, so
+    # the oracle emits the v3 derivation twice. Compaction is a
+    # layout-only rewrite; the value gate proves content invariance.
+    o["snapshot_compact"] = f"""
+{derive.cte('anchors')},
+base AS (SELECT doc_id, lon FROM anchors
+         WHERE doc_id % 3 IN (0, 1)
+           AND doc_id NOT BETWEEN 1000 AND 3000),
+states AS (
+  SELECT 3 AS version, doc_id, lon FROM base
+  UNION ALL
+  SELECT 4, doc_id, lon FROM base
+)
+SELECT CAST(version AS INT) AS version, doc_id % 8 AS g,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(lon * 256.0) AS BIGINT)) AS BIGINT) AS qlon
+FROM states GROUP BY 1, 2
+"""
+
     # Product quantization (pq_codes / pq_topk): Knuth-hash codeword
     # selection (the IVF oracle's snippet), per-subspace squared-L2
     # left folds identical to the engine's dim-by-dim accumulation,
@@ -6630,6 +6694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "snapshot_compact": q_snapshot_compact,
         "focal_wedge": q_focal_wedge,
         "geotiff_read_overview": q_geotiff_read_overview,
         "geotiff_read_jpeg_ycbcr": q_geotiff_read_jpeg_ycbcr,

@@ -194,10 +194,63 @@ def read_snapshot(spark: SparkSession, path: str,
     always exist for committed versions — missing version fails loud)."""
     v = current_version(path) if version is None else int(version)
     m = _manifest(path, v)
+    if m.get("expired"):
+        raise ValueError(f"snapshot v{v} is expired "
+                         "(expire_snapshots dropped its files)")
     if not m["files"]:
         raise ValueError(f"snapshot v{v} is empty")
     return spark.read.parquet(
         *[os.path.join(_data(path), e["name"]) for e in m["files"]])
+
+
+def compact(spark: SparkSession, path: str,
+            target_files: int = 8) -> int:
+    """Small-file compaction: rewrite the CURRENT snapshot's data into
+    ``target_files`` key-range-partitioned files and commit the new
+    manifest — the LOGICAL content is unchanged (pytest-pinned), only
+    the physical layout. Older snapshots keep referencing the old
+    files until :func:`expire_snapshots` drops them."""
+    base = current_version(path)
+    m = _manifest(path, base)
+    key = m["key_col"]
+    if not m["files"]:
+        raise ValueError("compact: snapshot is empty")
+    df = spark.read.parquet(
+        *[os.path.join(_data(path), e["name"]) for e in m["files"]])
+    df = df.repartitionByRange(int(target_files), key) \
+           .sortWithinPartitions(key)
+    entries = _write_files(df, path, key)
+    return _commit(path, {"parent": base, "op": "compact",
+                          "key_col": key, "files": entries})
+
+
+def expire_snapshots(path: str, keep_from: int) -> list[str]:
+    """Expire history older than version ``keep_from``: data files no
+    longer referenced by ANY version >= keep_from are deleted from
+    disk (the Iceberg expire-snapshots/vacuum pair); their manifests
+    stay as tombstoned lineage but reads below keep_from fail loud.
+    Returns the deleted file names."""
+    cur = current_version(path)
+    if not 0 <= int(keep_from) <= cur:
+        raise ValueError(f"keep_from={keep_from} outside 0..{cur}")
+    live: set[str] = set()
+    for v in range(int(keep_from), cur + 1):
+        live |= {e["name"] for e in _manifest(path, v)["files"]}
+    deleted = []
+    for v in range(int(keep_from)):
+        m = _manifest(path, v)
+        for e in m["files"]:
+            if e["name"] not in live:
+                fp = os.path.join(_data(path), e["name"])
+                if os.path.exists(fp):
+                    os.remove(fp)
+                    deleted.append(e["name"])
+        m["expired"] = True
+        tmp = os.path.join(_meta(path), f"v{v}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(_meta(path), f"v{v}.json"))
+    return deleted
 
 
 def history(path: str) -> list[dict]:

@@ -64,6 +64,62 @@ def test_stats_pruning_counts(tmp_path, spark):
     assert SN.read_snapshot(spark, p, 2).count() == 390
 
 
+def test_compact_layout_only(tmp_path, spark):
+    p = str(tmp_path / "t")
+    SN.create_table(p, key_col="doc_id")
+    for lo in range(0, 300, 20):  # 15 fragmenting appends
+        SN.append(_mk(spark, lo, lo + 20), p)
+    before = SN.read_snapshot(spark, p).collect()
+    n_before = len(SN.snapshot_files(p, 15))
+    v = SN.compact(spark, p, target_files=4)
+    assert v == 16
+    # logical content byte-identical, physical files collapsed
+    after = SN.read_snapshot(spark, p).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+    assert len(SN.snapshot_files(p, 16)) <= 4 < n_before
+    # compaction shares NO files with its parent (full rewrite) but
+    # the parent still reads (old files intact until expiry)
+    assert not (SN.snapshot_files(p, 15) & SN.snapshot_files(p, 16))
+    assert SN.read_snapshot(spark, p, 15).count() == 300
+    assert SN.history(p)[-1]["op"] == "compact"
+    # empty-table compact fails loud
+    pe = str(tmp_path / "e")
+    SN.create_table(pe, key_col="doc_id")
+    with pytest.raises(ValueError, match="empty"):
+        SN.compact(spark, pe, 2)
+
+
+def test_expire_snapshots(tmp_path, spark):
+    p = str(tmp_path / "t")
+    SN.create_table(p, key_col="doc_id")
+    SN.append(_mk(spark, 0, 100).repartitionByRange(4, "doc_id"), p)
+    SN.append(_mk(spark, 100, 200).repartitionByRange(4, "doc_id"), p)
+    SN.delete_range(spark, p, 150, 159)   # v3
+    SN.compact(spark, p, target_files=2)  # v4 — full rewrite
+    v3_files = SN.snapshot_files(p, 3)
+    # keep v3 onward: every v3 file stays live; only files referenced
+    # EXCLUSIVELY below v3 die (the ones delete_range rewrote)
+    deleted = set(SN.expire_snapshots(p, keep_from=3))
+    assert deleted == (SN.snapshot_files(p, 2) - v3_files)
+    for fn in v3_files | SN.snapshot_files(p, 4):
+        assert os.path.exists(os.path.join(p, "data", fn))
+    for fn in deleted:
+        assert not os.path.exists(os.path.join(p, "data", fn))
+    # live versions still read exactly; expired ones fail loud
+    assert SN.read_snapshot(spark, p, 3).count() == 190
+    assert SN.read_snapshot(spark, p, 4).count() == 190
+    for v in (1, 2):
+        with pytest.raises(ValueError, match="expired"):
+            SN.read_snapshot(spark, p, v)
+    # lineage survives expiry (tombstoned manifests keep history shape)
+    assert [x["op"] for x in SN.history(p)] == [
+        "create", "append", "append", "delete_range", "compact"]
+    # idempotent re-expire deletes nothing new; bad keep_from fails
+    assert SN.expire_snapshots(p, keep_from=3) == []
+    with pytest.raises(ValueError, match="outside"):
+        SN.expire_snapshots(p, keep_from=99)
+
+
 def test_commit_conflict_fails_loud(tmp_path, spark):
     p = str(tmp_path / "t")
     SN.create_table(p, key_col="doc_id")
