@@ -1076,6 +1076,33 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .cast("long")).alias("qlon")))
 
 
+def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP CONVEX HULL (operators/hull.py — the vector-aggregation
+    sibling of the geometry scalars; reference surface: the slick tier
+    round-trips JTS geometries whose convexHull is the canonical derived
+    footprint, PostgisSpec.scala:133-140): anchors quantized to integer
+    milli-degrees, grouped doc_id%4, TWO-LEVEL distributed hull (partial
+    hull per input partition -> only candidate vertices shuffle; the
+    hull(A∪B)=hull(hull A ∪ hull B) identity — pytest-pinned ≡ the
+    single-level solve). Output: strict hull vertices + the closed-ring
+    shoelace checksum area2 (pins the CCW ring ORDER). Oracle: vertex =
+    Caratheodory membership test (on no segment of two others, in no
+    nondegenerate triangle of others — pure int64 cross/dot products),
+    area2 = the order-FREE edge-set shoelace (CCW hull edges are the
+    directed pairs with every other vertex strictly left)."""
+    from geotrellis_contrib_spark.operators import hull as HU
+    _views(spark, sf_dir)
+    pts = (spark.table("anchors")
+           .filter((F.col("doc_id") % 7 == 3) & F.col("lon").isNotNull())
+           .select((F.col("doc_id") % 4).alias("g"),
+                   F.floor(F.col("lon") * F.lit(1000.0))
+                    .cast("long").alias("x"),
+                   F.floor(F.col("lat") * F.lit(1000.0))
+                    .cast("long").alias("y")))
+    return HU.convex_hull(pts, two_level=True) \
+             .select("g", "x", "y", "area2")
+
+
 def q_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SNAPSHOT COMPACTION + EXPIRY (the Iceberg rewrite-data-files /
     expire-snapshots pair, sources/snapshots.py:206,227 — the
@@ -4038,6 +4065,71 @@ SELECT CAST(version AS INT) AS version, doc_id % 8 AS g,
 FROM states GROUP BY 1, 2
 """
 
+    # Convex hull (convex_hull): hull VERTICES via the Caratheodory
+    # membership test (p is a vertex iff p is in the convex hull of no
+    # <=3 other points: no segment, no nondegenerate triangle), all in
+    # exact int64 cross/dot products; area2 via the order-free CCW
+    # edge-set shoelace (a directed vertex pair is a hull edge iff every
+    # other hull vertex lies strictly left), matching the engine's
+    # seq-ordered closed-ring sum bit for bit.
+    o["convex_hull"] = f"""
+{derive.cte('anchors')},
+pts AS (
+  SELECT DISTINCT doc_id % 4 AS g,
+         CAST(FLOOR(lon * 1000.0) AS BIGINT) AS x,
+         CAST(FLOOR(lat * 1000.0) AS BIGINT) AS y
+  FROM anchors WHERE doc_id % 7 = 3 AND lon IS NOT NULL
+),
+verts AS (
+  SELECT p.g, p.x, p.y FROM pts p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pts q, pts r
+    WHERE q.g = p.g AND r.g = p.g
+      AND NOT (q.x = p.x AND q.y = p.y)
+      AND NOT (r.x = p.x AND r.y = p.y)
+      AND NOT (q.x = r.x AND q.y = r.y)
+      AND (r.x - q.x) * (p.y - q.y) - (r.y - q.y) * (p.x - q.x) = 0
+      AND (p.x - q.x) * (r.x - p.x) + (p.y - q.y) * (r.y - p.y) >= 0
+  ) AND NOT EXISTS (
+    SELECT 1 FROM pts q, pts r, pts s
+    WHERE q.g = p.g AND r.g = p.g AND s.g = p.g
+      AND NOT (q.x = p.x AND q.y = p.y)
+      AND NOT (r.x = p.x AND r.y = p.y)
+      AND NOT (s.x = p.x AND s.y = p.y)
+      AND (r.x - q.x) * (s.y - q.y) - (r.y - q.y) * (s.x - q.x) <> 0
+      AND (
+        ((r.x - q.x) * (s.y - q.y) - (r.y - q.y) * (s.x - q.x) > 0
+         AND (r.x - q.x) * (p.y - q.y) - (r.y - q.y) * (p.x - q.x) >= 0
+         AND (s.x - r.x) * (p.y - r.y) - (s.y - r.y) * (p.x - r.x) >= 0
+         AND (q.x - s.x) * (p.y - s.y) - (q.y - s.y) * (p.x - s.x) >= 0)
+        OR
+        ((r.x - q.x) * (s.y - q.y) - (r.y - q.y) * (s.x - q.x) < 0
+         AND (r.x - q.x) * (p.y - q.y) - (r.y - q.y) * (p.x - q.x) <= 0
+         AND (s.x - r.x) * (p.y - r.y) - (s.y - r.y) * (p.x - r.x) <= 0
+         AND (q.x - s.x) * (p.y - s.y) - (q.y - s.y) * (p.x - s.x) <= 0)
+      )
+  )
+),
+edges AS (
+  SELECT a.g, a.x AS qx, a.y AS qy, b.x AS rx, b.y AS ry
+  FROM verts a JOIN verts b
+    ON a.g = b.g AND NOT (a.x = b.x AND a.y = b.y)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM verts s
+    WHERE s.g = a.g
+      AND NOT (s.x = a.x AND s.y = a.y)
+      AND NOT (s.x = b.x AND s.y = b.y)
+      AND (b.x - a.x) * (s.y - a.y) - (b.y - a.y) * (s.x - a.x) <= 0
+  )
+),
+areas AS (
+  SELECT g, CAST(SUM(qx * ry - rx * qy) AS BIGINT) AS area2
+  FROM edges GROUP BY g
+)
+SELECT v.g, v.x, v.y, COALESCE(a.area2, 0) AS area2
+FROM verts v LEFT JOIN areas a ON a.g = v.g
+"""
+
     # Snapshot compaction (snapshot_compact): v3 = the COW-deleted
     # state, v4 = its compaction — logically IDENTICAL row sets, so
     # the oracle emits the v3 derivation twice. Compaction is a
@@ -6694,6 +6786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "convex_hull": q_convex_hull,
         "snapshot_compact": q_snapshot_compact,
         "focal_wedge": q_focal_wedge,
         "geotiff_read_overview": q_geotiff_read_overview,
