@@ -1076,6 +1076,25 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .cast("long")).alias("qlon")))
 
 
+def q_temporal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RASTER TIME SERIES (operators/temporal.py — per-pixel temporal
+    count/mean/range across the scene stack; GeoTrellis models this as
+    SpaceTimeKey layers fed through the same RasterSource machinery,
+    LayoutTileSource.scala:31-52): source_idx is the time axis, the
+    three shifted scenes overlap partially (1-3 observations per key)
+    and each punches its deterministic NoData hole, so per-pixel counts
+    genuinely vary. ONE shuffle (groupBy spatial key) then a vectorized
+    Arrow stack reduce. Oracle: the fixture's closed-form value/hole
+    predicates per source, summed in the same ascending-source order
+    (all quarter-multiples — exact), ONE IEEE division for the mean,
+    GREATEST/LEAST for the range, quantize-first integer tile sums."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import temporal as TE
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    return TE.temporal_stats(tiles)
+
+
 def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PER-GROUP CONVEX HULL (operators/hull.py — the vector-aggregation
     sibling of the geometry scalars; reference surface: the slick tier
@@ -4065,6 +4084,49 @@ SELECT CAST(version AS INT) AS version, doc_id % 8 AS g,
 FROM states GROUP BY 1, 2
 """
 
+    # Temporal stack stats (temporal_stats): per-source validity =
+    # coverage (source s spans cols 18+s..21+s) minus its NoData hole
+    # (h0=(s*11)%48 -> 0/11/22 literal per source); values are the
+    # fixture closed form (quarter-multiples, so the ascending-source
+    # chained add is exact), mean = one IEEE division, range via
+    # GREATEST/LEAST over +-1e18 sentinels (identical to the engine's
+    # -inf/+inf running extremes on n>0 pixels), quantize-first sums.
+    def _ts_term(s):
+        h0 = (s * 11) % 48
+        valid = (f"(col BETWEEN {18 + s} AND {21 + s}"
+                 f" AND NOT (ri >= {h0} AND ri < {h0 + 16}"
+                 f" AND ci >= {h0} AND ci < {h0 + 16}))")
+        v = (f"({s}*1000.0 + band*100.0 + col*7.0 + row*3.0"
+             f" + ri*0.5 + ci*0.25"
+             f" + CAST((ri*31 + ci*17) % 13 AS DOUBLE))")
+        return (f"CASE WHEN {valid} THEN {v} ELSE 0.0 END",
+                f"CASE WHEN {valid} THEN 1 ELSE 0 END",
+                f"CASE WHEN {valid} THEN {v} ELSE -1.0e18 END",
+                f"CASE WHEN {valid} THEN {v} ELSE 1.0e18 END")
+
+    _ts = [_ts_term(s) for s in range(3)]
+    o["temporal_stats"] = f"""
+WITH px AS (
+  SELECT band, col, row, ri, ci,
+         {" + ".join(t[0] for t in _ts)} AS a,
+         {" + ".join(t[1] for t in _ts)} AS n,
+         GREATEST({", ".join(t[2] for t in _ts)}) AS mx,
+         LEAST({", ".join(t[3] for t in _ts)}) AS mn
+  FROM range(0,2) bs(band), range(18,24) cs(col), range(24,28) rs(row),
+       range(0,64) ris(ri), range(0,64) cis(ci)
+)
+SELECT 6 AS zoom, col, row, CAST(band AS INT) AS band,
+       CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_px,
+       CAST(SUM(n) AS BIGINT) AS cnt_sum,
+       CAST(SUM(CASE WHEN n > 0 THEN CAST(FLOOR(
+            a / CAST(n AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)
+            ELSE 0 END) AS BIGINT) AS q_mean_sum,
+       CAST(SUM(CASE WHEN n > 0 THEN CAST(FLOOR(
+            (mx - mn) * 4.0 + 0.5) AS BIGINT)
+            ELSE 0 END) AS BIGINT) AS q_range_sum
+FROM px GROUP BY 2, 3, 4
+"""
+
     # Convex hull (convex_hull): hull VERTICES via the Caratheodory
     # membership test (p is a vertex iff p is in the convex hull of no
     # <=3 other points: no segment, no nondegenerate triangle), all in
@@ -6786,6 +6848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "temporal_stats": q_temporal_stats,
         "convex_hull": q_convex_hull,
         "snapshot_compact": q_snapshot_compact,
         "focal_wedge": q_focal_wedge,

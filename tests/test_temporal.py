@@ -1,0 +1,98 @@
+"""Temporal stack stats: engine vs an independent numpy replay of the
+px fixture, plus a tiny hand-built stack covering NaN nodata, per-scene
+differing nodata declarations, and never-observed pixels."""
+import numpy as np
+
+from geotrellis_contrib_spark import corpus as corpus_mod
+from geotrellis_contrib_spark.operators import temporal as TE
+from geotrellis_contrib_spark.operators.pixels import pack
+
+
+def _fixture_value(s, col, row, band, r, c):
+    return (s * 1000.0 + band * 100.0 + col * 7.0 + row * 3.0
+            + r * 0.5 + c * 0.25 + (r * 31 + c * 17) % 13)
+
+
+def test_temporal_stats_vs_numpy(spark):
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    got = {(r.col, r.row, r.band): r
+           for r in TE.temporal_stats(tiles).collect()}
+    assert len(got) == 6 * 4 * 2
+    r_idx = np.arange(64).reshape(-1, 1)
+    c_idx = np.arange(64).reshape(1, -1)
+    for (col, row, band), g in got.items():
+        acc = np.zeros((64, 64))
+        cnt = np.zeros((64, 64), dtype=np.int64)
+        tmax = np.full((64, 64), -np.inf)
+        tmin = np.full((64, 64), np.inf)
+        for s in range(3):
+            if not (18 + s <= col <= 21 + s):
+                continue
+            v = _fixture_value(s, col, row, band, r_idx, c_idx) \
+                .astype(np.float64)
+            h0 = (s * 11) % 48
+            valid = np.ones((64, 64), dtype=bool)
+            valid[h0:h0 + 16, h0:h0 + 16] = False
+            acc = np.where(valid, acc + v, acc)
+            cnt += valid
+            tmax = np.where(valid, np.maximum(tmax, v), tmax)
+            tmin = np.where(valid, np.minimum(tmin, v), tmin)
+        seen = cnt > 0
+        mean = np.where(seen, acc / np.maximum(cnt, 1), 0.0)
+        assert g.n_px == int(seen.sum())
+        assert g.cnt_sum == int(cnt.sum())
+        assert g.q_mean_sum == int(
+            np.floor(mean * 1048576.0 + 0.5)[seen].astype(np.int64).sum())
+        rng = np.where(seen, tmax - tmin, 0.0)
+        assert g.q_range_sum == int(
+            np.floor(rng * 4.0 + 0.5)[seen].astype(np.int64).sum())
+
+
+def test_temporal_stats_tiny_stack(spark):
+    # 4x4 tiles, 3 instants; scene 1 declares NaN nodata, scene 2 a
+    # sentinel; pixel (3,3) is valid in NO scene
+    a0 = np.arange(16, dtype=np.float64).reshape(4, 4)
+    a0[3, 3] = -1.0  # scene-0 nodata sentinel
+    a1 = a0 * 2.0
+    a1[0, 0] = np.nan  # NaN IS the declared nodata of scene 1
+    a1[3, 3] = np.nan
+    a2 = a0 * 4.0
+    a2[1, 1] = -2.0  # scene-2 nodata sentinel
+    a2[3, 3] = -2.0
+    rows = [
+        ("s0", 0, 0, 5, 7, 0, "float64", -1.0, pack(a0)),
+        ("s1", 1, 0, 5, 7, 0, "float64", float("nan"), pack(a1)),
+        ("s2", 2, 0, 5, 7, 0, "float64", -2.0, pack(a2)),
+    ]
+    df = spark.createDataFrame(
+        rows, "source_id string, source_idx int, zoom int, col bigint, "
+              "row bigint, band int, dtype string, nodata double, "
+              "px binary")
+    out = TE.temporal_stats(df, tile_size=4).collect()
+    assert len(out) == 1
+    g = out[0]
+    # counts: 16 px; (3,3) never seen; (0,0) seen 2x; (1,1) seen 2x;
+    # the other 13 seen 3x
+    assert (g.zoom, g.col, g.row, g.band) == (0, 5, 7, 0)
+    assert g.n_px == 15
+    assert g.cnt_sum == 13 * 3 + 2 + 2
+    # replay by hand
+    q_mean = q_rng = 0
+    for i in range(4):
+        for j in range(4):
+            vals = []
+            if not (i == 3 and j == 3):
+                base = float(a0[i, j])
+                vals = [base]
+                if not (i == 0 and j == 0):
+                    vals.append(base * 2.0)
+                if not (i == 1 and j == 1):
+                    vals.append(base * 4.0)
+            if vals:
+                acc = 0.0
+                for v in vals:
+                    acc += v
+                q_mean += int(np.floor(acc / len(vals) * 1048576.0 + 0.5))
+                q_rng += int(np.floor((max(vals) - min(vals)) * 4.0 + 0.5))
+    assert g.q_mean_sum == q_mean
+    assert g.q_range_sum == q_rng
