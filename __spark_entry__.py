@@ -1076,6 +1076,38 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .cast("long")).alias("qlon")))
 
 
+def q_line_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOUGLAS-PEUCKER LINE SIMPLIFICATION (operators/simplify.py — the
+    JTS DouglasPeuckerSimplifier analog behind GeoTrellis vector
+    simplify; the reference round-trips such geometries through slick,
+    PostgisSpec.scala:133-140): 3 polylines built from ordered anchor
+    subsets (centi-degree integer coords), tolerance eps=500. The whole
+    recursion is EXACT integer arithmetic — the perpendicular test is
+    cross² > eps²·len² (int128), split at max metric with smallest-
+    index ties — so the kept set is unique and bit-stable. Oracle: the
+    SAME recursion as a DuckDB RECURSIVE CTE (segment table seeded with
+    each line's endpoints; the recursive term joins the argmax interior
+    point via NOT EXISTS and emits both child segments through a
+    2-value side picker; HUGEINT squares). DuckDB quirk pinned: UNION
+    over two references to a recursive CTE fails to dedupe — kept
+    endpoints need DISTINCT over UNION ALL."""
+    from pyspark.sql import Window
+
+    from geotrellis_contrib_spark.operators import simplify as SI
+    _views(spark, sf_dir)
+    w = Window.partitionBy("g").orderBy("doc_id")
+    pts = (spark.table("anchors")
+           .filter((F.col("doc_id") % 11 == 4) & F.col("lon").isNotNull())
+           .select((F.col("doc_id") % 3).alias("g"),
+                   F.col("doc_id"),
+                   F.floor(F.col("lon") * F.lit(100.0))
+                    .cast("long").alias("x"),
+                   F.floor(F.col("lat") * F.lit(100.0))
+                    .cast("long").alias("y"))
+           .withColumn("i", F.row_number().over(w) - F.lit(1)))
+    return SI.simplify_lines(pts, eps=500)
+
+
 def q_cell_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRING CELL-NAMING SCHEMES (functions/cells.py geohash/quadkey —
     the public base32/base-4 siblings of the integer Z-curves backing
@@ -4115,6 +4147,68 @@ SELECT CAST(version AS INT) AS version, doc_id % 8 AS g,
 FROM states GROUP BY 1, 2
 """
 
+    # Line simplify (line_simplify): the DP recursion as a RECURSIVE
+    # CTE. metric(P) = cross(a,b,P)² (radial |P-a|² when a==b), both as
+    # HUGEINT so squares of centi-degree crosses cannot overflow;
+    # threshold eps²·len² (eps² alone when degenerate); the argmax
+    # interior point is selected by NOT EXISTS (strictly-larger metric,
+    # or equal with smaller index) and both child segments are emitted
+    # via a (VALUES (0),(1)) side picker. Kept vertices = DISTINCT over
+    # UNION ALL of segment endpoints (DuckDB quirk: plain UNION over
+    # two references to a recursive CTE fails to dedupe).
+    _ls_eps2 = 500 * 500
+
+    def _ls_metric(P: str) -> str:
+        cr = f"(b.x - a.x) * ({P}.y - a.y) - (b.y - a.y) * ({P}.x - a.x)"
+        rad = (f"({P}.x - a.x) * ({P}.x - a.x)"
+               f" + ({P}.y - a.y) * ({P}.y - a.y)")
+        return (f"(CASE WHEN a.x = b.x AND a.y = b.y"
+                f" THEN CAST({rad} AS HUGEINT)"
+                f" ELSE CAST({cr} AS HUGEINT) * CAST({cr} AS HUGEINT)"
+                f" END)")
+
+    _ls_thr = (f"(CASE WHEN a.x = b.x AND a.y = b.y"
+               f" THEN CAST({_ls_eps2} AS HUGEINT)"
+               f" ELSE CAST({_ls_eps2} AS HUGEINT) * CAST("
+               f"(b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)"
+               f" AS HUGEINT) END)")
+    o["line_simplify"] = f"""
+{derive.cte('anchors').replace("WITH ", "WITH RECURSIVE ", 1)},
+pts AS (
+  SELECT doc_id % 3 AS g,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 3 ORDER BY doc_id)
+           - 1 AS i,
+         CAST(FLOOR(lon * 100.0) AS BIGINT) AS x,
+         CAST(FLOOR(lat * 100.0) AS BIGINT) AS y
+  FROM anchors WHERE doc_id % 11 = 4 AND lon IS NOT NULL
+),
+rec AS (
+  SELECT g, MIN(i) AS i, MAX(i) AS j FROM pts GROUP BY g
+  UNION ALL
+  SELECT r.g,
+         CASE WHEN d.s = 0 THEN r.i ELSE p.i END,
+         CASE WHEN d.s = 0 THEN p.i ELSE r.j END
+  FROM rec r
+  JOIN pts a ON a.g = r.g AND a.i = r.i
+  JOIN pts b ON b.g = r.g AND b.i = r.j
+  JOIN pts p ON p.g = r.g AND p.i > r.i AND p.i < r.j
+  CROSS JOIN (VALUES (0), (1)) d(s)
+  WHERE {_ls_metric('p')} > {_ls_thr}
+    AND NOT EXISTS (
+      SELECT 1 FROM pts p2
+      WHERE p2.g = r.g AND p2.i > r.i AND p2.i < r.j AND p2.i <> p.i
+        AND ({_ls_metric('p2')} > {_ls_metric('p')}
+             OR ({_ls_metric('p2')} = {_ls_metric('p')}
+                 AND p2.i < p.i)))
+),
+kept AS (
+  SELECT DISTINCT g, i FROM (
+    SELECT g, i FROM rec UNION ALL SELECT g, j FROM rec) u
+)
+SELECT k.g, k.i, p.x, p.y
+FROM kept k JOIN pts p ON p.g = k.g AND p.i = k.i
+"""
+
     # Cell names (cell_names): the geohash/quadkey SQL twins emitted by
     # the same generators the engine parses (shift operators swapped
     # per dialect) — identical bisection arithmetic, base32/base-4
@@ -6900,6 +6994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "line_simplify": q_line_simplify,
         "cell_names": q_cell_names,
         "temporal_stats": q_temporal_stats,
         "convex_hull": q_convex_hull,
