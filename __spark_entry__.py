@@ -1076,6 +1076,33 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .cast("long")).alias("qlon")))
 
 
+SAMPLE_RATES16 = {f"src{i}": (i % 4 + 1) * 4 for i in range(20)}
+SPLIT_WEIGHTS = {"train": 13, "val": 2, "test": 1}
+
+
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC STRATIFIED SAMPLING + SPLIT ASSIGNMENT
+    (operators/sampling.py — the training-pipeline primitives next to
+    dedup: df.sample() is seed/partitioning-dependent, so a resumed or
+    re-partitioned job samples a DIFFERENT subset; these are pure id
+    functions, reproducible across runs, cluster sizes and engines):
+    per-source keep rates in exact sixteenths (src0..19 get 4/8/12/16
+    by i%4) via a broadcast rate table, then 13/2/1 train/val/test
+    labels — INDEPENDENT Knuth multipliers, the similarity-tier masked
+    overflow discipline. Output: per-(source, split) doc counts + char
+    sums. Oracle: the identical masked hash arithmetic in SQL over a
+    VALUES rate table."""
+    from geotrellis_contrib_spark.operators import sampling as SA
+    _views(spark, sf_dir)
+    d = spark.table("documents")
+    kept = SA.stratified_sample(d, "source", SAMPLE_RATES16)
+    out = kept.select("source", "n_chars",
+                      SA.split_label("doc_id", SPLIT_WEIGHTS))
+    return (out.groupBy("source", "split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("chars")))
+
+
 def q_line_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOUGLAS-PEUCKER LINE SIMPLIFICATION (operators/simplify.py — the
     JTS DouglasPeuckerSimplifier analog behind GeoTrellis vector
@@ -4147,6 +4174,27 @@ SELECT CAST(version AS INT) AS version, doc_id % 8 AS g,
 FROM states GROUP BY 1, 2
 """
 
+    # Stratified sampling + split (sample_split): the masked Knuth
+    # hashes replayed verbatim — sample keep-test with multiplier
+    # 2246822519 mod 16 against the VALUES rate table, split label
+    # with multiplier 2654435761 mod 16 through the cumulative CASE.
+    from geotrellis_contrib_spark.operators import sampling as SA
+    _sr_vals = ", ".join(f"('{k}', {v})"
+                         for k, v in SAMPLE_RATES16.items())
+    o["sample_split"] = f"""
+WITH rates(source, r) AS (VALUES {_sr_vals}),
+kept AS (
+  SELECT d.source, d.n_chars, d.doc_id
+  FROM documents d JOIN rates t ON t.source = d.source
+  WHERE ({SA.sql_knuth31('d.doc_id', SA.KNUTH_SAMPLE)}) % 16 < t.r
+)
+SELECT source,
+       {SA.sql_split_label('doc_id', SPLIT_WEIGHTS)} AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM kept GROUP BY 1, 2
+"""
+
     # Line simplify (line_simplify): the DP recursion as a RECURSIVE
     # CTE. metric(P) = cross(a,b,P)² (radial |P-a|² when a==b), both as
     # HUGEINT so squares of centi-degree crosses cannot overflow;
@@ -6994,6 +7042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "sample_split": q_sample_split,
         "line_simplify": q_line_simplify,
         "cell_names": q_cell_names,
         "temporal_stats": q_temporal_stats,
