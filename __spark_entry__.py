@@ -1076,6 +1076,66 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .cast("long")).alias("qlon")))
 
 
+_ED_TITLES_SQL = """
+SELECT d.doc_id,
+       CASE d.doc_id % 3
+         WHEN 0 THEN SUBSTRING(c.text, 1, 16)
+         WHEN 1 THEN CONCAT(SUBSTRING(c.text, 1, 7), 'z',
+                            SUBSTRING(c.text, 9, 8))
+         ELSE CONCAT(SUBSTRING(c.text, 1, 16), 'y')
+       END AS title
+FROM documents d JOIN documents c ON c.doc_id = d.doc_id % 13
+WHERE d.doc_id % 5 = 2
+"""
+
+
+def q_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDIT-DISTANCE-1 NEAR-DUP JOIN (operators/dedup.py
+    edit_distance_pairs — SymSpell symmetric-delete blocking, the
+    string sibling of MinHash/SimHash banding): titles derived from the
+    canonical-text join get one of three shapes per doc (identity / one
+    substitution / one trailing insertion), so real 0- and 1-distance
+    pairs exist inside every canonical group and 2-distance pairs are
+    correctly excluded. Candidates meet on an EQUI-join over
+    {s} ∪ {single-char deletes of s} (guaranteed complete for d<=1),
+    then the exact built-in levenshtein refine — bucketed like LSH,
+    never all-pairs. Oracle: brute-force O(n²) self-join with DuckDB's
+    identical unit-cost levenshtein."""
+    _views(spark, sf_dir)
+    titles = spark.sql(_ED_TITLES_SQL)
+    return dd.edit_distance_pairs(titles, text_col="title",
+                                  id_col="doc_id")
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN (operators/asof.py — the temporal-join primitive
+    Spark lacks natively; pandas merge_asof / kdb aj semantics): every
+    click matches the user's LATEST purchase with purchase.ts <=
+    click.ts. Spark-first union-tag window plan — ONE shuffle on the
+    key, running last(payload struct, ignorenulls) over (t, side, tie)
+    — instead of a per-row subquery or range-explode; right rows sort
+    before left at equal t (<= semantics), equal-t right ties resolve
+    to the largest event_id. Timestamp comparisons are exact
+    (microsecond integers through parquet on both engines). Oracle:
+    correlated ORDER BY ts DESC, event_id DESC LIMIT 1 subqueries —
+    an INDEPENDENT formulation of the same total order."""
+    from geotrellis_contrib_spark.operators import asof as AS
+    _views(spark, sf_dir)
+    e = spark.table("events")
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    purch = (e.filter(F.col("event_type") == "purchase")
+             .select("user_id", "ts", "event_id", "value"))
+    j = AS.asof_join(clicks, purch, on=["user_id"], t_col="ts",
+                     payload_cols=["event_id", "value"],
+                     tie_col="event_id")
+    return j.select(
+        "event_id", "user_id",
+        F.col("m_event_id"),
+        F.floor(F.col("m_value") * F.lit(256.0))
+         .cast("long").alias("m_qval"))
+
+
 SAMPLE_RATES16 = {f"src{i}": (i % 4 + 1) * 4 for i in range(20)}
 SPLIT_WEIGHTS = {"train": 13, "val": 2, "test": 1}
 
@@ -4174,6 +4234,39 @@ SELECT CAST(version AS INT) AS version, doc_id % 8 AS g,
 FROM states GROUP BY 1, 2
 """
 
+    # Edit-distance pairs (edit_pairs): brute-force quadratic refine —
+    # independent of the engine's deletion blocking, same levenshtein.
+    o["edit_pairs"] = f"""
+WITH titles AS ({_ED_TITLES_SQL.strip()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.title, b.title) AS INT) AS dist
+FROM titles a JOIN titles b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.title, b.title) <= 1
+"""
+
+    # As-of join (asof_join): the matched purchase re-derived per click
+    # by an independent correlated-subquery formulation (ORDER BY ts
+    # DESC, event_id DESC LIMIT 1 = the engine's window total order);
+    # two subqueries share the deterministic order so the (id, value)
+    # pair is consistent.
+    o["asof_join"] = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT user_id, ts, event_id, value FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id,
+       (SELECT p.event_id FROM purch p
+        WHERE p.user_id = c.user_id AND p.ts <= c.ts
+        ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS m_event_id,
+       (SELECT CAST(FLOOR(p.value * 256.0) AS BIGINT) FROM purch p
+        WHERE p.user_id = c.user_id AND p.ts <= c.ts
+        ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS m_qval
+FROM clicks c
+"""
+
     # Stratified sampling + split (sample_split): the masked Knuth
     # hashes replayed verbatim — sample keep-test with multiplier
     # 2246822519 mod 16 against the VALUES rate table, split label
@@ -7042,6 +7135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "edit_pairs": q_edit_pairs,
+        "asof_join": q_asof_join,
         "sample_split": q_sample_split,
         "line_simplify": q_line_simplify,
         "cell_names": q_cell_names,

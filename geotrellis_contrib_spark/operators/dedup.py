@@ -283,3 +283,47 @@ def simhash_near_pairs(sims: DataFrame, max_hamming: int = 7,
     return (pairs.withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming"))
+
+
+def edit_distance_pairs(df: DataFrame, text_col: str = "title",
+                        id_col: str = "doc_id",
+                        max_bucket: int | None = None) -> DataFrame:
+    """Edit-distance-1 near-duplicate pairs via SymSpell deletion
+    blocking (Garbe's public symmetric-delete scheme): two strings
+    within Levenshtein distance 1 ALWAYS share a member of
+    {s} ∪ {s minus one character} — a substitution meets at the
+    common-position delete, an insert/delete meets at the shorter
+    string itself, equality at s — so the candidate join is an
+    EQUI-join on the variant key (the LSH discipline: bucketed, never
+    all-pairs), then the exact `levenshtein() <= 1` refine (built-in,
+    JVM-side, identical unit-cost DP in DuckDB).
+
+    Explode factor is len+1 per row (bounded by the title width —
+    callers block on short keys, not documents). ``max_bucket`` drops
+    variant buckets with more members (hot-key fan-out cap, the
+    `max_df` stop-shingle discipline); capped buckets LOSE the pairs
+    they alone would witness — opt-in, documented recall tradeoff.
+    Output: (doc_a, doc_b, dist) with doc_a < doc_b, distinct."""
+    t = F.col(text_col)
+    # delete-variant k for k in 0..len-1, plus the identity (k = -1)
+    var = (df.select(F.col(id_col).alias("_id"), t.alias("_t"))
+           .withColumn("_k", F.explode(F.sequence(
+               F.lit(-1), F.length("_t") - F.lit(1))))
+           .withColumn("_v", F.when(F.col("_k") < 0, F.col("_t"))
+                       .otherwise(F.concat(
+                           F.expr("substring(_t, 1, _k)"),
+                           F.expr("substring(_t, _k + 2)"))))
+           .select("_id", "_t", "_v").distinct())
+    if max_bucket is not None:
+        cnt = var.groupBy("_v").count().filter(
+            F.col("count") <= max_bucket).drop("count")
+        var = var.join(cnt, "_v")
+    a = var.select(F.col("_id").alias("doc_a"), F.col("_t").alias("_ta"),
+                   "_v")
+    b = var.select(F.col("_id").alias("doc_b"), F.col("_t").alias("_tb"),
+                   "_v")
+    cand = (a.join(b, "_v").filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "_ta", "_tb").distinct())
+    return (cand.withColumn("dist", F.levenshtein("_ta", "_tb"))
+            .filter(F.col("dist") <= 1)
+            .select("doc_a", "doc_b", F.col("dist").cast("int").alias("dist")))

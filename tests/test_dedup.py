@@ -165,3 +165,50 @@ def test_winnow_fingerprints_vs_reference(spark):
     # all-identical-token doc: every shingle equal -> exactly one hash,
     # rightmost selection slides -> positions dedupe per window
     assert len({fp for fp, _ in got[2]}) == 1
+
+
+def test_edit_distance_pairs_complete_vs_brute(spark):
+    """SymSpell deletion blocking finds EVERY d<=1 pair (substitution,
+    insertion, deletion, equality) and excludes d=2; exact vs a brute
+    python Levenshtein."""
+    from geotrellis_contrib_spark.operators.dedup import edit_distance_pairs
+
+    titles = [
+        (0, "winterthur"), (1, "wxnterthur"),   # substitution -> 1
+        (2, "winterthur"),                      # equal to 0 -> 0
+        (3, "winterthurs"),                     # insertion -> 1 vs 0/2
+        (4, "winterthu"),                       # deletion -> 1 vs 0/2
+        (5, "wxnterthurs"),                     # 2 from 0; 1 from 1(ins)
+        (6, "completely different"),
+        (7, ""), (8, "a"),                      # empty/1-char edges
+    ]
+    df = spark.createDataFrame(titles, "doc_id long, title string")
+    got = {(r.doc_a, r.doc_b): r.dist
+           for r in edit_distance_pairs(df).collect()}
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        d = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (a[i - 1] != b[j - 1]))
+        return d[n]
+
+    want = {(a, b): lev(ta, tb)
+            for a, ta in titles for b, tb in titles
+            if a < b and lev(ta, tb) <= 1}
+    assert got == want
+    assert (0, 5) not in got and (2, 5) not in got  # d=2 excluded
+
+
+def test_edit_distance_pairs_max_bucket_cap(spark):
+    from geotrellis_contrib_spark.operators.dedup import edit_distance_pairs
+
+    # 30 identical titles: every variant bucket holds all 30 -> the cap
+    # drops them all (documented recall loss); uncapped finds C(30,2)
+    df = spark.createDataFrame([(i, "samesame") for i in range(30)],
+                               "doc_id long, title string")
+    assert edit_distance_pairs(df).count() == 30 * 29 // 2
+    assert edit_distance_pairs(df, max_bucket=10).count() == 0

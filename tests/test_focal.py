@@ -417,8 +417,10 @@ def test_focal_circle_annulus_bruteforce(spark, shape, ir):
 
 def test_focal_shape_fail_louds(spark):
     tiles = corpus.synth_px_tiles(spark, tile_size=T)
-    with pytest.raises(ValueError, match="shape"):
+    with pytest.raises(ValueError, match="start_angle"):
         FO.focal_stats(tiles, op="mean", radius=2, shape="wedge")
+    with pytest.raises(ValueError, match="shape"):
+        FO.focal_stats(tiles, op="mean", radius=2, shape="hexagon")
     with pytest.raises(ValueError, match="inner_radius"):
         FO.focal_stats(tiles, op="mean", radius=2, shape="annulus")
     with pytest.raises(ValueError, match="inner_radius"):
