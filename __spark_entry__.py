@@ -1076,6 +1076,27 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .cast("long")).alias("qlon")))
 
 
+def q_hex_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEXAGONAL BINNING (functions/cells.py hex_cell — the H3-style
+    axial hex index next to the square Z-curves; the north-star cell
+    family): pointy-top hexes of circumradius 3 degrees, assignment by
+    the public cube-rounding rule (fractional axial -> cube -> per-
+    component floor(v+0.5) -> fix the largest-error component so
+    x+y+z=0). EVERY op in the chain (+,-,*,/,SQRT,FLOOR,ABS,CASE) is
+    IEEE-exact or correctly rounded, so identical SQL text is bit-
+    identical across engines — no libm hazard, no boundary epsilon.
+    Zero shuffle until the final bin groupBy. Oracle: the same staged
+    CTE chain emitted by the same generator."""
+    _views(spark, sf_dir)
+    a = (spark.table("anchors").filter(F.col("lon").isNotNull())
+         .select("doc_id", "lon", "lat"))
+    h = C.hex_cell(a, "lon", "lat", 3.0)
+    return (h.groupBy("hq", "hr")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.floor(F.col("lon") * F.lit(256.0))
+                       .cast("long")).alias("qlon")))
+
+
 _ED_TITLES_SQL = """
 SELECT d.doc_id,
        CASE d.doc_id % 3
@@ -4234,6 +4255,19 @@ SELECT CAST(version AS INT) AS version, doc_id % 8 AS g,
 FROM states GROUP BY 1, 2
 """
 
+    # Hex binning (hex_bin): the staged cube-rounding CTE chain from
+    # the shared generator (bit-identical arithmetic — the whole chain
+    # is IEEE +,-,*,/,SQRT,FLOOR,ABS).
+    _hx = C.sql_hex_ctes(
+        "(SELECT doc_id, lon, lat FROM anchors WHERE lon IS NOT NULL)",
+        "lon", "lat", 3.0, "doc_id, lon")
+    o["hex_bin"] = f"""
+{derive.cte('anchors')}
+SELECT hq, hr, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(lon * 256.0) AS BIGINT)) AS BIGINT) AS qlon
+FROM ({_hx}) GROUP BY 1, 2
+"""
+
     # Edit-distance pairs (edit_pairs): brute-force quadratic refine —
     # independent of the engine's deletion blocking, same levenshtein.
     o["edit_pairs"] = f"""
@@ -7135,6 +7169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "hex_bin": q_hex_bin,
         "edit_pairs": q_edit_pairs,
         "asof_join": q_asof_join,
         "sample_split": q_sample_split,

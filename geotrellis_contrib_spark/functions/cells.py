@@ -495,3 +495,76 @@ def geohash_chars(code_name: str, precision: int) -> Column:
 def quadkey_chars(code_name: str, zoom: int) -> Column:
     return F.expr(sql_code_chars(code_name, "0123", 2, zoom,
                                  _SHIFT_SPARK[1]))
+
+
+# --- Hex grid (axial coordinates, cube rounding) ----------------------------
+# The H3-style hexagonal bin next to the square curves: pointy-top axial
+# hexes of circumradius `size` (same units as x/y), assignment by the
+# public cube-rounding rule (fractional axial -> cube -> round each
+# component with floor(v + 0.5) -> fix the largest-error component so
+# x+y+z == 0). EVERY operation in the chain (+, -, *, /, SQRT, FLOOR,
+# ABS, CASE) is IEEE-exact or correctly rounded, so identical SQL text
+# produces bit-identical cells in Spark and DuckDB — no libm hazard
+# (unlike LN/TAN in the mercator path). floor(v+0.5) replaces round()
+# because the engines disagree on banker's rounding.
+# Emitted as staged SQL (fractional -> rounded -> fixed) because the
+# one-shot expression re-inlines the sqrt tree ~9x (the quadkey lesson).
+
+def sql_hex_frac(x: str, y: str, size: float) -> dict[str, str]:
+    """Stage 1: fractional cube coords (xf, zf; yf = -xf - zf)."""
+    s = repr(float(size))
+    return {
+        "xf": f"((SQRT(3.0) / 3.0 * ({x}) - 1.0 / 3.0 * ({y})) / {s})",
+        "zf": f"((2.0 / 3.0 * ({y})) / {s})",
+    }
+
+
+HEX_ROUND_STAGE2 = {
+    "yf": "(-xf - zf)",
+    "rx": "FLOOR(xf + 0.5)", "ry": "FLOOR((-xf - zf) + 0.5)",
+    "rz": "FLOOR(zf + 0.5)",
+}
+
+HEX_FIX_STAGE3 = {
+    "hq": ("CASE WHEN ABS(rx - xf) > ABS(ry - yf)"
+           " AND ABS(rx - xf) > ABS(rz - zf)"
+           " THEN -ry - rz ELSE rx END"),
+    "hr": ("CASE WHEN ABS(rx - xf) > ABS(ry - yf)"
+           " AND ABS(rx - xf) > ABS(rz - zf) THEN rz"
+           " WHEN ABS(ry - yf) > ABS(rz - zf) THEN rz"
+           " ELSE -rx - ry END"),
+}
+
+
+def hex_cell(df, x_col: str, y_col: str, size: float,
+             out_q: str = "hq", out_r: str = "hr"):
+    """Append axial hex cell (out_q, out_r) BIGINT columns via the
+    staged projections (each stage one narrow select; zero shuffle).
+    NULL coordinates yield NULL cells."""
+    frac = sql_hex_frac(x_col, y_col, size)
+    d = df
+    for k, v in frac.items():
+        d = d.withColumn(k, F.expr(v))
+    for k, v in HEX_ROUND_STAGE2.items():
+        d = d.withColumn(k, F.expr(v))
+    d = (d.withColumn(out_q,
+                      F.expr(HEX_FIX_STAGE3["hq"]).cast("long"))
+         .withColumn(out_r,
+                     F.expr(HEX_FIX_STAGE3["hr"]).cast("long")))
+    return d.drop("xf", "zf", "yf", "rx", "ry", "rz")
+
+
+def sql_hex_ctes(src: str, x: str, y: str, size: float,
+                 keep: str) -> str:
+    """Oracle-side staged CTE chain over `src`, carrying `keep`
+    columns; yields a relation (…keep, hq, hr)."""
+    frac = sql_hex_frac(x, y, size)
+    s1 = (f"SELECT {keep}, {frac['xf']} AS xf, {frac['zf']} AS zf "
+          f"FROM {src}")
+    s2 = (f"SELECT {keep}, xf, zf, "
+          + ", ".join(f"{v} AS {k}" for k, v in HEX_ROUND_STAGE2.items())
+          + f" FROM ({s1})")
+    s3 = (f"SELECT {keep}, "
+          f"CAST({HEX_FIX_STAGE3['hq']} AS BIGINT) AS hq, "
+          f"CAST({HEX_FIX_STAGE3['hr']} AS BIGINT) AS hr FROM ({s2})")
+    return s3

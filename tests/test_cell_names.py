@@ -71,3 +71,51 @@ def test_null_and_bad_params(spark):
         C.geohash("lon", "lat", 13)
     with pytest.raises(ValueError, match="zoom"):
         C.quadkey("lon", "lat", 0)
+
+
+def test_hex_cell_vs_reference(spark):
+    import math
+
+    def hex_ref(x, y, size):
+        xf = (math.sqrt(3.0) / 3.0 * x - 1.0 / 3.0 * y) / size
+        zf = (2.0 / 3.0 * y) / size
+        yf = -xf - zf
+        rx = math.floor(xf + 0.5)
+        ry = math.floor(yf + 0.5)
+        rz = math.floor(zf + 0.5)
+        dx, dy, dz = abs(rx - xf), abs(ry - yf), abs(rz - zf)
+        if dx > dy and dx > dz:
+            rx = -ry - rz
+        elif dy > dz:
+            ry = -rx - rz
+        else:
+            rz = -rx - ry
+        return int(rx), int(rz)
+
+    pts = [(i, -180.0 + i * 7.37, -60.0 + (i * 13) % 120 + 0.21)
+           for i in range(49)] + [(99, None, None)]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    out = {r.id: (r.hq, r.hr)
+           for r in C.hex_cell(df, "x", "y", 5.0).collect()}
+    for i, x, y in pts:
+        if x is None:
+            assert out[i] == (None, None)
+        else:
+            assert out[i] == hex_ref(x, y, 5.0), i
+    # hex-center roundtrip: the center of axial (q, r) maps to (q, r)
+    ctr = [(q * 100 + r, 5.0 * math.sqrt(3.0) * (q + r / 2.0),
+            5.0 * 1.5 * r) for q in (-4, 0, 7) for r in (-3, 0, 5)]
+    cdf = spark.createDataFrame(ctr, "id long, x double, y double")
+    got = {rr.id: (rr.hq, rr.hr)
+           for rr in C.hex_cell(cdf, "x", "y", 5.0).collect()}
+    for q in (-4, 0, 7):
+        for r in (-3, 0, 5):
+            assert got[q * 100 + r] == (q, r)
+    # containment: every point's hex center is within circumradius
+    for i, x, y in pts:
+        if x is None:
+            continue
+        q, r = out[i]
+        cx = 5.0 * math.sqrt(3.0) * (q + r / 2.0)
+        cy = 5.0 * 1.5 * r
+        assert math.hypot(x - cx, y - cy) <= 5.0 + 1e-9, i
