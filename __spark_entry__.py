@@ -1076,6 +1076,23 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .cast("long")).alias("qlon")))
 
 
+def q_temporal_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-PIXEL TEMPORAL TREND (operators/temporal.py temporal_trend —
+    the change-detection sibling of temporal_stats; NDVI trend maps are
+    the canonical raster-time-series product): least-squares slope over
+    t = source_idx for pixels observed >= 2 times, slope = (n·Σtv −
+    Σt·Σv)/(n·Σt² − (Σt)²). Every accumulator sums exactly-representable
+    values, the subtractions stay exact, ONE IEEE division ends the
+    chain. Oracle: the per-source closed forms with literal t
+    multipliers, the identical division. Denominator is provably > 0
+    when n >= 2 (each instant contributes one distinct t)."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import temporal as TE
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    return TE.temporal_trend(tiles)
+
+
 def q_hex_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HEXAGONAL BINNING (functions/cells.py hex_cell — the H3-style
     axial hex index next to the square Z-curves; the north-star cell
@@ -4448,6 +4465,44 @@ SELECT 6 AS zoom, col, row, CAST(band AS INT) AS band,
 FROM px GROUP BY 2, 3, 4
 """
 
+    # Temporal trend (temporal_trend): Σt/Σt²/Σv/Σtv from the same
+    # per-source validity/value closed forms (_ts_term), literal t
+    # multipliers (t*v ascending-source chained adds — exact on the
+    # quarter grid), then the engine's float expression verbatim:
+    # (n·stv − st·sv) / (n·st2 − st·st), one IEEE division.
+    _tt = [_ts_term(s) for s in range(3)]
+    _tt_v = [t[0] for t in _tt]   # CASE valid THEN v ELSE 0.0
+    _tt_c = [t[1] for t in _tt]   # CASE valid THEN 1 ELSE 0
+    o["temporal_trend"] = f"""
+WITH px AS (
+  SELECT band, col, row, ri, ci,
+         {" + ".join(_tt_c)} AS n,
+         {" + ".join(f"{s} * {c}" for s, c in enumerate(_tt_c))} AS st,
+         {" + ".join(f"{s * s} * {c}" for s, c in enumerate(_tt_c))}
+           AS st2,
+         {" + ".join(_tt_v)} AS sv,
+         {" + ".join(f"CAST({s} AS DOUBLE) * {v}"
+                     for s, v in enumerate(_tt_v))} AS stv
+  FROM range(0,2) bs(band), range(18,24) cs(col), range(24,28) rs(row),
+       range(0,64) ris(ri), range(0,64) cis(ci)
+), sl AS (
+  -- single-scene tiles have NO n>=2 pixel but the engine still emits
+  -- their (0, 0) row: keep every pixel and gate the division by CASE
+  -- (n<2 can make the denominator 0 -> inf -> FLOOR cast error)
+  SELECT band, col, row, n,
+         CASE WHEN n >= 2 THEN CAST(FLOOR(
+           (CAST(n AS DOUBLE) * stv - CAST(st AS DOUBLE) * sv)
+           / (CAST(n AS DOUBLE) * CAST(st2 AS DOUBLE)
+              - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+           * 1048576.0 + 0.5) AS BIGINT) ELSE 0 END AS qs
+  FROM px
+)
+SELECT 6 AS zoom, col, row, CAST(band AS INT) AS band,
+       CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_px2,
+       CAST(SUM(qs) AS BIGINT) AS q_slope_sum
+FROM sl GROUP BY 2, 3, 4
+"""
+
     # Convex hull (convex_hull): hull VERTICES via the Caratheodory
     # membership test (p is a vertex iff p is in the convex hull of no
     # <=3 other points: no segment, no nondegenerate triangle), all in
@@ -7169,6 +7224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "temporal_trend": q_temporal_trend,
         "hex_bin": q_hex_bin,
         "edit_pairs": q_edit_pairs,
         "asof_join": q_asof_join,

@@ -68,3 +68,58 @@ def temporal_stats(tiles: DataFrame, tile_size: int = 64,
 
     return tiles.groupBy("zoom", "col", "row", "band") \
                 .applyInPandas(solve, _OUT)
+
+
+_TREND_OUT = ("zoom int, col bigint, row bigint, band int, "
+              "n_px2 bigint, q_slope_sum bigint")
+
+
+def temporal_trend(tiles: DataFrame, tile_size: int = 64,
+                   q_slope: float = 1048576.0) -> DataFrame:
+    """Per-pixel least-squares TREND across the time axis (the change-
+    detection sibling of :func:`temporal_stats` — NDVI trend maps are
+    the canonical raster-time-series product): for pixels observed in
+    >= 2 instants,
+
+        slope = (n·Σtv − Σt·Σv) / (n·Σt² − (Σt)²)
+
+    with t = source_idx. Every accumulator is a sum of exactly-
+    representable values (integer t, fixture-grid v), the numerator/
+    denominator subtractions stay exact, and ONE IEEE division ends the
+    chain — so the SQL oracle replays it bit-for-bit. Same one-shuffle
+    stack-reduce shape as temporal_stats. Output per tile: n_px2 =
+    pixels with >= 2 observations, q_slope_sum = Σ floor(slope·q + 0.5)
+    over those pixels."""
+
+    def solve(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("source_idx", kind="mergesort")
+        shape = (tile_size, tile_size)
+        n = np.zeros(shape, dtype=np.int64)
+        st = np.zeros(shape, dtype=np.int64)
+        st2 = np.zeros(shape, dtype=np.int64)
+        sv = np.zeros(shape, dtype=np.float64)
+        stv = np.zeros(shape, dtype=np.float64)
+        for row_t in pdf.itertuples():
+            arr = unpack(row_t.px, row_t.dtype, tile_size)
+            t = int(row_t.source_idx)
+            valid = ~np.isnan(arr) & (arr != row_t.nodata)
+            n += valid
+            st += np.where(valid, t, 0)
+            st2 += np.where(valid, t * t, 0)
+            sv = np.where(valid, sv + arr, sv)
+            stv = np.where(valid, stv + t * arr, stv)
+        fit = n >= 2
+        nf = n.astype(np.float64)
+        stf = st.astype(np.float64)
+        st2f = st2.astype(np.float64)
+        denom = np.where(fit, nf * st2f - stf * stf, 1.0)
+        slope = np.where(fit, (nf * stv - stf * sv) / denom, 0.0)
+        return pd.DataFrame({
+            "zoom": [int(key[0])], "col": [int(key[1])],
+            "row": [int(key[2])], "band": [int(key[3])],
+            "n_px2": [int(fit.sum())],
+            "q_slope_sum": [int(np.floor(slope * q_slope + 0.5)[fit]
+                                .astype(np.int64).sum())]})
+
+    return tiles.groupBy("zoom", "col", "row", "band") \
+                .applyInPandas(solve, _TREND_OUT)

@@ -96,3 +96,59 @@ def test_temporal_stats_tiny_stack(spark):
                 q_rng += int(np.floor((max(vals) - min(vals)) * 4.0 + 0.5))
     assert g.q_mean_sum == q_mean
     assert g.q_range_sum == q_rng
+
+
+def test_temporal_trend_vs_numpy(spark):
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    got = {(r.col, r.row, r.band): r
+           for r in TE.temporal_trend(tiles).collect()}
+    assert len(got) == 48
+    r_idx = np.arange(64).reshape(-1, 1)
+    c_idx = np.arange(64).reshape(1, -1)
+    nonzero_seen = 0
+    for (col, row, band), g in got.items():
+        n = np.zeros((64, 64), dtype=np.int64)
+        st = np.zeros((64, 64), dtype=np.int64)
+        st2 = np.zeros((64, 64), dtype=np.int64)
+        sv = np.zeros((64, 64))
+        stv = np.zeros((64, 64))
+        for s in range(3):
+            if not (18 + s <= col <= 21 + s):
+                continue
+            v = _fixture_value(s, col, row, band, r_idx, c_idx) \
+                .astype(np.float64)
+            h0 = (s * 11) % 48
+            valid = np.ones((64, 64), dtype=bool)
+            valid[h0:h0 + 16, h0:h0 + 16] = False
+            n += valid
+            st += np.where(valid, s, 0)
+            st2 += np.where(valid, s * s, 0)
+            sv = np.where(valid, sv + v, sv)
+            stv = np.where(valid, stv + s * v, stv)
+        fit = n >= 2
+        nf, stf, st2f = (a.astype(np.float64) for a in (n, st, st2))
+        denom = np.where(fit, nf * st2f - stf * stf, 1.0)
+        slope = np.where(fit, (nf * stv - stf * sv) / denom, 0.0)
+        assert g.n_px2 == int(fit.sum())
+        assert g.q_slope_sum == int(
+            np.floor(slope * 1048576.0 + 0.5)[fit].astype(np.int64).sum())
+        if g.n_px2:
+            nonzero_seen += 1
+    # single-scene edge tiles (col 18/23) legitimately have n_px2 == 0,
+    # but the overlap interior must actually fit trends
+    assert nonzero_seen >= 16
+
+
+def test_temporal_trend_tiny_exact_slope(spark):
+    # two instants, constant offset 3.0 -> slope exactly 3.0 everywhere
+    a0 = np.full((4, 4), 10.0)
+    a1 = a0 + 3.0
+    rows = [("s0", 0, 0, 1, 1, 0, "float64", -9.0, pack(a0)),
+            ("s1", 1, 0, 1, 1, 0, "float64", -9.0, pack(a1))]
+    df = spark.createDataFrame(
+        rows, "source_id string, source_idx int, zoom int, col bigint, "
+              "row bigint, band int, dtype string, nodata double, "
+              "px binary")
+    g = TE.temporal_trend(df, tile_size=4).collect()[0]
+    assert g.n_px2 == 16
+    assert g.q_slope_sum == 16 * int(np.floor(3.0 * 1048576.0 + 0.5))
