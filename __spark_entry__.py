@@ -1076,6 +1076,23 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .cast("long")).alias("qlon")))
 
 
+def q_zonal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZONAL PERCENTILES (operators/raster.py zonal_percentiles — the
+    exact discrete-quantile polygonal summary next to zonal_stats;
+    GeoTrellis exposes polygonal summaries incl. histogram/quantile
+    over raster layers): p25/p50/p75 as TYPE-1 quantiles (smallest
+    value whose cumulative count reaches ceil(q·n/4), integer rank
+    arithmetic). Scale: tiles collapse to per-(polygon, value) COUNTS
+    first — the histogram trick bounds the shuffle by distinct values,
+    not observations — then one small cumulative window per polygon.
+    Oracle: the identical cumulative-count threshold logic written
+    independently over the same tiles×boxes center-containment join."""
+    _views(spark, sf_dir)
+    out = raster_ops.zonal_percentiles(spark.table("tiles"),
+                                       spark.table("polygon_boxes"))
+    return out.select("poly_id", "band", "cnt", "p25", "p50", "p75")
+
+
 def q_temporal_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PER-PIXEL TEMPORAL TREND (operators/temporal.py temporal_trend —
     the change-detection sibling of temporal_stats; NDVI trend maps are
@@ -3321,6 +3338,34 @@ SELECT p.poly_id, t.band,
 FROM tiles t JOIN polygon_boxes p
   ON {clon} >= p.xmin AND {clon} < p.xmax AND {clat} >= p.ymin AND {clat} < p.ymax
 GROUP BY p.poly_id, t.band
+"""
+
+    # Zonal percentiles (zonal_percentiles): same containment join,
+    # counts per (poly, band, val), cumulative window, type-1 rank
+    # thresholds floor((q*n+3)/4) — integer arithmetic end to end
+    # (values are the fixture's integral doubles).
+    o["zonal_percentiles"] = f"""
+{derive.cte('tiles', 'polygon_boxes')},
+cnts AS (
+  SELECT p.poly_id, t.band, t.val, COUNT(*) AS c
+  FROM tiles t JOIN polygon_boxes p
+    ON {clon} >= p.xmin AND {clon} < p.xmax
+   AND {clat} >= p.ymin AND {clat} < p.ymax
+  WHERE t.val IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT poly_id, band, val,
+         SUM(c) OVER (PARTITION BY poly_id, band ORDER BY val
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY poly_id, band) AS n
+  FROM cnts
+)
+SELECT poly_id, band, CAST(MAX(n) AS BIGINT) AS cnt,
+       MIN(CASE WHEN cum >= (1 * n + 3) // 4 THEN val END) AS p25,
+       MIN(CASE WHEN cum >= (2 * n + 3) // 4 THEN val END) AS p50,
+       MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN val END) AS p75
+FROM cum GROUP BY 1, 2
 """
 
     rc = C.sql_tile_col("lon", RASTERIZE_ZOOM)
@@ -7224,6 +7269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "zonal_percentiles": q_zonal_percentiles,
         "temporal_trend": q_temporal_trend,
         "hex_bin": q_hex_bin,
         "edit_pairs": q_edit_pairs,

@@ -99,6 +99,46 @@ def zonal_stats(tiles: DataFrame, boxes: DataFrame,
                  (F.sum(val_col) / F.count(val_col)).alias("mean_val")))
 
 
+def zonal_percentiles(tiles: DataFrame, boxes: DataFrame,
+                      val_col="val",
+                      group_extra=("band",)) -> DataFrame:
+    """Exact DISCRETE quantiles (p25/p50/p75, type-1: smallest value
+    whose cumulative count reaches ceil(p*n)) per polygon — the
+    percentile polygonal summary next to :func:`zonal_stats`.
+
+    Scale shape: NO per-polygon sort of raw values — tiles collapse to
+    (poly, value) COUNTS first (the histogram trick: map-side partial
+    aggregation bounds the shuffle by distinct values, not pixels),
+    then one small cumulative window per polygon picks the thresholds
+    with integer arithmetic (ceil(q·n/4) = floor((q·n+3)/4) — no float
+    rank)."""
+    from pyspark.sql.window import Window
+
+    centered = tile_center_cols(tiles)
+    joined = centered.join(
+        F.broadcast(boxes),
+        G.point_in_box(F.col("center_lon"), F.col("center_lat"),
+                       F.col("xmin"), F.col("ymin"), F.col("xmax"),
+                       F.col("ymax")),
+        "inner",
+    )
+    keys = ["poly_id", *group_extra]
+    counts = (joined.filter(F.col(val_col).isNotNull())
+              .groupBy(*keys, val_col)
+              .agg(F.count(F.lit(1)).alias("_c")))
+    w = Window.partitionBy(*keys).orderBy(val_col) \
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wp = Window.partitionBy(*keys)
+    cum = (counts.withColumn("_cum", F.sum("_c").over(w))
+           .withColumn("_n", F.sum("_c").over(wp)))
+    aggs = [F.max("_n").alias("cnt")]
+    for q in (1, 2, 3):
+        k = F.floor((F.lit(q) * F.col("_n") + F.lit(3)) / F.lit(4))
+        aggs.append(F.min(F.when(F.col("_cum") >= k, F.col(val_col)))
+                    .alias(f"p{q * 25}"))
+    return cum.groupBy(*keys).agg(*aggs)
+
+
 def rasterize_points(points: DataFrame, zoom: int,
                      lon="lon", lat="lat", weight=None) -> DataFrame:
     """Burn a point set into the tile grid (vector->raster): per-key count
