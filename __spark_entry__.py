@@ -1076,6 +1076,30 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .cast("long")).alias("qlon")))
 
 
+CONTOUR_ISO = 240.0625  # 1/16-multiple vs 1/4-multiple data: never equal
+
+
+def q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARCHING-SQUARES CONTOURS (operators/contour.py — the isoline
+    raster->vector sibling of polygonize; gdal_contour over the same
+    terrain rasters the reference's aspect fixtures represent): one
+    scene of the px fixture, iso picked OFF the data grid so corner
+    states are strict and every referenced edge has a true sign change
+    (nonzero interpolation denominator). ONE shuffle: each tile ships
+    its first column/row/corner pixel to its left/upper/diagonal
+    neighbor (O(perimeter) halo), then a vectorized 16-case walk.
+    Engine and oracle both emit from the SAME pinned case table
+    (contour.CASES / sql_segment_cases — the kriging discipline), so
+    segment/endpoint order needs no canonical sort. NoData corners
+    (the per-tile hole) suppress their blocks on both sides."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import contour as CT
+
+    tiles = (corpus_mod.synth_px_tiles(spark, tile_size=64)
+             .filter((F.col("source_idx") == 0) & (F.col("band") == 0)))
+    return CT.contour_segments(tiles, iso=CONTOUR_ISO)
+
+
 def q_zonal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ZONAL PERCENTILES (operators/raster.py zonal_percentiles — the
     exact discrete-quantile polygonal summary next to zonal_stats;
@@ -3338,6 +3362,31 @@ SELECT p.poly_id, t.band,
 FROM tiles t JOIN polygon_boxes p
   ON {clon} >= p.xmin AND {clon} < p.xmax AND {clat} >= p.ymin AND {clat} < p.ymax
 GROUP BY p.poly_id, t.band
+"""
+
+    # Marching squares (contour): blocks over the scene-0 global pixel
+    # grid; corner values/validity from the fixture closed form (hole
+    # h0=0 for s=0), then the case/segment fragment emitted by the
+    # SAME table the engine runs (contour.sql_segment_cases).
+    from geotrellis_contrib_spark.operators import contour as CT
+
+    def _ct_v(dr: int, dc: int) -> str:
+        R = f"(gr + {dr})"
+        C = f"(gc + {dc})"
+        val = (f"(({C} // 64) * 7.0 + ({R} // 64) * 3.0"
+               f" + ({R} % 64) * 0.5 + ({C} % 64) * 0.25"
+               f" + CAST((({R} % 64) * 31 + ({C} % 64) * 17) % 13"
+               f" AS DOUBLE))")
+        return (f"(CASE WHEN NOT (({R} % 64) < 16 AND ({C} % 64) < 16)"
+                f" THEN {val} ELSE NULL END)")
+
+    o["contour"] = f"""
+WITH blocks AS (
+  SELECT gr, gc
+  FROM range(1536, 1791) g1(gr), range(1152, 1407) g2(gc)
+),
+{CT.sql_segment_cases(_ct_v, repr(CONTOUR_ISO))}
+SELECT gr, gc, CAST(seg AS INT) AS seg, qx1, qy1, qx2, qy2 FROM segs
 """
 
     # Zonal percentiles (zonal_percentiles): same containment join,
@@ -7269,6 +7318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "contour": q_contour,
         "zonal_percentiles": q_zonal_percentiles,
         "temporal_trend": q_temporal_trend,
         "hex_bin": q_hex_bin,
