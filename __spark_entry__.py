@@ -1076,6 +1076,26 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .cast("long")).alias("qlon")))
 
 
+def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYPERLOGLOG SKETCH STATE (operators/sketch.py — the approximate-
+    distinct primitive of a 100TB pipeline: exact COUNT(DISTINCT) is a
+    full key shuffle; the sketch is a constant 2^p-register state
+    merging with elementwise MAX across partitions/files/days): per-
+    source register states over documents. Everything under the gate
+    is INTEGER arithmetic from shared SQL text with per-dialect
+    XOR/shift formatters (^ means XOR in Spark but EXPONENT in DuckDB,
+    whose XOR is the xor() function): the Murmur3 fmix32 finalizer
+    (real avalanche — affine mixes bias sequential-id sets 20-60%),
+    register = top p bits via floor-division, rho = leading-zero count
+    via a generated comparison CASE chain (libm-free). The
+    gate compares the full STATE exactly; estimation accuracy and the
+    MAX-merge property are pytest-pinned."""
+    from geotrellis_contrib_spark.operators import sketch as SK
+    _views(spark, sf_dir)
+    return SK.hll_state(spark.table("documents"), "doc_id", "source",
+                        p=9)
+
+
 CONTOUR_ISO = 240.0625  # 1/16-multiple vs 1/4-multiple data: never equal
 
 
@@ -3363,6 +3383,12 @@ FROM tiles t JOIN polygon_boxes p
   ON {clon} >= p.xmin AND {clon} < p.xmax AND {clat} >= p.ymin AND {clat} < p.ymax
 GROUP BY p.poly_id, t.band
 """
+
+    # HLL sketch (hll_sketch): the same generated hash/register/rho
+    # SQL text (DuckDB xor/shift formatters), MAX per register.
+    from geotrellis_contrib_spark.operators import sketch as SK
+    o["hll_sketch"] = SK.sql_hll_state_duckdb(
+        "documents", "doc_id", "source", p=9)
 
     # Marching squares (contour): blocks over the scene-0 global pixel
     # grid; corner values/validity from the fixture closed form (hole
@@ -7318,6 +7344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "hll_sketch": q_hll_sketch,
         "contour": q_contour,
         "zonal_percentiles": q_zonal_percentiles,
         "temporal_trend": q_temporal_trend,
