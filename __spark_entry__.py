@@ -1096,6 +1096,38 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                         p=9)
 
 
+def q_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN FREQUENCY SKETCH STATE (operators/sketch.py — Cormode
+    & Muthukrishnan 2005, the heavy-hitters sibling of hll_sketch: the
+    d×w counter matrix is constant-size per group and merges by
+    elementwise +, where exact per-token counts shuffle every token):
+    per-source counter states over whitespace tokens of documents.
+    Tokens hash with the engine-owned polynomial char fold (the dedup
+    discipline), each of the d rows re-mixes (hash + j·golden-ratio
+    seed) through the same dialect-formatted fmix32 as hll_sketch.
+    The gate compares the full (source, row, bucket) -> count STATE
+    exactly; the never-underestimate / e·N/w overestimate guarantees
+    and top-1 heavy-hitter recovery are pytest-pinned."""
+    from geotrellis_contrib_spark.operators import sketch as SK
+    _views(spark, sf_dir)
+    return SK.cm_state(spark.table("documents"), "text", "source",
+                       d=4, w=256)
+
+
+def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM FILTER STATE (operators/sketch.py — Bloom 1970, the
+    membership sibling: m bits per group merging by OR; the canonical
+    100TB use is shipping a small filter of one join side to prune the
+    big side's scan before the shuffle): per-source distinct set bit
+    positions over doc_ids, k=3 fmix32 rows. Sparse (g, bit) encoding
+    IS the state — the gate compares it exactly; no-false-negative and
+    measured false-positive-rate-near-theory are pytest-pinned."""
+    from geotrellis_contrib_spark.operators import sketch as SK
+    _views(spark, sf_dir)
+    return SK.bloom_state(spark.table("documents"), "doc_id", "source",
+                          m=4096, k=3)
+
+
 CONTOUR_ISO = 240.0625  # 1/16-multiple vs 1/4-multiple data: never equal
 
 
@@ -3389,6 +3421,13 @@ GROUP BY p.poly_id, t.band
     from geotrellis_contrib_spark.operators import sketch as SK
     o["hll_sketch"] = SK.sql_hll_state_duckdb(
         "documents", "doc_id", "source", p=9)
+
+    # Count-min / Bloom (cm_sketch, bloom_filter): same generated
+    # integer-hash text, full-state exact compares.
+    o["cm_sketch"] = SK.sql_cm_state_duckdb(
+        "documents", "text", "source", d=4, w=256)
+    o["bloom_filter"] = SK.sql_bloom_state_duckdb(
+        "documents", "doc_id", "source", m=4096, k=3)
 
     # Marching squares (contour): blocks over the scene-0 global pixel
     # grid; corner values/validity from the fixture closed form (hole
@@ -7344,6 +7383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "cm_sketch": q_cm_sketch,
+        "bloom_filter": q_bloom_filter,
         "hll_sketch": q_hll_sketch,
         "contour": q_contour,
         "zonal_percentiles": q_zonal_percentiles,

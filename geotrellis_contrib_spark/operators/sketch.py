@@ -1,9 +1,12 @@
-"""HyperLogLog distinct-count sketches (Flajolet et al. 2007) — the
-approximate-distinct primitive of a 100 TB pipeline (an exact
-COUNT(DISTINCT) is a full shuffle of every key; the sketch is a
-constant 2^p-register state that merges with elementwise MAX, so
-per-source/day cardinalities compose across partitions, files and
-days for free).
+"""Streaming-sketch primitives of a 100 TB pipeline: HyperLogLog
+distinct counts (Flajolet et al. 2007), count-min frequency sketches
+(Cormode & Muthukrishnan 2005) and Bloom membership filters
+(Bloom 1970). All three share the shape that makes them the scale
+path: the state is CONSTANT-SIZE per group (2^p registers / d·w
+counters / m bits) and merges elementwise (MAX / + / OR), so
+per-source/day sketches compose across partitions, files and days
+for free — where the exact versions (COUNT DISTINCT, per-token
+counts, membership joins) each cost a full shuffle of every key.
 
 Oracle discipline: every step is INTEGER arithmetic emitted by shared
 generators with per-dialect operator formatters (the morton/geohash
@@ -108,6 +111,121 @@ def sql_hll_state_duckdb(src: str, id_expr: str, group_expr: str,
             f" AS rho "
             f"FROM (SELECT {group_expr}, CAST({h} AS BIGINT) AS _h"
             f" FROM {src}) _hs GROUP BY 1, 2")
+
+
+# golden-ratio seed stride: hash row j hashes (x + j·CM_SEED) through
+# the SAME fmix32 — avalanche makes the d rows effectively independent
+CM_SEED = 2654435769
+
+
+def _row_hash(base: str, j: int, xor, rsh) -> str:
+    return sql_hash31(f"(({base}) + {j * CM_SEED})", xor, rsh)
+
+
+def cm_state(df: DataFrame, text_col: str, group_col: str,
+             d: int = 4, w: int = 256) -> DataFrame:
+    """Per-group count-min state: (g, hrow, bucket, cnt) with cnt the
+    number of token OCCURRENCES hashing to that counter. Tokens are
+    whitespace-split non-empty words hashed with the engine-owned
+    polynomial char fold (the dedup discipline — never Spark-internal
+    hashes, so the DuckDB oracle recomputes them exactly), then each
+    of the d rows re-mixes (token_hash + j·CM_SEED) through fmix32.
+    Scale shape: token explode -> map-side partial agg bounds the
+    shuffle by d·w·groups, not by token count."""
+    from geotrellis_contrib_spark.operators.dedup import _char_hash
+    if d < 1 or w < 2:
+        raise ValueError(f"need d >= 1, w >= 2: {d}, {w}")
+    toks = (df.select(F.col(group_col).alias("g"),
+                      F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+              .filter(F.length("tok") > 0))
+    hashed = toks.select("g", _char_hash(F.col("tok")).alias("_th"))
+    buckets = hashed.select("g", *[
+        F.expr(f"CAST(({_row_hash('_th', j, XOR_SPARK, RSH_SPARK)})"
+               f" % {w} AS INT)").alias(f"_b{j}")
+        for j in range(d)])
+    pairs = buckets.select("g", F.explode(F.array(*[
+        F.struct(F.lit(j).cast("int").alias("hrow"),
+                 F.col(f"_b{j}").alias("bucket"))
+        for j in range(d)])).alias("rb"))
+    return (pairs.select("g", "rb.hrow", "rb.bucket")
+            .groupBy("g", "hrow", "bucket")
+            .agg(F.count("*").alias("cnt")))
+
+
+def _char_hash_duckdb(tok: str) -> str:
+    from geotrellis_contrib_spark.functions.text import FP_BASE, FP_MOD
+    return (f"LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), "
+            f"[CAST(ASCII(c) AS BIGINT) for c in STRING_SPLIT({tok}, '')]), "
+            f"(acc, ch) -> (acc * {FP_BASE} + ch) % {FP_MOD})")
+
+
+def sql_cm_state_duckdb(src: str, text_expr: str, group_expr: str,
+                        d: int = 4, w: int = 256) -> str:
+    """The oracle twin of :func:`cm_state` over relation ``src``."""
+    arms = " ".join(
+        f"WHEN {j} THEN {_row_hash('th', j, XOR_DUCKDB, RSH_DUCKDB)}"
+        for j in range(d))
+    return (
+        f"WITH _cm_toks AS ("
+        f"  SELECT g, {_char_hash_duckdb('tok')} AS th FROM ("
+        f"    SELECT {group_expr} AS g,"
+        f"           UNNEST(STRING_SPLIT({text_expr}, ' ')) AS tok"
+        f"    FROM {src}) s WHERE LEN(tok) > 0) "
+        f"SELECT g, CAST(k AS INT) AS hrow,"
+        f"       CAST((CASE k {arms} END) % {w} AS INT) AS bucket,"
+        f"       CAST(COUNT(*) AS BIGINT) AS cnt"
+        f" FROM _cm_toks, range(0, {d}) t(k)"
+        f" GROUP BY 1, 2, 3")
+
+
+def cm_estimate(state_rows, token_hash: int, d: int = 4,
+                w: int = 256) -> int:
+    """Point-frequency estimate: MIN over rows of the addressed
+    counter (count-min never underestimates; overestimates are
+    bounded by e·N/w with prob 1 - e^-d). Test/driver side."""
+    counters = {(r, b): c for r, b, c in state_rows}
+    return min(counters.get((j, _py_hash31(token_hash + j * CM_SEED) % w),
+                            0)
+               for j in range(d))
+
+
+def _py_hash31(i: int) -> int:
+    h = i % _M32
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) % _M32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) % _M32
+    h ^= h >> 16
+    return h >> 1
+
+
+def bloom_state(df: DataFrame, id_col: str, group_col: str,
+                m: int = 4096, k: int = 3) -> DataFrame:
+    """Per-group Bloom filter state: the DISTINCT set bit positions
+    (g, bit). Bit j of element x is fmix32(x + j·CM_SEED) mod m. The
+    state is the canonical sparse encoding of the m-bit array; it
+    merges by union (bitwise OR). No false negatives by construction;
+    false-positive rate ~ (1 - e^{-kn/m})^k."""
+    if m < 2 or k < 1:
+        raise ValueError(f"need m >= 2, k >= 1: {m}, {k}")
+    ids = df.select(F.col(group_col).alias("g"), F.col(id_col).alias("_x"))
+    return ids.select("g", F.explode(F.array(*[
+        F.expr(f"CAST(({_row_hash('_x', j, XOR_SPARK, RSH_SPARK)})"
+               f" % {m} AS INT)")
+        for j in range(k)])).alias("bit")).distinct()
+
+
+def sql_bloom_state_duckdb(src: str, id_expr: str, group_expr: str,
+                           m: int = 4096, k: int = 3) -> str:
+    """The oracle twin of :func:`bloom_state` over relation ``src``."""
+    arms = " ".join(
+        f"WHEN {j} THEN {_row_hash('x', j, XOR_DUCKDB, RSH_DUCKDB)}"
+        for j in range(k))
+    return (
+        f"SELECT DISTINCT g,"
+        f" CAST((CASE j {arms} END) % {m} AS INT) AS bit"
+        f" FROM (SELECT {group_expr} AS g, {id_expr} AS x FROM {src}) s,"
+        f" range(0, {k}) t(j)")
 
 
 def estimate(state_rows, p: int = 9) -> float:
