@@ -1403,6 +1403,36 @@ def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("g", "x", "y", "area2")
 
 
+def q_delaunay_tin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELAUNAY TRIANGULATION / TIN (operators/triangulation.py — the
+    geotrellis.vector.triangulation.DelaunayTriangulation family that
+    feeds TIN rasterization and euclidean distance): per-group
+    Bowyer-Watson over the SAME quantized anchor sets as convex_hull,
+    solved with python BIG-INT incircle determinants (milli-degree
+    incircle dets reach ~10^23 — past int64 AND float64; the oracle's
+    twin quantities stay in int64, the brute Delaunay pytest uses the
+    same big-int dets). The data contains exactly-cocircular
+    quadruples (quantized hot cluster), so the Delaunay diagonal
+    choice is NON-unique — the gate therefore compares the
+    triangulation-INVARIANT summary every valid full triangulation
+    shares exactly: n_triangles = 2n-b-2 and n_edges = 3n-b-3 (Euler,
+    b = hull-boundary points incl. collinear-on-edge ones) and
+    area2_sum = the hull's order-free edge-set shoelace (triangles
+    partition the hull; integer shoelace sums are exact). The
+    empty-circumcircle property itself is pytest-pinned vs brute
+    force on cocircular/near-collinear/grid fixtures."""
+    from geotrellis_contrib_spark.operators import triangulation as TR
+    _views(spark, sf_dir)
+    pts = (spark.table("anchors")
+           .filter((F.col("doc_id") % 7 == 3) & F.col("lon").isNotNull())
+           .select((F.col("doc_id") % 4).alias("g"),
+                   F.floor(F.col("lon") * F.lit(1000.0))
+                    .cast("long").alias("x"),
+                   F.floor(F.col("lat") * F.lit(1000.0))
+                    .cast("long").alias("y")))
+    return TR.tin_summary(TR.delaunay(pts))
+
+
 def q_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SNAPSHOT COMPACTION + EXPIRY (the Iceberg rewrite-data-files /
     expire-snapshots pair, sources/snapshots.py:206,227 — the
@@ -4669,7 +4699,9 @@ FROM sl GROUP BY 2, 3, 4
     # edge-set shoelace (a directed vertex pair is a hull edge iff every
     # other hull vertex lies strictly left), matching the engine's
     # seq-ordered closed-ring sum bit for bit.
-    o["convex_hull"] = f"""
+    # The pts→verts→edges→areas chain is shared with the delaunay_tin
+    # oracle (same point sets, same exact-integer hull machinery).
+    hull_ctes = f"""
 {derive.cte('anchors')},
 pts AS (
   SELECT DISTINCT doc_id % 4 AS g,
@@ -4722,9 +4754,40 @@ edges AS (
 areas AS (
   SELECT g, CAST(SUM(qx * ry - rx * qy) AS BIGINT) AS area2
   FROM edges GROUP BY g
-)
+)"""
+
+    o["convex_hull"] = f"""
+{hull_ctes}
 SELECT v.g, v.x, v.y, COALESCE(a.area2, 0) AS area2
 FROM verts v LEFT JOIN areas a ON a.g = v.g
+"""
+
+    # Delaunay TIN (delaunay_tin): triangulation-invariant summary —
+    # n/b from the shared hull machinery (boundary = strict vertices
+    # plus points strictly between hull-edge endpoints), Euler's
+    # T = 2n-b-2 / E = 3n-b-3, area2 = the order-free edge-set
+    # shoelace. Every valid full triangulation of the point set
+    # (Delaunay diagonals are tie-broken on cocircular quads) shares
+    # these EXACTLY, so the compare is value-exact without pinning
+    # the engine's diagonal choices.
+    o["delaunay_tin"] = f"""
+{hull_ctes},
+onedge AS (
+  SELECT DISTINCT p.g, p.x, p.y
+  FROM pts p JOIN edges e ON e.g = p.g
+  WHERE (e.rx - e.qx) * (p.y - e.qy) - (e.ry - e.qy) * (p.x - e.qx) = 0
+    AND (p.x - e.qx) * (e.rx - p.x) + (p.y - e.qy) * (e.ry - p.y) > 0
+),
+boundary AS (
+  SELECT g, x, y FROM verts UNION SELECT g, x, y FROM onedge
+),
+np AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM pts GROUP BY 1),
+nb AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS b FROM boundary GROUP BY 1)
+SELECT np.g, np.n AS n_points, nb.b AS n_boundary,
+       2 * np.n - nb.b - 2 AS n_triangles,
+       3 * np.n - nb.b - 3 AS n_edges,
+       a.area2 AS area2_sum
+FROM np JOIN nb ON nb.g = np.g JOIN areas a ON a.g = np.g
 """
 
     # Snapshot compaction (snapshot_compact): v3 = the COW-deleted
@@ -7383,6 +7446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "delaunay_tin": q_delaunay_tin,
         "cm_sketch": q_cm_sketch,
         "bloom_filter": q_bloom_filter,
         "hll_sketch": q_hll_sketch,
