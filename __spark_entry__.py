@@ -1433,6 +1433,53 @@ def q_delaunay_tin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TR.tin_summary(TR.delaunay(pts))
 
 
+def _parabola_pts(spark: SparkSession):
+    """The unique-Delaunay fixture: points (x, x²) with distinct
+    positive x. No 3 are collinear (Vandermonde) and no 4 cocircular —
+    a circle meets y = x² where x⁴ + (1+E)x² + Dx + F = 0, whose four
+    roots SUM TO ZERO (no x³ term), impossible for all-positive x — so
+    the Delaunay triangulation is UNIQUE and a brute-force oracle can
+    recompute the exact triangle set. x stays ≤ 91 (mod-89 fold), so
+    every incircle det ≤ ~3·10^14: int64-safe in DuckDB, and the
+    per-group point count is BOUNDED at 89 at any scale factor."""
+    return (spark.table("documents")
+            .select((F.col("doc_id") % 2).alias("g"),
+                    (F.lit(3) + (F.col("doc_id") * 7) % 89).alias("x"))
+            .distinct()
+            .select("g", "x", (F.col("x") * F.col("x")).alias("y"),
+                    (F.col("x") % 7 + 1 + F.col("g")).alias("z")))
+
+
+def q_delaunay_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT DELAUNAY TRIANGLE SET (operators/triangulation.py over
+    the parabola fixture — see _parabola_pts: uniqueness is PROVABLE
+    there, unlike the anchor data's cocircular quads): the gate
+    compares every canonical CCW triangle row bit-for-bit against a
+    DuckDB oracle that recomputes Delaunay by brute force — a triple
+    is a Delaunay triangle iff no other point lies strictly inside
+    its circumcircle (int64 incircle dets; increasing-x parabola
+    triples are already CCW, so the canonical smallest-vertex-first
+    CCW row is just (p,q,r) by x)."""
+    from geotrellis_contrib_spark.operators import triangulation as TR
+    _views(spark, sf_dir)
+    return TR.delaunay(_parabola_pts(spark).select("g", "x", "y"))
+
+
+def q_tin_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIN LINEAR RASTERIZATION (DelaunayRasterizer analog,
+    operators/triangulation.py tin_interpolate): sample the per-group
+    TIN surface over the parabola fixture at a 25×29 integer lattice.
+    Exactness: barycentric value = (wa·za + wb·zb + wc·zc)/area2 with
+    exact-int64 numerator+denominator and ONE IEEE division — the
+    correctly-rounded exact rational, so a lattice point on a shared
+    edge gets BIT-identical doubles from either triangle and the
+    engine's first-triangle-wins equals the oracle's DISTINCT over
+    the containment join with no tie-break rule."""
+    from geotrellis_contrib_spark.operators import triangulation as TR
+    _views(spark, sf_dir)
+    return TR.tin_interpolate(_parabola_pts(spark), 0, 25, 4, 0, 29, 300)
+
+
 def q_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SNAPSHOT COMPACTION + EXPIRY (the Iceberg rewrite-data-files /
     expire-snapshots pair, sources/snapshots.py:206,227 — the
@@ -4770,6 +4817,65 @@ FROM verts v LEFT JOIN areas a ON a.g = v.g
     # (Delaunay diagonals are tie-broken on cocircular quads) shares
     # these EXACTLY, so the compare is value-exact without pinning
     # the engine's diagonal choices.
+    # Exact Delaunay + TIN rasterization (delaunay_exact, tin_raster)
+    # over the parabola fixture (unique triangulation — see
+    # _parabola_pts): brute-force Delaunay = CCW triples with no point
+    # strictly inside the circumcircle, int64 incircle dets.
+    def _incircle_gt0(a, b, c, s) -> str:
+        d = {}
+        for k, p in (("a", a), ("b", b), ("c", c)):
+            d[k + "dx"] = f"({p}.x - {s}.x)"
+            d[k + "dy"] = f"({p}.y - {s}.y)"
+        return (f"(({d['adx']}*{d['adx']} + {d['ady']}*{d['ady']})"
+                f" * ({d['bdx']}*{d['cdy']} - {d['bdy']}*{d['cdx']})"
+                f" - ({d['bdx']}*{d['bdx']} + {d['bdy']}*{d['bdy']})"
+                f" * ({d['adx']}*{d['cdy']} - {d['ady']}*{d['cdx']})"
+                f" + ({d['cdx']}*{d['cdx']} + {d['cdy']}*{d['cdy']})"
+                f" * ({d['adx']}*{d['bdy']} - {d['ady']}*{d['bdx']})"
+                f") > 0")
+
+    parab_ctes = """
+ppts AS (
+  SELECT g, x, x * x AS y, x % 7 + 1 + g AS z FROM (
+    SELECT DISTINCT doc_id % 2 AS g, 3 + (doc_id * 7) % 89 AS x
+    FROM documents) d
+),
+tri AS (
+  SELECT p.g, p.x AS ax, p.y AS ay, q.x AS bxx, q.y AS byy,
+         r.x AS cxx, r.y AS cyy, p.z AS za, q.z AS zb, r.z AS zc,
+         (q.x - p.x) * (r.y - p.y) - (q.y - p.y) * (r.x - p.x) AS area2
+  FROM ppts p
+  JOIN ppts q ON q.g = p.g AND q.x > p.x
+  JOIN ppts r ON r.g = p.g AND r.x > q.x
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ppts s
+    WHERE s.g = p.g AND s.x NOT IN (p.x, q.x, r.x)
+      AND """ + _incircle_gt0("p", "q", "r", "s") + """
+  )
+)"""
+
+    o["delaunay_exact"] = f"""
+WITH {parab_ctes}
+SELECT g, ax, ay, bxx AS bx, byy AS "by", cxx AS cx, cyy AS cy, area2
+FROM tri
+"""
+
+    _wa = '((t.cxx - t.bxx) * (gr.py - t.byy) - (t.cyy - t.byy) * (gr.px - t.bxx))'
+    _wb = '((t.ax - t.cxx) * (gr.py - t.cyy) - (t.ay - t.cyy) * (gr.px - t.cxx))'
+    _wc = '((t.bxx - t.ax) * (gr.py - t.ay) - (t.byy - t.ay) * (gr.px - t.ax))'
+    o["tin_raster"] = f"""
+WITH {parab_ctes},
+grid AS (
+  SELECT 4 * i.k AS px, 300 * j.k AS py
+  FROM range(0, 25) i(k), range(0, 29) j(k)
+)
+SELECT DISTINCT t.g, gr.px, gr.py,
+       CAST({_wa} * t.za + {_wb} * t.zb + {_wc} * t.zc AS DOUBLE)
+         / t.area2 AS val
+FROM tri t JOIN grid gr
+  ON {_wa} >= 0 AND {_wb} >= 0 AND {_wc} >= 0
+"""
+
     o["delaunay_tin"] = f"""
 {hull_ctes},
 onedge AS (
@@ -7446,6 +7552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "delaunay_exact": q_delaunay_exact,
+        "tin_raster": q_tin_raster,
         "delaunay_tin": q_delaunay_tin,
         "cm_sketch": q_cm_sketch,
         "bloom_filter": q_bloom_filter,

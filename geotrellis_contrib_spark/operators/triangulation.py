@@ -143,6 +143,65 @@ def delaunay(pts: DataFrame, group_col: str = "g", x_col: str = "x",
     return base.groupBy("g").applyInPandas(solve, _TRI_SCHEMA)
 
 
+def tin_interpolate(pts: DataFrame, x0: int, nx: int, dx: int,
+                    y0: int, ny: int, dy: int, group_col: str = "g",
+                    x_col: str = "x", y_col: str = "y",
+                    z_col: str = "z") -> DataFrame:
+    """TIN linear rasterization (DelaunayRasterizer analog,
+    geotrellis.raster.triangulation): sample the per-group TIN surface
+    at the integer lattice {x0 + i·dx} × {y0 + j·dy}, i < nx, j < ny.
+    Value at P inside CCW triangle (a,b,c) is the barycentric plane
+
+        (wa·za + wb·zb + wc·zc) / area2,   wa = orient(b, c, P) …
+
+    — an exact-int64 numerator and denominator with ONE IEEE division,
+    so the result is the correctly-rounded exact rational: points on a
+    shared edge get BIT-identical values from either triangle (both
+    divisions round the same real), which is what lets engine-side
+    first-triangle-wins and oracle-side DISTINCT agree with no
+    tie-break rule. Lattice points outside the hull emit nothing.
+    Duplicate (x, y) inputs must carry equal z (fail-loud)."""
+    base = pts.select(F.col(group_col).cast("long").alias("g"),
+                      F.col(x_col).cast("long").alias("x"),
+                      F.col(y_col).cast("long").alias("y"),
+                      F.col(z_col).cast("long").alias("z"))
+    out_schema = "g bigint, px bigint, py bigint, val double"
+
+    def solve(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = pdf[["x", "y", "z"]].drop_duplicates().to_numpy(np.int64)
+        if len(np.unique(arr[:, :2], axis=0)) != len(arr):
+            raise ValueError("duplicate (x,y) with conflicting z")
+        # int64 envelope: |w| < 2·span² < 2^41 and |w·z| < 2^61 when
+        # every coordinate/z magnitude stays under 2^20
+        hi = max(abs(int(arr.min())), abs(int(arr.max())),
+                 abs(x0) + nx * abs(dx), abs(y0) + ny * abs(dy))
+        if hi >= 1 << 20:
+            raise ValueError(f"coordinate magnitude {hi} >= 2^20: "
+                             "int64 barycentric envelope exceeded")
+        plist = [(int(x), int(y)) for x, y, _ in arr]
+        idx = delaunay_triangles(plist)
+        gx = x0 + np.arange(nx, dtype=np.int64) * dx
+        gy = y0 + np.arange(ny, dtype=np.int64) * dy
+        px, py = [a.ravel() for a in np.meshgrid(gx, gy, indexing="ij")]
+        val = np.full(len(px), np.nan)
+        for a, b, c in idx:
+            (axv, ayv), (bxv, byv), (cxv, cyv) = plist[a], plist[b], plist[c]
+            za, zb, zc = (int(arr[a, 2]), int(arr[b, 2]), int(arr[c, 2]))
+            wa = (cxv - bxv) * (py - byv) - (cyv - byv) * (px - bxv)
+            wb = (axv - cxv) * (py - cyv) - (ayv - cyv) * (px - cxv)
+            wc = (bxv - axv) * (py - ayv) - (byv - ayv) * (px - axv)
+            inside = (wa >= 0) & (wb >= 0) & (wc >= 0) & np.isnan(val)
+            den = _orient((axv, ayv), (bxv, byv), (cxv, cyv))
+            val[inside] = (wa[inside] * za + wb[inside] * zb
+                           + wc[inside] * zc).astype(np.float64) / den
+        keep = ~np.isnan(val)
+        return pd.DataFrame({
+            "g": np.full(int(keep.sum()), int(key[0]), dtype=np.int64),
+            "px": px[keep], "py": py[keep], "val": val[keep]})
+
+    return base.groupBy("g").applyInPandas(solve, out_schema)
+
+
 def tin_summary(tri: DataFrame) -> DataFrame:
     """Triangulation-invariant per-group summary from the triangle
     table alone (all quantities any valid full triangulation shares):

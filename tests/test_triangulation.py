@@ -95,6 +95,39 @@ def test_degenerate_inputs():
     assert TR.delaunay_triangles([(0, 0), (2, 2), (5, 5), (9, 9)]) == []
 
 
+def test_tin_interpolate_plane_and_edges(spark):
+    # points sampled from the exact plane z = 2x + 3y + 5: EVERY TIN
+    # of them interpolates the plane exactly at integer lattice points
+    # where 2px+3py+5 is exactly representable (it's an int).
+    fix = FIXTURES["general"]
+    rows = [(0, x * 10, y * 10, 2 * (x * 10) + 3 * (y * 10) + 5)
+            for x, y in fix]
+    df = spark.createDataFrame(rows, "g long, x long, y long, z long")
+    got = TR.tin_interpolate(df, 0, 11, 10, 0, 11, 10).collect()
+    assert len(got) > 20
+    for r in got:
+        assert r.val == 2 * r.px + 3 * r.py + 5, r
+    # vertices themselves are lattice points here -> z reproduced
+    lattice = {(r.px, r.py): r.val for r in got}
+    for x, y in fix:
+        assert lattice[(x * 10, y * 10)] == 2 * x * 10 + 3 * y * 10 + 5
+    # outside-hull lattice corners absent: (100,0) right of all pts
+    assert (100, 0) not in lattice
+
+
+def test_tin_interpolate_fail_louds(spark):
+    dup = spark.createDataFrame(
+        [(0, 1, 1, 5), (0, 1, 1, 6), (0, 9, 2, 1), (0, 4, 8, 2)],
+        "g long, x long, y long, z long")
+    with pytest.raises(Exception, match="conflicting z"):
+        TR.tin_interpolate(dup, 0, 4, 1, 0, 4, 1).collect()
+    big = spark.createDataFrame(
+        [(0, 1 << 21, 1, 5), (0, 9, 2, 1), (0, 4, 8, 2)],
+        "g long, x long, y long, z long")
+    with pytest.raises(Exception, match="envelope"):
+        TR.tin_interpolate(big, 0, 4, 1, 0, 4, 1).collect()
+
+
 def test_spark_delaunay_and_summary(spark):
     rows = [(g, x, y) for g in (0, 1)
             for x, y in FIXTURES["general" if g == 0 else "grid"]]
