@@ -1480,6 +1480,23 @@ def q_tin_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TR.tin_interpolate(_parabola_pts(spark), 0, 25, 4, 0, 29, 300)
 
 
+def q_voronoi_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VORONOI DIAGRAM VERTICES (geotrellis.vector.voronoi
+    .VoronoiDiagram analog, operators/triangulation.py): the dual of
+    delaunay_exact — each triangle's circumcenter as the EXACT
+    rational integer triple (cnum_x, cnum_y, den) with den pinned to
+    2·area2, making the numerators representation-unique (cnum =
+    cc·den is an integer identity) so no gcd/float appears anywhere.
+    Pure JVM Column arithmetic over the triangle table; the oracle
+    re-derives the same triple over its brute-forced Delaunay CTE.
+    Equidistance of each circumcenter from its three vertices is
+    pytest-pinned as a big-int identity."""
+    from geotrellis_contrib_spark.operators import triangulation as TR
+    _views(spark, sf_dir)
+    return TR.voronoi_vertices(
+        TR.delaunay(_parabola_pts(spark).select("g", "x", "y")))
+
+
 def q_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SNAPSHOT COMPACTION + EXPIRY (the Iceberg rewrite-data-files /
     expire-snapshots pair, sources/snapshots.py:206,227 — the
@@ -4860,6 +4877,21 @@ SELECT g, ax, ay, bxx AS bx, byy AS "by", cxx AS cx, cyy AS cy, area2
 FROM tri
 """
 
+    # Voronoi vertices (voronoi_vertices): circumcenter rationals over
+    # the same brute-forced Delaunay CTE, den pinned to 2*area2.
+    o["voronoi_vertices"] = f"""
+WITH {parab_ctes}
+SELECT g,
+       2 * area2 * ax + ((cyy - ay) * ((bxx - ax) * (bxx - ax) + (byy - ay) * (byy - ay))
+                         - (byy - ay) * ((cxx - ax) * (cxx - ax) + (cyy - ay) * (cyy - ay)))
+         AS cnum_x,
+       2 * area2 * ay + ((bxx - ax) * ((cxx - ax) * (cxx - ax) + (cyy - ay) * (cyy - ay))
+                         - (cxx - ax) * ((bxx - ax) * (bxx - ax) + (byy - ay) * (byy - ay)))
+         AS cnum_y,
+       2 * area2 AS den
+FROM tri
+"""
+
     _wa = '((t.cxx - t.bxx) * (gr.py - t.byy) - (t.cyy - t.byy) * (gr.px - t.bxx))'
     _wb = '((t.ax - t.cxx) * (gr.py - t.cyy) - (t.ay - t.cyy) * (gr.px - t.cxx))'
     _wc = '((t.bxx - t.ax) * (gr.py - t.ay) - (t.byy - t.ay) * (gr.px - t.ax))'
@@ -7554,6 +7586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new/changed this round first -------------------------------
         "delaunay_exact": q_delaunay_exact,
         "tin_raster": q_tin_raster,
+        "voronoi_vertices": q_voronoi_vertices,
         "delaunay_tin": q_delaunay_tin,
         "cm_sketch": q_cm_sketch,
         "bloom_filter": q_bloom_filter,

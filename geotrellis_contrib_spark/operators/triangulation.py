@@ -202,6 +202,35 @@ def tin_interpolate(pts: DataFrame, x0: int, nx: int, dx: int,
     return base.groupBy("g").applyInPandas(solve, out_schema)
 
 
+def voronoi_vertices(tri: DataFrame) -> DataFrame:
+    """Voronoi-diagram vertices (geotrellis.vector.voronoi
+    .VoronoiDiagram analog) as EXACT rationals: the Voronoi vertex
+    dual to each Delaunay triangle is its circumcenter
+
+        ( (den·ax + ux) / den , (den·ay + uy) / den ),
+        ux = (cy-ay)·|b-a|² − (by-ay)·|c-a|² … den = 2·area2
+
+    emitted as the integer triple (cnum_x, cnum_y, den). With den
+    PINNED to 2·area2 (vertex-rotation invariant for canonical CCW
+    rows) the numerators are uniquely determined — cnum = cc·den is
+    an integer identity — so the representation is independent of
+    which vertex anchors the formula and compares exactly with no
+    gcd reduction. Pure JVM-side int64 Column arithmetic (no Python):
+    |coords| < 2^15 keeps every product under 2^62."""
+    bpx = F.col("bx") - F.col("ax")
+    bpy = F.col("by") - F.col("ay")
+    cpx = F.col("cx") - F.col("ax")
+    cpy = F.col("cy") - F.col("ay")
+    bb = bpx * bpx + bpy * bpy
+    cc = cpx * cpx + cpy * cpy
+    den = F.lit(2) * F.col("area2")
+    return tri.select(
+        "g",
+        (den * F.col("ax") + (cpy * bb - bpy * cc)).alias("cnum_x"),
+        (den * F.col("ay") + (bpx * cc - cpx * bb)).alias("cnum_y"),
+        den.alias("den"))
+
+
 def tin_summary(tri: DataFrame) -> DataFrame:
     """Triangulation-invariant per-group summary from the triangle
     table alone (all quantities any valid full triangulation shares):

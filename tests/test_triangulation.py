@@ -128,6 +128,35 @@ def test_tin_interpolate_fail_louds(spark):
         TR.tin_interpolate(big, 0, 4, 1, 0, 4, 1).collect()
 
 
+def test_voronoi_vertices_exact(spark):
+    # right triangle (0,0)(2,0)(0,2): circumcenter (1,1), den = 8
+    df = spark.createDataFrame(
+        [(0, 0, 0), (0, 2, 0), (0, 0, 2)], "g long, x long, y long")
+    tri = TR.delaunay(df)
+    vv = TR.voronoi_vertices(tri).collect()
+    assert len(vv) == 1 and (vv[0].cnum_x, vv[0].cnum_y, vv[0].den) \
+        == (8, 8, 8)
+    # general fixture: every circumcenter exactly equidistant from its
+    # triangle's three vertices (big-int rational identity)
+    pts = FIXTURES["general"]
+    df2 = spark.createDataFrame([(0, x, y) for x, y in pts],
+                                "g long, x long, y long")
+    tri_rows = TR.delaunay(df2).collect()
+    vv2 = TR.voronoi_vertices(TR.delaunay(df2)).collect()
+    assert len(vv2) == len(tri_rows)
+    for t in tri_rows:
+        den = 2 * t.area2
+        bb = (t.bx - t.ax) ** 2 + (t.by - t.ay) ** 2
+        cc = (t.cx - t.ax) ** 2 + (t.cy - t.ay) ** 2
+        cx = den * t.ax + ((t.cy - t.ay) * bb - (t.by - t.ay) * cc)
+        cy = den * t.ay + ((t.bx - t.ax) * cc - (t.cx - t.ax) * bb)
+        d2 = [(cx - den * px) ** 2 + (cy - den * py) ** 2
+              for px, py in ((t.ax, t.ay), (t.bx, t.by), (t.cx, t.cy))]
+        assert d2[0] == d2[1] == d2[2]
+        assert (0, cx, cy, den) in {(v.g, v.cnum_x, v.cnum_y, v.den)
+                                    for v in vv2}
+
+
 def test_spark_delaunay_and_summary(spark):
     rows = [(g, x, y) for g in (0, 1)
             for x, y in FIXTURES["general" if g == 0 else "grid"]]
