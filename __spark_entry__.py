@@ -1186,6 +1186,52 @@ def q_temporal_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TE.temporal_trend(tiles)
 
 
+# Per-scene calibration for the robust-trend gates: gains/offsets
+# searched so ALL THREE pairwise differences hit EXACT zeros at
+# attainable quarter-grid pixel values (d10 = 1085−5u zero at u=217,
+# d21 = u−212, d20 = 873−4u zero at u=218.25, u the s-free part of
+# the fixture value) — signs {-1, 0, +1}, ties and medians all vary
+# per pixel (pytest-pinned). Integer-valued gains/offsets keep the
+# quarter grid exactly representable.
+MK_GAINS = {0: 3.0, 1: -2.0, 2: -1.0}
+MK_OFFSETS = {0: 0.0, 1: 3085.0, 2: 2873.0}
+
+
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-PIXEL MANN-KENDALL TREND TEST (operators/temporal.py —
+    Mann 1945/Kendall 1975, THE standard nonparametric raster-time-
+    series trend detector, the robust sibling of temporal_trend):
+    S = Σ_{i<j} sign(v_j − v_i) over valid pairs after per-scene
+    radiometric calibration (calibrate_stack — localMultiply/localAdd
+    per scene). INTEGER arithmetic end-to-end: sign of exact
+    differences, integer sums. Oracle: the same calibrated per-source
+    closed forms, SIGN per pair, identical rollups."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import temporal as TE
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    return TE.temporal_mann_kendall(
+        TE.calibrate_stack(tiles, MK_GAINS, MK_OFFSETS))
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-PIXEL THEIL-SEN SLOPE (operators/temporal.py — the robust
+    median-of-pairwise-slopes sibling of temporal_trend's least
+    squares): median over valid pairs of (v_j − v_i)/(t_j − t_i)
+    after the same calibration as mann_kendall. Exactness: each slope
+    is an exact difference over an integer gap (gap-2 halving is
+    exact), the median is pure SELECTION (engine's two-middle mean is
+    (a+a)/2 = a for the fixture's odd pair counts {1,3}; oracle uses
+    the median-of-three greatest/least identity — no arithmetic
+    either side), ONE floor-quantization ends the chain."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import temporal as TE
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    return TE.temporal_theil_sen(
+        TE.calibrate_stack(tiles, MK_GAINS, MK_OFFSETS))
+
+
 def q_hex_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HEXAGONAL BINNING (functions/cells.py hex_cell — the H3-style
     axial hex index next to the square Z-curves; the north-star cell
@@ -4693,7 +4739,8 @@ SELECT doc_id, gh6, qk10, SUBSTRING(gh6, 1, 3) AS gh3 FROM strs
         return (f"CASE WHEN {valid} THEN {v} ELSE 0.0 END",
                 f"CASE WHEN {valid} THEN 1 ELSE 0 END",
                 f"CASE WHEN {valid} THEN {v} ELSE -1.0e18 END",
-                f"CASE WHEN {valid} THEN {v} ELSE 1.0e18 END")
+                f"CASE WHEN {valid} THEN {v} ELSE 1.0e18 END",
+                valid, v)
 
     _ts = [_ts_term(s) for s in range(3)]
     o["temporal_stats"] = f"""
@@ -4753,6 +4800,60 @@ WITH px AS (
 SELECT 6 AS zoom, col, row, CAST(band AS INT) AS band,
        CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_px2,
        CAST(SUM(qs) AS BIGINT) AS q_slope_sum
+FROM sl GROUP BY 2, 3, 4
+"""
+
+    # Mann-Kendall + Theil-Sen (mann_kendall, theil_sen): calibrated
+    # per-source closed forms w_s = gain_s·v_s + offset_s (CASE-gated
+    # by the same validity), pairwise SIGNs / slopes, median-of-three
+    # via the greatest/least selection identity.
+    _mk = [_ts_term(s) for s in range(3)]
+    _mk_c = [t[1] for t in _mk]
+    _mk_w = [f"({MK_GAINS[s]!r} * ({t[5]}) + {MK_OFFSETS[s]!r})"
+             for s, t in enumerate(_mk)]
+    _mk_px = f"""
+px AS (
+  SELECT band, col, row, ri, ci,
+         {_mk_c[0]} AS c0, {_mk_c[1]} AS c1, {_mk_c[2]} AS c2,
+         {_mk_w[0]} AS w0, {_mk_w[1]} AS w1, {_mk_w[2]} AS w2
+  FROM range(0,2) bs(band), range(18,24) cs(col), range(24,28) rs(row),
+       range(0,64) ris(ri), range(0,64) cis(ci)
+)"""
+    o["mann_kendall"] = f"""
+WITH {_mk_px}, sl AS (
+  SELECT band, col, row,
+         c0*c1 + c1*c2 + c0*c2 AS p,
+         c0*c1 * CAST(SIGN(w1 - w0) AS BIGINT)
+       + c1*c2 * CAST(SIGN(w2 - w1) AS BIGINT)
+       + c0*c2 * CAST(SIGN(w2 - w0) AS BIGINT) AS s
+  FROM px
+)
+SELECT 6 AS zoom, col, row, CAST(band AS INT) AS band,
+       CAST(SUM(CASE WHEN p >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_px_pairs,
+       CAST(SUM(p) AS BIGINT) AS p_sum,
+       CAST(SUM(CASE WHEN p >= 1 THEN s ELSE 0 END) AS BIGINT) AS s_sum
+FROM sl GROUP BY 2, 3, 4
+"""
+
+    o["theil_sen"] = f"""
+WITH {_mk_px}, sl AS (
+  SELECT band, col, row, c0*c1 + c1*c2 + c0*c2 AS p,
+         CASE
+           WHEN c0 + c1 + c2 = 3 THEN GREATEST(
+             LEAST((w1 - w0), (w2 - w1)),
+             LEAST(GREATEST((w1 - w0), (w2 - w1)), (w2 - w0) / 2.0))
+           WHEN c0 * c1 = 1 THEN (w1 - w0)
+           WHEN c1 * c2 = 1 THEN (w2 - w1)
+           WHEN c0 * c2 = 1 THEN (w2 - w0) / 2.0
+           ELSE 0.0 END AS med
+  FROM px
+)
+SELECT 6 AS zoom, col, row, CAST(band AS INT) AS band,
+       CAST(SUM(CASE WHEN p >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_px1,
+       CAST(SUM(CASE WHEN p >= 1 THEN
+            CAST(FLOOR(med * 1048576.0 + 0.5) AS BIGINT)
+            ELSE 0 END) AS BIGINT) AS q_ts_sum
 FROM sl GROUP BY 2, 3, 4
 """
 
@@ -7587,6 +7688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delaunay_exact": q_delaunay_exact,
         "tin_raster": q_tin_raster,
         "voronoi_vertices": q_voronoi_vertices,
+        "mann_kendall": q_mann_kendall,
+        "theil_sen": q_theil_sen,
         "delaunay_tin": q_delaunay_tin,
         "cm_sketch": q_cm_sketch,
         "bloom_filter": q_bloom_filter,

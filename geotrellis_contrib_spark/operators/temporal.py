@@ -70,6 +70,133 @@ def temporal_stats(tiles: DataFrame, tile_size: int = 64,
                 .applyInPandas(solve, _OUT)
 
 
+def calibrate_stack(tiles: DataFrame, gains: dict, offsets: dict,
+                    tile_size: int = 64) -> DataFrame:
+    """Per-scene radiometric calibration v' = gain[s]·v + offset[s]
+    (the localMultiply/localAdd-per-scene recipe every optical archive
+    applies before temporal analysis — gains/offsets keyed by
+    source_idx). NoData/NaN cells pass through untouched so validity
+    masks survive. Zero shuffle — a mapInPandas over whatever
+    partitioning the stack already has. Exactness: quarter-grid values
+    × integer gains + integer offsets stay exactly representable."""
+    from geotrellis_contrib_spark.operators.pixels import pack
+
+    b_gains, b_offsets = dict(gains), dict(offsets)
+
+    def run(batches):
+        for pdf in batches:
+            out_px = []
+            for row_t in pdf.itertuples():
+                arr = unpack(row_t.px, row_t.dtype, tile_size)
+                s = int(row_t.source_idx)
+                valid = ~np.isnan(arr) & (arr != row_t.nodata)
+                arr = np.where(valid,
+                               arr * b_gains[s] + b_offsets[s], arr)
+                out_px.append(pack(arr))
+            pdf = pdf.copy()
+            pdf["px"] = out_px
+            yield pdf
+
+    return tiles.mapInPandas(run, tiles.schema)
+
+
+_MK_OUT = ("zoom int, col bigint, row bigint, band int, "
+           "n_px_pairs bigint, p_sum bigint, s_sum bigint")
+
+
+def temporal_mann_kendall(tiles: DataFrame,
+                          tile_size: int = 64) -> DataFrame:
+    """Per-pixel MANN-KENDALL trend test (Mann 1945 / Kendall 1975 —
+    THE standard nonparametric raster-time-series trend detector):
+    S = Σ_{i<j} sign(v_j − v_i) over valid observation pairs,
+    INTEGER arithmetic end-to-end (sign of exact differences). Same
+    one-shuffle stack-reduce shape; pairwise loop is O(T²) per key
+    over vectorized planes (T = instants per key, the stack depth).
+    Output per tile: n_px_pairs = pixels with ≥ 1 pair, p_sum = Σ
+    pair counts, s_sum = Σ S."""
+
+    def solve(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("source_idx", kind="mergesort")
+        planes, valids = [], []
+        for row_t in pdf.itertuples():
+            arr = unpack(row_t.px, row_t.dtype, tile_size)
+            planes.append(arr)
+            valids.append(~np.isnan(arr) & (arr != row_t.nodata))
+        shape = (tile_size, tile_size)
+        s_stat = np.zeros(shape, dtype=np.int64)
+        pairs = np.zeros(shape, dtype=np.int64)
+        for j in range(len(planes)):
+            for i in range(j):
+                both = valids[i] & valids[j]
+                d = planes[j] - planes[i]
+                s_stat += np.where(both, np.sign(d), 0.0).astype(np.int64)
+                pairs += both
+        seen = pairs >= 1
+        return pd.DataFrame({
+            "zoom": [int(key[0])], "col": [int(key[1])],
+            "row": [int(key[2])], "band": [int(key[3])],
+            "n_px_pairs": [int(seen.sum())],
+            "p_sum": [int(pairs.sum())],
+            "s_sum": [int(s_stat[seen].sum())]})
+
+    return tiles.groupBy("zoom", "col", "row", "band") \
+                .applyInPandas(solve, _MK_OUT)
+
+
+_TS_OUT = ("zoom int, col bigint, row bigint, band int, "
+           "n_px1 bigint, q_ts_sum bigint")
+
+
+def temporal_theil_sen(tiles: DataFrame, tile_size: int = 64,
+                       q_slope: float = 1048576.0) -> DataFrame:
+    """Per-pixel THEIL-SEN slope (Theil 1950/Sen 1968 — the robust
+    median-of-pairwise-slopes sibling of temporal_trend's least
+    squares): median over valid pairs of (v_j − v_i)/(t_j − t_i),
+    t = source_idx. Median = mean of the two middle order statistics
+    ((a+a)/2 for odd counts — exact), each slope an exact difference
+    divided by an integer gap (ONE IEEE division per slope), so the
+    SQL oracle replays it bit-for-bit. Output per tile: n_px1 =
+    pixels with ≥ 1 slope, q_ts_sum = Σ floor(median·q + 0.5)."""
+
+    def solve(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("source_idx", kind="mergesort")
+        planes, valids, ts = [], [], []
+        for row_t in pdf.itertuples():
+            arr = unpack(row_t.px, row_t.dtype, tile_size)
+            planes.append(arr)
+            valids.append(~np.isnan(arr) & (arr != row_t.nodata))
+            ts.append(int(row_t.source_idx))
+        slopes = []
+        for j in range(len(planes)):
+            for i in range(j):
+                both = valids[i] & valids[j]
+                sl = (planes[j] - planes[i]) / float(ts[j] - ts[i])
+                slopes.append(np.where(both, sl, np.nan))
+        shape = (tile_size, tile_size)
+        if not slopes:
+            m = np.zeros(shape, dtype=np.int64)
+            med = np.zeros(shape)
+        else:
+            stack = np.stack(slopes)  # NaN sorts last along axis 0
+            m = (~np.isnan(stack)).sum(axis=0)
+            srt = np.sort(stack, axis=0)
+            lo = np.clip((m - 1) // 2, 0, len(slopes) - 1)
+            hi = np.clip(m // 2, 0, len(slopes) - 1)
+            a = np.take_along_axis(srt, lo[None], axis=0)[0]
+            b = np.take_along_axis(srt, hi[None], axis=0)[0]
+            med = np.where(m >= 1, (a + b) / 2.0, 0.0)
+        seen = m >= 1
+        return pd.DataFrame({
+            "zoom": [int(key[0])], "col": [int(key[1])],
+            "row": [int(key[2])], "band": [int(key[3])],
+            "n_px1": [int(seen.sum())],
+            "q_ts_sum": [int(np.floor(med * q_slope + 0.5)[seen]
+                             .astype(np.int64).sum())]})
+
+    return tiles.groupBy("zoom", "col", "row", "band") \
+                .applyInPandas(solve, _TS_OUT)
+
+
 _TREND_OUT = ("zoom int, col bigint, row bigint, band int, "
               "n_px2 bigint, q_slope_sum bigint")
 

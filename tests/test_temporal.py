@@ -152,3 +152,135 @@ def test_temporal_trend_tiny_exact_slope(spark):
     g = TE.temporal_trend(df, tile_size=4).collect()[0]
     assert g.n_px2 == 16
     assert g.q_slope_sum == 16 * int(np.floor(3.0 * 1048576.0 + 0.5))
+
+
+def _mk_replay(cal=True):
+    """Numpy replay of the calibrated fixture stack used by the
+    mann_kendall / theil_sen gates."""
+    from __spark_entry__ import MK_GAINS, MK_OFFSETS
+    r_idx = np.arange(64).reshape(-1, 1)
+    c_idx = np.arange(64).reshape(1, -1)
+    out = {}
+    for band in range(2):
+        for col in range(18, 24):
+            for row in range(24, 28):
+                planes, valids = [], []
+                for s in range(3):
+                    if not (18 + s <= col <= 21 + s):
+                        continue
+                    v = _fixture_value(s, col, row, band, r_idx, c_idx) \
+                        .astype(np.float64)
+                    if cal:
+                        v = v * MK_GAINS[s] + MK_OFFSETS[s]
+                    h0 = (s * 11) % 48
+                    valid = np.ones((64, 64), dtype=bool)
+                    valid[h0:h0 + 16, h0:h0 + 16] = False
+                    planes.append((s, v))
+                    valids.append(valid)
+                out[(col, row, band)] = (planes, valids)
+    return out
+
+
+def test_mann_kendall_vs_numpy(spark):
+    from __spark_entry__ import MK_GAINS, MK_OFFSETS
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    cal = TE.calibrate_stack(tiles, MK_GAINS, MK_OFFSETS)
+    got = {(r.col, r.row, r.band): r
+           for r in TE.temporal_mann_kendall(cal).collect()}
+    sign_seen = set()
+    for key, (planes, valids) in _mk_replay().items():
+        S = np.zeros((64, 64), dtype=np.int64)
+        P = np.zeros((64, 64), dtype=np.int64)
+        for j in range(len(planes)):
+            for i in range(j):
+                both = valids[i] & valids[j]
+                sg = np.sign(planes[j][1] - planes[i][1])
+                S += np.where(both, sg, 0.0).astype(np.int64)
+                P += both
+                sign_seen.update(np.unique(sg[both]).tolist())
+        g = got[key]
+        seen = P >= 1
+        assert g.n_px_pairs == int(seen.sum())
+        assert g.p_sum == int(P.sum())
+        assert g.s_sum == int(S[seen].sum())
+    # calibration makes all three sign outcomes occur in the fixture
+    assert sign_seen == {-1.0, 0.0, 1.0}
+
+
+def test_theil_sen_vs_numpy_and_even_counts(spark):
+    from __spark_entry__ import MK_GAINS, MK_OFFSETS
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    cal = TE.calibrate_stack(tiles, MK_GAINS, MK_OFFSETS)
+    got = {(r.col, r.row, r.band): r
+           for r in TE.temporal_theil_sen(cal).collect()}
+    for key, (planes, valids) in _mk_replay().items():
+        slopes = []
+        for j in range(len(planes)):
+            for i in range(j):
+                both = valids[i] & valids[j]
+                sl = (planes[j][1] - planes[i][1]) \
+                    / float(planes[j][0] - planes[i][0])
+                slopes.append(np.where(both, sl, np.nan))
+        g = got[key]
+        if not slopes:
+            assert (g.n_px1, g.q_ts_sum) == (0, 0)
+            continue
+        stack = np.stack(slopes)
+        m = (~np.isnan(stack)).sum(axis=0)
+        srt = np.sort(stack, axis=0)
+        lo = np.clip((m - 1) // 2, 0, len(slopes) - 1)
+        hi = np.clip(m // 2, 0, len(slopes) - 1)
+        a = np.take_along_axis(srt, lo[None], axis=0)[0]
+        b = np.take_along_axis(srt, hi[None], axis=0)[0]
+        med = np.where(m >= 1, (a + b) / 2.0, 0.0)
+        assert g.n_px1 == int((m >= 1).sum())
+        assert g.q_ts_sum == int(
+            np.floor(med * 1048576.0 + 0.5)[m >= 1]
+            .astype(np.int64).sum())
+
+
+def test_theil_sen_even_pair_count_tiny(spark):
+    # 4 instants, 2x2 tile, one pixel missing one instant -> pair
+    # counts {6, 3}: exercises the even-m two-middle average
+    vals = [np.array([[1.0, 5.0], [2.0, -3.0]]),
+            np.array([[2.0, 4.0], [0.0, -9999.0]]),
+            np.array([[4.0, 1.0], [7.0, 5.0]]),
+            np.array([[8.0, 0.0], [1.0, 6.0]])]
+    rows = [("s", s, 3, 1, 1, 0, "float64", -9999.0, pack(v))
+            for s, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "source_id string, source_idx int, zoom int, col bigint, "
+              "row bigint, band int, dtype string, nodata double, "
+              "px binary")
+    got = TE.temporal_theil_sen(df, tile_size=2).collect()[0]
+    meds = np.zeros((2, 2))
+    for r in range(2):
+        for c in range(2):
+            sls = []
+            for j in range(4):
+                for i in range(j):
+                    vi, vj = vals[i][r, c], vals[j][r, c]
+                    if vi == -9999.0 or vj == -9999.0:
+                        continue
+                    sls.append((vj - vi) / float(j - i))
+            sls.sort()
+            mm = len(sls)
+            meds[r, c] = (sls[(mm - 1) // 2] + sls[mm // 2]) / 2.0
+    assert got.n_px1 == 4
+    assert got.q_ts_sum == int(
+        np.floor(meds * 1048576.0 + 0.5).astype(np.int64).sum())
+
+
+def test_calibrate_stack_preserves_nodata(spark):
+    a = np.array([[1.0, -9999.0], [np.nan, 2.0]])
+    rows = [("s", 0, 3, 1, 1, 0, "float64", -9999.0, pack(a))]
+    df = spark.createDataFrame(
+        rows, "source_id string, source_idx int, zoom int, col bigint, "
+              "row bigint, band int, dtype string, nodata double, "
+              "px binary")
+    out = TE.calibrate_stack(df, {0: 2.0}, {0: 10.0}, tile_size=2) \
+        .collect()[0]
+    from geotrellis_contrib_spark.operators.pixels import unpack
+    arr = unpack(out.px, out.dtype, 2)
+    assert arr[0, 0] == 12.0 and arr[1, 1] == 14.0
+    assert arr[0, 1] == -9999.0 and np.isnan(arr[1, 0])
