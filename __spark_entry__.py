@@ -1232,6 +1232,32 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         TE.calibrate_stack(tiles, MK_GAINS, MK_OFFSETS))
 
 
+def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED GRAM MATRIX (operators/linalg.py — the reduction
+    every 100TB embedding pipeline runs before PCA/whitening; the
+    eigen-solve is a driver-side d³ on the d×d result): upper-triangle
+    Σ x_i·x_j over all embeddings. Scale shape: each Arrow batch
+    yields a CONSTANT-SIZE 2080-row partial — no row-level shuffle
+    exists; the only exchange is the tiny (i,j) groupBy. Exactness:
+    float32 mantissas make every product exact in float64; per-term
+    floor-quantization to int64 makes the sum ORDER-FREE (the
+    quantize-first rule; partition-count invariance pytest-pinned).
+    Oracle: identical expression over DuckDB array subscripts."""
+    from geotrellis_contrib_spark.operators import linalg as LA
+    _views(spark, sf_dir)
+    return LA.gram_matrix(spark.table("embeddings"), dim=64)
+
+
+def q_mean_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DIMENSION EMBEDDING SUMS (operators/linalg.py mean_vector —
+    the first-moment companion of gram_matrix; covariance = (G −
+    s·sᵀ/n)/n driver-side): quantized Σ x_i per dimension plus row
+    count, same constant-size-partial shape."""
+    from geotrellis_contrib_spark.operators import linalg as LA
+    _views(spark, sf_dir)
+    return LA.mean_vector(spark.table("embeddings"), dim=64)
+
+
 def q_hex_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HEXAGONAL BINNING (functions/cells.py hex_cell — the H3-style
     axial hex index next to the square Z-curves; the north-star cell
@@ -4803,6 +4829,30 @@ SELECT 6 AS zoom, col, row, CAST(band AS INT) AS band,
 FROM sl GROUP BY 2, 3, 4
 """
 
+    # Gram matrix + mean vector (gram_matrix, mean_vector): identical
+    # per-term floor-quantization over array subscripts (1-based in
+    # DuckDB), CAST to DOUBLE before multiplying so float32 products
+    # are exact, integer sums order-free.
+    o["gram_matrix"] = """
+SELECT CAST(i.k AS INT) AS i, CAST(j.k AS INT) AS j,
+       CAST(SUM(FLOOR(CAST(embedding[i.k + 1] AS DOUBLE)
+                      * CAST(embedding[j.k + 1] AS DOUBLE)
+                      * 1073741824.0 + 0.5)) AS BIGINT) AS q_gram,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM embeddings, range(0, 64) i(k), range(0, 64) j(k)
+WHERE j.k >= i.k
+GROUP BY 1, 2
+"""
+
+    o["mean_vector"] = """
+SELECT CAST(i.k AS INT) AS i,
+       CAST(SUM(FLOOR(CAST(embedding[i.k + 1] AS DOUBLE)
+                      * 1073741824.0 + 0.5)) AS BIGINT) AS q_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM embeddings, range(0, 64) i(k)
+GROUP BY 1
+"""
+
     # Mann-Kendall + Theil-Sen (mann_kendall, theil_sen): calibrated
     # per-source closed forms w_s = gain_s·v_s + offset_s (CASE-gated
     # by the same validity), pairwise SIGNs / slopes, median-of-three
@@ -7690,6 +7740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "voronoi_vertices": q_voronoi_vertices,
         "mann_kendall": q_mann_kendall,
         "theil_sen": q_theil_sen,
+        "gram_matrix": q_gram_matrix,
+        "mean_vector": q_mean_vector,
         "delaunay_tin": q_delaunay_tin,
         "cm_sketch": q_cm_sketch,
         "bloom_filter": q_bloom_filter,
