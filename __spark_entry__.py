@@ -1232,6 +1232,26 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         TE.calibrate_stack(tiles, MK_GAINS, MK_OFFSETS))
 
 
+def q_temporal_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEST-PIXEL COMPOSITE (operators/temporal.py temporal_composite —
+    the max-value compositing rule, THE Landsat/Sentinel mosaicking
+    op; GeoTrellis = local max over a SpaceTimeKey stack): per pixel,
+    the scene value maximizing the metric across the calibrated stack,
+    EARLIEST scene on ties (strict `>` sweep in ascending source_idx).
+    Pure SELECTION — the winner is one of the inputs, so the quarter-
+    grid checksum is exact; the MK calibration makes the winning
+    source VARY per pixel and produces real ties (pytest-pinned).
+    Oracle: ordered CASE argmax over the per-source closed forms —
+    branch k fires iff source k is valid and ≥ every later valid
+    source, replaying the earliest-tie rule exactly."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import temporal as TE
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    return TE.temporal_composite(
+        TE.calibrate_stack(tiles, MK_GAINS, MK_OFFSETS))
+
+
 def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTRIBUTED GRAM MATRIX (operators/linalg.py — the reduction
     every 100TB embedding pipeline runs before PCA/whitening; the
@@ -4886,6 +4906,34 @@ SELECT 6 AS zoom, col, row, CAST(band AS INT) AS band,
 FROM sl GROUP BY 2, 3, 4
 """
 
+    # Best-pixel composite (temporal_composite): ordered CASE argmax —
+    # branch k fires iff source k is valid and >= every LATER valid
+    # source (w's are identical doubles on both sides, so tie
+    # comparisons agree bit-for-bit); earliest index wins ties exactly
+    # like the engine's strict-> ascending sweep.
+    o["temporal_composite"] = f"""
+WITH {_mk_px}, sl AS (
+  SELECT band, col, row, c0 + c1 + c2 AS n,
+         CASE WHEN c0 = 1 AND (c1 = 0 OR w0 >= w1)
+                         AND (c2 = 0 OR w0 >= w2) THEN w0
+              WHEN c1 = 1 AND (c2 = 0 OR w1 >= w2) THEN w1
+              ELSE w2 END AS best,
+         CASE WHEN c0 = 1 AND (c1 = 0 OR w0 >= w1)
+                         AND (c2 = 0 OR w0 >= w2) THEN 0
+              WHEN c1 = 1 AND (c2 = 0 OR w1 >= w2) THEN 1
+              ELSE 2 END AS src
+  FROM px
+)
+SELECT 6 AS zoom, col, row, CAST(band AS INT) AS band,
+       CAST(SUM(CASE WHEN n >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_px,
+       CAST(SUM(CASE WHEN n >= 1 THEN
+            CAST(FLOOR(best * 4.0 + 0.5) AS BIGINT)
+            ELSE 0 END) AS BIGINT) AS q_best_sum,
+       CAST(SUM(CASE WHEN n >= 1 THEN src ELSE 0 END) AS BIGINT)
+         AS src_sum
+FROM sl GROUP BY 2, 3, 4
+"""
+
     o["theil_sen"] = f"""
 WITH {_mk_px}, sl AS (
   SELECT band, col, row, c0*c1 + c1*c2 + c0*c2 AS p,
@@ -7740,6 +7788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "voronoi_vertices": q_voronoi_vertices,
         "mann_kendall": q_mann_kendall,
         "theil_sen": q_theil_sen,
+        "temporal_composite": q_temporal_composite,
         "gram_matrix": q_gram_matrix,
         "mean_vector": q_mean_vector,
         "delaunay_tin": q_delaunay_tin,

@@ -100,6 +100,55 @@ def calibrate_stack(tiles: DataFrame, gains: dict, offsets: dict,
     return tiles.mapInPandas(run, tiles.schema)
 
 
+_CP_OUT = ("zoom int, col bigint, row bigint, band int, "
+           "n_px bigint, q_best_sum bigint, src_sum bigint")
+
+
+def temporal_composite(tiles: DataFrame, tile_size: int = 64,
+                       q_best: float = 4.0) -> DataFrame:
+    """Per-pixel BEST-PIXEL COMPOSITE (the max-value compositing rule —
+    THE Landsat/Sentinel mosaicking op: per pixel, keep the observation
+    maximizing a quality metric across the scene stack; max-NDVI
+    compositing is this with the metric = the band value. GeoTrellis
+    ships it as the local max over a SpaceTimeKey layer stack; the
+    contrib tier feeds those stacks through LayoutTileSource, e.g.
+    /root/reference/vlm/src/main/scala/geotrellis/contrib/vlm/LayoutTileSource.scala:31-52).
+
+    Tie rule: EARLIEST scene wins (strict `>` against the running best,
+    scenes visited in ascending source_idx) — the deterministic
+    convention real compositors use so reruns are stable. Selection
+    only, no arithmetic: the winning value is one of the inputs, so
+    per-tile checksums stay exact under the quarter-grid fixture.
+
+    Spark shape: same ONE-shuffle stack-reduce as temporal_stats —
+    groupBy the spatial key, vectorized plane sweep; (value, source)
+    argmax is a semigroup so partial aggregation across time-sliced
+    files composes. Output per tile: n_px = pixels observed ≥ once,
+    q_best_sum = Σ floor(best·q + 0.5), src_sum = Σ winning source."""
+
+    def solve(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("source_idx", kind="mergesort")
+        best = np.full((tile_size, tile_size), -np.inf)
+        bsrc = np.full((tile_size, tile_size), -1, dtype=np.int64)
+        for row_t in pdf.itertuples():
+            arr = unpack(row_t.px, row_t.dtype, tile_size)
+            take = (~np.isnan(arr) & (arr != row_t.nodata)
+                    & (arr > best))
+            best = np.where(take, arr, best)
+            bsrc = np.where(take, int(row_t.source_idx), bsrc)
+        seen = bsrc >= 0
+        return pd.DataFrame({
+            "zoom": [int(key[0])], "col": [int(key[1])],
+            "row": [int(key[2])], "band": [int(key[3])],
+            "n_px": [int(seen.sum())],
+            "q_best_sum": [int(np.floor(best * q_best + 0.5)[seen]
+                               .astype(np.int64).sum())],
+            "src_sum": [int(bsrc[seen].sum())]})
+
+    return tiles.groupBy("zoom", "col", "row", "band") \
+                .applyInPandas(solve, _CP_OUT)
+
+
 _MK_OUT = ("zoom int, col bigint, row bigint, band int, "
            "n_px_pairs bigint, p_sum bigint, s_sum bigint")
 

@@ -284,3 +284,64 @@ def test_calibrate_stack_preserves_nodata(spark):
     arr = unpack(out.px, out.dtype, 2)
     assert arr[0, 0] == 12.0 and arr[1, 1] == 14.0
     assert arr[0, 1] == -9999.0 and np.isnan(arr[1, 0])
+
+
+def test_temporal_composite_vs_numpy_with_ties(spark):
+    # calibrated stack (the MK gains/offsets) so the winning source
+    # VARIES and real ties exist; engine vs an independent numpy argmax
+    from __spark_entry__ import MK_GAINS, MK_OFFSETS
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    got = {(r.col, r.row, r.band): r
+           for r in TE.temporal_composite(
+               TE.calibrate_stack(tiles, MK_GAINS, MK_OFFSETS))
+           .collect()}
+    assert len(got) == 6 * 4 * 2
+    r_idx = np.arange(64).reshape(-1, 1)
+    c_idx = np.arange(64).reshape(1, -1)
+    src_seen, tie_seen = set(), 0
+    for (col, row, band), g in got.items():
+        best = np.full((64, 64), -np.inf)
+        bsrc = np.full((64, 64), -1, dtype=np.int64)
+        planes = {}
+        for s in range(3):
+            if not (18 + s <= col <= 21 + s):
+                continue
+            v = (_fixture_value(s, col, row, band, r_idx, c_idx)
+                 .astype(np.float64) * MK_GAINS[s] + MK_OFFSETS[s])
+            h0 = (s * 11) % 48
+            valid = np.ones((64, 64), dtype=bool)
+            valid[h0:h0 + 16, h0:h0 + 16] = False
+            planes[s] = (v, valid)
+            take = valid & (v > best)
+            best = np.where(take, v, best)
+            bsrc = np.where(take, s, bsrc)
+        seen = bsrc >= 0
+        assert g.n_px == int(seen.sum())
+        assert g.q_best_sum == int(
+            np.floor(best * 4.0 + 0.5)[seen].astype(np.int64).sum())
+        assert g.src_sum == int(bsrc[seen].sum())
+        src_seen |= set(np.unique(bsrc[seen]).tolist())
+        for s, (v, valid) in planes.items():
+            for s2, (v2, valid2) in planes.items():
+                if s2 > s:
+                    tie_seen += int(
+                        (valid & valid2 & (v == v2)).sum())
+    assert src_seen == {0, 1, 2}        # winner varies across sources
+    assert tie_seen > 0                 # the tie rule is exercised
+
+
+def test_temporal_composite_tie_earliest(spark):
+    # two scenes, equal value at (0,0): scene 0 must win; strictly
+    # larger later value at (1,1): scene 1 wins; nodata-only (0,1)
+    a0 = np.array([[5.0, -9999.0], [1.0, 2.0]])
+    a1 = np.array([[5.0, -9999.0], [9.0, 1.0]])
+    rows = [("s", s, 3, 1, 1, 0, "float64", -9999.0, pack(v))
+            for s, v in enumerate([a0, a1])]
+    df = spark.createDataFrame(
+        rows, "source_id string, source_idx int, zoom int, col bigint, "
+              "row bigint, band int, dtype string, nodata double, "
+              "px binary")
+    got = TE.temporal_composite(df, tile_size=2).collect()[0]
+    assert got.n_px == 3
+    assert got.q_best_sum == int(4 * (5.0 + 9.0 + 2.0))
+    assert got.src_sum == 0 + 1 + 0
