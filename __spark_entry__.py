@@ -1252,6 +1252,23 @@ def q_temporal_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         TE.calibrate_stack(tiles, MK_GAINS, MK_OFFSETS))
 
 
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED SPHERICAL K-MEANS, 2 Lloyd iterations
+    (operators/similarity.py kmeans_lloyd — the clustering pass every
+    embedding pipeline runs for IVF index build / topic bucketing;
+    MacQueen 1967/Lloyd 1982): Knuth-hash seeds → cosine assignment
+    (in-batch argmax against the broadcast K-row centroid table, the
+    ivf_assign machinery) → quantized integer update state (≤ K·d rows
+    per batch — the constant-size-partial shape; no vector shuffles).
+    Centroid update (q_sum/q)/n is two IEEE divisions from the integer
+    state, bit-reproducible, so iteration 2's assignment runs against
+    byte-identical centroids on both sides. Oracle: the full two-
+    iteration chain as CTEs — seed LIMIT, ROW_NUMBER argmax, LIST()
+    rebuild, identical quantized sums."""
+    _views(spark, sf_dir)
+    return sim.kmeans_lloyd(spark.table("embeddings"), k=8, iters=2)
+
+
 def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTRIBUTED GRAM MATRIX (operators/linalg.py — the reduction
     every 100TB embedding pipeline runs before PCA/whitening; the
@@ -4849,6 +4866,50 @@ SELECT 6 AS zoom, col, row, CAST(band AS INT) AS band,
 FROM sl GROUP BY 2, 3, 4
 """
 
+    # Spherical k-means, 2 Lloyd iterations (kmeans_lloyd): the seed
+    # CTE is the select_centroids Knuth order; each assignment is the
+    # ROW_NUMBER cosine argmax with smallest-cid ties (the ivf_assign
+    # twin); iteration-2 centroids are rebuilt with the IDENTICAL
+    # (q_sum / q) / n two-division chain so both sides compare cosines
+    # against byte-identical doubles. SUM(BIGINT) → HUGEINT cast back.
+    o["kmeans_lloyd"] = """
+WITH cent0 AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings
+  ORDER BY ((vec_id % 2147483648) * 2654435761) % 2147483648, vec_id
+  LIMIT 8),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY LIST_COSINE_SIMILARITY(v.vec, c.cvec) DESC,
+                      c.cid) AS rn
+    FROM v CROSS JOIN cent0 c) t WHERE rn = 1),
+s1 AS (
+  SELECT a1.cid, kk.k AS i,
+         SUM(CAST(FLOOR(vec[kk.k + 1] * 1073741824.0 + 0.5)
+                  AS BIGINT)) AS q_sum,
+         COUNT(*) AS n
+  FROM a1 JOIN v USING (vec_id), range(0, 64) kk(k)
+  GROUP BY 1, 2),
+cent1 AS (
+  SELECT cid, LIST(q_sum / 1073741824.0 / n ORDER BY i) AS cvec
+  FROM s1 GROUP BY cid),
+a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY LIST_COSINE_SIMILARITY(v.vec, c.cvec) DESC,
+                      c.cid) AS rn
+    FROM v CROSS JOIN cent1 c) t WHERE rn = 1)
+SELECT a2.cid AS centroid_id, CAST(kk.k AS INT) AS i,
+       CAST(SUM(CAST(FLOOR(vec[kk.k + 1] * 1073741824.0 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS q_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM a2 JOIN v USING (vec_id), range(0, 64) kk(k)
+GROUP BY 1, 2
+"""
+
     # Gram matrix + mean vector (gram_matrix, mean_vector): identical
     # per-term floor-quantization over array subscripts (1-based in
     # DuckDB), CAST to DOUBLE before multiplying so float32 products
@@ -7789,6 +7850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall": q_mann_kendall,
         "theil_sen": q_theil_sen,
         "temporal_composite": q_temporal_composite,
+        "kmeans_lloyd": q_kmeans_lloyd,
         "gram_matrix": q_gram_matrix,
         "mean_vector": q_mean_vector,
         "delaunay_tin": q_delaunay_tin,

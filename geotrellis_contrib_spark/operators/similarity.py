@@ -561,3 +561,93 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, dims: int,
             .filter(F.col("rank") <= k)
             .select("query_id", "vec_id", "adc_q",
                     F.col("rank").cast("long").alias("rank")))
+
+
+def kmeans_lloyd_state(corpus: DataFrame, centroids,
+                       q: float = float(1 << 30),
+                       id_col="vec_id", vec_col="embedding") -> DataFrame:
+    """One Lloyd half-step (MacQueen 1967 / Lloyd 1982, spherical
+    variant — cosine assignment is the embedding-space convention):
+    assign every vector to its nearest centroid (pure Arrow map, same
+    in-batch argmax + smallest-cid tie rule as :func:`ivf_assign`),
+    then emit the quantized UPDATE STATE — per (centroid, dim) integer
+    sums floor(v·q + 0.5) plus counts. The state is the sufficient
+    statistic for the centroid update AND order-free (the gram_matrix
+    quantize-first rule), so partials from any partitioning merge
+    exactly. Per batch the output is ≤ K·d rows — constant-size, no
+    vector ever shuffles. `centroids` is a DataFrame (centroid_id,
+    cvec) or a pre-collected literal list."""
+    import pandas as pd
+
+    cents = (centroids if isinstance(centroids, list)
+             else _centroid_literals(centroids))
+    cids, C, cn = _centroid_matrix(cents)
+    dims = C.shape[1]
+    v = corpus.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("vec"))
+    v = ensure_min_parallelism(v)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cos, _ = _cos_matrix(pdf["vec"].to_numpy(), C, cn)
+            best = np.argmax(cos, axis=1)  # first max = smallest cid
+            V = np.stack([np.asarray(x, dtype=np.float64)
+                          for x in pdf["vec"].to_numpy()])
+            terms = np.floor(V * q + 0.5).astype(np.int64)
+            out_cid, out_i, out_q, out_n = [], [], [], []
+            for b in np.unique(best):
+                m = best == b
+                out_cid.append(np.full(dims, cids[b], dtype=np.int64))
+                out_i.append(np.arange(dims, dtype=np.int32))
+                out_q.append(terms[m].sum(axis=0))
+                out_n.append(np.full(dims, int(m.sum()), dtype=np.int64))
+            yield pd.DataFrame({
+                "centroid_id": np.concatenate(out_cid),
+                "i": np.concatenate(out_i),
+                "q_sum": np.concatenate(out_q),
+                "n_vecs": np.concatenate(out_n)})
+
+    parts = v.mapInPandas(
+        run, "centroid_id long, i int, q_sum bigint, n_vecs bigint")
+    return parts.groupBy("centroid_id", "i").agg(
+        F.sum("q_sum").alias("q_sum"), F.sum("n_vecs").alias("n_vecs"))
+
+
+def kmeans_lloyd(corpus: DataFrame, k: int = 8, iters: int = 2,
+                 q: float = float(1 << 30),
+                 id_col="vec_id", vec_col="embedding") -> DataFrame:
+    """Distributed spherical k-means, `iters` Lloyd iterations from the
+    deterministic Knuth-hash seeds (:func:`select_centroids`). Each
+    iteration is ONE corpus scan: assignment is an in-batch argmax
+    against the broadcast-collected K-row centroid table, the update
+    is the constant-size quantized state (≤ K·d rows — that collect IS
+    the broadcast refresh, the canonical k-means shape at any corpus
+    size). Centroid update c'[i] = (q_sum / q) / n — two IEEE
+    divisions, bit-reproducible from the integer state, so the SQL
+    oracle replays the whole iteration chain exactly. Empty clusters
+    fail loud (re-seeding would be a policy choice; silence would
+    corrupt the oracle contract). Returns the final update state."""
+    cents = _centroid_literals(select_centroids(corpus, k,
+                                                id_col, vec_col))
+    for _ in range(iters - 1):
+        rows = kmeans_lloyd_state(corpus, cents, q,
+                                  id_col, vec_col).collect()
+        if len({r["centroid_id"] for r in rows}) < len(cents):
+            raise ValueError(
+                f"kmeans_lloyd: empty cluster (got "
+                f"{len({r['centroid_id'] for r in rows})} of "
+                f"{len(cents)}); re-seed or lower k")
+        acc: dict = {}
+        for r in rows:
+            acc.setdefault(r["centroid_id"], {})[r["i"]] = \
+                (r["q_sum"], r["n_vecs"])
+        import math
+        cents = []
+        for cid, by_i in acc.items():
+            vec = [(by_i[i][0] / q) / by_i[i][1]
+                   for i in range(len(by_i))]
+            cents.append((int(cid), vec,
+                          math.sqrt(sum(x * x for x in vec))))
+    return kmeans_lloyd_state(corpus, cents, q, id_col, vec_col)

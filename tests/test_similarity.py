@@ -139,3 +139,77 @@ def test_pq_adc_exact_duplicate_ranks_first(spark):
     assert top.vec_id == 59 and top.rank == 1
     # and every other candidate scores >= the duplicate
     assert all(r.adc_q >= top.adc_q for r in rows)
+
+
+def _np_lloyd_state(X, cents_sorted, q=float(1 << 30)):
+    """Independent replay: cosine argmax (smallest-cid ties via argmax
+    over ascending-cid columns) + quantized per-cluster dim sums."""
+    cids = np.array(sorted(c[0] for c in cents_sorted))
+    C = np.array([v for _, v in sorted(cents_sorted)], dtype=np.float64)
+    cos = (X @ C.T) / (np.linalg.norm(X, axis=1)[:, None]
+                       * np.linalg.norm(C, axis=1)[None, :])
+    best = np.argmax(cos, axis=1)
+    state = {}
+    terms = np.floor(X * q + 0.5).astype(np.int64)
+    for b in np.unique(best):
+        m = best == b
+        state[int(cids[b])] = (terms[m].sum(axis=0), int(m.sum()))
+    return best, state
+
+
+def test_kmeans_lloyd_two_iterations_vs_numpy(spark):
+    # well-separated blobs + stragglers so iteration 2 actually MOVES
+    # assignments (asserted — otherwise the 2-iteration claim is vacuous)
+    rng = np.random.RandomState(11)
+    centers = rng.normal(size=(3, DIMS)).astype(np.float64) * 4
+    X = np.concatenate([
+        centers[i] + rng.normal(scale=0.4, size=(30, DIMS))
+        for i in range(3)]).astype(np.float32).astype(np.float64)
+    rows = [(int(i), [float(x) for x in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    X = np.stack([np.asarray(r[1], dtype=np.float32) for r in rows]) \
+        .astype(np.float64)  # float32 round-trip = what the engine sees
+
+    # replay: seeds = Knuth order, then one update + reassign
+    k = 3
+    h = [((i % 2**31) * 2654435761 % 2**31, i) for i in range(len(X))]
+    seed_ids = [i for _, i in sorted(h)[:k]]
+    cents = [(i, X[i].tolist()) for i in seed_ids]
+    best1, state1 = _np_lloyd_state(X, cents)
+    q = float(1 << 30)
+    cents2 = [(cid, ((s / q) / n).tolist())
+              for cid, (s, n) in state1.items()]
+    best2, state2 = _np_lloyd_state(X, cents2)
+    assert (best1 != best2).any()          # iteration 2 moved something
+
+    got = {(r.centroid_id, r.i): (r.q_sum, r.n_vecs)
+           for r in sim.kmeans_lloyd(df, k=3, iters=2).collect()}
+    exp = {(cid, i): (int(s[i]), n)
+           for cid, (s, n) in state2.items() for i in range(DIMS)}
+    assert got == exp
+
+
+def test_kmeans_lloyd_empty_cluster_fail_loud(spark):
+    # two identical vectors, k=2: one seed captures both (smallest-cid
+    # tie), the other cluster is empty -> must raise, not silently drop
+    rows = [(0, [1.0] * DIMS), (1, [1.0] * DIMS)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty cluster"):
+        sim.kmeans_lloyd(df, k=2, iters=2)
+
+
+def test_kmeans_state_partition_invariance(spark):
+    rng = np.random.RandomState(5)
+    X = rng.normal(size=(50, DIMS)).astype(np.float32)
+    rows = [(int(i), [float(x) for x in X[i]]) for i in range(50)]
+    cents = [(0, X[0].astype(np.float64).tolist(),
+              float(np.sqrt(np.sum(X[0].astype(np.float64)**2)))),
+             (7, X[7].astype(np.float64).tolist(),
+              float(np.sqrt(np.sum(X[7].astype(np.float64)**2))))]
+    outs = []
+    for parts in (1, 9):
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>").repartition(parts)
+        outs.append({(r.centroid_id, r.i): (r.q_sum, r.n_vecs)
+                     for r in sim.kmeans_lloyd_state(df, cents).collect()})
+    assert outs[0] == outs[1] and len(outs[0]) > 0
