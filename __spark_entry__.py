@@ -1252,6 +1252,36 @@ def q_temporal_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         TE.calibrate_stack(tiles, MK_GAINS, MK_OFFSETS))
 
 
+def q_segment_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEGMENT-INTERSECTION JOIN (operators/spatial_join.py
+    segment_intersection_join — the line-layer overlay op of the vector
+    family; JTS geometry.intersection semantics for the proper-crossing
+    case): every properly-crossing (A, B) segment pair with the
+    crossing point as the EXACT rational integer triple (num_x, num_y,
+    den), den pinned to |cross(a_dir, b_dir)| (the Voronoi
+    representation trick — numerators uniquely determined, no gcd, no
+    float anywhere). Scale shape: bounded bbox→cell explode, ONE int64
+    equi-join, pair dedupe FREE via the provably-shared canonical cell
+    (no DISTINCT shuffle); all int64 Column algebra in whole-stage
+    codegen. Fixture: segments from doc_id mod-folds — DISTINCT by
+    m = doc_id % 3001 bounds the table at 3001 rows at ANY scale
+    factor. Oracle: brute-force pair test with the identical straddle
+    signs and numerator formulas."""
+    _views(spark, sf_dir)
+    segs = (spark.table("anchors")
+            .select((F.col("doc_id") % 3001).alias("m")).distinct()
+            .select(F.col("m").alias("seg_id"),
+                    (F.col("m") % 89).alias("x1"),
+                    ((F.col("m") * 7) % 97).alias("y1"),
+                    ((F.col("m") % 89) + 1 + (F.col("m") % 11))
+                    .alias("x2"),
+                    (((F.col("m") * 7) % 97) - 13 + ((F.col("m") * 3)
+                                                     % 27)).alias("y2")))
+    return sj.segment_intersection_join(
+        segs.filter(F.col("seg_id") % 2 == 0),
+        segs.filter(F.col("seg_id") % 2 == 1))
+
+
 def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTRIBUTED SPHERICAL K-MEANS, 2 Lloyd iterations
     (operators/similarity.py kmeans_lloyd — the clustering pass every
@@ -4866,6 +4896,46 @@ SELECT 6 AS zoom, col, row, CAST(band AS INT) AS band,
 FROM sl GROUP BY 2, 3, 4
 """
 
+    # Segment-intersection join (segment_intersections): brute-force
+    # pair test over the mod-folded segment fixture with the IDENTICAL
+    # integer straddle signs and rational-point numerators (den pinned
+    # to |cross| — the Voronoi representation trick, no gcd). Proper
+    # crossings only: strict sign opposition on both tests.
+    o["segment_intersections"] = derive.cte('anchors') + """,
+segs AS (SELECT DISTINCT doc_id % 3001 AS m FROM anchors),
+s AS (SELECT m AS seg_id, m % 89 AS x1, (m * 7) % 97 AS y1,
+             (m % 89) + 1 + (m % 11) AS x2,
+             ((m * 7) % 97) - 13 + ((m * 3) % 27) AS y2
+      FROM segs),
+d AS (
+  SELECT a.seg_id AS a_id, b.seg_id AS b_id,
+         a.x1 AS ax1, a.y1 AS ay1,
+         a.x2 - a.x1 AS rx, a.y2 - a.y1 AS ry,
+         b.x2 - b.x1 AS sx, b.y2 - b.y1 AS sy,
+         (a.x2 - a.x1) * (b.y1 - a.y1)
+           - (a.y2 - a.y1) * (b.x1 - a.x1) AS d1,
+         (a.x2 - a.x1) * (b.y2 - a.y1)
+           - (a.y2 - a.y1) * (b.x2 - a.x1) AS d2,
+         (b.x2 - b.x1) * (a.y1 - b.y1)
+           - (b.y2 - b.y1) * (a.x1 - b.x1) AS d3,
+         (b.x2 - b.x1) * (a.y2 - b.y1)
+           - (b.y2 - b.y1) * (a.x2 - b.x1) AS d4,
+         (a.x2 - a.x1) * (b.y2 - b.y1)
+           - (a.y2 - a.y1) * (b.x2 - b.x1) AS den0,
+         (b.x1 - a.x1) * (b.y2 - b.y1)
+           - (b.y1 - a.y1) * (b.x2 - b.x1) AS tn
+  FROM s a JOIN s b ON a.seg_id % 2 = 0 AND b.seg_id % 2 = 1)
+SELECT a_id, b_id,
+       (CASE WHEN den0 < 0 THEN -1 ELSE 1 END)
+         * (ax1 * den0 + rx * tn) AS num_x,
+       (CASE WHEN den0 < 0 THEN -1 ELSE 1 END)
+         * (ay1 * den0 + ry * tn) AS num_y,
+       (CASE WHEN den0 < 0 THEN -1 ELSE 1 END) * den0 AS den
+FROM d
+WHERE ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+  AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))
+"""
+
     # Spherical k-means, 2 Lloyd iterations (kmeans_lloyd): the seed
     # CTE is the select_centroids Knuth order; each assignment is the
     # ROW_NUMBER cosine argmax with smallest-cid ties (the ivf_assign
@@ -7850,6 +7920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall": q_mann_kendall,
         "theil_sen": q_theil_sen,
         "temporal_composite": q_temporal_composite,
+        "segment_intersections": q_segment_intersections,
         "kmeans_lloyd": q_kmeans_lloyd,
         "gram_matrix": q_gram_matrix,
         "mean_vector": q_mean_vector,

@@ -184,3 +184,103 @@ def distance_join(points_a: DataFrame, points_b: DataFrame, radius: float,
                           F.col(f"b_{lon}"), F.col(f"b_{lat}"))
     return joined.withColumn(dist_col, d).filter(F.col(dist_col) < radius) \
                  .drop("cell")
+
+
+def segment_intersection_join(a: DataFrame, b: DataFrame,
+                              cell: int = 16,
+                              max_cells_per_seg: int = 4096) -> DataFrame:
+    """Segment × segment PROPER-intersection join with EXACT rational
+    intersection points — the line-layer overlay op (GeoTrellis exposes
+    it as geometry.intersection over vector layers via JTS; the
+    reference's vector side rides the same JTS geometries, e.g. the
+    PostGIS geometry columns of
+    /root/reference/slick/src/test/scala/geotrellis/slick/PostgisSpec.scala:133-140).
+
+    Inputs: integer-coordinate segment tables (seg_id, x1, y1, x2, y2).
+    Output one row per properly-crossing pair: (a_id, b_id, num_x,
+    num_y, den) where the crossing point is EXACTLY (num_x/den,
+    num_y/den), den = |cross(a_dir, b_dir)| > 0 pinned (the Voronoi
+    representation trick — with den pinned the numerators are uniquely
+    determined integers, so no gcd, no float, bit-exact both sides).
+    Proper = strict sign-opposition on both straddle tests; collinear
+    overlaps and endpoint touches are excluded by construction (the
+    deterministic convention; touching-pair semantics belong to a
+    snap-tolerance pass, not an exact join).
+
+    Scale shape: each segment explodes to the grid cells of its bbox
+    (bounded fan-out, in-plan raise past ``max_cells_per_seg``), the
+    join is ONE int64-cell equi-join, and the pair DEDUPE IS FREE — a
+    matched pair is kept only in the single cell
+    (max(a_cxmin, b_cxmin), max(a_cymin, b_cymin)), which both cover
+    rectangles provably contain, so no DISTINCT shuffle exists. All
+    arithmetic is int64 Column algebra inside whole-stage codegen:
+    coords < 2^15 keep every cross < 2^31 and every numerator < 2^48.
+    """
+    def prep(df: DataFrame, tag: str) -> DataFrame:
+        over = ((F.greatest(F.abs(F.col("x1")), F.abs(F.col("y1")),
+                            F.abs(F.col("x2")), F.abs(F.col("y2")))
+                 >= F.lit(1 << 15)) |
+                ((F.col("x1") == F.col("x2"))
+                 & (F.col("y1") == F.col("y2"))))
+        chk = F.when(over, F.raise_error(F.concat(
+            F.lit(f"segment_intersection_join[{tag}]: coordinate "
+                  f"past int64 envelope (|v| >= 2^15) or degenerate "
+                  f"point segment, seg_id="),
+            F.col("seg_id").cast("string")))).otherwise(F.lit(0))
+        cxmin = F.floor(F.least("x1", "x2") / cell)
+        cxmax = F.floor(F.greatest("x1", "x2") / cell)
+        cymin = F.floor(F.least("y1", "y2") / cell)
+        cymax = F.floor(F.greatest("y1", "y2") / cell)
+        fan = F.when(
+            (cxmax - cxmin + 1) * (cymax - cymin + 1)
+            > F.lit(max_cells_per_seg),
+            F.raise_error(F.concat(
+                F.lit(f"segment_intersection_join[{tag}]: bbox covers "
+                      f"> {max_cells_per_seg} cells, seg_id="),
+                F.col("seg_id").cast("string")))).otherwise(F.lit(0))
+        return (df.select(
+            (F.col("seg_id") + chk + fan).alias(f"{tag}_id"),
+            *[F.col(c).cast("long").alias(f"{tag}_{c}")
+              for c in ("x1", "y1", "x2", "y2")],
+            cxmin.alias(f"{tag}_cxmin"), cymin.alias(f"{tag}_cymin"),
+            F.explode(F.sequence(cxmin, cxmax)).alias("ccx"))
+            .withColumn("ccy", F.explode(F.sequence(
+                F.floor(F.least(f"{tag}_y1", f"{tag}_y2") / cell),
+                F.floor(F.greatest(f"{tag}_y1", f"{tag}_y2") / cell))))
+            .withColumn("ccell", F.col("ccx") * F.lit(1 << 20)
+                        + F.col("ccy"))
+            .drop("ccx", "ccy"))
+
+    pa, pb = prep(a, "a"), prep(b, "b")
+    j = pa.join(pb, "ccell")
+    # free dedupe: keep the pair only in the provably-shared canonical
+    # cell — the top-left-most cell of the bbox intersection
+    canon = (F.greatest("a_cxmin", "b_cxmin") * F.lit(1 << 20)
+             + F.greatest("a_cymin", "b_cymin"))
+    j = j.filter(F.col("ccell") == canon)
+
+    rx, ry = F.col("a_x2") - F.col("a_x1"), F.col("a_y2") - F.col("a_y1")
+    sx, sy = F.col("b_x2") - F.col("b_x1"), F.col("b_y2") - F.col("b_y1")
+    # straddle tests: b endpoints against line a, a endpoints against b
+    d1 = rx * (F.col("b_y1") - F.col("a_y1")) \
+        - ry * (F.col("b_x1") - F.col("a_x1"))
+    d2 = rx * (F.col("b_y2") - F.col("a_y1")) \
+        - ry * (F.col("b_x2") - F.col("a_x1"))
+    d3 = sx * (F.col("a_y1") - F.col("b_y1")) \
+        - sy * (F.col("a_x1") - F.col("b_x1"))
+    d4 = sx * (F.col("a_y2") - F.col("b_y1")) \
+        - sy * (F.col("a_x2") - F.col("b_x1"))
+    # sign opposition, NOT d1*d2 < 0: the straddle determinants reach
+    # 2^33, so their product would overflow int64
+    j = j.filter((((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0)))
+                 & (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))))
+
+    den = rx * sy - ry * sx                      # ≠ 0 given proper cross
+    tn = (F.col("b_x1") - F.col("a_x1")) * sy \
+        - (F.col("b_y1") - F.col("a_y1")) * sx   # t = tn/den along a
+    sgn = F.when(den < 0, F.lit(-1)).otherwise(F.lit(1))
+    return j.select(
+        F.col("a_id"), F.col("b_id"),
+        (sgn * (F.col("a_x1") * den + rx * tn)).alias("num_x"),
+        (sgn * (F.col("a_y1") * den + ry * tn)).alias("num_y"),
+        (sgn * den).alias("den"))
