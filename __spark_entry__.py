@@ -1252,6 +1252,39 @@ def q_temporal_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         TE.calibrate_stack(tiles, MK_GAINS, MK_OFFSETS))
 
 
+def q_fill_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILL SINKS — Planchon & Darboux 2001, eps=0, 8-connectivity
+    (operators/focal.py fill_sinks — the standard DEM pit-filling
+    preprocessing ahead of D8 flow direction/accumulation; GeoTrellis
+    raster.hydrology family): W = unique fixpoint of max(dem, min of
+    8-neighbor W) with NoData/edge as outlets = the level water
+    settles at. Pure max/min SELECTION over dem values — zero
+    arithmetic — so checksums are exact. Fixture: a strictly tilted
+    plane (no native pits) with two rectangular basins per source,
+    both STRADDLING tile seams; the tilt makes the fill level closed-
+    form (W = max(dem, pour level of the basin's outer-ring minimum),
+    W = dem elsewhere — the escape-corridor argument in
+    corpus.synth_dem_tiles). Oracle: that closed form per pixel."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import focal as FO
+    tiles = corpus_mod.synth_dem_tiles(spark)
+    return FO.fill_sinks(tiles)
+
+
+def q_fill_sinks_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILL SINKS, FORCED-DISTRIBUTED (scene_max_px=0): the synchronous
+    halo-rounds path — round 0 solves each tile's local fixpoint with
+    unknown (+inf) data-neighbor ring and outlet (-inf) absent/NoData
+    ring, then 1-px W strips exchange per round; ring inputs only
+    DECREASE, so in-tile fixpoints descend monotonically to the global
+    fixpoint, bit-identical to the scene solve (selection only). Same
+    closed-form oracle; scene-vs-dist parity is also pytest-pinned."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import focal as FO
+    tiles = corpus_mod.synth_dem_tiles(spark)
+    return FO.fill_sinks(tiles, scene_max_px=0)
+
+
 def q_segment_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEGMENT-INTERSECTION JOIN (operators/spatial_join.py
     segment_intersection_join — the line-layer overlay op of the vector
@@ -4896,6 +4929,46 @@ SELECT 6 AS zoom, col, row, CAST(band AS INT) AS band,
 FROM sl GROUP BY 2, 3, 4
 """
 
+    # Fill sinks (fill_sinks, fill_sinks_dist): the designed-basin DEM's
+    # closed form — W = max(dem, pour) inside a basin (pour = the
+    # basin's outer-ring minimum, sitting at the ring's top-left corner
+    # of the tilted plane), W = dem elsewhere (the escape-corridor
+    # argument in corpus.synth_dem_tiles). All quarter-grid exact.
+    _fill_sql = """
+WITH px AS (
+  SELECT s, col, row,
+         (row - 40) * 64 + ri AS rg, (col - 30) * 64 + ci AS cg
+  FROM range(0,2) ss(s), range(30,34) cs(col), range(40,44) rs(row),
+       range(0,64) ris(ri), range(0,64) cis(ci)
+),
+d AS (
+  SELECT s, col, row,
+         NOT (rg BETWEEN 200 AND 215 AND cg BETWEEN 20 AND 35) AS valid,
+         (rg + 2 * cg) * 0.25
+           - (CASE WHEN rg BETWEEN 40 AND 70 AND cg BETWEEN 50 AND 90
+                   THEN 12.0 + 3.0 * s
+                   WHEN rg BETWEEN 150 AND 180
+                        AND cg BETWEEN 130 AND 200
+                   THEN 25.0 + 5.0 * s ELSE 0.0 END) AS dem,
+         CASE WHEN rg BETWEEN 40 AND 70 AND cg BETWEEN 50 AND 90
+              THEN 34.25
+              WHEN rg BETWEEN 150 AND 180 AND cg BETWEEN 130 AND 200
+              THEN 101.75 ELSE NULL END AS pour
+  FROM px
+)
+SELECT CONCAT('dem-', s) AS source_id, 0 AS band, col, row,
+       CAST(SUM(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_valid,
+       CAST(SUM(CASE WHEN valid AND pour IS NOT NULL AND pour > dem
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+       CAST(SUM(CASE WHEN valid THEN
+            CAST(FLOOR(GREATEST(dem, COALESCE(pour, dem)) * 4.0 + 0.5)
+                 AS BIGINT) ELSE 0 END) AS BIGINT) AS q_fill_sum
+FROM d GROUP BY 1, 2, 3, 4
+"""
+    o["fill_sinks"] = _fill_sql
+    o["fill_sinks_dist"] = _fill_sql
+
     # Segment-intersection join (segment_intersections): brute-force
     # pair test over the mod-folded segment fixture with the IDENTICAL
     # integer straddle signs and rational-point numerators (den pinned
@@ -7920,6 +7993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall": q_mann_kendall,
         "theil_sen": q_theil_sen,
         "temporal_composite": q_temporal_composite,
+        "fill_sinks": q_fill_sinks,
+        "fill_sinks_dist": q_fill_sinks_dist,
         "segment_intersections": q_segment_intersections,
         "kmeans_lloyd": q_kmeans_lloyd,
         "gram_matrix": q_gram_matrix,

@@ -648,3 +648,60 @@ def synth_friction_tiles(spark: SparkSession, tile_size: int = 64,
         rows, "source_id string, source_idx int, zoom int, col bigint, "
               "row bigint, band int, dtype string, nodata double, "
               "px binary").coalesce(8)
+
+
+# Designed-basin DEM fixture for the fill_sinks gates: a strictly tilted
+# plane dem0 = (rg + 2*cg)/4 (no pits of its own) with two rectangular
+# depressions punched per source (depth varies by source) and one NoData
+# hole. The tilt makes the fill level CLOSED-FORM: every escape path
+# from a basin must cross the basin's 1-px outer ring, whose minimum sits
+# at the ring's top-left corner (base increases in both r and c), and
+# from that corner the single row rmin-1 drains monotonically to the
+# scene edge without crossing the hole or climbing (verified by the
+# constants below) — so W = max(dem, L) inside a basin with
+# L = (rmin-1 + 2*(cmin-1))/4, and W = dem everywhere else. Both basins
+# STRADDLE tile seams, so the distributed halo-rounds path has real
+# cross-tile work. All values quarter-grid => exact checksums.
+DEM_BASINS = [(40, 70, 50, 90, 12.0, 3.0),      # rmin rmax cmin cmax d0 ds
+              (150, 180, 130, 200, 25.0, 5.0)]
+DEM_HOLE = (200, 215, 20, 35)                    # rmin rmax cmin cmax
+
+
+def dem_pour_level(rmin: int, cmin: int) -> float:
+    return ((rmin - 1) + 2.0 * (cmin - 1)) * 0.25
+
+
+def synth_dem_tiles(spark: SparkSession, zoom: int = 6, n_tiles: int = 4,
+                    tile_size: int = 64, n_sources: int = 2,
+                    base_col: int = 30, base_row: int = 40,
+                    nodata: float = -9999.0,
+                    partitions: int = 8) -> DataFrame:
+    """Basin DEM fixture (see DEM_BASINS): n_tiles x n_tiles block per
+    source on the SAME grid, single band 0."""
+    import numpy as np
+
+    from geotrellis_contrib_spark.operators.pixels import pack
+
+    t = tile_size
+    rows = []
+    for s in range(n_sources):
+        for tc in range(n_tiles):
+            for tr in range(n_tiles):
+                col, row = base_col + tc, base_row + tr
+                rg = (np.arange(t) + tr * t).reshape(-1, 1)
+                cg = (np.arange(t) + tc * t).reshape(1, -1)
+                dem = (rg + 2.0 * cg) * 0.25
+                for rmin, rmax, cmin, cmax, d0, ds in DEM_BASINS:
+                    inb = ((rg >= rmin) & (rg <= rmax)
+                           & (cg >= cmin) & (cg <= cmax))
+                    dem = np.where(inb, dem - (d0 + ds * s), dem)
+                hr0, hr1, hc0, hc1 = DEM_HOLE
+                hole = ((rg >= hr0) & (rg <= hr1)
+                        & (cg >= hc0) & (cg <= hc1))
+                dem = np.where(hole, nodata, dem)
+                rows.append((f"dem-{s}", s, zoom, col, row, 0,
+                             "float64", nodata, pack(dem)))
+    return spark.createDataFrame(
+        rows, "source_id string, source_idx int, zoom int, col bigint, "
+              "row bigint, band int, dtype string, nodata double, "
+              "px binary").coalesce(partitions)

@@ -1131,3 +1131,273 @@ def watershed_labels(tiles: DataFrame, tile_size: int = 64,
     if _scene_small(tiles, t, scene_max_px):
         return _watershed_scene(tiles, t)
     return _watershed_dist(tiles, t, max_rounds)
+
+
+# ---------------------------------------------------------------------------
+# Fill sinks (Planchon & Darboux 2001, eps=0, 8-connectivity) — the
+# standard DEM pit-filling preprocessing ahead of D8 flow direction /
+# accumulation (GeoTrellis raster.hydrology family; the reference feeds
+# hydrology through the same tiled RasterSource plumbing, e.g.
+# /root/reference/gdal/src/it/scala/geotrellis/contrib/vlm/SubsceneReadingIT.scala:91-97).
+#
+# Semantics: W is the unique fixpoint of W(c) = max(dem(c), min over the
+# 8 neighbors n of W(n)), starting from W = +inf on interior valid cells,
+# where NoData cells and cells beyond the data edge act as OUTLETS
+# (encoded uniformly as W = -inf, so a cell adjacent to one relaxes to
+# its own dem — no special boundary init). Equivalently W(c) = the min
+# over escape paths to an outlet of the max dem along the path ("the
+# level water settles at"). W only DECREASES toward the fixpoint, values
+# are SELECTED from the dem's value set (max/min only, zero arithmetic),
+# so scene and distributed paths are bit-identical by construction.
+# ---------------------------------------------------------------------------
+
+_FILL_SCHEMA = ("source_id string, band int, col bigint, row bigint, "
+                "n_valid bigint, n_filled bigint, q_fill_sum bigint")
+_FILL_STATE = ("source_id string, band int, col bigint, row bigint, "
+               "dem binary, w binary, improved int")
+_FILL_PIECE = ("source_id string, band int, col bigint, row bigint, "
+               "dr int, dc int, h int, w int, wvals binary")
+
+
+def _fill_gs(wf: np.ndarray, z: np.ndarray, valid: np.ndarray) -> None:
+    """In-frame Gauss–Seidel Planchon–Darboux sweeps to the LOCAL
+    fixpoint, in place. ``wf`` is the (H+2, W+2) water frame whose 1-px
+    ring is FROZEN input (-inf = outlet, +inf = unknown neighbor,
+    else the neighbor's current W); interior carries the current state
+    (-inf on invalid cells). Four row/column sweeps per macro round
+    (down/up/right/left — each uses already-updated predecessor lines,
+    so information crosses the frame in one sweep per direction);
+    terminates when a full round changes nothing. W is monotone
+    non-increasing and drawn from a finite value set, so termination is
+    guaranteed; the guard is a pure fail-loud."""
+    H, W = z.shape
+
+    def relax_line(fi_line, prev, same_l, same_r, nxt, zi, vi):
+        m = np.minimum(np.minimum(
+            np.minimum(prev[:-2], prev[1:-1]), prev[2:]),
+            np.minimum(np.minimum(same_l, same_r),
+                       np.minimum(np.minimum(nxt[:-2], nxt[1:-1]),
+                                  nxt[2:])))
+        cand = np.maximum(zi, m)
+        return np.where(vi, np.minimum(fi_line, cand), fi_line)
+
+    for _ in range(H * W + 2):
+        before = wf[1:1 + H, 1:1 + W].copy()
+        for i in range(H):                       # down sweep
+            fi = i + 1
+            wf[fi, 1:-1] = relax_line(
+                wf[fi, 1:-1], wf[fi - 1], wf[fi, :-2], wf[fi, 2:],
+                wf[fi + 1], z[i], valid[i])
+        for i in range(H - 1, -1, -1):           # up sweep
+            fi = i + 1
+            wf[fi, 1:-1] = relax_line(
+                wf[fi, 1:-1], wf[fi - 1], wf[fi, :-2], wf[fi, 2:],
+                wf[fi + 1], z[i], valid[i])
+        for j in range(W):                       # right sweep
+            fj = j + 1
+            wf[1:-1, fj] = relax_line(
+                wf[1:-1, fj], wf[:, fj - 1], wf[:-2, fj], wf[2:, fj],
+                wf[:, fj + 1], z[:, j], valid[:, j])
+        for j in range(W - 1, -1, -1):           # left sweep
+            fj = j + 1
+            wf[1:-1, fj] = relax_line(
+                wf[1:-1, fj], wf[:, fj - 1], wf[:-2, fj], wf[2:, fj],
+                wf[:, fj + 1], z[:, j], valid[:, j])
+        if np.array_equal(before, wf[1:1 + H, 1:1 + W]):
+            return
+    raise RuntimeError(
+        "fill_sinks: in-frame sweep guard exceeded")  # pragma: no cover
+
+
+def _fill_rollup_row(source_id, band, col, row, w, z, valid, q_fill):
+    filled = valid & (w > z)
+    return {"source_id": source_id, "band": int(band),
+            "col": int(col), "row": int(row),
+            "n_valid": int(valid.sum()),
+            "n_filled": int(filled.sum()),
+            "q_fill_sum": int(np.floor(w * q_fill + 0.5)[valid]
+                              .astype(np.int64).sum())}
+
+
+def _fill_scene(tiles: DataFrame, t: int, q_fill: float) -> DataFrame:
+    """Small-scene fast path: one task per (source, band) assembles the
+    mosaic and sweeps to the global fixpoint directly."""
+
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        source_id, band = key[0], int(key[1])
+        cols = pdf["col"].to_numpy()
+        rows = pdf["row"].to_numpy()
+        c0, r0 = int(cols.min()), int(rows.min())
+        nc, nr = int(cols.max()) - c0 + 1, int(rows.max()) - r0 + 1
+        z = np.full((nr * t, nc * t), np.nan)
+        for row_t in pdf.itertuples(index=False):
+            arr = np.frombuffer(row_t.px, dtype=DTYPES[row_t.dtype]) \
+                    .reshape(t, t).astype(np.float64)
+            z[(int(row_t.row) - r0) * t:(int(row_t.row) - r0 + 1) * t,
+              (int(row_t.col) - c0) * t:(int(row_t.col) - c0 + 1) * t] \
+                = np.where(arr == row_t.nodata, np.nan, arr)
+        valid = ~np.isnan(z)
+        wf = np.full((z.shape[0] + 2, z.shape[1] + 2), -np.inf)
+        wf[1:-1, 1:-1] = np.where(valid, np.inf, -np.inf)
+        _fill_gs(wf, z, valid)
+        w = wf[1:-1, 1:-1]
+        out = []
+        for row_t in pdf.itertuples(index=False):
+            ty = (int(row_t.row) - r0) * t
+            tx = (int(row_t.col) - c0) * t
+            sl = (slice(ty, ty + t), slice(tx, tx + t))
+            out.append(_fill_rollup_row(source_id, band, row_t.col,
+                                        row_t.row, w[sl], z[sl],
+                                        valid[sl], q_fill))
+        return pd.DataFrame(out, columns=["source_id", "band", "col",
+                                          "row", "n_valid", "n_filled",
+                                          "q_fill_sum"])
+
+    return tiles.groupBy("source_id", "band").applyInPandas(
+        run, _FILL_SCHEMA)
+
+
+def _fill_rounds(tiles: DataFrame, t: int, q_fill: float,
+                 max_iter: int) -> DataFrame:
+    """Distributed path (the cost_distance / flow_accumulation
+    synchronous-rounds template): NO scene-size bound. Round 0 solves
+    each tile's local fixpoint with +inf (unknown) on data-neighbor
+    ring cells and -inf (outlet) on absent/NoData ring cells; each
+    round exchanges 1-px W edge strips and re-sweeps against the
+    neighbors' frozen W. Ring inputs only DECREASE per round, so the
+    in-tile fixpoints decrease monotonically to the global fixpoint —
+    exact, bit-identical to the scene solve (selection only, no
+    arithmetic). Per-round shuffle is O(perimeter) strips."""
+
+    def init(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        source_id, band, col, row = key
+        frame = _assemble_frame(pdf, 1, t)
+        if frame is None:
+            return pd.DataFrame(columns=["source_id", "band", "col",
+                                         "row", "dem", "w", "improved"])
+        z = frame[1:1 + t, 1:1 + t]
+        valid = ~np.isnan(z)
+        wf = np.where(np.isnan(frame), -np.inf, np.inf)
+        wf[1:1 + t, 1:1 + t] = np.where(valid, np.inf, -np.inf)
+        _fill_gs(wf, z, valid)
+        return pd.DataFrame([{
+            "source_id": source_id, "band": int(band),
+            "col": int(col), "row": int(row),
+            "dem": pack(np.ascontiguousarray(z)),
+            "w": pack(np.ascontiguousarray(wf[1:1 + t, 1:1 + t])),
+            "improved": 1}])
+
+    state = _halo_pieces(tiles, 1, t) \
+        .groupBy("source_id", "band", "col", "row") \
+        .applyInPandas(init, _FILL_STATE).localCheckpoint(eager=True)
+
+    def cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row_t in pdf.itertuples(index=False):
+                w = np.frombuffer(row_t.w, dtype=np.float64) \
+                      .reshape(t, t)
+                out.append({"source_id": row_t.source_id,
+                            "band": int(row_t.band),
+                            "col": int(row_t.col), "row": int(row_t.row),
+                            "dr": 0, "dc": 0, "h": t, "w": t,
+                            "wvals": row_t.w, "dem": row_t.dem})
+                for dr, dc in [(a, b) for a in (-1, 0, 1)
+                               for b in (-1, 0, 1) if (a, b) != (0, 0)]:
+                    rows = slice(None) if dr == 0 else (
+                        slice(-1, None) if dr == 1 else slice(0, 1))
+                    cols = slice(None) if dc == 0 else (
+                        slice(-1, None) if dc == 1 else slice(0, 1))
+                    wp = np.ascontiguousarray(w[rows, cols])
+                    out.append({"source_id": row_t.source_id,
+                                "band": int(row_t.band),
+                                "col": int(row_t.col) + dc,
+                                "row": int(row_t.row) + dr,
+                                "dr": dr, "dc": dc,
+                                "h": wp.shape[0], "w": wp.shape[1],
+                                "wvals": pack(wp), "dem": b""})
+            yield pd.DataFrame(out, columns=[
+                "source_id", "band", "col", "row", "dr", "dc",
+                "h", "w", "wvals", "dem"])
+
+    def relax(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = t + 2
+        wf = np.full((p, p), -np.inf)
+        center = None
+        for row_t in pdf.itertuples(index=False):
+            wv = np.frombuffer(row_t.wvals, dtype=np.float64) \
+                   .reshape(int(row_t.h), int(row_t.w))
+            dr, dc = int(row_t.dr), int(row_t.dc)
+            if dr == 0 and dc == 0:
+                center = row_t
+                wf[1:1 + t, 1:1 + t] = wv
+            else:
+                rows = slice(1, 1 + t) if dr == 0 else (
+                    slice(0, 1) if dr == 1 else slice(p - 1, p))
+                cols = slice(1, 1 + t) if dc == 0 else (
+                    slice(0, 1) if dc == 1 else slice(p - 1, p))
+                wf[rows, cols] = wv
+        if center is None:
+            return pd.DataFrame(columns=["source_id", "band", "col",
+                                         "row", "dem", "w", "improved"])
+        z = np.frombuffer(center.dem, dtype=np.float64).reshape(t, t)
+        valid = ~np.isnan(z)
+        old = wf[1:1 + t, 1:1 + t].copy()
+        _fill_gs(wf, z, valid)
+        new = wf[1:1 + t, 1:1 + t]
+        return pd.DataFrame([{
+            "source_id": center.source_id, "band": int(center.band),
+            "col": int(center.col), "row": int(center.row),
+            "dem": center.dem, "w": pack(np.ascontiguousarray(new)),
+            "improved": int(bool(np.any(new != old)))}])
+
+    piece_schema = _FILL_PIECE + ", dem binary"
+    for _ in range(max_iter):
+        pieces = state.mapInPandas(cut, piece_schema)
+        nxt = pieces.groupBy("source_id", "band", "col", "row") \
+                    .applyInPandas(relax, _FILL_STATE) \
+                    .localCheckpoint(eager=True)
+        changed = nxt.filter(F.col("improved") == 1).limit(1).count()
+        state = nxt
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"fill_sinks did not reach a global fixpoint in "
+            f"{max_iter} rounds; raise max_iter")
+
+    def rollup(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row_t in pdf.itertuples(index=False):
+                z = np.frombuffer(row_t.dem,
+                                  dtype=np.float64).reshape(t, t)
+                w = np.frombuffer(row_t.w,
+                                  dtype=np.float64).reshape(t, t)
+                valid = ~np.isnan(z)
+                out.append(_fill_rollup_row(
+                    row_t.source_id, int(row_t.band), row_t.col,
+                    row_t.row, w, z, valid, q_fill))
+            yield pd.DataFrame(out, columns=["source_id", "band", "col",
+                                             "row", "n_valid",
+                                             "n_filled", "q_fill_sum"])
+
+    return state.mapInPandas(rollup, _FILL_SCHEMA)
+
+
+def fill_sinks(tiles: DataFrame, tile_size: int = 64,
+               scene_max_px: int = 1 << 11, max_iter: int = 64,
+               q_fill: float = 4.0) -> DataFrame:
+    """Planchon–Darboux sink filling (eps=0, 8-connectivity) — see the
+    block comment above. Adaptive strategy (the cost_distance
+    template): scenes fitting ``scene_max_px`` on a side solve in ONE
+    task; otherwise — or with ``scene_max_px=0`` forcing it — the
+    synchronous halo-rounds path runs with no scene-size bound
+    (bit-identical: the fill is pure max/min SELECTION over dem
+    values). Output per tile: (source_id, band, col, row, n_valid,
+    n_filled = cells raised above their dem, q_fill_sum =
+    Σ floor(W·q + 0.5) over valid cells)."""
+    t = int(tile_size)
+    if _scene_small(tiles, t, scene_max_px):
+        return _fill_scene(tiles, t, q_fill)
+    return _fill_rounds(tiles, t, q_fill, max_iter)
