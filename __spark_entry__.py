@@ -1252,6 +1252,43 @@ def q_temporal_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         TE.calibrate_stack(tiles, MK_GAINS, MK_OFFSETS))
 
 
+def q_local_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-RASTER LOCAL ALGEBRA (operators/local.py local_binary —
+    GeoTrellis localMultiply between CO-REGISTERED rasters; image
+    differencing/ratioing is the classic change-detection use):
+    source-1 × source-0 over their overlapping tile keys, NoData in
+    EITHER input -> NoData out, ONE co-partitioned join shuffle, then
+    the zero-shuffle per-tile checksum rollup. Exactness: quarter-grid
+    × quarter-grid products land on the 1/16 grid below 2^28 — exact
+    in float64, quantized at q=16 to integers. Oracle: the per-source
+    closed forms multiplied per pixel with the pair validity mask."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import local as LO
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    a = tiles.filter(F.col("source_idx") == 1)
+    b = tiles.filter(F.col("source_idx") == 0)
+    prod = LO.local_binary(a, b, op="multiply")
+    return LO.tile_checksums(prod, q=16.0)
+
+
+def q_temporal_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIAN COMPOSITE (operators/temporal.py temporal_median — the
+    cloud-robust Landsat mosaic recipe, the selection-median sibling of
+    temporal_composite's max-value rule): per-pixel median of valid
+    observations across the calibrated stack. Odd counts are pure
+    selection ((a+a)/2 = a); the fixture's 2-valid pixels exercise the
+    even branch with ONE exact dyadic mean of quarter-grid values.
+    Oracle: the median-of-three greatest/least identity for 3-valid
+    pixels, explicit pair means for 2-valid, passthrough for 1-valid."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import temporal as TE
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    return TE.temporal_median(
+        TE.calibrate_stack(tiles, MK_GAINS, MK_OFFSETS))
+
+
 def q_fill_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILL SINKS — Planchon & Darboux 2001, eps=0, 8-connectivity
     (operators/focal.py fill_sinks — the standard DEM pit-filling
@@ -4869,6 +4906,28 @@ SELECT doc_id, gh6, qk10, SUBSTRING(gh6, 1, 3) AS gh3 FROM strs
                 valid, v)
 
     _ts = [_ts_term(s) for s in range(3)]
+
+    # Two-raster local algebra (local_binary): source-1 × source-0 over
+    # the joined tile keys (cols 19..21 = the sources' overlap), pair
+    # validity = both holes avoided; quarter×quarter products live on
+    # the exact 1/16 grid, quantized at 16.
+    o["local_binary"] = f"""
+WITH px AS (
+  SELECT band, col, row, ri, ci,
+         {_ts_term(0)[1]} AS c0, {_ts_term(1)[1]} AS c1,
+         {_ts_term(0)[5]} AS v0, {_ts_term(1)[5]} AS v1
+  FROM range(0,2) bs(band), range(19,22) cs(col), range(24,28) rs(row),
+       range(0,64) ris(ri), range(0,64) cis(ci)
+)
+SELECT 'scene-1' AS source_id, 6 AS zoom, col, row,
+       CAST(band AS INT) AS band,
+       CAST(SUM(c0 * c1) AS BIGINT) AS n_valid,
+       CAST(SUM(CASE WHEN c0 * c1 = 1 THEN
+            CAST(FLOOR(v1 * v0 * 16.0 + 0.5) AS BIGINT)
+            ELSE 0 END) AS BIGINT) AS q_sum
+FROM px GROUP BY 3, 4, 5
+"""
+
     o["temporal_stats"] = f"""
 WITH px AS (
   SELECT band, col, row, ri, ci,
@@ -5135,6 +5194,31 @@ SELECT 6 AS zoom, col, row, CAST(band AS INT) AS band,
             ELSE 0 END) AS BIGINT) AS q_best_sum,
        CAST(SUM(CASE WHEN n >= 1 THEN src ELSE 0 END) AS BIGINT)
          AS src_sum
+FROM sl GROUP BY 2, 3, 4
+"""
+
+    # Median composite (temporal_median): median-of-three identity for
+    # 3-valid pixels, exact dyadic pair means for 2-valid, passthrough
+    # for 1-valid; addition is exact on the calibrated quarter grid so
+    # operand order cannot differ.
+    o["temporal_median"] = f"""
+WITH {_mk_px}, sl AS (
+  SELECT band, col, row, c0 + c1 + c2 AS n,
+         CASE WHEN c0 + c1 + c2 = 3 THEN GREATEST(
+                LEAST(w0, w1), LEAST(GREATEST(w0, w1), w2))
+              WHEN c0 = 1 AND c1 = 1 THEN (w0 + w1) / 2.0
+              WHEN c0 = 1 AND c2 = 1 THEN (w0 + w2) / 2.0
+              WHEN c1 = 1 AND c2 = 1 THEN (w1 + w2) / 2.0
+              WHEN c0 = 1 THEN w0
+              WHEN c1 = 1 THEN w1
+              WHEN c2 = 1 THEN w2 ELSE 0.0 END AS med
+  FROM px
+)
+SELECT 6 AS zoom, col, row, CAST(band AS INT) AS band,
+       CAST(SUM(CASE WHEN n >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_px,
+       CAST(SUM(CASE WHEN n >= 1 THEN
+            CAST(FLOOR(med * 4.0 + 0.5) AS BIGINT)
+            ELSE 0 END) AS BIGINT) AS q_med_sum
 FROM sl GROUP BY 2, 3, 4
 """
 
@@ -7993,6 +8077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall": q_mann_kendall,
         "theil_sen": q_theil_sen,
         "temporal_composite": q_temporal_composite,
+        "temporal_median": q_temporal_median,
+        "local_binary": q_local_binary,
         "fill_sinks": q_fill_sinks,
         "fill_sinks_dist": q_fill_sinks_dist,
         "segment_intersections": q_segment_intersections,

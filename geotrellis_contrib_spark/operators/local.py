@@ -147,3 +147,89 @@ def ndvi_reclass_stats(tiles: DataFrame, breaks: tuple = (500.0, 1500.0, 2500.0)
         kern, "source_id string, col bigint, row bigint, "
               "ndvi_sum bigint, ndvi_count bigint, "
               "class_sum bigint, class_count bigint")
+
+
+_BIN_OPS = {
+    "add": lambda a, b: a + b,
+    "subtract": lambda a, b: a - b,
+    "multiply": lambda a, b: a * b,
+    "min": np.minimum,
+    "max": np.maximum,
+}
+
+
+def local_binary(a: DataFrame, b: DataFrame, op: str = "subtract",
+                 tile_size: int = 64) -> DataFrame:
+    """Two-raster local op (GeoTrellis localAdd / localSubtract /
+    localMultiply / localMin / localMax between CO-REGISTERED rasters —
+    image differencing is the classic change-detection use): inner join
+    on the tile key (zoom, col, row, band), then a vectorized per-tile
+    kernel; NoData in EITHER input -> NoData out (the GeoTrellis
+    local-op convention). ONE co-partitioned shuffle of the raster
+    bytes — with both tables bucketed/Z-ordered on the tile key this
+    becomes near-local at 100 TB. Output keeps ``a``'s identity columns
+    (source_id, nodata), dtype float64."""
+    if op not in _BIN_OPS:
+        raise ValueError(f"local_binary: unknown op {op!r}; "
+                         f"one of {sorted(_BIN_OPS)}")
+    fn = _BIN_OPS[op]
+    t = int(tile_size)
+    keys = ["zoom", "col", "row", "band"]
+    from pyspark.sql import functions as F
+    bb = b.select(*keys, F.col("dtype").alias("b_dtype"),
+                  F.col("nodata").alias("b_nodata"),
+                  F.col("px").alias("b_px"))
+    j = a.join(bb, keys)
+    out_cols = [f.name for f in a.schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row_t in pdf.itertuples(index=False):
+                va = np.frombuffer(row_t.px, dtype=DTYPES[row_t.dtype]) \
+                       .reshape(t, t).astype(np.float64)
+                vb = np.frombuffer(row_t.b_px,
+                                   dtype=DTYPES[row_t.b_dtype]) \
+                    .reshape(t, t).astype(np.float64)
+                va = np.where(va == row_t.nodata, np.nan, va)
+                vb = np.where(vb == row_t.b_nodata, np.nan, vb)
+                res = fn(va, vb)
+                res = np.where(np.isnan(va) | np.isnan(vb), np.nan, res)
+                d = {k: getattr(row_t, k) for k in out_cols}
+                d["px"] = pack(np.ascontiguousarray(
+                    np.where(np.isnan(res), row_t.nodata, res)))
+                d["dtype"] = "float64"
+                out.append(d)
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return j.mapInPandas(run, a.schema)
+
+
+def tile_checksums(tiles: DataFrame, q: float = _Q,
+                   tile_size: int = 64) -> DataFrame:
+    """Per-tile order-independent checksum rollup: (source_id, zoom,
+    col, row, band, n_valid, q_sum = Σ floor(v·q + 0.5) over valid
+    cells). Zero shuffle — runs on the existing partitioning."""
+    t = int(tile_size)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row_t in pdf.itertuples(index=False):
+                arr = np.frombuffer(row_t.px, dtype=DTYPES[row_t.dtype]) \
+                        .reshape(t, t).astype(np.float64)
+                valid = ~np.isnan(arr) & (arr != row_t.nodata)
+                out.append({
+                    "source_id": row_t.source_id,
+                    "zoom": int(row_t.zoom), "col": int(row_t.col),
+                    "row": int(row_t.row), "band": int(row_t.band),
+                    "n_valid": int(valid.sum()),
+                    "q_sum": int(np.floor(arr * q + 0.5)[valid]
+                                 .astype(np.int64).sum())})
+            yield pd.DataFrame(out, columns=[
+                "source_id", "zoom", "col", "row", "band",
+                "n_valid", "q_sum"])
+
+    return tiles.mapInPandas(
+        run, "source_id string, zoom int, col bigint, row bigint, "
+             "band int, n_valid bigint, q_sum bigint")

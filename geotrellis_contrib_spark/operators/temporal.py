@@ -246,6 +246,48 @@ def temporal_theil_sen(tiles: DataFrame, tile_size: int = 64,
                 .applyInPandas(solve, _TS_OUT)
 
 
+_MED_OUT = ("zoom int, col bigint, row bigint, band int, "
+            "n_px bigint, q_med_sum bigint")
+
+
+def temporal_median(tiles: DataFrame, tile_size: int = 64,
+                    q_med: float = 4.0) -> DataFrame:
+    """Per-pixel MEDIAN COMPOSITE across the scene stack — the robust
+    compositing rule next to :func:`temporal_composite`'s max-value
+    (median compositing is THE cloud-robust Landsat mosaic recipe):
+    per pixel, the median of the valid observations. Median = mean of
+    the two middle order statistics; for odd counts that is (a+a)/2 = a
+    (pure selection), for even counts ONE exact dyadic mean of quarter-
+    grid values — so the per-tile checksum stays exact. Same
+    ONE-shuffle stack-reduce shape. Output per tile: n_px = pixels
+    observed ≥ once, q_med_sum = Σ floor(median·q + 0.5)."""
+
+    def solve(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        planes = []
+        for row_t in pdf.itertuples():
+            arr = unpack(row_t.px, row_t.dtype, tile_size)
+            planes.append(np.where(
+                ~np.isnan(arr) & (arr != row_t.nodata), arr, np.nan))
+        stack = np.stack(planes)           # NaN sorts last along axis 0
+        m = (~np.isnan(stack)).sum(axis=0)
+        srt = np.sort(stack, axis=0)
+        lo = np.clip((m - 1) // 2, 0, len(planes) - 1)
+        hi = np.clip(m // 2, 0, len(planes) - 1)
+        a = np.take_along_axis(srt, lo[None], axis=0)[0]
+        b = np.take_along_axis(srt, hi[None], axis=0)[0]
+        med = np.where(m >= 1, (a + b) / 2.0, 0.0)
+        seen = m >= 1
+        return pd.DataFrame({
+            "zoom": [int(key[0])], "col": [int(key[1])],
+            "row": [int(key[2])], "band": [int(key[3])],
+            "n_px": [int(seen.sum())],
+            "q_med_sum": [int(np.floor(med * q_med + 0.5)[seen]
+                              .astype(np.int64).sum())]})
+
+    return tiles.groupBy("zoom", "col", "row", "band") \
+                .applyInPandas(solve, _MED_OUT)
+
+
 _TREND_OUT = ("zoom int, col bigint, row bigint, band int, "
               "n_px2 bigint, q_slope_sum bigint")
 

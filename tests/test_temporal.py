@@ -345,3 +345,75 @@ def test_temporal_composite_tie_earliest(spark):
     assert got.n_px == 3
     assert got.q_best_sum == int(4 * (5.0 + 9.0 + 2.0))
     assert got.src_sum == 0 + 1 + 0
+
+
+def test_temporal_median_vs_numpy(spark):
+    from __spark_entry__ import MK_GAINS, MK_OFFSETS
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    got = {(r.col, r.row, r.band): r
+           for r in TE.temporal_median(
+               TE.calibrate_stack(tiles, MK_GAINS, MK_OFFSETS))
+           .collect()}
+    assert len(got) == 6 * 4 * 2
+    r_idx = np.arange(64).reshape(-1, 1)
+    c_idx = np.arange(64).reshape(1, -1)
+    counts_seen = set()
+    for (col, row, band), g in got.items():
+        planes = []
+        for s in range(3):
+            if not (18 + s <= col <= 21 + s):
+                continue
+            v = (_fixture_value(s, col, row, band, r_idx, c_idx)
+                 .astype(np.float64) * MK_GAINS[s] + MK_OFFSETS[s])
+            h0 = (s * 11) % 48
+            v = v.copy()
+            v[h0:h0 + 16, h0:h0 + 16] = np.nan
+            planes.append(v)
+        stack = np.stack(planes)
+        m = (~np.isnan(stack)).sum(axis=0)
+        counts_seen |= set(np.unique(m).tolist())
+        srt = np.sort(stack, axis=0)
+        lo = np.clip((m - 1) // 2, 0, len(planes) - 1)
+        hi = np.clip(m // 2, 0, len(planes) - 1)
+        a = np.take_along_axis(srt, lo[None], axis=0)[0]
+        b = np.take_along_axis(srt, hi[None], axis=0)[0]
+        med = np.where(m >= 1, (a + b) / 2.0, 0.0)
+        seen = m >= 1
+        assert g.n_px == int(seen.sum())
+        assert g.q_med_sum == int(
+            np.floor(med * 4.0 + 0.5)[seen].astype(np.int64).sum())
+    assert {1, 2, 3} <= counts_seen  # odd AND even branches exercised
+
+
+def test_local_binary_ops_and_nodata(spark):
+    from geotrellis_contrib_spark.operators import local as LO
+    from geotrellis_contrib_spark.operators.pixels import unpack
+    a0 = np.array([[2.0, -9999.0], [4.0, 8.0]])
+    b0 = np.array([[3.0, 5.0], [-9999.0, 0.5]])
+    rows_a = [("a", 0, 3, 1, 1, 0, "float64", -9999.0, pack(a0))]
+    rows_b = [("b", 0, 3, 1, 1, 0, "float64", -9999.0, pack(b0))]
+    sch = ("source_id string, source_idx int, zoom int, col bigint, "
+           "row bigint, band int, dtype string, nodata double, px binary")
+    a = spark.createDataFrame(rows_a, sch)
+    b = spark.createDataFrame(rows_b, sch)
+    out = LO.local_binary(a, b, op="multiply", tile_size=2).collect()[0]
+    arr = unpack(out.px, out.dtype, 2)
+    assert arr[0, 0] == 6.0 and arr[1, 1] == 4.0
+    assert arr[0, 1] == -9999.0 and arr[1, 0] == -9999.0  # either-side
+    assert out.source_id == "a"
+    sub = LO.local_binary(a, b, op="subtract", tile_size=2).collect()[0]
+    assert unpack(sub.px, sub.dtype, 2)[0, 0] == -1.0
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unknown op"):
+        LO.local_binary(a, b, op="xor")
+
+
+def test_tile_checksums(spark):
+    from geotrellis_contrib_spark.operators import local as LO
+    a0 = np.array([[2.25, -9999.0], [4.0, np.nan]])
+    sch = ("source_id string, source_idx int, zoom int, col bigint, "
+           "row bigint, band int, dtype string, nodata double, px binary")
+    df = spark.createDataFrame(
+        [("a", 0, 3, 1, 1, 0, "float64", -9999.0, pack(a0))], sch)
+    r = LO.tile_checksums(df, q=4.0, tile_size=2).collect()[0]
+    assert (r.n_valid, r.q_sum) == (2, int(2.25 * 4 + 4.0 * 4))
