@@ -1252,6 +1252,21 @@ def q_temporal_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         TE.calibrate_stack(tiles, MK_GAINS, MK_OFFSETS))
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF DOC-TERM WEIGHTS (operators/retrieval.py tfidf_weights —
+    the canonical text vectorizer, Spärck Jones 1972; the unranked
+    sibling of bm25_topk sharing its rational-idf no-log discipline):
+    w = (tf/dl)·((N+1)/(df+1)), one floor-quantization to the 2^-32
+    grid. Plan: explode -> ONE map-side-combined (doc, term) shuffle ->
+    broadcast df + constant-N crossJoin. Fixture bound: doc_id % 17
+    == 3 keeps the pair table proportional to the slice at any sf.
+    Oracle: UNNEST(STR_SPLIT) twin with the identical float chain."""
+    _views(spark, sf_dir)
+    docs = spark.table("documents").filter(F.col("doc_id") % 17 == 3)
+    from geotrellis_contrib_spark.operators import retrieval as RT
+    return RT.tfidf_weights(docs)
+
+
 def q_local_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TWO-RASTER LOCAL ALGEBRA (operators/local.py local_binary —
     GeoTrellis localMultiply between CO-REGISTERED rasters; image
@@ -4907,6 +4922,27 @@ SELECT doc_id, gh6, qk10, SUBSTRING(gh6, 1, 3) AS gh3 FROM strs
 
     _ts = [_ts_term(s) for s in range(3)]
 
+    # TF-IDF (tfidf): UNNEST(STR_SPLIT) tokenizer twin; tf/dl and the
+    # rational idf are the IDENTICAL float chain (one division each,
+    # one multiply, one floor) — integer inputs make every operand
+    # bit-identical before the IEEE ops.
+    o["tfidf"] = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 3),
+toks AS (
+  SELECT doc_id, LEN(STR_SPLIT(text, ' ')) AS dl,
+         UNNEST(STR_SPLIT(text, ' ')) AS tok
+  FROM d),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf, MIN(dl) AS dl
+       FROM toks GROUP BY 1, 2),
+dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM d)
+SELECT tf.doc_id, tf.tok, CAST(tf.tf AS BIGINT) AS tf,
+       CAST(FLOOR((tf.tf / tf.dl)
+                  * ((n.n_docs + 1.0) / (dft.df + 1.0))
+                  * 4294967296.0 + 0.5) AS BIGINT) AS w_q
+FROM tf JOIN dft USING (tok) CROSS JOIN n
+"""
+
     # Two-raster local algebra (local_binary): source-1 × source-0 over
     # the joined tile keys (cols 19..21 = the sources' overlap), pair
     # validity = both holes avoided; quarter×quarter products live on
@@ -8079,6 +8115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_composite": q_temporal_composite,
         "temporal_median": q_temporal_median,
         "local_binary": q_local_binary,
+        "tfidf": q_tfidf,
         "fill_sinks": q_fill_sinks,
         "fill_sinks_dist": q_fill_sinks_dist,
         "segment_intersections": q_segment_intersections,

@@ -80,3 +80,38 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[int, str]],
             .filter(F.col("rank") <= int(top_k))
             .select("query_id", "doc_id", "score_q",
                     F.col("rank").cast("long").alias("rank")))
+
+
+def tfidf_weights(docs: DataFrame, text_col: str = "text",
+                  broadcast_df: bool = True) -> DataFrame:
+    """TF-IDF document-term weights — the canonical text vectorizer
+    (Spärck Jones 1972), the unranked sibling of :func:`bm25_topk`
+    sharing its RATIONAL-idf discipline:
+
+        w(d, t) = (tf / dl) * ((N + 1) / (df_t + 1))     -- no log
+        w_q     = floor(w * 2^32 + 0.5)                  -- int64 grid
+
+    Same exactness contract: every op is +,*,/ on IEEE doubles with
+    identical expression ORDER on both sides, one floor-quantization
+    ends the chain. Plan shape: tokens explode -> tf = groupBy(doc,
+    term) (the ONE real shuffle, map-side combined) -> df per term
+    joined back (broadcast when the vocabulary is bounded —
+    ``broadcast_df=False`` flips to a shuffled equi-join for web-scale
+    open vocabularies; same plan otherwise) -> constant (N) crossJoin.
+    Output: (doc_id, tok, tf, w_q)."""
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.col(text_col), " ")).alias("dl"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    dft = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    if broadcast_df:
+        dft = F.broadcast(dft)
+    consts = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+    w = (F.col("tf") / F.col("dl")) \
+        * ((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+    return (tf.join(dft, "tok").crossJoin(consts)
+            .select("doc_id", "tok", "tf",
+                    F.floor(w * F.lit(Q_SCALE) + F.lit(0.5))
+                    .cast("long").alias("w_q")))

@@ -82,3 +82,37 @@ def test_bm25_plan_quality(spark):
                  "MapInPandas"):
         assert node not in plan
     out.collect()
+
+
+def test_tfidf_vs_reference(spark):
+    from geotrellis_contrib_spark.operators.retrieval import tfidf_weights
+    docs = [(1, "a b a c"), (2, "a b"), (3, "c c d")]
+    df_s = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.doc_id, r.tok): (r.tf, r.w_q)
+           for r in tfidf_weights(df_s).collect()}
+    n = len(docs)
+    tf, dfc, dls = {}, {}, {}
+    for d, t in docs:
+        ts = t.split(" ")
+        dls[d] = len(ts)
+        for tok in ts:
+            tf[(d, tok)] = tf.get((d, tok), 0) + 1
+    for (d, tok) in tf:
+        dfc[tok] = dfc.get(tok, 0) + 1
+    exp = {}
+    for (d, tok), f in tf.items():
+        w = (f / dls[d]) * ((n + 1.0) / (dfc[tok] + 1.0))
+        exp[(d, tok)] = (f, math.floor(w * Q_SCALE + 0.5))
+    assert got == exp
+    # ordering sanity: doc 3's dominant rare term outweighs doc 1's
+    # repeated common term
+    assert got[(3, "c")][1] > got[(1, "a")][1]
+
+
+def test_tfidf_plan_no_python(spark):
+    from geotrellis_contrib_spark.operators.retrieval import tfidf_weights
+    df_s = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    plan = tfidf_weights(df_s)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Python" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
