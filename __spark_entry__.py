@@ -1252,6 +1252,22 @@ def q_temporal_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         TE.calibrate_stack(tiles, MK_GAINS, MK_OFFSETS))
 
 
+def q_zonal_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZONAL MAJORITY/MINORITY (operators/raster.py zonal_mode — the
+    mode/histogram polygonal summary next to zonal_stats and
+    zonal_percentiles; GeoTrellis exposes mode summaries over raster
+    layers): per (poly, band) the most frequent value (smallest on
+    ties), least frequent (same rule), n_distinct, total count. Same
+    histogram-trick shape — (poly, value) COUNTS first, map-side
+    combined, then struct-ordered argmin/argmax; selection only, all
+    exact. Oracle: windowed max/min count + MIN(val) tie rule."""
+    _views(spark, sf_dir)
+    out = raster_ops.zonal_mode(spark.table("tiles"),
+                                spark.table("polygon_boxes"))
+    return out.select("poly_id", "band", "cnt", "n_distinct",
+                      "majority", "minority")
+
+
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF DOC-TERM WEIGHTS (operators/retrieval.py tfidf_weights —
     the canonical text vectorizer, Spärck Jones 1972; the unranked
@@ -3798,6 +3814,31 @@ SELECT poly_id, band, CAST(MAX(n) AS BIGINT) AS cnt,
        MIN(CASE WHEN cum >= (2 * n + 3) // 4 THEN val END) AS p50,
        MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN val END) AS p75
 FROM cum GROUP BY 1, 2
+"""
+
+    # Zonal mode (zonal_mode): same containment-join histogram CTE;
+    # majority = MIN(val) among max-count rows (smallest-value tie
+    # rule), minority symmetric — selection only, exact.
+    o["zonal_mode"] = f"""
+{derive.cte('tiles', 'polygon_boxes')},
+cnts AS (
+  SELECT p.poly_id, t.band, t.val, COUNT(*) AS c
+  FROM tiles t JOIN polygon_boxes p
+    ON {clon} >= p.xmin AND {clon} < p.xmax
+   AND {clat} >= p.ymin AND {clat} < p.ymax
+  WHERE t.val IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+m AS (
+  SELECT *, MAX(c) OVER (PARTITION BY poly_id, band) AS mx,
+            MIN(c) OVER (PARTITION BY poly_id, band) AS mn
+  FROM cnts
+)
+SELECT poly_id, band, CAST(SUM(c) AS BIGINT) AS cnt,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       MIN(CASE WHEN c = mx THEN val END) AS majority,
+       MIN(CASE WHEN c = mn THEN val END) AS minority
+FROM m GROUP BY 1, 2
 """
 
     rc = C.sql_tile_col("lon", RASTERIZE_ZOOM)
@@ -8116,6 +8157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_median": q_temporal_median,
         "local_binary": q_local_binary,
         "tfidf": q_tfidf,
+        "zonal_mode": q_zonal_mode,
         "fill_sinks": q_fill_sinks,
         "fill_sinks_dist": q_fill_sinks_dist,
         "segment_intersections": q_segment_intersections,

@@ -139,6 +139,43 @@ def zonal_percentiles(tiles: DataFrame, boxes: DataFrame,
     return cum.groupBy(*keys).agg(*aggs)
 
 
+def zonal_mode(tiles: DataFrame, boxes: DataFrame,
+               val_col="val", group_extra=("band",)) -> DataFrame:
+    """Majority / minority / distinct-count polygonal summary (the
+    GeoTrellis mode/histogram polygonal-summary family next to
+    :func:`zonal_stats` and :func:`zonal_percentiles`): per (poly,
+    band) the most frequent value (SMALLEST value on count ties — the
+    deterministic convention), the least frequent (same tie rule),
+    n_distinct and total count.
+
+    Scale shape: the same histogram trick as zonal_percentiles —
+    tiles collapse to (poly, value) COUNTS first (map-side combined),
+    then ONE more groupBy with struct-ordered argmin/argmax; no
+    per-polygon sort of raw values ever exists. Ties and values are
+    exact (counts are integers, selection only)."""
+    centered = tile_center_cols(tiles)
+    joined = centered.join(
+        F.broadcast(boxes),
+        G.point_in_box(F.col("center_lon"), F.col("center_lat"),
+                       F.col("xmin"), F.col("ymin"), F.col("xmax"),
+                       F.col("ymax")),
+        "inner",
+    )
+    keys = ["poly_id", *group_extra]
+    counts = (joined.filter(F.col(val_col).isNotNull())
+              .groupBy(*keys, val_col)
+              .agg(F.count(F.lit(1)).alias("_c")))
+    maj = F.max(F.struct(F.col("_c").alias("c"),
+                         (-F.col(val_col)).alias("nv")))
+    mino = F.min(F.struct(F.col("_c").alias("c"),
+                          F.col(val_col).alias("v")))
+    return counts.groupBy(*keys).agg(
+        F.sum("_c").alias("cnt"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (-maj["nv"]).alias("majority"),
+        mino["v"].alias("minority"))
+
+
 def rasterize_points(points: DataFrame, zoom: int,
                      lon="lon", lat="lat", weight=None) -> DataFrame:
     """Burn a point set into the tile grid (vector->raster): per-key count

@@ -31,3 +31,21 @@ def test_zonal_percentiles_vs_numpy(spark):
         "val double")
     r2 = RO.zonal_percentiles(tiles2, boxes).collect()[0]
     assert (r2.p25, r2.p50, r2.p75, r2.cnt) == (4.0, 4.0, 4.0, 4)
+
+
+def test_zonal_mode_majority_minority_ties(spark):
+    # counts: 3.0 x3, 1.0 x3 (majority tie -> smallest = 1.0),
+    # 9.0 x1, 7.0 x1 (minority tie -> smallest = 7.0), NULL excluded
+    vals = [3.0, 3.0, 3.0, 1.0, 1.0, 1.0, 9.0, 7.0, None]
+    tiles = spark.createDataFrame(
+        [("s", 2, i % 4, i // 4, 0, v) for i, v in enumerate(vals)],
+        "source_id string, zoom int, col long, row long, band int, "
+        "val double")
+    boxes = spark.createDataFrame(
+        [("poly-a", -180.0, -90.0, 180.0, 90.0)],
+        "poly_id string, xmin double, ymin double, xmax double, "
+        "ymax double")
+    r = RO.zonal_mode(tiles, boxes).collect()[0]
+    assert (r.cnt, r.n_distinct) == (8, 4)
+    assert r.majority == 1.0     # tie 3-vs-3 between 1.0 and 3.0
+    assert r.minority == 7.0     # tie 1-vs-1 between 7.0 and 9.0
