@@ -1252,6 +1252,33 @@ def q_temporal_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         TE.calibrate_stack(tiles, MK_GAINS, MK_OFFSETS))
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-ITERATION PAGERANK (operators/cluster.py pagerank — Brin
+    & Page 1998, the link-graph quality-weighting pass web-scale
+    pipelines run over crawl graphs; dangling mass dropped, the
+    documented simplest variant): 3 iterations at damping 7/8 —
+    DYADIC, so d·pr_q is exact and each per-edge contribution is one
+    exact multiply + ONE IEEE division + one floor, summed as
+    INTEGERS (order-free). One bucketable join+groupBy shuffle per
+    iteration. Fixture: a deterministic 251-node multigraph from
+    doc_id mod-folds (three edge rules, DISTINCT — bounded at any sf;
+    out-degrees vary 1..3, in-degrees 0..many). Oracle: the identical
+    three-iteration CTE chain with every literal forced DOUBLE."""
+    _views(spark, sf_dir)
+    from geotrellis_contrib_spark.operators import cluster as CL
+    ms = (spark.table("anchors")
+          .select((F.col("doc_id") % 251).alias("m")).distinct())
+    e1 = ms.select(F.col("m").alias("src"),
+                   ((F.col("m") * 7 + 3) % 251).alias("dst"))
+    e2 = ms.filter(F.col("m") % 2 == 0) \
+           .select(F.col("m").alias("src"),
+                   ((F.col("m") * 13 + 5) % 251).alias("dst"))
+    e3 = ms.select(F.col("m").alias("src"),
+                   ((F.col("m") * F.col("m") + 1) % 251).alias("dst"))
+    edges = e1.union(e2).union(e3).distinct()
+    return CL.pagerank(edges, iters=3)
+
+
 def q_zonal_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ZONAL MAJORITY/MINORITY (operators/raster.py zonal_mode — the
     mode/histogram polygonal summary next to zonal_stats and
@@ -3815,6 +3842,48 @@ SELECT poly_id, band, CAST(MAX(n) AS BIGINT) AS cnt,
        MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN val END) AS p75
 FROM cum GROUP BY 1, 2
 """
+
+    # PageRank (pagerank): identical 3-iteration chain. Every float
+    # literal is CAST to DOUBLE — DuckDB parses bare decimal literals
+    # as DECIMAL and would run exact-decimal arithmetic where the
+    # engine runs IEEE doubles (the bm25 lesson).
+    _pr_iter = """
+c{k} AS (
+  SELECT e.dst AS node,
+         SUM(CAST(FLOOR(CAST(0.875 AS DOUBLE) * p.pr_q / deg.deg
+                        + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS in_q
+  FROM edges e JOIN deg ON deg.src = e.src
+  JOIN pr{j} p ON p.node = e.src
+  GROUP BY 1),
+pr{k} AS (
+  SELECT nodes.node,
+         CAST(FLOOR(CAST(137438953472 AS DOUBLE) / n.nn
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           + COALESCE(c{k}.in_q, 0) AS pr_q
+  FROM nodes CROSS JOIN n LEFT JOIN c{k} ON c{k}.node = nodes.node)"""
+    o["pagerank"] = (derive.cte('anchors') + """,
+ms AS (SELECT DISTINCT doc_id % 251 AS m FROM anchors),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT m AS src, (m * 7 + 3) % 251 AS dst FROM ms
+    UNION ALL
+    SELECT m, (m * 13 + 5) % 251 FROM ms WHERE m % 2 = 0
+    UNION ALL
+    SELECT m, (m * m + 1) % 251 FROM ms)),
+nodes AS (SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges
+    UNION ALL SELECT dst FROM edges)),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+n AS (SELECT COUNT(*) AS nn FROM nodes),
+pr0 AS (
+  SELECT node, CAST(FLOOR(CAST(1099511627776 AS DOUBLE) / n.nn
+                          + CAST(0.5 AS DOUBLE)) AS BIGINT) AS pr_q
+  FROM nodes CROSS JOIN n),"""
+        + _pr_iter.format(k=1, j=0) + ","
+        + _pr_iter.format(k=2, j=1) + ","
+        + _pr_iter.format(k=3, j=2) + """
+SELECT node, CAST(pr_q AS BIGINT) AS pr_q FROM pr3
+""")
 
     # Zonal mode (zonal_mode): same containment-join histogram CTE;
     # majority = MIN(val) among max-count rows (smallest-value tie
@@ -8158,6 +8227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_binary": q_local_binary,
         "tfidf": q_tfidf,
         "zonal_mode": q_zonal_mode,
+        "pagerank": q_pagerank,
         "fill_sinks": q_fill_sinks,
         "fill_sinks_dist": q_fill_sinks_dist,
         "segment_intersections": q_segment_intersections,

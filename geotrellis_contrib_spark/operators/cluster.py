@@ -176,3 +176,53 @@ def dup_clusters(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
     comp = connected_components(pairs, a_col, b_col)
     return comp.select(F.col("id"), F.col("component").alias("cluster_id"),
                        (F.col("id") == F.col("component")).alias("is_survivor"))
+
+
+def pagerank(edges: DataFrame, iters: int = 3, d: float = 0.875,
+             q: float = float(1 << 40)) -> DataFrame:
+    """Fixed-iteration PAGERANK (Brin & Page 1998) — the link-graph
+    quality-weighting pass web-scale training-data pipelines run over
+    crawl graphs before sampling. Dangling mass is DROPPED (the
+    simplest published variant; documented, not hidden) and the damping
+    factor defaults to 7/8 — DYADIC, so d·pr_q is exact in float64 and
+    the whole per-edge chain floor(d·pr_q / deg + 0.5) is one exact
+    multiply, ONE IEEE division, one floor: bit-reproducible, and the
+    per-node reduction sums INTEGERS (the quantize-first rule —
+    order-free across any partitioning).
+
+    State: (node, pr_q) with pr = pr_q / q; init pr_q = floor(q/N +
+    0.5); each iteration pr'_q = floor((1−d)·q / N + 0.5) + Σ_in
+    floor(d·pr_q / deg + 0.5). Scale shape per iteration: ONE
+    shuffle — edges join pr on src (both bucketable by node) +
+    groupBy dst with map-side combine; the degree table is a groupBy
+    of edges reused across iterations; nodes with no in-links keep the
+    base term via a left join from the node table.
+
+    ``edges``: (src long, dst long). Self-loops count like any edge.
+    Returns (node, pr_q)."""
+    if not (0.0 < d < 1.0):
+        raise ValueError(f"pagerank: damping {d} outside (0, 1)")
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e = edges.join(deg, "src")
+    n_nodes = nodes.count()  # one tiny job; N is a scalar of the state
+    import math
+    base_q = math.floor((1.0 - d) * q / n_nodes + 0.5)
+    pr = nodes.select("node",
+                      F.lit(math.floor(q / n_nodes + 0.5))
+                      .cast("long").alias("pr_q"))
+    for _ in range(int(iters)):
+        contrib = (e.join(pr, e["src"] == pr["node"])
+                   .select(F.col("dst").alias("node"),
+                           F.floor(F.lit(d) * F.col("pr_q")
+                                   / F.col("deg") + F.lit(0.5))
+                           .cast("long").alias("c_q"))
+                   .groupBy("node").agg(F.sum("c_q").alias("in_q")))
+        pr = (nodes.join(contrib, "node", "left")
+              .select("node",
+                      (F.lit(base_q)
+                       + F.coalesce(F.col("in_q"), F.lit(0)))
+                      .cast("long").alias("pr_q")))
+    return pr
