@@ -1252,6 +1252,38 @@ def q_temporal_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         TE.calibrate_stack(tiles, MK_GAINS, MK_OFFSETS))
 
 
+def q_stream_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM NETWORK EXTRACTION (operators/focal.py stream_network —
+    the hydrology product built ON TOP of D8 accumulation, the
+    ArcGIS/GeoTrellis con(acc >= T) + channel-head + link recipe): per
+    tile the stream-cell count (exclusive acc >= 8), channel heads (no
+    upstream stream cell — the 7-idx antisymmetry of the fixed _D8
+    order), and the exact integer sum of stream->stream link target
+    ids (gr*4096 + gc). Selection over the converged accumulation —
+    zero new arithmetic. Oracle: the flow closure extended with the
+    threshold, a stream->stream edge table, and LEFT JOINs keeping
+    zero-stream tiles."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import focal as FO
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    return FO.stream_network(tiles, tile_size=64)
+
+
+def q_stream_network_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM NETWORK, FORCED-DISTRIBUTED (scene_max_px=0): one more
+    halo pass over the converged _flow_rounds_state — (chosen, acc)
+    strips exchange UNCONDITIONALLY (a non-flowing neighbor cell can
+    still be a stream TARGET: a pit past the threshold), then the same
+    local stream/head/link arrays. Bit-identical to the scene path by
+    construction; same oracle."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import focal as FO
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    return FO.stream_network(tiles, tile_size=64, scene_max_px=0)
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FIXED-ITERATION PAGERANK (operators/cluster.py pagerank — Brin
     & Page 1998, the link-graph quality-weighting pass web-scale
@@ -4433,6 +4465,51 @@ GROUP BY 1, 2, 3, 4
     # construction (pytest bit-parity), same oracles.
     o["flow_accumulation_dist"] = o["flow_accumulation"]
     o["watershed_dist"] = o["watershed"]
+
+    # Stream network (stream_network): the flow closure extended —
+    # stream cells at exclusive acc >= 8, stream->stream links, channel
+    # heads = stream cells absent from the link-target set; LEFT JOINs
+    # keep zero-stream tiles (the engine emits every tile).
+    o["stream_network"] = o["flow_accumulation"].replace(
+        """), acc AS (
+  SELECT x AS eid, COUNT(*) - 1 AS a FROM reach GROUP BY x
+)
+SELECT CONCAT('scene-', CAST(p.s AS VARCHAR)) AS source_id,
+       CAST(p.band AS INT) AS band,
+       CAST(p.col AS BIGINT) AS col, CAST(p.row AS BIGINT) AS row,
+       CAST(SUM(a.a) AS BIGINT) AS acc_sum,
+       CAST(MAX(a.a) AS BIGINT) AS acc_max,
+       CAST(COUNT(*) AS BIGINT) AS n_valid
+FROM pk p JOIN acc a ON a.eid = p.eid
+GROUP BY 1, 2, 3, 4
+""",
+        """), acc AS (
+  SELECT x AS eid, COUNT(*) - 1 AS a FROM reach GROUP BY x
+), st AS (
+  SELECT p.* FROM pk p JOIN acc a ON a.eid = p.eid WHERE a.a >= 8
+), lk AS (
+  SELECT u.eid, e.did FROM ed e
+  JOIN st u ON u.eid = e.eid JOIN st d ON d.eid = e.did
+), il AS (SELECT DISTINCT did FROM lk),
+ag AS (
+  SELECT p.s, p.band, p.col, p.row,
+         COUNT(*) AS n_stream,
+         COUNT(*) FILTER (WHERE il.did IS NULL) AS n_heads,
+         SUM(COALESCE(lk.did % 16777216, 0)) AS link_qsum
+  FROM st p LEFT JOIN lk ON lk.eid = p.eid
+            LEFT JOIN il ON il.did = p.eid
+  GROUP BY 1, 2, 3, 4)
+SELECT CONCAT('scene-', CAST(t.s AS VARCHAR)) AS source_id,
+       CAST(t.band AS INT) AS band,
+       CAST(t.col AS BIGINT) AS col, CAST(t.row AS BIGINT) AS row,
+       CAST(COALESCE(ag.n_stream, 0) AS BIGINT) AS n_stream,
+       CAST(COALESCE(ag.n_heads, 0) AS BIGINT) AS n_heads,
+       CAST(COALESCE(ag.link_qsum, 0) AS BIGINT) AS link_qsum
+FROM (SELECT DISTINCT s, band, col, row FROM pk) t
+LEFT JOIN ag ON ag.s = t.s AND ag.band = t.band
+            AND ag.col = t.col AND ag.row = t.row
+""")
+    o["stream_network_dist"] = o["stream_network"]
 
     # Pixel overview average (pyramid_px_avg): the 2x2 block mean over
     # the closed-form child values — CASE-guarded chained adds in the
@@ -8228,6 +8305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf": q_tfidf,
         "zonal_mode": q_zonal_mode,
         "pagerank": q_pagerank,
+        "stream_network": q_stream_network,
+        "stream_network_dist": q_stream_network_dist,
         "fill_sinks": q_fill_sinks,
         "fill_sinks_dist": q_fill_sinks_dist,
         "segment_intersections": q_segment_intersections,
