@@ -1252,6 +1252,32 @@ def q_temporal_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         TE.calibrate_stack(tiles, MK_GAINS, MK_OFFSETS))
 
 
+def q_geodesic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEODESIC DISTANCE SELF-JOIN (operators/spatial_join.py
+    geodesic_pairs — the PostGIS geography ST_DWithin analog; the
+    reference's slick tier stores exactly such point columns,
+    PostgisSpec.scala:174-188 being the planar cousin): all pairs
+    within 5 km along the WGS84 ellipsoid by Vincenty's INVERSE
+    (grid.vincenty_distance, 16 PINNED lambda iterations). Two-phase:
+    cell-ring equi-join at the conservative angular radius (1 deg >=
+    100 km on WGS84 in both axes), Arrow-vectorized refine, and the
+    predicate compares the mm-quantized INTEGER distance. Fixture: a
+    503-point hot cluster from doc_id mod-folds (bounded at any sf,
+    0.5-degree box — far from Vincenty's antipodal divergence).
+    Oracle: brute-force pairs with the 16-iteration chain unrolled as
+    MATERIALIZED CTEs, every constant the engine's runtime double."""
+    _views(spark, sf_dir)
+    ms = (spark.table("anchors")
+          .select((F.col("doc_id") % 503).alias("m")).distinct())
+    pts = ms.select(
+        F.col("m").alias("pid"),
+        (F.lit(-74.25) + ((F.col("m") * 9973 + 12345) % 100000)
+         / F.lit(100000.0) * F.lit(0.5)).alias("lon"),
+        (F.lit(40.45) + ((F.col("m") * 7919 + 54321) % 100000)
+         / F.lit(100000.0) * F.lit(0.5)).alias("lat"))
+    return sj.geodesic_pairs(pts, radius_m=5000.0, max_abs_lat=41.0)
+
+
 def q_stream_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM NETWORK EXTRACTION (operators/focal.py stream_network —
     the hydrology product built ON TOP of D8 accumulation, the
@@ -7049,6 +7075,92 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM vals GROUP BY 1, 2
 """
 
+    # Geodesic pairs (geodesic_pairs): Vincenty's INVERSE unrolled —
+    # 16 MATERIALIZED iteration CTEs (grid._VINC_INVERSE_ITERS), each
+    # computing the engine loop body's intermediates from the previous
+    # lambda via nested selects (same guard CASEs, same expression
+    # order); the final select uses the 16th iteration's intermediates
+    # exactly like the engine's post-loop code. Constants are the
+    # engine's runtime doubles; mixed BIGINT/literal arithmetic is
+    # CAST to DOUBLE (the DuckDB DECIMAL rule).
+    _gp_f = 1.0 / 298.257223563
+    _gp_b = 6378137.0 * (1.0 - _gp_f)
+    _GPF, _GPB = _dl(_gp_f), _dl(_gp_b)
+    _GPOMF = _dl(1.0 - _gp_f)
+    _GPEP2 = _dl((6378137.0 * 6378137.0 - _gp_b * _gp_b)
+                 / (_gp_b * _gp_b))
+
+    def _gp_iter(i: int) -> str:
+        return f"""
+vv{i} AS MATERIALIZED (
+  SELECT a_id, b_id, L, su1, cu1, su2, cu2,
+         sig, sins, coss, sina, cos2a, c2sm,
+         L + (1.0 - cc)*{_GPF}*sina*(sig + cc*sins*(c2sm
+             + cc*coss*(-1.0 + 2.0*c2sm*c2sm))) AS lam
+  FROM (
+    SELECT *, {_GPF}/16.0*cos2a*(4.0 + {_GPF}*(4.0 - 3.0*cos2a)) AS cc
+    FROM (
+      SELECT *, 1.0 - sina*sina AS cos2a,
+             CASE WHEN 1.0 - sina*sina > 0.0
+                  THEN coss - 2.0*su1*su2/(1.0 - sina*sina)
+                  ELSE 0.0 END AS c2sm
+      FROM (
+        SELECT *, ATAN2(sins, coss) AS sig,
+               CASE WHEN sins > 0.0 THEN cu1*cu2*sinl/sins
+                    ELSE 0.0 END AS sina
+        FROM (
+          SELECT *, SQRT(t1*t1 + t2*t2) AS sins,
+                 su1*su2 + cu1*cu2*cosl AS coss
+          FROM (
+            SELECT *, cu2*sinl AS t1, cu1*su2 - su1*cu2*cosl AS t2
+            FROM (SELECT a_id, b_id, L, su1, cu1, su2, cu2,
+                         SIN(lam) AS sinl, COS(lam) AS cosl
+                  FROM vv{i - 1}))))))
+)"""
+
+    _gp_lon = ("CAST(-74.25 AS DOUBLE) + ((m*9973 + 12345) % 100000)"
+               " / CAST(100000 AS DOUBLE) * CAST(0.5 AS DOUBLE)")
+    _gp_lat = ("CAST(40.45 AS DOUBLE) + ((m*7919 + 54321) % 100000)"
+               " / CAST(100000 AS DOUBLE) * CAST(0.5 AS DOUBLE)")
+    o["geodesic_pairs"] = (derive.cte('anchors') + f""",
+ms AS (SELECT DISTINCT doc_id % 503 AS m FROM anchors),
+pts AS (SELECT m AS pid, {_gp_lon} AS lon, {_gp_lat} AS lat FROM ms),
+pr AS (
+  SELECT a.pid AS a_id, b.pid AS b_id,
+         a.lon AS alon, a.lat AS alat, b.lon AS blon, b.lat AS blat
+  FROM pts a JOIN pts b ON a.pid < b.pid),
+vv0 AS MATERIALIZED (
+  SELECT a_id, b_id,
+         RADIANS(((blon - alon) + 180.0) % 360.0 - 180.0) AS L,
+         SIN(ATAN({_GPOMF}*TAN(RADIANS(alat)))) AS su1,
+         COS(ATAN({_GPOMF}*TAN(RADIANS(alat)))) AS cu1,
+         SIN(ATAN({_GPOMF}*TAN(RADIANS(blat)))) AS su2,
+         COS(ATAN({_GPOMF}*TAN(RADIANS(blat)))) AS cu2,
+         RADIANS(((blon - alon) + 180.0) % 360.0 - 180.0) AS lam
+  FROM pr),"""
+        + ",".join(_gp_iter(i) for i in range(1, 17)) + f""",
+fin AS (
+  SELECT a_id, b_id, sins, coss, sig, c2sm, cos2a*{_GPEP2} AS u2v
+  FROM vv16
+), fin2 AS (
+  SELECT *,
+    1.0 + u2v/16384.0*(4096.0 + u2v*(-768.0 + u2v*(320.0
+        - 175.0*u2v))) AS biga,
+    u2v/1024.0*(256.0 + u2v*(-128.0 + u2v*(74.0 - 47.0*u2v))) AS bigb
+  FROM fin
+), fin3 AS (
+  SELECT a_id, b_id,
+    {_GPB}*biga*(sig - bigb*sins*(c2sm + 0.25*bigb*(
+        coss*(-1.0 + 2.0*c2sm*c2sm)
+        - (bigb/6.0)*c2sm*(-3.0 + 4.0*sins*sins)
+          *(-3.0 + 4.0*c2sm*c2sm)))) AS s
+  FROM fin2
+)
+SELECT a_id, b_id, CAST(FLOOR(s*1000.0 + 0.5) AS BIGINT) AS dist_q
+FROM fin3
+WHERE CAST(FLOOR(s*1000.0 + 0.5) AS BIGINT) <= 5000000
+""")
+
     # Oblique double-stereographic reproject (reproject_sterea): SQL twin
     # of the EPSG GN7-2 inverse — g/h/i/j closed forms to (chi, Lambda),
     # then the SAME 8-step pinned isometric-latitude fixed point the
@@ -8307,6 +8419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "stream_network": q_stream_network,
         "stream_network_dist": q_stream_network_dist,
+        "geodesic_pairs": q_geodesic_pairs,
         "fill_sinks": q_fill_sinks,
         "fill_sinks_dist": q_fill_sinks_dist,
         "segment_intersections": q_segment_intersections,

@@ -2608,3 +2608,60 @@ def parse_proj4(s: str):
                                            x0, y0_eqc, ell_a),
             lambda x, y: eqc_to_lonlat(x, y, lon0, k0, x0, y0_eqc, ell_a))
     raise ValueError(f"unsupported +proj={proj}: {s!r}")
+
+
+def vincenty_distance(lon1, lat1, lon2, lat2,
+                      a: float = _WGS84_A,
+                      f: float = 1.0 / 298.257223563):
+    """Pairwise geodesic distance in meters — Vincenty's INVERSE
+    (Vincenty 1975; the PostGIS geography ST_DistanceSpheroid /
+    ST_DWithin kernel) with the SAME pinned ``_VINC_INVERSE_ITERS``
+    lambda iterations, guard structure, and expression ORDER as
+    :func:`lonlat_to_aeqd_ell`'s center-to-point solve, so a SQL
+    oracle can unroll the IDENTICAL chain (all squares explicit
+    multiplies). Coincident points return exactly 0.0 (sins = 0 path).
+    Fail-loud past ``_VINC_ANTIPODAL_DEG`` of angular distance, where
+    the lambda iteration stops contracting."""
+    b = a * (1.0 - f)
+    ep2 = (a * a - b * b) / (b * b)
+    bigl = np.radians(_wrap_deg(np.asarray(lon2, dtype=np.float64)
+                                - np.asarray(lon1, dtype=np.float64)))
+    u1r = np.arctan((1.0 - f)
+                    * np.tan(np.radians(np.asarray(lat1,
+                                                   dtype=np.float64))))
+    u2r = np.arctan((1.0 - f)
+                    * np.tan(np.radians(np.asarray(lat2,
+                                                   dtype=np.float64))))
+    sinu1, cosu1 = np.sin(u1r), np.cos(u1r)
+    sinu2, cosu2 = np.sin(u2r), np.cos(u2r)
+    lam = bigl.copy()
+    for _ in range(_VINC_INVERSE_ITERS):
+        sinl, cosl = np.sin(lam), np.cos(lam)
+        t1 = cosu2 * sinl
+        t2 = cosu1 * sinu2 - sinu1 * cosu2 * cosl
+        sins = np.sqrt(t1 * t1 + t2 * t2)
+        coss = sinu1 * sinu2 + cosu1 * cosu2 * cosl
+        sig = np.arctan2(sins, coss)
+        safe = np.where(sins > 0.0, sins, 1.0)
+        sina = np.where(sins > 0.0, cosu1 * cosu2 * sinl / safe, 0.0)
+        cos2a = 1.0 - sina * sina
+        safe2a = np.where(cos2a > 0.0, cos2a, 1.0)
+        c2sm = np.where(cos2a > 0.0,
+                        coss - 2.0 * sinu1 * sinu2 / safe2a, 0.0)
+        cc = f / 16.0 * cos2a * (4.0 + f * (4.0 - 3.0 * cos2a))
+        lam = bigl + (1.0 - cc) * f * sina * (
+            sig + cc * sins * (c2sm + cc * coss * (-1.0 + 2.0 * c2sm
+                                                   * c2sm)))
+    if np.any(np.degrees(sig) > _VINC_ANTIPODAL_DEG):
+        raise ValueError(
+            f"near-antipodal geodesic (> {_VINC_ANTIPODAL_DEG} deg): "
+            "Vincenty's inverse does not converge there")
+    u2 = cos2a * ep2
+    biga = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0
+                                                               - 175.0 * u2)))
+    bigb = u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)))
+    dsig = bigb * sins * (c2sm + 0.25 * bigb * (
+        coss * (-1.0 + 2.0 * c2sm * c2sm)
+        - (bigb / 6.0) * c2sm * (-3.0 + 4.0 * sins * sins)
+        * (-3.0 + 4.0 * c2sm * c2sm)))
+    return b * biga * (sig - dsig)

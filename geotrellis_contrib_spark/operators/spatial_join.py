@@ -284,3 +284,68 @@ def segment_intersection_join(a: DataFrame, b: DataFrame,
         (sgn * (F.col("a_x1") * den + rx * tn)).alias("num_x"),
         (sgn * (F.col("a_y1") * den + ry * tn)).alias("num_y"),
         (sgn * den).alias("den"))
+
+
+def geodesic_pairs(points: DataFrame, radius_m: float,
+                   id_col: str = "pid", lon: str = "lon",
+                   lat: str = "lat",
+                   max_abs_lat: float = 66.0) -> DataFrame:
+    """Geodesic self-join: all point pairs (a_id < b_id) within
+    ``radius_m`` METERS along the WGS84 ellipsoid — the PostGIS
+    geography ``ST_DWithin`` analog (the reference's slick tier stores
+    exactly such point columns, PostgisSpec.scala:174-188 being the
+    planar cousin). Same two-phase plan as :func:`distance_join`:
+    cell-ring equi-join at a zoom whose cell covers a CONSERVATIVE
+    angular radius (radius_m / 100000 — one degree is ≥ 100 km on
+    WGS84 in both axes, so the ring provably covers every geodesic
+    neighbor), then an Arrow-vectorized Vincenty-inverse refine
+    (grid.vincenty_distance, pinned iterations). The refine emits the
+    mm-quantized distance dist_q = floor(s·1000 + 0.5) and filters on
+    the INTEGER threshold, so the join predicate is bit-reproducible.
+    Output: (a_id, b_id, dist_q)."""
+    import numpy as np
+    import pandas as pd
+
+    from geotrellis_contrib_spark.grid import vincenty_distance
+
+    radius_deg = float(radius_m) / 100000.0
+    zoom = zoom_for_radius(radius_deg, max_abs_lat)
+    if zoom < 2:
+        raise ValueError(
+            f"geodesic_pairs: radius {radius_m} m needs zoom < 2; "
+            "the 3x3 ring would self-wrap")
+    base = points.filter(F.col(lon).isNotNull()).select(
+        F.col(id_col).alias("pid"), F.col(lon).alias("plon"),
+        F.col(lat).alias("plat"))
+    a = (base.select(F.col("pid").alias("a_id"),
+                     F.col("plon").alias("a_lon"),
+                     F.col("plat").alias("a_lat"))
+         .withColumn("cell", C.encode_point(F.col("a_lon"),
+                                            F.col("a_lat"), zoom)))
+    b = (base.select(F.col("pid").alias("b_id"),
+                     F.col("plon").alias("b_lon"),
+                     F.col("plat").alias("b_lat"))
+         .withColumn("cell_col", C.tile_col(F.col("b_lon"), zoom))
+         .withColumn("cell_row", C.tile_row(F.col("b_lat"), zoom)))
+    b = _neighbor_cells(b, zoom).drop("cell_col", "cell_row")
+    cand = a.join(b, "cell").filter(F.col("a_id") < F.col("b_id")) \
+            .select("a_id", "a_lon", "a_lat", "b_id", "b_lon", "b_lat")
+    radius_mm = int(round(float(radius_m) * 1000.0))
+
+    def refine(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            s = vincenty_distance(pdf["a_lon"].to_numpy(),
+                                  pdf["a_lat"].to_numpy(),
+                                  pdf["b_lon"].to_numpy(),
+                                  pdf["b_lat"].to_numpy())
+            q = np.floor(s * 1000.0 + 0.5).astype(np.int64)
+            keep = q <= radius_mm
+            yield pd.DataFrame({
+                "a_id": pdf["a_id"].to_numpy()[keep],
+                "b_id": pdf["b_id"].to_numpy()[keep],
+                "dist_q": q[keep]})
+
+    return cand.mapInPandas(refine,
+                            "a_id long, b_id long, dist_q long")
