@@ -1252,6 +1252,23 @@ def q_temporal_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         TE.calibrate_stack(tiles, MK_GAINS, MK_OFFSETS))
 
 
+def q_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROFILE/PLAN/TOTAL CURVATURE (operators/focal.py
+    curvature_stats — Zevenbergen & Thorne 1987, the GDALDEM/ArcGIS
+    curvature recipe; the terrain-family member next to the Horn
+    slope/aspect and TRI gates): 3x3 quadratic-fit coefficients, flat
+    cells (G = H = 0) pinned to 0, full-3x3-valid edge convention,
+    same single halo exchange. All +,−,*,/ in identical expression
+    order both sides; quantize-first integer checksums. Oracle: the
+    nine NULL-able neighbor columns of the terrain CTE pattern with
+    the formulas mirrored term-for-term."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import focal as FO
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    return FO.curvature_stats(tiles, cell=30.0)
+
+
 def q_geodesic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GEODESIC DISTANCE SELF-JOIN (operators/spatial_join.py
     geodesic_pairs — the PostGIS geography ST_DWithin analog; the
@@ -7756,6 +7773,51 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM ang GROUP BY 1, 2, 3, 4
 """
 
+    # Zevenbergen-Thorne curvature (curvature): the same nine NULL-able
+    # neighbor columns; D/E/F/G/H and the three curvatures mirrored
+    # term-for-term, flat cells CASE-pinned to 0 exactly like the
+    # engine's den > 0 guard.
+    o["curvature"] = f"""
+WITH px AS (
+  SELECT s, band, 18 + s + tcc AS col, 24 + trr AS row, ri, ci,
+         (s*11) % 48 AS h0
+  FROM range(0,3) ss(s), range(0,2) bs(band),
+       range(0,4) tcs(tcc), range(0,4) trs(trr),
+       range(0,64) ris(ri), range(0,64) cis(ci)
+), nb AS MATERIALIZED (
+  SELECT s, band, col, row, {_tr_cols}
+  FROM px
+), co AS (
+  SELECT s, band, col, row,
+         ((dd + ff) / 2.0 - ee) / (30.0*30.0) AS d2,
+         ((bb + hh) / 2.0 - ee) / (30.0*30.0) AS e2,
+         (-aa + cc + gg - ii) / (4.0*(30.0*30.0)) AS f2,
+         (-dd + ff) / (2.0*30.0) AS g1,
+         (bb - hh) / (2.0*30.0) AS h1
+  FROM nb WHERE {_tr_ok}
+), cv AS (
+  SELECT s, band, col, row,
+         -2.0*(d2 + e2)*100.0 AS total,
+         CASE WHEN g1*g1 + h1*h1 > 0.0 THEN
+           -2.0*(d2*g1*g1 + e2*h1*h1 + f2*g1*h1)
+             / (g1*g1 + h1*h1) * 100.0 ELSE 0.0 END AS prof,
+         CASE WHEN g1*g1 + h1*h1 > 0.0 THEN
+           2.0*(d2*h1*h1 + e2*g1*g1 - f2*g1*h1)
+             / (g1*g1 + h1*h1) * 100.0 ELSE 0.0 END AS plan
+  FROM co
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS BIGINT) AS band, col, row,
+       CAST(SUM(CAST(FLOOR(prof * 1048576.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS prof_sum,
+       CAST(SUM(CAST(FLOOR(plan * 1048576.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS plan_sum,
+       CAST(SUM(CAST(FLOOR(total * 1048576.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS total_sum,
+       CAST(COUNT(*) AS BIGINT) AS curv_count
+FROM cv GROUP BY 1, 2, 3, 4
+"""
+
     # Local map algebra (local_algebra): both band values recomputed per
     # pixel from the closed-form fixture (the holes coincide across bands
     # — h0 depends only on s — so valid-b0 == valid-both); ndvi is one
@@ -8420,6 +8482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_network": q_stream_network,
         "stream_network_dist": q_stream_network_dist,
         "geodesic_pairs": q_geodesic_pairs,
+        "curvature": q_curvature,
         "fill_sinks": q_fill_sinks,
         "fill_sinks_dist": q_fill_sinks_dist,
         "segment_intersections": q_segment_intersections,

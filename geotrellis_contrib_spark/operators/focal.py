@@ -397,6 +397,71 @@ def terrain_stats(tiles: DataFrame, dx: float = 30.0, dy: float = 30.0,
               "slope_sum bigint, aspect_sum bigint, terrain_count bigint")
 
 
+def curvature_stats(tiles: DataFrame, cell: float = 30.0,
+                    tile_size: int = 64) -> DataFrame:
+    """Profile / plan / total CURVATURE via the ZEVENBERGEN & THORNE
+    (1987) 3x3 quadratic fit — the terrain-family member next to
+    slope/aspect/hillshade/TRI (the GDALDEM/ArcGIS curvature recipe,
+    ×100 scaling). On the padded frame (a..i row-major, e center):
+
+        D = ((d + f)/2 − e)/L²      E = ((b + h)/2 − e)/L²
+        F = (−a + c + g − i)/(4L²)  G = (−d + f)/(2L)   H = (b − h)/(2L)
+        total   = −2(D + E)·100
+        profile = −2(DG² + EH² + FGH)/(G² + H²)·100   (flat → 0)
+        plan    =  2(DH² + EG² − FGH)/(G² + H²)·100   (flat → 0)
+
+    Full-3x3-valid convention (the GDAL edge rule), same halo machinery,
+    quantize-first integer checksums. The ``curvature_stats`` SQL oracle
+    mirrors every expression term-for-term — change one only with the
+    other."""
+    t = int(tile_size)
+    L = float(cell)
+    pieces = _halo_pieces(tiles, 1, t)
+
+    def zt(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        source_id, band, col, row = key
+        cols = ["source_id", "band", "col", "row", "prof_sum",
+                "plan_sum", "total_sum", "curv_count"]
+        frame = _assemble_frame(pdf, 1, t)
+        if frame is None:
+            return pd.DataFrame(columns=cols)
+        a, b, c, d, e, f, g, h, i = _nb9(frame, t)
+        ok = ~np.isnan(a + b + c + d + e + f + g + h + i)
+        l2 = L * L
+        with np.errstate(invalid="ignore"):
+            D = ((d + f) / 2.0 - e) / l2
+            E = ((b + h) / 2.0 - e) / l2
+            Fc = (-a + c + g - i) / (4.0 * l2)
+            G = (-d + f) / (2.0 * L)
+            H = (b - h) / (2.0 * L)
+            den = G * G + H * H
+            total = -2.0 * (D + E) * 100.0
+            safe = np.where(den > 0.0, den, 1.0)
+            prof = np.where(
+                den > 0.0,
+                -2.0 * (D * G * G + E * H * H + Fc * G * H)
+                / safe * 100.0, 0.0)
+            plan = np.where(
+                den > 0.0,
+                2.0 * (D * H * H + E * G * G - Fc * G * H)
+                / safe * 100.0, 0.0)
+        return pd.DataFrame([{
+            "source_id": source_id, "band": int(band),
+            "col": int(col), "row": int(row),
+            "prof_sum": int(np.floor(prof[ok] * _Q + 0.5)
+                            .astype(np.int64).sum()),
+            "plan_sum": int(np.floor(plan[ok] * _Q + 0.5)
+                            .astype(np.int64).sum()),
+            "total_sum": int(np.floor(total[ok] * _Q + 0.5)
+                             .astype(np.int64).sum()),
+            "curv_count": int(ok.sum())}])
+
+    return pieces.groupBy("source_id", "band", "col", "row").applyInPandas(
+        zt, "source_id string, band bigint, col bigint, row bigint, "
+            "prof_sum bigint, plan_sum bigint, total_sum bigint, "
+            "curv_count bigint")
+
+
 def hillshade_stats(tiles: DataFrame, azimuth: float = 315.0,
                     altitude: float = 45.0, dx: float = 30.0,
                     dy: float = 30.0, tile_size: int = 64) -> DataFrame:

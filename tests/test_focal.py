@@ -496,3 +496,66 @@ def test_focal_wedge_bruteforce(spark):
     with pytest.raises(ValueError, match="wedge-only"):
         FO.focal_stats(tiles, op="mean", radius=3, shape="circle",
                        start_angle=0.1, end_angle=1.0)
+
+
+def test_curvature_matches_untiled_bruteforce(spark):
+    # Zevenbergen-Thorne vs the same formulas on the UNTILED mosaic,
+    # plus a flat-plane sanity: every curvature of a tilted PLANE is 0
+    tiles = corpus.synth_px_tiles(spark, tile_size=T)
+    got = {(r["source_id"], r["band"], r["col"], r["row"]):
+           (r["prof_sum"], r["plan_sum"], r["total_sum"],
+            r["curv_count"])
+           for r in FO.curvature_stats(tiles, cell=30.0).collect()}
+    assert len(got) == 3 * 2 * 16
+    L = 30.0
+    for s in (1,):
+        big = _mosaic(s, 0)
+        p = np.pad(big, 1, constant_values=np.nan)
+        n = big.shape[0]
+        a = p[0:n, 0:n]; b = p[0:n, 1:n + 1]; c = p[0:n, 2:n + 2]
+        d = p[1:n + 1, 0:n]; e = p[1:n + 1, 1:n + 1]; f = p[1:n + 1, 2:n + 2]
+        g = p[2:n + 2, 0:n]; h = p[2:n + 2, 1:n + 1]; i = p[2:n + 2, 2:n + 2]
+        ok = ~np.isnan(a + b + c + d + e + f + g + h + i)
+        with np.errstate(invalid="ignore"):
+            D = ((d + f) / 2.0 - e) / (L * L)
+            E = ((b + h) / 2.0 - e) / (L * L)
+            Fc = (-a + c + g - i) / (4.0 * (L * L))
+            G = (-d + f) / (2.0 * L)
+            H = (b - h) / (2.0 * L)
+            den = G * G + H * H
+            total = -2.0 * (D + E) * 100.0
+            safe = np.where(den > 0.0, den, 1.0)
+            prof = np.where(den > 0.0,
+                            -2.0 * (D * G * G + E * H * H + Fc * G * H)
+                            / safe * 100.0, 0.0)
+            plan = np.where(den > 0.0,
+                            2.0 * (D * H * H + E * G * G - Fc * G * H)
+                            / safe * 100.0, 0.0)
+        for tc in range(4):
+            for tr in range(4):
+                sl = (slice(tr * T, (tr + 1) * T),
+                      slice(tc * T, (tc + 1) * T))
+                m = ok[sl]
+                want = (
+                    int(np.floor(prof[sl][m] * FO._Q + 0.5)
+                        .astype(np.int64).sum()),
+                    int(np.floor(plan[sl][m] * FO._Q + 0.5)
+                        .astype(np.int64).sum()),
+                    int(np.floor(total[sl][m] * FO._Q + 0.5)
+                        .astype(np.int64).sum()),
+                    int(m.sum()))
+                assert got[(f"scene-{s}", 0, 18 + s + tc, 24 + tr)] == want
+
+
+def test_curvature_plane_is_zero(spark):
+    from geotrellis_contrib_spark.operators.pixels import pack
+    r = np.arange(8).reshape(-1, 1)
+    c = np.arange(8).reshape(1, -1)
+    z = r * 3.0 + c * 2.0 + 5.0
+    df = spark.createDataFrame(
+        [("s", 0, 3, 1, 1, 0, "float64", -9999.0, pack(z))],
+        "source_id string, source_idx int, zoom int, col bigint, "
+        "row bigint, band int, dtype string, nodata double, px binary")
+    r0 = FO.curvature_stats(df, cell=30.0, tile_size=8).collect()[0]
+    assert (r0.prof_sum, r0.plan_sum, r0.total_sum) == (0, 0, 0)
+    assert r0.curv_count == 36  # interior 6x6 has a full 3x3
