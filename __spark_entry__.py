@@ -1252,6 +1252,24 @@ def q_temporal_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         TE.calibrate_stack(tiles, MK_GAINS, MK_OFFSETS))
 
 
+def q_percent_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT-CLIP CONTRAST STRETCH (operators/render.py
+    percent_clip_stats — the GDAL/ArcGIS p2–p98 linear enhancement,
+    completing the family around sigmoidal_contrast and
+    hist_equalize): per scene, lo/hi are exact TYPE-1 discrete
+    percentiles over per-VALUE counts (the histogram trick at scene
+    scope — shuffle bounded by distinct values), collected as a
+    scenes×bands threshold table and closed over a zero-shuffle Arrow
+    checksum map; stretch is ONE IEEE division behind exact v<=lo /
+    v>=hi comparisons. Oracle: identical count/cumulative/rank/stretch
+    chain over the closed-form field."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import render as render_ops
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    return render_ops.percent_clip_stats(tiles)
+
+
 def q_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PROFILE/PLAN/TOTAL CURVATURE (operators/focal.py
     curvature_stats — Zevenbergen & Thorne 1987, the GDALDEM/ArcGIS
@@ -7773,6 +7791,46 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM ang GROUP BY 1, 2, 3, 4
 """
 
+    # Percent-clip stretch (percent_clip): per-scene per-VALUE counts,
+    # one cumulative window, ceil-rank thresholds via integer //, then
+    # the CASE-guarded single-division stretch — identical chain.
+    o["percent_clip"] = """
+WITH px AS (
+  SELECT s, band, 18 + s + tcc AS col, 24 + trr AS row, ri, ci,
+         (s*11) % 48 AS h0
+  FROM range(0,3) ss(s), range(0,2) bs(band),
+       range(0,4) tcs(tcc), range(0,4) trs(trr),
+       range(0,64) ris(ri), range(0,64) cis(ci)
+), pv AS (
+  SELECT s, band, col, row,
+         s*1000.0 + band*100.0 + col*7.0 + row*3.0 + ri*0.5 + ci*0.25
+           + CAST((ri*31 + ci*17) % 13 AS DOUBLE) AS v
+  FROM px
+  WHERE NOT (ri >= h0 AND ri < h0+16 AND ci >= h0 AND ci < h0+16)
+), cnt AS (
+  SELECT s, band, v, COUNT(*) AS c FROM pv GROUP BY 1, 2, 3
+), cum AS (
+  SELECT *, SUM(c) OVER (PARTITION BY s, band ORDER BY v
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY s, band) AS n
+  FROM cnt
+), th AS (
+  SELECT s, band,
+         MIN(CASE WHEN cum >= (2 * n + 99) // 100 THEN v END) AS lo,
+         MIN(CASE WHEN cum >= (98 * n + 99) // 100 THEN v END) AS hi
+  FROM cum GROUP BY 1, 2
+)
+SELECT CONCAT('scene-', CAST(p.s AS VARCHAR)) AS source_id,
+       CAST(p.band AS INT) AS band,
+       CAST(col AS BIGINT) AS col, CAST(row AS BIGINT) AS row,
+       CAST(COUNT(*) AS BIGINT) AS n_valid,
+       CAST(SUM(CAST(FLOOR(
+         (CASE WHEN v <= lo THEN 0.0 WHEN v >= hi THEN 1.0
+               ELSE (v - lo) / (hi - lo) END) * 1048576.0 + 0.5)
+         AS BIGINT)) AS BIGINT) AS q_stretch_sum
+FROM pv p JOIN th USING (s, band) GROUP BY 1, 2, 3, 4
+"""
+
     # Zevenbergen-Thorne curvature (curvature): the same nine NULL-able
     # neighbor columns; D/E/F/G/H and the three curvatures mirrored
     # term-for-term, flat cells CASE-pinned to 0 exactly like the
@@ -8483,6 +8541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_network_dist": q_stream_network_dist,
         "geodesic_pairs": q_geodesic_pairs,
         "curvature": q_curvature,
+        "percent_clip": q_percent_clip,
         "fill_sinks": q_fill_sinks,
         "fill_sinks_dist": q_fill_sinks_dist,
         "segment_intersections": q_segment_intersections,

@@ -383,3 +383,101 @@ def histogram_equalize(tiles: DataFrame, vmin: float, vmax: float,
             yield pdf
 
     return tiles.mapInPandas(run, tiles.schema)
+
+
+def percent_clip_stats(tiles: DataFrame, p_lo: int = 2, p_hi: int = 98,
+                       tile_size: int = 64,
+                       max_threshold_rows: int = 1 << 20) -> DataFrame:
+    """PERCENT-CLIP linear contrast stretch (the GDAL/ArcGIS "percent
+    clip" enhancement, completing the family around
+    :func:`sigmoidal_contrast` and :func:`histogram_equalize`): per
+    (source_id, band), lo/hi are the p_lo-th / p_hi-th TYPE-1 discrete
+    percentiles of the valid values — EXACT integer ranks over
+    per-VALUE counts (the zonal_percentiles histogram trick at scene
+    scope, no binning), k = ceil(p·n/100) as floor((p·n + 99)/100) —
+    then
+
+        stretch(v) = 0 if v <= lo; 1 if v >= hi;
+                     else (v − lo) / (hi − lo)    (ONE IEEE division)
+
+    Scale shape: pass 1 collapses tiles to (scene, band, value) COUNTS
+    map-side; pass 2 is one small cumulative window per scene whose
+    lo/hi rows (scenes × bands, fail-loud past ``max_threshold_rows``)
+    are collected and closed over a narrow Arrow map; pass 3 is a
+    zero-shuffle per-tile checksum. Degenerate scenes (hi <= lo) fail
+    loud. Output: (source_id, band, col, row, n_valid, q_stretch_sum =
+    Σ floor(stretch·2^20 + 0.5))."""
+    t = int(tile_size)
+
+    def counts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row_t in pdf.itertuples(index=False):
+                arr = np.frombuffer(row_t.px, dtype=DTYPES[row_t.dtype]) \
+                        .reshape(t, t).astype(np.float64)
+                valid = ~np.isnan(arr) & (arr != row_t.nodata)
+                vals, cnts = np.unique(arr[valid], return_counts=True)
+                for v, c in zip(vals, cnts):
+                    out.append({"source_id": row_t.source_id,
+                                "band": int(row_t.band),
+                                "val": float(v), "cnt": int(c)})
+            yield pd.DataFrame(out, columns=["source_id", "band",
+                                             "val", "cnt"])
+
+    cnt = tiles.mapInPandas(
+        counts, "source_id string, band int, val double, cnt bigint") \
+        .groupBy("source_id", "band", "val") \
+        .agg(F.sum("cnt").alias("cnt"))
+    w = Window.partitionBy("source_id", "band").orderBy("val") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("source_id", "band")
+    cum = (cnt.withColumn("cum", F.sum("cnt").over(w))
+              .withColumn("n", F.sum("cnt").over(wall)))
+    th = cum.groupBy("source_id", "band").agg(
+        F.min(F.when(
+            F.col("cum") >= F.floor((F.lit(int(p_lo)) * F.col("n")
+                                     + F.lit(99)) / F.lit(100)),
+            F.col("val"))).alias("lo"),
+        F.min(F.when(
+            F.col("cum") >= F.floor((F.lit(int(p_hi)) * F.col("n")
+                                     + F.lit(99)) / F.lit(100)),
+            F.col("val"))).alias("hi"))
+    rows = th.limit(max_threshold_rows + 1).collect()
+    if len(rows) > max_threshold_rows:
+        raise ValueError("percent_clip_stats: threshold table exceeds "
+                         f"max_threshold_rows={max_threshold_rows}")
+    table = {}
+    for r in rows:
+        lo, hi = float(r.lo), float(r.hi)
+        if not hi > lo:
+            raise ValueError(
+                f"percent_clip_stats: degenerate stretch (hi <= lo) "
+                f"for ({r.source_id}, band {r.band})")
+        table[(r.source_id, int(r.band))] = (lo, hi)
+
+    def rollup(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row_t in pdf.itertuples(index=False):
+                arr = np.frombuffer(row_t.px, dtype=DTYPES[row_t.dtype]) \
+                        .reshape(t, t).astype(np.float64)
+                valid = ~np.isnan(arr) & (arr != row_t.nodata)
+                lo, hi = table[(row_t.source_id, int(row_t.band))]
+                v = arr[valid]
+                s = np.where(v <= lo, 0.0,
+                             np.where(v >= hi, 1.0,
+                                      (v - lo) / (hi - lo)))
+                out.append({"source_id": row_t.source_id,
+                            "band": int(row_t.band),
+                            "col": int(row_t.col), "row": int(row_t.row),
+                            "n_valid": int(valid.sum()),
+                            "q_stretch_sum": int(
+                                np.floor(s * 1048576.0 + 0.5)
+                                .astype(np.int64).sum())})
+            yield pd.DataFrame(out, columns=[
+                "source_id", "band", "col", "row", "n_valid",
+                "q_stretch_sum"])
+
+    return tiles.mapInPandas(
+        rollup, "source_id string, band int, col bigint, row bigint, "
+                "n_valid bigint, q_stretch_sum bigint")

@@ -221,3 +221,60 @@ def test_sigmoidal_contrast_endpoints_and_guard(spark):
     with pytest.raises(ValueError, match="degenerate"):
         sigmoidal_contrast(df, vmin=0.0, vmax=1000.0, alpha=0.5,
                            beta=0.0, tile_size=64)
+
+
+def test_percent_clip_vs_numpy(spark):
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import render as RD
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    got = {(r.source_id, r.band, r.col, r.row):
+           (r.n_valid, r.q_stretch_sum)
+           for r in RD.percent_clip_stats(tiles).collect()}
+    assert len(got) == 3 * 2 * 16
+    import numpy as np
+    r_idx = np.arange(64).reshape(-1, 1)
+    c_idx = np.arange(64).reshape(1, -1)
+    for s in (0, 2):
+        for band in (0, 1):
+            vals, keys = [], []
+            for tc in range(4):
+                for tr in range(4):
+                    col, row = 18 + s + tc, 24 + tr
+                    v = (s * 1000.0 + band * 100.0 + col * 7.0
+                         + row * 3.0 + r_idx * 0.5 + c_idx * 0.25
+                         + (r_idx * 31 + c_idx * 17) % 13)
+                    h0 = (s * 11) % 48
+                    m = np.ones((64, 64), dtype=bool)
+                    m[h0:h0 + 16, h0:h0 + 16] = False
+                    vals.append(v[m])
+                    keys.append((col, row, v, m))
+            allv = np.sort(np.concatenate(vals))
+            n = len(allv)
+            lo = allv[(2 * n + 99) // 100 - 1]
+            hi = allv[(98 * n + 99) // 100 - 1]
+            # clipped tails exist on both ends
+            assert (allv < lo).any() or (allv == lo).sum() > 1
+            assert (allv > hi).any()
+            for col, row, v, m in keys:
+                vv = v[m]
+                st = np.where(vv <= lo, 0.0,
+                              np.where(vv >= hi, 1.0,
+                                       (vv - lo) / (hi - lo)))
+                want = (int(m.sum()),
+                        int(np.floor(st * 1048576.0 + 0.5)
+                            .astype(np.int64).sum()))
+                assert got[(f"scene-{s}", band, col, row)] == want
+
+
+def test_percent_clip_degenerate_fail_loud(spark):
+    import numpy as np
+    import pytest as _pt
+    from geotrellis_contrib_spark.operators import render as RD
+    from geotrellis_contrib_spark.operators.pixels import pack
+    z = np.full((4, 4), 7.0)
+    df = spark.createDataFrame(
+        [("s", 0, 3, 1, 1, 0, "float64", -9999.0, pack(z))],
+        "source_id string, source_idx int, zoom int, col bigint, "
+        "row bigint, band int, dtype string, nodata double, px binary")
+    with _pt.raises(ValueError, match="degenerate"):
+        RD.percent_clip_stats(df, tile_size=4)
