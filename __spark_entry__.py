@@ -1252,6 +1252,21 @@ def q_temporal_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         TE.calibrate_stack(tiles, MK_GAINS, MK_OFFSETS))
 
 
+def q_box_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECTANGLE OVERLAY JOIN (operators/spatial_join.py
+    box_overlap_join — ST_Intersection for the axis-aligned case over
+    the reference's bbox geometry columns, PostgisSpec.scala:133-140):
+    every positive-area box pair with the EXACT intersection rectangle
+    and area. Cover-cell equi-join with the FREE canonical-cell dedupe
+    (the segment_intersection_join trick — no DISTINCT shuffle);
+    corners are GREATEST/LEAST selections of input doubles, area one
+    subtraction pair + multiply — identical IEEE ops both sides.
+    Oracle: the brute-force self-join with the same expressions."""
+    _views(spark, sf_dir)
+    boxes = spark.table("polygon_boxes")
+    return sj.box_overlap_join(boxes, boxes)
+
+
 def q_percent_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERCENT-CLIP CONTRAST STRETCH (operators/render.py
     percent_clip_stats — the GDAL/ArcGIS p2–p98 linear enhancement,
@@ -7791,6 +7806,22 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM ang GROUP BY 1, 2, 3, 4
 """
 
+    # Rectangle overlay (box_overlay): brute-force self-join with the
+    # identical GREATEST/LEAST corner selections and the same strict
+    # positive-area predicate.
+    o["box_overlay"] = derive.cte('polygon_boxes') + """
+SELECT a.poly_id AS a_id, b.poly_id AS b_id,
+       GREATEST(a.xmin, b.xmin) AS ixmin,
+       GREATEST(a.ymin, b.ymin) AS iymin,
+       LEAST(a.xmax, b.xmax) AS ixmax,
+       LEAST(a.ymax, b.ymax) AS iymax,
+       (LEAST(a.xmax, b.xmax) - GREATEST(a.xmin, b.xmin))
+         * (LEAST(a.ymax, b.ymax) - GREATEST(a.ymin, b.ymin)) AS area
+FROM polygon_boxes a JOIN polygon_boxes b ON a.poly_id < b.poly_id
+WHERE LEAST(a.xmax, b.xmax) > GREATEST(a.xmin, b.xmin)
+  AND LEAST(a.ymax, b.ymax) > GREATEST(a.ymin, b.ymin)
+"""
+
     # Percent-clip stretch (percent_clip): per-scene per-VALUE counts,
     # one cumulative window, ceil-rank thresholds via integer //, then
     # the CASE-guarded single-division stretch — identical chain.
@@ -8542,6 +8573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geodesic_pairs": q_geodesic_pairs,
         "curvature": q_curvature,
         "percent_clip": q_percent_clip,
+        "box_overlay": q_box_overlay,
         "fill_sinks": q_fill_sinks,
         "fill_sinks_dist": q_fill_sinks_dist,
         "segment_intersections": q_segment_intersections,

@@ -349,3 +349,61 @@ def geodesic_pairs(points: DataFrame, radius_m: float,
 
     return cand.mapInPandas(refine,
                             "a_id long, b_id long, dist_q long")
+
+
+def box_overlap_join(a: DataFrame, b: DataFrame, zoom: int = 6,
+                     id_col: str = "poly_id") -> DataFrame:
+    """Rectangle OVERLAY join: all (a, b) box pairs with positive-area
+    intersection, plus the EXACT intersection rectangle and its area —
+    JTS/PostGIS ST_Intersection semantics for the axis-aligned case
+    (the reference's slick tier filters exactly such bbox geometry
+    columns, PostgisSpec.scala:133-140). Touching edges/corners (zero
+    width or height) are excluded by the strict predicate.
+
+    Scale shape: each box explodes to its zoom-``zoom`` cover cells
+    (bounded fan-out), ONE int64-cell equi-join, and the pair dedupe
+    is FREE via the canonical shared cell (max of per-axis cover
+    minima — in both cover rectangles whenever any cell matches; the
+    segment_intersection_join trick). The intersection corners are
+    GREATEST/LEAST selections of input doubles and the area is one
+    subtraction pair + one multiply — identical IEEE ops on identical
+    operands on both sides. Output: (a_id, b_id, ixmin, iymin, ixmax,
+    iymax, area)."""
+    def prep(df: DataFrame, tag: str) -> DataFrame:
+        c0, c1, r0, r1 = C.tiles_for_bbox(
+            zoom, F.col("xmin"), F.col("ymin"),
+            F.col("xmax"), F.col("ymax"))
+        return (df.select(
+            F.col(id_col).alias(f"{tag}_id"),
+            *[F.col(c).alias(f"{tag}_{c}")
+              for c in ("xmin", "ymin", "xmax", "ymax")],
+            c0.alias(f"{tag}_c0"), r0.alias(f"{tag}_r0"),
+            F.explode(F.sequence(c0, c1)).alias("ccx"))
+            .withColumn("ccy", F.explode(F.sequence(
+                C.tiles_for_bbox(zoom, F.col(f"{tag}_xmin"),
+                                 F.col(f"{tag}_ymin"),
+                                 F.col(f"{tag}_xmax"),
+                                 F.col(f"{tag}_ymax"))[2],
+                C.tiles_for_bbox(zoom, F.col(f"{tag}_xmin"),
+                                 F.col(f"{tag}_ymin"),
+                                 F.col(f"{tag}_xmax"),
+                                 F.col(f"{tag}_ymax"))[3])))
+            .withColumn("ccell", F.col("ccx") * F.lit(1 << 22)
+                        + F.col("ccy"))
+            .drop("ccx", "ccy"))
+
+    pa, pb = prep(a, "a"), prep(b, "b")
+    j = pa.join(pb, "ccell").filter(F.col("a_id") < F.col("b_id"))
+    canon = (F.greatest("a_c0", "b_c0") * F.lit(1 << 22)
+             + F.greatest("a_r0", "b_r0"))
+    j = j.filter(F.col("ccell") == canon)
+    ixmin = F.greatest("a_xmin", "b_xmin")
+    iymin = F.greatest("a_ymin", "b_ymin")
+    ixmax = F.least("a_xmax", "b_xmax")
+    iymax = F.least("a_ymax", "b_ymax")
+    j = j.filter((ixmax > ixmin) & (iymax > iymin))
+    return j.select(
+        F.col("a_id"), F.col("b_id"),
+        ixmin.alias("ixmin"), iymin.alias("iymin"),
+        ixmax.alias("ixmax"), iymax.alias("iymax"),
+        ((ixmax - ixmin) * (iymax - iymin)).alias("area"))

@@ -73,3 +73,37 @@ def test_fail_louds(spark):
         _run(spark, [(1, 0, 0, 1 << 15, 4)], [(2, 0, 4, 4, 0)])
     with pytest.raises(Exception, match="degenerate"):
         _run(spark, [(1, 3, 3, 3, 3)], [(2, 0, 4, 4, 0)])
+
+
+def test_box_overlay_known_cases(spark):
+    sch = "poly_id string, xmin double, ymin double, xmax double, ymax double"
+    boxes = spark.createDataFrame([
+        ("a", 0.0, 0.0, 10.0, 10.0),
+        ("b", 5.0, 5.0, 15.0, 15.0),    # proper overlap with a
+        ("c", 10.0, 0.0, 20.0, 10.0),   # touches a's edge -> excluded
+        ("d", 40.0, 40.0, 41.0, 41.0),  # disjoint
+        ("e", 2.0, 2.0, 3.0, 3.0),      # fully inside a
+    ], sch)
+    out = {(r.a_id, r.b_id): r
+           for r in sj.box_overlap_join(boxes, boxes).collect()}
+    assert set(out) == {("a", "b"), ("a", "e"), ("b", "c")}
+    ab = out[("a", "b")]
+    assert (ab.ixmin, ab.iymin, ab.ixmax, ab.iymax, ab.area) \
+        == (5.0, 5.0, 10.0, 10.0, 25.0)
+    ae = out[("a", "e")]
+    assert ae.area == 1.0                        # containment case
+    bc = out[("b", "c")]                          # partial side overlap
+    assert (bc.ixmin, bc.ixmax) == (10.0, 15.0)
+    assert bc.area == 5.0 * 5.0
+
+
+def test_box_overlay_multicell_once(spark):
+    # boxes spanning MANY zoom-6 cells still emit each pair once
+    sch = "poly_id string, xmin double, ymin double, xmax double, ymax double"
+    boxes = spark.createDataFrame([
+        ("p", -30.0, -30.0, 30.0, 30.0),
+        ("q", -20.0, -20.0, 40.0, 40.0),
+    ], sch)
+    out = sj.box_overlap_join(boxes, boxes).collect()
+    assert len(out) == 1
+    assert out[0].area == 50.0 * 50.0
