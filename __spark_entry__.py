@@ -1252,6 +1252,22 @@ def q_temporal_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         TE.calibrate_stack(tiles, MK_GAINS, MK_OFFSETS))
 
 
+def q_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIGRAM NOVELTY (operators/retrieval.py bigram_novelty — the
+    LM-lite corpus-fit quality signal web pipelines bucket documents
+    by before sampling): per doc the adjacent-bigram count, the count
+    NOT in the corpus's top-200 bigrams (TOTAL order count DESC,
+    bigram ASC — deterministic ties, both sides select the identical
+    set), and the quantized novelty ratio (ONE IEEE division). Scale:
+    one doc-partitioned lead() window, map-side-combined counts, the
+    K-row reference TakeOrdered + broadcast. Oracle: list-subscript
+    bigrams (the bounded-range lateral idiom), same total order, same
+    division chain."""
+    _views(spark, sf_dir)
+    from geotrellis_contrib_spark.operators import retrieval as RT
+    return RT.bigram_novelty(spark.table("documents"))
+
+
 def q_box_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RECTANGLE OVERLAY JOIN (operators/spatial_join.py
     box_overlap_join — ST_Intersection for the axis-aligned case over
@@ -7806,6 +7822,32 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM ang GROUP BY 1, 2, 3, 4
 """
 
+    # Bigram novelty (bigram_novelty): list-subscript bigrams via the
+    # bounded-range lateral idiom (DuckDB lacks generate_series(col)),
+    # identical top-K total order and division chain.
+    o["bigram_novelty"] = """
+WITH tk AS (SELECT doc_id, STR_SPLIT(text, ' ') AS l FROM documents),
+bg AS (
+  SELECT doc_id, l[k] || ' ' || l[k + 1] AS bg
+  FROM tk, range(1, 4001) t(k) WHERE k <= LEN(l) - 1),
+ref AS (
+  SELECT bg FROM (
+    SELECT bg, COUNT(*) AS c FROM bg GROUP BY 1
+    ORDER BY c DESC, bg ASC LIMIT 200)),
+per AS (
+  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+         SUM(CASE WHEN r.bg IS NULL THEN 1 ELSE 0 END) AS n_novel
+  FROM bg b LEFT JOIN ref r ON r.bg = b.bg
+  GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(per.n_novel, 0) AS BIGINT) AS n_novel,
+       CAST(CASE WHEN COALESCE(per.n_bigrams, 0) = 0 THEN 0
+            ELSE FLOOR(per.n_novel / per.n_bigrams * 1048576.0 + 0.5)
+            END AS BIGINT) AS novelty_q
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+
     # Rectangle overlay (box_overlay): brute-force self-join with the
     # identical GREATEST/LEAST corner selections and the same strict
     # positive-area predicate.
@@ -8574,6 +8616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curvature": q_curvature,
         "percent_clip": q_percent_clip,
         "box_overlay": q_box_overlay,
+        "bigram_novelty": q_bigram_novelty,
         "fill_sinks": q_fill_sinks,
         "fill_sinks_dist": q_fill_sinks_dist,
         "segment_intersections": q_segment_intersections,

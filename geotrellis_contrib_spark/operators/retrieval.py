@@ -115,3 +115,52 @@ def tfidf_weights(docs: DataFrame, text_col: str = "text",
             .select("doc_id", "tok", "tf",
                     F.floor(w * F.lit(Q_SCALE) + F.lit(0.5))
                     .cast("long").alias("w_q")))
+
+
+def bigram_novelty(docs: DataFrame, top_k: int = 200,
+                   text_col: str = "text",
+                   q: float = 1048576.0) -> DataFrame:
+    """BIGRAM NOVELTY scoring — the LM-lite corpus-fit quality signal
+    (a document whose word bigrams rarely appear among the corpus's
+    top-``top_k`` bigrams is boilerplate-free but also more likely
+    junk; web-scale pipelines bucket documents by exactly this kind of
+    n-gram-model fit before sampling). Per doc:
+
+        n_bigrams  = adjacent token pairs (docs with < 2 tokens -> 0)
+        n_novel    = bigrams NOT in the corpus top-K reference set
+        novelty_q  = floor(n_novel / n_bigrams * q + 0.5), 0 when empty
+
+    The reference set is the corpus's ``top_k`` most frequent bigrams
+    under the TOTAL order (count DESC, bigram ASC) — deterministic tie
+    handling, so both sides select the identical set. Scale shape:
+    bigrams via ONE doc-partitioned lead() window (the shingle
+    discipline — never a nested-HOF O(tokens²) composition), counts
+    map-side combined, the K-row reference TakeOrdered-collected
+    (constant at any corpus size) and broadcast, the per-doc rollup on
+    the window's own partitioning. ONE IEEE division per doc."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (toks.withColumn("nxt", F.lead("tok", 1).over(w))
+          .filter(F.col("nxt").isNotNull())
+          .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("bg")))
+    ref = (bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+           .orderBy(F.col("cnt").desc(), F.col("bg").asc())
+           .limit(int(top_k)).select("bg", F.lit(1).alias("_hit")))
+    per = (bg.join(F.broadcast(ref), "bg", "left")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                F.sum(F.when(F.col("_hit").isNull(), 1)
+                      .otherwise(0)).alias("n_novel")))
+    all_docs = docs.select("doc_id").join(per, "doc_id", "left")
+    return all_docs.select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+        F.when(F.coalesce(F.col("n_bigrams"), F.lit(0)) == 0, F.lit(0))
+        .otherwise(F.floor(F.col("n_novel") / F.col("n_bigrams")
+                           * F.lit(q) + F.lit(0.5)))
+        .cast("long").alias("novelty_q"))

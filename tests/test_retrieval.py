@@ -116,3 +116,30 @@ def test_tfidf_plan_no_python(spark):
         .toString()
     assert "Python" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_bigram_novelty_vs_reference(spark):
+    from geotrellis_contrib_spark.operators.retrieval import bigram_novelty
+    docs = [(1, "a b a b c"), (2, "a b"), (3, "x y z"), (4, "solo"),
+            (5, "a b a b")]
+    df_s = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.n_novel, r.novelty_q)
+           for r in bigram_novelty(df_s, top_k=2).collect()}
+    # corpus bigrams: 'a b' x4, 'b a' x2, 'b c' x1, 'x y' x1, 'y z' x1
+    # top-2 (count desc, bg asc): {'a b', 'b a'}
+    q = 1048576.0
+    assert got[1] == (4, 1, math.floor(1 / 4 * q + 0.5))   # 'b c' novel
+    assert got[2] == (1, 0, 0)
+    assert got[3] == (2, 2, math.floor(2 / 2 * q + 0.5))
+    assert got[4] == (0, 0, 0)                              # single token
+    assert got[5] == (3, 0, 0)
+
+
+def test_bigram_novelty_tie_break_deterministic(spark):
+    from geotrellis_contrib_spark.operators.retrieval import bigram_novelty
+    # 'a a' and 'b b' both count 1: top-1 must pick 'a a' (bg ASC)
+    docs = [(1, "a a"), (2, "b b")]
+    df_s = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.n_novel
+           for r in bigram_novelty(df_s, top_k=1).collect()}
+    assert got == {1: 0, 2: 1}
