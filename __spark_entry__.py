@@ -1252,6 +1252,37 @@ def q_temporal_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         TE.calibrate_stack(tiles, MK_GAINS, MK_OFFSETS))
 
 
+def q_flow_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOWNSTREAM FLOW LENGTH (operators/focal.py flow_length — the
+    ArcGIS FlowLength(DOWNSTREAM) analog completing the D8 family):
+    per tile the EXACT integer step decomposition (orth_sum, diag_sum)
+    of summed path lengths to each cell's terminal — length = orth +
+    diag·√2 applied ONCE by the caller; a float accumulation would
+    depend on addition order and pointer doubling reassociates it, so
+    the integer pair is the distributable representation. Oracle: the
+    flow closure as a UNION ALL walk carrying per-step type counts."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import focal as FO
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    return FO.flow_length(tiles, tile_size=64)
+
+
+def q_flow_length_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLOW LENGTH, FORCED-DISTRIBUTED (scene_max_px=0): the
+    _watershed_dist contraction with ADDITIVE integer counts riding
+    the pointer doubling — per-tile local sums (kind-2 row) + GROUP
+    rows (dest, cell count) + the O(perimeter) border table whose
+    counts ADD each doubling round; tile total = local Σ + Σ cnt ·
+    resolved(dest). Bit-identical (integer addition is associative);
+    same oracle."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import focal as FO
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    return FO.flow_length(tiles, tile_size=64, scene_max_px=0)
+
+
 def q_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BIGRAM NOVELTY (operators/retrieval.py bigram_novelty — the
     LM-lite corpus-fit quality signal web pipelines bucket documents
@@ -4602,6 +4633,61 @@ LEFT JOIN ag ON ag.s = t.s AND ag.band = t.band
             AND ag.col = t.col AND ag.row = t.row
 """)
     o["stream_network_dist"] = o["stream_network"]
+
+    # Downstream flow length (flow_length, flow_length_dist): the flow
+    # closure rewritten as a UNION ALL walk carrying per-step type
+    # counts (orthogonal vs diagonal — picks {0,2,5,7} are diagonal in
+    # the fixed row-major _D8 order); acyclicity terminates the
+    # recursion and every valid cell reaches exactly ONE terminal, so
+    # fl has one row per cell. Integer counts end-to-end — no float
+    # path length anywhere (the engine's pointer doubling would
+    # reassociate a float sum; integers are immune).
+    o["flow_length"] = o["flow_accumulation"].replace(
+        """         + (gc + CASE {dgc} END) AS did
+  FROM pk WHERE pick >= 0
+)""".replace("{dgc}", _fa_dgc_sql),
+        """         + (gc + CASE {dgc} END) AS did,
+         CASE WHEN pick IN (0, 2, 5, 7) THEN 1 ELSE 0 END AS dg
+  FROM pk WHERE pick >= 0
+)""".replace("{dgc}", _fa_dgc_sql)).replace(
+        """, reach(u, x) AS (
+  SELECT eid, eid FROM pk
+  UNION
+  SELECT reach.u, ed.did FROM reach JOIN ed ON ed.eid = reach.x
+), acc AS (
+  SELECT x AS eid, COUNT(*) - 1 AS a FROM reach GROUP BY x
+)
+SELECT CONCAT('scene-', CAST(p.s AS VARCHAR)) AS source_id,
+       CAST(p.band AS INT) AS band,
+       CAST(p.col AS BIGINT) AS col, CAST(p.row AS BIGINT) AS row,
+       CAST(SUM(a.a) AS BIGINT) AS acc_sum,
+       CAST(MAX(a.a) AS BIGINT) AS acc_max,
+       CAST(COUNT(*) AS BIGINT) AS n_valid
+FROM pk p JOIN acc a ON a.eid = p.eid
+GROUP BY 1, 2, 3, 4
+""",
+        """, walk(u, x, no, nd) AS (
+  SELECT eid, eid, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM pk
+  UNION ALL
+  SELECT w.u, e.did, w.no + (1 - e.dg), w.nd + e.dg
+  FROM walk w JOIN ed e ON e.eid = w.x
+), fl AS (
+  SELECT w.u, w.no, w.nd
+  FROM walk w JOIN pk tt ON tt.eid = w.x AND tt.pick = -1
+)
+SELECT CONCAT('scene-', CAST(p.s AS VARCHAR)) AS source_id,
+       CAST(p.band AS INT) AS band,
+       CAST(p.col AS BIGINT) AS col, CAST(p.row AS BIGINT) AS row,
+       CAST(COUNT(*) AS BIGINT) AS n_valid,
+       CAST(SUM(f.no) AS BIGINT) AS orth_sum,
+       CAST(SUM(f.nd) AS BIGINT) AS diag_sum
+FROM pk p JOIN fl f ON f.u = p.eid
+GROUP BY 1, 2, 3, 4
+""")
+    assert "walk(u, x, no, nd)" in o["flow_length"] \
+        and "AS dg" in o["flow_length"], \
+        "flow_length oracle rewrite failed to anchor"
+    o["flow_length_dist"] = o["flow_length"]
 
     # Pixel overview average (pyramid_px_avg): the 2x2 block mean over
     # the closed-form child values — CASE-guarded chained adds in the
@@ -8617,6 +8703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percent_clip": q_percent_clip,
         "box_overlay": q_box_overlay,
         "bigram_novelty": q_bigram_novelty,
+        "flow_length": q_flow_length,
+        "flow_length_dist": q_flow_length_dist,
         "fill_sinks": q_fill_sinks,
         "fill_sinks_dist": q_fill_sinks_dist,
         "segment_intersections": q_segment_intersections,

@@ -1668,3 +1668,239 @@ def stream_network(tiles: DataFrame, tile_size: int = 64,
     if _scene_small(tiles, t, scene_max_px):
         return _stream_scene(tiles, t, int(threshold))
     return _stream_dist(tiles, t, int(threshold), max_iter)
+
+
+# ---------------------------------------------------------------------------
+# Downstream flow length (ArcGIS FlowLength, direction=DOWNSTREAM) — per
+# cell the D8 path length to its terminal, kept EXACT as the integer
+# step decomposition (n_orth, n_diag): length = n_orth·1 + n_diag·√2,
+# but a float accumulation would depend on addition ORDER and pointer
+# doubling reassociates it — the integer pair is order-free, so the
+# scene solve, the distributed contraction, and the SQL closure agree
+# bit-for-bit and the caller applies √2 once at the end.
+# ---------------------------------------------------------------------------
+
+_FLEN_SCHEMA = ("source_id string, band int, col bigint, row bigint, "
+                "n_valid bigint, orth_sum bigint, diag_sum bigint")
+_FLEN_PART = ("source_id string, band int, col bigint, row bigint, "
+              "kind int, gid bigint, rep bigint, cnt bigint, "
+              "no bigint, nd bigint, final int")
+_D8_DIAG = [1 if dr != 0 and dc != 0 else 0
+            for dr, dc, _, _ in _D8]
+
+
+def _ptr_double_counts(ptr, no, nd):
+    """Pointer doubling carrying ADDITIVE integer step counts:
+    (ptr, no, nd) -> fixpoint of ptr'=ptr[ptr], n'=n+n[ptr]. Exact —
+    integer addition is associative, unlike the float path length."""
+    for _ in range(64):
+        nxt = ptr[ptr]
+        if np.array_equal(nxt, ptr):
+            return ptr, no, nd
+        no = no + no[ptr]
+        nd = nd + nd[ptr]
+        ptr = nxt
+    raise RuntimeError(  # pragma: no cover
+        "flow_length pointer doubling did not settle")
+
+
+def _flow_length_scene(tiles: DataFrame, t: int) -> DataFrame:
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        source_id, band = key[0], int(key[1])
+        cols = pdf["col"].to_numpy()
+        rows = pdf["row"].to_numpy()
+        c0, r0 = int(cols.min()), int(rows.min())
+        nc, nr = int(cols.max()) - c0 + 1, int(rows.max()) - r0 + 1
+        z = np.full((nr * t, nc * t), np.nan)
+        for row_t in pdf.itertuples(index=False):
+            arr = np.frombuffer(row_t.px, dtype=DTYPES[row_t.dtype]) \
+                    .reshape(t, t).astype(np.float64)
+            z[(int(row_t.row) - r0) * t:(int(row_t.row) - r0 + 1) * t,
+              (int(row_t.col) - c0) * t:(int(row_t.col) - c0 + 1) * t] \
+                = np.where(arr == row_t.nodata, np.nan, arr)
+        H, W = z.shape
+        valid = ~np.isnan(z)
+        chosen = _d8_chosen(np.pad(z, 1, constant_values=np.nan))
+        chf = np.full((H + 2, W + 2), -2, dtype=np.int64)
+        chf[1:1 + H, 1:1 + W] = chosen
+        _, no, nd = _flen_init_rect(chf, H + 2, W + 2)
+        no = no.reshape(H + 2, W + 2)[1:1 + H, 1:1 + W]
+        nd = nd.reshape(H + 2, W + 2)[1:1 + H, 1:1 + W]
+        out = []
+        for row_t in pdf.itertuples(index=False):
+            ty = (int(row_t.row) - r0) * t
+            tx = (int(row_t.col) - c0) * t
+            sl = (slice(ty, ty + t), slice(tx, tx + t))
+            va = valid[sl]
+            out.append({"source_id": source_id, "band": band,
+                        "col": int(row_t.col), "row": int(row_t.row),
+                        "n_valid": int(va.sum()),
+                        "orth_sum": int(no[sl][va].sum()),
+                        "diag_sum": int(nd[sl][va].sum())})
+        return pd.DataFrame(out, columns=["source_id", "band", "col",
+                                          "row", "n_valid", "orth_sum",
+                                          "diag_sum"])
+
+    return tiles.groupBy("source_id", "band").applyInPandas(
+        run, _FLEN_SCHEMA)
+
+
+def _flen_init_rect(chf: np.ndarray, ph: int, pw: int):
+    """Rectangular variant of :func:`_flen_init` (row stride pw)."""
+    idxs = np.arange(ph * pw, dtype=np.int64)
+    ptr = idxs.copy()
+    no = np.zeros(ph * pw, dtype=np.int64)
+    nd = np.zeros(ph * pw, dtype=np.int64)
+    flat_ch = chf.ravel()
+    for k, (dr, dc, _, _) in enumerate(_D8):
+        sel = flat_ch == k
+        ptr[sel] = idxs[sel] + dr * pw + dc
+        if _D8_DIAG[k]:
+            nd[sel] = 1
+        else:
+            no[sel] = 1
+    return _ptr_double_counts(ptr, no, nd)
+
+
+def _flow_length_dist(tiles: DataFrame, t: int,
+                      max_rounds: int) -> DataFrame:
+    """Distributed path (the _watershed_dist contraction with ADDITIVE
+    integer step counts riding the pointer doubling): per tile, local
+    doubling resolves every cell to an in-tile terminal or its first
+    out-of-tile cell; a kind-2 row carries the tile's Σ local counts,
+    kind-0 GROUP rows carry (dest, cell count), and the O(perimeter)
+    border table pointer-doubles with counts ADDING each round (exact —
+    integer addition is associative). Tile total = local Σ + Σ_groups
+    cnt · resolved(dest)."""
+    p = t + 2
+
+    def resolve(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        source_id, band, col, row = key
+        cols = ["source_id", "band", "col", "row", "kind", "gid",
+                "rep", "cnt", "no", "nd", "final"]
+        frame = _assemble_frame(pdf, 1, t)
+        if frame is None:
+            return pd.DataFrame(columns=cols)
+        chosen = _d8_chosen(frame)
+        valid = chosen >= -1
+        chf = np.full((p, p), -2, dtype=np.int64)
+        chf[1:1 + t, 1:1 + t] = chosen
+        ptr, no, nd = _flen_init_rect(chf, p, p)
+        interior = np.zeros((p, p), dtype=bool)
+        interior[1:1 + t, 1:1 + t] = True
+        idxs = np.arange(p * p, dtype=np.int64)
+        g_row = int(row) * t + (idxs // p) - 1
+        g_col = int(col) * t + (idxs % p) - 1
+        gid_of = g_row * 4096 + g_col
+        intmask = interior.ravel()
+        vmask = np.zeros(p * p, dtype=bool)
+        vmask[intmask] = valid.ravel()
+        dest = ptr[vmask]
+        dest_final = intmask[dest]
+        out = [{"source_id": source_id, "band": int(band),
+                "col": int(col), "row": int(row), "kind": 2,
+                "gid": 0, "rep": 0, "cnt": int(valid.sum()),
+                "no": int(no[vmask].sum()), "nd": int(nd[vmask].sum()),
+                "final": 1}]
+        dv, cv = np.unique(
+            np.stack([dest, dest_final.astype(np.int64)], axis=1),
+            axis=0, return_counts=True)
+        for (d, fin), cnt in zip(dv, cv):
+            out.append({"source_id": source_id, "band": int(band),
+                        "col": int(col), "row": int(row), "kind": 0,
+                        "gid": 0, "rep": int(gid_of[d]),
+                        "cnt": int(cnt), "no": 0, "nd": 0,
+                        "final": int(fin)})
+        fi = idxs.reshape(p, p)
+        ring = np.concatenate([fi[1, 1:1 + t], fi[t, 1:1 + t],
+                               fi[2:t, 1], fi[2:t, t]]) if t > 1 \
+            else fi[1:2, 1]
+        for cell in np.asarray(ring).ravel():
+            li = cell // p - 1, cell % p - 1
+            if not valid[li[0], li[1]]:
+                continue
+            d = ptr[cell]
+            out.append({"source_id": source_id, "band": int(band),
+                        "col": int(col), "row": int(row), "kind": 1,
+                        "gid": int(gid_of[cell]), "rep": int(gid_of[d]),
+                        "cnt": 0, "no": int(no[cell]),
+                        "nd": int(nd[cell]),
+                        "final": int(bool(intmask[d]))})
+        return pd.DataFrame(out, columns=cols)
+
+    parts = _halo_pieces(tiles, 1, t) \
+        .groupBy("source_id", "band", "col", "row") \
+        .applyInPandas(resolve, _FLEN_PART).localCheckpoint(eager=True)
+
+    border = parts.filter(F.col("kind") == 1) \
+        .select("source_id", "band", "gid", "rep", "no", "nd", "final")
+    for _ in range(max_rounds):
+        todo = border.filter(F.col("final") == 0)
+        if todo.limit(1).count() == 0:
+            break
+        done = border.filter(F.col("final") == 1)
+        step = todo.alias("a").join(
+            border.select(
+                "source_id", "band", F.col("gid").alias("g2"),
+                F.col("rep").alias("r2"), F.col("no").alias("no2"),
+                F.col("nd").alias("nd2"), F.col("final").alias("f2"))
+            .alias("b"),
+            on=[F.col("a.source_id") == F.col("b.source_id"),
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.rep") == F.col("b.g2")], how="left") \
+            .select(F.col("a.source_id").alias("source_id"),
+                    F.col("a.band").alias("band"),
+                    F.col("a.gid").alias("gid"),
+                    F.coalesce(F.col("b.r2"),
+                               F.col("a.rep")).alias("rep"),
+                    (F.col("a.no") + F.coalesce(F.col("b.no2"),
+                                                F.lit(0))).alias("no"),
+                    (F.col("a.nd") + F.coalesce(F.col("b.nd2"),
+                                                F.lit(0))).alias("nd"),
+                    F.coalesce(F.col("b.f2"), F.lit(0)).alias("final"))
+        border = done.unionByName(step).localCheckpoint(eager=True)
+    else:
+        raise RuntimeError(
+            f"flow_length border resolution did not settle in "
+            f"{max_rounds} rounds")
+
+    local = parts.filter(F.col("kind") == 2) \
+        .select("source_id", "band", "col", "row",
+                F.col("cnt").alias("n_valid"),
+                F.col("no").alias("orth_sum"),
+                F.col("nd").alias("diag_sum"))
+    groups = parts.filter((F.col("kind") == 0) & (F.col("final") == 0))
+    gres = groups.alias("g").join(
+        border.select("source_id", "band", F.col("gid").alias("bgid"),
+                      F.col("no").alias("bno"),
+                      F.col("nd").alias("bnd")).alias("m"),
+        on=[F.col("g.source_id") == F.col("m.source_id"),
+            F.col("g.band") == F.col("m.band"),
+            F.col("g.rep") == F.col("m.bgid")]) \
+        .select(F.col("g.source_id").alias("source_id"),
+                F.col("g.band").alias("band"),
+                F.col("g.col").alias("col"), F.col("g.row").alias("row"),
+                F.lit(0).alias("n_valid"),
+                (F.col("g.cnt") * F.col("m.bno")).alias("orth_sum"),
+                (F.col("g.cnt") * F.col("m.bnd")).alias("diag_sum"))
+    return local.unionByName(gres) \
+        .groupBy("source_id", "band", "col", "row") \
+        .agg(F.sum("n_valid").alias("n_valid"),
+             F.sum("orth_sum").alias("orth_sum"),
+             F.sum("diag_sum").alias("diag_sum"))
+
+
+def flow_length(tiles: DataFrame, tile_size: int = 64,
+                scene_max_px: int = 1 << 11,
+                max_rounds: int = 64) -> DataFrame:
+    """Downstream D8 flow length (module block comment): per tile
+    n_valid plus the EXACT integer step decomposition (orth_sum,
+    diag_sum) of the summed path lengths to each cell's terminal —
+    length = orth·1 + diag·√2 applied by the caller ONCE at the end.
+    Adaptive (the cost_distance template); ``scene_max_px=0`` forces
+    the distributed contraction (bit-identical: integer addition is
+    associative, so pointer doubling cannot change the answer)."""
+    t = int(tile_size)
+    if _scene_small(tiles, t, scene_max_px):
+        return _flow_length_scene(tiles, t)
+    return _flow_length_dist(tiles, t, max_rounds)
