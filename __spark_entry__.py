@@ -1252,6 +1252,35 @@ def q_temporal_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         TE.calibrate_stack(tiles, MK_GAINS, MK_OFFSETS))
 
 
+def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILBERT curve layout (functions/cells.py hilbert_key — the
+    GeoTrellis HilbertSpatialKeyIndex, store.index.hilbert, the
+    reference catalog tier's ALTERNATIVE to the Z-curve): anchors keyed
+    (col10, row10), Hilbert-distance-indexed via the staged xy2d
+    projections (data-dependent reflect+swap forbids a closed-form bit
+    spread — the reason Z-order is everyone's default), then ranked
+    WITHIN their zoom-5 bucket by (hkey, doc_id) — a per-partition
+    sort at scale, never global (zorder_layout's discipline under the
+    better curve: consecutive Hilbert keys are ALWAYS 4-adjacent, so
+    bbox reads decompose into fewer, longer pushed key ranges).
+    Oracle: the identical stage chain as nested subqueries."""
+    from pyspark.sql import Window as W
+
+    _views(spark, sf_dir)
+    a = spark.table("anchors").filter(F.col("lon").isNotNull())
+    k = a.select(
+        "doc_id",
+        C.tile_col(F.col("lon"), 10).alias("hx0"),
+        C.tile_row(F.col("lat"), 10).alias("hy0"),
+        C.cell_id(F.lit(5), C.tile_col(F.col("lon"), 5),
+                  C.tile_row(F.col("lat"), 5)).alias("bucket"))
+    h = C.hilbert_key(k, "hx0", "hy0", 10, out="hkey")
+    w = W.partitionBy("bucket").orderBy("hkey", "doc_id")
+    return h.select("doc_id", F.col("hx0").alias("hx"),
+                    F.col("hy0").alias("hy"), "bucket", "hkey",
+                    F.row_number().over(w).alias("hrank"))
+
+
 def q_flow_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOWNSTREAM FLOW LENGTH (operators/focal.py flow_length — the
     ArcGIS FlowLength(DOWNSTREAM) analog completing the D8 family):
@@ -4633,6 +4662,27 @@ LEFT JOIN ag ON ag.s = t.s AND ag.band = t.band
             AND ag.col = t.col AND ag.row = t.row
 """)
     o["stream_network_dist"] = o["stream_network"]
+
+    # Hilbert layout: the identical staged xy2d chain (integer CASE
+    # arithmetic only — dialect-common, bit-identical by construction)
+    # as nested subqueries, then the same per-bucket window.
+    _hc10 = C.sql_tile_col("lon", 10)
+    _hr10 = C.sql_tile_row("lat", 10)
+    _hc5 = C.sql_tile_col("lon", 5)
+    _hr5 = C.sql_tile_row("lat", 5)
+    o["hilbert_layout"] = f"""
+{derive.cte('anchors')},
+keyed AS (
+  SELECT doc_id, {_hc10} AS hx0, {_hr10} AS hy0,
+         {C.sql_cell_id('5', _hc5, _hr5)} AS bucket
+  FROM anchors WHERE lon IS NOT NULL),
+hil AS ({C.sql_hilbert_ctes('keyed', 'hx0', 'hy0', 10,
+                            'doc_id, hx0, hy0, bucket')})
+SELECT doc_id, hx0 AS hx, hy0 AS hy, bucket, hkey,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY bucket ORDER BY hkey, doc_id) AS INT) AS hrank
+FROM hil
+"""
 
     # Downstream flow length (flow_length, flow_length_dist): the flow
     # closure rewritten as a UNION ALL walk carrying per-step type
@@ -8685,6 +8735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     next-round item #3)."""
     return {
         # --- new/changed this round first -------------------------------
+        "hilbert_layout": q_hilbert_layout,
         "delaunay_exact": q_delaunay_exact,
         "tin_raster": q_tin_raster,
         "voronoi_vertices": q_voronoi_vertices,

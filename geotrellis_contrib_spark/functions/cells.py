@@ -497,6 +497,87 @@ def quadkey_chars(code_name: str, zoom: int) -> Column:
                                  _SHIFT_SPARK[1]))
 
 
+# --- Hilbert curve index -----------------------------------------------------
+# GeoTrellis ships a HilbertSpatialKeyIndex NEXT TO the Z-curve
+# (store.index.hilbert — selected by `"index": "hilbert"` in layer
+# metadata; the reference's catalog tier accepts either). Unlike
+# Morton, consecutive Hilbert distances are ALWAYS 4-adjacent cells,
+# so a bbox decomposes into fewer, longer key ranges — fewer row-group
+# seeks on the sorted layout. The public bit-level xy2d algorithm
+# (Hamilton's compact Hilbert; Wikipedia "Hilbert curve"):
+#   for s = 2^(bits-1) .. 1:
+#     rx = (x & s) > 0;  ry = (y & s) > 0
+#     d += s*s*((3*rx) XOR ry)
+#     if ry == 0: { if rx == 1: x = n-1-x; y = n-1-y };  swap(x, y)
+# The data-dependent reflect+swap means NO closed-form bit spread
+# exists (the reason Z-order is the default everywhere): emitted as
+# `bits` staged projections over NAMED (hx, hy, hd) columns — the
+# hex_cell staging discipline, one narrow select per stage, zero
+# shuffle. Spark's CollapseProject declines to inline multiply-
+# referenced non-cheap CASEs, so the stages stay linear, not
+# exponential. The tiny {0..3} XOR is replaced by dialect-common
+# arithmetic ((3*rx)^ry == rx ? 3-ry : ry), so the SAME stage text
+# runs in Spark and DuckDB; everything is integer CASE arithmetic —
+# bit-identical by construction.
+
+def _hilbert_stage(s: int, n: int) -> dict[str, str]:
+    """One xy2d level (constant s): new (hd, hx, hy) from the old —
+    all three MUST be computed in a single projection (hx' and hy'
+    both read the pre-update pair)."""
+    rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+    return {
+        "hd": (f"(hd + {s * s} * (CASE WHEN {rx} = 1 "
+               f"THEN 3 - {ry} ELSE {ry} END))"),
+        "hx": (f"(CASE WHEN {ry} = 1 THEN hx "
+               f"WHEN {rx} = 1 THEN {n - 1} - hy ELSE hy END)"),
+        "hy": (f"(CASE WHEN {ry} = 1 THEN hy "
+               f"WHEN {rx} = 1 THEN {n - 1} - hx ELSE hx END)"),
+    }
+
+
+def hilbert_key(df, x_col: str, y_col: str, bits: int,
+                out: str = "hkey"):
+    """Append the Hilbert distance of the named integer cell columns
+    on the 2^bits x 2^bits grid as BIGINT ``out`` (zero shuffle;
+    ``bits`` stacked narrow projections). Inputs must already lie in
+    [0, 2^bits) — tile_col/tile_row clamp there by construction."""
+    if not 1 <= bits <= 21:
+        raise ValueError(f"hilbert bits must be 1..21: {bits}")
+    n = 1 << bits
+    d = df.withColumn("hx", F.col(x_col).cast("long")) \
+          .withColumn("hy", F.col(y_col).cast("long")) \
+          .withColumn("hd", F.lit(0).cast("long"))
+    keep = [c for c in d.columns if c not in ("hx", "hy", "hd")]
+    s = n >> 1
+    while s > 0:
+        st = _hilbert_stage(s, n)
+        d = d.select(*keep, F.expr(st["hd"]).alias("hd"),
+                     F.expr(st["hx"]).alias("hx"),
+                     F.expr(st["hy"]).alias("hy"))
+        s >>= 1
+    return d.select(*keep, F.col("hd").alias(out))
+
+
+def sql_hilbert_ctes(src: str, x: str, y: str, bits: int,
+                     keep: str, out: str = "hkey") -> str:
+    """Oracle twin: the identical stage chain as nested subqueries
+    over ``src``, carrying ``keep`` columns; yields (keep..., out)."""
+    if not 1 <= bits <= 21:
+        raise ValueError(f"hilbert bits must be 1..21: {bits}")
+    n = 1 << bits
+    q = (f"SELECT {keep}, CAST({x} AS BIGINT) AS hx, "
+         f"CAST({y} AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd "
+         f"FROM {src}")
+    s = n >> 1
+    while s > 0:
+        st = _hilbert_stage(s, n)
+        q = (f"SELECT {keep}, {st['hd']} AS hd, {st['hx']} AS hx, "
+             f"{st['hy']} AS hy FROM ({q})")
+        s >>= 1
+    return f"SELECT {keep}, hd AS {out} FROM ({q})"
+
+
 # --- Hex grid (axial coordinates, cube rounding) ----------------------------
 # The H3-style hexagonal bin next to the square curves: pointy-top axial
 # hexes of circumradius `size` (same units as x/y), assignment by the
