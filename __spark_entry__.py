@@ -1312,6 +1312,22 @@ def q_flow_length_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FO.flow_length(tiles, tile_size=64, scene_max_px=0)
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOPHER REPETITION SIGNALS (operators/retrieval.py
+    repetition_signals — the Rae et al. 2021 §A1.1 quality filters:
+    web pipelines drop documents whose most-frequent n-gram covers too
+    many characters or whose duplicate fraction is high): per doc
+    token/dup counts, the top unigram and adjacent bigram under the
+    TOTAL order (count DESC, gram ASC) with their covered-character
+    counts, and the quantized duplicate-token ratio (ONE IEEE
+    division). Integer counts end-to-end; argmax per doc is a
+    struct-min on the already-shuffled (doc, gram) counts — no second
+    shuffle. Oracle: list-subscript grams + ROW_NUMBER argmax."""
+    _views(spark, sf_dir)
+    from geotrellis_contrib_spark.operators import retrieval as RT
+    return RT.repetition_signals(spark.table("documents"))
+
+
 def q_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BIGRAM NOVELTY (operators/retrieval.py bigram_novelty — the
     LM-lite corpus-fit quality signal web pipelines bucket documents
@@ -7984,6 +8000,49 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
 """
 
+    # Gopher repetition signals: identical counts, the same TOTAL-order
+    # argmax as a ROW_NUMBER, the same single division chain. Integer
+    # outputs CAST AS BIGINT (the DuckDB HUGEINT-sum rule).
+    o["repetition_signals"] = """
+WITH tk AS (SELECT doc_id, STR_SPLIT(text, ' ') AS l FROM documents),
+tok AS (
+  SELECT doc_id, l[k] AS tok FROM tk, range(1, 4001) t(k)
+  WHERE k <= LEN(l)),
+tc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+pt AS (
+  SELECT doc_id, SUM(cnt) AS n_tokens,
+         SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup_tok
+  FROM tc GROUP BY 1),
+t1 AS (
+  SELECT doc_id, tok, cnt FROM (
+    SELECT doc_id, tok, cnt,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY cnt DESC, tok ASC) AS rn
+    FROM tc) WHERE rn = 1),
+bgr AS (
+  SELECT doc_id, l[k] || ' ' || l[k + 1] AS bg
+  FROM tk, range(1, 4001) t(k) WHERE k <= LEN(l) - 1),
+bc AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM bgr GROUP BY 1, 2),
+b1 AS (
+  SELECT doc_id, bg, cnt FROM (
+    SELECT doc_id, bg, cnt,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY cnt DESC, bg ASC) AS rn
+    FROM bc) WHERE rn = 1)
+SELECT pt.doc_id, CAST(pt.n_tokens AS BIGINT) AS n_tokens,
+       CAST(pt.dup_tok AS BIGINT) AS dup_tok,
+       t1.tok AS top_tok, CAST(t1.cnt AS BIGINT) AS top_tok_cnt,
+       CAST(t1.cnt * LENGTH(t1.tok) AS BIGINT) AS top_tok_chars,
+       COALESCE(b1.bg, '') AS top_bg,
+       CAST(COALESCE(b1.cnt, 0) AS BIGINT) AS top_bg_cnt,
+       CAST(COALESCE(b1.cnt * (LENGTH(b1.bg) - 1), 0) AS BIGINT)
+         AS top_bg_chars,
+       CAST(FLOOR(pt.dup_tok / pt.n_tokens * 1048576.0 + 0.5)
+         AS BIGINT) AS rep_q
+FROM pt JOIN t1 ON t1.doc_id = pt.doc_id
+LEFT JOIN b1 ON b1.doc_id = pt.doc_id
+"""
+
     # Rectangle overlay (box_overlay): brute-force self-join with the
     # identical GREATEST/LEAST corner selections and the same strict
     # positive-area predicate.
@@ -8736,6 +8795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new/changed this round first -------------------------------
         "hilbert_layout": q_hilbert_layout,
+        "repetition_signals": q_repetition_signals,
         "delaunay_exact": q_delaunay_exact,
         "tin_raster": q_tin_raster,
         "voronoi_vertices": q_voronoi_vertices,

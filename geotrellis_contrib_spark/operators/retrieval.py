@@ -164,3 +164,70 @@ def bigram_novelty(docs: DataFrame, top_k: int = 200,
         .otherwise(F.floor(F.col("n_novel") / F.col("n_bigrams")
                            * F.lit(q) + F.lit(0.5)))
         .cast("long").alias("novelty_q"))
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text",
+                       q: float = 1048576.0) -> DataFrame:
+    """GOPHER-STYLE repetition signals — the quality filters web-scale
+    pipelines apply before sampling (Rae et al. 2021 §A1.1 filter
+    excessively repetitive documents by the character fraction of the
+    most frequent n-gram and the duplicate-line fraction; this corpus
+    is single-line, so the token-level trio applies). Per doc:
+
+        n_tokens       total tokens (space split)
+        dup_tok        tokens occurring >= 2 times (occurrences, not
+                       distinct types)
+        top_tok(+cnt/chars)   most frequent token under the TOTAL
+                       order (count DESC, token ASC — the
+                       bigram_novelty tie discipline); chars =
+                       cnt * len(token)
+        top_bg(+cnt/chars)    most frequent adjacent bigram; chars =
+                       cnt * (len(bigram) - 1) — the separator space
+                       is NOT a document character
+        rep_q          floor(dup_tok / n_tokens * q + 0.5) — ONE IEEE
+                       division, identical operand order both sides
+
+    Integer counts end-to-end (order-free partial aggregation); docs
+    with < 2 tokens get ('', 0, 0) bigram fields, never NULL. Scale
+    shape: ONE map-side-combined shuffle per n-gram arity keyed
+    (doc_id, gram) + the doc_id window the bigram build already needs;
+    argmax per doc is a struct-min — no second shuffle, no collect."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"))
+    tc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    per_tok = (tc.groupBy("doc_id")
+               .agg(F.sum("cnt").alias("n_tokens"),
+                    F.sum(F.when(F.col("cnt") >= 2, F.col("cnt"))
+                          .otherwise(0)).alias("dup_tok"),
+                    F.min(F.struct((-F.col("cnt")).alias("nc"),
+                                   F.col("tok").alias("tk"))).alias("t1"))
+               .select("doc_id", "n_tokens", "dup_tok",
+                       F.col("t1.tk").alias("top_tok"),
+                       (-F.col("t1.nc")).alias("top_tok_cnt"),
+                       ((-F.col("t1.nc")) * F.length("t1.tk"))
+                       .alias("top_tok_chars")))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (toks.withColumn("nxt", F.lead("tok", 1).over(w))
+          .filter(F.col("nxt").isNotNull())
+          .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("bg")))
+    per_bg = (bg.groupBy("doc_id", "bg")
+              .agg(F.count(F.lit(1)).alias("cnt"))
+              .groupBy("doc_id")
+              .agg(F.min(F.struct((-F.col("cnt")).alias("nc"),
+                                  F.col("bg").alias("b"))).alias("b1"))
+              .select("doc_id", F.col("b1.b").alias("top_bg"),
+                      (-F.col("b1.nc")).alias("top_bg_cnt"),
+                      ((-F.col("b1.nc")) * (F.length("b1.b") - F.lit(1)))
+                      .alias("top_bg_chars")))
+    return (per_tok.join(per_bg, "doc_id", "left")
+            .select("doc_id", "n_tokens", "dup_tok", "top_tok",
+                    "top_tok_cnt", "top_tok_chars",
+                    F.coalesce(F.col("top_bg"), F.lit("")).alias("top_bg"),
+                    F.coalesce(F.col("top_bg_cnt"), F.lit(0))
+                    .cast("long").alias("top_bg_cnt"),
+                    F.coalesce(F.col("top_bg_chars"), F.lit(0))
+                    .cast("long").alias("top_bg_chars"),
+                    F.floor(F.col("dup_tok") / F.col("n_tokens")
+                            * F.lit(q) + F.lit(0.5))
+                    .cast("long").alias("rep_q")))

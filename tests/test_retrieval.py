@@ -143,3 +143,36 @@ def test_bigram_novelty_tie_break_deterministic(spark):
     got = {r.doc_id: r.n_novel
            for r in bigram_novelty(df_s, top_k=1).collect()}
     assert got == {1: 0, 2: 1}
+
+
+def test_repetition_signals_hand_values(spark):
+    from geotrellis_contrib_spark.operators.retrieval import (
+        repetition_signals)
+    docs = [
+        (0, "a b a b a"),      # top tok a(3); bigrams: "a b"x2 "b a"x2
+        (1, "x y z"),          # all unique: dup 0, top tok x (tie ASC)
+        (2, "w"),              # single token: no bigram fields
+        (3, "cc cc d"),        # top tok cc(2) chars 4; top bg "cc cc"
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in repetition_signals(df).collect()}
+    r0 = got[0]
+    # dup_tok = 5 (a x3 + b x2); top bigram tie "a b" vs "b a" -> ASC
+    assert (r0["n_tokens"], r0["dup_tok"]) == (5, 5)
+    assert (r0["top_tok"], r0["top_tok_cnt"], r0["top_tok_chars"]) \
+        == ("a", 3, 3)
+    assert (r0["top_bg"], r0["top_bg_cnt"], r0["top_bg_chars"]) \
+        == ("a b", 2, 4)
+    assert r0["rep_q"] == 1048576  # 5/5 exactly 1.0
+    r1 = got[1]
+    assert (r1["dup_tok"], r1["top_tok"], r1["top_tok_cnt"],
+            r1["rep_q"]) == (0, "x", 1, 0)
+    r2 = got[2]
+    assert (r2["n_tokens"], r2["top_bg"], r2["top_bg_cnt"],
+            r2["top_bg_chars"]) == (1, "", 0, 0)
+    r3 = got[3]
+    assert (r3["top_tok"], r3["top_tok_chars"]) == ("cc", 4)
+    assert (r3["top_bg"], r3["top_bg_cnt"], r3["top_bg_chars"]) \
+        == ("cc cc", 1, 4)
+    # 2/3 quantized: floor(2/3 * 2^20 + .5)
+    assert r3["rep_q"] == int(2 / 3 * 1048576.0 + 0.5)
