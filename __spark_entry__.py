@@ -1281,6 +1281,24 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.row_number().over(w).alias("hrank"))
 
 
+def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MORAN'S I integer moments (operators/focal.py morans_moments —
+    the classic global spatial-autocorrelation statistic over
+    rook-adjacent pixels): per (scene, band) the EXACT quantized
+    moments (n, w_pairs, s1, sdeg, sv, svv); I itself is two divisions
+    away, applied ONCE by the caller — the mean-centered formulation
+    would put a float subtraction inside every partial sum
+    (order-dependent), while raw integer moments are order-free and
+    distributable. ONE halo-strip shuffle + a map-side-combined scene
+    rollup (constant per-tile state). Oracle: the terrain family's
+    NULL-able neighbor columns, same quantization, same moment sums."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import focal as FO
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    return FO.morans_moments(tiles, tile_size=64)
+
+
 def q_flow_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOWNSTREAM FLOW LENGTH (operators/focal.py flow_length — the
     ArcGIS FlowLength(DOWNSTREAM) analog completing the D8 family):
@@ -8144,6 +8162,46 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM cv GROUP BY 1, 2, 3, 4
 """
 
+    # Moran's I integer moments (morans_i): the same NULL-able rook
+    # neighbor columns, values quantized floor(v*4+0.5) (the fixture
+    # field lives on the exact 1/4 grid), deg/neighbor-sum per valid
+    # center, integer moment sums CAST AS BIGINT.
+    _mr_q = "CAST(FLOOR({} * 4.0 + 0.5) AS BIGINT)"
+    _mr_deg = " + ".join(
+        f"(CASE WHEN {nm} IS NULL THEN 0 ELSE 1 END)"
+        for nm in ("bb", "hh", "dd", "ff"))
+    _mr_nsum = " + ".join(
+        f"COALESCE({_mr_q.format(nm)}, 0)" for nm in ("bb", "hh",
+                                                      "dd", "ff"))
+    o["morans_i"] = f"""
+WITH px AS (
+  SELECT s, band, 18 + s + tcc AS col, 24 + trr AS row, ri, ci,
+         (s*11) % 48 AS h0
+  FROM range(0,3) ss(s), range(0,2) bs(band),
+       range(0,4) tcs(tcc), range(0,4) trs(trr),
+       range(0,64) ris(ri), range(0,64) cis(ci)
+), nb AS MATERIALIZED (
+  SELECT s, band,
+         {_tr_nb(0, 0)} AS ee, {_tr_nb(-1, 0)} AS bb,
+         {_tr_nb(1, 0)} AS hh, {_tr_nb(0, -1)} AS dd,
+         {_tr_nb(0, 1)} AS ff
+  FROM px
+), q AS (
+  SELECT s, band, {_mr_q.format('ee')} AS v,
+         {_mr_deg} AS deg, {_mr_nsum} AS nsum
+  FROM nb WHERE ee IS NOT NULL
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS INT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(deg) AS BIGINT) AS w_pairs,
+       CAST(SUM(v * nsum) AS BIGINT) AS s1,
+       CAST(SUM(deg * v) AS BIGINT) AS sdeg,
+       CAST(SUM(v) AS BIGINT) AS sv,
+       CAST(SUM(v * v) AS BIGINT) AS svv
+FROM q GROUP BY 1, 2
+"""
+
     # Local map algebra (local_algebra): both band values recomputed per
     # pixel from the closed-form fixture (the holes coincide across bands
     # — h0 depends only on s — so valid-b0 == valid-both); ndvi is one
@@ -8796,6 +8854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new/changed this round first -------------------------------
         "hilbert_layout": q_hilbert_layout,
         "repetition_signals": q_repetition_signals,
+        "morans_i": q_morans_i,
         "delaunay_exact": q_delaunay_exact,
         "tin_raster": q_tin_raster,
         "voronoi_vertices": q_voronoi_vertices,

@@ -1904,3 +1904,71 @@ def flow_length(tiles: DataFrame, tile_size: int = 64,
     if _scene_small(tiles, t, scene_max_px):
         return _flow_length_scene(tiles, t)
     return _flow_length_dist(tiles, t, max_rounds)
+
+
+# ---------------------------------------------------------------------------
+# Global Moran's I (the classic spatial-autocorrelation statistic; the
+# raster sibling of the vector hotspot family) over rook-adjacent
+# pixels — returned as EXACT integer MOMENTS, not the final ratio:
+# with v quantized to an integer grid,
+#     n      valid pixels
+#     w      ordered adjacent valid pairs (Sum_i deg_i)
+#     s1     Sum over ordered pairs v_i * v_j
+#     sdeg   Sum_i deg_i * v_i
+#     sv     Sum_i v_i          svv    Sum_i v_i^2
+# I = (n/w) * (s1 - 2*m*sdeg + m^2*w) / (svv - n*m^2), m = sv/n —
+# applied ONCE by the caller; the mean-centered formulation would put
+# a float subtraction inside every partial sum (order-dependent),
+# while the raw integer moments are order-free and distributable
+# (the flow_length integer-decomposition discipline).
+# ---------------------------------------------------------------------------
+
+_MORAN_SCHEMA = ("source_id string, band int, n bigint, w_pairs bigint, "
+                 "s1 bigint, sdeg bigint, sv bigint, svv bigint")
+
+
+def morans_moments(tiles: DataFrame, tile_size: int = 64,
+                   quant: float = 4.0) -> DataFrame:
+    """Per-(scene, band) Moran's I integer moments (module block
+    comment): values quantized floor(v*quant + 0.5) to int64 first, so
+    every product and sum is exact. ONE halo-strip shuffle (the
+    stencil template) + a map-side-combined scene rollup; each tile
+    emits a single partial row — constant state per task at any scene
+    size."""
+    t = int(tile_size)
+    qf = float(quant)
+
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        source_id, band = key[0], int(key[1])
+        cols = ["source_id", "band", "n", "w_pairs", "s1", "sdeg",
+                "sv", "svv"]
+        frame = _assemble_frame(pdf, 1, t)
+        if frame is None:
+            return pd.DataFrame(columns=cols)
+        val = ~np.isnan(frame)
+        vq = np.where(val, np.floor(frame * qf + 0.5), 0).astype(np.int64)
+        cen = (slice(1, 1 + t), slice(1, 1 + t))
+        mc, vc = val[cen], vq[cen]
+        deg = np.zeros((t, t), dtype=np.int64)
+        nsum = np.zeros((t, t), dtype=np.int64)
+        for dr, dc in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            nm = val[1 + dr:1 + t + dr, 1 + dc:1 + t + dc]
+            nv = vq[1 + dr:1 + t + dr, 1 + dc:1 + t + dc]
+            both = mc & nm
+            deg += both
+            nsum += np.where(both, nv, 0)
+        return pd.DataFrame([{
+            "source_id": source_id, "band": band,
+            "n": int(mc.sum()), "w_pairs": int(deg[mc].sum()),
+            "s1": int((vc * nsum)[mc].sum()),
+            "sdeg": int((deg * vc)[mc].sum()),
+            "sv": int(vc[mc].sum()), "svv": int((vc * vc)[mc].sum()),
+        }], columns=cols)
+
+    parts = _halo_pieces(tiles, 1, t) \
+        .groupBy("source_id", "band", "col", "row") \
+        .applyInPandas(run, _MORAN_SCHEMA)
+    return parts.groupBy("source_id", "band").agg(
+        F.sum("n").alias("n"), F.sum("w_pairs").alias("w_pairs"),
+        F.sum("s1").alias("s1"), F.sum("sdeg").alias("sdeg"),
+        F.sum("sv").alias("sv"), F.sum("svv").alias("svv"))
