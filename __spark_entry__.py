@@ -1281,6 +1281,27 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.row_number().over(w).alias("hrank"))
 
 
+def q_hist_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HISTOGRAM MATCHING (operators/render.py histogram_match — the
+    GDAL/rasterio/scikit-image enhancement remapping scene-0 onto
+    scene-1's distribution; the radiometric normalization multi-date
+    mosaics apply before compositing — completing the enhancement
+    family around percent_clip/hist_equalize/sigmoidal): the
+    per-(band, value) EXACT type-1 quantile mapping table — integer
+    ranks over per-VALUE counts, rank_b = ceil-rank rescale, matched
+    value = smallest ref value whose cumulative count qualifies,
+    found by the asof_join union trick (ONE per-band window ordered
+    key DESC ref-first, running MIN — no V^2 join, no collect).
+    Values ride the exact x4 integer grid; the mapped value is a
+    SELECTION, never arithmetic. Oracle: identical counts, windows,
+    and union walk over the closed-form field."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import render as RD
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    return RD.histogram_match(tiles, "scene-0", "scene-1", tile_size=64)
+
+
 def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MORAN'S I integer moments (operators/focal.py morans_moments —
     the classic global spatial-autocorrelation statistic over
@@ -8162,6 +8183,58 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM cv GROUP BY 1, 2, 3, 4
 """
 
+    # Histogram matching (hist_match): per-VALUE counts over the
+    # closed-form field, the same cumulative windows, the same ceil-rank
+    # rescale, the same union + reverse-ordered running-MIN walk.
+    o["hist_match"] = """
+WITH px AS (
+  SELECT s, band, 18 + s + tcc AS col, 24 + trr AS row, ri, ci,
+         (s*11) % 48 AS h0
+  FROM range(0,2) ss(s), range(0,2) bs(band),
+       range(0,4) tcs(tcc), range(0,4) trs(trr),
+       range(0,64) ris(ri), range(0,64) cis(ci)
+), v AS (
+  SELECT s, band,
+         (s*1000.0 + band*100.0 + col*7.0 + row*3.0 + ri*0.5 + ci*0.25
+          + CAST((ri*31 + ci*17) % 13 AS DOUBLE)) AS val
+  FROM px
+  WHERE NOT (ri >= h0 AND ri < h0+16 AND ci >= h0 AND ci < h0+16)
+), cnt AS (SELECT s, band, val, COUNT(*) AS cnt FROM v GROUP BY 1,2,3),
+cum AS (
+  SELECT s, band, val, cnt,
+         SUM(cnt) OVER (PARTITION BY s, band ORDER BY val
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER (PARTITION BY s, band) AS n
+  FROM cnt),
+src AS (SELECT band, val, cum AS rank_a, n AS na FROM cum WHERE s = 0),
+ref AS (SELECT band, val AS u, cum, n AS nb FROM cum WHERE s = 1),
+nbt AS (SELECT band, MAX(nb) AS nb FROM ref GROUP BY 1),
+src2 AS (
+  SELECT s0.band, s0.val, s0.rank_a,
+         CAST(FLOOR((s0.rank_a * nbt.nb + s0.na - 1) / s0.na)
+              AS BIGINT) AS rank_b
+  FROM src s0 JOIN nbt ON nbt.band = s0.band),
+uu AS (
+  SELECT band, cum AS key, 0 AS side, u,
+         CAST(NULL AS DOUBLE) AS aval, CAST(NULL AS BIGINT) AS rank_a,
+         CAST(NULL AS BIGINT) AS rank_b
+  FROM ref
+  UNION ALL
+  SELECT band, rank_b AS key, 1, CAST(NULL AS DOUBLE), val,
+         CAST(rank_a AS BIGINT), rank_b
+  FROM src2),
+m AS (
+  SELECT band, side, aval, rank_a, rank_b,
+         MIN(u) OVER (PARTITION BY band ORDER BY key DESC, side ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mu
+  FROM uu)
+SELECT CAST(band AS INT) AS band,
+       CAST(FLOOR(aval * 4.0 + 0.5) AS BIGINT) AS v4,
+       rank_a, rank_b,
+       CAST(FLOOR(mu * 4.0 + 0.5) AS BIGINT) AS m4
+FROM m WHERE side = 1
+"""
+
     # Moran's I integer moments (morans_i): the same NULL-able rook
     # neighbor columns, values quantized floor(v*4+0.5) (the fixture
     # field lives on the exact 1/4 grid), deg/neighbor-sum per valid
@@ -8855,6 +8928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_layout": q_hilbert_layout,
         "repetition_signals": q_repetition_signals,
         "morans_i": q_morans_i,
+        "hist_match": q_hist_match,
         "delaunay_exact": q_delaunay_exact,
         "tin_raster": q_tin_raster,
         "voronoi_vertices": q_voronoi_vertices,

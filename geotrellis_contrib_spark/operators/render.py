@@ -481,3 +481,89 @@ def percent_clip_stats(tiles: DataFrame, p_lo: int = 2, p_hi: int = 98,
     return tiles.mapInPandas(
         rollup, "source_id string, band int, col bigint, row bigint, "
                 "n_valid bigint, q_stretch_sum bigint")
+
+
+def histogram_match(tiles: DataFrame, src_id: str, ref_id: str,
+                    tile_size: int = 64) -> DataFrame:
+    """HISTOGRAM MATCHING (the GDAL/rasterio/scikit-image `match
+    histograms` enhancement — remap scene ``src_id`` so its value
+    distribution matches scene ``ref_id``; the radiometric-
+    normalization step multi-date mosaics apply before compositing).
+    Discrete EXACT recipe (type-1 quantile mapping, no interpolation):
+
+        rank_a(v) = #{x in src : x <= v}            (per band)
+        rank_b    = ceil(rank_a * n_ref / n_src)
+                  = floor((rank_a*n_ref + n_src-1) / n_src)
+        match(v)  = smallest u in ref with cum_ref(u) >= rank_b
+
+    Output: the per-(band, value) mapping table (band, v4, rank_a,
+    rank_b, m4) with values on the exact x4 integer grid — counts and
+    ranks are integers end-to-end; the mapped value is a SELECTION of
+    a ref input value, never arithmetic on it.
+
+    Scale shape: pass 1 collapses tiles to per-VALUE counts map-side
+    (shuffle bounded by distinct values, the percent_clip discipline);
+    the mapping itself is the asof_join trick — union ref rows keyed
+    by their cumulative count with src rows keyed by their target
+    rank, ONE per-band window ordered (key DESC, ref-first), running
+    MIN over ref values = the smallest qualifying u. No V^2 join, no
+    collect."""
+    t = int(tile_size)
+
+    def counts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row_t in pdf.itertuples(index=False):
+                arr = np.frombuffer(row_t.px, dtype=DTYPES[row_t.dtype]) \
+                        .reshape(t, t).astype(np.float64)
+                valid = ~np.isnan(arr) & (arr != row_t.nodata)
+                vals, cnts = np.unique(arr[valid], return_counts=True)
+                for v, c in zip(vals, cnts):
+                    out.append({"source_id": row_t.source_id,
+                                "band": int(row_t.band),
+                                "val": float(v), "cnt": int(c)})
+            yield pd.DataFrame(out, columns=["source_id", "band",
+                                             "val", "cnt"])
+
+    cnt = (tiles.filter(F.col("source_id").isin([src_id, ref_id]))
+           .mapInPandas(counts,
+                        "source_id string, band int, val double, "
+                        "cnt bigint")
+           .groupBy("source_id", "band", "val")
+           .agg(F.sum("cnt").alias("cnt")))
+    wc = Window.partitionBy("source_id", "band").orderBy("val") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("source_id", "band")
+    cum = (cnt.withColumn("cum", F.sum("cnt").over(wc))
+              .withColumn("n", F.sum("cnt").over(wall)))
+    src = cum.filter(F.col("source_id") == src_id) \
+             .select("band", "val", F.col("cum").alias("rank_a"),
+                     F.col("n").alias("na"))
+    ref = cum.filter(F.col("source_id") == ref_id) \
+             .select("band", F.col("val").alias("u"), "cum",
+                     F.col("n").alias("nb"))
+    nbt = ref.groupBy("band").agg(F.max("nb").alias("nb"))
+    src2 = src.join(F.broadcast(nbt), "band").withColumn(
+        "rank_b",
+        F.floor((F.col("rank_a") * F.col("nb") + F.col("na")
+                 - F.lit(1)) / F.col("na")).cast("long"))
+    b_rows = ref.select("band", F.col("cum").alias("key"),
+                        F.lit(0).alias("side"), "u",
+                        F.lit(None).cast("double").alias("aval"),
+                        F.lit(None).cast("long").alias("rank_a"),
+                        F.lit(None).cast("long").alias("rank_b"))
+    a_rows = src2.select("band", F.col("rank_b").alias("key"),
+                         F.lit(1).alias("side"),
+                         F.lit(None).cast("double").alias("u"),
+                         F.col("val").alias("aval"), "rank_a", "rank_b")
+    wm = Window.partitionBy("band") \
+        .orderBy(F.col("key").desc(), F.col("side").asc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m = b_rows.unionByName(a_rows).withColumn("mu", F.min("u").over(wm))
+    return (m.filter(F.col("side") == 1)
+            .select(F.col("band").cast("int").alias("band"),
+                    F.floor(F.col("aval") * F.lit(4.0) + F.lit(0.5))
+                    .cast("long").alias("v4"),
+                    "rank_a", "rank_b",
+                    F.floor(F.col("mu") * F.lit(4.0) + F.lit(0.5))
+                    .cast("long").alias("m4")))
