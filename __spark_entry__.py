@@ -1281,6 +1281,45 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.row_number().over(w).alias("hrank"))
 
 
+def q_strahler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRAHLER STREAM ORDER (operators/cluster.py strahler_order —
+    the classic stream-network attribute over the NHDPlus-style
+    (child, parent) flow-link table; completes the hydrology family
+    around flow_accumulation/watershed/stream_network): leaf = 1, a
+    junction whose >= 2 maximal children tie gets max+1 else max,
+    unary links copy their child. Fixture: the dendritic
+    corpus.synth_stream_edges tree (pruned junction -> the
+    max-without-increment rule; side-leaf tributaries -> order-1
+    inflow must not bump a higher-order chain; unary chains -> the
+    contraction). Adaptive: bounded probe solves small graphs in the
+    driver. Oracle: the Jacobi fixpoint unrolled as 16 grouped-join
+    CTE rounds over the same VALUES edge table (fixture depth 11 <
+    16, pinned by pytest)."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators.cluster import strahler_order
+
+    edges = spark.createDataFrame(corpus_mod.synth_stream_edges(),
+                                  "child long, parent long")
+    return strahler_order(edges)
+
+
+def q_strahler_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRAHLER, FORCED-DISTRIBUTED (small_graph_edges=0): chain
+    contraction by pointer doubling (order is constant along unary
+    runs — O(log chain) tiny self-joins), then Jacobi on TERMINALS
+    only (per round one map-side-combined (junction, child-order)
+    count + a struct-max argmax; orders grow monotonically to the
+    least fixpoint, so convergence takes junction-DEPTH rounds, not
+    path-length rounds — the contraction is what buys that; 3 logical
+    rounds per materialization). Same oracle."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators.cluster import strahler_order
+
+    edges = spark.createDataFrame(corpus_mod.synth_stream_edges(),
+                                  "child long, parent long")
+    return strahler_order(edges, small_graph_edges=0)
+
+
 def q_hist_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HISTOGRAM MATCHING (operators/render.py histogram_match — the
     GDAL/rasterio/scikit-image enhancement remapping scene-0 onto
@@ -8183,6 +8222,44 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM cv GROUP BY 1, 2, 3, 4
 """
 
+    # Strahler order (strahler, strahler_dist): the same VALUES edge
+    # table as INPUT (shared input, like a shared parquet), the
+    # COMPUTATION independent — the Jacobi fixpoint unrolled as 16
+    # grouped-join rounds over ALL nodes (no contraction needed at
+    # oracle scale; fixture depth 11 < 16, pytest-pinned).
+    from geotrellis_contrib_spark import corpus as _corpus_for_oracle
+    _st_vals = ", ".join(
+        f"({c}, {p})" for c, p in _corpus_for_oracle.synth_stream_edges())
+    _st_rounds = []
+    for _k in range(1, 17):
+        # MATERIALIZED is load-bearing: each round references its
+        # predecessor twice, so un-materialized inlining is 2^16
+        _st_rounds.append(f"""
+g{_k} AS MATERIALIZED (
+  SELECT e.p AS j, prev.o AS o, COUNT(*) AS cnt
+  FROM e JOIN o{_k - 1} prev ON prev.id = e.c GROUP BY 1, 2),
+x{_k} AS (SELECT g.j, g.o AS m, g.cnt FROM g{_k} g
+          JOIN (SELECT j, MAX(o) AS m FROM g{_k} GROUP BY 1) mm
+            ON mm.j = g.j AND mm.m = g.o),
+o{_k} AS MATERIALIZED (
+  SELECT b.id, CASE WHEN b.nc = 0 THEN 1
+                    WHEN x.cnt >= 2 THEN x.m + 1
+                    ELSE COALESCE(x.m, 1) END AS o
+  FROM base b LEFT JOIN x{_k} x ON x.j = b.id)""")
+    o["strahler"] = f"""
+WITH e(c, p) AS (SELECT * FROM (VALUES {_st_vals})),
+nodes AS (SELECT DISTINCT c AS id FROM e
+          UNION SELECT DISTINCT p FROM e),
+base AS (
+  SELECT n.id, COALESCE(cnt.nc, 0) AS nc FROM nodes n
+  LEFT JOIN (SELECT p, COUNT(*) AS nc FROM e GROUP BY 1) cnt
+    ON cnt.p = n.id),
+o0 AS (SELECT id, 1 AS o FROM base),{",".join(_st_rounds)}
+SELECT CAST(id AS BIGINT) AS node, CAST(o AS BIGINT) AS strahler
+FROM o16
+"""
+    o["strahler_dist"] = o["strahler"]
+
     # Histogram matching (hist_match): per-VALUE counts over the
     # closed-form field, the same cumulative windows, the same ceil-rank
     # rescale, the same union + reverse-ordered running-MIN walk.
@@ -8929,6 +9006,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "morans_i": q_morans_i,
         "hist_match": q_hist_match,
+        "strahler": q_strahler,
+        "strahler_dist": q_strahler_dist,
         "delaunay_exact": q_delaunay_exact,
         "tin_raster": q_tin_raster,
         "voronoi_vertices": q_voronoi_vertices,

@@ -705,3 +705,50 @@ def synth_dem_tiles(spark: SparkSession, zoom: int = 6, n_tiles: int = 4,
         rows, "source_id string, source_idx int, zoom int, col bigint, "
               "row bigint, band int, dtype string, nodata double, "
               "px binary").coalesce(partitions)
+
+
+def synth_stream_edges() -> list[tuple[int, int]]:
+    """Deterministic dendritic stream-LINK fixture (the NHDPlus-style
+    vector flow table: one (child, parent) row per link, child flows
+    INTO parent) with known Strahler structure covering every rule:
+
+    - perfect-binary junction skeleton 1..15 with junction 6 PRUNED to
+      a leaf (so junction 3 sees children of UNEQUAL order 1 vs 2 —
+      the max-without-increment rule) and equal-order junctions
+      elsewhere (the +1 tie rule);
+    - a chain of (j % 3) + 1 unary nodes (ids 1000*j + i) between each
+      junction j and its parent j//2 — order is CONSTANT along chains
+      (the contraction the distributed path exploits);
+    - side-leaf tributaries (ids 2_000_000 + chain id) on the chains
+      of junctions {2, 3, 4, 5, 7} — every such junction's order is
+      >= 2 BY CONSTRUCTION, so the order-1 leaf joins a higher-order
+      chain cell and must NOT increment it.
+
+    Expected orders are hand-derivable: root 1 -> 3, junction 2 -> 3,
+    junctions 3, 4, 5, 7 -> 2, everything else 1."""
+    pruned = {6}
+
+    def anc_pruned(j: int) -> bool:
+        j //= 2
+        while j:
+            if j in pruned:
+                return True
+            j //= 2
+        return False
+
+    exists = [j for j in range(1, 16) if not anc_pruned(j)]
+    side_ok = {2, 3, 4, 5, 7}
+    edges = []
+    for j in exists:
+        if j == 1:
+            continue
+        chain = [1000 * j + i for i in range(1, (j % 3) + 2)]
+        prev = j
+        for v in chain:
+            edges.append((prev, v))
+            prev = v
+        edges.append((prev, j // 2))
+        if j in side_ok:
+            for v in chain:
+                edges.append((2_000_000 + v, v))
+    return edges
