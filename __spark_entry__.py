@@ -1281,6 +1281,24 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.row_number().over(w).alias("hrank"))
 
 
+def q_box_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOX UNION AREA (operators/spatial_join.py box_union_area —
+    ST_Union + ST_Area for the axis-aligned case; the coverage
+    statistic overlay analyses need, aggregate sibling of
+    box_overlay's pair report): per 45-degree grid cell the box count
+    and the EXACT quantized union area via grid-partitioned coordinate
+    compression — clips are GREATEST/LEAST selections, every
+    compressed piece is quantized floor(dx*dy*q + 0.5) BEFORE the sum
+    (order-free integer rollup), and the piece set (distinct clipped
+    edges) is engine-independent. ONE bounded explode + ONE cell-key
+    shuffle; per-cell work bounded by LOCAL density. Oracle: the same
+    clips, a LEAD-window compressed grid, an EXISTS coverage test, the
+    same per-piece quantization."""
+    _views(spark, sf_dir)
+    from geotrellis_contrib_spark.operators import spatial_join as sj
+    return sj.box_union_area(spark.table("polygon_boxes"))
+
+
 def q_strahler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRAHLER STREAM ORDER (operators/cluster.py strahler_order —
     the classic stream-network attribute over the NHDPlus-style
@@ -8222,6 +8240,58 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM cv GROUP BY 1, 2, 3, 4
 """
 
+    # Box union area (box_union): identical clips, LEAD-window
+    # compressed grid, EXISTS coverage, identical per-piece quantize.
+    o["box_union"] = derive.cte('polygon_boxes') + """,
+cl AS (
+  SELECT gx, gy,
+         GREATEST(xmin, gx * 45.0 - 180.0) AS cxmin,
+         LEAST(xmax, (gx + 1) * 45.0 - 180.0) AS cxmax,
+         GREATEST(ymin, gy * 45.0 - 90.0) AS cymin,
+         LEAST(ymax, (gy + 1) * 45.0 - 90.0) AS cymax
+  FROM polygon_boxes,
+       range(0, 9) tx(gx), range(0, 5) ty(gy)
+  WHERE gx BETWEEN FLOOR((xmin + 180.0) / 45.0)
+               AND FLOOR((xmax + 180.0) / 45.0)
+    AND gy BETWEEN FLOOR((ymin + 90.0) / 45.0)
+               AND FLOOR((ymax + 90.0) / 45.0)
+    AND GREATEST(xmin, gx * 45.0 - 180.0)
+        < LEAST(xmax, (gx + 1) * 45.0 - 180.0)
+    AND GREATEST(ymin, gy * 45.0 - 90.0)
+        < LEAST(ymax, (gy + 1) * 45.0 - 90.0)),
+xe AS (SELECT DISTINCT gx, gy, x FROM (
+  SELECT gx, gy, cxmin AS x FROM cl
+  UNION SELECT gx, gy, cxmax FROM cl)),
+xs AS (SELECT gx, gy, x AS x0,
+              LEAD(x) OVER (PARTITION BY gx, gy ORDER BY x) AS x1
+       FROM xe),
+ye AS (SELECT DISTINCT gx, gy, y FROM (
+  SELECT gx, gy, cymin AS y FROM cl
+  UNION SELECT gx, gy, cymax FROM cl)),
+ys AS (SELECT gx, gy, y AS y0,
+              LEAD(y) OVER (PARTITION BY gx, gy ORDER BY y) AS y1
+       FROM ye),
+pieces AS (
+  SELECT xs.gx, xs.gy, xs.x0, xs.x1, ys.y0, ys.y1
+  FROM xs JOIN ys ON ys.gx = xs.gx AND ys.gy = xs.gy
+  WHERE xs.x1 IS NOT NULL AND ys.y1 IS NOT NULL),
+cov AS (
+  SELECT p.* FROM pieces p WHERE EXISTS (
+    SELECT 1 FROM cl b
+    WHERE b.gx = p.gx AND b.gy = p.gy
+      AND b.cxmin <= p.x0 AND b.cxmax >= p.x1
+      AND b.cymin <= p.y0 AND b.cymax >= p.y1)),
+nb AS (SELECT gx, gy, COUNT(*) AS n_boxes FROM cl GROUP BY 1, 2)
+SELECT CAST(nb.gx AS INT) AS gx, CAST(nb.gy AS INT) AS gy,
+       CAST(nb.n_boxes AS BIGINT) AS n_boxes,
+       CAST(COALESCE((
+         SELECT SUM(CAST(FLOOR((c.x1 - c.x0) * (c.y1 - c.y0)
+                                * 1048576.0 + 0.5) AS BIGINT))
+         FROM cov c WHERE c.gx = nb.gx AND c.gy = nb.gy), 0)
+         AS BIGINT) AS area_q
+FROM nb
+"""
+
     # Strahler order (strahler, strahler_dist): the same VALUES edge
     # table as INPUT (shared input, like a shared parquet), the
     # COMPUTATION independent — the Jacobi fixpoint unrolled as 16
@@ -9008,6 +9078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_match": q_hist_match,
         "strahler": q_strahler,
         "strahler_dist": q_strahler_dist,
+        "box_union": q_box_union,
         "delaunay_exact": q_delaunay_exact,
         "tin_raster": q_tin_raster,
         "voronoi_vertices": q_voronoi_vertices,

@@ -407,3 +407,77 @@ def box_overlap_join(a: DataFrame, b: DataFrame, zoom: int = 6,
         ixmin.alias("ixmin"), iymin.alias("iymin"),
         ixmax.alias("ixmax"), iymax.alias("iymax"),
         ((ixmax - ixmin) * (iymax - iymin)).alias("area"))
+
+
+def box_union_area(boxes: DataFrame, cell_deg: int = 45,
+                   q: float = 1048576.0,
+                   id_col: str = "poly_id") -> DataFrame:
+    """UNION AREA of axis-aligned boxes (ST_Union + ST_Area for the
+    rectangular case — the coverage statistic overlay analyses need;
+    the aggregate sibling of :func:`box_overlap_join`, which reports
+    pairs): per ``cell_deg``-degree grid cell, the number of boxes
+    touching it and the EXACT quantized area of their union within it.
+
+    Algorithm: grid-partitioned coordinate compression. Each box
+    explodes to its (bounded) cover cells, is CLIPPED to the cell
+    (GREATEST/LEAST selections — no arithmetic on coordinates), and
+    per cell the union is the sum over compressed-grid pieces covered
+    by any box. Every piece is quantized floor(dx*dy*q + 0.5) BEFORE
+    the sum, so the rollup is an order-free integer sum; dx/dy are
+    single IEEE subtractions of selected input doubles and the piece
+    SET (distinct clipped edges) is engine-independent — the whole
+    chain is bit-reproducible (the box_overlay discipline extended by
+    compression). Empty clips (a box touching a cell edge) drop out
+    via the strict positive-area filter, so the half-open convention
+    is implied rather than special-cased.
+
+    Scale shape: ONE bounded explode + ONE shuffle on the cell key;
+    per-cell work is O(local_boxes^2) in the compressed grid — bounded
+    by local density, never global size (the skew answer is a finer
+    ``cell_deg``, exactly like the spatial joins above)."""
+    import numpy as np
+
+    d = float(cell_deg)
+    gxmin = F.floor((F.col("xmin") + F.lit(180.0)) / F.lit(d)).cast("int")
+    gxmax = F.floor((F.col("xmax") + F.lit(180.0)) / F.lit(d)).cast("int")
+    gymin = F.floor((F.col("ymin") + F.lit(90.0)) / F.lit(d)).cast("int")
+    gymax = F.floor((F.col("ymax") + F.lit(90.0)) / F.lit(d)).cast("int")
+    cl = (boxes
+          .withColumn("gx", F.explode(F.sequence(gxmin, gxmax)))
+          .withColumn("gy", F.explode(F.sequence(gymin, gymax)))
+          .select(
+              "gx", "gy",
+              F.greatest(F.col("xmin"), F.col("gx") * F.lit(d)
+                         - F.lit(180.0)).alias("cxmin"),
+              F.least(F.col("xmax"), (F.col("gx") + F.lit(1)) * F.lit(d)
+                      - F.lit(180.0)).alias("cxmax"),
+              F.greatest(F.col("ymin"), F.col("gy") * F.lit(d)
+                         - F.lit(90.0)).alias("cymin"),
+              F.least(F.col("ymax"), (F.col("gy") + F.lit(1)) * F.lit(d)
+                      - F.lit(90.0)).alias("cymax"))
+          .filter((F.col("cxmax") > F.col("cxmin"))
+                  & (F.col("cymax") > F.col("cymin"))))
+
+    def compress(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        gx, gy = int(key[0]), int(key[1])
+        x0 = pdf["cxmin"].to_numpy()
+        x1 = pdf["cxmax"].to_numpy()
+        y0 = pdf["cymin"].to_numpy()
+        y1 = pdf["cymax"].to_numpy()
+        xs = np.unique(np.concatenate([x0, x1]))
+        ys = np.unique(np.concatenate([y0, y1]))
+        cov = np.zeros((len(xs) - 1, len(ys) - 1), dtype=bool)
+        i0 = np.searchsorted(xs, x0)
+        i1 = np.searchsorted(xs, x1)
+        j0 = np.searchsorted(ys, y0)
+        j1 = np.searchsorted(ys, y1)
+        for a, b, c, e in zip(i0, i1, j0, j1):
+            cov[a:b, c:e] = True
+        piece_q = np.floor(np.outer(np.diff(xs), np.diff(ys))
+                           * q + 0.5).astype(np.int64)
+        return pd.DataFrame([{
+            "gx": gx, "gy": gy, "n_boxes": int(len(pdf)),
+            "area_q": int(piece_q[cov].sum())}])
+
+    return cl.groupBy("gx", "gy").applyInPandas(
+        compress, "gx int, gy int, n_boxes bigint, area_q bigint")
