@@ -1281,6 +1281,22 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.row_number().over(w).alias("hrank"))
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING duplication coverage (operators/dedup.py
+    span_dedup — the Lee et al. 2022 ExactSubstr signal,
+    token-windowed): per doc the corpus-wide duplicated 8-token-span
+    count, the tokens covered by any duplicated span (1D interval
+    UNION — prev-end running max, all integers), and the quantized
+    coverage ratio (ONE IEEE division). Engine matches spans by md5
+    of the space-joined window; the oracle groups the RAW span string
+    — agreement is itself evidence the hash path is faithful. One
+    doc-keyed window pass + one map-side-combined span-count shuffle
+    + a semi-join back."""
+    _views(spark, sf_dir)
+    from geotrellis_contrib_spark.operators import dedup as DD
+    return DD.span_dedup(spark.table("documents"))
+
+
 def q_box_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BOX UNION AREA (operators/spatial_join.py box_union_area —
     ST_Union + ST_Area for the axis-aligned case; the coverage
@@ -8240,6 +8256,36 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM cv GROUP BY 1, 2, 3, 4
 """
 
+    # Exact-substring span coverage (span_dedup): list-subscript spans
+    # grouped on the RAW string (the engine groups md5 — agreement
+    # certifies the hash path), the same running-max interval union.
+    _sd_span = " || ' ' || ".join(f"l[k + {j}]" for j in range(8)) \
+        .replace("l[k + 0]", "l[k]")
+    o["span_dedup"] = f"""
+WITH tk AS (SELECT doc_id, STR_SPLIT(text, ' ') AS l FROM documents),
+sp AS (
+  SELECT doc_id, k - 1 AS pos, {_sd_span} AS sp
+  FROM tk, range(1, 4001) t(k) WHERE k <= LEN(l) - 7),
+dup AS (SELECT sp FROM sp GROUP BY 1 HAVING COUNT(*) >= 2),
+ds AS (SELECT s.doc_id, s.pos FROM sp s JOIN dup USING (sp)),
+cov AS (
+  SELECT doc_id,
+         (pos + 8) - GREATEST(pos, COALESCE(MAX(pos + 8) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), pos))
+           AS contrib
+  FROM ds),
+agg AS (SELECT doc_id, COUNT(*) AS n_dup_spans,
+               SUM(contrib) AS dup_tokens
+        FROM cov GROUP BY 1)
+SELECT t.doc_id, CAST(LEN(t.l) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(FLOOR(COALESCE(a.dup_tokens, 0) / CAST(LEN(t.l) AS BIGINT)
+                  * 1048576.0 + 0.5) AS BIGINT) AS dup_q
+FROM tk t LEFT JOIN agg a ON a.doc_id = t.doc_id
+"""
+
     # Box union area (box_union): identical clips, LEAD-window
     # compressed grid, EXISTS coverage, identical per-piece quantize.
     o["box_union"] = derive.cte('polygon_boxes') + """,
@@ -9079,6 +9125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strahler": q_strahler,
         "strahler_dist": q_strahler_dist,
         "box_union": q_box_union,
+        "span_dedup": q_span_dedup,
         "delaunay_exact": q_delaunay_exact,
         "tin_raster": q_tin_raster,
         "voronoi_vertices": q_voronoi_vertices,

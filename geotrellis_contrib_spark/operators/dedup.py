@@ -327,3 +327,68 @@ def edit_distance_pairs(df: DataFrame, text_col: str = "title",
     return (cand.withColumn("dist", F.levenshtein("_ta", "_tb"))
             .filter(F.col("dist") <= 1)
             .select("doc_a", "doc_b", F.col("dist").cast("int").alias("dist")))
+
+
+def span_dedup(df: DataFrame, text_col: str = "text", window: int = 8,
+               min_count: int = 2, q: float = 1048576.0) -> DataFrame:
+    """EXACT-SUBSTRING duplication coverage (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    ExactSubstr signal, token-windowed: a span duplicated ANYWHERE in
+    the corpus marks every token it covers): per doc
+
+        n_tokens    total tokens
+        n_dup_spans this doc's ``window``-token spans occurring
+                    >= ``min_count`` times CORPUS-WIDE (same-doc
+                    repeats count — a self-plagiarized span is still
+                    duplicated)
+        dup_tokens  tokens covered by >= 1 duplicated span — the 1D
+                    interval UNION, exact in integers
+        dup_q       floor(dup_tokens / n_tokens * q + 0.5)
+
+    Spans are compared as full strings (md5 over the space-joined
+    window — Spark and DuckDB agree on md5 hex), built with window-1
+    lead() taps over the ONE doc-partitioned window the shingle family
+    already uses. The interval union needs NO second structure: spans
+    sorted by position, prev_end = MAX(pos+W) over the preceding rows,
+    contribution = (pos+W) - GREATEST(pos, prev_end) — all integers.
+    Scale shape: one doc-keyed window pass + ONE map-side-combined
+    count shuffle on the span hash + a broadcast-or-shuffle semi-join
+    back; the union window rides the original doc partitioning."""
+    from pyspark.sql import Window
+
+    w = int(window)
+    toks = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"))
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(wd)
+                              for j in range(1, w)]
+    spans = (toks
+             .withColumn("last", F.lead("tok", w - 1).over(wd))
+             .withColumn("sp", F.md5(F.concat_ws(" ", *parts)))
+             .filter(F.col("last").isNotNull())
+             .select("doc_id", "pos", "sp"))
+    dup = (spans.groupBy("sp").agg(F.count(F.lit(1)).alias("c"))
+           .filter(F.col("c") >= int(min_count)).select("sp"))
+    ds = spans.join(dup, "sp").select("doc_id", "pos")
+    wu = Window.partitionBy("doc_id").orderBy("pos") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    cov = (ds.withColumn("pe", F.max(F.col("pos") + F.lit(w)).over(wu))
+           .select("doc_id",
+                   ((F.col("pos") + F.lit(w))
+                    - F.greatest(F.col("pos"),
+                                 F.coalesce(F.col("pe"), F.col("pos"))))
+                   .alias("contrib"))
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_dup_spans"),
+                F.sum("contrib").alias("dup_tokens")))
+    nt = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (nt.join(cov, "doc_id", "left")
+            .select("doc_id", "n_tokens",
+                    F.coalesce("n_dup_spans", F.lit(0)).cast("long")
+                    .alias("n_dup_spans"),
+                    F.coalesce("dup_tokens", F.lit(0)).cast("long")
+                    .alias("dup_tokens"),
+                    F.floor(F.coalesce("dup_tokens", F.lit(0))
+                            / F.col("n_tokens") * F.lit(q) + F.lit(0.5))
+                    .cast("long").alias("dup_q")))

@@ -212,3 +212,35 @@ def test_edit_distance_pairs_max_bucket_cap(spark):
                                "doc_id long, title string")
     assert edit_distance_pairs(df).count() == 30 * 29 // 2
     assert edit_distance_pairs(df, max_bucket=10).count() == 0
+
+
+def test_span_dedup_hand_values(spark):
+    from geotrellis_contrib_spark.operators.dedup import span_dedup
+    # window=3: doc 0 and 1 share "a b c"; doc 2 self-repeats
+    # "x y z ... x y z" (same-doc duplication counts); doc 3 is short
+    docs = [
+        (0, "a b c d e"),              # span "a b c" dup at pos 0
+        (1, "q a b c r"),              # dup at pos 1
+        (2, "x y z w x y z"),          # "x y z" at 0 and 4 (self-dup)
+        (3, "s t"),                    # shorter than the window
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.n_dup_spans, r.dup_tokens, r.dup_q)
+           for r in span_dedup(df, window=3).collect()}
+    q = 1048576.0
+    assert got[0] == (5, 1, 3, int(3 / 5 * q + 0.5))
+    assert got[1] == (5, 1, 3, int(3 / 5 * q + 0.5))
+    # doc 2: two dup spans [0,3) and [4,7) -> union 6 of 7 tokens
+    assert got[2] == (7, 2, 6, int(6 / 7 * q + 0.5))
+    assert got[3] == (2, 0, 0, 0)
+
+
+def test_span_dedup_overlapping_union(spark):
+    from geotrellis_contrib_spark.operators.dedup import span_dedup
+    # overlapping duplicated spans must union, not double-count:
+    # "a a a a a a" has spans (a a a) at 0..3, all identical -> dup;
+    # union covers ALL 6 tokens, not 4*3
+    df = spark.createDataFrame([(0, "a a a a a a")],
+                               "doc_id long, text string")
+    r = span_dedup(df, window=3).collect()[0]
+    assert (r.n_tokens, r.n_dup_spans, r.dup_tokens) == (6, 4, 6)
