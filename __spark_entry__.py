@@ -1281,6 +1281,28 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.row_number().over(w).alias("hrank"))
 
 
+def q_hull_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HULL DIAMETER / farthest pair (operators/hull.py hull_diameter
+    — the ST_MaxDistance/ST_LongestLine analog): a set's diameter is
+    attained between convex-hull vertices, so the O(n^2) pair scan
+    collapses to O(h^2) after the two-level distributed hull (raw
+    points never pair up). Squared int64 distances — exact, no sqrt;
+    the reported pair is canonical under the TOTAL order (d2 DESC,
+    lexicographic pair ASC). Same quantized anchor groups as
+    convex_hull. Oracle: Caratheodory-derived hull vertices +
+    brute-force pair argmax via ROW_NUMBER under the same order."""
+    from geotrellis_contrib_spark.operators import hull as HU
+    _views(spark, sf_dir)
+    pts = (spark.table("anchors")
+           .filter((F.col("doc_id") % 7 == 3) & F.col("lon").isNotNull())
+           .select((F.col("doc_id") % 4).alias("g"),
+                   F.floor(F.col("lon") * F.lit(1000.0))
+                    .cast("long").alias("x"),
+                   F.floor(F.col("lat") * F.lit(1000.0))
+                    .cast("long").alias("y")))
+    return HU.hull_diameter(pts, two_level=True)
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT-SUBSTRING duplication coverage (operators/dedup.py
     span_dedup — the Lee et al. 2022 ExactSubstr signal,
@@ -5892,6 +5914,29 @@ SELECT v.g, v.x, v.y, COALESCE(a.area2, 0) AS area2
 FROM verts v LEFT JOIN areas a ON a.g = v.g
 """
 
+    # Hull diameter (hull_diameter): the same Caratheodory vertex
+    # derivation, then brute-force pair argmax under the same total
+    # order (d2 DESC, lexicographic canonical pair ASC).
+    o["hull_diameter"] = f"""
+{hull_ctes},
+pairs AS (
+  SELECT a.g, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS b_y,
+         (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) AS d2
+  FROM verts a JOIN verts b
+    ON a.g = b.g AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))),
+best AS (
+  SELECT g, ax, ay, bx, b_y, d2,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY d2 DESC,
+                            ax ASC, ay ASC, bx ASC, b_y ASC) AS rn
+  FROM pairs),
+nh AS (SELECT g, COUNT(*) AS n_hull FROM verts GROUP BY 1)
+SELECT n.g, CAST(n.n_hull AS BIGINT) AS n_hull,
+       CAST(b.d2 AS BIGINT) AS diam2,
+       CAST(b.ax AS BIGINT) AS ax, CAST(b.ay AS BIGINT) AS ay,
+       CAST(b.bx AS BIGINT) AS bx, CAST(b.b_y AS BIGINT) AS b_y
+FROM nh n JOIN best b ON b.g = n.g AND b.rn = 1
+"""
+
     # Delaunay TIN (delaunay_tin): triangulation-invariant summary —
     # n/b from the shared hull machinery (boundary = strict vertices
     # plus points strictly between hull-edge endpoints), Euler's
@@ -9126,6 +9171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strahler_dist": q_strahler_dist,
         "box_union": q_box_union,
         "span_dedup": q_span_dedup,
+        "hull_diameter": q_hull_diameter,
         "delaunay_exact": q_delaunay_exact,
         "tin_raster": q_tin_raster,
         "voronoi_vertices": q_voronoi_vertices,

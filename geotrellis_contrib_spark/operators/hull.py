@@ -103,3 +103,39 @@ def convex_hull(pts: DataFrame, group_col: str = "g", x_col: str = "x",
                 .applyInPandas(partial, _OUT_SCHEMA)
                 .drop("seq", "area2"))
     return base.groupBy("g").applyInPandas(solve, _OUT_SCHEMA)
+
+
+def hull_diameter(pts: DataFrame, group_col: str = "g", x_col: str = "x",
+                  y_col: str = "y", two_level: bool = True) -> DataFrame:
+    """Farthest pair (DIAMETER) of each group — the ST_MaxDistance /
+    ST_LongestLine analog: a point set's diameter is attained between
+    convex-hull vertices, so the O(n^2) pair scan collapses to O(h^2)
+    AFTER the hull reduction (h ~ log n on random inputs; the hull
+    itself is the two-level distributed chain, so raw points never
+    pair up and only candidate vertices shuffle). Squared distance in
+    int64 — exact, no sqrt. The reported pair is canonical under the
+    TOTAL order (d2 DESC, then (ax, ay, bx, b_y) ASC with a < b
+    lexicographically) so ties resolve identically everywhere.
+    Returns (g, n_hull, diam2, ax, ay, bx, b_y)."""
+    h = convex_hull(pts, group_col, x_col, y_col, two_level) \
+        .select("g", "x", "y")
+    a = h.select("g", F.col("x").alias("ax"), F.col("y").alias("ay"))
+    b = h.select("g", F.col("x").alias("bx"), F.col("y").alias("b_y"))
+    pairs = (a.join(b, "g")
+             .filter((F.col("ax") < F.col("bx"))
+                     | ((F.col("ax") == F.col("bx"))
+                        & (F.col("ay") < F.col("b_y"))))
+             .withColumn("d2", (F.col("bx") - F.col("ax"))
+                         * (F.col("bx") - F.col("ax"))
+                         + (F.col("b_y") - F.col("ay"))
+                         * (F.col("b_y") - F.col("ay"))))
+    best = pairs.groupBy("g").agg(
+        F.min(F.struct((-F.col("d2")).alias("nd"),
+                       F.col("ax"), F.col("ay"),
+                       F.col("bx"), F.col("b_y"))).alias("t"))
+    nh = h.groupBy("g").agg(F.count(F.lit(1)).alias("n_hull"))
+    return (nh.join(best, "g")
+            .select("g", "n_hull", (-F.col("t.nd")).alias("diam2"),
+                    F.col("t.ax").alias("ax"), F.col("t.ay").alias("ay"),
+                    F.col("t.bx").alias("bx"),
+                    F.col("t.b_y").alias("b_y")))

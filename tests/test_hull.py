@@ -140,3 +140,29 @@ def test_hull_matches_brute_property(spark):
                   key=lambda r: r.seq)
     pts = np.array([(x, y) for _, x, y in rows], dtype=np.int64)
     assert {(r.x, r.y) for r in ring} == brute_vertices(pts)
+
+
+def test_hull_diameter_square_tie_and_interior(spark):
+    from geotrellis_contrib_spark.operators.hull import hull_diameter
+    # unit square scaled: both diagonals tie at d2=200; canonical pick
+    # is the lexicographically smallest pair (0,0)-(10,10); interior
+    # points must not affect anything
+    pts = [(0, 0, 0), (0, 10, 0), (0, 0, 10), (0, 10, 10),
+           (0, 5, 5), (0, 3, 7)]
+    df = spark.createDataFrame(pts, "g long, x long, y long")
+    r = hull_diameter(df).collect()[0]
+    assert (r.n_hull, r.diam2) == (4, 200)
+    assert (r.ax, r.ay, r.bx, r.b_y) == (0, 0, 10, 10)
+
+
+def test_hull_diameter_equals_bruteforce_all_points(spark):
+    from geotrellis_contrib_spark.operators.hull import hull_diameter
+    pts = [(int(k % 3), int((k * 37) % 101) - 50,
+            int((k * 61) % 97) - 48) for k in range(120)]
+    df = spark.createDataFrame(pts, "g long, x long, y long")
+    got = {r.g: r.diam2 for r in hull_diameter(df).collect()}
+    for g in range(3):
+        ps = [(x, y) for gg, x, y in pts if gg == g]
+        brute = max((bx - ax) ** 2 + (by - ay) ** 2
+                    for ax, ay in ps for bx, by in ps)
+        assert got[g] == brute
