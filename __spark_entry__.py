@@ -1281,6 +1281,53 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.row_number().over(w).alias("hrank"))
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED EVENT FUNNEL (operators/events.py funnel — the
+    product-analytics staple: first view, first click STRICTLY AFTER
+    that view, first purchase strictly after that click; min-per-type
+    would wrongly count a purchase preceding its click): per user the
+    stage reached and the microsecond epoch of each step (NULL where
+    stalled). K tiny user-keyed aggregates joined back — no window, no
+    state, broadcast-sized dimensions at warehouse scale. Oracle:
+    chained strictly-after MIN subqueries on EPOCH_US."""
+    _views(spark, sf_dir)
+    from geotrellis_contrib_spark.operators import events as EV
+    return EV.funnel(spark.table("events"))
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT RETENTION triangle (operators/events.py cohort_retention
+    — the other product-analytics staple): users bucketed by first
+    signup week (DATE-arithmetic epoch weeks — the spacetime_layout
+    discipline), distinct active users per (cohort_week, week_offset)
+    over non-signup activity, plus cohort size — the rate is two
+    integers divided by the caller. Four narrow stages, one distinct,
+    one map-side-combined rollup. Oracle: the same integer-week
+    arithmetic mirrored."""
+    _views(spark, sf_dir)
+    from geotrellis_contrib_spark.operators import events as EV
+    return EV.cohort_retention(spark.table("events"))
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE COUNTING (operators/cluster.py triangle_count — the
+    clustering-coefficient numerator; the MR compact-forward
+    algorithm): edges oriented under the TOTAL order (degree, id), so
+    every triangle is found exactly once as a wedge at its
+    smallest corner and the wedge intermediate is bounded O(m^1.5) —
+    orienting by raw id would let one hub explode the wedge set.
+    Deterministic arithmetic graph over 150 nodes ((a*37 + b*61) % 23
+    == 0). Oracle: brute-force ordered 3-way self-join."""
+    ids = spark.range(150).select(F.col("id"))
+    a = ids.select(F.col("id").alias("a"))
+    b = ids.select(F.col("id").alias("b"))
+    edges = (a.crossJoin(b)
+             .filter((F.col("a") < F.col("b"))
+                     & ((F.col("a") * 37 + F.col("b") * 61) % 23 == 0)))
+    from geotrellis_contrib_spark.operators.cluster import triangle_count
+    return triangle_count(edges, "a", "b")
+
+
 def q_hull_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HULL DIAMETER / farthest pair (operators/hull.py hull_diameter
     — the ST_MaxDistance/ST_LongestLine analog): a set's diameter is
@@ -8301,6 +8348,82 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM cv GROUP BY 1, 2, 3, 4
 """
 
+    # Ordered funnel (funnel): chained strictly-after MIN subqueries on
+    # EPOCH_US (microsecond integers — exact equality semantics).
+    o["funnel"] = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+s1 AS (SELECT user_id, MIN(EPOCH_US(ts)) AS t1 FROM events
+       WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, MIN(EPOCH_US(e.ts)) AS t2
+       FROM events e JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type = 'click' AND EPOCH_US(e.ts) > s1.t1
+       GROUP BY 1),
+s3 AS (SELECT e.user_id, MIN(EPOCH_US(e.ts)) AS t3
+       FROM events e JOIN s2 ON s2.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND EPOCH_US(e.ts) > s2.t2
+       GROUP BY 1)
+SELECT u.user_id,
+       CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                 WHEN s2.t2 IS NOT NULL THEN 2
+                 WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         AS stage,
+       s1.t1, s2.t2, s3.t3
+FROM u LEFT JOIN s1 ON s1.user_id = u.user_id
+LEFT JOIN s2 ON s2.user_id = u.user_id
+LEFT JOIN s3 ON s3.user_id = u.user_id
+"""
+
+    # Cohort retention (cohort_retention): integer epoch weeks from
+    # DATE arithmetic, distinct actives per offset, cohort sizes.
+    o["cohort_retention"] = """
+WITH su AS (
+  SELECT user_id,
+         MIN(DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7)
+           AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY 1),
+act AS (
+  SELECT DISTINCT user_id,
+         DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+           AS act_week
+  FROM events WHERE event_type <> 'signup'),
+sizes AS (SELECT cohort_week, COUNT(*) AS cohort_users
+          FROM su GROUP BY 1),
+tri AS (
+  SELECT s.cohort_week, a.act_week - s.cohort_week AS week_offset,
+         COUNT(DISTINCT s.user_id) AS active_users
+  FROM su s JOIN act a ON a.user_id = s.user_id
+  WHERE a.act_week >= s.cohort_week
+  GROUP BY 1, 2)
+SELECT CAST(t.cohort_week AS BIGINT) AS cohort_week,
+       CAST(t.week_offset AS BIGINT) AS week_offset,
+       CAST(t.active_users AS BIGINT) AS active_users,
+       CAST(z.cohort_users AS BIGINT) AS cohort_users
+FROM tri t JOIN sizes z ON z.cohort_week = t.cohort_week
+"""
+
+    # Triangle counting (triangle_count): brute-force ordered 3-way
+    # self-join over the same arithmetic edge rule.
+    o["triangle_count"] = """
+WITH ids AS (SELECT id FROM range(150) t(id)),
+e AS (SELECT a.id AS a, b.id AS b FROM ids a JOIN ids b
+      ON a.id < b.id AND (a.id * 37 + b.id * 61) % 23 = 0),
+tri AS (
+  SELECT x.a AS p, x.b AS q, y.b AS r
+  FROM e x JOIN e y ON y.a = x.a AND x.b < y.b
+  JOIN e z ON z.a = x.b AND z.b = y.b),
+corners AS (
+  SELECT p AS node FROM tri
+  UNION ALL SELECT q FROM tri
+  UNION ALL SELECT r FROM tri),
+nodes AS (SELECT DISTINCT a AS node FROM e
+          UNION SELECT DISTINCT b FROM e)
+SELECT CAST(n.node AS BIGINT) AS node,
+       CAST(COALESCE(c.cnt, 0) AS BIGINT) AS triangles
+FROM nodes n LEFT JOIN (
+  SELECT node, COUNT(*) AS cnt FROM corners GROUP BY 1) c
+  ON c.node = n.node
+"""
+
     # Exact-substring span coverage (span_dedup): list-subscript spans
     # grouped on the RAW string (the engine groups md5 — agreement
     # certifies the hash path), the same running-max interval union.
@@ -9172,6 +9295,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "box_union": q_box_union,
         "span_dedup": q_span_dedup,
         "hull_diameter": q_hull_diameter,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "triangle_count": q_triangle_count,
         "delaunay_exact": q_delaunay_exact,
         "tin_raster": q_tin_raster,
         "voronoi_vertices": q_voronoi_vertices,

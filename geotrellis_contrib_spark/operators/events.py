@@ -1,0 +1,87 @@
+"""Event-funnel and cohort analytics over the events fact table — the
+product-analytics tier every OLAP engine ships (Amplitude/Mixpanel-style
+ordered funnels, cohort retention triangles), here as plain declarative
+DataFrame plans: tiny per-user aggregates joined back, no window state,
+no UDFs. Timestamps are compared at microsecond precision via
+unix_micros (session TZ is UTC, so the NTZ cast matches DuckDB's
+EPOCH_US on the naive timestamp — the sessionize discipline)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _us(col) -> F.Column:
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+def funnel(events: DataFrame, steps: tuple[str, ...] =
+           ("view", "click", "purchase")) -> DataFrame:
+    """ORDERED funnel: per user the first time each step happened
+    STRICTLY AFTER the previous step's first qualifying time (the
+    standard product-analytics semantics: the first view, the first
+    click after that view, the first purchase after that click — NOT
+    min-per-type, which would count a purchase that preceded the
+    click). Returns (user_id, stage, t1..tK as microsecond epochs,
+    NULL where the funnel stalled).
+
+    Plan shape: one tiny (user, min-ts) aggregate per step, each
+    joined back user-keyed — K map-side-combined aggregates over a
+    filtered scan, no window, no state; at warehouse scale every one
+    of these is a broadcast-sized dimension."""
+    users = events.select("user_id").distinct()
+    out = users
+    prev_col = None
+    tcols = []
+    for i, step in enumerate(steps, start=1):
+        name = f"t{i}"
+        e = events.filter(F.col("event_type") == step) \
+                  .select("user_id", _us("ts").alias("_t"))
+        if prev_col is not None:
+            e = e.join(out.select("user_id", prev_col), "user_id") \
+                 .filter(F.col("_t") > F.col(prev_col))
+        agg = e.groupBy("user_id").agg(F.min("_t").alias(name))
+        out = out.join(agg, "user_id", "left")
+        prev_col = name
+        tcols.append(name)
+    stage = F.lit(0)
+    for i, name in enumerate(tcols, start=1):
+        stage = F.when(F.col(name).isNotNull(), i).otherwise(stage)
+    # stage must be the LAST consecutive non-null: later steps are
+    # null whenever an earlier one is (the strictly-after join chains)
+    return out.select("user_id", stage.cast("int").alias("stage"),
+                      *tcols)
+
+
+def cohort_retention(events: DataFrame,
+                     signup_type: str = "signup") -> DataFrame:
+    """COHORT RETENTION triangle: users bucketed by their first
+    ``signup_type`` week (epoch-week from DATE arithmetic — the
+    spacetime_layout discipline, immune to sub-second skew); for each
+    (cohort_week, week_offset >= 0) the number of DISTINCT cohort
+    members with any non-signup activity that week, plus the cohort
+    size. Retention rate = two integers, divided by the caller.
+
+    Plan shape: one (user, min signup) aggregate, one distinct
+    (user, week) projection of the activity scan, one user-keyed join,
+    one map-side-combined rollup — the classic triangle in four narrow
+    stages, no window, no state."""
+    day = F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+    week = F.floor(day / F.lit(7)).cast("long")
+    signup = (events.filter(F.col("event_type") == signup_type)
+              .groupBy("user_id")
+              .agg(F.min(week).alias("cohort_week")))
+    activity = (events.filter(F.col("event_type") != signup_type)
+                .select("user_id", week.alias("act_week")).distinct())
+    sizes = signup.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users"))
+    tri = (signup.join(activity, "user_id")
+           .filter(F.col("act_week") >= F.col("cohort_week"))
+           .groupBy("cohort_week",
+                    (F.col("act_week") - F.col("cohort_week"))
+                    .alias("week_offset"))
+           .agg(F.count_distinct(F.col("user_id")).alias("active_users")))
+    return (tri.join(F.broadcast(sizes), "cohort_week")
+            .select("cohort_week", "week_offset", "active_users",
+                    "cohort_users"))

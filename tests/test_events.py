@@ -1,0 +1,81 @@
+"""Funnel + cohort retention: hand-built event streams covering the
+ordered-semantics trap (purchase BEFORE click must not count), stalled
+stages, cohort week bucketing, and distinct-user counting."""
+import datetime as dt
+
+from geotrellis_contrib_spark.operators.events import (
+    cohort_retention, funnel)
+
+SCHEMA = ("event_id long, ts timestamp, user_id long, "
+          "event_type string, value double, props string")
+
+
+def _ev(i, day, hour, uid, typ):
+    return (i, dt.datetime(2024, 1, day, hour, 0, 0), uid, typ, 0.0, "")
+
+
+def test_funnel_ordered_semantics(spark):
+    rows = [
+        # user 1: full ordered funnel
+        _ev(0, 1, 1, 1, "view"), _ev(1, 1, 2, 1, "click"),
+        _ev(2, 1, 3, 1, "purchase"),
+        # user 2: purchase BEFORE click -> stage 2, t3 NULL
+        _ev(3, 1, 1, 2, "view"), _ev(4, 1, 3, 2, "click"),
+        _ev(5, 1, 2, 2, "purchase"),
+        # user 3: click before any view -> stage 1 (click not counted)
+        _ev(6, 1, 1, 3, "click"), _ev(7, 1, 2, 3, "view"),
+        # user 4: no view at all -> stage 0
+        _ev(8, 1, 1, 4, "error"),
+        # user 5: second click after purchase-able order: view, click,
+        # early purchase, then a LATER purchase counts
+        _ev(9, 1, 1, 5, "view"), _ev(10, 1, 4, 5, "click"),
+        _ev(11, 1, 2, 5, "purchase"), _ev(12, 1, 6, 5, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r.user_id: (r.stage, r.t1 is not None, r.t2 is not None,
+                       r.t3 is not None) for r in funnel(df).collect()}
+    assert got[1] == (3, True, True, True)
+    assert got[2] == (2, True, True, False)
+    assert got[3] == (1, True, False, False)
+    assert got[4] == (0, False, False, False)
+    assert got[5] == (3, True, True, True)
+    t = {r.user_id: r for r in funnel(df).collect()}
+    # user 5's t3 is the LATER purchase (day 1, 6:00)
+    assert t[5].t3 == int(dt.datetime(2024, 1, 1, 6)
+                          .replace(tzinfo=dt.timezone.utc).timestamp()
+                          * 1_000_000)
+
+
+def test_cohort_retention_hand_triangle(spark):
+    # weeks: 2024-01-01 is a Monday; epoch day 19723 -> week 2817
+    # user 1 signs up week W, active weeks W and W+1
+    # user 2 signs up week W, active week W+1 only
+    # user 3 signs up week W+1, active week W+1 (offset 0)
+    rows = [
+        _ev(0, 1, 1, 1, "signup"), _ev(1, 2, 1, 1, "view"),
+        _ev(2, 9, 1, 1, "click"),
+        _ev(3, 3, 1, 2, "signup"), _ev(4, 10, 1, 2, "view"),
+        # activity BEFORE signup week must not appear (offset >= 0)
+        _ev(5, 1, 1, 3, "view"),
+        _ev(6, 8, 1, 3, "signup"), _ev(7, 9, 1, 3, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {(r.cohort_week, r.week_offset): (r.active_users,
+                                            r.cohort_users)
+           for r in cohort_retention(df).collect()}
+    w = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days // 7
+    assert got[(w, 0)] == (1, 2)       # only user 1 active in week W
+    assert got[(w, 1)] == (2, 2)       # both users active W+1
+    assert got[(w + 1, 0)] == (1, 1)   # user 3
+    assert set(got) == {(w, 0), (w, 1), (w + 1, 0)}
+
+
+def test_triangle_count_hand_graph(spark):
+    from geotrellis_contrib_spark.operators.cluster import triangle_count
+    # K4 on {0,1,2,3} (4 triangles, each node in 3) + pendant 4 + an
+    # isolated edge 5-6; duplicate + reversed edges must not matter
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+             (3, 4), (5, 6), (1, 0), (0, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.triangles for r in triangle_count(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 4: 0, 5: 0, 6: 0}
