@@ -1281,6 +1281,24 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.row_number().over(w).alias("hrank"))
 
 
+def q_quadtree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAPTIVE QUADTREE partitioning (operators/skew.py
+    quadtree_assign — the density-adaptive spatial index: split every
+    cell holding > 16 points until it fits or zoom 10): each anchor is
+    assigned its SHALLOWEST qualifying web-mercator cell (counts are
+    monotone non-increasing with depth, so first-qualifying IS the
+    quadtree-leaf rule; still-hot zmax cells are the residue the
+    salting layers absorb). The iteration is DISSOLVED into one
+    declarative plan: a bounded 7-level explode, ONE map-side-combined
+    (zoom, cell) count shuffle, a same-key join back, a struct-min
+    choice — no loop, no collect. Oracle: per-zoom UNION ALL keys +
+    the same counts + a ROW_NUMBER pick under the identical order."""
+    _views(spark, sf_dir)
+    from geotrellis_contrib_spark.operators import skew as SK
+    pts = spark.table("anchors").filter(F.col("lon").isNotNull())
+    return SK.quadtree_assign(pts)
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORDERED EVENT FUNNEL (operators/events.py funnel — the
     product-analytics staple: first view, first click STRICTLY AFTER
@@ -8348,6 +8366,31 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM cv GROUP BY 1, 2, 3, 4
 """
 
+    # Adaptive quadtree (quadtree): per-zoom UNION ALL keys, identical
+    # counts, ROW_NUMBER pick under (lvl ASC, zoom DESC).
+    _qt_levels = "\nUNION ALL\n".join(
+        f"SELECT doc_id AS id, {z} AS zoom, "
+        f"{C.sql_cell_id(str(z), C.sql_tile_col('lon', z), C.sql_tile_row('lat', z))} AS cell "
+        "FROM anchors WHERE lon IS NOT NULL"
+        for z in range(4, 11))
+    o["quadtree"] = f"""
+{derive.cte('anchors')},
+lv AS ({_qt_levels}),
+cnt AS (SELECT zoom, cell, COUNT(*) AS n_in_cell FROM lv GROUP BY 1, 2),
+scored AS (
+  SELECT l.id, l.zoom, l.cell, c.n_in_cell,
+         CASE WHEN c.n_in_cell <= 16 THEN l.zoom ELSE 10 END AS lvl
+  FROM lv l JOIN cnt c ON c.zoom = l.zoom AND c.cell = l.cell),
+pick AS (
+  SELECT id, lvl, zoom, cell, n_in_cell,
+         ROW_NUMBER() OVER (PARTITION BY id
+                            ORDER BY lvl ASC, zoom DESC) AS rn
+  FROM scored)
+SELECT id, CAST(lvl AS INT) AS zoom, CAST(cell AS BIGINT) AS cell,
+       CAST(n_in_cell AS BIGINT) AS n_in_cell
+FROM pick WHERE rn = 1
+"""
+
     # Ordered funnel (funnel): chained strictly-after MIN subqueries on
     # EPOCH_US (microsecond integers — exact equality semantics).
     o["funnel"] = """
@@ -9296,6 +9339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "hull_diameter": q_hull_diameter,
         "funnel": q_funnel,
+        "quadtree": q_quadtree,
         "cohort_retention": q_cohort_retention,
         "triangle_count": q_triangle_count,
         "delaunay_exact": q_delaunay_exact,

@@ -114,3 +114,54 @@ def repartition_spatial(df: DataFrame, n_partitions: int,
     right pre-write layout for the tile/doc tables."""
     return (df.repartitionByRange(n_partitions, F.col(cell_col), F.col(id_col))
             .sortWithinPartitions(cell_col, id_col))
+
+
+def quadtree_assign(pts: DataFrame, cap: int = 16, zmin: int = 4,
+                    zmax: int = 10, lon_col: str = "lon",
+                    lat_col: str = "lat",
+                    id_col: str = "doc_id") -> DataFrame:
+    """ADAPTIVE QUADTREE partitioning — the classic density-adaptive
+    spatial index (split every cell holding more than ``cap`` points
+    until it fits or ``zmax`` is reached): each point is assigned the
+    SHALLOWEST web-mercator zoom whose cell holds <= ``cap`` points
+    (cell counts are monotone non-increasing with depth, so "first
+    qualifying level" IS the quadtree-leaf rule), or ``zmax`` when
+    even the deepest cell is still hot (the hot-cell residue the
+    salting layers above absorb). Returns (id, zoom, cell, n_in_cell).
+
+    Plan shape — the iteration is DISSOLVED into one declarative plan:
+    points explode to their (bounded, zmax-zmin+1) level keys, counts
+    are ONE map-side-combined shuffle on (zoom, cell), the join back
+    rides the same key, and the per-point level choice is a struct-min
+    aggregate. No loop, no driver round-trips, no collect — Catalyst
+    sees the whole thing."""
+    from geotrellis_contrib_spark.functions import cells as C
+
+    zooms = list(range(int(zmin), int(zmax) + 1))
+    base = pts.select(F.col(id_col).alias("id"),
+                      F.col(lon_col).alias("lon"),
+                      F.col(lat_col).alias("lat"))
+    lv = base.withColumn("zoom", F.explode(F.array(
+        *[F.lit(z) for z in zooms])))
+    keyed = lv.select(
+        "id", "zoom",
+        C.cell_id(F.col("zoom"), C.tile_col(F.col("lon"), F.col("zoom")),
+                  C.tile_row(F.col("lat"), F.col("zoom"))).alias("cell"))
+    cnt = keyed.groupBy("zoom", "cell").agg(
+        F.count(F.lit(1)).alias("n_in_cell"))
+    scored = (keyed.join(cnt, ["zoom", "cell"])
+              .withColumn("lvl", F.when(
+                  F.col("n_in_cell") <= int(cap),
+                  F.col("zoom")).otherwise(F.lit(int(zmax)))))
+    # tie-break (lvl, zmax - zoom): when NO level qualifies every row
+    # ties at lvl = zmax, and the deepest row must win so the returned
+    # cell is the zmax cell, not the shallowest one
+    best = scored.groupBy("id").agg(
+        F.min(F.struct(F.col("lvl"),
+                       (F.lit(int(zmax)) - F.col("zoom")).alias("inv"),
+                       F.col("cell"),
+                       F.col("n_in_cell"))).alias("t"))
+    return best.select(
+        "id", F.col("t.lvl").cast("int").alias("zoom"),
+        F.col("t.cell").alias("cell"),
+        F.col("t.n_in_cell").alias("n_in_cell"))
