@@ -1281,6 +1281,22 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.row_number().over(w).alias("hrank"))
 
 
+def q_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ISH TOKEN COUNTING (operators/retrieval.py bpe_token_counts
+    — the tokenizer-budget signal pipelines bill by): merge vocab =
+    corpus top-20 in-word character bigrams under the TOTAL order
+    (count DESC, pair ASC), then ONE greedy left-to-right pass per
+    word (consume two chars on a vocab pair else one — single-merge-
+    level BPE). The sequential scan stays in whole-stage codegen as a
+    pure JVM F.aggregate fold (no Python in the hot path); the K-row
+    vocab is collected once (constant-size, the IVF discipline) and
+    inlined. Oracle: precomputed step table + recursive pure-join walk
+    — visited positions ARE the token count."""
+    _views(spark, sf_dir)
+    from geotrellis_contrib_spark.operators import retrieval as RT
+    return RT.bpe_token_counts(spark.table("documents"))
+
+
 def q_quadtree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADAPTIVE QUADTREE partitioning (operators/skew.py
     quadtree_assign — the density-adaptive spatial index: split every
@@ -8366,6 +8382,42 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM cv GROUP BY 1, 2, 3, 4
 """
 
+    # BPE-ish token counting (bpe_counts): same vocab total order, the
+    # greedy scan as a step table + recursive pure-join walk (DuckDB
+    # recursion allows joins, not aggregates — counting happens after).
+    o["bpe_counts"] = """
+WITH RECURSIVE tk AS (SELECT doc_id, STR_SPLIT(text, ' ') AS l FROM documents),
+w AS (SELECT doc_id, k AS widx, l[k] AS word, LENGTH(l[k]) AS len
+      FROM tk, range(1, 4001) t(k) WHERE k <= LEN(l)),
+prs AS (SELECT SUBSTRING(word, i, 2) AS pr
+        FROM w, range(1, 200) s(i) WHERE i <= len - 1),
+vocab AS (SELECT pr FROM (
+  SELECT pr, COUNT(*) AS c FROM prs GROUP BY 1
+  ORDER BY c DESC, pr ASC LIMIT 20)),
+st AS MATERIALIZED (
+  SELECT w.doc_id, w.widx, i AS pos,
+         i + CASE WHEN i < w.len AND EXISTS (
+               SELECT 1 FROM vocab v
+               WHERE v.pr = SUBSTRING(w.word, i, 2))
+             THEN 2 ELSE 1 END AS nxt
+  FROM w, range(1, 200) s(i) WHERE i <= w.len),
+walk(doc_id, widx, pos) AS (
+  SELECT doc_id, widx, 1 FROM w WHERE len >= 1
+  UNION
+  SELECT s.doc_id, s.widx, s.nxt
+  FROM walk wk JOIN st s ON s.doc_id = wk.doc_id
+    AND s.widx = wk.widx AND s.pos = wk.pos),
+cnt AS (
+  SELECT wk.doc_id, wk.widx, COUNT(*) AS wtok
+  FROM walk wk JOIN w ON w.doc_id = wk.doc_id AND w.widx = wk.widx
+  WHERE wk.pos <= w.len GROUP BY 1, 2)
+SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(w.len) AS BIGINT) AS n_chars,
+       CAST(SUM(COALESCE(c.wtok, 0)) AS BIGINT) AS bpe_tokens
+FROM w LEFT JOIN cnt c ON c.doc_id = w.doc_id AND c.widx = w.widx
+GROUP BY 1
+"""
+
     # Adaptive quadtree (quadtree): per-zoom UNION ALL keys, identical
     # counts, ROW_NUMBER pick under (lvl ASC, zoom DESC).
     _qt_levels = "\nUNION ALL\n".join(
@@ -9340,6 +9392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hull_diameter": q_hull_diameter,
         "funnel": q_funnel,
         "quadtree": q_quadtree,
+        "bpe_counts": q_bpe_counts,
         "cohort_retention": q_cohort_retention,
         "triangle_count": q_triangle_count,
         "delaunay_exact": q_delaunay_exact,

@@ -231,3 +231,61 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
                     F.floor(F.col("dup_tok") / F.col("n_tokens")
                             * F.lit(q) + F.lit(0.5))
                     .cast("long").alias("rep_q")))
+
+
+def bpe_token_counts(docs: DataFrame, vocab_size: int = 20,
+                     text_col: str = "text") -> DataFrame:
+    """BPE-ISH subword token counting — the tokenizer-budget signal
+    training pipelines bill by (chars/token compression): the merge
+    vocabulary is the corpus's top-``vocab_size`` IN-WORD character
+    bigrams under the TOTAL order (count DESC, pair ASC — the
+    bigram_novelty tie discipline), and each word is tokenized by ONE
+    greedy left-to-right pass (at a non-consumed position, consume two
+    chars if they form a vocab pair else one — a single-merge-level
+    BPE). Per doc: n_words, n_chars (word chars, separators excluded),
+    bpe_tokens.
+
+    Plan shape: bigram counting is a bounded substring explode + ONE
+    map-side-combined shuffle; the K-row vocabulary is TakeOrdered-
+    collected (constant at any corpus size — the IVF discipline) and
+    inlined as an array literal; the greedy scan itself is a pure JVM
+    F.aggregate fold over char positions — sequential semantics
+    WITHOUT leaving whole-stage codegen (no Python in the hot path;
+    the fold's accumulator carries (skip, count)). The oracle replays
+    the identical scan as a precomputed step table + a recursive
+    pure-join walk — visited positions ARE the token count."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), " ")).alias("widx", "word"))
+    pairs = (toks
+             .select(F.explode(F.expr(
+                 "transform(sequence(1, greatest(length(word) - 1, 0)), "
+                 "i -> substring(word, i, 2))")).alias("pr"))
+             .filter(F.length("pr") == 2))
+    vocab = [r.pr for r in
+             (pairs.groupBy("pr").agg(F.count(F.lit(1)).alias("c"))
+              .orderBy(F.col("c").desc(), F.col("pr").asc())
+              .limit(int(vocab_size)).collect())]
+    varr = F.array(*[F.lit(p) for p in sorted(vocab)]) if vocab \
+        else F.array().cast("array<string>")
+    scan = F.aggregate(
+        F.sequence(F.lit(1), F.length("word")),
+        F.struct(F.lit(False).alias("skip"),
+                 F.lit(0).alias("cnt")),
+        lambda acc, i: F.struct(
+            F.when(acc.skip, F.lit(False)).otherwise(
+                (i < F.length("word"))
+                & F.array_contains(varr, F.col("word").substr(i, F.lit(2)))
+            ).alias("skip"),
+            F.when(acc.skip, acc.cnt).otherwise(acc.cnt + 1).alias("cnt")),
+        lambda acc: acc.cnt)
+    # Spark's sequence(1, 0) DESCENDS instead of returning empty — an
+    # empty word (double separator) must be guarded to 0 tokens
+    per_word = toks.select(
+        "doc_id", F.length("word").alias("wlen"),
+        F.when(F.length("word") == 0, F.lit(0))
+        .otherwise(scan).alias("wtok"))
+    return (per_word.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("wlen").alias("n_chars"),
+                 F.sum("wtok").cast("long").alias("bpe_tokens")))

@@ -176,3 +176,62 @@ def test_repetition_signals_hand_values(spark):
         == ("cc cc", 1, 4)
     # 2/3 quantized: floor(2/3 * 2^20 + .5)
     assert r3["rep_q"] == int(2 / 3 * 1048576.0 + 0.5)
+
+
+def _bpe_ref(docs, vocab_size=20):
+    """Independent replica: vocab by (count DESC, pair ASC), greedy
+    left-to-right scan."""
+    from collections import Counter
+    cnt = Counter()
+    for _, t in docs:
+        for w in t.split(" "):
+            for i in range(len(w) - 1):
+                cnt[w[i:i + 2]] += 1
+    vocab = set(p for p, _ in sorted(
+        cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size])
+    out = {}
+    for d, t in docs:
+        words = t.split(" ")
+        toks = 0
+        for w in words:
+            i = 0
+            while i < len(w):
+                if i + 1 < len(w) and w[i:i + 2] in vocab:
+                    i += 2
+                else:
+                    i += 1
+                toks += 1
+        out[d] = (len(words), sum(len(w) for w in words), toks)
+    return out
+
+
+def test_bpe_counts_vs_reference_and_greedy_nonoverlap(spark):
+    from geotrellis_contrib_spark.operators.retrieval import (
+        bpe_token_counts)
+    docs = [
+        (0, "banana bandana"),
+        (1, "aaaa aaa"),          # greedy: aa|aa=2, aa|a=2 (not 1!)
+        (2, "x yz banan"),
+        (3, "na na na an"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_words, r.n_chars, r.bpe_tokens)
+           for r in bpe_token_counts(df, vocab_size=3).collect()}
+    assert got == _bpe_ref(docs, vocab_size=3)
+    # the greedy non-overlap pin: "aa" is certainly in the top-3 vocab
+    # (4 occurrences); "aaaa" -> 2 tokens, "aaa" -> 2 tokens
+    assert got[1] == (2, 7, 4)
+
+
+def test_bpe_counts_fixture_compression(spark):
+    from geotrellis_contrib_spark.operators.retrieval import (
+        bpe_token_counts)
+    docs = [(i, "the quick brown fox jumps over the lazy dog".replace(
+        " ", " ") ) for i in range(4)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = bpe_token_counts(df).collect()
+    ref = _bpe_ref(docs)
+    assert {r.doc_id: (r.n_words, r.n_chars, r.bpe_tokens)
+            for r in got} == ref
+    # merges actually happened: tokens strictly under chars
+    assert all(r.bpe_tokens < r.n_chars for r in got)
