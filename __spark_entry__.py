@@ -1281,6 +1281,24 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.row_number().over(w).alias("hrank"))
 
 
+def q_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-BAND CONTINGENCY TABLE (operators/local.py crosstab — the
+    ArcGIS Tabulate Area / GRASS r.cross change-detection matrix
+    between two classified epochs): per scene, pixel counts for every
+    (floor(b0/64), floor(b1/64)) class pair where BOTH bands are
+    valid. One zero-shuffle Arrow pass pairs each tile's band rows and
+    emits per-tile pair counts (<= classes^2 rows/tile); the pixel
+    bytes never shuffle; ONE map-side-combined rollup. Oracle: the
+    closed-form field classed with the same single dyadic division (the
+    fixture's values are exact 1/4-grid doubles, so the band-1 chain
+    reassociation is harmless — every sum is exact)."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import local as LO
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    return LO.crosstab(tiles, class_width=64.0, tile_size=64)
+
+
 def q_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ISH TOKEN COUNTING (operators/retrieval.py bpe_token_counts
     — the tokenizer-budget signal pipelines bill by): merge vocab =
@@ -8382,6 +8400,29 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM cv GROUP BY 1, 2, 3, 4
 """
 
+    # Two-band crosstab (crosstab): closed-form field classed with the
+    # identical single division; validity is band-independent (h0
+    # depends only on s), band-1 = band-0 + 100.0 exactly (1/4-grid
+    # sums are exact, association-free).
+    o["crosstab"] = """
+WITH px AS (
+  SELECT s, 18 + s + tcc AS col, 24 + trr AS row, ri, ci,
+         (s*11) % 48 AS h0
+  FROM range(0,3) ss(s), range(0,4) tcs(tcc), range(0,4) trs(trr),
+       range(0,64) ris(ri), range(0,64) cis(ci)
+), v AS (
+  SELECT s,
+         (s*1000.0 + col*7.0 + row*3.0 + ri*0.5 + ci*0.25
+          + CAST((ri*31 + ci*17) % 13 AS DOUBLE)) AS v0
+  FROM px
+  WHERE NOT (ri >= h0 AND ri < h0+16 AND ci >= h0 AND ci < h0+16))
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(FLOOR(v0 / 64.0) AS BIGINT) AS c0,
+       CAST(FLOOR((v0 + 100.0) / 64.0) AS BIGINT) AS c1,
+       CAST(COUNT(*) AS BIGINT) AS n_pixels
+FROM v GROUP BY 1, 2, 3
+"""
+
     # BPE-ish token counting (bpe_counts): same vocab total order, the
     # greedy scan as a step table + recursive pure-join walk (DuckDB
     # recursion allows joins, not aggregates — counting happens after).
@@ -9393,6 +9434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "quadtree": q_quadtree,
         "bpe_counts": q_bpe_counts,
+        "crosstab": q_crosstab,
         "cohort_retention": q_cohort_retention,
         "triangle_count": q_triangle_count,
         "delaunay_exact": q_delaunay_exact,

@@ -233,3 +233,49 @@ def tile_checksums(tiles: DataFrame, q: float = _Q,
     return tiles.mapInPandas(
         run, "source_id string, zoom int, col bigint, row bigint, "
              "band int, n_valid bigint, q_sum bigint")
+
+
+def crosstab(tiles: DataFrame, class_width: float = 500.0,
+             tile_size: int = 64) -> DataFrame:
+    """Two-band CONTINGENCY TABLE (ArcGIS Tabulate Area / GRASS r.cross
+    — the change-detection matrix between two classified epochs): per
+    scene, pixel counts for every (class(band0), class(band1)) pair
+    where BOTH bands are valid; class(v) = floor(v / class_width)
+    (floor of ONE IEEE division — identical both sides). Returns
+    (source_id, c0, c1, n_pixels).
+
+    Plan shape: one zero-shuffle Arrow pass pairs each tile's two band
+    rows (grouped on the tile key) and emits per-tile (c0, c1) counts
+    — at most classes^2 rows per tile, usually far fewer — then ONE
+    map-side-combined rollup. The pixel bytes never shuffle."""
+    t = int(tile_size)
+    cols = ["source_id", "c0", "c1", "n_pixels"]
+
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        source_id = key[0]
+        by_band = {}
+        for row_t in pdf.itertuples(index=False):
+            arr = np.frombuffer(row_t.px, dtype=DTYPES[row_t.dtype]) \
+                    .reshape(t, t).astype(np.float64)
+            by_band[int(row_t.band)] = np.where(
+                arr == row_t.nodata, np.nan, arr)
+        if 0 not in by_band or 1 not in by_band:
+            return pd.DataFrame(columns=cols)
+        a, b = by_band[0], by_band[1]
+        both = ~np.isnan(a) & ~np.isnan(b)
+        if not both.any():
+            return pd.DataFrame(columns=cols)
+        ca = np.floor(a[both] / class_width).astype(np.int64)
+        cb = np.floor(b[both] / class_width).astype(np.int64)
+        pairs, cnts = np.unique(np.stack([ca, cb], axis=1), axis=0,
+                                return_counts=True)
+        return pd.DataFrame(
+            [{"source_id": source_id, "c0": int(p[0]), "c1": int(p[1]),
+              "n_pixels": int(c)} for p, c in zip(pairs, cnts)],
+            columns=cols)
+
+    from pyspark.sql import functions as F
+    part = tiles.groupBy("source_id", "zoom", "col", "row").applyInPandas(
+        run, "source_id string, c0 bigint, c1 bigint, n_pixels bigint")
+    return part.groupBy("source_id", "c0", "c1").agg(
+        F.sum("n_pixels").alias("n_pixels"))

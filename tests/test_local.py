@@ -97,3 +97,32 @@ def test_ndvi_single_shuffle_plan(spark):
     plan = LO.ndvi_reclass_stats(tiles, breaks=BREAKS) \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") - plan.count("ReusedExchange") <= 1, plan
+
+
+def test_crosstab_hand_and_replay(spark):
+    import numpy as np
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators.local import crosstab
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    got = {(r.source_id, r.c0, r.c1): r.n_pixels
+           for r in crosstab(tiles, class_width=64.0).collect()}
+    # numpy replay over the scene mosaics
+    exp = {}
+    for s in range(3):
+        moz = corpus_mod.synth_scene_mosaic(s)
+        a = np.where(moz[0] == -9999.0, np.nan, moz[0])
+        b = np.where(moz[1] == -9999.0, np.nan, moz[1])
+        both = ~np.isnan(a) & ~np.isnan(b)
+        ca = np.floor(a[both] / 64.0).astype(np.int64)
+        cb = np.floor(b[both] / 64.0).astype(np.int64)
+        for p, c in zip(*np.unique(np.stack([ca, cb], 1), axis=0,
+                                   return_counts=True)):
+            exp[(f"scene-{s}", int(p[0]), int(p[1]))] = int(c)
+    assert got == exp
+    # counts conserve: total pairs == total both-valid pixels
+    for s in range(3):
+        moz = corpus_mod.synth_scene_mosaic(s)
+        nv = int((~np.isnan(np.where(moz[0] == -9999.0, np.nan,
+                                     moz[0]))).sum())
+        assert sum(v for (sid, _, _), v in got.items()
+                   if sid == f"scene-{s}") == nv
