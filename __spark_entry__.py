@@ -1281,6 +1281,26 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.row_number().over(w).alias("hrank"))
 
 
+def q_temporal_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL GAP FILLING (operators/temporal.py temporal_fill — the
+    Landsat SLC-off / cloud-gap linear interpolation, completing the
+    time-series family around stats/trend/composite/median): per tile
+    the gap count (plane present, pixel NoData — absent planes are NOT
+    gaps), the filled count (both temporal neighbors valid; edges
+    never extrapolate), and the quantized fill sum. fill = v_j +
+    (v_k - v_j) * ((t_i - t_j)/(t_k - t_j)) — integer deltas divided
+    ONCE, the identical chain in the oracle (the fixture's middle-gap
+    case lands on the exact 1/8 grid). Same ONE-shuffle stack-reduce
+    shape as temporal_stats. Pytest proves the general path (4-plane
+    stacks, thirds ratios); the oracle pins the fixture's enumerable
+    3-plane cases."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import temporal as TE
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    return TE.temporal_fill(tiles, tile_size=64)
+
+
 def q_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TWO-BAND CONTINGENCY TABLE (operators/local.py crosstab — the
     ArcGIS Tabulate Area / GRASS r.cross change-detection matrix
@@ -8400,6 +8420,45 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM cv GROUP BY 1, 2, 3, 4
 """
 
+    # Temporal gap fill (temporal_fill): per-scene cover/hole/value
+    # closed forms; with three planes the only fillable case is the
+    # middle gap between two valid neighbors — enumerated exactly;
+    # the fill chain is the engine's verbatim (one division of integer
+    # deltas, one multiply, one add).
+    def _tf_term(s):
+        h0 = (s * 11) % 48
+        cov = f"(col BETWEEN {18 + s} AND {21 + s})"
+        hole = (f"(ri >= {h0} AND ri < {h0 + 16}"
+                f" AND ci >= {h0} AND ci < {h0 + 16})")
+        v = (f"({s}*1000.0 + band*100.0 + col*7.0 + row*3.0"
+             f" + ri*0.5 + ci*0.25"
+             f" + CAST((ri*31 + ci*17) % 13 AS DOUBLE))")
+        return cov, f"({cov} AND NOT {hole})", v
+
+    _tf = [_tf_term(s) for s in range(3)]
+    _tf_gaps = " + ".join(
+        f"(CASE WHEN {c} AND NOT {k} THEN 1 ELSE 0 END)"
+        for c, k, _ in _tf)
+    _tf_fillable = (f"({_tf[1][0]} AND NOT {_tf[1][1]}"
+                    f" AND {_tf[0][1]} AND {_tf[2][1]})")
+    _tf_fill = (f"({_tf[0][2]} + ({_tf[2][2]} - {_tf[0][2]})"
+                " * (CAST(1 AS BIGINT) / CAST(2 AS BIGINT)))")
+    o["temporal_fill"] = f"""
+WITH px AS (
+  SELECT band, col, row, ri, ci
+  FROM range(0,2) bs(band), range(18,24) cs(col), range(24,28) rs(row),
+       range(0,64) ris(ri), range(0,64) cis(ci)
+)
+SELECT 6 AS zoom, col, row, CAST(band AS INT) AS band,
+       CAST(SUM({_tf_gaps}) AS BIGINT) AS n_gaps,
+       CAST(SUM(CASE WHEN {_tf_fillable} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_filled,
+       CAST(SUM(CASE WHEN {_tf_fillable} THEN CAST(FLOOR(
+            {_tf_fill} * 8.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS q_fill_sum
+FROM px GROUP BY 2, 3, 4
+"""
+
     # Two-band crosstab (crosstab): closed-form field classed with the
     # identical single division; validity is band-independent (h0
     # depends only on s), band-1 = band-0 + 100.0 exactly (1/4-grid
@@ -9435,6 +9494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadtree": q_quadtree,
         "bpe_counts": q_bpe_counts,
         "crosstab": q_crosstab,
+        "temporal_fill": q_temporal_fill,
         "cohort_retention": q_cohort_retention,
         "triangle_count": q_triangle_count,
         "delaunay_exact": q_delaunay_exact,

@@ -341,3 +341,74 @@ def temporal_trend(tiles: DataFrame, tile_size: int = 64,
 
     return tiles.groupBy("zoom", "col", "row", "band") \
                 .applyInPandas(solve, _TREND_OUT)
+
+
+_FILL_OUT = ("zoom int, col bigint, row bigint, band int, "
+             "n_gaps bigint, n_filled bigint, q_fill_sum bigint")
+
+
+def temporal_fill(tiles: DataFrame, tile_size: int = 64,
+                  q_fill: float = 8.0) -> DataFrame:
+    """Per-pixel temporal GAP FILLING across the scene stack — the
+    Landsat-7 SLC-off / cloud-gap interpolation recipe (fill a missing
+    observation by LINEAR interpolation between its nearest valid
+    neighbors in time; edge gaps stay unfilled — no extrapolation):
+
+        gap     a plane row exists for the tile but the pixel is
+                NoData there (absent planes are NOT gaps — the stack
+                cannot see scenes that never covered the tile)
+        fill    v_j + (v_k - v_j) * ((t_i - t_j) / (t_k - t_j))
+                with j/k the nearest valid planes before/after —
+                integer time deltas divided ONCE, then one multiply
+                and one add (the identical chain the oracle runs)
+
+    Same ONE-shuffle stack-reduce shape as temporal_stats (tiles
+    group on their key; planes ordered by source_idx = t); forward and
+    backward (value, t) sweeps are vectorized over the whole tile.
+    Output per tile: n_gaps, n_filled, q_fill_sum = Σ floor(fill·q +
+    0.5) over filled slots."""
+
+    def solve(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("source_idx")
+        planes, ts = [], []
+        for row_t in pdf.itertuples():
+            arr = unpack(row_t.px, row_t.dtype, tile_size)
+            planes.append(np.where(
+                ~np.isnan(arr) & (arr != row_t.nodata), arr, np.nan))
+            ts.append(int(row_t.source_idx))
+        stack = np.stack(planes)
+        n = len(planes)
+        shp = stack.shape[1:]
+        prev_v = np.full_like(stack, np.nan)
+        prev_t = np.full(stack.shape, -1, dtype=np.int64)
+        cur_v, cur_t = np.full(shp, np.nan), np.full(shp, -1, np.int64)
+        for i in range(n):
+            prev_v[i], prev_t[i] = cur_v, cur_t
+            m = ~np.isnan(stack[i])
+            cur_v = np.where(m, stack[i], cur_v)
+            cur_t = np.where(m, ts[i], cur_t)
+        next_v = np.full_like(stack, np.nan)
+        next_t = np.full(stack.shape, -1, dtype=np.int64)
+        cur_v, cur_t = np.full(shp, np.nan), np.full(shp, -1, np.int64)
+        for i in range(n - 1, -1, -1):
+            next_v[i], next_t[i] = cur_v, cur_t
+            m = ~np.isnan(stack[i])
+            cur_v = np.where(m, stack[i], cur_v)
+            cur_t = np.where(m, ts[i], cur_t)
+        gaps = np.isnan(stack)
+        fillable = gaps & ~np.isnan(prev_v) & ~np.isnan(next_v)
+        ti = np.asarray(ts, dtype=np.int64).reshape(-1, 1, 1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            di = (ti - prev_t).astype(np.float64)
+            dk = (next_t - prev_t).astype(np.float64)
+            fill = prev_v + (next_v - prev_v) * (di / dk)
+        return pd.DataFrame({
+            "zoom": [int(key[0])], "col": [int(key[1])],
+            "row": [int(key[2])], "band": [int(key[3])],
+            "n_gaps": [int(gaps.sum())],
+            "n_filled": [int(fillable.sum())],
+            "q_fill_sum": [int(np.floor(fill * q_fill + 0.5)[fillable]
+                               .astype(np.int64).sum())]})
+
+    return tiles.groupBy("zoom", "col", "row", "band") \
+                .applyInPandas(solve, _FILL_OUT)

@@ -417,3 +417,50 @@ def test_tile_checksums(spark):
         [("a", 0, 3, 1, 1, 0, "float64", -9999.0, pack(a0))], sch)
     r = LO.tile_checksums(df, q=4.0, tile_size=2).collect()[0]
     assert (r.n_valid, r.q_sum) == (2, int(2.25 * 4 + 4.0 * 4))
+
+
+def test_temporal_fill_general_four_planes(spark):
+    import numpy as np
+    from geotrellis_contrib_spark.operators.pixels import pack
+    from geotrellis_contrib_spark.operators.temporal import temporal_fill
+    t = 4
+    # 4 planes t=0..3 on one tile; pixel (0,0): valid at t0=8, t3=20,
+    # gaps at t1/t2 -> thirds interpolation 12.0 and 16.0;
+    # pixel (1,1): valid t1=5 only -> edge gaps at t0/t2/t3 unfilled
+    # (t2,t3 have no later valid neighbor; t0 no earlier)
+    planes = np.full((4, t, t), -9999.0)
+    planes[0, 0, 0], planes[3, 0, 0] = 8.0, 20.0
+    planes[1, 1, 1] = 5.0
+    rows = [(f"s", s, 6, 20, 24, 0, "float64", -9999.0, pack(planes[s]))
+            for s in range(4)]
+    df = spark.createDataFrame(
+        rows, "source_id string, source_idx int, zoom int, col bigint, "
+              "row bigint, band int, dtype string, nodata double, "
+              "px binary")
+    r = temporal_fill(df, tile_size=t).collect()[0]
+    # gaps: every NaN slot = 4*16 - 3 valid = 61
+    assert r.n_gaps == 61
+    # filled: exactly the two middle gaps of pixel (0,0)
+    assert r.n_filled == 2
+    exp = int(np.floor((8.0 + 12.0 * (1.0 / 3.0)) * 8 + 0.5)) \
+        + int(np.floor((8.0 + 12.0 * (2.0 / 3.0)) * 8 + 0.5))
+    assert r.q_fill_sum == exp
+
+
+def test_temporal_fill_absent_plane_not_a_gap(spark):
+    import numpy as np
+    from geotrellis_contrib_spark.operators.pixels import pack
+    from geotrellis_contrib_spark.operators.temporal import temporal_fill
+    t = 4
+    # only planes t=0 and t=2 exist (t=1 never covered the tile):
+    # fully valid planes -> zero gaps, zero filled
+    a = np.full((t, t), 1.0)
+    b = np.full((t, t), 3.0)
+    rows = [("s", 0, 6, 20, 24, 0, "float64", -9999.0, pack(a)),
+            ("s", 2, 6, 20, 24, 0, "float64", -9999.0, pack(b))]
+    df = spark.createDataFrame(
+        rows, "source_id string, source_idx int, zoom int, col bigint, "
+              "row bigint, band int, dtype string, nodata double, "
+              "px binary")
+    r = temporal_fill(df, tile_size=t).collect()[0]
+    assert (r.n_gaps, r.n_filled, r.q_fill_sum) == (0, 0, 0)
