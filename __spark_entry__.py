@@ -1281,6 +1281,45 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.row_number().over(w).alias("hrank"))
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP ROLLUP (operators/events.py events_rollup — the multi-level
+    aggregation surface: (type, week), per-type subtotal, grand total
+    in ONE map-side-combined pass; Spark expands the grouping sets
+    inside the same aggregate, no self-union of three jobs). Values
+    quantized BEFORE the sum so every level is an exact order-free
+    integer; gid = the Postgres/Spark grouping bit convention.
+    Oracle: GROUP BY ROLLUP with the same GROUPING arithmetic."""
+    _views(spark, sf_dir)
+    from geotrellis_contrib_spark.operators import events as EV
+    return EV.events_rollup(spark.table("events"))
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (operators/events.py events_pivot — the per-user
+    event-type count matrix, the wide feature table behavioral models
+    start from): the type list is PINNED (inference costs a whole
+    extra job and a nondeterministic column order); absent pairs are
+    0. One aggregate; the pivot is K conditional counts inside it.
+    Oracle: conditional SUM(CASE) columns."""
+    _views(spark, sf_dir)
+    from geotrellis_contrib_spark.operators import events as EV
+    return EV.events_pivot(spark.table("events"))
+
+
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT by source (operators/retrieval.py
+    gini_by_group — the corpus-inequality diagnostic: a source whose
+    token mass concentrates in a few documents skews sampling): the
+    exact sorted-rank identity G = (2*Sum(i*x_i) - (n+1)*Sum(x)) /
+    (n*Sum(x)) with integer x — both division operands are exact int64
+    sums, and Sum(i*x) is tie-permutation-invariant, so the
+    row_number tie order cannot change the value. One per-group window
+    + one rollup. Oracle: the same identity verbatim."""
+    _views(spark, sf_dir)
+    from geotrellis_contrib_spark.operators import retrieval as RT
+    return RT.gini_by_group(spark.table("documents"))
+
+
 def q_temporal_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TEMPORAL GAP FILLING (operators/temporal.py temporal_fill — the
     Landsat SLC-off / cloud-gap linear interpolation, completing the
@@ -8420,6 +8459,49 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM cv GROUP BY 1, 2, 3, 4
 """
 
+    # OLAP rollup (events_rollup): GROUP BY ROLLUP + the same GROUPING
+    # bit arithmetic; quantize-first integer value sums.
+    o["events_rollup"] = """
+WITH base AS (
+  SELECT event_type,
+         DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+           AS week,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS vq
+  FROM events)
+SELECT event_type, CAST(week AS BIGINT) AS week,
+       CAST(GROUPING(event_type) * 2 + GROUPING(week) AS INT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(vq) AS BIGINT) AS v_sum
+FROM base GROUP BY ROLLUP (event_type, week)
+"""
+
+    # Pivot (events_pivot): conditional SUM(CASE) columns.
+    _pv_types = ("click", "error", "purchase", "signup", "view")
+    _pv_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS {t}" for t in _pv_types)
+    o["events_pivot"] = f"""
+SELECT user_id, {_pv_cols}
+FROM events GROUP BY 1
+"""
+
+    # Gini by source (gini): the identical sorted-rank identity.
+    o["gini"] = """
+WITH r AS (
+  SELECT source, doc_id, n_chars AS x,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars ASC, doc_id ASC) AS i
+  FROM documents),
+a AS (SELECT source, COUNT(*) AS n_docs, SUM(x) AS x_sum,
+             SUM(i * x) AS ix_sum FROM r GROUP BY 1)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(x_sum AS BIGINT) AS x_sum,
+       CAST(FLOOR((2 * ix_sum - (n_docs + 1) * x_sum)
+                  / (n_docs * x_sum) * 1048576.0 + 0.5) AS BIGINT)
+         AS gini_q
+FROM a
+"""
+
     # Temporal gap fill (temporal_fill): per-scene cover/hole/value
     # closed forms; with three planes the only fillable case is the
     # middle gap between two valid neighbors — enumerated exactly;
@@ -9495,6 +9577,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_counts": q_bpe_counts,
         "crosstab": q_crosstab,
         "temporal_fill": q_temporal_fill,
+        "events_rollup": q_events_rollup,
+        "events_pivot": q_events_pivot,
+        "gini": q_gini,
         "cohort_retention": q_cohort_retention,
         "triangle_count": q_triangle_count,
         "delaunay_exact": q_delaunay_exact,

@@ -85,3 +85,43 @@ def cohort_retention(events: DataFrame,
     return (tri.join(F.broadcast(sizes), "cohort_week")
             .select("cohort_week", "week_offset", "active_users",
                     "cohort_users"))
+
+
+def events_rollup(events: DataFrame, q: float = 100.0) -> DataFrame:
+    """OLAP ROLLUP over (event_type, week): counts and quantized value
+    sums at every aggregation level — (type, week), per-type subtotal,
+    grand total — in ONE pass (Spark expands grouping sets inside the
+    same map-side-combined aggregate; no self-union of three
+    aggregations). Values are quantized floor(v*q + 0.5) BEFORE the
+    sum, so every level's total is an exact order-free integer.
+    ``gid`` = grouping(event_type)*2 + grouping(week) (the
+    Postgres/Spark bit convention) distinguishes the levels."""
+    day = F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+    base = events.select(
+        "event_type",
+        F.floor(day / F.lit(7)).cast("long").alias("week"),
+        F.floor(F.col("value") * F.lit(q) + F.lit(0.5))
+        .cast("long").alias("vq"))
+    return (base.rollup("event_type", "week")
+            .agg((F.grouping("event_type") * 2
+                  + F.grouping("week")).cast("int").alias("gid"),
+                 F.count(F.lit(1)).alias("n"),
+                 F.sum("vq").alias("v_sum"))
+            .select("event_type", "week", "gid", "n", "v_sum"))
+
+
+def events_pivot(events: DataFrame,
+                 types: tuple[str, ...] = ("click", "error", "purchase",
+                                           "signup", "view")) -> DataFrame:
+    """PIVOT: the per-user event-type count matrix (the wide feature
+    table every behavioral model starts from). The type list is pinned
+    (never inferred — an inference pass is a whole extra job and a
+    nondeterministic column order); absent combinations are 0, not
+    NULL. One map-side-combined aggregate; the pivot is just K
+    conditional counts inside it."""
+    p = (events.groupBy("user_id")
+         .pivot("event_type", list(types)).count())
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+          for t in types])

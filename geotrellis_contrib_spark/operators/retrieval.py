@@ -289,3 +289,34 @@ def bpe_token_counts(docs: DataFrame, vocab_size: int = 20,
             .agg(F.count(F.lit(1)).alias("n_words"),
                  F.sum("wlen").alias("n_chars"),
                  F.sum("wtok").cast("long").alias("bpe_tokens")))
+
+
+def gini_by_group(docs: DataFrame, value_col: str = "n_chars",
+                  group_col: str = "source",
+                  q: float = 1048576.0) -> DataFrame:
+    """GINI COEFFICIENT of a per-document size/score distribution by
+    group — the corpus-inequality diagnostic (a source whose token
+    mass concentrates in a few documents skews sampling): the exact
+    sorted-rank identity
+
+        G = (2*Sum(i*x_i) - (n+1)*Sum(x)) / (n*Sum(x)),  x ascending
+
+    with integer x — both operands of the ONE IEEE division are exact
+    int64 sums, and Sum(i*x_i) is tie-permutation-invariant (equal x
+    swap freely), so the row_number tie order cannot change the value.
+    One per-group window + one map-side-combined rollup."""
+    w = Window.partitionBy(group_col).orderBy(F.col("x").asc(),
+                                              F.col("doc_id").asc())
+    ranked = docs.select(group_col, "doc_id",
+                         F.col(value_col).cast("long").alias("x")) \
+        .withColumn("i", F.row_number().over(w).cast("long"))
+    return (ranked.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("x").alias("x_sum"),
+                 F.sum(F.col("i") * F.col("x")).alias("ix_sum"))
+            .select(group_col, "n_docs", "x_sum",
+                    F.floor((F.lit(2) * F.col("ix_sum")
+                             - (F.col("n_docs") + 1) * F.col("x_sum"))
+                            / (F.col("n_docs") * F.col("x_sum"))
+                            * F.lit(q) + F.lit(0.5))
+                    .cast("long").alias("gini_q")))

@@ -79,3 +79,46 @@ def test_triangle_count_hand_graph(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.node: r.triangles for r in triangle_count(df).collect()}
     assert got == {0: 3, 1: 3, 2: 3, 3: 3, 4: 0, 5: 0, 6: 0}
+
+
+def test_events_rollup_levels(spark):
+    from geotrellis_contrib_spark.operators.events import events_rollup
+    rows = [_ev(0, 1, 1, 1, "view"), _ev(1, 1, 2, 1, "view"),
+            _ev(2, 9, 1, 1, "click")]
+    rows = [(i, ts, u, t, 2.5, p) for i, ts, u, t, _, p in rows]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {(r.event_type, r.week, r.gid): (r.n, r.v_sum)
+           for r in events_rollup(df).collect()}
+    w = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days // 7
+    vq = 250  # floor(2.5*100+0.5)
+    assert got[("view", w, 0)] == (2, 2 * vq)
+    assert got[("click", w + 1, 0)] == (1, vq)
+    assert got[("view", None, 1)] == (2, 2 * vq)     # per-type subtotal
+    assert got[("click", None, 1)] == (1, vq)
+    assert got[(None, None, 3)] == (3, 3 * vq)       # grand total
+    assert len(got) == 5
+
+
+def test_events_pivot_zeros_and_counts(spark):
+    from geotrellis_contrib_spark.operators.events import events_pivot
+    rows = [_ev(0, 1, 1, 1, "view"), _ev(1, 1, 2, 1, "view"),
+            _ev(2, 1, 3, 1, "purchase"), _ev(3, 1, 1, 2, "error")]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r.user_id: (r.view, r.click, r.purchase, r.signup, r.error)
+           for r in events_pivot(df).collect()}
+    assert got[1] == (2, 0, 1, 0, 0)
+    assert got[2] == (0, 0, 0, 0, 1)
+
+
+def test_gini_known_distributions(spark):
+    from geotrellis_contrib_spark.operators.retrieval import gini_by_group
+    # group a: all equal -> G = 0 exactly by the identity
+    # group b: one doc holds everything -> G = (n-1)/n = 3/4
+    docs = [("a", i, 10) for i in range(5)] \
+        + [("b", 10, 0), ("b", 11, 0), ("b", 12, 0), ("b", 13, 100)]
+    df = spark.createDataFrame(docs, "source string, doc_id long, "
+                                     "n_chars long")
+    got = {r.source: (r.n_docs, r.x_sum, r.gini_q)
+           for r in gini_by_group(df).collect()}
+    assert got["a"] == (5, 50, 0)
+    assert got["b"] == (4, 100, int(0.75 * 1048576.0 + 0.5))
