@@ -1281,6 +1281,18 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.row_number().over(w).alias("hrank"))
 
 
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED AVERAGE per user (operators/events.py twap — a
+    plain mean over-weights bursts; each observation counts for the
+    time it was CURRENT): numerator = exact integer sum of quantized
+    value x microsecond-delta products (one lead window), denominator
+    = the span, ONE IEEE division. Single-event and zero-span users
+    excluded, not zeroed. Oracle: the same LEAD window on EPOCH_US."""
+    _views(spark, sf_dir)
+    from geotrellis_contrib_spark.operators import events as EV
+    return EV.twap(spark.table("events"))
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OLAP ROLLUP (operators/events.py events_rollup — the multi-level
     aggregation surface: (type, week), per-type subtotal, grand total
@@ -8459,6 +8471,29 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM cv GROUP BY 1, 2, 3, 4
 """
 
+    # TWAP (twap): the same LEAD window over EPOCH_US, integer
+    # numerator, one division; same exclusion predicate.
+    o["twap"] = """
+WITH base AS (
+  SELECT user_id, EPOCH_US(ts) AS t, event_id,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS vq
+  FROM events),
+stepped AS (
+  SELECT user_id, t, vq,
+         LEAD(t) OVER (PARTITION BY user_id
+                       ORDER BY t ASC, event_id ASC) - t AS dt
+  FROM base),
+agg AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         SUM(CASE WHEN dt IS NOT NULL THEN vq * dt ELSE 0 END) AS num,
+         MAX(t) - MIN(t) AS span_us
+  FROM stepped GROUP BY 1)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       CAST(span_us AS BIGINT) AS span_us,
+       CAST(FLOOR(num / span_us + 0.5) AS BIGINT) AS twap_q
+FROM agg WHERE n_events >= 2 AND span_us > 0
+"""
+
     # OLAP rollup (events_rollup): GROUP BY ROLLUP + the same GROUPING
     # bit arithmetic; quantize-first integer value sums.
     o["events_rollup"] = """
@@ -9577,6 +9612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_counts": q_bpe_counts,
         "crosstab": q_crosstab,
         "temporal_fill": q_temporal_fill,
+        "twap": q_twap,
         "events_rollup": q_events_rollup,
         "events_pivot": q_events_pivot,
         "gini": q_gini,

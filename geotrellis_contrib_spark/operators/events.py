@@ -125,3 +125,45 @@ def events_pivot(events: DataFrame,
         "user_id",
         *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
           for t in types])
+
+
+def twap(events: DataFrame, q: float = 100.0) -> DataFrame:
+    """TIME-WEIGHTED AVERAGE of ``value`` per user (the TWAP/metrics
+    rollup — a plain mean over-weights bursts; each observation should
+    count for the time it was CURRENT): with events ordered by
+    (ts, event_id),
+
+        twap = Sum(vq_i * (t_{i+1} - t_i)) / (t_last - t_first)
+
+    vq = floor(v*q + 0.5) int64 and dt in integer microseconds, so the
+    numerator is an exact order-free integer sum (vq <= ~10^6, dt <=
+    ~10^11 us — products bounded well inside int64) and ONE IEEE
+    division ends the chain. Users with a single event have no span
+    and are excluded (not zero — an honest NULL-shaped absence). One
+    user-keyed window + one map-side-combined rollup."""
+    from pyspark.sql import Window as W
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy(us.asc(), F.col("event_id").asc())
+    base = events.select(
+        "user_id", us.alias("t"), "event_id",
+        F.floor(F.col("value") * F.lit(q) + F.lit(0.5))
+        .cast("long").alias("vq"))
+    stepped = base.withColumn(
+        "dt", F.lead("t", 1).over(
+            W.partitionBy("user_id").orderBy(F.col("t").asc(),
+                                             F.col("event_id").asc()))
+        - F.col("t"))
+    agg = (stepped.groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.when(F.col("dt").isNotNull(),
+                             F.col("vq") * F.col("dt"))
+                      .otherwise(0)).alias("num"),
+                (F.max("t") - F.min("t")).alias("span_us")))
+    # a zero span (all observations at one instant) has no time axis:
+    # excluded with the single-event users rather than divided by zero
+    return (agg.filter((F.col("n_events") >= 2)
+                       & (F.col("span_us") > 0))
+            .select("user_id", "n_events", "span_us",
+                    F.floor(F.col("num") / F.col("span_us") + F.lit(0.5))
+                    .cast("long").alias("twap_q")))

@@ -122,3 +122,21 @@ def test_gini_known_distributions(spark):
            for r in gini_by_group(df).collect()}
     assert got["a"] == (5, 50, 0)
     assert got["b"] == (4, 100, int(0.75 * 1048576.0 + 0.5))
+
+
+def test_twap_hand_weights(spark):
+    from geotrellis_contrib_spark.operators.events import twap
+    # user 1: value 10 held for 3h, then 20 for 1h -> twap = 12.5
+    rows = [(0, dt.datetime(2024, 1, 1, 0), 1, "view", 10.0, ""),
+            (1, dt.datetime(2024, 1, 1, 3), 1, "view", 20.0, ""),
+            (2, dt.datetime(2024, 1, 1, 4), 1, "view", 99.0, ""),
+            # user 2: single event -> excluded
+            (3, dt.datetime(2024, 1, 1, 0), 2, "view", 5.0, ""),
+            # user 3: two events at the SAME instant -> zero span,
+            # excluded (not a division by zero)
+            (4, dt.datetime(2024, 1, 1, 0), 3, "view", 5.0, ""),
+            (5, dt.datetime(2024, 1, 1, 0), 3, "view", 7.0, "")]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r.user_id: (r.n_events, r.twap_q) for r in twap(df).collect()}
+    # num = 1000*(3h) + 2000*(1h); span 4h -> 1250
+    assert got == {1: (3, 1250)}
