@@ -196,3 +196,41 @@ def test_spacetime_layout_broadcast_locate_join(spark):
     plan = _plan(spark, "spacetime_layout")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+SEVENTH_WAVE_PURE_JVM = ["hilbert_layout", "repetition_signals",
+                         "span_dedup", "bpe_counts", "funnel",
+                         "cohort_retention", "twap", "events_rollup",
+                         "events_pivot", "gini", "triangle_count",
+                         "quadtree", "hull_diameter"]
+
+
+@pytest.mark.parametrize("name", SEVENTH_WAVE_PURE_JVM)
+def test_seventh_wave_no_python_nodes(spark, name):
+    # every analytics/layout operator of the seventh wave stays JVM-side
+    # end to end (hull_diameter's hull build is grouped-Arrow by design;
+    # everything else has NO Python at all)
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF"
+    assert "ArrowEvalPython" not in plan, f"{name}: scalar Arrow UDF"
+    if name != "hull_diameter":
+        assert "FlatMapGroupsInPandas" not in plan \
+            and "MapInPandas" not in plan, f"{name}: Python stage"
+
+
+def test_hilbert_layout_zero_join(spark):
+    # the staged xy2d projections are narrow: no join, exactly the
+    # window's exchange in the whole plan
+    plan = _plan(spark, "hilbert_layout")
+    assert "Join" not in plan
+    # and CollapseProject must NOT have exploded the stage chain: the
+    # plan string stays far below the 2^10-term blowup size
+    assert len(plan) < 200_000, len(plan)
+
+
+def test_quadtree_single_count_shuffle(spark):
+    # one (zoom, cell) aggregate + the same-key join back + the final
+    # per-id struct-min: no Python, bounded explode visible
+    plan = _plan(spark, "quadtree")
+    assert "Generate explode" in plan or "Explode" in plan
+    assert "Python" not in plan
