@@ -1281,6 +1281,30 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.row_number().over(w).alias("hrank"))
 
 
+def q_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BORŮVKA MINIMUM SPANNING TREE (operators/cluster.py mst_boruvka
+    — THE distributed MST: every component picks its lightest outgoing
+    edge per round, components at least halve, rounds <= log2 n; each
+    round is two comp-lookup joins + one struct-min + the adaptive
+    connected_components merge). Fixture: a planted binary tree (edge
+    (k, k//2) weight 100+k) buried under 40 heavier arithmetic edges —
+    every non-tree edge outweighs every tree edge, so the unique MST
+    IS the planted tree and the oracle derives it closed-form; the
+    engine must DISCOVER it generically. Distinct weights enforced
+    fail-loud (the unique-MST condition)."""
+    from geotrellis_contrib_spark.operators.cluster import mst_boruvka
+    ids = spark.range(60)
+    tree = ids.filter(F.col("id") >= 1).select(
+        F.col("id").alias("src"), (F.col("id") / 2).cast("long")
+        .alias("dst"), (F.col("id") + 100).alias("w"))
+    extra = spark.range(40).select(
+        ((F.col("id") * 7 + 1) % 60).alias("src"),
+        ((F.col("id") * 11 + 3) % 60).alias("dst"),
+        (F.col("id") + 1000).alias("w")) \
+        .filter(F.col("src") != F.col("dst"))
+    return mst_boruvka(tree.unionByName(extra))
+
+
 def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIME-WEIGHTED AVERAGE per user (operators/events.py twap — a
     plain mean over-weights bursts; each observation counts for the
@@ -8471,6 +8495,15 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM cv GROUP BY 1, 2, 3, 4
 """
 
+    # Borůvka MST (mst): every non-tree edge of the fixture outweighs
+    # every planted-tree edge, so the unique MST is the tree itself —
+    # derived closed-form; the engine discovers it generically.
+    o["mst"] = """
+SELECT CAST(k // 2 AS BIGINT) AS a, CAST(k AS BIGINT) AS b,
+       CAST(k + 100 AS BIGINT) AS w
+FROM range(1, 60) t(k)
+"""
+
     # TWAP (twap): the same LEAD window over EPOCH_US, integer
     # numerator, one division; same exclusion predicate.
     o["twap"] = """
@@ -9612,6 +9645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_counts": q_bpe_counts,
         "crosstab": q_crosstab,
         "temporal_fill": q_temporal_fill,
+        "mst": q_mst,
         "twap": q_twap,
         "events_rollup": q_events_rollup,
         "events_pivot": q_events_pivot,

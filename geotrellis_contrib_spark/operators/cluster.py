@@ -428,3 +428,67 @@ def triangle_count(edges: DataFrame, src: str = "src",
             .join(cnt, "node", "left")
             .select("node", F.coalesce("triangles", F.lit(0))
                     .cast("long").alias("triangles")))
+
+
+def mst_boruvka(edges: DataFrame, src: str = "src", dst: str = "dst",
+                weight: str = "w", max_rounds: int = 32) -> DataFrame:
+    """MINIMUM SPANNING FOREST by Borůvka — THE distributed MST
+    algorithm (each round every component picks its lightest outgoing
+    edge; components at least halve, so rounds <= log2(n)): returns
+    the chosen edges as canonical (a < b, w) rows. Requires DISTINCT
+    weights (the classic uniqueness condition — with ties Borůvka can
+    cycle); duplicate weights across DIFFERENT edges fail loud.
+    Parallel edges are fine (the lighter one wins the struct-min).
+
+    Plan shape per round: two comp-lookup joins + ONE map-side-combined
+    struct-min per component + the engine's adaptive
+    connected_components to merge (driver union-find at gate scale,
+    the distributed loop above the cap) — everything keyed on single
+    longs."""
+    e = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                      F.greatest(F.col(src), F.col(dst)).alias("b"),
+                      F.col(weight).cast("long").alias("w"))
+         .filter(F.col("a") != F.col("b"))
+         .groupBy("a", "b").agg(F.min("w").alias("w"))
+         .localCheckpoint(eager=True))
+    ndup = e.groupBy("w").count().filter(F.col("count") > 1).limit(1).count()
+    if ndup:
+        raise ValueError("mst_boruvka: duplicate edge weights — the "
+                         "unique-MST condition does not hold")
+    nodes = (e.select(F.col("a").alias("id"))
+             .unionByName(e.select(F.col("b").alias("id"))).distinct())
+    comp = nodes.select("id", F.col("id").alias("c"))
+    chosen = None
+    for _ in range(max_rounds):
+        ca = comp.select(F.col("id").alias("a"), F.col("c").alias("ca"))
+        cb = comp.select(F.col("id").alias("b"), F.col("c").alias("cb"))
+        cross = (e.join(ca, "a").join(cb, "b")
+                 .filter(F.col("ca") != F.col("cb")))
+        if cross.limit(1).count() == 0:
+            break
+        cand = (cross.select(F.col("ca").alias("comp"),
+                             F.struct("w", "a", "b").alias("t"))
+                .unionByName(
+                    cross.select(F.col("cb").alias("comp"),
+                                 F.struct("w", "a", "b").alias("t"))))
+        picked = (cand.groupBy("comp").agg(F.min("t").alias("t"))
+                  .select(F.col("t.a").alias("a"),
+                          F.col("t.b").alias("b"),
+                          F.col("t.w").alias("w"))
+                  .distinct())
+        chosen = picked if chosen is None \
+            else chosen.unionByName(picked).distinct()
+        chosen = chosen.localCheckpoint(eager=True)
+        cc = connected_components(chosen.select("a", "b"),
+                                  src="a", dst="b")
+        comp = (nodes.join(cc, nodes.id == cc.id, "left")
+                .select(nodes.id,
+                        F.coalesce(cc.component, nodes.id).alias("c"))
+                .localCheckpoint(eager=True))
+    else:
+        raise RuntimeError(
+            f"mst_boruvka did not converge in {max_rounds} rounds")
+    if chosen is None:
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "a long, b long, w long")
+    return chosen
