@@ -1281,6 +1281,24 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.row_number().over(w).alias("hrank"))
 
 
+def q_euclidean_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EUCLIDEAN ALLOCATION (operators/focal.py euclidean_allocation —
+    the GDAL/ArcGIS argmin sibling of the distance transform: WHICH
+    mask cell is nearest): the whole comparison is the packed integer
+    key d2*2^24 + gid, so ties at equal squared distance go to the
+    smallest global pixel id and the scan is a running int64 MIN with
+    NO float anywhere. Same halo machinery and lattice-blob mask as
+    euclidean_distance. Oracle: bounded-window join + MIN of the
+    identical packed key, then the same integer splits."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import focal as FO
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    return FO.euclidean_allocation(
+        tiles, lambda vals, gr, gc: (gr % 11 < 3) & (gc % 9 < 3),
+        radius=5, tile_size=64)
+
+
 def q_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BORŮVKA MINIMUM SPANNING TREE (operators/cluster.py mst_boruvka
     — THE distributed MST: every component picks its lightest outgoing
@@ -8495,6 +8513,41 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM cv GROUP BY 1, 2, 3, 4
 """
 
+    # Euclidean allocation (euclidean_allocation): MIN of the identical
+    # packed integer key over the bounded window, integer splits after.
+    o["euclidean_allocation"] = """
+WITH px AS (
+  SELECT s, band, 18 + s + tcc AS col, 24 + trr AS row,
+         (24*64 + trr*64 + ri) AS gr, ((18+s)*64 + tcc*64 + ci) AS gc
+  FROM range(0,3) ss(s), range(0,2) bs(band), range(0,4) tcs(tcc),
+       range(0,4) trs(trr), range(0,64) rs(ri), range(0,64) cs(ci)
+  WHERE NOT (ri >= (s*11)%48 AND ri < (s*11)%48+16
+             AND ci >= (s*11)%48 AND ci < (s*11)%48+16)
+), mask AS (
+  SELECT s, band, gr, gc FROM px WHERE gr % 11 < 3 AND gc % 9 < 3
+), nearest AS (
+  SELECT p.s, p.band, p.col, p.row, p.gr, p.gc,
+         MIN(CASE WHEN (m.gr-p.gr)*(m.gr-p.gr)
+                       + (m.gc-p.gc)*(m.gc-p.gc) <= 25
+                  THEN ((m.gr-p.gr)*(m.gr-p.gr)
+                        + (m.gc-p.gc)*(m.gc-p.gc)) * 16777216
+                       + (m.gr * 4096 + m.gc)
+             END) AS k
+  FROM px p JOIN mask m
+    ON m.s = p.s AND m.band = p.band
+   AND m.gr BETWEEN p.gr - 5 AND p.gr + 5
+   AND m.gc BETWEEN p.gc - 5 AND p.gc + 5
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS INT) AS band,
+       CAST(col AS BIGINT) AS col, CAST(row AS BIGINT) AS row,
+       CAST(COUNT(*) AS BIGINT) AS n_within,
+       CAST(SUM(k // 16777216) AS BIGINT) AS d2_sum,
+       CAST(SUM(k % 16777216) AS BIGINT) AS alloc_sum
+FROM nearest WHERE k IS NOT NULL GROUP BY 1, 2, 3, 4
+"""
+
     # Borůvka MST (mst): every non-tree edge of the fixture outweighs
     # every planted-tree edge, so the unique MST is the tree itself —
     # derived closed-form; the engine discovers it generically.
@@ -9645,6 +9698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_counts": q_bpe_counts,
         "crosstab": q_crosstab,
         "temporal_fill": q_temporal_fill,
+        "euclidean_allocation": q_euclidean_allocation,
         "mst": q_mst,
         "twap": q_twap,
         "events_rollup": q_events_rollup,

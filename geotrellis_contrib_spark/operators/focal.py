@@ -1972,3 +1972,64 @@ def morans_moments(tiles: DataFrame, tile_size: int = 64,
         F.sum("n").alias("n"), F.sum("w_pairs").alias("w_pairs"),
         F.sum("s1").alias("s1"), F.sum("sdeg").alias("sdeg"),
         F.sum("sv").alias("sv"), F.sum("svv").alias("svv"))
+
+
+def euclidean_allocation(tiles: DataFrame, mask_predicate,
+                         radius: int = 5, tile_size: int = 64) -> DataFrame:
+    """Bounded-radius EUCLIDEAN ALLOCATION across tile boundaries (the
+    argmin sibling of :func:`euclidean_distance` — GDAL/ArcGIS
+    Euclidean Allocation: per pixel WHICH mask cell is nearest, not
+    just how far): ties at equal squared distance go to the SMALLEST
+    global pixel id — the whole comparison is the packed integer key
+
+        key = d2 * 2^24 + gid      (d2 <= 2r^2, gid = gr*4096+gc < 2^24)
+
+    so the scan is a running int64 MIN with NO float anywhere (the
+    distance version's SQRT is monotone so both rank identically —
+    this one just never needs it). Same halo machinery, ONE
+    co-partitioned shuffle. Output per tile: (n_within, d2_sum = Σ d2
+    of winners, alloc_sum = Σ winning gid) — all order-free integer
+    sums."""
+    r, t = int(radius), int(tile_size)
+    if r < 1 or r >= tile_size:
+        raise ValueError(f"radius must be in 1..{tile_size - 1}: {r}")
+    pieces = _halo_pieces(tiles, r, t)
+    offs = [(dr, dc, dr * dr + dc * dc)
+            for dr in range(-r, r + 1) for dc in range(-r, r + 1)
+            if dr * dr + dc * dc <= r * r]
+    big = np.iinfo(np.int64).max
+    cols = ["source_id", "band", "col", "row", "n_within", "d2_sum",
+            "alloc_sum"]
+
+    def scan(key_t: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        source_id, band, col, row = key_t
+        frame = _assemble_frame(pdf, r, t)
+        if frame is None:
+            return pd.DataFrame(columns=cols)
+        p = t + 2 * r
+        gr = (int(row) * t - r + np.arange(p).reshape(-1, 1)) \
+            + np.zeros((1, p), dtype=np.int64)
+        gc = np.zeros((p, 1), dtype=np.int64) \
+            + (int(col) * t - r + np.arange(p).reshape(1, -1))
+        mask = mask_predicate(frame, gr, gc) & ~np.isnan(frame)
+        gidf = gr * 4096 + gc
+        key = np.full((t, t), big, dtype=np.int64)
+        for dr, dc, d2 in offs:
+            sl = (slice(r + dr, r + dr + t), slice(r + dc, r + dc + t))
+            cand = d2 * 16777216 + gidf[sl]
+            np.copyto(key, np.minimum(key, cand), where=mask[sl])
+        valid = ~np.isnan(frame[r:r + t, r:r + t])
+        hit = valid & (key < big)
+        if not hit.any():
+            return pd.DataFrame(columns=cols)
+        kv = key[hit]
+        return pd.DataFrame([{
+            "source_id": source_id, "band": int(band),
+            "col": int(col), "row": int(row),
+            "n_within": int(hit.sum()),
+            "d2_sum": int((kv // 16777216).sum()),
+            "alloc_sum": int((kv % 16777216).sum())}])
+
+    return pieces.groupBy("source_id", "band", "col", "row").applyInPandas(
+        scan, "source_id string, band bigint, col bigint, row bigint, "
+              "n_within bigint, d2_sum bigint, alloc_sum bigint")

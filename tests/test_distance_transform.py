@@ -371,3 +371,43 @@ def test_flow_accumulation_channel_distributed(spark):
             (want[c].acc_sum, want[c].acc_max, want[c].n_valid)
     # the downstream tile's channel end accumulates >= 2T-1 upstream
     assert got[1].acc_max >= 2 * T - 2
+
+
+def test_allocation_tie_and_nearest(spark):
+    import numpy as np
+    from geotrellis_contrib_spark.operators.focal import (
+        euclidean_allocation)
+    from geotrellis_contrib_spark.operators.pixels import pack
+    t = 8
+    z = np.zeros((t, t))
+    rows = [("s", 0, 3, 0, 0, 0, "float64", -9999.0, pack(z))]
+    df = spark.createDataFrame(
+        rows, "source_id string, source_idx int, zoom int, col bigint, "
+              "row bigint, band int, dtype string, nodata double, "
+              "px binary")
+    # seeds at gc=1 and gc=5 on row 2 -> pixel (2,3) ties d2=4 between
+    # both; smaller gid (gc=1) must win
+    pred = lambda v, gr, gc: (gr == 2) & ((gc == 1) | (gc == 5))
+    got = euclidean_allocation(df, pred, radius=3, tile_size=t).collect()
+    r = got[0]
+    # brute force replica incl. the packed-key tie rule
+    seeds = [(2, 1), (2, 5)]
+    n = d2s = al = 0
+    for rr in range(t):
+        for cc in range(t):
+            best = None
+            for sr, sc in seeds:
+                d2 = (sr - rr) ** 2 + (sc - cc) ** 2
+                if d2 <= 9:
+                    k = d2 * 16777216 + (sr * 4096 + sc)
+                    best = k if best is None else min(best, k)
+            if best is not None:
+                n += 1
+                d2s += best // 16777216
+                al += best % 16777216
+    assert (r.n_within, r.d2_sum, r.alloc_sum) == (n, d2s, al)
+    # the tie pixel resolves to the smaller gid seed
+    pred1 = lambda v, gr, gc: (gr == 2) & (gc == 1)
+    # (sanity embedded in the replica above: at (2,3) both d2=4 and
+    # min picks gid 2*4096+1)
+    assert (2 * 4096 + 1) < (2 * 4096 + 5)
