@@ -1281,6 +1281,21 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.row_number().over(w).alias("hrank"))
 
 
+def q_embed_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING OUTLIER SCORING (operators/similarity.py
+    embed_outlier — the embedding-space quality filter: pipelines drop
+    documents far from their domain centroid): cosine of every vector
+    to its label centroid. Centroids ride the kmeans_lloyd integer
+    state (per-(label, dim) quantized sums, constant-size collect,
+    (q_sum/q)/n = two IEEE divisions -> byte-identical both sides);
+    the cosine is the cosine_cols chain, which bit-matches DuckDB's
+    LIST_COSINE_SIMILARITY (the embed_topk contract). Oracle: the
+    same integer state in SQL, LIST(... ORDER BY i) centroids,
+    LIST_COSINE_SIMILARITY."""
+    _views(spark, sf_dir)
+    return sim.embed_outlier(spark.table("embeddings"))
+
+
 def q_euclidean_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EUCLIDEAN ALLOCATION (operators/focal.py euclidean_allocation —
     the GDAL/ArcGIS argmin sibling of the distance transform: WHICH
@@ -8513,6 +8528,25 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM cv GROUP BY 1, 2, 3, 4
 """
 
+    # Embedding outlier scoring (embed_outlier): identical integer
+    # centroid state, LIST(... ORDER BY i) centroid vectors, DuckDB's
+    # LIST_COSINE_SIMILARITY (bit-matches cosine_cols — the embed_topk
+    # contract), one final quantization.
+    o["embed_outlier"] = """
+WITH st AS (
+  SELECT label, i,
+         SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                        * 1073741824.0 + 0.5) AS BIGINT)) AS q_sum,
+         COUNT(*) AS n
+  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
+c AS (SELECT label, LIST((q_sum / 1073741824.0) / n ORDER BY i) AS cvec
+      FROM st GROUP BY 1)
+SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+       CAST(FLOOR(LIST_COSINE_SIMILARITY(e.embedding::DOUBLE[], c.cvec)
+                  * 1048576.0 + 0.5) AS BIGINT) AS cos_q
+FROM embeddings e JOIN c ON c.label = e.label
+"""
+
     # Euclidean allocation (euclidean_allocation): MIN of the identical
     # packed integer key over the bounded window, integer splits after.
     o["euclidean_allocation"] = """
@@ -9698,6 +9732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_counts": q_bpe_counts,
         "crosstab": q_crosstab,
         "temporal_fill": q_temporal_fill,
+        "embed_outlier": q_embed_outlier,
         "euclidean_allocation": q_euclidean_allocation,
         "mst": q_mst,
         "twap": q_twap,

@@ -651,3 +651,69 @@ def kmeans_lloyd(corpus: DataFrame, k: int = 8, iters: int = 2,
             cents.append((int(cid), vec,
                           math.sqrt(sum(x * x for x in vec))))
     return kmeans_lloyd_state(corpus, cents, q, id_col, vec_col)
+
+
+def embed_outlier(corpus: DataFrame, dims: int = 64,
+                  q: float = float(1 << 30), q_cos: float = 1048576.0,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  label_col: str = "label") -> DataFrame:
+    """EMBEDDING OUTLIER SCORING — cosine of every vector to its
+    GROUP CENTROID (the embedding-space quality filter: training
+    pipelines drop or down-weight documents far from their cluster/
+    domain centroid). Centroids come from the kmeans_lloyd integer
+    state discipline: per (label, dim) quantized sums + counts
+    (constant <= labels x dims rows, mapInPandas partials, ONE
+    map-side-combined rollup), collected once and broadcast back as
+    array literals; c[i] = (q_sum / q) / n is two IEEE divisions from
+    integer state, so both sides build byte-identical centroids. The
+    cosine is the cosine_cols chain (list_cosine_similarity op order)
+    — same SQL text both engines — quantized once at the end.
+    Output: (vec_id, label, cos_q)."""
+    spark = corpus.sparkSession
+    v = corpus.select(F.col(id_col).alias("vec_id"),
+                      F.col(label_col).cast("long").alias("label"),
+                      F.col(vec_col).alias("vec"))
+    v = ensure_min_parallelism(v)
+
+    def parts(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(x, dtype=np.float64)
+                          for x in pdf["vec"].to_numpy()])
+            terms = np.floor(V * q + 0.5).astype(np.int64)
+            labs = pdf["label"].to_numpy()
+            out_l, out_i, out_q, out_n = [], [], [], []
+            for lb in np.unique(labs):
+                m = labs == lb
+                out_l.append(np.full(dims, lb, dtype=np.int64))
+                out_i.append(np.arange(dims, dtype=np.int32))
+                out_q.append(terms[m].sum(axis=0))
+                out_n.append(np.full(dims, int(m.sum()), dtype=np.int64))
+            yield pd.DataFrame({"label": np.concatenate(out_l),
+                                "i": np.concatenate(out_i),
+                                "q_sum": np.concatenate(out_q),
+                                "n": np.concatenate(out_n)})
+
+    state = (v.mapInPandas(parts,
+                           "label long, i int, q_sum bigint, n bigint")
+             .groupBy("label", "i")
+             .agg(F.sum("q_sum").alias("q_sum"), F.sum("n").alias("n"))
+             .collect())
+    cent: dict[int, list[float]] = {}
+    for r in state:
+        cent.setdefault(int(r.label), [0.0] * dims)
+        cent[int(r.label)][int(r.i)] = (int(r.q_sum) / q) / int(r.n)
+    cdf = spark.createDataFrame(
+        [(lb, cs) for lb, cs in sorted(cent.items())],
+        "label long, cvec array<double>")
+    return (corpus.select(F.col(id_col).alias("vec_id"),
+                          F.col(label_col).cast("long").alias("label"),
+                          F.col(vec_col).alias("embedding"))
+            .join(F.broadcast(cdf), "label")
+            .select("vec_id", "label",
+                    F.floor(cosine_cols("embedding", "cvec", dims)
+                            * F.lit(q_cos) + F.lit(0.5))
+                    .cast("long").alias("cos_q")))

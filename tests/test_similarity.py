@@ -213,3 +213,49 @@ def test_kmeans_state_partition_invariance(spark):
         outs.append({(r.centroid_id, r.i): (r.q_sum, r.n_vecs)
                      for r in sim.kmeans_lloyd_state(df, cents).collect()})
     assert outs[0] == outs[1] and len(outs[0]) > 0
+
+
+def test_embed_outlier_numpy_replay_and_centroid_identity(spark):
+    import numpy as np
+    from geotrellis_contrib_spark.operators.similarity import embed_outlier
+    q = float(1 << 30)
+    rows = []
+    vecs = {}
+    k = 0
+    for lb in range(3):
+        for j in range(5):
+            v = [float(((k * 13 + d * 7) % 19) - 9) / 4.0
+                 for d in range(8)]
+            rows.append((k, v, lb))
+            vecs[k] = (lb, v)
+            k += 1
+    # one vector exactly AT its group centroid: group 3 = two copies
+    rows.append((100, [1.0] * 8, 3))
+    rows.append((101, [1.0] * 8, 3))
+    vecs[100] = (3, [1.0] * 8)
+    vecs[101] = (3, [1.0] * 8)
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got = {r.vec_id: r.cos_q
+           for r in embed_outlier(df, dims=8).collect()}
+    # replica: same quantized centroid + same cosine chain
+    from collections import defaultdict
+    sums = defaultdict(lambda: np.zeros(8, dtype=np.int64))
+    cnt = defaultdict(int)
+    for vid, (lb, v) in vecs.items():
+        v64 = np.asarray(np.asarray(v, dtype=np.float32), dtype=np.float64)
+        sums[lb] += np.floor(v64 * q + 0.5).astype(np.int64)
+        cnt[lb] += 1
+    for vid, (lb, v) in vecs.items():
+        c = (sums[lb] / q) / cnt[lb]
+        v64 = np.asarray(np.asarray(v, dtype=np.float32), dtype=np.float64)
+        dot = 0.0
+        na = nb = 0.0
+        for d in range(8):
+            dot += v64[d] * c[d]
+            na += v64[d] * v64[d]
+            nb += c[d] * c[d]
+        cos = dot / (np.sqrt(na) * np.sqrt(nb))
+        assert got[vid] == int(np.floor(cos * 1048576.0 + 0.5))
+    # the at-centroid vectors score exactly 1.0
+    assert got[100] == got[101] == 1048576
