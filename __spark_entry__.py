@@ -1281,6 +1281,18 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.row_number().over(w).alias("hrank"))
 
 
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKOV TRANSITION MATRIX (operators/events.py transitions — the
+    behavioral what-follows-what table): per (prev, next) event-type
+    pair the corpus count and quantized conditional probability —
+    integer counts until ONE division. One user-keyed lag window + one
+    rollup + a per-prev window sum. Oracle: same LAG on EPOCH_US
+    ordering."""
+    _views(spark, sf_dir)
+    from geotrellis_contrib_spark.operators import events as EV
+    return EV.transitions(spark.table("events"))
+
+
 def q_embed_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EMBEDDING OUTLIER SCORING (operators/similarity.py
     embed_outlier — the embedding-space quality filter: pipelines drop
@@ -8528,6 +8540,28 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM cv GROUP BY 1, 2, 3, 4
 """
 
+    # Markov transitions (transitions): same LAG ordering, integer
+    # counts, one division.
+    o["transitions"] = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY EPOCH_US(ts) ASC, event_id ASC)
+           AS prev_type
+  FROM events),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+tot AS (
+  SELECT prev_type, next_type, n,
+         SUM(n) OVER (PARTITION BY prev_type) AS row_total
+  FROM pairs)
+SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+       CAST(row_total AS BIGINT) AS row_total,
+       CAST(FLOOR(n / row_total * 1048576.0 + 0.5) AS BIGINT) AS p_q
+FROM tot
+"""
+
     # Embedding outlier scoring (embed_outlier): identical integer
     # centroid state, LIST(... ORDER BY i) centroid vectors, DuckDB's
     # LIST_COSINE_SIMILARITY (bit-matches cosine_cols — the embed_topk
@@ -9732,6 +9766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_counts": q_bpe_counts,
         "crosstab": q_crosstab,
         "temporal_fill": q_temporal_fill,
+        "transitions": q_transitions,
         "embed_outlier": q_embed_outlier,
         "euclidean_allocation": q_euclidean_allocation,
         "mst": q_mst,

@@ -167,3 +167,28 @@ def twap(events: DataFrame, q: float = 100.0) -> DataFrame:
             .select("user_id", "n_events", "span_us",
                     F.floor(F.col("num") / F.col("span_us") + F.lit(0.5))
                     .cast("long").alias("twap_q")))
+
+
+def transitions(events: DataFrame, q: float = 1048576.0) -> DataFrame:
+    """FIRST-ORDER MARKOV TRANSITIONS over per-user event sequences —
+    the behavioral transition matrix (what follows what): for each
+    (prev_type, next_type) ordered by (ts, event_id) within a user,
+    the corpus-wide count and the quantized row-conditional
+    probability P(next | prev) = count / Sum_next(count) — integer
+    counts until ONE IEEE division. One user-keyed lag window + one
+    map-side-combined rollup + a per-prev window sum."""
+    from pyspark.sql import Window as W
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy(us.asc(), F.col("event_id").asc())
+    pairs = (events
+             .withColumn("prev_type", F.lag("event_type", 1).over(w))
+             .filter(F.col("prev_type").isNotNull())
+             .groupBy("prev_type", F.col("event_type").alias("next_type"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    wp = W.partitionBy("prev_type")
+    return (pairs.withColumn("row_total", F.sum("n").over(wp))
+            .select("prev_type", "next_type", "n", "row_total",
+                    F.floor(F.col("n") / F.col("row_total")
+                            * F.lit(q) + F.lit(0.5))
+                    .cast("long").alias("p_q")))

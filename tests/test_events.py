@@ -140,3 +140,20 @@ def test_twap_hand_weights(spark):
     got = {r.user_id: (r.n_events, r.twap_q) for r in twap(df).collect()}
     # num = 1000*(3h) + 2000*(1h); span 4h -> 1250
     assert got == {1: (3, 1250)}
+
+
+def test_transitions_hand_counts(spark):
+    from geotrellis_contrib_spark.operators.events import transitions
+    # user 1: view -> click -> view; user 2: view -> click
+    rows = [_ev(0, 1, 1, 1, "view"), _ev(1, 1, 2, 1, "click"),
+            _ev(2, 1, 3, 1, "view"),
+            _ev(3, 1, 1, 2, "view"), _ev(4, 1, 2, 2, "click")]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {(r.prev_type, r.next_type): (r.n, r.row_total, r.p_q)
+           for r in transitions(df).collect()}
+    q = 1048576.0
+    assert got[("view", "click")] == (2, 2, int(q))
+    assert got[("click", "view")] == (1, 1, int(q))
+    assert set(got) == {("view", "click"), ("click", "view")}
+    # cross-user boundary must NOT create a click->view transition
+    # from user 1's last event to user 2's first (partitioned window)
