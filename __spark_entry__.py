@@ -1281,6 +1281,26 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.row_number().over(w).alias("hrank"))
 
 
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CORE DECOMPOSITION (operators/cluster.py kcore — coreness per
+    node by distributed h-index iteration, Lü et al. 2016: start at
+    degree, repeatedly take the h-index of neighbor values; the
+    monotone non-increasing fixpoint IS the coreness, so no global
+    peeling order is needed — the insight that makes k-core
+    map-reducible). Fixture: corpus.synth_core_edges (6-clique core 5,
+    bridged 8-ring core 2, leaf-fanned path core 1, shared-vertex
+    triangles core 2; bridges must not lift coreness). Converges in 4
+    rounds (pytest-pinned < the oracle's 8 unrolled MATERIALIZED
+    rounds); the pytest also checks the fixpoint against an
+    INDEPENDENT min-degree peeling replica."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators.cluster import kcore
+
+    edges = spark.createDataFrame(corpus_mod.synth_core_edges(),
+                                  "src long, dst long")
+    return kcore(edges)
+
+
 def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MARKOV TRANSITION MATRIX (operators/events.py transitions — the
     behavioral what-follows-what table): per (prev, next) event-type
@@ -8540,6 +8560,29 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM cv GROUP BY 1, 2, 3, 4
 """
 
+    # K-core (kcore): the h-index iteration unrolled as 8 MATERIALIZED
+    # rounds over the same VALUES edges (fixture converges in 4).
+    from geotrellis_contrib_spark import corpus as _kc_corpus
+    _kc_vals = ", ".join(f"({a}, {b})"
+                         for a, b in _kc_corpus.synth_core_edges())
+    _kc_rounds = []
+    for _k in range(1, 9):
+        _kc_rounds.append(f""",
+nb{_k} AS (SELECT s.a AS v, prev.o AS nv
+           FROM sym s JOIN o{_k - 1} prev ON prev.id = s.b),
+r{_k} AS (SELECT v, nv, ROW_NUMBER() OVER (
+            PARTITION BY v ORDER BY nv DESC) AS r FROM nb{_k}),
+o{_k} AS MATERIALIZED (
+  SELECT v AS id, MAX(LEAST(r, nv)) AS o FROM r{_k} GROUP BY 1)""")
+    o["kcore"] = f"""
+WITH e(a, b) AS (SELECT * FROM (VALUES {_kc_vals})),
+sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+o0 AS (SELECT a AS id, COUNT(*) AS o FROM sym GROUP BY 1)
+{"".join(_kc_rounds)}
+SELECT CAST(id AS BIGINT) AS node, CAST(o AS BIGINT) AS coreness
+FROM o8
+"""
+
     # Markov transitions (transitions): same LAG ordering, integer
     # counts, one division.
     o["transitions"] = """
@@ -9766,6 +9809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_counts": q_bpe_counts,
         "crosstab": q_crosstab,
         "temporal_fill": q_temporal_fill,
+        "kcore": q_kcore,
         "transitions": q_transitions,
         "embed_outlier": q_embed_outlier,
         "euclidean_allocation": q_euclidean_allocation,

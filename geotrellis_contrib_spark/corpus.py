@@ -752,3 +752,26 @@ def synth_stream_edges() -> list[tuple[int, int]]:
             for v in chain:
                 edges.append((2_000_000 + v, v))
     return edges
+
+
+def synth_core_edges() -> list[tuple[int, int]]:
+    """Deterministic graph with KNOWN k-core structure: a 6-clique
+    (coreness 5), an 8-ring (coreness 2) bridged to the clique, a
+    4-path with leaf fans (coreness 1) hanging off the ring, and two
+    triangles sharing a vertex (coreness 2) as a separate component.
+    Bridges don't lift coreness — the peeling removes them at their
+    weaker side's level."""
+    edges = []
+    for a in range(6):
+        for b in range(a + 1, 6):
+            edges.append((a, b))                      # clique K6
+    ring = list(range(10, 18))
+    for i, v in enumerate(ring):
+        edges.append((v, ring[(i + 1) % len(ring)]))  # 8-ring
+    edges.append((0, 10))                             # bridge
+    edges.append((10, 20))                            # ring -> path
+    edges += [(20, 21), (21, 22), (22, 23)]           # path
+    edges += [(21, 30), (21, 31), (22, 32)]           # leaf fans
+    edges += [(40, 41), (41, 42), (40, 42),           # triangle A
+              (42, 43), (43, 44), (42, 44)]           # triangle B
+    return edges

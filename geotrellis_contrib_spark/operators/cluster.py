@@ -492,3 +492,60 @@ def mst_boruvka(edges: DataFrame, src: str = "src", dst: str = "dst",
         spark = edges.sparkSession
         return spark.createDataFrame([], "a long, b long, w long")
     return chosen
+
+
+def kcore(edges: DataFrame, src: str = "src", dst: str = "dst",
+          max_rounds: int = 64, rounds_per_sync: int = 2) -> DataFrame:
+    """K-CORE DECOMPOSITION (coreness per node) by distributed H-INDEX
+    ITERATION (Lü et al. 2016: start at degree; repeatedly set every
+    node to the h-index of its neighbors' current values — the largest
+    h with >= h neighbors at >= h; the sequence is monotone
+    NON-INCREASING and its fixpoint IS the coreness, so no global
+    peeling order is needed — the insight that makes k-core
+    map-reducible). Returns (node, coreness).
+
+    Plan shape per round: ONE neighbor-value join + one per-node
+    window (rank by value desc, h = MAX(LEAST(rank, value))) + the
+    convergence probe; ``rounds_per_sync`` logical rounds per
+    materialization (monotone => batching cannot change the fixpoint).
+    All integer; h-index is a SET function, so there are no tie
+    hazards to pin."""
+    from pyspark.sql import Window as W
+
+    e0 = (edges.select(F.col(src).cast("long").alias("a"),
+                       F.col(dst).cast("long").alias("b"))
+          .filter(F.col("a") != F.col("b")).distinct())
+    sym = (e0.unionByName(e0.select(F.col("b").alias("a"),
+                                    F.col("a").alias("b")))
+           .distinct().localCheckpoint(eager=True))
+    cur = sym.groupBy("a").agg(F.count(F.lit(1)).alias("o")) \
+             .select(F.col("a").alias("id"), "o")
+
+    def one_round(cur):
+        nb = sym.join(cur.select(F.col("id").alias("_b"),
+                                 F.col("o").alias("nv")),
+                      sym.b == F.col("_b")) \
+                .select(F.col("a").alias("v"), "nv")
+        w = W.partitionBy("v").orderBy(F.col("nv").desc())
+        return (nb.withColumn("r", F.row_number().over(w))
+                .groupBy("v")
+                .agg(F.max(F.least(F.col("r"), F.col("nv"))).alias("o"))
+                .select(F.col("v").alias("id"), "o"))
+
+    cur = cur.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        nxt = cur
+        for _ in range(rounds_per_sync):
+            nxt = one_round(nxt)
+        nxt = nxt.localCheckpoint(eager=True)
+        moved = (nxt.alias("x").join(cur.alias("y"), "id")
+                 .filter(F.col("x.o") != F.col("y.o")).limit(1).count())
+        cur = nxt
+        if moved == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"kcore h-index iteration did not settle in {max_rounds} "
+            "materialization batches")
+    return cur.select(F.col("id").alias("node"),
+                      F.col("o").alias("coreness"))

@@ -107,3 +107,50 @@ def test_small_graph_driver_path_matches_distributed(spark):
              for r in cl.connected_components(
                  sdf, small_graph_edges=0).collect()}
     assert sfast == sdist == _uf_oracle(sedges)
+
+
+def _peel_coreness(edges):
+    """Independent reference: classic min-degree peeling."""
+    import heapq
+    from collections import defaultdict
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    core, removed, k = {}, set(), 0
+    h = [(d, v) for v, d in deg.items()]
+    heapq.heapify(h)
+    while h:
+        d, v = heapq.heappop(h)
+        if v in removed or d != deg[v]:
+            continue
+        k = max(k, deg[v])
+        core[v] = k
+        removed.add(v)
+        for u in adj[v]:
+            if u not in removed:
+                deg[u] -= 1
+                heapq.heappush(h, (deg[u], u))
+    return core
+
+
+def test_kcore_fixture_vs_peeling(spark):
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators.cluster import kcore
+    edges = corpus_mod.synth_core_edges()
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.coreness for r in kcore(df).collect()}
+    assert got == _peel_coreness(edges)
+    # structure pins: clique 5, ring 2, path/leaves 1, triangles 2;
+    # bridges did NOT lift anything
+    assert got[0] == 5 and got[12] == 2 and got[23] == 1 and got[42] == 2
+
+
+def test_kcore_dense_deterministic_graph(spark):
+    from geotrellis_contrib_spark.operators.cluster import kcore
+    edges = [(a, b) for a in range(16) for b in range(a + 1, 16)
+             if (a * 3 + b * 5) % 4 != 0]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.coreness for r in kcore(df).collect()}
+    assert got == _peel_coreness(edges)
