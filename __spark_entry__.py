@@ -1281,6 +1281,21 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.row_number().over(w).alias("hrank"))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN/TEST DECONTAMINATION (operators/dedup.py decontaminate —
+    the GPT-3/PaLM-style n-gram overlap sweep: a training doc sharing
+    any 8-token span with an eval doc leaks the benchmark): eval set =
+    doc_id % 31 == 0; per train doc the span count, contaminated-span
+    count, and flag. Distinct eval spans build once (benchmarks are
+    tiny — broadcastable at web scale); membership is one hash-keyed
+    join. Engine matches md5 spans; oracle joins RAW strings (the
+    span_dedup certification pattern)."""
+    _views(spark, sf_dir)
+    from geotrellis_contrib_spark.operators import dedup as DD
+    return DD.decontaminate(spark.table("documents"),
+                            F.col("doc_id") % 31 == 0)
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-CORE DECOMPOSITION (operators/cluster.py kcore — coreness per
     node by distributed h-index iteration, Lü et al. 2016: start at
@@ -8560,6 +8575,32 @@ SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
 FROM cv GROUP BY 1, 2, 3, 4
 """
 
+    # Decontamination (decontaminate): list-subscript spans, RAW-string
+    # eval-span membership, same counts.
+    _dc_span = " || ' ' || ".join(f"l[k + {j}]" for j in range(8)) \
+        .replace("l[k + 0]", "l[k]")
+    o["decontaminate"] = f"""
+WITH tk AS (SELECT doc_id, STR_SPLIT(text, ' ') AS l FROM documents),
+sp AS (
+  SELECT doc_id, {_dc_span} AS sp
+  FROM tk, range(1, 4001) t(k) WHERE k <= LEN(l) - 7),
+ev AS (SELECT DISTINCT sp FROM sp WHERE doc_id % 31 = 0),
+ts AS (SELECT * FROM sp WHERE doc_id % 31 <> 0),
+hits AS (
+  SELECT t.doc_id, COUNT(*) AS n_spans,
+         SUM(CASE WHEN e.sp IS NOT NULL THEN 1 ELSE 0 END)
+           AS n_contaminated
+  FROM ts t LEFT JOIN ev e ON e.sp = t.sp
+  GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       CAST(CASE WHEN COALESCE(h.n_contaminated, 0) >= 1
+            THEN 1 ELSE 0 END AS INT) AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % 31 <> 0
+"""
+
     # K-core (kcore): the h-index iteration unrolled as 8 MATERIALIZED
     # rounds over the same VALUES edges (fixture converges in 4).
     from geotrellis_contrib_spark import corpus as _kc_corpus
@@ -9809,6 +9850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_counts": q_bpe_counts,
         "crosstab": q_crosstab,
         "temporal_fill": q_temporal_fill,
+        "decontaminate": q_decontaminate,
         "kcore": q_kcore,
         "transitions": q_transitions,
         "embed_outlier": q_embed_outlier,

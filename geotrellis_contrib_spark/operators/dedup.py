@@ -392,3 +392,59 @@ def span_dedup(df: DataFrame, text_col: str = "text", window: int = 8,
                     F.floor(F.coalesce("dup_tokens", F.lit(0))
                             / F.col("n_tokens") * F.lit(q) + F.lit(0.5))
                     .cast("long").alias("dup_q")))
+
+
+def decontaminate(df: DataFrame, eval_pred, text_col: str = "text",
+                  window: int = 8) -> DataFrame:
+    """TRAIN/TEST DECONTAMINATION (the GPT-3/PaLM-style n-gram overlap
+    sweep: a training document sharing any ``window``-token span with
+    an evaluation document leaks the benchmark and must be flagged):
+    ``eval_pred`` is a Column predicate selecting the EVAL side; every
+    remaining (train) doc gets
+
+        n_spans         its window-token spans
+        n_contaminated  spans occurring in ANY eval doc
+        contaminated    n_contaminated >= 1
+
+    Span matching is md5 over the space-joined window (the span_dedup
+    contract — the oracle groups raw strings, certifying the hash).
+    Scale shape: the eval span set is DISTINCT and usually tiny
+    relative to the corpus (benchmarks are small) — one doc-keyed
+    window pass per side, the distinct eval spans build once, and the
+    membership check is a LEFT semi-style join keyed on the hash; at
+    web scale the eval side broadcasts."""
+    from pyspark.sql import Window
+
+    w = int(window)
+
+    def spans_of(d):
+        toks = d.select(
+            "doc_id",
+            F.posexplode(F.split(F.col(text_col), " "))
+            .alias("pos", "tok"))
+        wd = Window.partitionBy("doc_id").orderBy("pos")
+        parts = [F.col("tok")] + [F.lead("tok", j).over(wd)
+                                  for j in range(1, w)]
+        return (toks
+                .withColumn("last", F.lead("tok", w - 1).over(wd))
+                .withColumn("sp", F.md5(F.concat_ws(" ", *parts)))
+                .filter(F.col("last").isNotNull())
+                .select("doc_id", "sp"))
+
+    ev = df.filter(eval_pred)
+    tr = df.filter(~eval_pred)
+    ev_spans = spans_of(ev).select("sp").distinct()
+    ts = spans_of(tr)
+    hits = (ts.join(ev_spans.withColumn("_hit", F.lit(1)), "sp", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_spans"),
+                 F.sum(F.coalesce("_hit", F.lit(0)))
+                 .alias("n_contaminated")))
+    return (tr.select("doc_id").join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_spans", F.lit(0)).cast("long")
+                    .alias("n_spans"),
+                    F.coalesce("n_contaminated", F.lit(0)).cast("long")
+                    .alias("n_contaminated"),
+                    (F.coalesce("n_contaminated", F.lit(0)) >= 1)
+                    .cast("int").alias("contaminated")))

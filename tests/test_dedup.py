@@ -244,3 +244,23 @@ def test_span_dedup_overlapping_union(spark):
                                "doc_id long, text string")
     r = span_dedup(df, window=3).collect()[0]
     assert (r.n_tokens, r.n_dup_spans, r.dup_tokens) == (6, 4, 6)
+
+
+def test_decontaminate_hand_case(spark):
+    from pyspark.sql import functions as F
+    from geotrellis_contrib_spark.operators.dedup import decontaminate
+    docs = [
+        (0, "a b c d e f"),         # EVAL (pred: doc_id % 2 == 0 -> 0, 2)
+        (2, "z z z"),               # EVAL, too short for w=3? no: 1 span
+        (1, "x a b c y q r s"),     # shares span "a b c" with eval 0
+        (3, "p q r s t"),           # clean
+        (5, "z z z w"),             # shares "z z z" with eval 2
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_spans, r.n_contaminated, r.contaminated)
+           for r in decontaminate(df, F.col("doc_id") % 2 == 0,
+                                  window=3).collect()}
+    assert set(got) == {1, 3, 5}      # eval docs excluded from output
+    assert got[1] == (6, 1, 1)
+    assert got[3] == (3, 0, 0)
+    assert got[5] == (2, 1, 1)
