@@ -251,12 +251,14 @@ def _strahler_py(rows) -> dict[int, int]:
         if start in order:
             continue
         stack = [(start, False)]
+        open_ = set()
         while stack:
             v, done = stack.pop()
             if v in order:
                 continue
             kids = children.get(v, ())
             if done or not kids:
+                open_.discard(v)
                 if not kids:
                     order[v] = 1
                 else:
@@ -264,6 +266,13 @@ def _strahler_py(rows) -> dict[int, int]:
                     m = max(os_)
                     order[v] = m + 1 if os_.count(m) >= 2 else m
             else:
+                if v in open_:
+                    # re-entering a grey node before its post-visit =
+                    # a cycle (the distributed path hits its
+                    # max_rounds fail-loud for the same input)
+                    raise ValueError(
+                        "strahler_order: cycle in the flow table")
+                open_.add(v)
                 stack.append((v, True))
                 stack.extend((k, False) for k in kids)
     return order

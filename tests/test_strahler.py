@@ -78,3 +78,11 @@ def test_larger_deterministic_forest(spark):
     b = {r.node: r.strahler
          for r in strahler_order(df, small_graph_edges=0).collect()}
     assert b == ref
+
+
+def test_cycle_fails_loud_driver_path(spark):
+    import pytest
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 1)],
+                               "child long, parent long")
+    with pytest.raises(ValueError, match="cycle"):
+        strahler_order(df)
