@@ -8769,9 +8769,10 @@ a AS (SELECT source, COUNT(*) AS n_docs, SUM(x) AS x_sum,
              SUM(i * x) AS ix_sum FROM r GROUP BY 1)
 SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
        CAST(x_sum AS BIGINT) AS x_sum,
-       CAST(FLOOR((2 * ix_sum - (n_docs + 1) * x_sum)
-                  / (n_docs * x_sum) * 1048576.0 + 0.5) AS BIGINT)
-         AS gini_q
+       CAST(CASE WHEN x_sum = 0 THEN 0
+            ELSE FLOOR((2 * ix_sum - (n_docs + 1) * x_sum)
+                       / (n_docs * x_sum) * 1048576.0 + 0.5)
+            END AS BIGINT) AS gini_q
 FROM a
 """
 

@@ -315,8 +315,13 @@ def gini_by_group(docs: DataFrame, value_col: str = "n_chars",
                  F.sum("x").alias("x_sum"),
                  F.sum(F.col("i") * F.col("x")).alias("ix_sum"))
             .select(group_col, "n_docs", "x_sum",
-                    F.floor((F.lit(2) * F.col("ix_sum")
-                             - (F.col("n_docs") + 1) * F.col("x_sum"))
-                            / (F.col("n_docs") * F.col("x_sum"))
-                            * F.lit(q) + F.lit(0.5))
+                    # a zero-mass group has no inequality to measure:
+                    # pin G = 0 rather than divide by zero
+                    F.when(F.col("x_sum") == 0, F.lit(0))
+                    .otherwise(
+                        F.floor((F.lit(2) * F.col("ix_sum")
+                                 - (F.col("n_docs") + 1)
+                                 * F.col("x_sum"))
+                                / (F.col("n_docs") * F.col("x_sum"))
+                                * F.lit(q) + F.lit(0.5)))
                     .cast("long").alias("gini_q")))

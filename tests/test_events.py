@@ -157,3 +157,12 @@ def test_transitions_hand_counts(spark):
     assert set(got) == {("view", "click"), ("click", "view")}
     # cross-user boundary must NOT create a click->view transition
     # from user 1's last event to user 2's first (partitioned window)
+
+
+def test_gini_zero_mass_group_guarded(spark):
+    from geotrellis_contrib_spark.operators.retrieval import gini_by_group
+    docs = [("z", 1, 0), ("z", 2, 0), ("a", 3, 5)]
+    df = spark.createDataFrame(docs, "source string, doc_id long, "
+                                     "n_chars long")
+    got = {r.source: r.gini_q for r in gini_by_group(df).collect()}
+    assert got == {"z": 0, "a": 0}
