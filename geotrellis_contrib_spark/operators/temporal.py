@@ -396,7 +396,10 @@ def temporal_fill(tiles: DataFrame, tile_size: int = 64,
             cur_v = np.where(m, stack[i], cur_v)
             cur_t = np.where(m, ts[i], cur_t)
         gaps = np.isnan(stack)
-        fillable = gaps & ~np.isnan(prev_v) & ~np.isnan(next_v)
+        # a malformed stack with duplicate times would make dk == 0
+        # (0/0 -> NaN -> silent garbage after astype): not fillable
+        fillable = gaps & ~np.isnan(prev_v) & ~np.isnan(next_v) \
+            & (next_t > prev_t)
         ti = np.asarray(ts, dtype=np.int64).reshape(-1, 1, 1)
         with np.errstate(invalid="ignore", divide="ignore"):
             di = (ti - prev_t).astype(np.float64)
