@@ -1281,6 +1281,22 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.row_number().over(w).alias("hrank"))
 
 
+def q_tpi_roughness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPI + ROUGHNESS (operators/focal.py tpi_roughness — gdaldem's
+    last two modes, completing the terrain suite next to Horn
+    slope/aspect, hillshade and TRI): per fully-valid-3x3 pixel (the
+    GDAL edge rule) tpi = center - mean(8 neighbors) (ONE division)
+    and roughness = max(3x3) - min(3x3) (pure selection on the exact
+    x4 grid). Same halo machinery, ONE shuffle. Oracle: the terrain
+    family's NULL-able neighbor columns, the 8-sum in the engine's
+    accumulation order, GREATEST/LEAST roughness."""
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators import focal as FO
+
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    return FO.tpi_roughness(tiles, tile_size=64)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRAIN/TEST DECONTAMINATION (operators/dedup.py decontaminate —
     the GPT-3/PaLM-style n-gram overlap sweep: a training doc sharing
@@ -9147,6 +9163,38 @@ SELECT CAST(band AS INT) AS band,
 FROM m WHERE side = 1
 """
 
+    # TPI + roughness (tpi_roughness): the terrain family's nine
+    # NULL-able neighbor columns; the 8-neighbor sum in the engine's
+    # accumulation order, one division; roughness = GREATEST - LEAST
+    # selections on the exact x4 grid.
+    o["tpi_roughness"] = f"""
+WITH px AS (
+  SELECT s, band, 18 + s + tcc AS col, 24 + trr AS row, ri, ci,
+         (s*11) % 48 AS h0
+  FROM range(0,3) ss(s), range(0,2) bs(band),
+       range(0,4) tcs(tcc), range(0,4) trs(trr),
+       range(0,64) ris(ri), range(0,64) cis(ci)
+), nb AS MATERIALIZED (
+  SELECT s, band, col, row, {_tr_cols}
+  FROM px
+), v AS (
+  SELECT s, band, col, row,
+         ee - (aa + bb + cc + dd + ff + gg + hh + ii) / 8.0 AS tpi,
+         GREATEST(aa, bb, cc, dd, ee, ff, gg, hh, ii)
+           - LEAST(aa, bb, cc, dd, ee, ff, gg, hh, ii) AS rough
+  FROM nb WHERE {_tr_ok}
+)
+SELECT CONCAT('scene-', CAST(s AS VARCHAR)) AS source_id,
+       CAST(band AS BIGINT) AS band,
+       CAST(col AS BIGINT) AS col, CAST(row AS BIGINT) AS row,
+       CAST(COUNT(*) AS BIGINT) AS n_valid9,
+       CAST(SUM(CAST(FLOOR(tpi * 1048576.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS tpi_qsum,
+       CAST(SUM(CAST(FLOOR(rough * 4.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS rough_q4sum
+FROM v GROUP BY 1, 2, 3, 4
+"""
+
     # Moran's I integer moments (morans_i): the same NULL-able rook
     # neighbor columns, values quantized floor(v*4+0.5) (the fixture
     # field lives on the exact 1/4 grid), deg/neighbor-sum per valid
@@ -9851,6 +9899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_counts": q_bpe_counts,
         "crosstab": q_crosstab,
         "temporal_fill": q_temporal_fill,
+        "tpi_roughness": q_tpi_roughness,
         "decontaminate": q_decontaminate,
         "kcore": q_kcore,
         "transitions": q_transitions,

@@ -2033,3 +2033,60 @@ def euclidean_allocation(tiles: DataFrame, mask_predicate,
     return pieces.groupBy("source_id", "band", "col", "row").applyInPandas(
         scan, "source_id string, band bigint, col bigint, row bigint, "
               "n_within bigint, d2_sum bigint, alloc_sum bigint")
+
+
+def tpi_roughness(tiles: DataFrame, tile_size: int = 64,
+                  q_tpi: float = 1048576.0) -> DataFrame:
+    """TPI + ROUGHNESS (gdaldem's last two modes — completing the
+    terrain family next to Horn slope/aspect, hillshade and TRI):
+    per pixel with a FULLY VALID 3x3 (the GDAL edge rule terrain_stats
+    already pins),
+
+        tpi       = center - (sum of 8 neighbors) / 8   (ONE division)
+        roughness = max(3x3) - min(3x3)                 (selection)
+
+    Roughness stays on the exact x4 integer grid (selections and one
+    subtraction of quarter-grid values); TPI quantizes its single
+    division. Same halo machinery, ONE co-partitioned shuffle. Output
+    per tile: (n_valid9, tpi_qsum, rough_q4sum)."""
+    t = int(tile_size)
+    cols = ["source_id", "band", "col", "row", "n_valid9", "tpi_qsum",
+            "rough_q4sum"]
+
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        source_id, band, col, row = key
+        frame = _assemble_frame(pdf, 1, t)
+        if frame is None:
+            return pd.DataFrame(columns=cols)
+        wins = [frame[1 + dr:1 + dr + t, 1 + dc:1 + dc + t]
+                for dr in (-1, 0, 1) for dc in (-1, 0, 1)]
+        ok = np.ones((t, t), dtype=bool)
+        for w in wins:
+            ok &= ~np.isnan(w)
+        if not ok.any():
+            return pd.DataFrame(columns=cols)
+        center = frame[1:1 + t, 1:1 + t]
+        nsum = np.zeros((t, t))
+        mx = np.full((t, t), -np.inf)
+        mn = np.full((t, t), np.inf)
+        for i, w in enumerate(wins):
+            if i != 4:
+                nsum = nsum + np.where(ok, w, 0.0)
+            mx = np.maximum(mx, np.where(ok, w, -np.inf))
+            mn = np.minimum(mn, np.where(ok, w, np.inf))
+        tpi = center - nsum / 8.0
+        rough = mx - mn
+        return pd.DataFrame([{
+            "source_id": source_id, "band": int(band),
+            "col": int(col), "row": int(row),
+            "n_valid9": int(ok.sum()),
+            "tpi_qsum": int(np.floor(tpi * q_tpi + 0.5)[ok]
+                            .astype(np.int64).sum()),
+            "rough_q4sum": int(np.floor(rough * 4.0 + 0.5)[ok]
+                               .astype(np.int64).sum())}])
+
+    return _halo_pieces(tiles, 1, t) \
+        .groupBy("source_id", "band", "col", "row") \
+        .applyInPandas(run, "source_id string, band bigint, col bigint, "
+                            "row bigint, n_valid9 bigint, "
+                            "tpi_qsum bigint, rough_q4sum bigint")

@@ -559,3 +559,49 @@ def test_curvature_plane_is_zero(spark):
     r0 = FO.curvature_stats(df, cell=30.0, tile_size=8).collect()[0]
     assert (r0.prof_sum, r0.plan_sum, r0.total_sum) == (0, 0, 0)
     assert r0.curv_count == 36  # interior 6x6 has a full 3x3
+
+
+def test_tpi_roughness_numpy_replay(spark):
+    import numpy as np
+    from geotrellis_contrib_spark import corpus as corpus_mod
+    from geotrellis_contrib_spark.operators.focal import tpi_roughness
+    tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
+    got = {(r.source_id, r.band, r.col, r.row):
+           (r.n_valid9, r.tpi_qsum, r.rough_q4sum)
+           for r in tpi_roughness(tiles, tile_size=64).collect()}
+    # untiled whole-mosaic brute force (any halo bug breaks seam pixels)
+    for s in range(3):
+        moz = corpus_mod.synth_scene_mosaic(s)
+        for b in range(2):
+            z = np.where(moz[b] == -9999.0, np.nan, moz[b])
+            zp = np.pad(z, 1, constant_values=np.nan)
+            H, W = z.shape
+            wins = [zp[1 + dr:1 + dr + H, 1 + dc:1 + dc + W]
+                    for dr in (-1, 0, 1) for dc in (-1, 0, 1)]
+            ok = np.ones((H, W), dtype=bool)
+            for w in wins:
+                ok &= ~np.isnan(w)
+            nsum = np.zeros((H, W))
+            mx = np.full((H, W), -np.inf)
+            mn = np.full((H, W), np.inf)
+            for i, w in enumerate(wins):
+                if i != 4:
+                    nsum = nsum + np.where(ok, w, 0.0)
+                mx = np.maximum(mx, np.where(ok, w, -np.inf))
+                mn = np.minimum(mn, np.where(ok, w, np.inf))
+            tpi = z - nsum / 8.0
+            rough = mx - mn
+            for tr in range(4):
+                for tc in range(4):
+                    sl = (slice(tr * 64, (tr + 1) * 64),
+                          slice(tc * 64, (tc + 1) * 64))
+                    o = ok[sl]
+                    if not o.any():
+                        continue
+                    key = (f"scene-{s}", b, 18 + s + tc, 24 + tr)
+                    exp = (int(o.sum()),
+                           int(np.floor(tpi[sl] * 1048576.0 + 0.5)[o]
+                               .astype(np.int64).sum()),
+                           int(np.floor(rough[sl] * 4.0 + 0.5)[o]
+                               .astype(np.int64).sum()))
+                    assert got[key] == exp
