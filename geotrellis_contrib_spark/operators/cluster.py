@@ -147,12 +147,17 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                 .repartition(n_parts, "id")
     labels = labels.localCheckpoint(eager=True)
     changed = 1
+    # ONE driver job per batch (r7): the convergence probe aggregates
+    # over the LAZY localCheckpoint, so materialization and the answer
+    # share one job instead of an eager-checkpoint job plus a probe job.
     for _ in range(max_iter):
         cur = labels.withColumn("_old", F.col("component"))
         for _ in range(rounds_per_sync):
             cur = _propagate_and_double(sym, cur)
-        nxt = cur.localCheckpoint(eager=True)
-        changed = nxt.filter(F.col("component") != F.col("_old")).limit(1).count()
+        nxt = cur.localCheckpoint(eager=False)
+        changed = int(nxt.agg(F.max(
+            (F.col("component") != F.col("_old")).cast("int")))
+            .collect()[0][0] or 0)
         labels = nxt.drop("_old")
         if changed == 0:
             break
@@ -319,15 +324,18 @@ def strahler_order(edges: DataFrame, child: str = "child",
     ptr = base.select(
         "id", F.when(F.col("nc") == 1, F.col("only"))
               .otherwise(F.col("id")).alias("ptr"))
+    # ONE driver job per doubling round (r7): the moved flag rides the
+    # next pointer table ( _mv = old ptr != new ptr), so the lazy
+    # checkpoint's materializing job also answers convergence.
     for _ in range(max_rounds):
         lk = ptr.select(F.col("id").alias("_i"), F.col("ptr").alias("_p"))
         nxt = (ptr.join(lk, ptr.ptr == lk._i)
-               .select("id", F.col("_p").alias("ptr"))
-               .localCheckpoint(eager=True))
-        moved = (nxt.alias("a").join(ptr.alias("b"), "id")
-                 .filter(F.col("a.ptr") != F.col("b.ptr"))
-                 .limit(1).count())
-        ptr = nxt
+               .select(ptr["id"],
+                       lk["_p"].alias("ptr"),
+                       (lk["_p"] != ptr["ptr"]).cast("int").alias("_mv"))
+               .localCheckpoint(eager=False))
+        moved = int(nxt.agg(F.max("_mv")).collect()[0][0] or 0)
+        ptr = nxt.drop("_mv")
         if moved == 0:
             break
     else:
@@ -364,14 +372,17 @@ def strahler_order(edges: DataFrame, child: str = "child",
     # fixed cost dominates the per-round work at test scale)
     rounds_per_sync = 3
     cur = term.select("id", F.lit(1).cast("long").alias("o"))
+    # ONE driver job per batch (r7): the compare-join + aggregate runs
+    # on top of the LAZY localCheckpoint — computing every partition of
+    # nxt (and checkpointing it) in the same job that answers "moved".
     for _ in range(max_rounds):
         nxt = cur
         for _ in range(rounds_per_sync):
             nxt = jacobi_round(nxt)
-        nxt = nxt.localCheckpoint(eager=True)
-        moved = (nxt.alias("a")
-                 .join(cur.alias("b"), "id")
-                 .filter(F.col("a.o") != F.col("b.o")).limit(1).count())
+        nxt = nxt.localCheckpoint(eager=False)
+        moved = int(nxt.alias("a").join(cur.alias("b"), "id")
+                    .agg(F.max((F.col("a.o") != F.col("b.o"))
+                               .cast("int"))).collect()[0][0] or 0)
         cur = nxt
         if moved == 0:
             break
@@ -542,13 +553,17 @@ def kcore(edges: DataFrame, src: str = "src", dst: str = "dst",
                 .select(F.col("v").alias("id"), "o"))
 
     cur = cur.localCheckpoint(eager=True)
+    # ONE driver job per batch (r7): compare-join + aggregate over the
+    # LAZY localCheckpoint — materialization and the moved answer share
+    # one job (see strahler_order).
     for _ in range(max_rounds):
         nxt = cur
         for _ in range(rounds_per_sync):
             nxt = one_round(nxt)
-        nxt = nxt.localCheckpoint(eager=True)
-        moved = (nxt.alias("x").join(cur.alias("y"), "id")
-                 .filter(F.col("x.o") != F.col("y.o")).limit(1).count())
+        nxt = nxt.localCheckpoint(eager=False)
+        moved = int(nxt.alias("x").join(cur.alias("y"), "id")
+                    .agg(F.max((F.col("x.o") != F.col("y.o"))
+                               .cast("int"))).collect()[0][0] or 0)
         cur = nxt
         if moved == 0:
             break

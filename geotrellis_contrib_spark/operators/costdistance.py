@@ -204,13 +204,17 @@ def _solve(tiles: DataFrame,
     # ONE round per materialization: batching 2 cut+relax rounds per
     # localCheckpoint was measured SLOWER (21s vs 17s at the gate —
     # the relax stages dominate, not the sync job; same dead end as
-    # cluster.py rounds_per_sync=3, NOTES_r5)
+    # cluster.py rounds_per_sync=3, NOTES_r5).
+    # ONE driver job per round (r7): the convergence probe is an
+    # aggregate over the LAZY localCheckpoint, so the same job that
+    # materializes the round's state also answers "did any tile
+    # improve" — instead of an eager checkpoint job plus a probe job.
     for _ in range(max_iter):
         pieces = state.mapInPandas(cut, _PIECE_SCHEMA)
         nxt = pieces.groupBy("source_id", "band", "col", "row") \
                     .applyInPandas(relax_group, _STATE_SCHEMA) \
-                    .localCheckpoint(eager=True)
-        changed = nxt.filter(F.col("improved") == 1).limit(1).count()
+                    .localCheckpoint(eager=False)
+        changed = int(nxt.agg(F.max("improved")).collect()[0][0] or 0)
         state = nxt
         if changed == 0:
             break
@@ -583,10 +587,15 @@ def _lcp_dist(tiles: DataFrame, seed_predicate, targets,
 
     border = parts.filter(F.col("kind") == 1) \
         .select("source_id", "band", "gid", "rep", "steps", "final")
+    # ONE driver job per doubling round (r7): lazy checkpoint + pending
+    # aggregate share one job (see focal._watershed_dist).
+    _pending = F.sum(F.lit(1) - F.col("final"))
+    pending = int(border.agg(_pending).collect()[0][0] or 0)
+    settled = pending == 0
     for _ in range(max_rounds):
-        todo = border.filter(F.col("final") == 0)
-        if todo.limit(1).count() == 0:
+        if settled:
             break
+        todo = border.filter(F.col("final") == 0)
         done = border.filter(F.col("final") == 1)
         step = todo.alias("a").join(
             border.select(
@@ -605,8 +614,10 @@ def _lcp_dist(tiles: DataFrame, seed_predicate, targets,
                                                    F.lit(0)))
                     .alias("steps"),
                     F.coalesce(F.col("b.f2"), F.lit(0)).alias("final"))
-        border = done.unionByName(step).localCheckpoint(eager=True)
-    else:
+        border = done.unionByName(step).localCheckpoint(eager=False)
+        pending = int(border.agg(_pending).collect()[0][0] or 0)
+        settled = pending == 0
+    if not settled:
         raise RuntimeError(
             f"least-cost-path border resolution did not settle in "
             f"{max_rounds} rounds; a path crosses more than "

@@ -914,12 +914,14 @@ def _flow_rounds_state(tiles: DataFrame, t: int,
             "chosen": center.chosen, "acc": pack(new),
             "improved": improved}])
 
+    # ONE driver job per round (r7): lazy localCheckpoint + an aggregate
+    # probe — materialization and the convergence answer share one job.
     for _ in range(max_iter):
         pieces = state.mapInPandas(cut, _FLOW_PIECE)
         nxt = pieces.groupBy("source_id", "band", "col", "row") \
                     .applyInPandas(relax, _FLOW_STATE) \
-                    .localCheckpoint(eager=True)
-        changed = nxt.filter(F.col("improved") == 1).limit(1).count()
+                    .localCheckpoint(eager=False)
+        changed = int(nxt.agg(F.max("improved")).collect()[0][0] or 0)
         state = nxt
         if changed == 0:
             break
@@ -1137,10 +1139,16 @@ def _watershed_dist(tiles: DataFrame, t: int, max_rounds: int) -> DataFrame:
 
     border = parts.filter(F.col("kind") == 1) \
         .select("source_id", "band", "gid", "rep", "final")
+    # ONE driver job per doubling round (r7): the pending count is an
+    # aggregate over the LAZY localCheckpoint of the next border table,
+    # so materialization and the loop condition share one job.
+    _pending = F.sum(F.lit(1) - F.col("final"))
+    pending = int(border.agg(_pending).collect()[0][0] or 0)
+    settled = pending == 0
     for _ in range(max_rounds):
-        todo = border.filter(F.col("final") == 0)
-        if todo.limit(1).count() == 0:
+        if settled:
             break
+        todo = border.filter(F.col("final") == 0)
         done = border.filter(F.col("final") == 1)
         step = todo.alias("a").join(
             border.select(
@@ -1156,8 +1164,10 @@ def _watershed_dist(tiles: DataFrame, t: int, max_rounds: int) -> DataFrame:
                     F.coalesce(F.col("b.r2"),
                                F.col("a.rep")).alias("rep"),
                     F.coalesce(F.col("b.f2"), F.lit(0)).alias("final"))
-        border = done.unionByName(step).localCheckpoint(eager=True)
-    else:
+        border = done.unionByName(step).localCheckpoint(eager=False)
+        pending = int(border.agg(_pending).collect()[0][0] or 0)
+        settled = pending == 0
+    if not settled:
         raise RuntimeError(
             f"watershed border resolution did not settle in "
             f"{max_rounds} rounds; a flow path crosses more than "
@@ -1428,12 +1438,14 @@ def _fill_rounds(tiles: DataFrame, t: int, q_fill: float,
             "improved": int(bool(np.any(new != old)))}])
 
     piece_schema = _FILL_PIECE + ", dem binary"
+    # ONE driver job per round (r7): lazy localCheckpoint + an aggregate
+    # probe — materialization and the convergence answer share one job.
     for _ in range(max_iter):
         pieces = state.mapInPandas(cut, piece_schema)
         nxt = pieces.groupBy("source_id", "band", "col", "row") \
                     .applyInPandas(relax, _FILL_STATE) \
-                    .localCheckpoint(eager=True)
-        changed = nxt.filter(F.col("improved") == 1).limit(1).count()
+                    .localCheckpoint(eager=False)
+        changed = int(nxt.agg(F.max("improved")).collect()[0][0] or 0)
         state = nxt
         if changed == 0:
             break
@@ -1834,10 +1846,15 @@ def _flow_length_dist(tiles: DataFrame, t: int,
 
     border = parts.filter(F.col("kind") == 1) \
         .select("source_id", "band", "gid", "rep", "no", "nd", "final")
+    # ONE driver job per doubling round (r7): lazy checkpoint + pending
+    # aggregate share one job (see _watershed_dist).
+    _pending = F.sum(F.lit(1) - F.col("final"))
+    pending = int(border.agg(_pending).collect()[0][0] or 0)
+    settled = pending == 0
     for _ in range(max_rounds):
-        todo = border.filter(F.col("final") == 0)
-        if todo.limit(1).count() == 0:
+        if settled:
             break
+        todo = border.filter(F.col("final") == 0)
         done = border.filter(F.col("final") == 1)
         step = todo.alias("a").join(
             border.select(
@@ -1858,8 +1875,10 @@ def _flow_length_dist(tiles: DataFrame, t: int,
                     (F.col("a.nd") + F.coalesce(F.col("b.nd2"),
                                                 F.lit(0))).alias("nd"),
                     F.coalesce(F.col("b.f2"), F.lit(0)).alias("final"))
-        border = done.unionByName(step).localCheckpoint(eager=True)
-    else:
+        border = done.unionByName(step).localCheckpoint(eager=False)
+        pending = int(border.agg(_pending).collect()[0][0] or 0)
+        settled = pending == 0
+    if not settled:
         raise RuntimeError(
             f"flow_length border resolution did not settle in "
             f"{max_rounds} rounds")
