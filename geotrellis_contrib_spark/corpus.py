@@ -135,33 +135,55 @@ def synth_px_tiles(spark: SparkSession, zoom: int = 6, n_tiles: int = 4,
     f(source, col, row, band, r, c) = gradient + arithmetic noise; each
     source is shifted by one tile and punches a deterministic NoData block
     (so mosaic merge has real work). Single band 0 + band 1."""
-    import numpy as np
+    # Generated ON EXECUTORS (r7, guide §5 driver rule): the field is a
+    # closed form of the tile indices, so shipping ~3 MB of packed blobs
+    # from the driver as a LocalRelation — re-serialized into every plan
+    # that scans the fixture — is pure overhead (measured 0.78 s vs
+    # 0.40 s per warm noop scan at local[32]). spark.range carries only
+    # the tile ordinal; the blob is built in the task. Rows are
+    # bit-identical to the driver-built version (exceptAll == 0 both
+    # ways). A handful of partitions keeps the pixel pipelines parallel
+    # without a 32-worker fan-out tax (real tile tables arrive
+    # pre-partitioned).
+    import pandas as pd
 
-    from geotrellis_contrib_spark.operators.pixels import pack
+    n_tiles_i, t, n_src = int(n_tiles), int(tile_size), int(n_sources)
+    per_source = n_tiles_i * n_tiles_i * 2
+    n_rows = n_src * per_source
 
-    rows = []
-    for s in range(n_sources):
-        for tc in range(n_tiles):
-            for tr in range(n_tiles):
+    def gen(batches):
+        import numpy as np
+
+        from geotrellis_contrib_spark.operators.pixels import pack
+
+        r = np.arange(t).reshape(-1, 1)
+        c = np.arange(t).reshape(1, -1)
+        noise = (r * 31 + c * 17) % 13
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                i = int(i)
+                s = i // per_source
+                rem = i % per_source
+                tc = rem // (n_tiles_i * 2)
+                tr = (rem // 2) % n_tiles_i
+                band = i % 2
                 col, row = base_col + tc + s, base_row + tr  # sources shift east
-                for band in range(2):
-                    r = np.arange(tile_size).reshape(-1, 1)
-                    c = np.arange(tile_size).reshape(1, -1)
-                    val = (s * 1000.0 + band * 100.0 + col * 7.0 + row * 3.0
-                           + r * 0.5 + c * 0.25 + ((r * 31 + c * 17) % 13))
-                    arr = val.astype(np.float64)
-                    # deterministic nodata hole per source
-                    h0 = (s * 11) % (tile_size - 16)
-                    arr[h0:h0 + 16, h0:h0 + 16] = nodata
-                    rows.append((f"scene-{s}", s, zoom, col, row, band,
-                                 dtype, nodata, pack(arr)))
-    # a ~100-row fixture across local[32] would pay 32 Python-worker
-    # spin-ups PER Arrow stage; a handful of partitions keeps the pixel
-    # pipelines parallel without the fan-out tax (real tile tables arrive
-    # pre-partitioned)
-    return spark.createDataFrame(
-        rows, "source_id string, source_idx int, zoom int, col bigint, row bigint, "
-              "band int, dtype string, nodata double, px binary").coalesce(partitions)
+                val = (s * 1000.0 + band * 100.0 + col * 7.0 + row * 3.0
+                       + r * 0.5 + c * 0.25 + noise)
+                arr = val.astype(np.float64)
+                # deterministic nodata hole per source
+                h0 = (s * 11) % (t - 16)
+                arr[h0:h0 + 16, h0:h0 + 16] = nodata
+                out.append((f"scene-{s}", s, zoom, col, row, band,
+                            dtype, nodata, pack(arr)))
+            yield pd.DataFrame(out, columns=[
+                "source_id", "source_idx", "zoom", "col", "row", "band",
+                "dtype", "nodata", "px"])
+
+    return spark.range(0, n_rows, 1, partitions).mapInPandas(
+        gen, "source_id string, source_idx int, zoom int, col bigint, row bigint, "
+             "band int, dtype string, nodata double, px binary")
 
 
 # Canonical synthetic NTv2 grid (FIXTURES.md-style): covers the pixel-tile
@@ -631,23 +653,36 @@ def synth_friction_tiles(spark: SparkSession, tile_size: int = 64,
     x 4x4-tile layout, NO NoData holes): the cost_distance gate fixture,
     where the shortest-path metric has the octile closed form the SQL
     oracle recomputes."""
-    import numpy as np
+    # Generated ON EXECUTORS (r7) — see synth_px_tiles; rows identical
+    # to the driver-built version.
+    import pandas as pd
 
-    from geotrellis_contrib_spark.operators.pixels import pack
+    t = int(tile_size)
 
-    rows = []
-    arr = np.full((tile_size, tile_size), float(uniform))
-    blob = pack(arr)
-    for s in range(3):
-        for tc in range(4):
-            for tr in range(4):
-                for band in range(2):
-                    rows.append((f"scene-{s}", s, 6, 18 + tc + s, 24 + tr,
-                                 band, "float64", -9999.0, blob))
-    return spark.createDataFrame(
-        rows, "source_id string, source_idx int, zoom int, col bigint, "
-              "row bigint, band int, dtype string, nodata double, "
-              "px binary").coalesce(8)
+    def gen(batches):
+        import numpy as np
+
+        from geotrellis_contrib_spark.operators.pixels import pack
+
+        blob = pack(np.full((t, t), float(uniform)))
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                i = int(i)
+                s = i // 32
+                tc = (i % 32) // 8
+                tr = (i % 8) // 2
+                band = i % 2
+                out.append((f"scene-{s}", s, 6, 18 + tc + s, 24 + tr,
+                            band, "float64", -9999.0, blob))
+            yield pd.DataFrame(out, columns=[
+                "source_id", "source_idx", "zoom", "col", "row", "band",
+                "dtype", "nodata", "px"])
+
+    return spark.range(0, 96, 1, 8).mapInPandas(
+        gen, "source_id string, source_idx int, zoom int, col bigint, "
+             "row bigint, band int, dtype string, nodata double, "
+             "px binary")
 
 
 # Designed-basin DEM fixture for the fill_sinks gates: a strictly tilted
@@ -678,15 +713,26 @@ def synth_dem_tiles(spark: SparkSession, zoom: int = 6, n_tiles: int = 4,
                     partitions: int = 8) -> DataFrame:
     """Basin DEM fixture (see DEM_BASINS): n_tiles x n_tiles block per
     source on the SAME grid, single band 0."""
-    import numpy as np
+    # Generated ON EXECUTORS (r7) — see synth_px_tiles; rows identical
+    # to the driver-built version.
+    import pandas as pd
 
-    from geotrellis_contrib_spark.operators.pixels import pack
+    t, n_tiles_i = int(tile_size), int(n_tiles)
+    per_source = n_tiles_i * n_tiles_i
+    n_rows = int(n_sources) * per_source
 
-    t = tile_size
-    rows = []
-    for s in range(n_sources):
-        for tc in range(n_tiles):
-            for tr in range(n_tiles):
+    def gen(batches):
+        import numpy as np
+
+        from geotrellis_contrib_spark.operators.pixels import pack
+
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                i = int(i)
+                s = i // per_source
+                tc = (i % per_source) // n_tiles_i
+                tr = i % n_tiles_i
                 col, row = base_col + tc, base_row + tr
                 rg = (np.arange(t) + tr * t).reshape(-1, 1)
                 cg = (np.arange(t) + tc * t).reshape(1, -1)
@@ -699,12 +745,16 @@ def synth_dem_tiles(spark: SparkSession, zoom: int = 6, n_tiles: int = 4,
                 hole = ((rg >= hr0) & (rg <= hr1)
                         & (cg >= hc0) & (cg <= hc1))
                 dem = np.where(hole, nodata, dem)
-                rows.append((f"dem-{s}", s, zoom, col, row, 0,
-                             "float64", nodata, pack(dem)))
-    return spark.createDataFrame(
-        rows, "source_id string, source_idx int, zoom int, col bigint, "
-              "row bigint, band int, dtype string, nodata double, "
-              "px binary").coalesce(partitions)
+                out.append((f"dem-{s}", s, zoom, col, row, 0,
+                            "float64", nodata, pack(dem)))
+            yield pd.DataFrame(out, columns=[
+                "source_id", "source_idx", "zoom", "col", "row", "band",
+                "dtype", "nodata", "px"])
+
+    return spark.range(0, n_rows, 1, partitions).mapInPandas(
+        gen, "source_id string, source_idx int, zoom int, col bigint, "
+             "row bigint, band int, dtype string, nodata double, "
+             "px binary")
 
 
 def synth_stream_edges() -> list[tuple[int, int]]:

@@ -1311,7 +1311,7 @@ def kernel_density(points: DataFrame, zoom: int, radius_px: float = 4.0,
             .withColumn("ty", F.explode(F.sequence("_ty0", "_ty1")))
             .drop("_tx0", "_tx1", "_ty0", "_ty1"))
 
-    def stamp(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _stamp_tile(pdf: pd.DataFrame) -> dict | None:
         # ALL points of the tile at once (no per-point Python loop):
         # fixed K-wide windows per point, one bincount accumulate.
         # Contributions are quantized per (pixel, point) BEFORE the sum
@@ -1343,17 +1343,28 @@ def kernel_density(points: DataFrame, zoom: int, radius_px: float = 4.0,
                            minlength=t * t).astype(np.int64).reshape(t, t)
         total = int(grid.sum())
         if total == 0:
-            return pd.DataFrame(columns=["zoom", "col", "row",
-                                         "density_sum", "n_nonzero", "px"])
-        return pd.DataFrame([{
-            "zoom": zoom, "col": col, "row": row,
-            "density_sum": total, "n_nonzero": int((grid > 0).sum()),
-            "px": grid.tobytes(),
-        }])
+            return None
+        return {"zoom": zoom, "col": col, "row": row,
+                "density_sum": total, "n_nonzero": int((grid > 0).sum()),
+                "px": grid.tobytes()}
 
-    return cand.groupBy("tx", "ty").applyInPandas(
-        stamp, "zoom int, col bigint, row bigint, density_sum bigint, "
-               "n_nonzero bigint, px binary")
+    def stamp(pdf: pd.DataFrame) -> pd.DataFrame:
+        # SUPERGROUP dispatcher (r7): one applyInPandas group per 4x4
+        # tile block instead of per tile — grouped-map pays a fixed
+        # pandas/Arrow cost PER GROUP, and a world-spread point set
+        # lands in thousands of sparse tiles; the inner per-tile stamp
+        # (and its quantized integer sums) is byte-identical.
+        rows = [r for _, sub in pdf.groupby(["tx", "ty"], sort=False)
+                for r in [_stamp_tile(sub)] if r is not None]
+        return pd.DataFrame(rows, columns=["zoom", "col", "row",
+                                           "density_sum", "n_nonzero",
+                                           "px"])
+
+    return (cand.withColumn("_sx", F.shiftright("tx", 2))
+            .withColumn("_sy", F.shiftright("ty", 2))
+            .groupBy("_sx", "_sy").applyInPandas(
+                stamp, "zoom int, col bigint, row bigint, "
+                       "density_sum bigint, n_nonzero bigint, px binary"))
 
 
 def idw_interpolate(points: DataFrame, zoom: int, radius_px: float = 4.0,
@@ -1415,7 +1426,7 @@ def idw_interpolate(points: DataFrame, zoom: int, radius_px: float = 4.0,
             .withColumn("ty", F.explode(F.sequence("_ty0", "_ty1")))
             .drop("_tx0", "_tx1", "_ty0", "_ty1"))
 
-    def stamp_q(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _stamp_q_tile(pdf: pd.DataFrame) -> dict | None:
         # vectorized over ALL points of the tile (kernel_density's stamp
         # shape): per-(pixel,point) contributions quantized FIRST, two
         # bincount accumulates (num, den) — integer-sum exact.
@@ -1451,14 +1462,20 @@ def idw_interpolate(points: DataFrame, zoom: int, radius_px: float = 4.0,
         num = np.bincount(idx, weights=nv,
                           minlength=t * t).astype(np.int64).reshape(t, t)
         if not (den > 0).any():
-            return pd.DataFrame(columns=["zoom", "col", "row", "num_sum",
-                                         "den_sum", "n_px"])
-        return pd.DataFrame([{
-            "zoom": zoom, "col": col, "row": row,
-            "num_sum": int(num.sum()), "den_sum": int(den.sum()),
-            "n_px": int((den > 0).sum())}])
+            return None
+        return {"zoom": zoom, "col": col, "row": row,
+                "num_sum": int(num.sum()), "den_sum": int(den.sum()),
+                "n_px": int((den > 0).sum())}
 
-    def stamp_f(pdf: pd.DataFrame) -> pd.DataFrame:
+    def stamp_q(pdf: pd.DataFrame) -> pd.DataFrame:
+        # SUPERGROUP dispatcher (r7, kernel_density's shape): one group
+        # per 4x4 tile block; inner per-tile stamp byte-identical.
+        rows = [r for _, sub in pdf.groupby(["tx", "ty"], sort=False)
+                for r in [_stamp_q_tile(sub)] if r is not None]
+        return pd.DataFrame(rows, columns=["zoom", "col", "row",
+                                           "num_sum", "den_sum", "n_px"])
+
+    def _stamp_f_tile(pdf: pd.DataFrame) -> pd.DataFrame:
         col, row = int(pdf.tx.iloc[0]), int(pdf.ty.iloc[0])
         bx, by = col * t, row * t
         num = np.zeros((t, t))
@@ -1501,11 +1518,23 @@ def idw_interpolate(points: DataFrame, zoom: int, radius_px: float = 4.0,
             "pxx": (xx + bx).astype(np.int64),
             "pyy": (yy + by).astype(np.int64), "idw_val": v})
 
+    def stamp_f(pdf: pd.DataFrame) -> pd.DataFrame:
+        # SUPERGROUP dispatcher (r7) — see stamp_q.
+        outs = [_stamp_f_tile(sub)
+                for _, sub in pdf.groupby(["tx", "ty"], sort=False)]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return pd.DataFrame(columns=["zoom", "col", "row", "pxx",
+                                         "pyy", "idw_val"])
+        return pd.concat(outs, ignore_index=True)
+
+    sup = cand.withColumn("_sx", F.shiftright("tx", 2)) \
+              .withColumn("_sy", F.shiftright("ty", 2))
     if quantize:
-        return cand.groupBy("tx", "ty").applyInPandas(
+        return sup.groupBy("_sx", "_sy").applyInPandas(
             stamp_q, "zoom int, col bigint, row bigint, num_sum bigint, "
                      "den_sum bigint, n_px bigint")
-    return cand.groupBy("tx", "ty").applyInPandas(
+    return sup.groupBy("_sx", "_sy").applyInPandas(
         stamp_f, "zoom int, col bigint, row bigint, pxx bigint, "
                  "pyy bigint, idw_val double")
 

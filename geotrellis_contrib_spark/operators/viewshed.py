@@ -163,6 +163,13 @@ def _vs_dist(tiles: DataFrame, observer_fn, height: float,
 
     t = int(tile_size)
 
+    # Materialize the tile table ONCE (r7): this function scans it five
+    # times (scene collect, observer-tile collect, key enumeration, X
+    # pixel attach, znorm) — against a lazy source each scan re-runs the
+    # upstream plan; one localCheckpoint makes the four later scans read
+    # the stored partitions instead.
+    tiles = tiles.localCheckpoint(eager=True)
+
     # --- 1. observer table (bounded: one row per scene/band) ----------
     scenes = [(r.source_id, int(r.band))
               for r in tiles.select("source_id", "band")
