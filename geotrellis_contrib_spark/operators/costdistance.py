@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from geotrellis_contrib_spark.operators.pixels import DTYPES, pack
+from geotrellis_contrib_spark.util import compute_grouped, compute_spread
 
 _OFFS = [(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)
          if not (dr == 0 and dc == 0)]
@@ -128,8 +129,8 @@ def _solve(tiles: DataFrame,
                 "source_id", "band", "col", "row", "friction", "cost",
                 "improved"])
 
-    state = tiles.mapInPandas(init, _STATE_SCHEMA) \
-                 .localCheckpoint(eager=True)
+    state = compute_spread(tiles).mapInPandas(init, _STATE_SCHEMA) \
+                                 .localCheckpoint(eager=True)
 
     def cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -211,9 +212,9 @@ def _solve(tiles: DataFrame,
     # improve" — instead of an eager checkpoint job plus a probe job.
     for _ in range(max_iter):
         pieces = state.mapInPandas(cut, _PIECE_SCHEMA)
-        nxt = pieces.groupBy("source_id", "band", "col", "row") \
-                    .applyInPandas(relax_group, _STATE_SCHEMA) \
-                    .localCheckpoint(eager=False)
+        nxt = compute_grouped(pieces, "source_id", "band", "col", "row") \
+            .applyInPandas(relax_group, _STATE_SCHEMA) \
+            .localCheckpoint(eager=False)
         changed = int(nxt.agg(F.max("improved")).collect()[0][0] or 0)
         state = nxt
         if changed == 0:
@@ -273,7 +274,7 @@ def _solve_scene(tiles: DataFrame, seed_predicate, tile_size: int,
             "source_id", "band", "col", "row", "friction", "cost",
             "improved"])
 
-    return tiles.groupBy("source_id", "band").applyInPandas(
+    return compute_grouped(tiles, "source_id", "band").applyInPandas(
         solve_group, _STATE_SCHEMA)
 
 
@@ -582,7 +583,7 @@ def _lcp_dist(tiles: DataFrame, seed_predicate, targets,
                                            + 0.5))})
         return pd.DataFrame(out, columns=cols)
 
-    parts = planes.groupBy("source_id", "band", "col", "row") \
+    parts = compute_grouped(planes, "source_id", "band", "col", "row") \
         .applyInPandas(resolve, _LCP_PART).localCheckpoint(eager=True)
 
     border = parts.filter(F.col("kind") == 1) \

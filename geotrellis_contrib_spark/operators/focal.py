@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from geotrellis_contrib_spark.operators.pixels import DTYPES, pack
+from geotrellis_contrib_spark.util import compute_grouped
 
 _Q = 1048576.0  # 2^20 quantization for the order-independent checksum
 
@@ -275,7 +276,8 @@ def focal_stats(tiles: DataFrame, op: str = "mean", radius: int = 1,
             "focal_sum": int(q.sum()), "focal_count": int(any_valid.sum()),
         }])
 
-    return pieces.groupBy("source_id", "band", "col", "row").applyInPandas(
+    return compute_grouped(
+        pieces, "source_id", "band", "col", "row").applyInPandas(
         stencil, "source_id string, band bigint, col bigint, row bigint, "
                  "focal_sum bigint, focal_count bigint")
 
@@ -341,7 +343,8 @@ def tri_stats(tiles: DataFrame, tile_size: int = 64) -> DataFrame:
             "rough_sum": int(qr.sum()), "tri_count": int(ok.sum()),
         }])
 
-    return pieces.groupBy("source_id", "band", "col", "row").applyInPandas(
+    return compute_grouped(
+        pieces, "source_id", "band", "col", "row").applyInPandas(
         kern, "source_id string, band bigint, col bigint, row bigint, "
               "tri_sum bigint, tpi_sum bigint, rough_sum bigint, "
               "tri_count bigint")
@@ -392,7 +395,8 @@ def terrain_stats(tiles: DataFrame, dx: float = 30.0, dy: float = 30.0,
             "terrain_count": int(ok.sum()),
         }])
 
-    return pieces.groupBy("source_id", "band", "col", "row").applyInPandas(
+    return compute_grouped(
+        pieces, "source_id", "band", "col", "row").applyInPandas(
         horn, "source_id string, band bigint, col bigint, row bigint, "
               "slope_sum bigint, aspect_sum bigint, terrain_count bigint")
 
@@ -456,7 +460,8 @@ def curvature_stats(tiles: DataFrame, cell: float = 30.0,
                              .astype(np.int64).sum()),
             "curv_count": int(ok.sum())}])
 
-    return pieces.groupBy("source_id", "band", "col", "row").applyInPandas(
+    return compute_grouped(
+        pieces, "source_id", "band", "col", "row").applyInPandas(
         zt, "source_id string, band bigint, col bigint, row bigint, "
             "prof_sum bigint, plan_sum bigint, total_sum bigint, "
             "curv_count bigint")
@@ -501,7 +506,8 @@ def hillshade_stats(tiles: DataFrame, azimuth: float = 315.0,
             "shade_sum": int(qs.sum()), "shade_count": int(ok.sum()),
         }])
 
-    return pieces.groupBy("source_id", "band", "col", "row").applyInPandas(
+    return compute_grouped(
+        pieces, "source_id", "band", "col", "row").applyInPandas(
         shade, "source_id string, band bigint, col bigint, row bigint, "
                "shade_sum bigint, shade_count bigint")
 
@@ -563,7 +569,8 @@ def convolve_stats(tiles: DataFrame,
             "conv_sum": int(q.sum()), "conv_count": int(any_valid.sum()),
         }])
 
-    return pieces.groupBy("source_id", "band", "col", "row").applyInPandas(
+    return compute_grouped(
+        pieces, "source_id", "band", "col", "row").applyInPandas(
         conv, "source_id string, band bigint, col bigint, row bigint, "
               "conv_sum bigint, conv_count bigint")
 
@@ -619,7 +626,8 @@ def euclidean_distance(tiles: DataFrame, mask_predicate,
             "col": int(col), "row": int(row),
             "dist_qsum": int(q.sum()), "n_within": int(hit.sum())}])
 
-    return pieces.groupBy("source_id", "band", "col", "row").applyInPandas(
+    return compute_grouped(
+        pieces, "source_id", "band", "col", "row").applyInPandas(
         scan, "source_id string, band int, col bigint, row bigint, "
               "dist_qsum bigint, n_within bigint")
 
@@ -675,7 +683,8 @@ def flow_direction(tiles: DataFrame, tile_size: int = 64) -> DataFrame:
             "dir_sum": int(code_sum.sum()),
             "n_pits": int(pits.sum()), "n_valid": int(valid.sum())}])
 
-    return pieces.groupBy("source_id", "band", "col", "row").applyInPandas(
+    return compute_grouped(
+        pieces, "source_id", "band", "col", "row").applyInPandas(
         d8, "source_id string, band int, col bigint, row bigint, "
             "dir_sum bigint, n_pits bigint, n_valid bigint")
 
@@ -799,7 +808,7 @@ def _flow_acc_scene(tiles: DataFrame, t: int) -> DataFrame:
                                           "row", "acc_sum", "acc_max",
                                           "n_valid"])
 
-    return tiles.groupBy("source_id", "band").applyInPandas(
+    return compute_grouped(tiles, "source_id", "band").applyInPandas(
         run, _ACC_SCHEMA)
 
 
@@ -839,8 +848,8 @@ def _flow_rounds_state(tiles: DataFrame, t: int,
             "acc": pack(np.ascontiguousarray(accf[1:1 + t, 1:1 + t])),
             "improved": 1}])
 
-    state = _halo_pieces(tiles, 1, t) \
-        .groupBy("source_id", "band", "col", "row") \
+    state = compute_grouped(_halo_pieces(tiles, 1, t),
+                            "source_id", "band", "col", "row") \
         .applyInPandas(init, _FLOW_STATE).localCheckpoint(eager=True)
 
     def cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -918,9 +927,9 @@ def _flow_rounds_state(tiles: DataFrame, t: int,
     # probe — materialization and the convergence answer share one job.
     for _ in range(max_iter):
         pieces = state.mapInPandas(cut, _FLOW_PIECE)
-        nxt = pieces.groupBy("source_id", "band", "col", "row") \
-                    .applyInPandas(relax, _FLOW_STATE) \
-                    .localCheckpoint(eager=False)
+        nxt = compute_grouped(pieces, "source_id", "band", "col", "row") \
+            .applyInPandas(relax, _FLOW_STATE) \
+            .localCheckpoint(eager=False)
         changed = int(nxt.agg(F.max("improved")).collect()[0][0] or 0)
         state = nxt
         if changed == 0:
@@ -1042,7 +1051,7 @@ def _watershed_scene(tiles: DataFrame, t: int) -> DataFrame:
                                           "row", "basin_qsum",
                                           "n_basins", "n_valid"])
 
-    return tiles.groupBy("source_id", "band").applyInPandas(
+    return compute_grouped(tiles, "source_id", "band").applyInPandas(
         run, _WSHED_SCHEMA)
 
 
@@ -1133,8 +1142,8 @@ def _watershed_dist(tiles: DataFrame, t: int, max_rounds: int) -> DataFrame:
                         "final": int(bool(interior.ravel()[d]))})
         return pd.DataFrame(out, columns=cols)
 
-    parts = _halo_pieces(tiles, 1, t) \
-        .groupBy("source_id", "band", "col", "row") \
+    parts = compute_grouped(_halo_pieces(tiles, 1, t),
+                            "source_id", "band", "col", "row") \
         .applyInPandas(resolve, _WSHED_PART).localCheckpoint(eager=True)
 
     border = parts.filter(F.col("kind") == 1) \
@@ -1339,7 +1348,7 @@ def _fill_scene(tiles: DataFrame, t: int, q_fill: float) -> DataFrame:
                                           "row", "n_valid", "n_filled",
                                           "q_fill_sum"])
 
-    return tiles.groupBy("source_id", "band").applyInPandas(
+    return compute_grouped(tiles, "source_id", "band").applyInPandas(
         run, _FILL_SCHEMA)
 
 
@@ -1373,8 +1382,8 @@ def _fill_rounds(tiles: DataFrame, t: int, q_fill: float,
             "w": pack(np.ascontiguousarray(wf[1:1 + t, 1:1 + t])),
             "improved": 1}])
 
-    state = _halo_pieces(tiles, 1, t) \
-        .groupBy("source_id", "band", "col", "row") \
+    state = compute_grouped(_halo_pieces(tiles, 1, t),
+                            "source_id", "band", "col", "row") \
         .applyInPandas(init, _FILL_STATE).localCheckpoint(eager=True)
 
     def cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1442,9 +1451,9 @@ def _fill_rounds(tiles: DataFrame, t: int, q_fill: float,
     # probe — materialization and the convergence answer share one job.
     for _ in range(max_iter):
         pieces = state.mapInPandas(cut, piece_schema)
-        nxt = pieces.groupBy("source_id", "band", "col", "row") \
-                    .applyInPandas(relax, _FILL_STATE) \
-                    .localCheckpoint(eager=False)
+        nxt = compute_grouped(pieces, "source_id", "band", "col", "row") \
+            .applyInPandas(relax, _FILL_STATE) \
+            .localCheckpoint(eager=False)
         changed = int(nxt.agg(F.max("improved")).collect()[0][0] or 0)
         state = nxt
         if changed == 0:
@@ -1574,7 +1583,7 @@ def _stream_scene(tiles: DataFrame, t: int, thr: int) -> DataFrame:
                                           "row", "n_stream", "n_heads",
                                           "link_qsum"])
 
-    return tiles.groupBy("source_id", "band").applyInPandas(
+    return compute_grouped(tiles, "source_id", "band").applyInPandas(
         run, _STREAM_SCHEMA)
 
 
@@ -1661,8 +1670,8 @@ def _stream_dist(tiles: DataFrame, t: int, thr: int,
             "n_heads": int(heads.sum()),
             "link_qsum": int(terms.sum())}])
 
-    return state.mapInPandas(cut_all, _FLOW_PIECE) \
-        .groupBy("source_id", "band", "col", "row") \
+    return compute_grouped(state.mapInPandas(cut_all, _FLOW_PIECE),
+                           "source_id", "band", "col", "row") \
         .applyInPandas(rollup, _STREAM_SCHEMA)
 
 
@@ -1753,7 +1762,7 @@ def _flow_length_scene(tiles: DataFrame, t: int) -> DataFrame:
                                           "row", "n_valid", "orth_sum",
                                           "diag_sum"])
 
-    return tiles.groupBy("source_id", "band").applyInPandas(
+    return compute_grouped(tiles, "source_id", "band").applyInPandas(
         run, _FLEN_SCHEMA)
 
 
@@ -1840,8 +1849,8 @@ def _flow_length_dist(tiles: DataFrame, t: int,
                         "final": int(bool(intmask[d]))})
         return pd.DataFrame(out, columns=cols)
 
-    parts = _halo_pieces(tiles, 1, t) \
-        .groupBy("source_id", "band", "col", "row") \
+    parts = compute_grouped(_halo_pieces(tiles, 1, t),
+                            "source_id", "band", "col", "row") \
         .applyInPandas(resolve, _FLEN_PART).localCheckpoint(eager=True)
 
     border = parts.filter(F.col("kind") == 1) \
@@ -2049,7 +2058,8 @@ def euclidean_allocation(tiles: DataFrame, mask_predicate,
             "d2_sum": int((kv // 16777216).sum()),
             "alloc_sum": int((kv % 16777216).sum())}])
 
-    return pieces.groupBy("source_id", "band", "col", "row").applyInPandas(
+    return compute_grouped(
+        pieces, "source_id", "band", "col", "row").applyInPandas(
         scan, "source_id string, band bigint, col bigint, row bigint, "
               "n_within bigint, d2_sum bigint, alloc_sum bigint")
 
@@ -2104,8 +2114,8 @@ def tpi_roughness(tiles: DataFrame, tile_size: int = 64,
             "rough_q4sum": int(np.floor(rough * 4.0 + 0.5)[ok]
                                .astype(np.int64).sum())}])
 
-    return _halo_pieces(tiles, 1, t) \
-        .groupBy("source_id", "band", "col", "row") \
+    return compute_grouped(_halo_pieces(tiles, 1, t),
+                           "source_id", "band", "col", "row") \
         .applyInPandas(run, "source_id string, band bigint, col bigint, "
                             "row bigint, n_valid9 bigint, "
                             "tpi_qsum bigint, rough_q4sum bigint")

@@ -125,7 +125,9 @@ def _vs_scene(tiles: DataFrame, observer_fn, height: float,
         return pd.DataFrame(out, columns=["source_id", "band", "col",
                                           "row", "n_visible", "n_valid"])
 
-    return tiles.groupBy("source_id", "band").applyInPandas(
+    from geotrellis_contrib_spark.util import compute_grouped
+
+    return compute_grouped(tiles, "source_id", "band").applyInPandas(
         sweep, "source_id string, band int, col bigint, row bigint, "
                "n_visible bigint, n_valid bigint")
 
@@ -299,7 +301,12 @@ def _vs_dist(tiles: DataFrame, observer_fn, height: float,
             yield pd.DataFrame(out, columns=["source_id", "band", "col",
                                              "row", "kind", "px"])
 
-    partials = pairs.mapInPandas(partial, part_schema)
+    # The pair table is ~1k rows carrying one 32 KB blob each — byte-based
+    # AQE folds it into 1-2 partitions and the whole k-sweep runs on one
+    # core; spread it to the session parallelism first (r7).
+    from geotrellis_contrib_spark.util import compute_grouped, compute_spread
+
+    partials = compute_spread(pairs).mapInPandas(partial, part_schema)
 
     # --- 4. reduce per target tile -------------------------------------
     def znorm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -347,9 +354,10 @@ def _vs_dist(tiles: DataFrame, observer_fn, height: float,
             "source_id": source_id, "band": band, "col": col, "row": row,
             "n_visible": int(visible.sum()), "n_valid": int(valid.sum())}])
 
-    return allp.groupBy("source_id", "band", "col", "row").applyInPandas(
-        reduce_tile, "source_id string, band int, col bigint, row bigint, "
-                     "n_visible bigint, n_valid bigint")
+    return compute_grouped(allp, "source_id", "band", "col", "row") \
+        .applyInPandas(
+            reduce_tile, "source_id string, band int, col bigint, "
+                         "row bigint, n_visible bigint, n_valid bigint")
 
 
 def viewshed(tiles: DataFrame, observer_fn, height: float = 2.0,

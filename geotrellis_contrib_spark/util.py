@@ -25,3 +25,32 @@ def ensure_min_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def compute_grouped(df: DataFrame, *keys: str):
+    """``df.groupBy(*keys)`` with the feeding exchange PINNED to the
+    session's default parallelism.
+
+    Why: AQE coalesces post-shuffle partitions by BYTES
+    (advisoryPartitionSizeInBytes / minPartitionSize), which is right
+    for relational operators but wrong for grouped-map pandas stages
+    over pixel blobs — a 96-tile scene's state is a few MB, so AQE
+    folds it into ONE partition and the whole vectorized stencil /
+    relaxation sweep runs on one core (measured: the converged
+    flow-rounds state sat in 1 partition at local[32]). An explicit
+    numPartitions repartition on the grouping key is exempt from AQE
+    coalescing, satisfies the grouped-map clustering requirement (no
+    second exchange), and scales with the cluster (defaultParallelism)
+    instead of a constant."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism, *keys).groupBy(*keys)
+
+
+def compute_spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition of a SMALL compute-dense table to the
+    session's default parallelism before a heavy mapInPandas stage —
+    same AQE blind spot as :func:`compute_grouped`, for stages with no
+    grouping key (e.g. the viewshed pair table: ~1k rows carrying 32 KB
+    blobs each, coalesced to 1-2 partitions by byte-based AQE)."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
