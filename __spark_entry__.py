@@ -299,12 +299,19 @@ def q_line_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.lead("lat").over(w).alias("y1"))
              .filter(F.col("x1").isNotNull()))
     cells = px.rasterize_lines(segs, zoom=5, tile_size=64).distinct()
-    npx = (1 << 5) * 64
-    return (cells.groupBy(F.shiftright("cx", 6).alias("col"),
-                          F.shiftright("cy", 6).alias("row"))
-            .agg(F.count(F.lit(1)).alias("n_hits"),
-                 F.countDistinct(F.col("cx") * F.lit(npx) + F.col("cy"))
-                  .alias("n_cells")))
+    # r7: two-level rollup instead of count + countDistinct in one agg —
+    # the mixed distinct/plain aggregate plans an Expand (2x the burned-
+    # cell rows through the tile exchange); aggregating per CELL first
+    # shrinks the second exchange to one row per distinct cell and needs
+    # no Expand. n_hits = sum of per-cell distinct-line counts, n_cells
+    # = the per-cell row count — same values, same types.
+    per_cell = cells.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).alias("nl"))
+    return (per_cell.groupBy(F.shiftright("cx", 6).alias("col"),
+                             F.shiftright("cy", 6).alias("row"))
+            .agg(F.coalesce(F.sum("nl"), F.lit(0)).cast("long")
+                 .alias("n_hits"),
+                 F.count(F.lit(1)).alias("n_cells")))
 
 
 def q_kernel_density(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2235,11 +2242,14 @@ def q_cell_names(spark: SparkSession, sf_dir: str) -> DataFrame:
          .filter((F.col("doc_id") % 5 == 1) & F.col("lon").isNotNull()))
     # two-step: integer codes once, THEN digits — the inline one-shot
     # builders re-inline the spread tree per character and Catalyst
-    # pays analysis+codegen per copy (measured 3.4s vs ~0.3s warm)
-    codes = a.select(
-        "doc_id",
-        C.geohash_code("lon", "lat", 6).alias("ghc"),
-        C.quadkey_code("lon", "lat", 10).alias("qkc"))
+    # pays analysis+codegen per copy (measured 3.4s vs ~0.3s warm).
+    # r7: the codes themselves are STAGED named-column spreads — the
+    # one-expression builders still double their text per Morton stage
+    # (~25 KB of SQL for the pair), and Catalyst analysis of that tree
+    # dominated the query (5-7 s driver-side); same integers.
+    codes = C.geohash_quadkey_codes(
+        a.select("doc_id", "lon", "lat"), "lon", "lat", 6, 10,
+        "ghc", "qkc").select("doc_id", "ghc", "qkc")
     out = codes.select(
         "doc_id",
         C.geohash_chars("ghc", 6).alias("gh6"),
@@ -3739,34 +3749,43 @@ def q_resample_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from geotrellis_contrib_spark import corpus as corpus_mod
-    from geotrellis_contrib_spark.operators import pixels as px
+    from geotrellis_contrib_spark.operators.pixels import (
+        RESAMPLE_AGG_KERNELS, RESAMPLE_KERNELS, unpack)
 
     tiles = corpus_mod.synth_px_tiles(spark, tile_size=64)
-    parts = [px.resample(tiles, 32, tile_size=64, method=m)
-             .withColumn("method", F.lit(m))
-             for m in ("average", "max", "sum", "cubic")]
-    allr = parts[0]
-    for p in parts[1:]:
-        allr = allr.unionByName(p)
 
-    def cks(batches):
+    # r7: ONE fused Arrow stage — the previous shape ran four resample
+    # mapInPandas branches over four fixture scans, unioned them, and
+    # checksummed in a fifth Python stage; every tile now decodes once
+    # and emits its four (method, qsum) rows directly. The per-method
+    # kernels (and the x4096 quantized checksum) are the same functions,
+    # so the values are bit-identical.
+    def fused(batches):
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
-                a = np.frombuffer(r.px, np.float64).reshape(32, 32)
-                v = a[~np.isnan(a)]
-                out.append({"source_id": r.source_id, "band": int(r.band),
-                            "col": int(r.col), "row": int(r.row),
-                            "method": r.method,
-                            "qsum": int(np.floor(v * 4096.0 + 0.5).sum()),
-                            "n_valid": int(v.size)})
+                a = unpack(r.px, r.dtype, 64)
+                for m in ("average", "max", "sum", "cubic"):
+                    if m == "cubic":
+                        res = RESAMPLE_KERNELS[m](a, 32, 32)
+                    else:
+                        res = RESAMPLE_AGG_KERNELS[m](a, 32, 32, r.nodata)
+                    res = np.asarray(res, dtype=np.float64)
+                    v = res[~np.isnan(res)]
+                    out.append({"source_id": r.source_id,
+                                "band": int(r.band),
+                                "col": int(r.col), "row": int(r.row),
+                                "method": m,
+                                "qsum": int(np.floor(v * 4096.0
+                                                     + 0.5).sum()),
+                                "n_valid": int(v.size)})
             yield pd.DataFrame(out, columns=["source_id", "band", "col",
                                              "row", "method", "qsum",
                                              "n_valid"])
 
-    return allr.mapInPandas(
-        cks, "source_id string, band bigint, col bigint, row bigint, "
-             "method string, qsum bigint, n_valid bigint")
+    return tiles.mapInPandas(
+        fused, "source_id string, band bigint, col bigint, row bigint, "
+               "method string, qsum bigint, n_valid bigint")
 
 
 def q_geotiff_read_pred3(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -477,6 +477,58 @@ _SHIFT_DUCKDB = (lambda e, n: f"({e} << {n})",
                  lambda e, n: f"({e} >> {n})")
 
 
+def spread_bits_staged(df, src: str, out: str):
+    """Morton bit-spread of a named non-negative integer column as FIVE
+    chained named-column stages. The inline `_sql_spread` text DOUBLES
+    per stage (each stage references the previous expression twice), so
+    a one-expression geohash+quadkey projection carries ~25 KB of SQL —
+    and Catalyst pays analysis + codegen proportional to TREE size
+    (measured: multi-second swings on cell_names). Staging through
+    named columns keeps the tree linear; the integers are bit-for-bit
+    the `_sql_spread` values (same stages, same masks)."""
+    df = df.withColumn(
+        out, F.col(src).cast("bigint").bitwiseAND(F.lit(2147483647)))
+    for sh, m in _MORTON_STAGES:
+        c = F.col(out)
+        df = df.withColumn(
+            out, c.bitwiseOR(F.shiftleft(c, sh)).bitwiseAND(F.lit(m)))
+    return df
+
+
+def geohash_quadkey_codes(df, lon: str, lat: str, precision: int,
+                          zoom: int, gh_out: str, qk_out: str):
+    """Geohash + quadkey INTEGER codes as staged named-column spreads
+    (see :func:`spread_bits_staged`) — value-identical to
+    geohash_code/quadkey_code, linear Catalyst tree. NULL coordinates
+    yield NULL codes (explicit guard: GREATEST/LEAST skip NULLs)."""
+    if not 1 <= precision <= 12:
+        raise ValueError(f"geohash precision must be 1..12: {precision}")
+    if not 1 <= zoom <= 23:
+        raise ValueError(f"quadkey zoom must be 1..23: {zoom}")
+    bits = 5 * precision
+    lonb = (bits + 1) // 2
+    latb = bits // 2
+    gx = (f"CAST(LEAST(GREATEST(FLOOR(({lon} + 180.0) / 360.0 "
+          f"* {float(1 << lonb)!r}), 0), {float((1 << lonb) - 1)!r}) "
+          "AS BIGINT)")
+    gy = (f"CAST(LEAST(GREATEST(FLOOR(({lat} + 90.0) / 180.0 "
+          f"* {float(1 << latb)!r}), 0), {float((1 << latb) - 1)!r}) "
+          "AS BIGINT)")
+    pre = df.withColumn("_ghx", F.expr(gx)).withColumn("_ghy", F.expr(gy)) \
+            .withColumn("_qtx", F.expr(sql_tile_col(lon, zoom))) \
+            .withColumn("_qty", F.expr(sql_tile_row(lat, zoom)))
+    for c in ("_ghx", "_ghy", "_qtx", "_qty"):
+        pre = spread_bits_staged(pre, c, c)
+    null_in = F.col(lon).isNull() | F.col(lat).isNull()
+    gh_code = (F.col("_ghy").bitwiseOR(F.shiftleft(F.col("_ghx"), 1))
+               if bits % 2 == 0 else
+               F.col("_ghx").bitwiseOR(F.shiftleft(F.col("_ghy"), 1)))
+    qk_code = F.col("_qtx").bitwiseOR(F.shiftleft(F.col("_qty"), 1))
+    return (pre.withColumn(gh_out, F.when(null_in, None).otherwise(gh_code))
+            .withColumn(qk_out, F.when(null_in, None).otherwise(qk_code))
+            .drop("_ghx", "_ghy", "_qtx", "_qty"))
+
+
 def geohash_code(lon_name: str, lat_name: str, precision: int) -> Column:
     return F.expr(sql_geohash_code(lon_name, lat_name, precision,
                                    _SHIFT_SPARK[0]))

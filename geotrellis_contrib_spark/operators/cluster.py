@@ -209,9 +209,15 @@ def pagerank(edges: DataFrame, iters: int = 3, d: float = 0.875,
         raise ValueError(f"pagerank: damping {d} outside (0, 1)")
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
-             .distinct())
+             .distinct()
+             # materialized once (r7): nodes is scanned per iteration
+             # (the left join) AND for N — without the checkpoint the
+             # edge scan + distinct re-run inside every iteration of
+             # the lazily-chained plan
+             .localCheckpoint(eager=True))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    e = edges.join(deg, "src")
+    # the weighted edge table is reused by every iteration — pin it too
+    e = edges.join(deg, "src").localCheckpoint(eager=True)
     n_nodes = nodes.count()  # one tiny job; N is a scalar of the state
     import math
     base_q = math.floor((1.0 - d) * q / n_nodes + 0.5)
@@ -324,16 +330,23 @@ def strahler_order(edges: DataFrame, child: str = "child",
     ptr = base.select(
         "id", F.when(F.col("nc") == 1, F.col("only"))
               .otherwise(F.col("id")).alias("ptr"))
-    # ONE driver job per doubling round (r7): the moved flag rides the
+    # ONE driver job per materialization (r7): the moved flag rides the
     # next pointer table ( _mv = old ptr != new ptr), so the lazy
-    # checkpoint's materializing job also answers convergence.
+    # checkpoint's materializing job also answers convergence; TWO
+    # doubling steps run lazily per materialization (pointer doubling
+    # is idempotent past its fixpoint, so batching cannot change the
+    # converged table — it only quarters the driver sync count).
     for _ in range(max_rounds):
-        lk = ptr.select(F.col("id").alias("_i"), F.col("ptr").alias("_p"))
-        nxt = (ptr.join(lk, ptr.ptr == lk._i)
-               .select(ptr["id"],
-                       lk["_p"].alias("ptr"),
-                       (lk["_p"] != ptr["ptr"]).cast("int").alias("_mv"))
-               .localCheckpoint(eager=False))
+        cur = ptr.withColumn("_mv", F.lit(0))
+        for _ in range(2):
+            lk = cur.select(F.col("id").alias("_i"),
+                            F.col("ptr").alias("_p"))
+            cur = (cur.join(lk, cur.ptr == lk._i)
+                   .select(cur["id"], lk["_p"].alias("ptr"),
+                           F.greatest(cur["_mv"],
+                                      (lk["_p"] != cur["ptr"])
+                                      .cast("int")).alias("_mv")))
+        nxt = cur.localCheckpoint(eager=False)
         moved = int(nxt.agg(F.max("_mv")).collect()[0][0] or 0)
         ptr = nxt.drop("_mv")
         if moved == 0:
