@@ -1178,8 +1178,22 @@ def geotiff_tile_catalog(spark, specs: list[dict], level: int = 0):
                              info["dtype"], float(nodata), int(planar),
                              int(nb), int(ifd["predictor"]),
                              ifd.get("jpeg_tables")))
-    n_part = max(1, min(8, len(rows) // 32))
-    return spark.createDataFrame(rows, CATALOG_SCHEMA).coalesce(n_part)
+    # Partition the catalog for the DECODE stage, not the byte count:
+    # the per-segment LZW/PackBits/JPEG decoders are pure-Python CPU
+    # work, so cap parallelism at the session default rather than a
+    # constant 8 (r7; was 3-6 partitions for the gate fixtures — the
+    # decode ran on a fraction of the cores). >= 8 segments per task
+    # keeps the per-path ranged-read coalescing effective.
+    par = spark.sparkContext.defaultParallelism
+    n_part = max(1, min(par, len(rows) // 8))
+    # parallelize with the TARGET slice count instead of
+    # createDataFrame(...).coalesce(n): the default path pickles the
+    # rows into defaultParallelism slices and coalesce then funnels
+    # every parent slice's Python-worker round-trip through the few
+    # surviving tasks — measured 3.8 s for an 8-row catalog at
+    # local[32] vs ~0.1 s this way.
+    rdd = spark.sparkContext.parallelize(rows, n_part)
+    return spark.createDataFrame(rdd, CATALOG_SCHEMA)
 
 
 def read_catalog_tiles(catalog):
