@@ -298,17 +298,28 @@ def q_line_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.lead("lon").over(w).alias("x1"),
                      F.lead("lat").over(w).alias("y1"))
              .filter(F.col("x1").isNotNull()))
-    cells = px.rasterize_lines(segs, zoom=5, tile_size=64).distinct()
-    # r7: two-level rollup instead of count + countDistinct in one agg —
-    # the mixed distinct/plain aggregate plans an Expand (2x the burned-
-    # cell rows through the tile exchange); aggregating per CELL first
-    # shrinks the second exchange to one row per distinct cell and needs
-    # no Expand. n_hits = sum of per-cell distinct-line counts, n_cells
-    # = the per-cell row count — same values, same types.
-    per_cell = cells.groupBy("cx", "cy").agg(
-        F.count(F.lit(1)).alias("nl"))
-    return (per_cell.groupBy(F.shiftright("cx", 6).alias("col"),
-                             F.shiftright("cy", 6).alias("row"))
+    cells = px.rasterize_lines(segs, zoom=5, tile_size=64)
+    # r7 aggregation shape (guide §2.3): ~4.5M burned (line, cell) rows
+    # must cross ONE dedup exchange — pack (line_id, cx, cy) into a
+    # single long (6+11+11 bits at zoom 5/t=64, bijective under the
+    # rasterizer's in-grid filter) so the exchange carries 8 B keys
+    # instead of three longs; pin the dedup parallelism (the 100 MB
+    # shuffle AQE-coalesces to ~2 partitions and the hash dedup runs on
+    # 2 cores); then a per-cell rollup before the tile rollup (the old
+    # count + countDistinct single agg planned an Expand = 2x rows).
+    # n_hits = sum of per-cell distinct-line counts, n_cells = per-cell
+    # row count — same values, same output types.
+    packed = cells.select((F.col("line_id") * F.lit(1 << 22)
+                           + F.col("cx") * F.lit(1 << 11)
+                           + F.col("cy")).alias("p"))
+    par = spark.sparkContext.defaultParallelism
+    dedup = packed.repartition(par, "p").distinct()
+    per_cell = dedup.groupBy((F.col("p") % F.lit(1 << 22)).alias("cell")) \
+        .agg(F.count(F.lit(1)).alias("nl"))
+    return (per_cell.groupBy(
+                F.shiftright("cell", 17).alias("col"),
+                F.shiftright(F.col("cell").bitwiseAND(F.lit(2047)), 6)
+                 .alias("row"))
             .agg(F.coalesce(F.sum("nl"), F.lit(0)).cast("long")
                  .alias("n_hits"),
                  F.count(F.lit(1)).alias("n_cells")))
