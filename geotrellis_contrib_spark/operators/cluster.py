@@ -253,7 +253,9 @@ def _strahler_py(rows) -> dict[int, int]:
     from collections import defaultdict
     children = defaultdict(list)
     nodes = set()
-    for c, p in rows:
+    # duplicate links would double-count a child at its junction and
+    # wrongly fire the +1 tie rule (r6 ADVICE) — dedup first
+    for c, p in dict.fromkeys(tuple(r) for r in rows):
         children[p].append(c)
         nodes.add(c)
         nodes.add(p)
@@ -320,6 +322,10 @@ def strahler_order(edges: DataFrame, child: str = "child",
             return spark.createDataFrame(
                 sorted(order.items()), "node long, strahler long")
 
+    # duplicate (child, parent) rows would make a unary node look like a
+    # junction with two equal-order children and wrongly fire the +1 tie
+    # rule — dedup the edge projection (r6 ADVICE)
+    e = e.distinct()
     nodes = (e.select(F.col("c").alias("id"))
              .unionByName(e.select(F.col("p").alias("id"))).distinct())
     nch = e.groupBy("p").agg(F.count(F.lit(1)).alias("nc"),
@@ -355,6 +361,19 @@ def strahler_order(edges: DataFrame, child: str = "child",
         raise RuntimeError(
             f"strahler contraction did not settle in {max_rounds} "
             "rounds (cycle in the flow table?)")
+
+    # pure-unary cycles (a->b->a with nc==1 everywhere) contract to
+    # self-pointers whose representative is itself an nc==1 node — they
+    # would silently drop out of the terminal join below; raise the same
+    # cycle error the driver path raises (r6 ADVICE, medium)
+    bad = (ptr.join(base.select(F.col("id").alias("_r"),
+                                F.col("nc").alias("_rnc")),
+                    ptr.ptr == F.col("_r"))
+           .filter(F.col("_rnc") == 1).limit(1).count())
+    if bad:
+        raise RuntimeError(
+            "strahler contraction resolved a node to an nc==1 "
+            "representative (cycle in the flow table)")
 
     term = base.filter(F.col("nc") != 1).select("id", "nc")
     jed = (e.join(term.select(F.col("id").alias("_t")),
@@ -478,9 +497,20 @@ def mst_boruvka(edges: DataFrame, src: str = "src", dst: str = "dst",
     connected_components to merge (driver union-find at gate scale,
     the distributed loop above the cap) — everything keyed on single
     longs."""
+    # validate integral weights in-plan instead of silently truncating
+    # fractional ones with cast('long') (r6 ADVICE): a non-integral
+    # weight fails loud inside the same job
+    w_long = F.col(weight).cast("long")
+    w_checked = F.when(
+        F.col(weight).cast("double") != w_long.cast("double"),
+        F.raise_error(F.concat(
+            F.lit("mst_boruvka: non-integral edge weight "),
+            F.col(weight).cast("string"),
+            F.lit(" — quantize weights explicitly before the MST")))
+        .cast("long")).otherwise(w_long)
     e = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
                       F.greatest(F.col(src), F.col(dst)).alias("b"),
-                      F.col(weight).cast("long").alias("w"))
+                      w_checked.alias("w"))
          .filter(F.col("a") != F.col("b"))
          .groupBy("a", "b").agg(F.min("w").alias("w"))
          .localCheckpoint(eager=True))

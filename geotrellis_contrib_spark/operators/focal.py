@@ -2040,6 +2040,15 @@ def euclidean_allocation(tiles: DataFrame, mask_predicate,
         gc = np.zeros((p, 1), dtype=np.int64) \
             + (int(col) * t - r + np.arange(p).reshape(1, -1))
         mask = mask_predicate(frame, gr, gc) & ~np.isnan(frame)
+        # the packed key d2*2^24 + (gr*4096 + gc) is only injective
+        # while global pixel coords stay below 4096 — fail loud on
+        # oversize mosaics instead of silently corrupting the MIN
+        # ordering and the decode (r6 ADVICE)
+        if int(gr.max()) >= 4096 or int(gc.max()) >= 4096:
+            raise ValueError(
+                "euclidean_allocation: global pixel coords exceed the "
+                "4096 packing limit — re-derive the pack shift from the "
+                "mosaic extent")
         gidf = gr * 4096 + gc
         key = np.full((t, t), big, dtype=np.int64)
         for dr, dc, d2 in offs:

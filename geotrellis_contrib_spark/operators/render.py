@@ -543,10 +543,13 @@ def histogram_match(tiles: DataFrame, src_id: str, ref_id: str,
              .select("band", F.col("val").alias("u"), "cum",
                      F.col("n").alias("nb"))
     nbt = ref.groupBy("band").agg(F.max("nb").alias("nb"))
+    # integer floor division (r6 ADVICE): floor(x / y) in float64 can
+    # shift the ceil-rank by 1 once rank_a*nb exceeds 2^53; `div` keeps
+    # the type-1 quantile rescale exact at any scale (identical values
+    # in the <2^53 range the gates exercise)
     src2 = src.join(F.broadcast(nbt), "band").withColumn(
         "rank_b",
-        F.floor((F.col("rank_a") * F.col("nb") + F.col("na")
-                 - F.lit(1)) / F.col("na")).cast("long"))
+        F.expr("CAST((rank_a * nb + na - 1) DIV na AS BIGINT)"))
     b_rows = ref.select("band", F.col("cum").alias("key"),
                         F.lit(0).alias("side"), "u",
                         F.lit(None).cast("double").alias("aval"),
