@@ -333,6 +333,18 @@ def strahler_order(edges: DataFrame, child: str = "child",
     base = (nodes.join(nch, nodes.id == nch.p, "left")
             .select("id", F.coalesce("nc", F.lit(0)).alias("nc"), "only")
             .localCheckpoint(eager=True))
+    # size-adaptive join strategy (r7, guide §2/§3): localCheckpoint
+    # erases Catalyst size stats, so every per-round self-join of the
+    # (tiny at test scale, huge at crawl scale) pointer tables planned
+    # as a full shuffle join — ~12 one-row shuffle stages per sync
+    # dominated the forced-distributed gate. One RDD count over the
+    # already-materialized base decides: below the cap (2M nodes x
+    # 16 B = 32 MB, inside the session's 64 MB autoBroadcast budget)
+    # the per-round lookup sides are broadcast (zero exchanges per
+    # round); above it the plan keeps the shuffle joins unchanged.
+    # Pointer values are identical either way.
+    n_nodes = base.count()
+    bc = F.broadcast if n_nodes <= 2_000_000 else (lambda df: df)
     ptr = base.select(
         "id", F.when(F.col("nc") == 1, F.col("only"))
               .otherwise(F.col("id")).alias("ptr"))
@@ -347,7 +359,7 @@ def strahler_order(edges: DataFrame, child: str = "child",
         for _ in range(2):
             lk = cur.select(F.col("id").alias("_i"),
                             F.col("ptr").alias("_p"))
-            cur = (cur.join(lk, cur.ptr == lk._i)
+            cur = (cur.join(bc(lk), cur.ptr == lk._i)
                    .select(cur["id"], lk["_p"].alias("ptr"),
                            F.greatest(cur["_mv"],
                                       (lk["_p"] != cur["ptr"])
@@ -362,70 +374,80 @@ def strahler_order(edges: DataFrame, child: str = "child",
             f"strahler contraction did not settle in {max_rounds} "
             "rounds (cycle in the flow table?)")
 
-    # pure-unary cycles (a->b->a with nc==1 everywhere) contract to
-    # self-pointers whose representative is itself an nc==1 node — they
-    # would silently drop out of the terminal join below; raise the same
-    # cycle error the driver path raises (r6 ADVICE, medium)
-    bad = (ptr.join(base.select(F.col("id").alias("_r"),
-                                F.col("nc").alias("_rnc")),
-                    ptr.ptr == F.col("_r"))
-           .filter(F.col("_rnc") == 1).limit(1).count())
-    if bad:
-        raise RuntimeError(
-            "strahler contraction resolved a node to an nc==1 "
-            "representative (cycle in the flow table)")
-
     term = base.filter(F.col("nc") != 1).select("id", "nc")
-    jed = (e.join(term.select(F.col("id").alias("_t")),
+    jed = (e.join(bc(term.select(F.col("id").alias("_t"))),
                   e.p == F.col("_t"))
-           .join(ptr.select(F.col("id").alias("_c"),
-                            F.col("ptr").alias("jc")),
+           .join(bc(ptr.select(F.col("id").alias("_c"),
+                               F.col("ptr").alias("jc"))),
                  e.c == F.col("_c"))
            .select(F.col("p").alias("j"), "jc")
            .localCheckpoint(eager=True))
+    # leaves keep order 1 forever — a STATIC union branch, so each round
+    # needs NO term join at all (r7): every junction j has >= 2 children
+    # rows in jed, so the aggregate g covers the full junction set every
+    # round, and `g union leaves` is row-identical to the old
+    # `term left-join g` (junctions take no, leaves take 1).
+    leaves1 = term.filter(F.col("nc") == 0) \
+                  .select("id", F.lit(1).cast("long").alias("o"))
+
     def jacobi_round(cur):
-        g = (jed.join(cur.select(F.col("id").alias("_jc"), "o"),
+        g = (jed.join(bc(cur.select(F.col("id").alias("_jc"), "o")),
                       jed.jc == F.col("_jc"))
+             # ONE exchange per round (r7): hash by j up front — the
+             # (j, o) count AND the per-j argmax then both satisfy
+             # their clustering from the same partitioning (two
+             # exchange-free aggregates instead of two shuffles)
+             .repartition("j")
              .groupBy("j", "o").agg(F.count(F.lit(1)).alias("cnt"))
              .groupBy("j")
              .agg(F.max(F.struct(F.col("o"), F.col("cnt"))).alias("mx"))
-             .select(F.col("j"),
+             .select(F.col("j").alias("id"),
                      F.when(F.col("mx.cnt") >= 2, F.col("mx.o") + 1)
-                     .otherwise(F.col("mx.o")).alias("no")))
-        return (term.join(g, term.id == g.j, "left")
-                .select("id", F.when(F.col("nc") == 0, F.lit(1))
-                        .otherwise(F.coalesce(F.col("no"), F.lit(1)))
-                        .cast("long").alias("o")))
+                     .otherwise(F.col("mx.o")).cast("long").alias("o")))
+        return g.unionByName(leaves1)
 
     # orders only grow toward the least fixpoint, so running several
     # logical rounds between materializations cannot change the answer
     # — it only converges faster per sync (the connected_components
     # rounds_per_sync discipline: the driver-side checkpoint+count
-    # fixed cost dominates the per-round work at test scale)
-    rounds_per_sync = 3
+    # fixed cost dominated the per-round work at test scale)
+    rounds_per_sync = 4
     cur = term.select("id", F.lit(1).cast("long").alias("o"))
-    # ONE driver job per batch (r7): the compare-join + aggregate runs
-    # on top of the LAZY localCheckpoint — computing every partition of
-    # nxt (and checkpointing it) in the same job that answers "moved".
+    # ONE driver job per batch, NO compare join (r7): orders grow
+    # MONOTONICALLY toward the least fixpoint, so sum(o) is strictly
+    # increasing until convergence — the sum aggregate rides the same
+    # job that materializes the lazy localCheckpoint, and an unchanged
+    # sum IS convergence. (sum(long) wraps only past ~2^57 nodes — far
+    # beyond any deployable graph; max_rounds still bounds the loop.)
+    prev_sum = None
     for _ in range(max_rounds):
         nxt = cur
         for _ in range(rounds_per_sync):
             nxt = jacobi_round(nxt)
         nxt = nxt.localCheckpoint(eager=False)
-        moved = int(nxt.alias("a").join(cur.alias("b"), "id")
-                    .agg(F.max((F.col("a.o") != F.col("b.o"))
-                               .cast("int"))).collect()[0][0] or 0)
+        s = nxt.agg(F.sum("o")).collect()[0][0]
         cur = nxt
-        if moved == 0:
+        if s == prev_sum:
             break
+        prev_sum = s
     else:
         raise RuntimeError(
             f"strahler Jacobi did not settle in {max_rounds} rounds "
             "(cycle in the flow table?)")
-    return (ptr.join(cur.select(F.col("id").alias("_t2"), "o"),
-                     ptr.ptr == F.col("_t2"))
+    # pure-unary cycles (a->b->a with nc==1 everywhere) contract to
+    # self-pointers whose representative is itself an nc==1 node — such
+    # rows have NO terminal match here. r6 ADVICE raised via a separate
+    # probe job; r7 folds the guard INTO the result plan (left join +
+    # in-plan raise_error on a null representative): same fail-loud
+    # semantics, identical rows for every acyclic input, one less action.
+    return (ptr.join(bc(cur.select(F.col("id").alias("_t2"), "o")),
+                     ptr.ptr == F.col("_t2"), "left")
             .select(F.col("id").alias("node"),
-                    F.col("o").alias("strahler")))
+                    F.when(F.col("_t2").isNull(), F.raise_error(F.lit(
+                        "strahler contraction resolved a node to an "
+                        "nc==1 representative (cycle in the flow "
+                        "table)")).cast("long"))
+                    .otherwise(F.col("o")).alias("strahler")))
 
 
 def triangle_count(edges: DataFrame, src: str = "src",

@@ -86,3 +86,13 @@ def test_cycle_fails_loud_driver_path(spark):
                                "child long, parent long")
     with pytest.raises(ValueError, match="cycle"):
         strahler_order(df)
+
+
+def test_unary_cycle_fails_loud_distributed_path(spark):
+    # a->b->a with nc==1 everywhere: contraction settles on self-pointers
+    # whose representative is an nc==1 node — the r7 in-plan guard must
+    # raise (r6 ADVICE medium: these rows used to drop silently)
+    import pytest
+    df = spark.createDataFrame([(1, 2), (2, 1)], "child long, parent long")
+    with pytest.raises(Exception, match="cycle in the flow"):
+        strahler_order(df, small_graph_edges=0).collect()
