@@ -219,19 +219,25 @@ def pagerank(edges: DataFrame, iters: int = 3, d: float = 0.875,
     # the weighted edge table is reused by every iteration — pin it too
     e = edges.join(deg, "src").localCheckpoint(eager=True)
     n_nodes = nodes.count()  # one tiny job; N is a scalar of the state
+    # size-adaptive join strategy (r7, see strahler_order): pr and the
+    # per-iteration inflow aggregate are one row per node — below the
+    # cap they broadcast (the edge table is never shuffled per
+    # iteration); above it the co-shuffled plan is unchanged. n_nodes
+    # is already a required scalar, so the decision is free.
+    bc = F.broadcast if n_nodes <= 2_000_000 else (lambda df: df)
     import math
     base_q = math.floor((1.0 - d) * q / n_nodes + 0.5)
     pr = nodes.select("node",
                       F.lit(math.floor(q / n_nodes + 0.5))
                       .cast("long").alias("pr_q"))
     for _ in range(int(iters)):
-        contrib = (e.join(pr, e["src"] == pr["node"])
+        contrib = (e.join(bc(pr), e["src"] == pr["node"])
                    .select(F.col("dst").alias("node"),
                            F.floor(F.lit(d) * F.col("pr_q")
                                    / F.col("deg") + F.lit(0.5))
                            .cast("long").alias("c_q"))
                    .groupBy("node").agg(F.sum("c_q").alias("in_q")))
-        pr = (nodes.join(contrib, "node", "left")
+        pr = (nodes.join(bc(contrib), "node", "left")
               .select("node",
                       (F.lit(base_q)
                        + F.coalesce(F.col("in_q"), F.lit(0)))
@@ -540,17 +546,23 @@ def mst_boruvka(edges: DataFrame, src: str = "src", dst: str = "dst",
     if ndup:
         raise ValueError("mst_boruvka: duplicate edge weights — the "
                          "unique-MST condition does not hold")
+    # size-adaptive join strategy (r7, see strahler_order): the per-node
+    # component table is broadcast below the cap so the two comp-lookup
+    # joins stop shuffling the edge table every round; nodes is
+    # materialized ONCE so each round's comp rebuild is a cheap
+    # broadcast join over it instead of a re-run union+distinct.
+    n_edges = e.count()
+    bc = F.broadcast if n_edges <= 2_000_000 else (lambda df: df)
     nodes = (e.select(F.col("a").alias("id"))
-             .unionByName(e.select(F.col("b").alias("id"))).distinct())
+             .unionByName(e.select(F.col("b").alias("id"))).distinct()
+             .localCheckpoint(eager=True))
     comp = nodes.select("id", F.col("id").alias("c"))
     chosen = None
     for _ in range(max_rounds):
         ca = comp.select(F.col("id").alias("a"), F.col("c").alias("ca"))
         cb = comp.select(F.col("id").alias("b"), F.col("c").alias("cb"))
-        cross = (e.join(ca, "a").join(cb, "b")
+        cross = (e.join(bc(ca), "a").join(bc(cb), "b")
                  .filter(F.col("ca") != F.col("cb")))
-        if cross.limit(1).count() == 0:
-            break
         cand = (cross.select(F.col("ca").alias("comp"),
                              F.struct("w", "a", "b").alias("t"))
                 .unionByName(
@@ -560,16 +572,23 @@ def mst_boruvka(edges: DataFrame, src: str = "src", dst: str = "dst",
                   .select(F.col("t.a").alias("a"),
                           F.col("t.b").alias("b"),
                           F.col("t.w").alias("w"))
-                  .distinct())
-        chosen = picked if chosen is None \
-            else chosen.unionByName(picked).distinct()
-        chosen = chosen.localCheckpoint(eager=True)
+                  .distinct()
+                  .localCheckpoint(eager=True))
+        # the materializing checkpoint doubles as the emptiness probe
+        # (r7): the old separate cross.limit(1).count() re-ran the
+        # whole cross join a second time every round
+        if not picked.take(1):
+            break
+        # Boruvka invariant: once an edge is chosen its endpoints share
+        # a component next round, so it can never be re-picked — the
+        # across-round union needs NO distinct (r7; the within-round
+        # two-sided pick is deduped above)
+        chosen = picked if chosen is None else chosen.unionByName(picked)
         cc = connected_components(chosen.select("a", "b"),
                                   src="a", dst="b")
-        comp = (nodes.join(cc, nodes.id == cc.id, "left")
+        comp = (nodes.join(bc(cc), nodes.id == cc.id, "left")
                 .select(nodes.id,
-                        F.coalesce(cc.component, nodes.id).alias("c"))
-                .localCheckpoint(eager=True))
+                        F.coalesce(cc.component, nodes.id).alias("c")))
     else:
         raise RuntimeError(
             f"mst_boruvka did not converge in {max_rounds} rounds")
@@ -603,12 +622,19 @@ def kcore(edges: DataFrame, src: str = "src", dst: str = "dst",
     sym = (e0.unionByName(e0.select(F.col("b").alias("a"),
                                     F.col("a").alias("b")))
            .distinct().localCheckpoint(eager=True))
+    # size-adaptive join strategy (r7, see strahler_order): the value
+    # table is <= one row per node — below the cap each round's
+    # neighbor-value join broadcasts it (no shuffle of sym per round);
+    # above it the co-shuffled plan is unchanged. One RDD count over
+    # the materialized edge table decides.
+    n_sym = sym.count()
+    bc = F.broadcast if n_sym <= 4_000_000 else (lambda df: df)
     cur = sym.groupBy("a").agg(F.count(F.lit(1)).alias("o")) \
              .select(F.col("a").alias("id"), "o")
 
     def one_round(cur):
-        nb = sym.join(cur.select(F.col("id").alias("_b"),
-                                 F.col("o").alias("nv")),
+        nb = sym.join(bc(cur.select(F.col("id").alias("_b"),
+                                    F.col("o").alias("nv"))),
                       sym.b == F.col("_b")) \
                 .select(F.col("a").alias("v"), "nv")
         w = W.partitionBy("v").orderBy(F.col("nv").desc())
@@ -618,20 +644,22 @@ def kcore(edges: DataFrame, src: str = "src", dst: str = "dst",
                 .select(F.col("v").alias("id"), "o"))
 
     cur = cur.localCheckpoint(eager=True)
-    # ONE driver job per batch (r7): compare-join + aggregate over the
-    # LAZY localCheckpoint — materialization and the moved answer share
-    # one job (see strahler_order).
+    # ONE driver job per batch, NO compare join (r7): h-index values are
+    # monotone NON-INCREASING toward the coreness fixpoint, so sum(o)
+    # strictly decreases until convergence — the sum aggregate rides the
+    # materializing job and an unchanged sum IS convergence (the same
+    # monotone-sum probe as strahler_order's Jacobi loop).
+    prev_sum = None
     for _ in range(max_rounds):
         nxt = cur
         for _ in range(rounds_per_sync):
             nxt = one_round(nxt)
         nxt = nxt.localCheckpoint(eager=False)
-        moved = int(nxt.alias("x").join(cur.alias("y"), "id")
-                    .agg(F.max((F.col("x.o") != F.col("y.o"))
-                               .cast("int"))).collect()[0][0] or 0)
+        s = nxt.agg(F.sum("o")).collect()[0][0]
         cur = nxt
-        if moved == 0:
+        if s == prev_sum:
             break
+        prev_sum = s
     else:
         raise RuntimeError(
             f"kcore h-index iteration did not settle in {max_rounds} "
