@@ -299,29 +299,25 @@ def q_line_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.lead("lat").over(w).alias("y1"))
              .filter(F.col("x1").isNotNull()))
     cells = px.rasterize_lines(segs, zoom=5, tile_size=64)
-    # r7 aggregation shape (guide §2.3): ~4.5M burned (line, cell) rows
-    # must cross ONE dedup exchange — pack (line_id, cx, cy) into a
-    # single long (6+11+11 bits at zoom 5/t=64, bijective under the
-    # rasterizer's in-grid filter) so the exchange carries 8 B keys
-    # instead of three longs; pin the dedup parallelism (the 100 MB
-    # shuffle AQE-coalesces to ~2 partitions and the hash dedup runs on
-    # 2 cores); then a per-cell rollup before the tile rollup (the old
-    # count + countDistinct single agg planned an Expand = 2x rows).
-    # n_hits = sum of per-cell distinct-line counts, n_cells = per-cell
-    # row count — same values, same output types.
-    packed = cells.select((F.col("line_id") * F.lit(1 << 22)
-                           + F.col("cx") * F.lit(1 << 11)
-                           + F.col("cy")).alias("p"))
-    par = spark.sparkContext.defaultParallelism
-    dedup = packed.repartition(par, "p").distinct()
-    per_cell = dedup.groupBy((F.col("p") % F.lit(1 << 22)).alias("cell")) \
-        .agg(F.count(F.lit(1)).alias("nl"))
+    # r7 aggregation shape (guide §2.3 "aggregate before you shuffle"):
+    # line_id = doc_id % 64 lives in [0, 64) BY CONSTRUCTION, so the
+    # per-cell distinct-line set is exactly a 64-bit BITMASK — the ~4.5M
+    # burned (line, cell) rows collapse map-side via bit_or partial
+    # aggregation and ONE exchange carries one (cell, mask) row per
+    # distinct cell per map partition (the r6 shape shuffled all 4.5M
+    # packed longs through a dedup exchange first: 5.1s -> 3.0s warm).
+    # n_hits = sum of per-cell popcounts (== distinct-line counts),
+    # n_cells = per-cell row count — same values, same output types.
+    per_cell = (cells.groupBy((F.col("cx") * F.lit(1 << 11)
+                               + F.col("cy")).alias("cell"))
+                .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), "
+                            "CAST(line_id AS INT)))").alias("m")))
     return (per_cell.groupBy(
                 F.shiftright("cell", 17).alias("col"),
                 F.shiftright(F.col("cell").bitwiseAND(F.lit(2047)), 6)
                  .alias("row"))
-            .agg(F.coalesce(F.sum("nl"), F.lit(0)).cast("long")
-                 .alias("n_hits"),
+            .agg(F.coalesce(F.sum(F.bit_count("m")), F.lit(0))
+                 .cast("long").alias("n_hits"),
                  F.count(F.lit(1)).alias("n_cells")))
 
 

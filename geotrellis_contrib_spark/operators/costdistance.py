@@ -136,16 +136,26 @@ def _solve(tiles: DataFrame,
         for pdf in batches:
             out = []
             for row_t in pdf.itertuples(index=False):
-                fric = np.frombuffer(row_t.friction,
-                                     dtype=np.float64).reshape(t, t)
-                cost = np.frombuffer(row_t.cost,
-                                     dtype=np.float64).reshape(t, t)
                 out.append({"source_id": row_t.source_id,
                             "band": int(row_t.band),
                             "col": int(row_t.col), "row": int(row_t.row),
                             "dr": 0, "dc": 0, "h": t, "w": t,
                             "friction": row_t.friction,
                             "cost": row_t.cost})
+                # delta propagation (r7, guide §2.3): a tile that did
+                # NOT improve last round would re-offer the exact strips
+                # it already offered — min-relaxation is idempotent in
+                # its offers, so skipping them is EXACT (the receiving
+                # tile integrated the same values in an earlier round;
+                # a missing strip leaves inf ring cells, which offer
+                # nothing). Shuffle volume and relax work shrink to the
+                # active wavefront instead of the whole mosaic.
+                if not int(row_t.improved):
+                    continue
+                fric = np.frombuffer(row_t.friction,
+                                     dtype=np.float64).reshape(t, t)
+                cost = np.frombuffer(row_t.cost,
+                                     dtype=np.float64).reshape(t, t)
                 for dr, dc in _OFFS:
                     rows = slice(None) if dr == 0 else (
                         slice(-1, None) if dr == 1 else slice(0, 1))
@@ -168,6 +178,16 @@ def _solve(tiles: DataFrame,
 
     def relax_group(pdf: pd.DataFrame) -> pd.DataFrame:
         p = t + 2
+        # pass-through fast path (r7): no incoming strips means no new
+        # offers — the tile's min-cost state cannot change, so skip the
+        # frame assembly and the relaxation sweeps entirely (exact: see
+        # the delta-propagation note in `cut`)
+        if len(pdf) == 1 and int(pdf["dr"].iat[0]) == 0 \
+                and int(pdf["dc"].iat[0]) == 0:
+            out = pdf.iloc[[0]][["source_id", "band", "col", "row",
+                                 "friction", "cost"]].copy()
+            out["improved"] = 0
+            return out
         fric = np.full((p, p), np.nan)
         cost = np.full((p, p), np.inf)
         center = None
@@ -589,9 +609,16 @@ def _lcp_dist(tiles: DataFrame, seed_predicate, targets,
     border = parts.filter(F.col("kind") == 1) \
         .select("source_id", "band", "gid", "rep", "steps", "final")
     # ONE driver job per doubling round (r7): lazy checkpoint + pending
-    # aggregate share one job (see focal._watershed_dist).
+    # aggregate share one job (see focal._watershed_dist). The same
+    # probe also reads the border-table SIZE, which picks the per-round
+    # join strategy (size-adaptive, see cluster.strahler_order): the
+    # O(perimeter) lookup side broadcasts below the cap, keeping each
+    # doubling round a single exchange-free map stage.
     _pending = F.sum(F.lit(1) - F.col("final"))
-    pending = int(border.agg(_pending).collect()[0][0] or 0)
+    pending, n_border = [
+        int(v or 0) for v in border.agg(
+            _pending, F.count(F.lit(1))).collect()[0]]
+    bc = F.broadcast if n_border <= 2_000_000 else (lambda df: df)
     settled = pending == 0
     for _ in range(max_rounds):
         if settled:
@@ -599,10 +626,10 @@ def _lcp_dist(tiles: DataFrame, seed_predicate, targets,
         todo = border.filter(F.col("final") == 0)
         done = border.filter(F.col("final") == 1)
         step = todo.alias("a").join(
-            border.select(
+            bc(border.select(
                 "source_id", "band", F.col("gid").alias("g2"),
                 F.col("rep").alias("r2"), F.col("steps").alias("s2"),
-                F.col("final").alias("f2")).alias("b"),
+                F.col("final").alias("f2")).alias("b")),
             on=[F.col("a.source_id") == F.col("b.source_id"),
                 F.col("a.band") == F.col("b.band"),
                 F.col("a.rep") == F.col("b.g2")], how="left") \
@@ -629,8 +656,8 @@ def _lcp_dist(tiles: DataFrame, seed_predicate, targets,
     tdone = tg.filter(F.col("final") == 1) \
         .select("source_id", "band", "gid", "steps", "q2")
     ttodo = tg.filter(F.col("final") == 0).alias("g").join(
-        border.select("source_id", "band", F.col("gid").alias("bgid"),
-                      F.col("steps").alias("bsteps")).alias("m"),
+        bc(border.select("source_id", "band", F.col("gid").alias("bgid"),
+                         F.col("steps").alias("bsteps")).alias("m")),
         on=[F.col("g.source_id") == F.col("m.source_id"),
             F.col("g.band") == F.col("m.band"),
             F.col("g.rep") == F.col("m.bgid")]) \

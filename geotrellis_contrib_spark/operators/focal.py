@@ -759,9 +759,33 @@ def _scene_small(tiles: DataFrame, t: int, scene_max_px: int) -> bool:
 _ACC_SCHEMA = ("source_id string, band int, col bigint, row bigint, "
                "acc_sum bigint, acc_max bigint, n_valid bigint")
 _FLOW_STATE = ("source_id string, band int, col bigint, row bigint, "
-               "chosen binary, acc binary, improved int")
+               "chosen binary, acc binary, improved int, "
+               "ring binary, chring binary")
 _FLOW_PIECE = ("source_id string, band int, col bigint, row bigint, "
-               "dr int, dc int, h int, w int, chosen binary, acc binary")
+               "dr int, dc int, h int, w int, chosen binary, acc binary, "
+               "ring binary, chring binary")
+
+
+def _ring_store(frame: np.ndarray) -> bytes:
+    """Serialize a (p, p) frame's 1-px ring (top row, bottom row, left
+    column, right column — corners ride the rows) for the delta-
+    propagation state (r7): retaining the last-received ring lets a
+    round skip strips from tiles that did not improve, shrinking the
+    per-round shuffle to the active wavefront while staying bit-exact
+    (an unimproved neighbor's strip would carry the values already
+    stored)."""
+    return np.ascontiguousarray(np.concatenate(
+        [frame[0, :], frame[-1, :],
+         frame[1:-1, 0], frame[1:-1, -1]])).tobytes()
+
+
+def _ring_load(frame: np.ndarray, buf: bytes, dtype) -> None:
+    p = frame.shape[0]
+    a = np.frombuffer(buf, dtype=dtype)
+    frame[0, :] = a[:p]
+    frame[-1, :] = a[p:2 * p]
+    frame[1:-1, 0] = a[2 * p:3 * p - 2]
+    frame[1:-1, -1] = a[3 * p - 2:]
 
 
 def _acc_rollup_rows(source_id, band, row_t, up, va):
@@ -836,17 +860,21 @@ def _flow_rounds_state(tiles: DataFrame, t: int,
         if frame is None:
             return pd.DataFrame(columns=["source_id", "band", "col",
                                          "row", "chosen", "acc",
-                                         "improved"])
+                                         "improved", "ring", "chring"])
         chosen = _d8_chosen(frame)
         base = (chosen >= -1).astype(np.float64)
         accf = _acc_fixpoint(np.zeros((t + 2, t + 2)),
                              np.pad(chosen, 1, constant_values=-1), base)
+        p = t + 2
         return pd.DataFrame([{
             "source_id": source_id, "band": int(band),
             "col": int(col), "row": int(row),
             "chosen": chosen.astype(np.int8).tobytes(),
             "acc": pack(np.ascontiguousarray(accf[1:1 + t, 1:1 + t])),
-            "improved": 1}])
+            "improved": 1,
+            # round-0 ring state: zero boundary inflow, no-flow ring
+            "ring": np.zeros(4 * p - 4).tobytes(),
+            "chring": np.full(4 * p - 4, -1, dtype=np.int8).tobytes()}])
 
     state = compute_grouped(_halo_pieces(tiles, 1, t),
                             "source_id", "band", "col", "row") \
@@ -856,15 +884,23 @@ def _flow_rounds_state(tiles: DataFrame, t: int,
         for pdf in batches:
             out = []
             for row_t in pdf.itertuples(index=False):
-                ch = np.frombuffer(row_t.chosen,
-                                   dtype=np.int8).reshape(t, t)
-                acc = np.frombuffer(row_t.acc,
-                                    dtype=np.float64).reshape(t, t)
                 out.append({"source_id": row_t.source_id,
                             "band": int(row_t.band),
                             "col": int(row_t.col), "row": int(row_t.row),
                             "dr": 0, "dc": 0, "h": t, "w": t,
-                            "chosen": row_t.chosen, "acc": row_t.acc})
+                            "chosen": row_t.chosen, "acc": row_t.acc,
+                            "ring": row_t.ring, "chring": row_t.chring})
+                # delta propagation (r7): an unimproved tile's edge
+                # strips are unchanged since it last sent them — every
+                # neighbor already holds those exact values in its ring
+                # state, so skipping them is bit-exact and the shuffle
+                # shrinks to the active wavefront
+                if not int(row_t.improved):
+                    continue
+                ch = np.frombuffer(row_t.chosen,
+                                   dtype=np.int8).reshape(t, t)
+                acc = np.frombuffer(row_t.acc,
+                                    dtype=np.float64).reshape(t, t)
                 for dr, dc in [(a, b) for a in (-1, 0, 1)
                                for b in (-1, 0, 1) if (a, b) != (0, 0)]:
                     rows = slice(None) if dr == 0 else (
@@ -882,37 +918,57 @@ def _flow_rounds_state(tiles: DataFrame, t: int,
                                 "dr": dr, "dc": dc,
                                 "h": chp.shape[0], "w": chp.shape[1],
                                 "chosen": chp.tobytes(),
-                                "acc": pack(acp)})
+                                "acc": pack(acp),
+                                "ring": None, "chring": None})
             yield pd.DataFrame(out, columns=[
                 "source_id", "band", "col", "row", "dr", "dc", "h", "w",
-                "chosen", "acc"])
+                "chosen", "acc", "ring", "chring"])
 
     def relax(pdf: pd.DataFrame) -> pd.DataFrame:
         p = t + 2
-        chf = np.full((p, p), -1, dtype=np.int8)
-        accf = np.zeros((p, p))
         center = None
+        strips = []
         for row_t in pdf.itertuples(index=False):
+            if int(row_t.dr) == 0 and int(row_t.dc) == 0:
+                center = row_t
+            else:
+                strips.append(row_t)
+        if center is None:
+            return pd.DataFrame(columns=["source_id", "band", "col",
+                                         "row", "chosen", "acc",
+                                         "improved", "ring", "chring"])
+        if not strips:
+            # pass-through (r7 delta propagation): no new strips means
+            # the frozen ring is unchanged, so the in-tile fixpoint —
+            # a pure function of (ring, chosen, base) — cannot move
+            return pd.DataFrame([{
+                "source_id": center.source_id, "band": int(center.band),
+                "col": int(center.col), "row": int(center.row),
+                "chosen": center.chosen, "acc": center.acc,
+                "improved": 0, "ring": center.ring,
+                "chring": center.chring}])
+        chf = np.empty((p, p), dtype=np.int8)
+        accf = np.empty((p, p))
+        _ring_load(chf, center.chring, np.int8)
+        _ring_load(accf, center.ring, np.float64)
+        chf[1:1 + t, 1:1 + t] = np.frombuffer(
+            center.chosen, dtype=np.int8).reshape(t, t)
+        accf[1:1 + t, 1:1 + t] = np.frombuffer(
+            center.acc, dtype=np.float64).reshape(t, t)
+        for row_t in strips:
             ch = np.frombuffer(row_t.chosen, dtype=np.int8) \
                    .reshape(int(row_t.h), int(row_t.w))
             ac = np.frombuffer(row_t.acc, dtype=np.float64) \
                    .reshape(int(row_t.h), int(row_t.w))
             dr, dc = int(row_t.dr), int(row_t.dc)
-            if dr == 0 and dc == 0:
-                center = row_t
-                chf[1:1 + t, 1:1 + t] = ch
-                accf[1:1 + t, 1:1 + t] = ac
-            else:
-                rows = slice(1, 1 + t) if dr == 0 else (
-                    slice(0, 1) if dr == 1 else slice(p - 1, p))
-                cols = slice(1, 1 + t) if dc == 0 else (
-                    slice(0, 1) if dc == 1 else slice(p - 1, p))
-                chf[rows, cols] = ch
-                accf[rows, cols] = ac
-        if center is None:
-            return pd.DataFrame(columns=["source_id", "band", "col",
-                                         "row", "chosen", "acc",
-                                         "improved"])
+            rows = slice(1, 1 + t) if dr == 0 else (
+                slice(0, 1) if dr == 1 else slice(p - 1, p))
+            cols = slice(1, 1 + t) if dc == 0 else (
+                slice(0, 1) if dc == 1 else slice(p - 1, p))
+            chf[rows, cols] = ch
+            accf[rows, cols] = ac
+        ring_b = _ring_store(accf)
+        chring_b = _ring_store(chf)
         old = accf[1:1 + t, 1:1 + t].copy()
         base = (chf[1:1 + t, 1:1 + t] >= -1).astype(np.float64)
         new = _acc_fixpoint(accf, chf, base)[1:1 + t, 1:1 + t]
@@ -921,7 +977,8 @@ def _flow_rounds_state(tiles: DataFrame, t: int,
             "source_id": center.source_id, "band": int(center.band),
             "col": int(center.col), "row": int(center.row),
             "chosen": center.chosen, "acc": pack(new),
-            "improved": improved}])
+            "improved": improved, "ring": ring_b,
+            "chring": chring_b}])
 
     # ONE driver job per round (r7): lazy localCheckpoint + an aggregate
     # probe — materialization and the convergence answer share one job.
@@ -1150,9 +1207,15 @@ def _watershed_dist(tiles: DataFrame, t: int, max_rounds: int) -> DataFrame:
         .select("source_id", "band", "gid", "rep", "final")
     # ONE driver job per doubling round (r7): the pending count is an
     # aggregate over the LAZY localCheckpoint of the next border table,
-    # so materialization and the loop condition share one job.
+    # so materialization and the loop condition share one job. The same
+    # probe reads the border SIZE, which picks the per-round join
+    # strategy (size-adaptive, see cluster.strahler_order): the
+    # O(perimeter) lookup side broadcasts below the cap.
     _pending = F.sum(F.lit(1) - F.col("final"))
-    pending = int(border.agg(_pending).collect()[0][0] or 0)
+    pending, n_border = [
+        int(v or 0) for v in border.agg(
+            _pending, F.count(F.lit(1))).collect()[0]]
+    bc = F.broadcast if n_border <= 2_000_000 else (lambda df: df)
     settled = pending == 0
     for _ in range(max_rounds):
         if settled:
@@ -1160,10 +1223,10 @@ def _watershed_dist(tiles: DataFrame, t: int, max_rounds: int) -> DataFrame:
         todo = border.filter(F.col("final") == 0)
         done = border.filter(F.col("final") == 1)
         step = todo.alias("a").join(
-            border.select(
+            bc(border.select(
                 "source_id", "band", F.col("gid").alias("g2"),
                 F.col("rep").alias("r2"), F.col("final").alias("f2"))
-            .alias("b"),
+               .alias("b")),
             on=[F.col("a.source_id") == F.col("b.source_id"),
                 F.col("a.band") == F.col("b.band"),
                 F.col("a.rep") == F.col("b.g2")], how="left") \
@@ -1189,8 +1252,8 @@ def _watershed_dist(tiles: DataFrame, t: int, max_rounds: int) -> DataFrame:
         .select("source_id", "band", "col", "row",
                 F.col("rep").alias("label"), "cnt")
     gtodo = groups.filter(F.col("final") == 0).alias("g").join(
-        border.select("source_id", "band", F.col("gid").alias("bgid"),
-                      F.col("rep").alias("label")).alias("m"),
+        bc(border.select("source_id", "band", F.col("gid").alias("bgid"),
+                         F.col("rep").alias("label")).alias("m")),
         on=[F.col("g.source_id") == F.col("m.source_id"),
             F.col("g.band") == F.col("m.band"),
             F.col("g.rep") == F.col("m.bgid")]) \
@@ -1249,9 +1312,9 @@ def watershed_labels(tiles: DataFrame, tile_size: int = 64,
 _FILL_SCHEMA = ("source_id string, band int, col bigint, row bigint, "
                 "n_valid bigint, n_filled bigint, q_fill_sum bigint")
 _FILL_STATE = ("source_id string, band int, col bigint, row bigint, "
-               "dem binary, w binary, improved int")
+               "dem binary, w binary, improved int, ring binary")
 _FILL_PIECE = ("source_id string, band int, col bigint, row bigint, "
-               "dr int, dc int, h int, w int, wvals binary")
+               "dr int, dc int, h int, w int, wvals binary, ring binary")
 
 
 def _fill_gs(wf: np.ndarray, z: np.ndarray, valid: np.ndarray) -> None:
@@ -1369,7 +1432,8 @@ def _fill_rounds(tiles: DataFrame, t: int, q_fill: float,
         frame = _assemble_frame(pdf, 1, t)
         if frame is None:
             return pd.DataFrame(columns=["source_id", "band", "col",
-                                         "row", "dem", "w", "improved"])
+                                         "row", "dem", "w", "improved",
+                                         "ring"])
         z = frame[1:1 + t, 1:1 + t]
         valid = ~np.isnan(z)
         wf = np.where(np.isnan(frame), -np.inf, np.inf)
@@ -1380,7 +1444,12 @@ def _fill_rounds(tiles: DataFrame, t: int, q_fill: float,
             "col": int(col), "row": int(row),
             "dem": pack(np.ascontiguousarray(z)),
             "w": pack(np.ascontiguousarray(wf[1:1 + t, 1:1 + t])),
-            "improved": 1}])
+            "improved": 1,
+            # round-0 ring memory = the old per-round assembly default
+            # (-inf everywhere): every EXISTING neighbor sends its
+            # strips in round 1 (improved=1 out of init), absent
+            # neighbors are outlets (-inf) forever
+            "ring": np.full(4 * (t + 2) - 4, -np.inf).tobytes()}])
 
     state = compute_grouped(_halo_pieces(tiles, 1, t),
                             "source_id", "band", "col", "row") \
@@ -1390,13 +1459,20 @@ def _fill_rounds(tiles: DataFrame, t: int, q_fill: float,
         for pdf in batches:
             out = []
             for row_t in pdf.itertuples(index=False):
-                w = np.frombuffer(row_t.w, dtype=np.float64) \
-                      .reshape(t, t)
                 out.append({"source_id": row_t.source_id,
                             "band": int(row_t.band),
                             "col": int(row_t.col), "row": int(row_t.row),
                             "dr": 0, "dc": 0, "h": t, "w": t,
-                            "wvals": row_t.w, "dem": row_t.dem})
+                            "wvals": row_t.w, "dem": row_t.dem,
+                            "ring": row_t.ring})
+                # delta propagation (r7): unimproved tiles' strips are
+                # unchanged since last sent — receivers hold them in
+                # ring memory, so skipping is bit-exact (see
+                # _flow_rounds_state)
+                if not int(row_t.improved):
+                    continue
+                w = np.frombuffer(row_t.w, dtype=np.float64) \
+                      .reshape(t, t)
                 for dr, dc in [(a, b) for a in (-1, 0, 1)
                                for b in (-1, 0, 1) if (a, b) != (0, 0)]:
                     rows = slice(None) if dr == 0 else (
@@ -1410,31 +1486,46 @@ def _fill_rounds(tiles: DataFrame, t: int, q_fill: float,
                                 "row": int(row_t.row) + dr,
                                 "dr": dr, "dc": dc,
                                 "h": wp.shape[0], "w": wp.shape[1],
-                                "wvals": pack(wp), "dem": b""})
+                                "wvals": pack(wp), "dem": b"",
+                                "ring": None})
             yield pd.DataFrame(out, columns=[
                 "source_id", "band", "col", "row", "dr", "dc",
-                "h", "w", "wvals", "dem"])
+                "h", "w", "wvals", "dem", "ring"])
 
     def relax(pdf: pd.DataFrame) -> pd.DataFrame:
         p = t + 2
-        wf = np.full((p, p), -np.inf)
         center = None
+        strips = []
         for row_t in pdf.itertuples(index=False):
+            if int(row_t.dr) == 0 and int(row_t.dc) == 0:
+                center = row_t
+            else:
+                strips.append(row_t)
+        if center is None:
+            return pd.DataFrame(columns=["source_id", "band", "col",
+                                         "row", "dem", "w", "improved",
+                                         "ring"])
+        if not strips:
+            # pass-through (r7): unchanged ring => unchanged fixpoint
+            return pd.DataFrame([{
+                "source_id": center.source_id, "band": int(center.band),
+                "col": int(center.col), "row": int(center.row),
+                "dem": center.dem, "w": center.wvals,
+                "improved": 0, "ring": center.ring}])
+        wf = np.empty((p, p))
+        _ring_load(wf, center.ring, np.float64)
+        wf[1:1 + t, 1:1 + t] = np.frombuffer(
+            center.wvals, dtype=np.float64).reshape(t, t)
+        for row_t in strips:
             wv = np.frombuffer(row_t.wvals, dtype=np.float64) \
                    .reshape(int(row_t.h), int(row_t.w))
             dr, dc = int(row_t.dr), int(row_t.dc)
-            if dr == 0 and dc == 0:
-                center = row_t
-                wf[1:1 + t, 1:1 + t] = wv
-            else:
-                rows = slice(1, 1 + t) if dr == 0 else (
-                    slice(0, 1) if dr == 1 else slice(p - 1, p))
-                cols = slice(1, 1 + t) if dc == 0 else (
-                    slice(0, 1) if dc == 1 else slice(p - 1, p))
-                wf[rows, cols] = wv
-        if center is None:
-            return pd.DataFrame(columns=["source_id", "band", "col",
-                                         "row", "dem", "w", "improved"])
+            rows = slice(1, 1 + t) if dr == 0 else (
+                slice(0, 1) if dr == 1 else slice(p - 1, p))
+            cols = slice(1, 1 + t) if dc == 0 else (
+                slice(0, 1) if dc == 1 else slice(p - 1, p))
+            wf[rows, cols] = wv
+        ring_b = _ring_store(wf)
         z = np.frombuffer(center.dem, dtype=np.float64).reshape(t, t)
         valid = ~np.isnan(z)
         old = wf[1:1 + t, 1:1 + t].copy()
@@ -1444,7 +1535,8 @@ def _fill_rounds(tiles: DataFrame, t: int, q_fill: float,
             "source_id": center.source_id, "band": int(center.band),
             "col": int(center.col), "row": int(center.row),
             "dem": center.dem, "w": pack(np.ascontiguousarray(new)),
-            "improved": int(bool(np.any(new != old)))}])
+            "improved": int(bool(np.any(new != old))),
+            "ring": ring_b}])
 
     piece_schema = _FILL_PIECE + ", dem binary"
     # ONE driver job per round (r7): lazy localCheckpoint + an aggregate
@@ -1670,7 +1762,12 @@ def _stream_dist(tiles: DataFrame, t: int, thr: int,
             "n_heads": int(heads.sum()),
             "link_qsum": int(terms.sum())}])
 
-    return compute_grouped(state.mapInPandas(cut_all, _FLOW_PIECE),
+    # cut_all ships no ring memory (one-shot pass over the converged
+    # state) — its pieces use the ring-less schema
+    piece_schema = ("source_id string, band int, col bigint, "
+                    "row bigint, dr int, dc int, h int, w int, "
+                    "chosen binary, acc binary")
+    return compute_grouped(state.mapInPandas(cut_all, piece_schema),
                            "source_id", "band", "col", "row") \
         .applyInPandas(rollup, _STREAM_SCHEMA)
 
@@ -1858,7 +1955,10 @@ def _flow_length_dist(tiles: DataFrame, t: int,
     # ONE driver job per doubling round (r7): lazy checkpoint + pending
     # aggregate share one job (see _watershed_dist).
     _pending = F.sum(F.lit(1) - F.col("final"))
-    pending = int(border.agg(_pending).collect()[0][0] or 0)
+    pending, n_border = [
+        int(v or 0) for v in border.agg(
+            _pending, F.count(F.lit(1))).collect()[0]]
+    bc = F.broadcast if n_border <= 2_000_000 else (lambda df: df)
     settled = pending == 0
     for _ in range(max_rounds):
         if settled:
@@ -1866,11 +1966,11 @@ def _flow_length_dist(tiles: DataFrame, t: int,
         todo = border.filter(F.col("final") == 0)
         done = border.filter(F.col("final") == 1)
         step = todo.alias("a").join(
-            border.select(
+            bc(border.select(
                 "source_id", "band", F.col("gid").alias("g2"),
                 F.col("rep").alias("r2"), F.col("no").alias("no2"),
                 F.col("nd").alias("nd2"), F.col("final").alias("f2"))
-            .alias("b"),
+               .alias("b")),
             on=[F.col("a.source_id") == F.col("b.source_id"),
                 F.col("a.band") == F.col("b.band"),
                 F.col("a.rep") == F.col("b.g2")], how="left") \
@@ -1899,9 +1999,9 @@ def _flow_length_dist(tiles: DataFrame, t: int,
                 F.col("nd").alias("diag_sum"))
     groups = parts.filter((F.col("kind") == 0) & (F.col("final") == 0))
     gres = groups.alias("g").join(
-        border.select("source_id", "band", F.col("gid").alias("bgid"),
-                      F.col("no").alias("bno"),
-                      F.col("nd").alias("bnd")).alias("m"),
+        bc(border.select("source_id", "band", F.col("gid").alias("bgid"),
+                         F.col("no").alias("bno"),
+                         F.col("nd").alias("bnd")).alias("m")),
         on=[F.col("g.source_id") == F.col("m.source_id"),
             F.col("g.band") == F.col("m.band"),
             F.col("g.rep") == F.col("m.bgid")]) \
