@@ -620,9 +620,8 @@ def _lcp_dist(tiles: DataFrame, seed_predicate, targets,
             _pending, F.count(F.lit(1))).collect()[0]]
     bc = F.broadcast if n_border <= 2_000_000 else (lambda df: df)
     settled = pending == 0
-    for _ in range(max_rounds):
-        if settled:
-            break
+
+    def _double_once(border):
         todo = border.filter(F.col("final") == 0)
         done = border.filter(F.col("final") == 1)
         step = todo.alias("a").join(
@@ -642,7 +641,15 @@ def _lcp_dist(tiles: DataFrame, seed_predicate, targets,
                                                    F.lit(0)))
                     .alias("steps"),
                     F.coalesce(F.col("b.f2"), F.lit(0)).alias("final"))
-        border = done.unionByName(step).localCheckpoint(eager=False)
+        return done.unionByName(step)
+
+    # two doubling rounds per materialization (see focal._watershed_dist)
+    for _ in range(max_rounds):
+        if settled:
+            break
+        for _ in range(2):
+            border = _double_once(border)
+        border = border.localCheckpoint(eager=False)
         pending = int(border.agg(_pending).collect()[0][0] or 0)
         settled = pending == 0
     if not settled:

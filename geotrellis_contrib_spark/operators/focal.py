@@ -1217,9 +1217,8 @@ def _watershed_dist(tiles: DataFrame, t: int, max_rounds: int) -> DataFrame:
             _pending, F.count(F.lit(1))).collect()[0]]
     bc = F.broadcast if n_border <= 2_000_000 else (lambda df: df)
     settled = pending == 0
-    for _ in range(max_rounds):
-        if settled:
-            break
+
+    def _double_once(border):
         todo = border.filter(F.col("final") == 0)
         done = border.filter(F.col("final") == 1)
         step = todo.alias("a").join(
@@ -1236,7 +1235,18 @@ def _watershed_dist(tiles: DataFrame, t: int, max_rounds: int) -> DataFrame:
                     F.coalesce(F.col("b.r2"),
                                F.col("a.rep")).alias("rep"),
                     F.coalesce(F.col("b.f2"), F.lit(0)).alias("final"))
-        border = done.unionByName(step).localCheckpoint(eager=False)
+        return done.unionByName(step)
+
+    # TWO doubling rounds per materialization (r7): each application is
+    # the same monotone pointer jump (settled rows pass through the
+    # done branch untouched), so chaining quarters the driver syncs at
+    # identical fixpoints — the strahler-contraction batching argument.
+    for _ in range(max_rounds):
+        if settled:
+            break
+        for _ in range(2):
+            border = _double_once(border)
+        border = border.localCheckpoint(eager=False)
         pending = int(border.agg(_pending).collect()[0][0] or 0)
         settled = pending == 0
     if not settled:
@@ -1960,9 +1970,8 @@ def _flow_length_dist(tiles: DataFrame, t: int,
             _pending, F.count(F.lit(1))).collect()[0]]
     bc = F.broadcast if n_border <= 2_000_000 else (lambda df: df)
     settled = pending == 0
-    for _ in range(max_rounds):
-        if settled:
-            break
+
+    def _double_once(border):
         todo = border.filter(F.col("final") == 0)
         done = border.filter(F.col("final") == 1)
         step = todo.alias("a").join(
@@ -1984,7 +1993,15 @@ def _flow_length_dist(tiles: DataFrame, t: int,
                     (F.col("a.nd") + F.coalesce(F.col("b.nd2"),
                                                 F.lit(0))).alias("nd"),
                     F.coalesce(F.col("b.f2"), F.lit(0)).alias("final"))
-        border = done.unionByName(step).localCheckpoint(eager=False)
+        return done.unionByName(step)
+
+    # two doubling rounds per materialization (see _watershed_dist)
+    for _ in range(max_rounds):
+        if settled:
+            break
+        for _ in range(2):
+            border = _double_once(border)
+        border = border.localCheckpoint(eager=False)
         pending = int(border.agg(_pending).collect()[0][0] or 0)
         settled = pending == 0
     if not settled:
