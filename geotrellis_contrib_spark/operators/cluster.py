@@ -338,7 +338,9 @@ def strahler_order(edges: DataFrame, child: str = "child",
                              F.min("c").alias("only"))
     base = (nodes.join(nch, nodes.id == nch.p, "left")
             .select("id", F.coalesce("nc", F.lit(0)).alias("nc"), "only")
-            .localCheckpoint(eager=True))
+            # LAZY: the n_nodes count below materializes it — one job,
+            # not an eager-checkpoint job plus a count job (r7)
+            .localCheckpoint(eager=False))
     # size-adaptive join strategy (r7, guide §2/§3): localCheckpoint
     # erases Catalyst size stats, so every per-round self-join of the
     # (tiny at test scale, huge at crawl scale) pointer tables planned
@@ -387,7 +389,10 @@ def strahler_order(edges: DataFrame, child: str = "child",
                                F.col("ptr").alias("jc"))),
                  e.c == F.col("_c"))
            .select(F.col("p").alias("j"), "jc")
-           .localCheckpoint(eager=True))
+           # LAZY: the first Jacobi sync's job materializes it once
+           # (checkpointed partitions are computed once and reused by
+           # every round in the chained plan)
+           .localCheckpoint(eager=False))
     # leaves keep order 1 forever — a STATIC union branch, so each round
     # needs NO term join at all (r7): every junction j has >= 2 children
     # rows in jed, so the aggregate g covers the full junction set every
@@ -541,7 +546,8 @@ def mst_boruvka(edges: DataFrame, src: str = "src", dst: str = "dst",
                       w_checked.alias("w"))
          .filter(F.col("a") != F.col("b"))
          .groupBy("a", "b").agg(F.min("w").alias("w"))
-         .localCheckpoint(eager=True))
+         # LAZY: the ndup probe materializes it in the same job (r7)
+         .localCheckpoint(eager=False))
     ndup = e.groupBy("w").count().filter(F.col("count") > 1).limit(1).count()
     if ndup:
         raise ValueError("mst_boruvka: duplicate edge weights — the "
@@ -621,7 +627,7 @@ def kcore(edges: DataFrame, src: str = "src", dst: str = "dst",
           .filter(F.col("a") != F.col("b")).distinct())
     sym = (e0.unionByName(e0.select(F.col("b").alias("a"),
                                     F.col("a").alias("b")))
-           .distinct().localCheckpoint(eager=True))
+           .distinct().localCheckpoint(eager=False))
     # size-adaptive join strategy (r7, see strahler_order): the value
     # table is <= one row per node — below the cap each round's
     # neighbor-value join broadcasts it (no shuffle of sym per round);
